@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch analytics operators — the reference's batch ETL surface re-expressed
+  * Spark-first (reference: `/root/reference/python/batch_processor.py`,
+  * `/root/reference/airflow/dags/airflow_etl_utils.py`).
+  *
+  * Scale posture (100 TB): every pipeline here is scan → (broadcast-able dim
+  * join) → partial+final hash aggregate → 1-row global agg broadcast back →
+  * per-row projection. No driver-side collect, no cartesian products except
+  * broadcast of single-row threshold frames. Money arithmetic goes through
+  * DECIMAL(18,2) so sums are exact and deterministic regardless of partition
+  * count / aggregation order (a double sum would be order-dependent and could
+  * never hash-match an oracle).
+  */
+object BatchOps {
+
+  /** Exact, order-independent money sum: cast to decimal, sum, back to double.
+    * Deterministic at any parallelism (decimal addition is associative). */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ===========================================================================
+  // M0 — customer 360 rollup + percentile segmentation
+  // (reference: python/batch_processor.py:22-145)
+  // ===========================================================================
+
+  /** A1: per-customer rollup — COUNT / COALESCE(SUM) / MAX over a left join
+    * that preserves order-less customers (batch_processor.py:33-40).
+    * customers ⟕ orders is a shuffle-free broadcast join when `customer` is
+    * the small side; here orders is the fact so we let Catalyst/AQE pick the
+    * build side. */
+  def customerOrdersRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"))
+      .agg(
+        count(o("o_orderkey")).as("total_orders"),
+        coalesce(moneySum(o("o_totalprice")), lit(0.0)).as("total_spent"),
+        max(o("o_orderdate")).as("last_order_date"))
+  }
+
+  /** M0 flagship: tiered segmentation (C1), CLV (C2), recency banding (C3)
+    * on top of the A1 rollup, thresholds from exact percentiles (A4).
+    * (reference: python/batch_processor.py:108-145)
+    *
+    * The percentile thresholds are a single-row global aggregate cross-joined
+    * back via broadcast — never collected to the driver — so the plan is
+    * scan → agg(1 row) → BroadcastNestedLoopJoin → project, which scales to
+    * arbitrarily many customers. Recency is anchored on max(o_orderdate)
+    * (data-derived) instead of the reference's datetime.now() so results are
+    * reproducible (SURVEY.md §7.3). */
+  def customerSegments(spark: SparkSession, dir: String): DataFrame = {
+    val roll = customerOrdersRollup(spark, dir)
+    val th = roll.agg(
+      expr("percentile(total_spent, 0.8)").as("p80_spent"),
+      expr("percentile(total_spent, 0.6)").as("p60_spent"),
+      expr("percentile(cast(total_orders as double), 0.8)").as("p80_orders"))
+    val anchor = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("anchor_day"))
+    roll
+      .crossJoin(broadcast(th))
+      .crossJoin(broadcast(anchor))
+      .withColumn("segment",
+        when(col("total_spent") >= col("p80_spent") &&
+             col("total_orders").cast("double") >= col("p80_orders"), "Gold")
+        .when(col("total_spent") >= col("p60_spent") ||
+              col("total_orders").cast("double") >= col("p80_orders"), "Silver")
+        .otherwise("Bronze"))
+      .withColumn("estimated_clv", col("total_spent") * 2)
+      .withColumn("days_since_last_order",
+        coalesce(datediff(col("anchor_day"), to_date(col("last_order_date"))),
+                 lit(999)).cast("int"))
+      .withColumn("recency_segment",
+        when(col("days_since_last_order") <= 7, "Very Active")
+        .when(col("days_since_last_order") <= 30, "Active")
+        .otherwise("Inactive"))
+      .select("c_custkey", "c_name", "c_mktsegment", "total_orders",
+        "total_spent", "last_order_date", "segment", "estimated_clv",
+        "days_since_last_order", "recency_segment")
+      .orderBy("c_custkey")
+  }
+
+  // ===========================================================================
+  // M1 — product performance (J2 two-hop join, A2 distinct agg, C4/C5/C6)
+  // (reference: python/batch_processor.py:54-71,147-176)
+  // ===========================================================================
+
+  /** A2: product rollup over the two-hop chain part ⟕ lineitem ⟕ orders with
+    * an expression inside the agg and a distinct aggregate. `part` is the
+    * dimension; at 100 TB the lineitem→orders join shuffles on l_orderkey
+    * while part broadcasts. */
+  def productRollup(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_outer")
+      .join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+      .groupBy(p("p_partkey"), p("p_name"), p("p_brand"), p("p_type"),
+        p("p_size"))
+      .agg(
+        coalesce(sum(l("l_quantity").cast("decimal(18,2)")).cast("double"),
+          lit(0.0)).as("units_sold"),
+        coalesce(
+          sum(l("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") -
+               l("l_discount").cast("decimal(18,2)"))).cast("double"),
+          lit(0.0)).as("revenue"),
+        countDistinct(o("o_orderkey")).as("order_count"))
+  }
+
+  /** C4 guarded ratios + C5 category precedence + C6 stock-status chain.
+    * pandas-overwrite precedence (batch_processor.py:157-173) becomes a
+    * first-match `when` chain ordered Star > Fast Moving > High Revenue
+    * (SURVEY.md §2.6 C5). p_size stands in for stock_quantity (testdata has
+    * no stock column); Overstock threshold scaled to p_size's 1..50 range. */
+  def productPerformance(spark: SparkSession, dir: String): DataFrame = {
+    val roll = productRollup(spark, dir)
+    val th = roll.agg(
+      expr("percentile(revenue, 0.8)").as("p80_revenue"),
+      expr("percentile(units_sold / cast(greatest(p_size, 1) as double), 0.8)")
+        .as("p80_turnover"))
+    roll
+      .withColumn("revenue_per_unit",
+        col("revenue") / when(col("units_sold") === 0, 1.0)
+          .otherwise(col("units_sold")))
+      .withColumn("turnover_rate",
+        col("units_sold") / greatest(col("p_size"), lit(1)).cast("double"))
+      .crossJoin(broadcast(th))
+      .withColumn("performance_category",
+        when(col("revenue") >= col("p80_revenue") &&
+             col("turnover_rate") >= col("p80_turnover"), "Star Product")
+        .when(col("turnover_rate") >= col("p80_turnover"), "Fast Moving")
+        .when(col("revenue") >= col("p80_revenue"), "High Revenue")
+        .otherwise("Low Performer"))
+      .withColumn("stock_status",
+        when(col("p_size") <= 0, "Out of Stock")
+        .when(col("p_size") <= 10, "Low Stock")
+        .when(col("p_size") >= 40, "Overstock")
+        .otherwise("Normal"))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "units_sold", "revenue", "order_count", "revenue_per_unit",
+        "turnover_rate", "performance_category", "stock_status")
+      .orderBy("p_partkey")
+  }
+
+  // ===========================================================================
+  // M1 — daily order analytics (A3 group-on-expression), re-aggregation (A7)
+  // (reference: python/batch_processor.py:84-97,226-231)
+  // ===========================================================================
+
+  /** A3: group on an expression (DATE(order_date), status) with the five
+    * standard aggregates. avg is computed from the exact decimal sum so it is
+    * deterministic under any partitioning. */
+  def dailyOrderAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_day"),
+        col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        moneySum(col("o_totalprice")).as("total_sales"),
+        min(col("o_totalprice")).as("min_order"),
+        max(col("o_totalprice")).as("max_order"))
+      .withColumn("avg_order_value",
+        col("total_sales") / col("order_count").cast("double"))
+      .select("order_day", "o_orderstatus", "order_count", "total_sales",
+        "avg_order_value", "min_order", "max_order")
+      .orderBy("order_day", "o_orderstatus")
+  }
+
+  /** A7: re-aggregation over the already-aggregated daily output
+    * (batch_processor.py:231). */
+  def statusDistribution(spark: SparkSession, dir: String): DataFrame =
+    dailyOrderAnalytics(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("order_count")).as("total_orders"),
+        moneySum(col("total_sales")).as("total_sales"))
+      .orderBy("o_orderstatus")
+
+  /** A9: global revenue rollup with the max(count,1) division guard
+    * (airflow_etl_utils.py:279-290). Single-row global aggregate. */
+  def revenueAnalytics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        moneySum(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .withColumn("avg_order_value",
+        col("total_revenue") /
+          greatest(col("order_count"), lit(1L)).cast("double"))
+
+  /** A8: segment counting over the segmentation output
+    * (airflow_etl_utils.py:250-258). */
+  def segmentCounts(spark: SparkSession, dir: String): DataFrame =
+    customerSegments(spark, dir)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("customers"))
+      .orderBy("segment")
+
+  /** A5: frequency counts (pandas value_counts ≙ groupBy().count()). */
+  def mktsegmentValueCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** A6: global scalar summaries — one row of cross-entity stats, built from
+    * two single-row aggregates (no double-summing of already-rounded values;
+    * everything recomputed from the exact decimal source).
+    * (reference: python/batch_processor.py:195-234) */
+  def batchSummary(spark: SparkSession, dir: String): DataFrame = {
+    val custAgg = Tables.customer(spark, dir)
+      .agg(count(lit(1)).as("total_customers"))
+    val ordAgg = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("total_orders"),
+        moneySum(col("o_totalprice")).as("total_revenue"))
+    custAgg.crossJoin(ordAgg)
+      .withColumn("avg_order_value",
+        col("total_revenue") /
+          greatest(col("total_orders"), lit(1L)).cast("double"))
+      .withColumn("avg_customer_value",
+        col("total_revenue") /
+          greatest(col("total_customers"), lit(1L)).cast("double"))
+      .select("total_customers", "total_orders", "total_revenue",
+        "avg_order_value", "avg_customer_value")
+  }
+
+  // ===========================================================================
+  // P9 — bitwise region mask + popcount
+  // (reference: airflow/dags/cdc_etl_orchestration.py:258-281)
+  // ===========================================================================
+
+  /** Per market segment: OR-accumulated region bitmask over the customers'
+    * nations' regions, plus popcount. nation/region are tiny dims →
+    * broadcast joins; the agg is a partial+final bit_or (associative). */
+  def geoRegionMask(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_mktsegment"))
+      .agg(
+        expr("bit_or(cast(shiftleft(1, n_regionkey) as bigint))")
+          .as("region_mask"),
+        count(lit(1)).as("customers"))
+      .withColumn("region_count",
+        expr("cast(bit_count(region_mask) as int)"))
+      .select("c_mktsegment", "region_mask", "region_count", "customers")
+      .orderBy("c_mktsegment")
+  }
+
+  // ===========================================================================
+  // O1/O2 — ordering / top-k
+  // ===========================================================================
+
+  /** O1: top-k by revenue with a deterministic tiebreak. ORDER BY + LIMIT
+    * compiles to TakeOrderedAndProject — per-partition top-k then a k-row
+    * merge on the driver; no full sort, no full shuffle, scale-safe. */
+  def topPartsByRevenue(spark: SparkSession, dir: String): DataFrame =
+    productRollup(spark, dir)
+      .orderBy(desc("revenue"), col("p_partkey"))
+      .limit(10)
+      .select("p_partkey", "p_name", "revenue", "units_sold", "order_count")
+
+  /** O2: ORDER BY RANDOM() LIMIT 1 (data_generator.py:157,166) with a fixed
+    * seed. Not oracle-checkable (engine RNGs differ) → rows-only check. */
+  def randomOrderPick(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(rand(42), col("o_orderkey"))
+      .limit(1)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+}
