@@ -1,13 +1,550 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 that is batch-SQL-expressible is registered
+  * here twice: a Spark query in `queries` and a DuckDB-equivalent oracle in
+  * `oracleSql` (same column names, same ORDER BY, matched types — the
+  * driver sorts columns by name and hash-compares values).
+  *
+  * Determinism rules used throughout (SURVEY §7.3): money/value sums go
+  * through DECIMAL(18,2) (associative ⇒ identical at any parallelism);
+  * every query ends in a total order with tiebreak keys; time anchors are
+  * data-derived (never now()); percentile thresholds are only *compared*
+  * against, never emitted, so FP interpolation differences between engines
+  * cannot flip a row.
+  *
+  * Non-oracle queries (engine-specific hash / streaming-only semantics) are
+  * registered in `queries` only → the driver records a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001 — the M0 customer-360 segmentation pipeline
+    * (scan → left join → agg → percentile thresholds → tiered CASE).
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    BatchOps.customerSegments(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // --- batch analytics (SURVEY §2.2-2.6) ---
+    "customer_rollup" -> ((s, d) =>
+      BatchOps.customerOrdersRollup(s, d).orderBy("c_custkey")),
+    "customer_segments" -> ((s, d) => BatchOps.customerSegments(s, d)),
+    "customer_rollup_windowed" -> ((s, d) =>
+      BatchOps.customerRollupWindowed(s, d)),
+    "product_rollup" -> ((s, d) =>
+      BatchOps.productRollup(s, d).orderBy("p_partkey")),
+    "product_performance" -> ((s, d) => BatchOps.productPerformance(s, d)),
+    "product_rollup_windowed" -> ((s, d) =>
+      BatchOps.productRollupWindowed(s, d)),
+    "daily_order_analytics" -> ((s, d) => BatchOps.dailyOrderAnalytics(s, d)),
+    "status_distribution" -> ((s, d) => BatchOps.statusDistribution(s, d)),
+    "revenue_analytics" -> ((s, d) => BatchOps.revenueAnalytics(s, d)),
+    "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
+    "mktsegment_value_counts" -> ((s, d) =>
+      BatchOps.mktsegmentValueCounts(s, d)),
+    "batch_summary" -> ((s, d) => BatchOps.batchSummary(s, d)),
+    "geo_region_mask" -> ((s, d) => BatchOps.geoRegionMask(s, d)),
+    "top_parts_by_revenue" -> ((s, d) => BatchOps.topPartsByRevenue(s, d)),
+    "random_order_pick" -> ((s, d) => BatchOps.randomOrderPick(s, d)),
+    // --- CDC semantics over events (SURVEY §2.1/2.7, M2) ---
+    "cdc_envelope_parse" -> ((s, d) => CdcOps.envelopeParse(s, d)),
+    "cdc_op_filter" -> ((s, d) => CdcOps.opFilter(s, d)),
+    "cdc_upsert_latest" -> ((s, d) => CdcOps.upsertLatest(s, d)),
+    "cdc_event_type_counters" -> ((s, d) => CdcOps.eventTypeCounters(s, d)),
+    "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
+    "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
+    "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
+    // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
+    "alerts_high_value" -> ((s, d) => AlertOps.highValueAlerts(s, d)),
+    "alerts_bulk_activity" -> ((s, d) => AlertOps.bulkActivityAlerts(s, d)),
+    "alerts_velocity" -> ((s, d) => AlertOps.velocityAlerts(s, d)),
+    "alerts_dominant_group" -> ((s, d) =>
+      AlertOps.dominantGroupAnomaly(s, d)),
+    "alerts_low_stock" -> ((s, d) => AlertOps.lowStockAlerts(s, d)),
+    "health_score" -> ((s, d) => AlertOps.healthScore(s, d)),
+    // --- LLM-pipeline text ops over documents (M4) ---
+    "docs_exact_dedup" -> ((s, d) => TextOps.exactDedupGroups(s, d)),
+    "docs_deduped" -> ((s, d) => TextOps.dedupedDocs(s, d)),
+    "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "lang_stats" -> ((s, d) => TextOps.langStats(s, d)),
+    "language_id" -> ((s, d) => TextOps.languageId(s, d)),
+    "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
+    "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
+    "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
+    // --- similarity search over embeddings (M4) ---
+    "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
+    "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
+    "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
+    "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
+  )
+
+  // Shared oracle fragments (DuckDB SQL).
+  private val custRollupSql =
+    """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+      |  count(o.o_orderkey) AS total_orders,
+      |  coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent,
+      |  max(o.o_orderdate) AS last_order_date
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  private val partRollupSql =
+    """SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type, p.p_size,
+      |  coalesce(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS units_sold,
+      |  coalesce(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 0.0) AS revenue,
+      |  count(DISTINCT o.o_orderkey) AS order_count
+      |FROM part p
+      |LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  private val opCaseSql =
+    "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+
+  private val stopListSql = "('a','the','of','and','to','in')"
+
+  private val shinglesSql =
+    "list_transform(range(1, len(string_split(text, ' '))), i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])"
+
+  def oracleSql: Map[String, String] = ListMap(
+    "customer_rollup" ->
+      s"$custRollupSql\nORDER BY c.c_custkey",
+
+    "customer_segments" ->
+      s"""WITH roll AS ($custRollupSql),
+         |th AS (
+         |  SELECT quantile_cont(total_spent, 0.8) AS p80_spent,
+         |         quantile_cont(total_spent, 0.6) AS p60_spent,
+         |         quantile_cont(CAST(total_orders AS DOUBLE), 0.8) AS p80_orders
+         |  FROM roll),
+         |anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS anchor_day FROM orders),
+         |seg AS (
+         |  SELECT r.*,
+         |    CASE WHEN r.total_spent >= th.p80_spent AND CAST(r.total_orders AS DOUBLE) >= th.p80_orders THEN 'Gold'
+         |         WHEN r.total_spent >= th.p60_spent OR CAST(r.total_orders AS DOUBLE) >= th.p80_orders THEN 'Silver'
+         |         ELSE 'Bronze' END AS segment,
+         |    r.total_spent * 2 AS estimated_clv,
+         |    CAST(coalesce(date_diff('day', CAST(r.last_order_date AS DATE), anchor.anchor_day), 999) AS INT) AS days_since_last_order
+         |  FROM roll r CROSS JOIN th CROSS JOIN anchor)
+         |SELECT c_custkey, c_name, c_mktsegment, total_orders, total_spent,
+         |  last_order_date, segment, estimated_clv, days_since_last_order,
+         |  CASE WHEN days_since_last_order <= 7 THEN 'Very Active'
+         |       WHEN days_since_last_order <= 30 THEN 'Active'
+         |       ELSE 'Inactive' END AS recency_segment
+         |FROM seg
+         |ORDER BY c_custkey""".stripMargin,
+
+    "customer_rollup_windowed" ->
+      """WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+        |so AS (SELECT o.* FROM orders o CROSS JOIN anchor
+        |       WHERE o.o_orderdate >= anchor.a - INTERVAL 30 DAY)
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  count(o.o_orderkey) AS total_orders,
+        |  coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent,
+        |  max(o.o_orderdate) AS last_order_date
+        |FROM customer c LEFT JOIN so o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "product_rollup" ->
+      s"$partRollupSql\nORDER BY p.p_partkey",
+
+    "product_performance" ->
+      s"""WITH roll AS ($partRollupSql),
+         |perf AS (
+         |  SELECT *,
+         |    revenue / (CASE WHEN units_sold = 0 THEN 1.0 ELSE units_sold END) AS revenue_per_unit,
+         |    units_sold / CAST(greatest(p_size, 1) AS DOUBLE) AS turnover_rate
+         |  FROM roll),
+         |th AS (
+         |  SELECT quantile_cont(revenue, 0.8) AS p80_revenue,
+         |         quantile_cont(turnover_rate, 0.8) AS p80_turnover
+         |  FROM perf)
+         |SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type, p.p_size,
+         |  p.units_sold, p.revenue, p.order_count, p.revenue_per_unit,
+         |  p.turnover_rate,
+         |  CASE WHEN p.revenue >= th.p80_revenue AND p.turnover_rate >= th.p80_turnover THEN 'Star Product'
+         |       WHEN p.turnover_rate >= th.p80_turnover THEN 'Fast Moving'
+         |       WHEN p.revenue >= th.p80_revenue THEN 'High Revenue'
+         |       ELSE 'Low Performer' END AS performance_category,
+         |  CASE WHEN p.p_size <= 0 THEN 'Out of Stock'
+         |       WHEN p.p_size <= 10 THEN 'Low Stock'
+         |       WHEN p.p_size >= 40 THEN 'Overstock'
+         |       ELSE 'Normal' END AS stock_status
+         |FROM perf p CROSS JOIN th
+         |ORDER BY p.p_partkey""".stripMargin,
+
+    "product_rollup_windowed" ->
+      """WITH anchor AS (SELECT max(l_shipdate) AS a FROM lineitem)
+        |SELECT p.p_partkey, p.p_name, p.p_brand,
+        |  coalesce(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS units_sold,
+        |  coalesce(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 0.0) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS order_count
+        |FROM part p
+        |LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |CROSS JOIN anchor
+        |WHERE l.l_shipdate >= anchor.a - INTERVAL 90 DAY
+        |   OR o.o_orderdate >= anchor.a - INTERVAL 90 DAY
+        |GROUP BY 1, 2, 3
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "daily_order_analytics" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_day, o_orderstatus,
+        |  count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_order_value,
+        |  min(o_totalprice) AS min_order,
+        |  max(o_totalprice) AS max_order
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "status_distribution" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS total_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "revenue_analytics" ->
+      """SELECT
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(greatest(count(*), 1) AS DOUBLE) AS avg_order_value
+        |FROM orders""".stripMargin,
+
+    "segment_counts" ->
+      s"""WITH roll AS ($custRollupSql),
+         |th AS (
+         |  SELECT quantile_cont(total_spent, 0.8) AS p80_spent,
+         |         quantile_cont(total_spent, 0.6) AS p60_spent,
+         |         quantile_cont(CAST(total_orders AS DOUBLE), 0.8) AS p80_orders
+         |  FROM roll)
+         |SELECT
+         |  CASE WHEN r.total_spent >= th.p80_spent AND CAST(r.total_orders AS DOUBLE) >= th.p80_orders THEN 'Gold'
+         |       WHEN r.total_spent >= th.p60_spent OR CAST(r.total_orders AS DOUBLE) >= th.p80_orders THEN 'Silver'
+         |       ELSE 'Bronze' END AS segment,
+         |  count(*) AS customers
+         |FROM roll r CROSS JOIN th
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    "mktsegment_value_counts" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "batch_summary" ->
+      """WITH c AS (SELECT count(*) AS total_customers FROM customer),
+        |o AS (SELECT count(*) AS total_orders,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |      FROM orders)
+        |SELECT total_customers, total_orders, total_revenue,
+        |  total_revenue / CAST(greatest(total_orders, 1) AS DOUBLE) AS avg_order_value,
+        |  total_revenue / CAST(greatest(total_customers, 1) AS DOUBLE) AS avg_customer_value
+        |FROM c CROSS JOIN o""".stripMargin,
+
+    "geo_region_mask" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << n.n_regionkey) AS BIGINT) AS region_mask,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << n.n_regionkey)) AS INT) AS region_count,
+        |  count(*) AS customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "top_parts_by_revenue" ->
+      s"""WITH roll AS ($partRollupSql)
+         |SELECT p_partkey, p_name, revenue, units_sold, order_count
+         |FROM roll
+         |ORDER BY revenue DESC, p_partkey
+         |LIMIT 10""".stripMargin,
+
+    // random_order_pick: engine hash functions differ → rows-only check.
+
+    "cdc_envelope_parse" ->
+      s"""SELECT event_id, user_id, event_type,
+         |  $opCaseSql AS op,
+         |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         |  value,
+         |  CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+
+    "cdc_op_filter" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND value >= 10.0
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_upsert_latest" ->
+      """SELECT user_id, event_type AS last_event_type, value AS last_value,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_event_type_counters" ->
+      s"""SELECT event_type, $opCaseSql AS op,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  count(DISTINCT user_id) AS distinct_users
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY 1""".stripMargin,
+
+    "cdc_user_event_sets" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "cdc_table_dispatch" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, 'customer_cache' AS target, value
+        |  FROM events WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT event_id, user_id, 'order_cache' AS target, value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, user_id, 'activity_cache' AS target, value
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |ORDER BY event_id, target""".stripMargin,
+
+    "minute_metrics" ->
+      """SELECT date_trunc('minute', ts) AS minute_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CASE WHEN count(*) > 0
+        |       THEN CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |       ELSE 0.0 END AS avg_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "alerts_high_value" ->
+      """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+        |  'high_value_order' AS alert_type,
+        |  CASE WHEN value >= 400.0 THEN 'HIGH'
+        |       WHEN value >= 300.0 THEN 'MEDIUM'
+        |       ELSE 'LOW' END AS severity
+        |FROM events
+        |WHERE value > 200.0
+        |ORDER BY event_id""".stripMargin,
+
+    "alerts_bulk_activity" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  'bulk_orders' AS alert_type
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY user_id, day""".stripMargin,
+
+    "alerts_velocity" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value,
+        |  count(*) AS n_events,
+        |  'rapid_stock_depletion' AS alert_type
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 400.0
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    "alerts_dominant_group" ->
+      """WITH pt AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    CAST(sum(n) OVER (PARTITION BY hour_start) AS BIGINT) AS total,
+        |    row_number() OVER (PARTITION BY hour_start ORDER BY n DESC, event_type) AS rk
+        |  FROM pt)
+        |SELECT hour_start, event_type AS dominant_type, n, total,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  'dominant_group_anomaly' AS alert_type
+        |FROM r
+        |WHERE rk = 1 AND total >= 5
+        |  AND CAST(n AS DOUBLE) / CAST(total AS DOUBLE) >= 0.4
+        |ORDER BY hour_start""".stripMargin,
+
+    "alerts_low_stock" ->
+      """SELECT p_partkey, p_name, p_size, 'low_stock' AS alert_type,
+        |  CASE WHEN p_size <= 2 THEN 'HIGH' ELSE 'MEDIUM' END AS severity
+        |FROM part
+        |WHERE p_size <= 5
+        |ORDER BY p_partkey""".stripMargin,
+
+    "health_score" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |    count(DISTINCT user_id) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events),
+        |s AS (
+        |  SELECT *,
+        |    CASE WHEN n_events > 0 THEN 20.0 ELSE 0.0 END AS freshness_score,
+        |    20.0 * (1.0 - CAST(n_errors AS DOUBLE) / CAST(greatest(n_events, 1) AS DOUBLE)) AS error_score,
+        |    least(20.0, 20.0 * CAST(n_users AS DOUBLE) / 100.0) AS activity_score,
+        |    least(20.0, 20.0 * CAST(n_events AS DOUBLE) / 5000.0) AS volume_score,
+        |    least(20.0, 20.0 * (total_value / CAST(greatest(n_events, 1) AS DOUBLE)) / 100.0) AS value_score
+        |  FROM a),
+        |h AS (
+        |  SELECT *,
+        |    freshness_score + error_score + activity_score + volume_score + value_score AS health_score
+        |  FROM s)
+        |SELECT n_events, n_errors, n_users, freshness_score, error_score,
+        |  activity_score, volume_score, value_score, health_score,
+        |  CASE WHEN health_score >= 90.0 THEN 'healthy'
+        |       WHEN health_score >= 70.0 THEN 'degraded'
+        |       WHEN health_score >= 50.0 THEN 'warning'
+        |       ELSE 'critical' END AS health_band
+        |FROM h""".stripMargin,
+
+    "docs_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "docs_deduped" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |      FROM documents)
+        |WHERE doc_id = keep_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |  CAST(len(list_filter(toks, t -> t IN $stopListSql)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+         |FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "language_id" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted_lang,
+         |  stop_ratio,
+         |  (CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END) = lang AS agrees
+         |FROM (SELECT *,
+         |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopListSql)) AS DOUBLE)
+         |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprints" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "neardup_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+         |    list_distinct($shinglesSql) AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+         |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS n_union,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM d a JOIN d b
+         |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "minhash_candidates" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |sig AS (
+         |  SELECT doc_id, band,
+         |    min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS band_sig
+         |  FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+         |  GROUP BY 1, 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "embedding_norms" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "label_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm,
+        |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_norm
+        |FROM n
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        |j AS (
+        |  SELECT q_id, c_id,
+        |    list_sum(list_transform(range(1, len(q_emb) + 1),
+        |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM j)
+        |SELECT q_id, c_id, rk, round(cosine, 9) AS cosine
+        |FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
+
+    "ann_lsh_top1" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |j AS (
+        |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM j)
+        |SELECT q_id, bucket, c_id, round(cosine, 9) AS cosine
+        |FROM r WHERE rk = 1
+        |ORDER BY q_id""".stripMargin,
+  )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Batch analytics operators — the reference's batch ETL surface re-expressed
@@ -54,7 +55,13 @@ object BatchOps {
     * (data-derived) instead of the reference's datetime.now() so results are
     * reproducible (SURVEY.md §7.3). */
   def customerSegments(spark: SparkSession, dir: String): DataFrame = {
+    // The rollup feeds both the threshold aggregate and the main branch (and
+    // segmentCounts downstream). Persisting it makes the fact scan happen
+    // once; Spark's CacheManager dedupes by canonical plan, so repeated calls
+    // share one cache entry. At 100 TB the rollup is |customers| rows — tiny
+    // next to the orders fact it summarizes.
     val roll = customerOrdersRollup(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val th = roll.agg(
       expr("percentile(total_spent, 0.8)").as("p80_spent"),
       expr("percentile(total_spent, 0.6)").as("p60_spent"),
@@ -152,32 +159,39 @@ object BatchOps {
   // (reference: python/batch_processor.py:84-97,226-231)
   // ===========================================================================
 
-  /** A3: group on an expression (DATE(order_date), status) with the five
-    * standard aggregates. avg is computed from the exact decimal sum so it is
-    * deterministic under any partitioning. */
-  def dailyOrderAnalytics(spark: SparkSession, dir: String): DataFrame = {
+  /** Daily (day, status) aggregate keeping total_sales in exact decimal so
+    * downstream re-aggregation (A7) never round-trips through double. */
+  private def dailyOrderAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("order_day"),
         col("o_orderstatus"))
       .agg(
         count(lit(1)).as("order_count"),
-        moneySum(col("o_totalprice")).as("total_sales"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sales_dec"),
         min(col("o_totalprice")).as("min_order"),
         max(col("o_totalprice")).as("max_order"))
+
+  /** A3: group on an expression (DATE(order_date), status) with the five
+    * standard aggregates. avg is computed from the exact decimal sum so it is
+    * deterministic under any partitioning. */
+  def dailyOrderAnalytics(spark: SparkSession, dir: String): DataFrame =
+    dailyOrderAgg(spark, dir)
+      .withColumn("total_sales", col("sales_dec").cast("double"))
       .withColumn("avg_order_value",
         col("total_sales") / col("order_count").cast("double"))
       .select("order_day", "o_orderstatus", "order_count", "total_sales",
         "avg_order_value", "min_order", "max_order")
       .orderBy("order_day", "o_orderstatus")
-  }
 
   /** A7: re-aggregation over the already-aggregated daily output
-    * (batch_processor.py:231). */
+    * (batch_processor.py:231). Sums stay decimal until the final projection
+    * — decimal addition is associative, so the result is identical to
+    * summing the source column directly, at any parallelism. */
   def statusDistribution(spark: SparkSession, dir: String): DataFrame =
-    dailyOrderAnalytics(spark, dir)
+    dailyOrderAgg(spark, dir)
       .groupBy("o_orderstatus")
       .agg(sum(col("order_count")).as("total_orders"),
-        moneySum(col("total_sales")).as("total_sales"))
+        sum(col("sales_dec")).cast("double").as("total_sales"))
       .orderBy("o_orderstatus")
 
   /** A9: global revenue rollup with the max(count,1) division guard
@@ -263,11 +277,81 @@ object BatchOps {
       .limit(10)
       .select("p_partkey", "p_name", "revenue", "units_sold", "order_count")
 
-  /** O2: ORDER BY RANDOM() LIMIT 1 (data_generator.py:157,166) with a fixed
-    * seed. Not oracle-checkable (engine RNGs differ) → rows-only check. */
+  /** O2: ORDER BY RANDOM() LIMIT 1 (data_generator.py:157,166). rand() is
+    * seeded per-partition, so it would pick a different row at local[4] vs
+    * local[32]; instead we order by a value-derived murmur3 hash — a
+    * deterministic pseudo-random total order at any parallelism. Engine hash
+    * functions differ → rows-only check (no oracle). */
   def randomOrderPick(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .orderBy(rand(42), col("o_orderkey"))
+      .orderBy(hash(col("o_orderkey")), col("o_orderkey"))
       .limit(1)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  // ===========================================================================
+  // P2/P3 — date-range scoped extracts (incremental-batch surface)
+  // (reference: python/batch_processor.py:38,67-68,94,244-246)
+  // ===========================================================================
+
+  /** Orders scoped to the trailing `days`-day window ending at the dataset's
+    * max order date (P2). The reference bounds every extract to [now−24h,
+    * now] (batch_processor.py:244-246); the anchor is data-derived here so
+    * results are reproducible (SURVEY §7.3). The filter is a pushed-down
+    * parquet predicate — at 100 TB with date-partitioned storage this is THE
+    * partition-pruning predicate. */
+  private def scopedOrders(spark: SparkSession, dir: String,
+                           days: Int): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor_ts"))
+    o.crossJoin(broadcast(anchor))
+      .filter(col("o_orderdate") >=
+        col("anchor_ts") - expr(s"INTERVAL $days DAYS"))
+      .drop("anchor_ts")
+  }
+
+  /** A1 rollup over the scoped window (P2): customers ⟕ last-30-day orders.
+    * All customers are preserved (zero-filled) — the scope applies to the
+    * fact side only, matching the reference's extract shape
+    * (batch_processor.py:30-40). */
+  def customerRollupWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = scopedOrders(spark, dir, 30)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"))
+      .agg(
+        count(o("o_orderkey")).as("total_orders"),
+        coalesce(moneySum(o("o_totalprice")), lit(0.0)).as("total_spent"),
+        max(o("o_orderdate")).as("last_order_date"))
+      .orderBy("c_custkey")
+  }
+
+  /** A2 rollup with the disjunctive post-join predicate (P3): keep rows
+    * where l_shipdate OR o_orderdate falls in the trailing 90-day window
+    * (batch_processor.py:67-68 applies `p.created_at ∈ range OR o.order_date
+    * ∈ range` after the joins). The OR over both sides defeats naive
+    * pushdown by design — Catalyst still prunes partially via constraint
+    * inference. */
+  def productRollupWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val anchor = l.agg(max(col("l_shipdate")).as("anchor_ts"))
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_outer")
+      .join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+      .crossJoin(broadcast(anchor))
+      .filter(
+        col("l_shipdate") >= col("anchor_ts") - expr("INTERVAL 90 DAYS") ||
+        col("o_orderdate") >= col("anchor_ts") - expr("INTERVAL 90 DAYS"))
+      .groupBy(p("p_partkey"), p("p_name"), p("p_brand"))
+      .agg(
+        coalesce(sum(l("l_quantity").cast("decimal(18,2)")).cast("double"),
+          lit(0.0)).as("units_sold"),
+        coalesce(
+          sum(l("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") -
+               l("l_discount").cast("decimal(18,2)"))).cast("double"),
+          lit(0.0)).as("revenue"),
+        countDistinct(o("o_orderkey")).as("order_count"))
+      .orderBy("p_partkey")
+  }
 }

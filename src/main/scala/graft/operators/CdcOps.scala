@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** CDC semantics re-expressed as batch-checkable queries over the `events`
+  * table (reference: `/root/reference/python/cdc_processor.py`). The events
+  * stream stands in for the Debezium change feed: `event_type` maps to the
+  * CDC verb (`signup`→c, `error`→d tombstone, everything else→u), `props` is
+  * the JSON payload, `ts` the change timestamp, `user_id` the row key.
+  *
+  * Every query here is the batch-expressible form of a streaming operator
+  * (SURVEY §7.1 M2) so DuckDB can referee it; `graft.streaming.StreamOps`
+  * binds the same logic to Structured Streaming.
+  *
+  * Scale posture: all operators are key-partitioned aggregations/windows over
+  * the event key — shuffle on user_id/event_type only, no driver-side state,
+  * no collect. The upsert-latest window is the classic CDC compaction: one
+  * shuffle on the key, per-key top-1 (no global sort).
+  */
+object CdcOps {
+
+  /** S3: envelope parse + field extraction — the analog of unpacking the
+    * Debezium `payload.op / source.table / ts_ms / after` envelope
+    * (cdc_processor.py:23-47). JSON payload field `k` is extracted with a
+    * codegen'd JSON path expression (no UDF), the op verb is derived, and
+    * ts is exposed as epoch millis exactly like Debezium's `ts_ms`. */
+  def envelopeParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        opCol.as("op"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** The CDC verb for an event (cdc_processor.py:26: op ∈ c/u/d/r). */
+  private def opCol =
+    when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+
+  /** P4+P5: op filter + per-table whitelist — stream processor keeps only
+    * creates (stream_processor.py:50), the airflow filters whitelist ops and
+    * drop low-value rows (airflow_etl_utils.py:115-133). Here: keep update
+    * verbs for the engagement types only, with the `total_amount >= 10`
+    * analog on `value`. */
+  def opFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value") >= 10.0)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** T5: upsert-latest-per-key with tombstones — the materialized
+    * latest-row cache the CDC processor maintains per entity
+    * (cdc_processor.py:77-190: `c`/`u` set the cache, `d` deletes).
+    * Batch form: per-key top-1 by (ts, event_id) via row_number, then drop
+    * keys whose latest verb is a delete. One shuffle on the key; at 100 TB
+    * this is the standard CDC log-compaction plan. */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("op", opCol)
+      .filter(col("op") =!= "d")
+      .select(
+        col("user_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"),
+        unix_millis(col("ts")).as("last_ts_ms"))
+      .orderBy("user_id")
+  }
+
+  /** S6+A10: per-(table,op)-style running counters — the Redis
+    * `cdc:stats:{table}:{op}` INCR counters (cdc_processor.py:50-51) plus
+    * the per-type revenue/user metrics (cdc_processor.py:124-131,203-205).
+    * Partial+final hash aggregate; decimal value sum is order-independent. */
+  def eventTypeCounters(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("op", opCol)
+      .groupBy("event_type", "op")
+      .agg(
+        count(lit(1)).as("n_events"),
+        BatchOps.moneySum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("distinct_users"))
+      .orderBy("event_type")
+
+  /** T6: per-key membership set — the `customer:{id}:orders` Redis set
+    * (cdc_processor.py:117-121, SADD/SREM). collect_set + array_sort gives
+    * the deterministic set; emitted as a joined string so the oracle
+    * comparison is engine-neutral. */
+  def userEventSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("event_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** P6: table-dispatch routing — one stream demultiplexed into per-table
+    * handler branches (cdc_processor.py:54-61), expressed as filtered
+    * branches of one scan unioned back together. Catalyst collapses the
+    * branches into a single pass over the source. */
+  def tableDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val customers = e.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        lit("customer_cache").as("target"), col("value"))
+    val orders = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        lit("order_cache").as("target"), col("value"))
+    val activity = e.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"),
+        lit("activity_cache").as("target"), col("value"))
+    customers.unionByName(orders).unionByName(activity)
+      .orderBy("event_id", "target")
+  }
+
+  /** A12/T1 batch analog: tumbling 1-minute event-time windows with count,
+    * exact sum, and the divide-by-zero-guarded average
+    * (stream_processor.py:216-244). The streaming twin (with watermark)
+    * lives in `graft.streaming.StreamOps.minuteMetrics`. */
+  def minuteMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        BatchOps.moneySum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("avg_value",
+        when(col("n_events") > 0,
+          col("total_value") / col("n_events").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("window.start").as("minute_start"), col("n_events"),
+        col("total_value"), col("avg_value"), col("n_users"))
+      .orderBy("minute_start")
+}
