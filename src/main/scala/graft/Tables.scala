@@ -14,6 +14,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default (PARQUET_TYPE_ILLEGAL / "illegal Parquet type"). Read
+    * nanos as a raw long (legacy conf) and convert to a microsecond
+    * timestamp; integer `div` keeps the conversion exact and matches DuckDB's
+    * native TIMESTAMP_NS read at millisecond/microsecond granularity. */
+  private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
@@ -21,7 +37,7 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame     = eventsWithTs(spark, dir)
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -122,39 +122,71 @@ object TextOps {
           .as("bag_md5"))
       .orderBy("doc_id")
 
-  /** Word-bigram shingles of the text (1-based element_at; docs are
-    * guaranteed ≥2 tokens in this corpus, guarded anyway). */
+  /** Word-bigram shingles of the text, built as zip_with(tokens[0..n-2],
+    * tokens[1..n-1]) — O(n) per evaluation. The earlier
+    * `transform(sequence(1, n-1), i -> element_at(split(text), i) ...)`
+    * form was O(n²): HOF lambdas are interpreted and re-run `split(text)`
+    * on every element access. A <2-token doc must yield an empty array
+    * explicitly: `sequence(1, 0)` is DESCENDING in Spark ([1, 0]) and
+    * element_at(_, 0) throws, so n<2 cannot be guarded with greatest()
+    * alone — zip_with of empty/size-0 slices handles it, but the case
+    * guard keeps the semantics obvious. */
   private def shingles: Column =
-    expr("""transform(
-              sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-              i -> concat(element_at(split(text, ' '), i), ' ',
-                          element_at(split(text, ' '), i + 1)))""")
+    expr("""case when size(split(text, ' ')) < 2
+              then cast(array() as array<string>)
+              else zip_with(
+                slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                (x, y) -> concat(x, ' ', y))
+            end""")
 
-  /** n-gram Jaccard near-dup pairs with (lang, length-bucket) blocking:
-    * candidate pairs only form inside a block, never corpus×corpus. Jaccard
-    * over distinct word-bigram shingles; integer-count division is exact so
-    * the score is engine-stable. At 100 TB the block join is a hash
-    * shuffle on (lang, bucket); skewed blocks would be salted. */
+  /** n-gram Jaccard near-dup pairs with (lang, length-bucket) blocking,
+    * computed via an inverted index: explode distinct shingles into postings,
+    * self-join postings on (shingle, block) to count common shingles per
+    * pair, then |A∪B| = |A| + |B| − |A∩B|. Candidate pairs only materialize
+    * when they share ≥1 shingle (zero-overlap pairs can never reach the 0.1
+    * threshold), so the per-pair array_intersect of the naive block
+    * self-join never happens — work is proportional to actual overlap, not
+    * block². At 100 TB the posting join is a hash shuffle on (shingle,
+    * block); a stop-shingle cut (drop postings above a document-frequency
+    * cap) would bound skew — unnecessary at this corpus's overlap profile. */
   def nearDupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Repartition before the shingle projection: the corpus arrives as few
+    // parquet splits, and without this the per-doc shingle work would run
+    // on a single core (at real scale the scan has many splits already).
     val docs = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / lit(100)).cast("int").as("len_bucket"),
         array_distinct(shingles).as("sh"))
-    val a = docs.alias("a")
-    val b = docs.alias("b")
-    a.join(b,
-        col("a.lang") === col("b.lang") &&
-        col("a.len_bucket") === col("b.len_bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .withColumn("n_inter",
-        size(array_intersect(col("a.sh"), col("b.sh"))))
-      .withColumn("n_union",
-        size(array_distinct(concat(col("a.sh"), col("b.sh")))))
+      .withColumn("n_sh", size(col("sh")))
+    // Posting lists instead of a posting self-join: the self-join would
+    // recompute the shingle pipeline for both sides (exchange reuse does
+    // not kick in across the join aliases); grouping postings per
+    // (shingle, block) and exploding ordered in-bucket pairs computes the
+    // shingles ONCE and needs a single shuffle.
+    val post = docs.select(col("lang"), col("len_bucket"),
+      explode(col("sh")).as("shingle"),
+      struct(col("doc_id"), col("n_sh")).as("d"))
+    val pairs = post
+      .groupBy("shingle", "lang", "len_bucket")
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, x ->
+             transform(filter(ds, y -> y.doc_id > x.doc_id), y ->
+               named_struct('doc_a', x.doc_id, 'n_a', x.n_sh,
+                            'doc_b', y.doc_id, 'n_b', y.n_sh))))""")).as("p"))
+    pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+      .withColumn("n_union", (col("n_a") + col("n_b") - col("n_inter")).cast("int"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= 0.1)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("n_inter"), col("n_union"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -167,20 +199,35 @@ object TextOps {
     * colliding bands. */
   def minhashCandidates(spark: SparkSession, dir: String,
                         bands: Int = 8): DataFrame = {
+    // All band signatures are computed per document in ONE projection (a
+    // nested higher-order transform) — no shingle explode, no 8×-amplified
+    // shuffle, no groupBy. The only shuffle left is the band-bucket join.
+    // Repartition first so the md5 signature work spreads across cores
+    // (the corpus arrives as few parquet splits).
     val sig = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-      .crossJoin(
-        spark.range(bands).select(col("id").cast("int").as("band")))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat(col("band"), lit("|"), col("shingle"))))
-        .as("band_sig"))
-    val a = sig.alias("a")
-    val b = sig.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(col("doc_id"))
+      .withColumn("sh", shingles)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+              band -> array_min(transform(sh,
+                s -> md5(concat(cast(band as string), '|', s)))))""")))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("band_sig"))
+      .filter(col("band_sig").isNotNull)
+    // Bucket members via collect_list, then explode ordered pairs — one
+    // shuffle, signatures computed once (a self-join would run the whole
+    // signature pipeline twice). A pathological bucket (all docs
+    // identical) explodes m² pairs from one row; a size cap on `ids`
+    // would bound that at web scale.
+    sig
+      .groupBy("band", "band_sig")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+             transform(filter(ids, y -> y > x), y ->
+               named_struct('doc_a', x, 'doc_b', y))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
   }

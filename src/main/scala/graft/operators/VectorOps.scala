@@ -62,14 +62,24 @@ object VectorOps {
     * to 9 dp on output (ranking uses the unrounded value). */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // Norms are precomputed per VECTOR, not per pair — sqrt(Σx²) then a
+    // multiply is the same float ops as computing both inside the pair, so
+    // results stay bit-identical to the oracle while the per-pair work
+    // drops to one dot product.
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(sq("embedding")).as("q_norm"))
+    // Broadcast the tiny QUERY set and stream the corpus (repartitioned —
+    // it arrives as one parquet split), so the k×N dot products are
+    // computed across all cores on the corpus side, not on the k-row side.
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        sqrt(sq("embedding")).as("c_norm"))
+      .repartition(col("c_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
-    q.join(broadcast(c), col("q_id") =!= col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
-        dot("q_emb", "c_emb") / (sqrt(sq("q_emb")) * sqrt(sq("c_emb"))))
+        dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"), col("rk"),
@@ -94,19 +104,28 @@ object VectorOps {
     * trade-off of LSH). */
   def annLshTop1(spark: SparkSession, dir: String,
                  bits: Int = 4): DataFrame = {
+    // Per-vector norms precomputed before the join (same float ops as the
+    // per-pair form → bit-identical to the oracle, 3× less HOF work).
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        bucketCol(bits).as("bucket"))
-    val a = e.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("bucket"))
+        bucketCol(bits).as("bucket"),
+        sqrt(sq("embedding")).as("norm"))
+    // The probe side is repartitioned on vec_id so pair scoring spreads
+    // across all cores even when the source is one parquet split; the
+    // build side stays keyed on bucket (2^bits keys) and is broadcast by
+    // Catalyst at this size — at 100 TB both sides would shuffle on
+    // bucket with salting for hot buckets.
+    val a = e.repartition(col("vec_id")).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("bucket"), col("norm").as("q_norm"))
     val b = e.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("bucket").as("c_bucket"))
+      col("embedding").as("c_emb"), col("bucket").as("c_bucket"),
+      col("norm").as("c_norm"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
     a.join(b, col("bucket") === col("c_bucket") &&
         col("q_id") =!= col("c_id"))
       .withColumn("cosine",
-        dot("q_emb", "c_emb") / (sqrt(sq("q_emb")) * sqrt(sq("c_emb"))))
+        dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("q_id"), col("bucket"), col("c_id"),

@@ -39,8 +39,10 @@ for name, sql in sorted(oracle.items()):
             for col in sc:
                 av, bv = a[col], b[col]
                 try:
-                    eq = (av.astype("object").where(av.notna(), None)
-                          == bv.astype("object").where(bv.notna(), None))
+                    # NULL == NULL must count as equal (None==None / NaT==NaT
+                    # are False under pandas elementwise ==).
+                    eq = (av.isna() & bv.isna()) | (
+                        av.astype("object") == bv.astype("object"))
                     neq = int((~eq).sum())
                 except Exception as e:
                     neq, eq = -1, None
