@@ -1,0 +1,335 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** One change event, the streaming row type (testdata `events` schema;
+  * stands in for the Debezium envelope of
+  * `/root/reference/python/cdc_processor.py:23-47`). */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+/** Latest-row cache entry per key (T5 state). */
+case class LatestState(
+    ts_ms: Long, event_id: Long, event_type: String, value: Double)
+
+/** T5 output row: the per-key materialized latest view. `deleted` marks a
+  * tombstone (downstream KV sinks delete the key instead of writing it). */
+case class UpsertRow(
+    user_id: Long, last_event_type: String, last_value: Double,
+    last_ts_ms: Long, deleted: Boolean)
+
+/** T3 state/output: per-customer activity
+  * (`realtime:customer:{id}:activity`, stream_processor.py:111-125). */
+case class Activity(
+    user_id: Long, last_event_ts_ms: Long, last_value: Double,
+    event_count: Long)
+
+/** T4 state/output: per-product-analog velocity accumulator
+  * (`realtime:product:{id}:velocity`, stream_processor.py:197-212). */
+case class Velocity(
+    event_type: String, window_start_ms: Long, units: Double, n_events: Long,
+    alert: Boolean)
+
+/** Structured Streaming runtime — the streaming twin of
+  * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
+  *
+  * The reference consumes Kafka with hand-rolled `for message in consumer`
+  * loops (`python/cdc_processor.py:266`, `python/stream_processor.py:376`);
+  * here every flow is a declarative streaming plan over one source
+  * DataFrame, so the same logical query runs over Kafka in production and a
+  * `MemoryStream`/file source in tests. Event-time + watermark replaces the
+  * reference's processing-time stamping (`stream_processor.py:56`) — a
+  * documented semantic upgrade (SURVEY §2.7 T8).
+  *
+  * Scale posture: every stateful operator keys on user_id/event_type —
+  * state is hash-partitioned across executors, no driver state, and
+  * watermarks bound window state. At 100 TB/day the knobs are RocksDB state
+  * store + `spark.sql.shuffle.partitions` sized to the key cardinality;
+  * nothing here collects to the driver.
+  */
+object StreamOps {
+
+  /** The events schema (needed by file stream sources — streaming reads
+    * cannot infer schemas). `ts` is TimestampType here because test/file
+    * sources deliver converted micros; the raw parquet nanos conversion
+    * lives in `graft.Tables.events`. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S2: Kafka CDC source over N topics — the two reference consumers
+    * (`cdc_processor.py:254-261`, `stream_processor.py:370`) are two
+    * streaming queries over this one definition, each with its own
+    * checkpoint. Not runnable in this container (no Kafka); the code path
+    * is the production wiring. */
+  def kafkaSource(spark: SparkSession, servers: String,
+                  topics: Seq[String]): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** S3: decode the Kafka value into typed events (the Debezium envelope
+    * parse, cdc_processor.py:23-34): one `from_json` against the fixed
+    * schema — schema-lax like the reference (missing fields → null). */
+  def decodeKafka(kafka: DataFrame): DataFrame =
+    kafka.select(
+        from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.*"))
+
+  /** File-based streaming source over a directory of parquet events —
+    * the test/bounded-replay source (same logical schema as Kafka). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** The CDC verb (cdc_processor.py:26; same mapping as
+    * `CdcOps.envelopeParse`). */
+  private def opCol =
+    when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+
+  /** T1+A12: tumbling 1-minute event-time windows with watermark — the
+    * per-minute orders/revenue/avg metrics the stream processor recomputes
+    * by scanning its buffer (`stream_processor.py:216-244`), minus the
+    * buffer: state is bounded by the watermark, late events beyond 2
+    * minutes are dropped instead of silently double-counted. Append mode. */
+  def minuteMetrics(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        approx_count_distinct(col("user_id")).as("n_users"))
+      .withColumn("avg_value",
+        when(col("n_events") > 0,
+          col("total_value") / col("n_events").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("window.start").as("minute_start"), col("n_events"),
+        col("total_value"), col("avg_value"), col("n_users"))
+
+  /** A10+S6: running per-(event_type, op) counters — the Redis
+    * `cdc:stats:{table}:{op}` INCR counters (cdc_processor.py:50-51) as an
+    * update-mode streaming aggregation (each trigger emits changed keys,
+    * exactly the INCR delta semantics a KV sink wants). */
+  def typeCounters(events: DataFrame): DataFrame =
+    events
+      .withColumn("op", opCol)
+      .groupBy("event_type", "op")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+
+  /** A11: per-group daily distribution — `realtime:geo:customers:{state}` /
+    * `realtime:categories:{cat}` counters with their daily TTL
+    * (stream_processor.py:147-152,174-179). The 1-day event-time window IS
+    * the TTL: watermark eviction drops yesterday's state. */
+  def dailyDistribution(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"))
+
+  /** T5: CDC upsert-latest cache with tombstones — the per-entity
+    * latest-row Redis cache (cdc_processor.py:77-190: c/u set the key, d
+    * deletes it), as keyed state: each trigger folds the key's new events
+    * into the stored (ts, event_id)-max and emits the new latest row, or a
+    * tombstone row when the latest verb is a delete. Update mode.
+    *
+    * State is one small row per live key — at 1e9 keys this is the
+    * RocksDB-state-store case; tombstoned keys clear their state
+    * immediately. */
+  def upsertLatest(events: Dataset[Event]): Dataset[UpsertRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, UpsertRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state) =>
+          val incoming = batch.map(e =>
+            LatestState(e.ts.getTime, e.event_id, e.event_type, e.value))
+          val candidates = state.getOption.iterator ++ incoming
+          val latest = candidates.maxBy(s => (s.ts_ms, s.event_id))
+          val isDelete = latest.event_type == "error" // op 'd'
+          if (isDelete) {
+            state.remove()
+            Iterator(UpsertRow(userId, latest.event_type, latest.value,
+              latest.ts_ms, deleted = true))
+          } else {
+            state.update(latest)
+            Iterator(UpsertRow(userId, latest.event_type, latest.value,
+              latest.ts_ms, deleted = false))
+          }
+      }
+  }
+
+  /** T3: keyed activity state with 24 h TTL — per-customer
+    * last-order/count state (stream_processor.py:111-125). The timeout
+    * replaces the Redis 24 h expiry: when no event arrives for a key within
+    * 24 h of processing time, the state is dropped (and nothing is
+    * emitted — the reference's expiry is silent too). */
+  def activityState(events: Dataset[Event]): Dataset[Activity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Activity, Activity](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, batch, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption
+            val latest = events.maxBy(e => (e.ts.getTime, e.event_id))
+            val next = Activity(
+              userId,
+              math.max(prev.map(_.last_event_ts_ms).getOrElse(0L),
+                latest.ts.getTime),
+              latest.value,
+              prev.map(_.event_count).getOrElse(0L) + events.size)
+            state.update(next)
+            state.setTimeoutDuration("24 hours")
+            next
+          }
+      }
+  }
+
+  /** T4: per-key velocity with 5-min TTL — the per-product
+    * sales-per-minute accumulator (stream_processor.py:197-212), keyed on
+    * event_type (the product analog in this schema). Accumulates units
+    * within a 1-minute event-time bucket held in state; emits the bucket
+    * with `alert = units > threshold` (the `velocity > 50` rule,
+    * stream_processor.py:207). */
+  def velocityState(events: Dataset[Event],
+                    threshold: Double = 50.0): Dataset[Velocity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Velocity, Velocity](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (etype, batch, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val events = batch.toSeq
+            val minuteMs = 60L * 1000
+            val bucket = events.map(_.ts.getTime / minuteMs).max * minuteMs
+            val prev = state.getOption.filter(_.window_start_ms == bucket)
+            val inBucket = events.filter(_.ts.getTime / minuteMs * minuteMs == bucket)
+            val units = prev.map(_.units).getOrElse(0.0) +
+              inBucket.map(_.value).sum
+            val n = prev.map(_.n_events).getOrElse(0L) + inBucket.size
+            val next = Velocity(etype, bucket, units, n, units > threshold)
+            state.update(next)
+            state.setTimeoutDuration("5 minutes")
+            next
+          }
+      }
+  }
+
+  /** P7+C7+T7: rule alerts with severity, unioned into ONE alert stream —
+    * high-value events (stream_processor.py:103-109, thresholds :35-39)
+    * unioned with per-minute bulk-activity alerts (:255-270), each tagged
+    * with the severity lookup (:313-321). Stateless filter ∪ windowed agg:
+    * both append-able, one sink (the `realtime-alerts` topic analog). */
+  def alerts(events: DataFrame,
+             highValue: Double = 200.0,
+             bulkPerMinute: Long = 5): DataFrame = {
+    val sevHigh = highValue * 2
+    val high = events
+      .filter(col("value") > highValue)
+      .select(
+        col("ts"),
+        col("user_id"),
+        lit("high_value_order").as("alert_type"),
+        when(col("value") >= sevHigh, "HIGH").otherwise("MEDIUM")
+          .as("severity"),
+        col("value").as("metric"))
+    val bulk = events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= bulkPerMinute)
+      .select(
+        col("window.end").as("ts"),
+        col("user_id"),
+        lit("bulk_orders").as("alert_type"),
+        lit("MEDIUM").as("severity"),
+        col("n").cast("double").as("metric"))
+    high.unionByName(bulk)
+  }
+
+  /** S4: Kafka producer sink for the alert stream
+    * (`realtime-alerts`, stream_processor.py:306-308; send_message
+    * utils.py:76-100) — JSON value, string key. Production wiring; tests
+    * use memory/parquet sinks. */
+  def kafkaAlertSink(alerts: DataFrame, servers: String,
+                     topic: String, checkpoint: String): StreamingQuery =
+    alerts.select(
+        col("user_id").cast("string").as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** S5: versioned + `:latest` dual-write KV sink
+    * (`load_to_redis`, batch_processor.py:178-193 / utils.py:128-136):
+    * every micro-batch writes an immutable versioned snapshot AND
+    * overwrites the `latest` path. foreachBatch is the idiomatic Spark
+    * form of a non-streaming sink. */
+  def dualWriteSink(df: DataFrame, outDir: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        batch.write.mode("overwrite").parquet(s"$outDir/v_$batchId")
+        batch.write.mode("overwrite").parquet(s"$outDir/latest")
+        batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** T9: bounded replay — consume everything available, then stop (the
+    * Airflow-triggered finite stream jobs, airflow_etl_utils.py:65-113:
+    * "≤1000 events or 5 min"). `Trigger.AvailableNow` is the exact Spark
+    * semantics: catch up through the current end of the source in
+    * micro-batches, then terminate. T2's processing-time cadence is
+    * `Trigger.ProcessingTime(interval)` on the same writer. */
+  def runBounded(df: DataFrame, sinkTable: String, checkpoint: String,
+                 outputMode: String = "append"): StreamingQuery =
+    df.writeStream.format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions.hash
+import graft.operators.BatchOps
+
+/** Boundary semantics of the batch operators (SURVEY §5 item 2): percentile
+  * edges, CASE precedence, zero/null guards — the places where the
+  * reference's pandas overwrite order and COALESCE defaults are easy to get
+  * wrong in a `when` chain. */
+class BatchOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // 6 customers; c6 has no orders (A1 coalesce case). With n=6, exact
+    // percentile index 0.8*(6-1) = 4.0 → p80 is EXACTLY the 5th-smallest
+    // value (no interpolation), so one customer can sit precisely on the
+    // threshold. Spends sorted: [0,100,200,300,350,400] → p80 = 350,
+    // p60 (idx 3.0) = 300. Order counts sorted: [0,1,1,1,2,2] → p80 = 2.
+    writeTable("customer", Seq(
+      (1L, "c1", "SEG_A", 0L),
+      (2L, "c2", "SEG_A", 0L),
+      (3L, "c3", "SEG_B", 1L),
+      (4L, "c4", "SEG_B", 1L),
+      (5L, "c5", "SEG_B", 2L),
+      (6L, "c6", "SEG_B", 2L)
+    ).toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+    writeTable("orders", Seq(
+      (10L, 1L, "O", 100.0, ts("2024-03-01 00:00:00")),
+      (11L, 2L, "O", 200.0, ts("2024-03-05 00:00:00")),
+      (12L, 3L, "F", 300.0, ts("2024-02-01 00:00:00")),
+      (13L, 4L, "F", 150.0, ts("2024-03-08 00:00:00")),
+      (14L, 4L, "O", 200.0, ts("2024-03-10 00:00:00")),
+      (15L, 5L, "F", 250.0, ts("2024-01-01 00:00:00")),
+      (16L, 5L, "O", 150.0, ts("2024-03-09 00:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate"))
+    // parts: p_size drives C6 precedence (0 → Out of Stock beats Low
+    // Stock; 10 → Low Stock; 40 → Overstock) and C4 (p1 has no lineitem →
+    // units_sold 0 → divide guard).
+    writeTable("part", Seq(
+      (1L, "p1", "B1", "T1", 0),
+      (2L, "p2", "B1", "T1", 10),
+      (3L, "p3", "B2", "T2", 40),
+      (4L, "p4", "B2", "T2", 20)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
+    writeTable("lineitem", Seq(
+      (10L, 2L, 5.0, 100.0, 0.0, ts("2024-03-01 00:00:00")),
+      (11L, 3L, 2.0, 50.0, 0.5, ts("2024-03-05 00:00:00")),
+      (12L, 4L, 1.0, 30.0, 0.0, ts("2024-02-01 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate"))
+  }
+
+  private lazy val segments =
+    BatchOps.customerSegments(spark, scratch).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+  test("A1: customer without orders gets count 0, spent 0.0, null date") {
+    val roll = BatchOps.customerOrdersRollup(spark, scratch)
+      .filter($"c_custkey" === 6L).collect()
+    assert(roll.length == 1)
+    val r = roll.head
+    assert(r.getAs[Long]("total_orders") == 0L)
+    assert(r.getAs[Double]("total_spent") == 0.0)
+    assert(r.getAs[java.sql.Timestamp]("last_order_date") == null)
+  }
+
+  test("C1: spend EXACTLY at p80 and orders EXACTLY at p80 is Gold (>=)") {
+    // c4: spent 350 = p80_spent, orders 2 = p80_orders → both >= → Gold.
+    assert(segments(4L).getAs[String]("segment") == "Gold")
+    assert(segments(5L).getAs[String]("segment") == "Gold") // 400, 2
+  }
+
+  test("C1: spend exactly at p60 (but below p80) is Silver") {
+    // c3: spent 300 = p60_spent exactly, 1 order < 2 → Silver.
+    assert(segments(3L).getAs[String]("segment") == "Silver")
+    assert(segments(2L).getAs[String]("segment") == "Bronze") // 200 < p60
+    assert(segments(6L).getAs[String]("segment") == "Bronze") // no orders
+  }
+
+  test("C3: null last_order_date → 999 days → Inactive") {
+    val c6 = segments(6L)
+    assert(c6.getAs[Int]("days_since_last_order") == 999)
+    assert(c6.getAs[String]("recency_segment") == "Inactive")
+  }
+
+  test("C3: recency bands are checked most-recent-first (≤7 before ≤30)") {
+    // anchor = 2024-03-10 (max order date). c4 last order 03-10 → 0 days
+    // → Very Active; c1 last order 03-01 → 9 days → Active (not Very);
+    // c3 last order 02-01 → 38 days → Inactive.
+    assert(segments(4L).getAs[String]("recency_segment") == "Very Active")
+    assert(segments(1L).getAs[String]("recency_segment") == "Active")
+    assert(segments(3L).getAs[Int]("days_since_last_order") == 38)
+    assert(segments(3L).getAs[String]("recency_segment") == "Inactive")
+  }
+
+  test("C2: estimated_clv is exactly 2x total_spent") {
+    assert(segments(4L).getAs[Double]("estimated_clv") == 700.0)
+  }
+
+  private lazy val perf =
+    BatchOps.productPerformance(spark, scratch).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+  test("C6: stock-status precedence — Out of Stock beats Low Stock") {
+    assert(perf(1L).getAs[String]("stock_status") == "Out of Stock")
+    assert(perf(2L).getAs[String]("stock_status") == "Low Stock")
+    assert(perf(3L).getAs[String]("stock_status") == "Overstock")
+    assert(perf(4L).getAs[String]("stock_status") == "Normal")
+  }
+
+  test("C4: zero units_sold divides by 1, not 0") {
+    val p1 = perf(1L)
+    assert(p1.getAs[Double]("units_sold") == 0.0)
+    assert(p1.getAs[Double]("revenue_per_unit") == 0.0) // 0.0 / 1
+    assert(!p1.getAs[Double]("revenue_per_unit").isNaN)
+  }
+
+  test("A7: status re-aggregation matches direct aggregation") {
+    val dist = BatchOps.statusDistribution(spark, scratch).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(dist("O") == ((4L, 650.0)))
+    assert(dist("F") == ((3L, 700.0)))
+  }
+
+  test("O2: deterministic pick is identical across partitionings") {
+    val viaOperator = BatchOps.randomOrderPick(spark, scratch)
+      .collect().map(_.getLong(0)).toSeq
+    val repartitioned = Tables.orders(spark, scratch)
+      .repartition(7)
+      .orderBy(hash($"o_orderkey"), $"o_orderkey").limit(1)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(viaOperator == repartitioned)
+  }
+}

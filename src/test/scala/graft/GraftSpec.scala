@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared test harness: one local session per suite, plus a scratch dir
+  * where suites materialize tiny parquet fixtures shaped like the testdata
+  * tables (the operators' API takes a table directory, so boundary cases
+  * are expressed as miniature table dirs, not mocks). */
+trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val scratch: String =
+    Files.createTempDirectory("graft-test-").toString
+
+  /** Write rows as `<scratch>/<table>.parquet` so `Tables.<table>` finds
+    * them. */
+  def writeTable(name: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$scratch/$name.parquet")
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  override def afterAll(): Unit = {
+    // One session is shared across suites in the same JVM; don't stop it.
+    super.afterAll()
+  }
+}

@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming._
+
+/** Structured Streaming runtime tests (SURVEY §5 item 4): MemoryStream in,
+  * memory sink out, `processAllAvailable` between micro-batches so state
+  * transitions are observable deterministically. No DuckDB oracle exists
+  * for streaming — these specs ARE the correctness gate for T1-T9. */
+class StreamOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def event(id: Long, t: String, user: Long, etype: String,
+                    value: Double): Event =
+    Event(id, ts(t), user, etype, value, "{}")
+
+  test("T5: upsert-latest keeps per-key max (ts, event_id) across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.upsertLatest(in.toDS())
+      .writeStream.format("memory").queryName("t5_upsert")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "signup", 1.0),
+        event(2, "2024-01-01 10:05:00", 7, "purchase", 2.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("t5_upsert").collect()
+      // One emitted row per key per trigger: latest = event 2.
+      assert(afterB1.map(_.getAs[Long]("last_ts_ms")).max ==
+        ts("2024-01-01 10:05:00").getTime)
+
+      // An EARLIER event in a later batch must not override stored state.
+      in.addData(event(3, "2024-01-01 09:00:00", 7, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("t5_upsert")
+        .orderBy($"last_ts_ms".desc).collect()
+      assert(rows.head.getAs[String]("last_event_type") == "purchase")
+      assert(!rows.head.getAs[Boolean]("deleted"))
+    } finally q.stop()
+  }
+
+  test("T5: a delete verb tombstones the key and clears state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.upsertLatest(in.toDS())
+      .writeStream.format("memory").queryName("t5_tomb")
+      .outputMode("update").start()
+    try {
+      in.addData(event(1, "2024-01-01 10:00:00", 9, "signup", 1.0))
+      q.processAllAvailable()
+      in.addData(event(2, "2024-01-01 11:00:00", 9, "error", 0.0)) // op 'd'
+      q.processAllAvailable()
+      val last = spark.table("t5_tomb")
+        .orderBy($"last_ts_ms".desc).collect().head
+      assert(last.getAs[Boolean]("deleted"))
+      // State was removed: a fresh create after the tombstone starts over
+      // (emits with its own ts, not the tombstone's).
+      in.addData(event(3, "2024-01-01 12:00:00", 9, "signup", 5.0))
+      q.processAllAvailable()
+      val resurrected = spark.table("t5_tomb")
+        .orderBy($"last_ts_ms".desc).collect().head
+      assert(resurrected.getAs[String]("last_event_type") == "signup")
+      assert(!resurrected.getAs[Boolean]("deleted"))
+    } finally q.stop()
+  }
+
+  test("T1/A12: minute windows emit after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.minuteMetrics(in.toDF())
+      .writeStream.format("memory").queryName("t1_minute")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:10", 1, "click", 10.0),
+        event(2, "2024-01-01 10:00:50", 2, "click", 20.0))
+      q.processAllAvailable()
+      // Watermark hasn't passed 10:01 yet — nothing final.
+      assert(spark.table("t1_minute").count() == 0)
+
+      // An event at 10:05 pushes the watermark to 10:03 > 10:01 → the
+      // 10:00 window closes and is appended.
+      in.addData(event(3, "2024-01-01 10:05:00", 1, "click", 5.0))
+      q.processAllAvailable()
+      in.addData(event(4, "2024-01-01 10:10:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t1_minute").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("minute_start") -> r).toMap
+      val w0 = rows(ts("2024-01-01 10:00:00"))
+      assert(w0.getAs[Long]("n_events") == 2L)
+      assert(w0.getAs[Double]("total_value") == 30.0)
+      assert(w0.getAs[Double]("avg_value") == 15.0)
+    } finally q.stop()
+  }
+
+  test("T1: events later than the watermark delay are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.minuteMetrics(in.toDF())
+      .writeStream.format("memory").queryName("t1_late")
+      .outputMode("append").start()
+    try {
+      in.addData(event(1, "2024-01-01 10:00:10", 1, "click", 10.0))
+      q.processAllAvailable()
+      in.addData(event(2, "2024-01-01 10:30:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // 28 minutes late, far beyond the 2-minute watermark → dropped;
+      // its window must never appear.
+      in.addData(event(3, "2024-01-01 10:02:00", 1, "click", 99.0))
+      q.processAllAvailable()
+      in.addData(event(4, "2024-01-01 11:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val minutes = spark.table("t1_late").collect()
+        .map(_.getAs[java.sql.Timestamp]("minute_start")).toSet
+      assert(!minutes.contains(ts("2024-01-01 10:02:00")))
+    } finally q.stop()
+  }
+
+  test("T3: activity state accumulates event_count across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.activityState(in.toDS())
+      .writeStream.format("memory").queryName("t3_activity")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 5, "purchase", 10.0),
+        event(2, "2024-01-01 10:01:00", 5, "purchase", 20.0))
+      q.processAllAvailable()
+      in.addData(event(3, "2024-01-01 10:02:00", 5, "purchase", 30.0))
+      q.processAllAvailable()
+      val last = spark.table("t3_activity")
+        .orderBy($"event_count".desc).collect().head
+      assert(last.getAs[Long]("event_count") == 3L)
+      assert(last.getAs[Long]("last_event_ts_ms") ==
+        ts("2024-01-01 10:02:00").getTime)
+      assert(last.getAs[Double]("last_value") == 30.0)
+    } finally q.stop()
+  }
+
+  test("T4: velocity flags a key whose in-minute units exceed threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.velocityState(in.toDS(), threshold = 50.0)
+      .writeStream.format("memory").queryName("t4_velocity")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:01", 1, "purchase", 30.0),
+        event(2, "2024-01-01 10:00:02", 1, "purchase", 30.0),
+        event(3, "2024-01-01 10:00:03", 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("t4_velocity").collect()
+        .map(r => r.getAs[String]("event_type") -> r).toMap
+      assert(rows("purchase").getAs[Double]("units") == 60.0)
+      assert(rows("purchase").getAs[Boolean]("alert"))
+      assert(!rows("view").getAs[Boolean]("alert"))
+    } finally q.stop()
+  }
+
+  test("T7: alert union carries both rule streams with severity") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.alerts(in.toDF(), highValue = 200.0, bulkPerMinute = 3)
+      .writeStream.format("memory").queryName("t7_alerts")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:01", 1, "purchase", 450.0), // HIGH
+        event(2, "2024-01-01 10:00:02", 1, "purchase", 250.0), // MEDIUM
+        event(3, "2024-01-01 10:00:03", 1, "purchase", 10.0),
+        event(4, "2024-01-01 10:00:04", 1, "purchase", 10.0))
+      q.processAllAvailable()
+      in.addData(event(5, "2024-01-01 10:10:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t7_alerts").collect()
+      val byType = rows.groupBy(_.getAs[String]("alert_type"))
+      val high = byType("high_value_order")
+      assert(high.map(_.getAs[String]("severity")).sorted.toSeq ==
+        Seq("HIGH", "MEDIUM"))
+      // user 1 fired 4 events in minute 10:00 ≥ 3 → one bulk alert once
+      // the watermark closed the window.
+      val bulk = byType("bulk_orders")
+      assert(bulk.length == 1)
+      assert(bulk.head.getAs[Long]("user_id") == 1L)
+      assert(bulk.head.getAs[Double]("metric") == 4.0)
+    } finally q.stop()
+  }
+
+  test("T9: bounded replay over a file source consumes all then stops") {
+    val srcDir = s"$scratch/stream_events"
+    val events = (1L to 20L).map(i =>
+      event(i, f"2024-01-01 10:${i % 60}%02d:00", i % 3, "click", i.toDouble))
+    spark.createDataset(events).write.mode("overwrite").parquet(srcDir)
+
+    val stream = StreamOps.fileSource(spark, srcDir)
+    assert(stream.isStreaming)
+    val q = StreamOps.runBounded(stream, "t9_bounded",
+      s"$scratch/ckpt_t9")
+    q.awaitTermination() // AvailableNow terminates on its own
+    assert(spark.table("t9_bounded").count() == 20)
+  }
+
+  test("S5: dual-write sink writes versioned and latest copies") {
+    val srcDir = s"$scratch/s5_events"
+    spark.createDataset(Seq(
+      event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      event(2, "2024-01-01 10:01:00", 2, "view", 2.0)
+    )).write.mode("overwrite").parquet(srcDir)
+
+    val outDir = s"$scratch/s5_out"
+    val counts = StreamOps.typeCounters(StreamOps.fileSource(spark, srcDir))
+    val q = StreamOps.dualWriteSink(counts, outDir, s"$scratch/ckpt_s5")
+    q.awaitTermination()
+    val latest = spark.read.parquet(s"$outDir/latest")
+    assert(latest.count() == 2) // click + view counters
+    assert(new java.io.File(outDir).listFiles()
+      .exists(_.getName.startsWith("v_")))
+  }
+
+  test("S3: kafka-shaped value decodes through the envelope schema") {
+    // No Kafka in this container — decodeKafka is exercised on a static
+    // frame shaped like the Kafka source (binary key/value columns).
+    import org.apache.spark.sql.functions._
+    val kafkaShaped = Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":7,"event_type":"signup","value":1.5,"props":"{}"}""",
+      """not json at all"""
+    ).toDF("raw").select(col("raw").cast("binary").as("value"))
+    val decoded = StreamOps.decodeKafka(kafkaShaped).collect()
+    assert(decoded.length == 2)
+    val good = decoded.find(r => !r.isNullAt(0)).get
+    assert(good.getAs[Long]("event_id") == 1L)
+    assert(good.getAs[Long]("user_id") == 7L)
+    // Malformed JSON degrades to nulls (schema-lax, like the reference's
+    // dict.get defaults), it does not throw.
+    assert(decoded.exists(_.isNullAt(0)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Edge cases of the text/dedup operators: degenerate documents (one
+  * token), duplicate-text groups, and blocking behavior of the near-dup
+  * pipelines. The 1-token case is a regression test — `sequence(1, 0)` is
+  * descending in Spark, so a naive shingle guard crashes on it. */
+class TextOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    writeTable("documents", Seq(
+      // near-identical pair, same lang + length bucket
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web", 44L),
+      (2L, "the quick brown fox jumps over the lazy cat", "en", "web", 44L),
+      // exact duplicate of doc 1 (dedup group)
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "web", 44L),
+      // degenerate: single token (no bigram shingles possible)
+      (4L, "solitary", "en", "web", 8L),
+      // different language, similar text — must not pair with en docs
+      (5L, "der schnelle braune fuchs springt", "de", "web", 33L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  test("exact dedup keeps the smallest doc_id per text group") {
+    val groups = TextOps.exactDedupGroups(spark, scratch).collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keep_id") == 1L)
+    val kept = TextOps.dedupedDocs(spark, scratch)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L)) // doc 3 dropped
+  }
+
+  test("1-token document does not crash the shingle pipelines") {
+    // Regression: element_at(arr, 0) throws; the pipelines must treat a
+    // <2-token doc as having zero shingles, not error out.
+    val jac = TextOps.nearDupJaccard(spark, scratch).collect()
+    assert(!jac.exists(r =>
+      r.getAs[Long]("doc_a") == 4L || r.getAs[Long]("doc_b") == 4L))
+    val mh = TextOps.minhashCandidates(spark, scratch).collect()
+    assert(!mh.exists(r =>
+      r.getAs[Long]("doc_a") == 4L || r.getAs[Long]("doc_b") == 4L))
+  }
+
+  test("near-dup pairs form only inside (lang, bucket) blocks") {
+    val jac = TextOps.nearDupJaccard(spark, scratch).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // 1-2, 1-3, 2-3 share the en/bucket-0 block and overlap heavily;
+    // doc 5 (de) must never pair despite bucket 0.
+    assert(jac.contains((1L, 2L)))
+    assert(jac.contains((1L, 3L)))
+    assert(!jac.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("exact duplicates have jaccard 1.0 and full band agreement") {
+    val jac = TextOps.nearDupJaccard(spark, scratch).collect()
+      .find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L)
+    assert(jac.isDefined)
+    assert(jac.get.getAs[Double]("jaccard") == 1.0)
+    val mh = TextOps.minhashCandidates(spark, scratch).collect()
+      .find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L)
+    assert(mh.isDefined)
+    assert(mh.get.getAs[Long]("n_bands") == 8L) // all 8 bands collide
+  }
+
+  test("text stats divide safely for a 1-token doc") {
+    val stats = TextOps.textStats(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d4 = stats(4L)
+    assert(d4.getAs[Int]("n_tokens") == 1)
+    assert(d4.getAs[Double]("distinct_ratio") == 1.0)
+    assert(d4.getAs[Double]("stopword_ratio") == 0.0)
+  }
+}
