@@ -38,6 +38,10 @@ case class Velocity(
     event_type: String, window_start_ms: Long, units: Double, n_events: Long,
     alert: Boolean)
 
+/** T4 per-minute-bucket accumulator held in state (one entry per live
+  * bucket, keyed by the bucket's epoch-millis start). */
+case class VelBucket(units: Double, n_events: Long)
+
 /** Structured Streaming runtime — the streaming twin of
   * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
   *
@@ -181,70 +185,91 @@ object StreamOps {
       }
   }
 
-  /** T3: keyed activity state with 24 h TTL — per-customer
-    * last-order/count state (stream_processor.py:111-125). The timeout
-    * replaces the Redis 24 h expiry: when no event arrives for a key within
-    * 24 h of processing time, the state is dropped (and nothing is
-    * emitted — the reference's expiry is silent too). */
+  /** T3: keyed activity state with a 24 h TTL — per-customer
+    * last-order/count state (stream_processor.py:111-125). The TTL is
+    * event-time (`EventTimeTimeout`): the Redis 24 h expiry becomes
+    * "no event within 24 h of the key's last event, as witnessed by the
+    * watermark". Event-time expiry is deterministic and replayable
+    * (SURVEY §7.3), and — unlike `ProcessingTimeTimeout` under the
+    * default ASAP trigger — never makes the engine spin no-data
+    * micro-batches re-checking wall clocks, so `processAllAvailable`
+    * observes an idle query (the round-4 `sbt test` livelock).
+    * Expiry is silent, like the reference's: `flatMapGroupsWithState`
+    * returns an empty iterator on timeout (`mapGroupsWithState` would be
+    * forced to re-emit a stale row). */
   def activityState(events: Dataset[Event]): Dataset[Activity] = {
     import events.sparkSession.implicits._
+    val ttlMs = 24L * 3600 * 1000
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[Activity, Activity](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[Activity, Activity](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, batch, state) =>
           if (state.hasTimedOut) {
-            val last = state.get
             state.remove()
-            last
+            Iterator.empty
           } else {
-            val events = batch.toSeq
+            val evs = batch.toSeq
             val prev = state.getOption
-            val latest = events.maxBy(e => (e.ts.getTime, e.event_id))
+            val latest = evs.maxBy(e => (e.ts.getTime, e.event_id))
             val next = Activity(
               userId,
               math.max(prev.map(_.last_event_ts_ms).getOrElse(0L),
                 latest.ts.getTime),
               latest.value,
-              prev.map(_.event_count).getOrElse(0L) + events.size)
+              prev.map(_.event_count).getOrElse(0L) + evs.size)
             state.update(next)
-            state.setTimeoutDuration("24 hours")
-            next
+            state.setTimeoutTimestamp(next.last_event_ts_ms + ttlMs)
+            Iterator.single(next)
           }
       }
   }
 
-  /** T4: per-key velocity with 5-min TTL — the per-product
+  /** T4: per-key velocity with a 5-min TTL — the per-product
     * sales-per-minute accumulator (stream_processor.py:197-212), keyed on
-    * event_type (the product analog in this schema). Accumulates units
-    * within a 1-minute event-time bucket held in state; emits the bucket
-    * with `alert = units > threshold` (the `velocity > 50` rule,
-    * stream_processor.py:207). */
+    * event_type (the product analog in this schema). State holds one
+    * accumulator per live 1-minute event-time bucket (a map, not just the
+    * newest bucket — out-of-order or minute-spanning batches accumulate
+    * into their own buckets instead of being dropped), and every bucket
+    * touched by the batch is emitted with `alert = units > threshold`
+    * (the `velocity > 50` rule, stream_processor.py:207). Buckets older
+    * than the TTL relative to the key's newest event are evicted; a key
+    * silent for 5 min of event time drops its whole state via
+    * `EventTimeTimeout` (same no-livelock rationale as T3). */
   def velocityState(events: Dataset[Event],
                     threshold: Double = 50.0): Dataset[Velocity] = {
     import events.sparkSession.implicits._
+    val minuteMs = 60L * 1000
+    val ttlMs = 5L * 60 * 1000
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.event_type)
-      .mapGroupsWithState[Velocity, Velocity](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[Map[Long, VelBucket], Velocity](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (etype, batch, state) =>
           if (state.hasTimedOut) {
-            val last = state.get
             state.remove()
-            last
+            Iterator.empty
           } else {
-            val events = batch.toSeq
-            val minuteMs = 60L * 1000
-            val bucket = events.map(_.ts.getTime / minuteMs).max * minuteMs
-            val prev = state.getOption.filter(_.window_start_ms == bucket)
-            val inBucket = events.filter(_.ts.getTime / minuteMs * minuteMs == bucket)
-            val units = prev.map(_.units).getOrElse(0.0) +
-              inBucket.map(_.value).sum
-            val n = prev.map(_.n_events).getOrElse(0L) + inBucket.size
-            val next = Velocity(etype, bucket, units, n, units > threshold)
-            state.update(next)
-            state.setTimeoutDuration("5 minutes")
-            next
+            val evs = batch.toSeq
+            val prev = state.getOption.getOrElse(Map.empty[Long, VelBucket])
+            val touched = evs
+              .groupBy(e => e.ts.getTime / minuteMs * minuteMs)
+              .map { case (b, es) =>
+                val p = prev.getOrElse(b, VelBucket(0.0, 0L))
+                b -> VelBucket(p.units + es.map(_.value).sum,
+                  p.n_events + es.size)
+              }
+            val maxTs = evs.map(_.ts.getTime).max
+            val kept = (prev ++ touched).filter {
+              case (b, _) => b + ttlMs > maxTs
+            }
+            state.update(kept)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            touched.toSeq.sortBy(_._1).iterator.map { case (b, v) =>
+              Velocity(etype, b, v.units, v.n_events, v.units > threshold)
+            }
           }
       }
   }
@@ -297,11 +322,15 @@ object StreamOps {
       .start()
 
   /** S5: versioned + `:latest` dual-write KV sink
-    * (`load_to_redis`, batch_processor.py:178-193 / utils.py:128-136):
-    * every micro-batch writes an immutable versioned snapshot AND
-    * overwrites the `latest` path. foreachBatch is the idiomatic Spark
-    * form of a non-streaming sink. */
-  def dualWriteSink(df: DataFrame, outDir: String,
+    * (`load_to_redis`, batch_processor.py:178-193 / utils.py:128-136).
+    * The stream arrives in update mode, so each micro-batch holds only the
+    * CHANGED keys — the reference's Redis sink upserts per key, so the
+    * delta is merged with the previous `latest` (delta ∪ untouched old
+    * keys, keyed by `keyCols`) before writing. Each `v_<batchId>` dir is
+    * the full merged snapshot (immutable version), and `latest` is
+    * rewritten from it — the overwrite of `latest` only ever reads the
+    * just-written versioned dir, never the path it is replacing. */
+  def dualWriteSink(df: DataFrame, keyCols: Seq[String], outDir: String,
                     checkpoint: String,
                     trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
@@ -310,9 +339,20 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latestDir = s"$outDir/latest"
+        val versionedDir = s"$outDir/v_$batchId"
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         batch.persist()
-        batch.write.mode("overwrite").parquet(s"$outDir/v_$batchId")
-        batch.write.mode("overwrite").parquet(s"$outDir/latest")
+        val snapshot =
+          if (fs.exists(new org.apache.hadoop.fs.Path(latestDir))) {
+            val old = spark.read.parquet(latestDir)
+            batch.unionByName(old.join(batch, keyCols, "left_anti"))
+          } else batch
+        snapshot.write.mode("overwrite").parquet(versionedDir)
+        spark.read.parquet(versionedDir)
+          .write.mode("overwrite").parquet(latestDir)
         batch.unpersist()
         ()
       }
@@ -331,5 +371,21 @@ object StreamOps {
       .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T2: processing-time micro-batch cadence — the Spark replacement for
+    * the reference's count-based trigger ("recompute every 100 events",
+    * stream_processor.py:72-75). Count-based triggers don't exist in
+    * Structured Streaming; a fixed processing-time interval is the
+    * idiomatic equivalent (SURVEY §2.7 T2 documents the semantic delta:
+    * cadence is wall-clock-periodic instead of event-count-periodic). */
+  def runPeriodic(df: DataFrame, sinkTable: String, checkpoint: String,
+                  interval: String = "1 second",
+                  outputMode: String = "append"): StreamingQuery =
+    df.writeStream.format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(interval))
       .start()
 }

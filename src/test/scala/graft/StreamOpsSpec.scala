@@ -160,6 +160,63 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("T4: a minute-spanning batch accumulates every touched bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.velocityState(in.toDS(), threshold = 50.0)
+      .writeStream.format("memory").queryName("t4_buckets")
+      .outputMode("update").start()
+    try {
+      // One batch spanning two minutes: both buckets must be emitted,
+      // neither dropped (the round-4 impl kept only the max bucket).
+      in.addData(
+        event(1, "2024-01-01 10:00:10", 1, "purchase", 10.0),
+        event(2, "2024-01-01 10:01:10", 1, "purchase", 40.0))
+      q.processAllAvailable()
+      // A later batch with an OUT-OF-ORDER event for the earlier minute
+      // (still inside the TTL) accumulates into that bucket's state.
+      in.addData(event(3, "2024-01-01 10:00:20", 1, "purchase", 45.0))
+      q.processAllAvailable()
+      val byBucket = spark.table("t4_buckets").collect()
+        .groupBy(_.getAs[Long]("window_start_ms"))
+      val b0 = ts("2024-01-01 10:00:00").getTime
+      val b1 = ts("2024-01-01 10:01:00").getTime
+      // Batch 1 emitted both buckets.
+      assert(byBucket(b1).map(_.getAs[Double]("units")).toSeq == Seq(40.0))
+      // Bucket 10:00 was emitted twice: 10.0 then 10+45=55 (alert fires).
+      val bucket0 = byBucket(b0).map(r =>
+        (r.getAs[Double]("units"), r.getAs[Boolean]("alert"))).sortBy(_._1)
+      assert(bucket0.toSeq == Seq((10.0, false), (55.0, true)))
+    } finally q.stop()
+  }
+
+  test("T3: event-time TTL drops idle state silently; fresh events restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.activityState(in.toDS())
+      .writeStream.format("memory").queryName("t3_ttl")
+      .outputMode("update").start()
+    try {
+      in.addData(event(1, "2024-01-01 10:00:00", 5, "purchase", 1.0))
+      q.processAllAvailable()
+      // Push the watermark past user 5's 24 h timeout via another key...
+      in.addData(event(2, "2024-01-03 10:00:00", 6, "purchase", 1.0))
+      q.processAllAvailable()
+      // ...and one more batch so the (now-exceeded) timeout fires. Expiry
+      // emits NOTHING (flatMapGroupsWithState returns empty on timeout).
+      in.addData(event(3, "2024-01-03 11:00:00", 6, "purchase", 1.0))
+      q.processAllAvailable()
+      // User 5's state is gone: a fresh event restarts event_count at 1
+      // instead of resuming at 2.
+      in.addData(event(4, "2024-01-03 12:00:00", 5, "purchase", 9.0))
+      q.processAllAvailable()
+      val u5 = spark.table("t3_ttl")
+        .filter($"user_id" === 5L).collect()
+      assert(u5.map(_.getAs[Long]("event_count")).max == 1L)
+      assert(u5.length == 2) // one row per live batch, none at expiry
+    } finally q.stop()
+  }
+
   test("T7: alert union carries both rule streams with severity") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
@@ -212,12 +269,79 @@ class StreamOpsSpec extends GraftSpec {
 
     val outDir = s"$scratch/s5_out"
     val counts = StreamOps.typeCounters(StreamOps.fileSource(spark, srcDir))
-    val q = StreamOps.dualWriteSink(counts, outDir, s"$scratch/ckpt_s5")
+    val q = StreamOps.dualWriteSink(counts, Seq("event_type", "op"),
+      outDir, s"$scratch/ckpt_s5")
     q.awaitTermination()
     val latest = spark.read.parquet(s"$outDir/latest")
     assert(latest.count() == 2) // click + view counters
     assert(new java.io.File(outDir).listFiles()
       .exists(_.getName.startsWith("v_")))
+  }
+
+  test("S5: latest merges update-mode deltas instead of dropping old keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val outDir = s"$scratch/s5_merge_out"
+    val counts = StreamOps.typeCounters(in.toDF())
+    // Periodic trigger (AvailableNow would stop after batch 1): each
+    // addData + processAllAvailable round is one micro-batch, so batch 2
+    // carries only the changed key ("view").
+    val q = StreamOps.dualWriteSink(counts, Seq("event_type", "op"),
+      outDir, s"$scratch/ckpt_s5_merge",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      in.addData(event(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(event(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      val latest = spark.read.parquet(s"$outDir/latest").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("n_events")).toMap
+      // The unchanged "click" counter must survive the second batch.
+      assert(latest == Map("click" -> 1L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("A11: daily distribution closes a day window via the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.dailyDistribution(in.toDF())
+      .writeStream.format("memory").queryName("a11_daily")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        event(2, "2024-01-01 11:00:00", 2, "click", 1.0),
+        event(3, "2024-01-01 12:00:00", 3, "view", 1.0))
+      q.processAllAvailable()
+      // Next-day event pushes the watermark past Jan 1 → its window closes.
+      in.addData(event(4, "2024-01-02 02:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(event(5, "2024-01-02 03:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("a11_daily").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("n_events")).toMap
+      assert(rows == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("T2: ProcessingTime trigger processes data on a fixed cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val counts = StreamOps.typeCounters(in.toDF())
+    val q = StreamOps.runPeriodic(counts, "t2_periodic",
+      s"$scratch/ckpt_t2", interval = "100 milliseconds",
+      outputMode = "update")
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        event(2, "2024-01-01 10:00:01", 2, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("t2_periodic").collect()
+      assert(rows.exists(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Long]("n_events") == 2L))
+    } finally q.stop()
   }
 
   test("S3: kafka-shaped value decodes through the envelope schema") {
