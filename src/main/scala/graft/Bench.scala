@@ -5,9 +5,23 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Failed queries are reported in a `failed` map (name
   * → error) and count 0 toward the total — a failure must never masquerade
   * as a fast run (round-3 lesson: broken queries "ran" in 0.06 s).
+  *
+  * Methodology (round-4 lessons):
+  * - Each query is executed as a `noop`-format WRITE, not `.count()`:
+  *   under a count Catalyst prunes unreferenced projections and
+  *   `EliminateSorts` drops the final orderBy, so projection-heavy queries
+  *   were partially unmeasured. The noop sink consumes every row of the
+  *   full projection and discards it.
+  * - Median of 3 runs per query (min/max reported alongside): single-shot
+  *   timing produced a 24.6 s phantom for a 3 s query in round 4. The
+  *   cache is cleared between runs so no run sees another's persisted
+  *   state.
+  *
   * The line is also written to bench_line.json so the signal survives any
   * log-prefix mangling by the build tool. */
 object Bench {
+  private val RUNS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +29,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,25 +38,35 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val med = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val lo = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val hi = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
       try {
-        fn(spark, sfDir).count()
-        times(name) = (System.nanoTime() - t0) / 1e9
+        (1 to RUNS).foreach { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          runs += (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+        }
+        val sorted = runs.sorted
+        med(name) = sorted(RUNS / 2)
+        lo(name) = sorted.head
+        hi(name) = sorted.last
       } catch { case e: Throwable =>
         failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         System.err.println(s"[bench] FAILED $name: ${failed(name)}")
       } finally spark.catalog.clearCache()
     }
-    val qs = times.map { case (k, v) => s""""${esc(k)}":$v""" }
-      .mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = times.values.sum
+    val total = med.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(lo)},"max":${jmap(hi)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), line + "\n")

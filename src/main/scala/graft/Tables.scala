@@ -18,9 +18,15 @@ object Tables {
     * rejects by default (PARQUET_TYPE_ILLEGAL / "illegal Parquet type"). Read
     * nanos as a raw long (legacy conf) and convert to a microsecond
     * timestamp; integer `div` keeps the conversion exact and matches DuckDB's
-    * native TIMESTAMP_NS read at millisecond/microsecond granularity. */
+    * native TIMESTAMP_NS read at millisecond/microsecond granularity.
+    *
+    * The conf belongs in the SparkSession builder (Bench/Verify/tests all
+    * set it); the fallback here only covers sessions built elsewhere, and
+    * only fires when the conf is unset — it never changes an explicitly
+    * configured value, so behavior is not call-order dependent. */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

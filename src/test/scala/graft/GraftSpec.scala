@@ -16,6 +16,7 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
