@@ -476,75 +476,15 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "minhash_candidates" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
-         |sig AS (
-         |  SELECT doc_id, band,
-         |    min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS band_sig
-         |  FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
-         |  GROUP BY 1, 2)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-         |FROM sig a JOIN sig b
-         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2
-         |ORDER BY 1, 2""".stripMargin,
+    // Generated from the same band seeds + bucket cap as the Spark query.
+    "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),
 
-    "embedding_norms" ->
-      """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
-        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
-        |FROM embeddings
-        |ORDER BY vec_id""".stripMargin,
-
-    "label_stats" ->
-      """WITH n AS (
-        |  SELECT label,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
-        |  FROM embeddings)
-        |SELECT label, count(*) AS n_vectors,
-        |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm,
-        |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_norm
-        |FROM n
-        |GROUP BY 1
-        |ORDER BY 1""".stripMargin,
-
-    "cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
-        |j AS (
-        |  SELECT q_id, c_id,
-        |    list_sum(list_transform(range(1, len(q_emb) + 1),
-        |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
-        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
-        |  FROM j)
-        |SELECT q_id, c_id, rk, round(cosine, 9) AS cosine
-        |FROM r WHERE rk <= 3
-        |ORDER BY q_id, rk""".stripMargin,
-
-    "ann_lsh_top1" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |j AS (
-        |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS c_id,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
-        |  FROM j)
-        |SELECT q_id, bucket, c_id, round(cosine, 9) AS cosine
-        |FROM r WHERE rk = 1
-        |ORDER BY q_id""".stripMargin,
+    // Vector-query oracles are GENERATED from the same unrolled
+    // arithmetic + hyperplane constants the Spark queries use
+    // (VectorOps.*Sql) — one source of truth for both engines.
+    "embedding_norms" -> VectorOps.embeddingNormsOracleSql,
+    "label_stats" -> VectorOps.labelStatsOracleSql,
+    "cosine_topk" -> VectorOps.cosineTopKOracleSql,
+    "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
   )
 }

@@ -12,11 +12,14 @@ import graft.Tables
   * reference's closest analogs are the pandas transform passes in
   * `/root/reference/python/batch_processor.py:108-176`).
   *
-  * Scale posture: everything is expressed over codegen'd built-ins
-  * (split/transform/filter/aggregate higher-order functions, md5) — no
-  * UDFs, no driver-side loops. Near-dup detection NEVER does an unblocked
-  * all-pairs join: the Jaccard variant blocks on (lang, length bucket) and
-  * the MinHash variant blocks on LSH band signatures, so candidate
+  * Scale posture: no UDFs, no driver-side loops. Per-document token work
+  * uses Spark's higher-order functions (whose lambdas are interpreted,
+  * not codegen'd — acceptable once per document); the per-SHINGLE hot
+  * path (minhash signatures) is plain codegen'd expressions over an
+  * exploded shingle column. Near-dup detection NEVER does an unblocked
+  * all-pairs join: the Jaccard variant blocks on (lang, length bucket)
+  * with an optional document-frequency cut for stop-shingle skew, and
+  * the MinHash variant blocks on capped LSH band buckets, so candidate
   * generation is a hash-partitioned groupBy join at any scale.
   */
 object TextOps {
@@ -147,10 +150,21 @@ object TextOps {
     * when they share ≥1 shingle (zero-overlap pairs can never reach the 0.1
     * threshold), so the per-pair array_intersect of the naive block
     * self-join never happens — work is proportional to actual overlap, not
-    * block². At 100 TB the posting join is a hash shuffle on (shingle,
-    * block); a stop-shingle cut (drop postings above a document-frequency
-    * cap) would bound skew — unnecessary at this corpus's overlap profile. */
-  def nearDupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * block².
+    *
+    * At 100 TB the posting join is a hash shuffle on (shingle, block),
+    * and `docFreqCap` is the skew guard: a posting list longer than the
+    * cap (a stop-shingle like "of the" that lands ~every doc in one row)
+    * is dropped entirely before pair explosion, bounding any single
+    * task's work at cap² — the standard document-frequency cut of
+    * inverted-index dedup. Pairs whose ONLY overlap is stop-shingles
+    * disappear and counted intersections shrink accordingly (web-scale
+    * practice accepts this: ubiquitous shingles carry no near-dup
+    * signal). The registered query runs uncapped so the DuckDB oracle's
+    * exact per-pair intersection stays comparable; the capped variant is
+    * spec-tested. */
+  def nearDupJaccard(spark: SparkSession, dir: String,
+                     docFreqCap: Option[Int] = None): DataFrame = {
     // Repartition before the shingle projection: the corpus arrives as few
     // parquet splits, and without this the per-doc shingle work would run
     // on a single core (at real scale the scan has many splits already).
@@ -168,10 +182,13 @@ object TextOps {
     val post = docs.select(col("lang"), col("len_bucket"),
       explode(col("sh")).as("shingle"),
       struct(col("doc_id"), col("n_sh")).as("d"))
-    val pairs = post
+    val postings = post
       .groupBy("shingle", "lang", "len_bucket")
       .agg(array_sort(collect_list(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
+    val pairs = docFreqCap
+      .map(cap => postings.filter(size(col("ds")) <= cap))
+      .getOrElse(postings)
       .select(explode(expr(
         """flatten(transform(ds, x ->
              transform(filter(ds, y -> y.doc_id > x.doc_id), y ->
@@ -190,38 +207,56 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash-LSH near-dup candidates: per (band, doc), the band signature
-    * is the min of md5(band ‖ shingle) over the doc's shingles (md5 order
-    * on hex = order on the 128-bit hash value); docs sharing a band
-    * signature are candidates. Candidate generation is
-    * explode → groupBy(band, signature) — banded LSH, linear in corpus
-    * size, never all-pairs. Output: candidate pairs with the number of
-    * colliding bands. */
-  def minhashCandidates(spark: SparkSession, dir: String,
-                        bands: Int = 8): DataFrame = {
-    // All band signatures are computed per document in ONE projection (a
-    // nested higher-order transform) — no shingle explode, no 8×-amplified
-    // shuffle, no groupBy. The only shuffle left is the band-bucket join.
-    // Repartition first so the md5 signature work spreads across cores
-    // (the corpus arrives as few parquet splits).
-    val sig = Tables.documents(spark, dir)
+  /** Number of LSH bands and the per-(band, signature) bucket membership
+    * cap shared by the Spark query and its generated oracle. */
+  val MinhashBands = 8
+  val MinhashBucketCap = 50
+
+  /** Fixed 60-bit band seeds (one per band) for the xor-minhash below.
+    * java.util.Random's sequence is part of its spec → stable constants;
+    * the oracle SQL embeds the same decimal literals. */
+  private[graft] val bandSeeds: Array[Long] = {
+    val rnd = new java.util.Random(20260812L)
+    Array.fill(MinhashBands)(rnd.nextLong() & ((1L << 60) - 1))
+  }
+
+  /** MinHash-LSH near-dup candidates. ONE md5 per (doc, shingle) — the
+    * only string hashing in the pipeline — parsed into a 60-bit integer
+    * (15 hex chars: stays positive in a 64-bit signed long in both
+    * engines); the `MinhashBands` band signatures are then derived
+    * arithmetically as min(h XOR band_seed) in a single hash aggregate.
+    * XOR by a fixed seed re-ranks the hash values per band (a bijection),
+    * so each band takes its min over an independently shuffled order —
+    * the classic cheap approximation of k independent minhash
+    * permutations. Everything per-shingle is plain codegen'd expressions
+    * (the round-4 version ran bands × shingles interpreted md5 lambdas —
+    * the bench's hottest query).
+    *
+    * Candidate generation is groupBy(band, signature) with membership
+    * sorted and CAPPED at `MinhashBucketCap` — a degenerate bucket
+    * (boilerplate-heavy corpora hashing thousands of docs to one
+    * signature) contributes at most cap² pairs instead of m². Output:
+    * candidate pairs with the number of colliding bands. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // Explode shingles ONCE; the repartition spreads shingle+md5 work
+    // across cores (the corpus arrives as few parquet splits).
+    val h = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
-      .withColumn("sh", shingles)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-              band -> array_min(transform(sh,
-                s -> md5(concat(cast(band as string), '|', s)))))""")))
-      .select(col("doc_id"), col("pos").cast("int").as("band"),
-        col("col").as("band_sig"))
-      .filter(col("band_sig").isNotNull)
-    // Bucket members via collect_list, then explode ordered pairs — one
-    // shuffle, signatures computed once (a self-join would run the whole
-    // signature pipeline twice). A pathological bucket (all docs
-    // identical) explodes m² pairs from one row; a size cap on `ids`
-    // would bound that at web scale.
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    val sigAggs = (0 until MinhashBands).map(b =>
+      min(expr(s"h ^ ${bandSeeds(b)}")).as(s"sig$b"))
+    val sig = h.groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until MinhashBands).map(b => col(s"sig$b")): _*))
+          .as(Seq("band", "band_sig")))
     sig
       .groupBy("band", "band_sig")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1,
+        MinhashBucketCap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, x ->
@@ -230,5 +265,34 @@ object TextOps {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[minhashCandidates]], generated from the same
+    * band seeds, hex-parse width, and bucket cap. DuckDB parses
+    * `'0x…'::BIGINT`; Spark uses `conv(hex, 16, 10)` — verified to agree
+    * on 15-hex-char (60-bit) inputs. */
+  private[graft] def minhashCandidatesOracleSql(shinglesSql: String): String = {
+    val seedValues = (0 until MinhashBands)
+      .map(b => s"($b, ${bandSeeds(b)})").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+       |  FROM s),
+       |sig AS (
+       |  SELECT doc_id, band, min(xor(h, seed)) AS band_sig
+       |  FROM h CROSS JOIN (VALUES $seedValues) AS b(band, seed)
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT band, band_sig, doc_id,
+       |    row_number() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
+       |  FROM sig)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |FROM m a JOIN m b ON a.band = b.band AND a.band_sig = b.band_sig
+       |  AND a.doc_id < b.doc_id
+       |WHERE a.rn <= $MinhashBucketCap AND b.rn <= $MinhashBucketCap
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
   }
 }

@@ -6,31 +6,102 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (`vec_id`,
-  * `embedding: array<float>`, `label`) — the ANN component of a
+  * `embedding: array<float>` (64-dim), `label`) — the ANN component of a
   * training-data pipeline (BASELINE.json extension goal; no reference
   * counterpart).
   *
-  * All vector math uses codegen'd higher-order functions
-  * (`transform`/`zip_with`/`aggregate`) folding in list order with double
-  * accumulation — deterministic at any parallelism, and bit-identical to an
-  * oracle that folds the same way. No UDFs.
+  * All vector math is UNROLLED over the fixed dimensionality: a dot
+  * product is a 64-term `element_at(...) * element_at(...)` sum — plain
+  * Catalyst expressions that whole-stage-codegen compiles, NOT
+  * higher-order-function lambdas (`aggregate`/`zip_with` evaluate an
+  * interpreted lambda per element and dominated the round-4 bench).
+  * Summation is left-associated in declaration order, and the oracle SQL
+  * is generated from the same code (`*Sql` helpers), so both engines
+  * compute bit-identical doubles. No UDFs.
   *
   * Scale posture: brute-force top-k is quadratic and exists only as the
   * small-query-set baseline (k queries × corpus, a broadcast of the query
-  * set — fine when queries ≪ corpus). The scale path is sign-LSH
-  * bucketing: candidates form inside a bucket (hash-partitioned groupBy
-  * join), corpus×corpus never materializes. IVF would follow the same
-  * shape with learned centroids.
+  * set — fine when queries ≪ corpus). The scale path is multi-table
+  * random-hyperplane sign-LSH: candidates form only inside a (table,
+  * bucket) hash partition, bucket membership is capped, and scoring runs
+  * on deduplicated candidate id pairs — corpus × corpus never
+  * materializes at any scale.
   */
 object VectorOps {
 
-  /** Σ x² over the vector, folded in list order with double accumulation. */
-  private def sq(c: String): Column =
-    expr(s"aggregate($c, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
+  val Dim = 64
 
-  /** Dot product of two vectors, folded in list order. */
+  /** LSH geometry: `NumTables` independent hash tables × `BitsPerTable`
+    * sign bits each. 8 bits → 256 buckets per table keeps same-bucket
+    * scoring ~|bucket|² with |bucket| ≈ N/256 (capped below); 4 tables
+    * recover the recall a single sparse table loses. */
+  val NumTables = 4
+  val BitsPerTable = 8
+
+  /** Per-(table, bucket) membership cap: a pathological bucket (e.g. a
+    * near-duplicate embedding cluster) contributes at most cap² pairs
+    * instead of m² — the skew guard the round-4 design lacked. Members
+    * are kept in vec_id order so the cap is deterministic. */
+  val BucketCap = 64
+
+  /** Fixed pseudo-random hyperplanes (NumTables × BitsPerTable rows of
+    * Dim uniform coefficients in [-1, 1)), generated from a fixed seed —
+    * java.util.Random's sequence is part of its spec, so these are stable
+    * constants. The oracle SQL embeds the same values via Double.toString
+    * (shortest round-trip repr: both engines parse back the identical
+    * double). */
+  private[graft] val hyperplanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(20260812L)
+    Array.fill(NumTables * BitsPerTable, Dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  // --- Spark-side unrolled vector math (codegen'd, no lambdas) ---
+
+  private def elem(c: String, j: Int): Column =
+    element_at(col(c), j).cast("double")
+
+  /** Σ x² over the vector, unrolled + left-associated. */
+  private def sq(c: String): Column =
+    (1 to Dim).map(j => elem(c, j) * elem(c, j)).reduce(_ + _)
+
+  /** Dot product of two vectors, unrolled + left-associated. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+    (1 to Dim).map(j => elem(a, j) * elem(b, j)).reduce(_ + _)
+
+  /** Signed projection onto hyperplane `h`, unrolled. */
+  private def proj(c: String, h: Array[Double]): Column =
+    (1 to Dim).map(j => lit(h(j - 1)) * elem(c, j)).reduce(_ + _)
+
+  /** Sign-LSH bucket id for table `t`: BitsPerTable sign bits packed into
+    * an int. */
+  private def bucket(c: String, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      when(proj(c, hyperplanes(t * BitsPerTable + b)) > 0.0, lit(1 << b))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // --- DuckDB-side mirrors (same unrolling, same literals, same
+  //     left-association → bit-identical doubles) ---
+
+  private def elemSql(c: String, j: Int): String = s"CAST($c[$j] AS DOUBLE)"
+
+  private[graft] def sqSql(c: String): String =
+    (1 to Dim).map(j => s"(${elemSql(c, j)} * ${elemSql(c, j)})")
+      .mkString("(", " + ", ")")
+
+  private[graft] def dotSql(a: String, b: String): String =
+    (1 to Dim).map(j => s"(${elemSql(a, j)} * ${elemSql(b, j)})")
+      .mkString("(", " + ", ")")
+
+  private def projSql(c: String, h: Array[Double]): String =
+    (1 to Dim).map(j => s"(${h(j - 1)} * ${elemSql(c, j)})")
+      .mkString("(", " + ", ")")
+
+  private[graft] def bucketSql(c: String, t: Int): String =
+    (0 until BitsPerTable).map { b =>
+      s"(CASE WHEN ${projSql(c, hyperplanes(t * BitsPerTable + b))} > 0.0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Per-vector L2 norm + dimension — the normalization pass run before
     * indexing a corpus. */
@@ -87,49 +158,137 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
-  /** Sign-LSH bucket id: the sign bits of the first `bits` dimensions
-    * packed into an int — a fixed random-hyperplane LSH where the
-    * hyperplanes are the axis planes (deterministic, engine-neutral). */
-  private def bucketCol(bits: Int): Column =
-    (0 until bits)
-      .map(i => when(expr(s"element_at(embedding, ${i + 1})") > 0f,
-        lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-
-  /** Bucketed ANN top-1: each vector finds its nearest same-bucket
-    * neighbor. Candidates form only inside an LSH bucket — the join is a
-    * hash shuffle on bucket id, linear-ish in corpus size; this is the
-    * 100 TB path (brute force above is the correctness baseline). Vectors
-    * alone in their bucket produce no row (documented recall/coverage
-    * trade-off of LSH). */
-  def annLshTop1(spark: SparkSession, dir: String,
-                 bits: Int = 4): DataFrame = {
-    // Per-vector norms precomputed before the join (same float ops as the
-    // per-pair form → bit-identical to the oracle, 3× less HOF work).
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        bucketCol(bits).as("bucket"),
-        sqrt(sq("embedding")).as("norm"))
-    // The probe side is repartitioned on vec_id so pair scoring spreads
-    // across all cores even when the source is one parquet split; the
-    // build side stays keyed on bucket (2^bits keys) and is broadcast by
-    // Catalyst at this size — at 100 TB both sides would shuffle on
-    // bucket with salting for hot buckets.
-    val a = e.repartition(col("vec_id")).select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("bucket"), col("norm").as("q_norm"))
-    val b = e.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("bucket").as("c_bucket"),
-      col("norm").as("c_norm"))
+  /** Multi-table sign-LSH ANN top-1: each vector finds its nearest
+    * neighbor among candidates that share a (table, bucket) cell in ANY
+    * of the `NumTables` hash tables.
+    *
+    * Plan shape (each stage a bounded hash shuffle — the 100 TB path):
+    *   1. one pass computes all table buckets + the norm per vector
+    *      (unrolled codegen arithmetic);
+    *   2. (table, bucket) membership lists, sorted and CAPPED at
+    *      `BucketCap` — a degenerate bucket can never explode m² pairs;
+    *   3. in-bucket ordered id pairs, deduplicated across tables
+    *      (id-only rows — embeddings are NOT carried through the
+    *      explode/distinct shuffles);
+    *   4. embeddings re-joined for pair scoring (one codegen'd dot
+    *      product per pair), mirrored to both orientations, top-1 per
+    *      query by (cosine desc, c_id).
+    *
+    * Vectors sharing no cell with anyone produce no row (the documented
+    * recall/coverage trade-off of LSH; more tables → more recall). */
+  def annLshTop1(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    val hashed = e.select(
+      col("vec_id") +:
+        (0 until NumTables).map(t => bucket("embedding", t).as(s"b$t")): _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until NumTables).map(t => col(s"b$t")): _*))
+          .as(Seq("tbl", "bucket")))
+    val members = hashed
+      .groupBy("tbl", "bucket")
+      .agg(slice(array_sort(collect_list(col("vec_id"))), 1, BucketCap)
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = members
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+             transform(filter(ids, y -> y > x), y ->
+               named_struct('a', x, 'b', y))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val v = e.select(col("vec_id"), col("embedding"),
+      sqrt(sq("embedding")).as("norm"))
+    val scored = pairs
+      .join(v.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), "a")
+      .join(v.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), "b")
+      .withColumn("cosine",
+        dot("a_emb", "b_emb") / (col("a_norm") * col("b_norm")))
+      .select(col("a"), col("b"), col("cosine"))
+    val oriented = scored
+      .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
-    a.join(b, col("bucket") === col("c_bucket") &&
-        col("q_id") =!= col("c_id"))
-      .withColumn("cosine",
-        dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")))
+    oriented
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("q_id"), col("bucket"), col("c_id"),
-        round(col("cosine"), 9).as("cosine"))
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 9).as("cosine"))
       .orderBy("q_id")
   }
+
+  /** DuckDB oracle for [[annLshTop1]], generated from the same hyperplane
+    * constants and the same unrolled arithmetic. */
+  private[graft] def annLshTop1OracleSql: String = {
+    val bucketUnion = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM e")
+      .mkString("\n    UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqSql("embedding")}) AS norm,
+       |${(0 until NumTables)
+        .map(t => s"    ${bucketSql("embedding", t)} AS b$t")
+        .mkString(",\n")}
+       |  FROM embeddings),
+       |m AS (
+       |  SELECT tbl, bucket, vec_id,
+       |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+       |  FROM ($bucketUnion)),
+       |p AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM m x JOIN m y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |    AND x.vec_id < y.vec_id
+       |  WHERE x.rn <= $BucketCap AND y.rn <= $BucketCap),
+       |s AS (
+       |  SELECT p.a, p.b,
+       |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine
+       |  FROM p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id),
+       |o AS (
+       |  SELECT a AS q_id, b AS c_id, cosine FROM s
+       |  UNION ALL SELECT b AS q_id, a AS c_id, cosine FROM s),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM o)
+       |SELECT q_id, c_id, round(cosine, 9) AS cosine
+       |FROM r WHERE rk = 1
+       |ORDER BY q_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[cosineTopK]] (same unrolled arithmetic). */
+  private[graft] def cosineTopKOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+       |  sqrt(${sqSql("embedding")}) AS q_norm FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb,
+       |  sqrt(${sqSql("embedding")}) AS c_norm FROM embeddings),
+       |j AS (
+       |  SELECT q_id, c_id,
+       |    ${dotSql("q_emb", "c_emb")} / (q_norm * c_norm) AS cosine
+       |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM j)
+       |SELECT q_id, c_id, rk, round(cosine, 9) AS cosine
+       |FROM r WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** DuckDB oracle for [[embeddingNorms]]. */
+  private[graft] def embeddingNormsOracleSql: String =
+    s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+       |  sqrt(${sqSql("embedding")}) AS l2_norm
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[labelStats]]. */
+  private[graft] def labelStatsOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT label, sqrt(${sqSql("embedding")}) AS l2_norm
+       |  FROM embeddings)
+       |SELECT label, count(*) AS n_vectors,
+       |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm,
+       |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_norm
+       |FROM n
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 }

@@ -66,6 +66,32 @@ class TextOpsSpec extends GraftSpec {
     assert(mh.get.getAs[Long]("n_bands") == 8L) // all 8 bands collide
   }
 
+  test("document-frequency cap drops stop-shingle-only pairs") {
+    // Docs 1/2 share "the quick", "quick brown", "brown fox", "fox jumps",
+    // "jumps over", "over the", "the lazy" (7 shingles) — the 1↔2 pair
+    // rides on MANY postings. With a DF cap of 2, postings listing all
+    // three en docs (1, 2, 3) are stop-shingles and are dropped, but the
+    // 1↔2 pair still forms via the lazy-dog/-cat tail... every shared
+    // shingle of 1/2 is also in 3 (its exact dup), so ALL their common
+    // postings have size 3 > cap → the pair disappears entirely, while
+    // 1↔3 (exact dups, size-3 postings too) also disappears. Nothing
+    // survives: the cap provably gates pair generation.
+    val capped = TextOps.nearDupJaccard(spark, scratch, docFreqCap = Some(2))
+      .collect()
+    assert(capped.isEmpty)
+    // Uncapped control: the pairs exist.
+    val uncapped = TextOps.nearDupJaccard(spark, scratch).collect()
+    assert(uncapped.nonEmpty)
+  }
+
+  test("minhash bucket membership is capped deterministically") {
+    // With a cap of 50 nothing changes at this corpus size; assert the
+    // registered-query path is stable and pairs carry ≤ MinhashBands
+    // collisions.
+    val mh = TextOps.minhashCandidates(spark, scratch).collect()
+    assert(mh.forall(_.getAs[Long]("n_bands") <= TextOps.MinhashBands))
+  }
+
   test("text stats divide safely for a 1-token doc") {
     val stats = TextOps.textStats(spark, scratch).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
