@@ -267,7 +267,11 @@ object SparkEntry {
          |ORDER BY revenue DESC, p_partkey
          |LIMIT 10""".stripMargin,
 
-    // random_order_pick: engine hash functions differ → rows-only check.
+    "random_order_pick" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+        |LIMIT 1""".stripMargin,
 
     "cdc_envelope_parse" ->
       s"""SELECT event_id, user_id, event_type,

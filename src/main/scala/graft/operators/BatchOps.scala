@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Batch analytics operators — the reference's batch ETL surface re-expressed
@@ -55,13 +54,17 @@ object BatchOps {
     * (data-derived) instead of the reference's datetime.now() so results are
     * reproducible (SURVEY.md §7.3). */
   def customerSegments(spark: SparkSession, dir: String): DataFrame = {
-    // The rollup feeds both the threshold aggregate and the main branch (and
-    // segmentCounts downstream). Persisting it makes the fact scan happen
-    // once; Spark's CacheManager dedupes by canonical plan, so repeated calls
-    // share one cache entry. At 100 TB the rollup is |customers| rows — tiny
-    // next to the orders fact it summarizes.
+    // The rollup feeds both the threshold aggregate and the main branch.
+    // No persist: a persist here can never be matched by an unpersist
+    // (the returned frame is lazy), so it leaked cached blocks into
+    // long-lived sessions (round-3/4 advice). The cost is an extra
+    // scan+rollup for the threshold branch — exchange reuse does NOT
+    // dedupe the two, because column pruning gives the threshold branch
+    // a narrower aggregate. Verified at sf0.1: within noise of the
+    // persisted variant. A caller running the segmentation family many
+    // times over one dataset should persist the rollup at the session
+    // level and unpersist when done.
     val roll = customerOrdersRollup(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val th = roll.agg(
       expr("percentile(total_spent, 0.8)").as("p80_spent"),
       expr("percentile(total_spent, 0.6)").as("p60_spent"),
@@ -279,12 +282,14 @@ object BatchOps {
 
   /** O2: ORDER BY RANDOM() LIMIT 1 (data_generator.py:157,166). rand() is
     * seeded per-partition, so it would pick a different row at local[4] vs
-    * local[32]; instead we order by a value-derived murmur3 hash — a
-    * deterministic pseudo-random total order at any parallelism. Engine hash
-    * functions differ → rows-only check (no oracle). */
+    * local[32]; instead we order by a value-derived md5 — a deterministic
+    * pseudo-random total order at any parallelism that BOTH engines
+    * compute identically (murmur3 would be Spark-only and forfeit the
+    * oracle). Still TakeOrderedAndProject: per-partition top-1, k-row
+    * driver merge, no full sort. */
   def randomOrderPick(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .orderBy(hash(col("o_orderkey")), col("o_orderkey"))
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
       .limit(1)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
@@ -296,17 +301,23 @@ object BatchOps {
   /** Orders scoped to the trailing `days`-day window ending at the dataset's
     * max order date (P2). The reference bounds every extract to [now−24h,
     * now] (batch_processor.py:244-246); the anchor is data-derived here so
-    * results are reproducible (SURVEY §7.3). The filter is a pushed-down
-    * parquet predicate — at 100 TB with date-partitioned storage this is THE
-    * partition-pruning predicate. */
+    * results are reproducible (SURVEY §7.3).
+    *
+    * Two-phase: the 1-row max is collected to a LITERAL first (a driver
+    * collect of one scalar is the right tool here), because a filter
+    * comparing against a column produced by a crossJoin(broadcast(agg))
+    * can never be pushed below the join — it would be a full scan + post-
+    * join filter. Against the literal, Catalyst constant-folds the
+    * interval arithmetic and pushes a plain `o_orderdate >= <literal>`
+    * comparison into the parquet scan (visible as PushedFilters) — at
+    * 100 TB with date-partitioned storage this is THE partition-pruning
+    * predicate. */
   private def scopedOrders(spark: SparkSession, dir: String,
                            days: Int): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("anchor_ts"))
-    o.crossJoin(broadcast(anchor))
-      .filter(col("o_orderdate") >=
-        col("anchor_ts") - expr(s"INTERVAL $days DAYS"))
-      .drop("anchor_ts")
+    val anchor = o.agg(max(col("o_orderdate"))).head().get(0)
+    o.filter(col("o_orderdate") >=
+      lit(anchor) - expr(s"INTERVAL $days DAYS"))
   }
 
   /** A1 rollup over the scoped window (P2): customers ⟕ last-30-day orders.
@@ -328,20 +339,21 @@ object BatchOps {
   /** A2 rollup with the disjunctive post-join predicate (P3): keep rows
     * where l_shipdate OR o_orderdate falls in the trailing 90-day window
     * (batch_processor.py:67-68 applies `p.created_at ∈ range OR o.order_date
-    * ∈ range` after the joins). The OR over both sides defeats naive
-    * pushdown by design — Catalyst still prunes partially via constraint
-    * inference. */
+    * ∈ range` after the joins). The OR over both join sides defeats scan
+    * pushdown by design (reference semantics) and must stay post-join —
+    * but the anchor is still resolved to a literal first, so the
+    * predicate is a constant comparison (no crossJoin stage), and
+    * Catalyst's constraint inference can prune what the OR allows. */
   def productRollupWindowed(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
-    val anchor = l.agg(max(col("l_shipdate")).as("anchor_ts"))
+    val anchor = lit(l.agg(max(col("l_shipdate"))).head().get(0))
     p.join(l, p("p_partkey") === l("l_partkey"), "left_outer")
       .join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
-      .crossJoin(broadcast(anchor))
       .filter(
-        col("l_shipdate") >= col("anchor_ts") - expr("INTERVAL 90 DAYS") ||
-        col("o_orderdate") >= col("anchor_ts") - expr("INTERVAL 90 DAYS"))
+        col("l_shipdate") >= anchor - expr("INTERVAL 90 DAYS") ||
+        col("o_orderdate") >= anchor - expr("INTERVAL 90 DAYS"))
       .groupBy(p("p_partkey"), p("p_name"), p("p_brand"))
       .agg(
         coalesce(sum(l("l_quantity").cast("decimal(18,2)")).cast("double"),

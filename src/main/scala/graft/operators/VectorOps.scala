@@ -45,15 +45,27 @@ object VectorOps {
     * are kept in vec_id order so the cap is deterministic. */
   val BucketCap = 64
 
-  /** Fixed pseudo-random hyperplanes (NumTables × BitsPerTable rows of
-    * Dim uniform coefficients in [-1, 1)), generated from a fixed seed —
-    * java.util.Random's sequence is part of its spec, so these are stable
-    * constants. The oracle SQL embeds the same values via Double.toString
-    * (shortest round-trip repr: both engines parse back the identical
-    * double). */
-  private[graft] val hyperplanes: Array[Array[Double]] = {
+  /** Terms per sparse hyperplane: each projection reads 8 of the 64 dims
+    * with ±1 coefficients (sparse random projections à la Achlioptas).
+    * Dense 64-coefficient hyperplanes would be 2048 expression terms per
+    * table-set — the generated whole-stage code blew past Janino's
+    * comfortable compile size and execution stalled seconds in codegen;
+    * 8-term sparse signs keep the sign-LSH discriminative with 8× less
+    * generated code. */
+  val SparseTerms = 8
+
+  /** Fixed sparse pseudo-random hyperplanes: for each of the
+    * NumTables × BitsPerTable planes, `SparseTerms` distinct (1-based dim,
+    * ±1 sign) picks from a fixed seed — java.util.Random's sequence is
+    * part of its spec, so these are stable constants shared with the
+    * generated oracle SQL. */
+  private[graft] val hyperplanes: Array[Array[(Int, Int)]] = {
     val rnd = new java.util.Random(20260812L)
-    Array.fill(NumTables * BitsPerTable, Dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(NumTables * BitsPerTable) {
+      val dims = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (dims.size < SparseTerms) dims += rnd.nextInt(Dim) + 1
+      dims.toArray.map(d => (d, if (rnd.nextBoolean()) 1 else -1))
+    }
   }
 
   // --- Spark-side unrolled vector math (codegen'd, no lambdas) ---
@@ -69,9 +81,9 @@ object VectorOps {
   private def dot(a: String, b: String): Column =
     (1 to Dim).map(j => elem(a, j) * elem(b, j)).reduce(_ + _)
 
-  /** Signed projection onto hyperplane `h`, unrolled. */
-  private def proj(c: String, h: Array[Double]): Column =
-    (1 to Dim).map(j => lit(h(j - 1)) * elem(c, j)).reduce(_ + _)
+  /** Signed projection onto a sparse hyperplane, unrolled. */
+  private def proj(c: String, h: Array[(Int, Int)]): Column =
+    h.map { case (d, s) => lit(s) * elem(c, d) }.reduce(_ + _)
 
   /** Sign-LSH bucket id for table `t`: BitsPerTable sign bits packed into
     * an int. */
@@ -94,8 +106,8 @@ object VectorOps {
     (1 to Dim).map(j => s"(${elemSql(a, j)} * ${elemSql(b, j)})")
       .mkString("(", " + ", ")")
 
-  private def projSql(c: String, h: Array[Double]): String =
-    (1 to Dim).map(j => s"(${h(j - 1)} * ${elemSql(c, j)})")
+  private def projSql(c: String, h: Array[(Int, Int)]): String =
+    h.map { case (d, s) => s"($s * ${elemSql(c, d)})" }
       .mkString("(", " + ", ")")
 
   private[graft] def bucketSql(c: String, t: Int): String =

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.hash
+import org.apache.spark.sql.functions.md5
 import graft.operators.BatchOps
 
 /** Boundary semantics of the batch operators (SURVEY §5 item 2): percentile
@@ -129,7 +129,7 @@ class BatchOpsSpec extends GraftSpec {
       .collect().map(_.getLong(0)).toSeq
     val repartitioned = Tables.orders(spark, scratch)
       .repartition(7)
-      .orderBy(hash($"o_orderkey"), $"o_orderkey").limit(1)
+      .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey").limit(1)
       .collect().map(_.getAs[Long]("o_orderkey")).toSeq
     assert(viaOperator == repartitioned)
   }
