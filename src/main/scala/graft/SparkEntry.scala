@@ -53,6 +53,7 @@ object SparkEntry {
     "random_order_pick" -> ((s, d) => BatchOps.randomOrderPick(s, d)),
     // --- CDC semantics over events (SURVEY §2.1/2.7, M2) ---
     "cdc_envelope_parse" -> ((s, d) => CdcOps.envelopeParse(s, d)),
+    "cdc_envelope_nested" -> ((s, d) => CdcOps.envelopeNested(s, d)),
     "cdc_op_filter" -> ((s, d) => CdcOps.opFilter(s, d)),
     "cdc_upsert_latest" -> ((s, d) => CdcOps.upsertLatest(s, d)),
     "cdc_event_type_counters" -> ((s, d) => CdcOps.eventTypeCounters(s, d)),
@@ -282,6 +283,22 @@ object SparkEntry {
          |FROM events
          |ORDER BY event_id""".stripMargin,
 
+    // The Spark side round-trips through real nested envelope JSON
+    // (to_json → from_json over the Debezium StructType); the oracle
+    // verifies the extracted/diffed values straight from the source rows
+    // (value_delta = value - (value - 10), computed with the same two
+    // FP operations the Spark side performs on the parsed doubles).
+    "cdc_envelope_nested" ->
+      s"""SELECT event_id, $opCaseSql AS op,
+         |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         |  'events' AS src_table,
+         |  CASE WHEN $opCaseSql = 'd' THEN NULL ELSE user_id END AS after_user_id,
+         |  CASE WHEN $opCaseSql = 'd' THEN NULL ELSE value END AS after_value,
+         |  CASE WHEN $opCaseSql = 'c' THEN NULL ELSE value - 10 END AS before_value,
+         |  CASE WHEN $opCaseSql IN ('c', 'd') THEN NULL ELSE value - (value - 10) END AS value_delta
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+
     "cdc_op_filter" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events
@@ -306,12 +323,18 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin,
 
     "cdc_user_event_sets" ->
-      """SELECT user_id,
-        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
-        |  count(*) AS n_events
-        |FROM events
-        |GROUP BY 1
-        |ORDER BY 1""".stripMargin,
+      s"""WITH latest AS (
+         |  SELECT user_id, op FROM (
+         |    SELECT user_id, $opCaseSql AS op,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1)
+         |SELECT e.user_id,
+         |  array_to_string(list_sort(list_distinct(list(e.event_type))), ',') AS event_types,
+         |  count(*) AS n_events
+         |FROM events e JOIN latest l ON e.user_id = l.user_id
+         |WHERE l.op <> 'd'
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     "cdc_table_dispatch" ->
       """SELECT * FROM (

@@ -45,6 +45,44 @@ object CdcOps {
       .when(col("event_type") === "error", "d")
       .otherwise("u")
 
+  /** S3 (true nested envelope): synthesize real Debezium-shaped change
+    * events — `{op, ts_ms, source:{db,table}, before, after}` with
+    * nullable row structs (`before` null on create, `after` null on
+    * delete; the synthesized prior row carries `value - 10`) — as JSON
+    * strings, parse them back through the nested envelope StructType
+    * (`StreamOps.debeziumSchema`, the reference's only nested type:
+    * cdc_processor.py:26-34), and extract/diff the row images. The
+    * to_json→from_json round trip is the point: it exercises exactly what
+    * a consumer of a real Debezium topic does (`StreamOps.decodeDebezium`
+    * is the streaming twin over Kafka frames). */
+  def envelopeNested(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.events(spark, dir)
+      .select(to_json(struct(
+        opCol.as("op"),
+        unix_millis(col("ts")).as("ts_ms"),
+        struct(lit("graft").as("db"), lit("events").as("table"))
+          .as("source"),
+        when(opCol =!= "c", struct(col("event_id"), col("user_id"),
+          col("event_type"), (col("value") - 10).as("value"))).as("before"),
+        when(opCol =!= "d", struct(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))).as("after")
+      )).as("payload"))
+    env
+      .select(from_json(col("payload"),
+        graft.streaming.StreamOps.debeziumSchema).as("p"))
+      .select(
+        coalesce(col("p.after.event_id"), col("p.before.event_id"))
+          .as("event_id"),
+        col("p.op").as("op"),
+        col("p.ts_ms").as("ts_ms"),
+        col("p.source.table").as("src_table"),
+        col("p.after.user_id").as("after_user_id"),
+        col("p.after.value").as("after_value"),
+        col("p.before.value").as("before_value"),
+        (col("p.after.value") - col("p.before.value")).as("value_delta"))
+      .orderBy("event_id")
+  }
+
   /** P4+P5: op filter + per-table whitelist — stream processor keeps only
     * creates (stream_processor.py:50), the airflow filters whitelist ops and
     * drop low-value rows (airflow_etl_utils.py:115-133). Here: keep update
@@ -96,14 +134,22 @@ object CdcOps {
   /** T6: per-key membership set — the `customer:{id}:orders` Redis set
     * (cdc_processor.py:117-121, SADD/SREM). collect_set + array_sort gives
     * the deterministic set; emitted as a joined string so the oracle
-    * comparison is engine-neutral. */
+    * comparison is engine-neutral. The SREM/tombstone side
+    * (cdc_processor.py:144-145 removes on delete): keys whose LATEST verb
+    * is a delete are dropped entirely — same latest-wins trick as
+    * `upsertLatest`, done inside the one aggregate via a max on
+    * (ts, event_id, op) struct ordering (no second shuffle, no window). */
   def userEventSets(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(
         array_join(array_sort(collect_set(col("event_type"))), ",")
           .as("event_types"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), opCol.as("op")))
+          .as("latest"))
+      .filter(col("latest.op") =!= "d")
+      .select("user_id", "event_types", "n_events")
       .orderBy("user_id")
 
   /** P6: table-dispatch routing — one stream demultiplexed into per-table

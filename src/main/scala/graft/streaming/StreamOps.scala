@@ -86,13 +86,47 @@ object StreamOps {
       .option("startingOffsets", "earliest")
       .load()
 
-  /** S3: decode the Kafka value into typed events (the Debezium envelope
-    * parse, cdc_processor.py:23-34): one `from_json` against the fixed
-    * schema — schema-lax like the reference (missing fields → null). */
+  /** S3: decode the Kafka value into typed events (flat event shape):
+    * one `from_json` against the fixed schema — schema-lax like the
+    * reference (missing fields → null). */
   def decodeKafka(kafka: DataFrame): DataFrame =
     kafka.select(
         from_json(col("value").cast("string"), eventSchema).as("e"))
       .select(col("e.*"))
+
+  /** The row payload inside a Debezium `before`/`after` field (the
+    * testdata event row shape). */
+  val debeziumRowSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** S3 (true envelope): the nested Debezium change-event schema —
+    * `op` / `ts_ms` / `source.{db,table}` / nullable `before`/`after` row
+    * structs, the reference's only nested type
+    * (cdc_processor.py:26-34, SURVEY §1.2). */
+  val debeziumSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("source", StructType(Seq(
+      StructField("db", StringType),
+      StructField("table", StringType)))),
+    StructField("before", debeziumRowSchema),
+    StructField("after", debeziumRowSchema)))
+
+  /** Decode a Kafka-shaped frame of Debezium envelope JSON into the
+    * nested envelope columns (op, ts_ms, source.*, before, after) —
+    * the production S3 wiring for a real Debezium topic; `CdcOps
+    * .envelopeNested` exercises the same schema batch-side where DuckDB
+    * can referee it. Malformed JSON degrades to nulls, like the
+    * reference's dict.get defaults. */
+  def decodeDebezium(kafka: DataFrame): DataFrame =
+    kafka.select(
+        from_json(col("value").cast("string"), debeziumSchema).as("p"))
+      .select(col("p.op"), col("p.ts_ms"),
+        col("p.source.db").as("src_db"), col("p.source.table").as("src_table"),
+        col("p.before").as("before"), col("p.after").as("after"))
 
   /** File-based streaming source over a directory of parquet events —
     * the test/bounded-replay source (same logical schema as Kafka). */

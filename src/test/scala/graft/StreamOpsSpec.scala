@@ -344,6 +344,33 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("S3: nested Debezium envelope decodes op/source/before/after") {
+    import org.apache.spark.sql.functions._
+    val kafkaShaped = Seq(
+      // an update: both row images present
+      """{"op":"u","ts_ms":1704103200000,"source":{"db":"graft","table":"events"},
+         |"before":{"event_id":1,"user_id":7,"event_type":"click","value":5.0},
+         |"after":{"event_id":1,"user_id":7,"event_type":"click","value":9.5}}"""
+        .stripMargin.replace("\n", ""),
+      // a delete: after is null (tombstone)
+      """{"op":"d","ts_ms":1704106800000,"source":{"db":"graft","table":"events"},
+         |"before":{"event_id":2,"user_id":8,"event_type":"error","value":0.0},
+         |"after":null}""".stripMargin.replace("\n", "")
+    ).toDF("raw").select(col("raw").cast("binary").as("value"))
+    val rows = StreamOps.decodeDebezium(kafkaShaped).collect()
+      .map(r => r.getAs[String]("op") -> r).toMap
+    val u = rows("u")
+    assert(u.getAs[String]("src_table") == "events")
+    assert(u.getAs[org.apache.spark.sql.Row]("after")
+      .getAs[Double]("value") == 9.5)
+    assert(u.getAs[org.apache.spark.sql.Row]("before")
+      .getAs[Double]("value") == 5.0)
+    val d = rows("d")
+    assert(d.getAs[org.apache.spark.sql.Row]("after") == null)
+    assert(d.getAs[org.apache.spark.sql.Row]("before")
+      .getAs[Long]("user_id") == 8L)
+  }
+
   test("S3: kafka-shaped value decodes through the envelope schema") {
     // No Kafka in this container — decodeKafka is exercised on a static
     // frame shaped like the Kafka source (binary key/value columns).
