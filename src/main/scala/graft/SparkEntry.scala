@@ -77,6 +77,8 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
+    "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
     // --- multimodal columns: binary payloads + nested structs ---
     "binary_doc_stats" -> ((s, d) => MultiModalOps.binaryDocStats(s, d)),
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
@@ -85,6 +87,7 @@ object SparkEntry {
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
+    "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
   )
 
   // Shared oracle fragments (DuckDB SQL).
@@ -508,6 +511,8 @@ object SparkEntry {
 
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),
+    "simhash_pairs" -> TextOps.simhashPairsOracleSql(shinglesSql),
+    "rolling_fingerprints" -> TextOps.rollingFingerprintsOracleSql,
 
     // Binary-payload stats: octet_length/md5/hex are byte-level in both
     // engines (DuckDB needs the explicit ::BLOB; the corpus is ASCII so
@@ -540,5 +545,6 @@ object SparkEntry {
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
+    "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
   )
 }

@@ -212,6 +212,19 @@ object TextOps {
   val MinhashBands = 8
   val MinhashBucketCap = 50
 
+  /** One 60-bit integer hash per (doc, shingle): md5, keep 15 hex chars
+    * (stays positive in a signed 64-bit long in both engines), parse.
+    * Shared by the minhash and simhash pipelines — the only string
+    * hashing either performs; everything downstream is integer
+    * arithmetic. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+
   /** Fixed 60-bit band seeds (one per band) for the xor-minhash below.
     * java.util.Random's sequence is part of its spec → stable constants;
     * the oracle SQL embeds the same decimal literals. */
@@ -238,14 +251,9 @@ object TextOps {
     * signature) contributes at most cap² pairs instead of m². Output:
     * candidate pairs with the number of colliding bands. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // Explode shingles ONCE; the repartition spreads shingle+md5 work
-    // across cores (the corpus arrives as few parquet splits).
-    val h = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
-          .as("h"))
+    // Explode shingles ONCE (shingleHashes); everything after is integer
+    // arithmetic in a single hash aggregate.
+    val h = shingleHashes(spark, dir)
     val sigAggs = (0 until MinhashBands).map(b =>
       min(expr(s"h ^ ${bandSeeds(b)}")).as(s"sig$b"))
     val sig = h.groupBy("doc_id")
@@ -295,4 +303,145 @@ object TextOps {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
   }
+
+  /** SimHash geometry: 60-bit fingerprints (the shingle-hash width),
+    * searched via 10 bands × 6 bits. By pigeonhole, two fingerprints
+    * within Hamming distance 9 (< number of bands) must agree exactly on
+    * at least one band — so recall is 1.0 for the `SimhashHammingMax`
+    * threshold below, modulo the bucket cap. */
+  val SimhashBits = 60
+  val SimhashBands = 10
+  val SimhashBandBits = 6
+  val SimhashHammingMax = 8
+  val SimhashBucketCap = 100
+
+  /** SimHash near-dup pairs. Per document: the 60-bit simhash is the
+    * bitwise sign of per-bit vote sums over the doc's shingle hashes
+    * (bit b votes +1 if set in a shingle's hash, −1 otherwise) — one
+    * hash aggregate with 60 integer sums, all codegen'd. Candidate
+    * pairs share at least one exact 6-bit band (capped buckets, same
+    * skew guard as the other LSH pipelines); survivors are filtered by
+    * true Hamming distance ≤ `SimhashHammingMax` via
+    * bit_count(xor). Complements minhash: simhash distance approximates
+    * cosine-over-shingle-sets rather than Jaccard, and the fingerprint
+    * is a single integer per doc — the cheapest near-dup signature to
+    * store at 100 TB. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val voteAggs = (0 until SimhashBits).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sim = shingleHashes(spark, dir)
+      .groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val banded = sim.select(col("doc_id"),
+      posexplode(array((0 until SimhashBands).map(k =>
+        expr(s"(simhash >> ${k * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1}")): _*))
+        .as(Seq("band", "band_key")))
+    val pairs = banded
+      .groupBy("band", "band_key")
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1,
+        SimhashBucketCap).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+             transform(filter(ids, y -> y > x), y ->
+               named_struct('doc_a', x, 'doc_b', y))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sim.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b")), "doc_b")
+      .withColumn("hamming",
+        expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+      .filter(col("hamming") <= SimhashHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[simhashPairs]] (same bit votes, bands, cap,
+    * threshold). */
+  private[graft] def simhashPairsOracleSql(shinglesSql: String): String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val bits = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val bandUnion = (0 until SimhashBands)
+      .map(k => s"SELECT doc_id, $k AS band, (simhash >> ${k * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1} AS band_key FROM sim")
+      .mkString("\n    UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+       |  FROM s),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY 1),
+       |sim AS (SELECT doc_id, $bits AS simhash FROM v),
+       |m AS (
+       |  SELECT band, band_key, doc_id, simhash,
+       |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |  FROM (SELECT b.*, sim.simhash FROM ($bandUnion) b
+       |        JOIN sim ON b.doc_id = sim.doc_id)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM m a JOIN m b ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  WHERE a.rn <= $SimhashBucketCap AND b.rn <= $SimhashBucketCap)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+       |FROM p
+       |WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashHammingMax
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Rolling-hash parameters (shared with the oracle): polynomial base
+    * and modulus, applied over per-token hashes in token order. */
+  val RollBase = 1048573L
+  val RollMod = 2147483647L
+
+  /** Order-sensitive document fingerprint: a polynomial rolling hash
+    * over the token stream — fold((acc * B + h(token)) mod M) in token
+    * order — versus `docFingerprints`' order-insensitive bag hash.
+    * Two docs with identical token multisets but different order get the
+    * same bag_md5 and DIFFERENT roll_hash. The per-token lambda is a
+    * higher-order fold, once per document (not in a per-pair hot path).
+    * Intermediate values stay < 2^52 (M ≈ 2^31, B ≈ 2^20), so the fold
+    * is exact in 64-bit integers in both engines. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr(
+          s"""aggregate(
+                transform(toks, t ->
+                  cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $RollMod),
+                cast(0 as bigint),
+                (acc, x) -> (acc * $RollBase + x) % $RollMod)""")
+          .as("roll_hash"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[rollingFingerprints]] — list_reduce has no
+    * initial accumulator, so a 0 is prepended to match Spark's
+    * aggregate(…, 0, …) fold exactly. */
+  private[graft] def rollingFingerprintsOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '), t ->
+       |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $RollMod)),
+       |    (acc, x) -> (acc * $RollBase + x) % $RollMod) AS roll_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 }

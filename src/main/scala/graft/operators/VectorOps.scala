@@ -170,9 +170,10 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
-  /** Multi-table sign-LSH ANN top-1: each vector finds its nearest
-    * neighbor among candidates that share a (table, bucket) cell in ANY
-    * of the `NumTables` hash tables.
+  /** Shared LSH candidate generation + scoring: deduplicated cosine-scored
+    * id pairs (a < b) among vectors that share a (table, bucket) cell in
+    * ANY of the `NumTables` hash tables — the common core of the ANN
+    * top-1 and cosine near-dup queries.
     *
     * Plan shape (each stage a bounded hash shuffle — the 100 TB path):
     *   1. one pass computes all table buckets + the norm per vector
@@ -188,7 +189,7 @@ object VectorOps {
     *
     * Vectors sharing no cell with anyone produce no row (the documented
     * recall/coverage trade-off of LSH; more tables → more recall). */
-  def annLshTop1(spark: SparkSession, dir: String): DataFrame = {
+  private def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).repartition(col("vec_id"))
     val hashed = e.select(
       col("vec_id") +:
@@ -210,7 +211,7 @@ object VectorOps {
       .distinct()
     val v = e.select(col("vec_id"), col("embedding"),
       sqrt(sq("embedding")).as("norm"))
-    val scored = pairs
+    pairs
       .join(v.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
         col("norm").as("a_norm")), "a")
       .join(v.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
@@ -218,6 +219,30 @@ object VectorOps {
       .withColumn("cosine",
         dot("a_emb", "b_emb") / (col("a_norm") * col("b_norm")))
       .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Cosine threshold defining an embedding-space near-duplicate pair
+    * (shared with the generated oracle). */
+  val NearDupMinCosine = 0.4
+
+  /** Embedding-cosine near-dup pairs: LSH candidates whose true cosine
+    * is ≥ `NearDupMinCosine` — the embedding-space member of the dedup
+    * family (exact / minhash-Jaccard / simhash / cosine). Same candidate
+    * generation as [[annLshTop1]]; only the finisher differs (threshold
+    * filter instead of per-query top-1). As with any LSH screen, a
+    * qualifying pair sharing no bucket is missed — the recall/cost
+    * trade-off the multi-table design bounds. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    lshScoredPairs(spark, dir)
+      .filter(col("cosine") >= NearDupMinCosine)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        round(col("cosine"), 9).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+
+  /** Multi-table sign-LSH ANN top-1: each vector finds its nearest
+    * candidate neighbor (see [[lshScoredPairs]] for stages 1-4). */
+  def annLshTop1(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lshScoredPairs(spark, dir)
     val oriented = scored
       .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
       .unionByName(scored
@@ -231,9 +256,10 @@ object VectorOps {
       .orderBy("q_id")
   }
 
-  /** DuckDB oracle for [[annLshTop1]], generated from the same hyperplane
-    * constants and the same unrolled arithmetic. */
-  private[graft] def annLshTop1OracleSql: String = {
+  /** Shared oracle prefix for the LSH family: CTEs `e` (buckets + norm),
+    * `m` (capped membership), `p` (distinct candidate pairs), `s`
+    * (scored pairs) — the SQL mirror of [[lshScoredPairs]]. */
+  private def lshScoredPairsSqlPrefix: String = {
     val bucketUnion = (0 until NumTables)
       .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM e")
       .mkString("\n    UNION ALL ")
@@ -256,7 +282,13 @@ object VectorOps {
        |s AS (
        |  SELECT p.a, p.b,
        |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine
-       |  FROM p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id),
+       |  FROM p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[annLshTop1]], generated from the same hyperplane
+    * constants and the same unrolled arithmetic. */
+  private[graft] def annLshTop1OracleSql: String =
+    s"""$lshScoredPairsSqlPrefix,
        |o AS (
        |  SELECT a AS q_id, b AS c_id, cosine FROM s
        |  UNION ALL SELECT b AS q_id, a AS c_id, cosine FROM s),
@@ -266,7 +298,14 @@ object VectorOps {
        |SELECT q_id, c_id, round(cosine, 9) AS cosine
        |FROM r WHERE rk = 1
        |ORDER BY q_id""".stripMargin
-  }
+
+  /** DuckDB oracle for [[cosineNearDup]]. */
+  private[graft] def cosineNearDupOracleSql: String =
+    s"""$lshScoredPairsSqlPrefix
+       |SELECT a AS vec_a, b AS vec_b, round(cosine, 9) AS cosine
+       |FROM s
+       |WHERE cosine >= $NearDupMinCosine
+       |ORDER BY 1, 2""".stripMargin
 
   /** DuckDB oracle for [[cosineTopK]] (same unrolled arithmetic). */
   private[graft] def cosineTopKOracleSql: String =

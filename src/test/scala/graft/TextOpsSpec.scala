@@ -20,7 +20,11 @@ class TextOpsSpec extends GraftSpec {
       // degenerate: single token (no bigram shingles possible)
       (4L, "solitary", "en", "web", 8L),
       // different language, similar text — must not pair with en docs
-      (5L, "der schnelle braune fuchs springt", "de", "web", 33L)
+      (5L, "der schnelle braune fuchs springt", "de", "web", 33L),
+      // token-permutation pair: same multiset, different order (own
+      // lang so the near-dup block tests above stay unaffected)
+      (6L, "alpha beta alpha beta", "zz", "web", 21L),
+      (7L, "beta alpha beta alpha", "zz", "web", 21L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars"))
   }
 
@@ -31,7 +35,7 @@ class TextOpsSpec extends GraftSpec {
     assert(dupGroup.get.getAs[Long]("keep_id") == 1L)
     val kept = TextOps.dedupedDocs(spark, scratch)
       .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(kept == Set(1L, 2L, 4L, 5L)) // doc 3 dropped
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L, 7L)) // doc 3 dropped
   }
 
   test("1-token document does not crash the shingle pipelines") {
@@ -67,21 +71,20 @@ class TextOpsSpec extends GraftSpec {
   }
 
   test("document-frequency cap drops stop-shingle-only pairs") {
-    // Docs 1/2 share "the quick", "quick brown", "brown fox", "fox jumps",
-    // "jumps over", "over the", "the lazy" (7 shingles) — the 1↔2 pair
-    // rides on MANY postings. With a DF cap of 2, postings listing all
-    // three en docs (1, 2, 3) are stop-shingles and are dropped, but the
-    // 1↔2 pair still forms via the lazy-dog/-cat tail... every shared
-    // shingle of 1/2 is also in 3 (its exact dup), so ALL their common
-    // postings have size 3 > cap → the pair disappears entirely, while
-    // 1↔3 (exact dups, size-3 postings too) also disappears. Nothing
-    // survives: the cap provably gates pair generation.
+    // Every shared shingle of the en docs 1/2 is also in 3 (1's exact
+    // dup), so ALL their common postings have size 3 > cap=2 and are
+    // dropped as stop-shingles → no en pair survives; the zz pair 6↔7
+    // rides on size-2 postings and is unaffected. The cap provably
+    // gates pair generation per posting list.
+    val en = Set(1L, 2L, 3L)
     val capped = TextOps.nearDupJaccard(spark, scratch, docFreqCap = Some(2))
       .collect()
-    assert(capped.isEmpty)
-    // Uncapped control: the pairs exist.
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(!capped.exists { case (a, b) => en(a) && en(b) })
+    // Uncapped control: the en pairs exist.
     val uncapped = TextOps.nearDupJaccard(spark, scratch).collect()
-    assert(uncapped.nonEmpty)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(uncapped.exists { case (a, b) => en(a) && en(b) })
   }
 
   test("minhash bucket membership is capped deterministically") {
@@ -90,6 +93,26 @@ class TextOpsSpec extends GraftSpec {
     // collisions.
     val mh = TextOps.minhashCandidates(spark, scratch).collect()
     assert(mh.forall(_.getAs[Long]("n_bands") <= TextOps.MinhashBands))
+  }
+
+  test("rolling fingerprint is order-sensitive where the bag hash is not") {
+    val bags = TextOps.docFingerprints(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bag_md5")).toMap
+    val rolls = TextOps.rollingFingerprints(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("roll_hash")).toMap
+    // 6 and 7 are permutations: identical bag, different roll.
+    assert(bags(6L) == bags(7L))
+    assert(rolls(6L) != rolls(7L))
+    // Exact duplicates agree on both.
+    assert(bags(1L) == bags(3L) && rolls(1L) == rolls(3L))
+  }
+
+  test("simhash: exact duplicates collide at hamming 0") {
+    val pairs = TextOps.simhashPairs(spark, scratch).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 3L)) == 0) // identical text → identical simhash
+    assert(pairs.values.forall(_ <= TextOps.SimhashHammingMax))
   }
 
   test("text stats divide safely for a 1-token doc") {
