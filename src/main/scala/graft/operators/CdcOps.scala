@@ -101,10 +101,16 @@ object CdcOps {
     * Batch form: per-key top-1 by (ts, event_id) via row_number, then drop
     * keys whose latest verb is a delete. One shuffle on the key; at 100 TB
     * this is the standard CDC log-compaction plan. */
-  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame =
+    upsertLatestOf(Tables.events(spark, dir))
+
+  /** [[upsertLatest]] over an injectable event frame (any source with the
+    * events schema — used by the property specs, and the natural API for
+    * a caller compacting a frame that is not the testdata table). */
+  def upsertLatestOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(spark, dir)
+    events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("op", opCol)
@@ -122,7 +128,11 @@ object CdcOps {
     * the per-type revenue/user metrics (cdc_processor.py:124-131,203-205).
     * Partial+final hash aggregate; decimal value sum is order-independent. */
   def eventTypeCounters(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    eventTypeCountersOf(Tables.events(spark, dir))
+
+  /** [[eventTypeCounters]] over an injectable event frame. */
+  def eventTypeCountersOf(events: DataFrame): DataFrame =
+    events
       .withColumn("op", opCol)
       .groupBy("event_type", "op")
       .agg(
@@ -140,7 +150,11 @@ object CdcOps {
     * `upsertLatest`, done inside the one aggregate via a max on
     * (ts, event_id, op) struct ordering (no second shuffle, no window). */
   def userEventSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    userEventSetsOf(Tables.events(spark, dir))
+
+  /** [[userEventSets]] over an injectable event frame. */
+  def userEventSetsOf(events: DataFrame): DataFrame =
+    events
       .groupBy("user_id")
       .agg(
         array_join(array_sort(collect_set(col("event_type"))), ",")
@@ -176,7 +190,11 @@ object CdcOps {
     * (stream_processor.py:216-244). The streaming twin (with watermark)
     * lives in `graft.streaming.StreamOps.minuteMetrics`. */
   def minuteMetrics(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    minuteMetricsOf(Tables.events(spark, dir))
+
+  /** [[minuteMetrics]] over an injectable event frame. */
+  def minuteMetricsOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 minute"))
       .agg(
         count(lit(1)).as("n_events"),
