@@ -217,6 +217,39 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("T5: keyed state runs on the RocksDB state store (the 100 TB knob)") {
+    // At real key cardinalities the HDFS-backed in-memory store is the
+    // bottleneck; RocksDB is the documented scale configuration
+    // (SURVEY §7.3/§7.5). Same operator, same assertions — only the
+    // provider changes, proving the state schema round-trips through it.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = StreamOps.upsertLatest(in.toDS())
+      .writeStream.format("memory").queryName("t5_rocksdb")
+      .outputMode("update").start()
+    try {
+      in.addData(event(1, "2024-01-01 10:00:00", 3, "signup", 1.0))
+      q.processAllAvailable()
+      in.addData(event(2, "2024-01-01 11:00:00", 3, "purchase", 2.0))
+      q.processAllAvailable()
+      val last = spark.table("t5_rocksdb")
+        .orderBy($"last_ts_ms".desc).collect().head
+      assert(last.getAs[String]("last_event_type") == "purchase")
+      assert(last.getAs[Long]("last_ts_ms") ==
+        ts("2024-01-01 11:00:00").getTime)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T7: alert union carries both rule streams with severity") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
