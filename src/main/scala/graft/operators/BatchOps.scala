@@ -100,26 +100,39 @@ object BatchOps {
   // ===========================================================================
 
   /** A2: product rollup over the two-hop chain part ⟕ lineitem ⟕ orders with
-    * an expression inside the agg and a distinct aggregate. `part` is the
-    * dimension; at 100 TB the lineitem→orders join shuffles on l_orderkey
-    * while part broadcasts. */
+    * an expression inside the agg and a distinct aggregate.
+    *
+    * The reference groups on all part attributes
+    * (batch_processor.py:61-69); since `p_partkey` is the primary key,
+    * the attributes are functionally dependent on it, so the aggregation
+    * is computed on the fact side FIRST, keyed on the narrow bigint
+    * `l_partkey` — the distinct-aggregate's two exchanges then carry one
+    * long instead of five columns of part strings per row — and `part`
+    * is joined to the |parts|-row aggregate afterwards (broadcast-able,
+    * left join preserving never-sold parts with zero-filled metrics).
+    * Results are identical to grouping post-join; the shuffle payload is
+    * what changes, and at 100 TB the fact side never carries dimension
+    * strings through an exchange. */
   def productRollup(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
-    p.join(l, p("p_partkey") === l("l_partkey"), "left_outer")
-      .join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
-      .groupBy(p("p_partkey"), p("p_name"), p("p_brand"), p("p_type"),
-        p("p_size"))
+    val la = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+      .groupBy(l("l_partkey"))
       .agg(
-        coalesce(sum(l("l_quantity").cast("decimal(18,2)")).cast("double"),
-          lit(0.0)).as("units_sold"),
-        coalesce(
-          sum(l("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") -
-               l("l_discount").cast("decimal(18,2)"))).cast("double"),
-          lit(0.0)).as("revenue"),
-        countDistinct(o("o_orderkey")).as("order_count"))
+        sum(l("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("agg_units"),
+        sum(l("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+             l("l_discount").cast("decimal(18,2)"))).cast("double")
+          .as("agg_revenue"),
+        countDistinct(o("o_orderkey")).as("agg_orders"))
+    p.join(la, p("p_partkey") === la("l_partkey"), "left_outer")
+      .select(
+        p("p_partkey"), p("p_name"), p("p_brand"), p("p_type"), p("p_size"),
+        coalesce(col("agg_units"), lit(0.0)).as("units_sold"),
+        coalesce(col("agg_revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("agg_orders"), lit(0L)).as("order_count"))
   }
 
   /** C4 guarded ratios + C5 category precedence + C6 stock-status chain.
@@ -349,21 +362,27 @@ object BatchOps {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val anchor = lit(l.agg(max(col("l_shipdate"))).head().get(0))
-    p.join(l, p("p_partkey") === l("l_partkey"), "left_outer")
-      .join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+    // Same fact-side-first aggregation as productRollup (narrow shuffle
+    // key). The disjunctive filter references only fact columns, so in
+    // the reference's post-join form a part with no QUALIFYING fact row
+    // never forms a group — hence the inner join back to `part` (not
+    // left): both forms emit exactly the parts with ≥1 surviving row.
+    val la = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
       .filter(
         col("l_shipdate") >= anchor - expr("INTERVAL 90 DAYS") ||
         col("o_orderdate") >= anchor - expr("INTERVAL 90 DAYS"))
-      .groupBy(p("p_partkey"), p("p_name"), p("p_brand"))
+      .groupBy(l("l_partkey"))
       .agg(
-        coalesce(sum(l("l_quantity").cast("decimal(18,2)")).cast("double"),
-          lit(0.0)).as("units_sold"),
-        coalesce(
-          sum(l("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") -
-               l("l_discount").cast("decimal(18,2)"))).cast("double"),
-          lit(0.0)).as("revenue"),
+        sum(l("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("units_sold"),
+        sum(l("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+             l("l_discount").cast("decimal(18,2)"))).cast("double")
+          .as("revenue"),
         countDistinct(o("o_orderkey")).as("order_count"))
+    p.join(la, p("p_partkey") === la("l_partkey"))
+      .select(p("p_partkey"), p("p_name"), p("p_brand"),
+        col("units_sold"), col("revenue"), col("order_count"))
       .orderBy("p_partkey")
   }
 }
