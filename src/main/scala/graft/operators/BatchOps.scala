@@ -29,18 +29,26 @@ object BatchOps {
 
   /** A1: per-customer rollup — COUNT / COALESCE(SUM) / MAX over a left join
     * that preserves order-less customers (batch_processor.py:33-40).
-    * customers ⟕ orders is a shuffle-free broadcast join when `customer` is
-    * the small side; here orders is the fact so we let Catalyst/AQE pick the
-    * build side. */
+    * The reference groups the join on all customer columns; c_custkey is
+    * the primary key, so the aggregation runs on the orders fact FIRST,
+    * keyed on the bare bigint o_custkey (no customer strings ride the
+    * shuffle), and customer joins the |customers|-row aggregate after —
+    * order-less customers arrive null and are zero-filled, exactly the
+    * post-join grouping's result. */
   def customerOrdersRollup(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-      .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"))
+    val oa = o.groupBy(o("o_custkey"))
       .agg(
-        count(o("o_orderkey")).as("total_orders"),
-        coalesce(moneySum(o("o_totalprice")), lit(0.0)).as("total_spent"),
-        max(o("o_orderdate")).as("last_order_date"))
+        count(o("o_orderkey")).as("agg_orders"),
+        moneySum(o("o_totalprice")).as("agg_spent"),
+        max(o("o_orderdate")).as("agg_last"))
+    c.join(oa, c("c_custkey") === oa("o_custkey"), "left_outer")
+      .select(
+        c("c_custkey"), c("c_name"), c("c_mktsegment"),
+        coalesce(col("agg_orders"), lit(0L)).as("total_orders"),
+        coalesce(col("agg_spent"), lit(0.0)).as("total_spent"),
+        col("agg_last").as("last_order_date"))
   }
 
   /** M0 flagship: tiered segmentation (C1), CLV (C2), recency banding (C3)
@@ -340,12 +348,19 @@ object BatchOps {
   def customerRollupWindowed(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = scopedOrders(spark, dir, 30)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-      .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"))
+    // Same fact-side-first aggregation as customerOrdersRollup, over the
+    // scan-pruned order window.
+    val oa = o.groupBy(o("o_custkey"))
       .agg(
-        count(o("o_orderkey")).as("total_orders"),
-        coalesce(moneySum(o("o_totalprice")), lit(0.0)).as("total_spent"),
-        max(o("o_orderdate")).as("last_order_date"))
+        count(o("o_orderkey")).as("agg_orders"),
+        moneySum(o("o_totalprice")).as("agg_spent"),
+        max(o("o_orderdate")).as("agg_last"))
+    c.join(oa, c("c_custkey") === oa("o_custkey"), "left_outer")
+      .select(
+        c("c_custkey"), c("c_name"), c("c_mktsegment"),
+        coalesce(col("agg_orders"), lit(0L)).as("total_orders"),
+        coalesce(col("agg_spent"), lit(0.0)).as("total_spent"),
+        col("agg_last").as("last_order_date"))
       .orderBy("c_custkey")
   }
 
