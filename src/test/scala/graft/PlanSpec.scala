@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.BatchOps
+
+/** Physical-plan regression tests: the properties that make these
+  * queries scale — scan-level predicate pushdown, top-k without a global
+  * sort, no cartesian products — asserted against the AQE-final executed
+  * plan over real (sf0.001) testdata, so a refactor that silently
+  * reverts one of them fails here instead of at 100 TB. */
+class PlanSpec extends GraftSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute (noop sink) and return the final adaptive plan text. */
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("windowed extract pushes the date bound into the parquet scan") {
+    val plan = executedPlan(BatchOps.customerRollupWindowed(spark, dir))
+    // The literal-anchor rewrite exists precisely so this line appears:
+    // a scan-level filter on o_orderdate (round-4 regression: the
+    // predicate compared against a joined column and could never push).
+    assert(plan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("o_orderdate") &&
+        l.contains(">=")),
+      s"no pushed o_orderdate bound in:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(BatchOps.topPartsByRevenue(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("threshold cross-joins broadcast; no cartesian product anywhere") {
+    val plan = executedPlan(BatchOps.customerSegments(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"plan:\n$plan")
+  }
+
+  test("fact-side-first rollup keeps dimension strings off the shuffle") {
+    val plan = executedPlan(BatchOps.productRollup(spark, dir))
+    // Every hash-partitioned exchange must key on ids only — p_name /
+    // p_brand riding an Exchange means the pre-aggregation regressed.
+    val exchanges = plan.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l =>
+      l.contains("p_name") || l.contains("p_brand")),
+      s"dimension columns in exchange keys:\n${exchanges.mkString("\n")}")
+  }
+}
