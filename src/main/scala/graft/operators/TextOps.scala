@@ -336,30 +336,30 @@ object TextOps {
         (0 until SimhashBits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-    val banded = sim.select(col("doc_id"),
+    // The fingerprint rides through the band buckets (one long per
+    // member), so the Hamming check needs no join back to `sim` — the
+    // 60-col vote aggregate runs ONCE and the pair stage is pure
+    // integer arithmetic on (id, simhash) structs.
+    val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(k =>
         expr(s"(simhash >> ${k * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1}")): _*))
         .as(Seq("band", "band_key")))
-    val pairs = banded
+    banded
       .groupBy("band", "band_key")
-      .agg(slice(array_sort(collect_list(col("doc_id"))), 1,
-        SimhashBucketCap).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(slice(array_sort(collect_list(
+        struct(col("doc_id"), col("simhash")))), 1,
+        SimhashBucketCap).as("ds"))
+      .filter(size(col("ds")) > 1)
       .select(explode(expr(
-        """flatten(transform(ids, x ->
-             transform(filter(ids, y -> y > x), y ->
-               named_struct('doc_a', x, 'doc_b', y))))""")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        """flatten(transform(ds, x ->
+             transform(filter(ds, y -> y.doc_id > x.doc_id), y ->
+               named_struct('doc_a', x.doc_id, 'sim_a', x.simhash,
+                            'doc_b', y.doc_id, 'sim_b', y.simhash))))"""))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        expr("cast(bit_count(p.sim_a ^ p.sim_b) as int)").as("hamming"))
       .distinct()
-    pairs
-      .join(sim.select(col("doc_id").as("doc_a"),
-        col("simhash").as("sim_a")), "doc_a")
-      .join(sim.select(col("doc_id").as("doc_b"),
-        col("simhash").as("sim_b")), "doc_b")
-      .withColumn("hamming",
-        expr("cast(bit_count(sim_a ^ sim_b) as int)"))
       .filter(col("hamming") <= SimhashHammingMax)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
