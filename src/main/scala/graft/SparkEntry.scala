@@ -72,6 +72,7 @@ object SparkEntry {
     "docs_exact_dedup" -> ((s, d) => TextOps.exactDedupGroups(s, d)),
     "docs_deduped" -> ((s, d) => TextOps.dedupedDocs(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "docs_quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "lang_stats" -> ((s, d) => TextOps.langStats(s, d)),
     "language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
+    "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
   )
 
@@ -512,6 +514,7 @@ object SparkEntry {
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),
     "simhash_pairs" -> TextOps.simhashPairsOracleSql(shinglesSql),
+    "docs_quality_filter" -> TextOps.qualityFilterOracleSql,
     "rolling_fingerprints" -> TextOps.rollingFingerprintsOracleSql,
 
     // Binary-payload stats: octet_length/md5/hex are byte-level in both
@@ -545,6 +548,7 @@ object SparkEntry {
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
+    "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
   )
 }

@@ -78,6 +78,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-filter thresholds (shared with the oracle): a document
+    * passes when it has enough tokens, a plausible stopword ratio, and
+    * plausible average token length — the length/punct/stopword gating
+    * pass of a training-data pipeline. */
+  val QualityMinTokens = 10
+  val QualityMinStopRatio = 0.02
+  val QualityMaxAvgTokenLen = 12.0
+
+  /** The quality gate itself: every document with its pass/fail verdict
+    * and the FIRST failing rule as the drop reason (precedence mirrors a
+    * pipeline that short-circuits on the cheapest signal). Built on the
+    * same token-array stats as [[textStats]]; at scale this is a linear
+    * scan whose survivors feed every downstream stage. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(expr(s"filter(toks, t -> t in $stopList)")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("avg_token_len",
+        expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)")
+          .cast("double") / col("n_tokens").cast("double"))
+      .withColumn("drop_reason",
+        when(col("n_tokens") < QualityMinTokens, "too_short")
+          .when(col("stop_ratio") < QualityMinStopRatio, "no_stopwords")
+          .when(col("avg_token_len") > QualityMaxAvgTokenLen, "gibberish")
+          .otherwise(lit(null).cast("string")))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("avg_token_len"),
+        col("drop_reason").isNull.as("passes"), col("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qualityFilter]]. */
+  private[graft] def qualityFilterOracleSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> t IN $stopList)) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS avg_token_len
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens < $QualityMinTokens THEN 'too_short'
+       |         WHEN stop_ratio < $QualityMinStopRatio THEN 'no_stopwords'
+       |         WHEN avg_token_len > $QualityMaxAvgTokenLen THEN 'gibberish'
+       |         ELSE NULL END AS drop_reason
+       |  FROM s)
+       |SELECT doc_id, n_tokens, stop_ratio, avg_token_len,
+       |  drop_reason IS NULL AS passes, drop_reason
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus stats per language: doc/token counts and average length
     * (integer sums — exact at any parallelism). */
   def langStats(spark: SparkSession, dir: String): DataFrame =

@@ -256,6 +256,88 @@ object VectorOps {
       .orderBy("q_id")
   }
 
+  /** Coarse-quantizer sampling stride: every `CentroidStride`-th vec_id
+    * serves as an IVF centroid. Production IVF trains k-means centroids;
+    * a deterministic sample keeps both engines bit-identical while the
+    * SEARCH shape (assign to nearest centroid, probe within the cell) is
+    * exactly the trained-centroid plan. */
+  val CentroidStride = 16
+
+  /** IVF-style ANN top-1 — the inverted-file alternative to the sign-LSH
+    * path: assign every vector to its nearest centroid (broadcast the
+    * centroid set, argmin by cosine with cent_id tiebreak), then probe
+    * only within the cell. The cell join shuffles on centroid id — same
+    * bounded-hash-shuffle posture as the LSH tables, but with
+    * data-dependent cells: denser regions get denser centroids under a
+    * trained quantizer, which is why IVF recalls better than LSH on
+    * clustered corpora. Cell population ≈ `CentroidStride`, so in-cell
+    * scoring is ~stride² per cell. */
+  def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sq("embedding")).as("norm"))
+    val cents = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val pairs = assigned.select(col("vec_id").as("q_id"), col("cent_id"))
+      .join(assigned.select(col("vec_id").as("c_id"),
+        col("cent_id").as("c_cent")),
+        col("cent_id") === col("c_cent") && col("q_id") =!= col("c_id"))
+      .select("q_id", "cent_id", "c_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id"))
+    pairs
+      .join(e.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm")), "c_id")
+      .withColumn("cosine",
+        dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("cent_id"), col("c_id"),
+        round(col("cosine"), 9).as("cosine"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[annIvfTop1]] (same stride, same unrolled
+    * arithmetic, same tiebreaks). */
+  private[graft] def annIvfTop1OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${sqSql("embedding")}) AS norm
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+       |  FROM e WHERE vec_id % $CentroidStride = 0),
+       |a AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.embedding", "c.cent_emb")} / (e.norm * c.cent_norm) DESC,
+       |        c.cent_id) AS rn
+       |  FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cent_id FROM a WHERE rn = 1),
+       |j AS (
+       |  SELECT x.vec_id AS q_id, x.cent_id, y.vec_id AS c_id,
+       |    ${dotSql("ex.embedding", "ey.embedding")} / (ex.norm * ey.norm) AS cosine
+       |  FROM asg x JOIN asg y ON x.cent_id = y.cent_id
+       |    AND x.vec_id <> y.vec_id
+       |  JOIN e ex ON x.vec_id = ex.vec_id
+       |  JOIN e ey ON y.vec_id = ey.vec_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM j)
+       |SELECT q_id, cent_id, c_id, round(cosine, 9) AS cosine
+       |FROM r WHERE rk = 1
+       |ORDER BY q_id""".stripMargin
+
   /** Shared oracle prefix for the LSH family: CTEs `e` (buckets + norm),
     * `m` (capped membership), `p` (distinct candidate pairs), `s`
     * (scored pairs) — the SQL mirror of [[lshScoredPairs]]. */

@@ -186,6 +186,19 @@ object StreamOps {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"))
 
+  /** Streaming exactly-once dedup: at-least-once CDC transports redeliver
+    * events, and every downstream counter would double-count them. Keyed
+    * on event_id with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): a redelivery arriving within the
+    * watermark horizon is dropped, state for old ids is evicted as the
+    * watermark advances — bounded memory at any throughput, the standard
+    * first stage in front of the aggregations below. */
+  def dedupEvents(events: DataFrame,
+                  horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** T5: CDC upsert-latest cache with tombstones — the per-entity
     * latest-row Redis cache (cdc_processor.py:77-190: c/u set the key, d
     * deletes it), as keyed state: each trigger folds the key's new events

@@ -217,6 +217,27 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-horizon redeliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        event(1, "2024-01-01 10:00:00", 1, "click", 1.0), // same-batch dup
+        event(2, "2024-01-01 10:00:30", 2, "view", 2.0))
+      q.processAllAvailable()
+      // cross-batch redelivery of event 1, still inside the horizon
+      in.addData(event(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").collect()
+        .map(_.getAs[Long]("event_id")).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("T5: keyed state runs on the RocksDB state store (the 100 TB knob)") {
     // At real key cardinalities the HDFS-backed in-memory store is the
     // bottleneck; RocksDB is the documented scale configuration
