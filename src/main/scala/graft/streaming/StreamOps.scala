@@ -357,11 +357,18 @@ object StreamOps {
     * (`realtime-alerts`, stream_processor.py:306-308; send_message
     * utils.py:76-100) — JSON value, string key. Production wiring; tests
     * use memory/parquet sinks. */
+  /** The Kafka record projection of [[kafkaAlertSink]]: string key =
+    * entity id, JSON value = the whole alert row (send_message's shape,
+    * utils.py:76-100). Split out so the serialization is testable
+    * without a broker. */
+  def alertRecords(alerts: DataFrame): DataFrame =
+    alerts.select(
+      col("user_id").cast("string").as("key"),
+      to_json(struct(col("*"))).as("value"))
+
   def kafkaAlertSink(alerts: DataFrame, servers: String,
                      topic: String, checkpoint: String): StreamingQuery =
-    alerts.select(
-        col("user_id").cast("string").as("key"),
-        to_json(struct(col("*"))).as("value"))
+    alertRecords(alerts)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
