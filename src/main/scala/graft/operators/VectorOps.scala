@@ -160,7 +160,13 @@ object VectorOps {
       .repartition(col("c_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    // Non-foldable constant-key BroadcastHashJoin instead of a non-equi
+    // broadcast join for the k×N fan-out — same codegen rationale as
+    // annIvfTop1's assignment stage (a BNLJ evaluates the dot
+    // interpreted; a plain literal key folds back into a crossJoin).
+    c.withColumn("jk", pmod(col("c_id"), lit(1)))
+      .join(broadcast(q.withColumn("jk", pmod(col("q_id"), lit(1)))), "jk")
+      .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")))
       .withColumn("rk", row_number().over(w))
@@ -256,12 +262,19 @@ object VectorOps {
       .orderBy("q_id")
   }
 
-  /** Coarse-quantizer sampling stride: every `CentroidStride`-th vec_id
-    * serves as an IVF centroid. Production IVF trains k-means centroids;
-    * a deterministic sample keeps both engines bit-identical while the
-    * SEARCH shape (assign to nearest centroid, probe within the cell) is
-    * exactly the trained-centroid plan. */
-  val CentroidStride = 16
+  /** IVF coarse-quantizer sizing: C ≈ √N centroids, sampled as every
+    * stride-th vec_id with stride = ⌈N / ⌈√N⌉⌉. √N balances the two
+    * cost terms of IVF — assignment is N×C and in-cell probing is
+    * Σm² ≈ N×(N/C) — at ~N^1.5 each, the classic inverted-file sizing.
+    * Production IVF trains k-means centroids; a deterministic sample
+    * keeps both engines bit-identical while the SEARCH shape (assign to
+    * nearest centroid, probe within the cell) is exactly the
+    * trained-centroid plan. ceil/sqrt are correctly-rounded IEEE ops in
+    * both engines, so the oracle derives the identical stride in SQL. */
+  private def centroidStride(n: Long): Long = {
+    val c = math.ceil(math.sqrt(n.toDouble)).toLong max 1L
+    math.max(1L, math.ceil(n.toDouble / c).toLong)
+  }
 
   /** IVF-style ANN top-1 — the inverted-file alternative to the sign-LSH
     * path: assign every vector to its nearest centroid (broadcast the
@@ -273,25 +286,50 @@ object VectorOps {
     * clustered corpora. Cell population ≈ `CentroidStride`, so in-cell
     * scoring is ~stride² per cell. */
   def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    // NUMBERED repartition: AQE coalesces shuffle stages by BYTES, and
+    // this stage is tiny in bytes but heavy in compute (N×C dot
+    // products) — byte-based coalescing would serialize it onto 1-2
+    // cores. An explicit partition count (the session's parallelism) is
+    // exempt from AQE coalescing, keeping the fan-out on every core.
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         sqrt(sq("embedding")).as("norm"))
-    val cents = e.filter(col("vec_id") % CentroidStride === 0)
+    // One-scalar driver collect (like the windowed extracts' anchor):
+    // the corpus size fixes the √N quantizer stride.
+    val stride = centroidStride(Tables.embeddings(spark, dir).count())
+    val cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"),
         col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    // The N×C assignment fan-out joins on a NON-FOLDABLE always-zero key
+    // (pmod of the id): BroadcastNestedLoopJoin does not participate in
+    // whole-stage codegen, so above a crossJoin the unrolled dot product
+    // runs interpreted (measured ~5 s at sf0.1) — and a plain literal
+    // key constant-folds straight back into a crossJoin. As a
+    // BroadcastHashJoin the whole assign-score stage compiles.
+    val assigned = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cents.withColumn("jk", pmod(col("cent_id"), lit(1)))),
+        "jk")
       .withColumn("sim",
         dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id"))
-    val pairs = assigned.select(col("vec_id").as("q_id"), col("cent_id"))
-      .join(assigned.select(col("vec_id").as("c_id"),
-        col("cent_id").as("c_cent")),
-        col("cent_id") === col("c_cent") && col("q_id") =!= col("c_id"))
-      .select("q_id", "cent_id", "c_id")
+    // In-cell ordered pairs via collect_list (the LSH pattern): the
+    // assignment subtree runs ONCE — a self-join of `assigned` would
+    // recompute the whole N×C argmin on both sides.
+    val pairs = assigned
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("cent_id"), explode(expr(
+        """flatten(transform(ids, x ->
+             transform(filter(ids, y -> y != x), y ->
+               named_struct('q_id', x, 'c_id', y))))""")).as("p"))
+      .select(col("p.q_id").as("q_id"), col("cent_id"),
+        col("p.c_id").as("c_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
     pairs
@@ -311,12 +349,18 @@ object VectorOps {
   /** DuckDB oracle for [[annIvfTop1]] (same stride, same unrolled
     * arithmetic, same tiebreaks). */
   private[graft] def annIvfTop1OracleSql: String =
-    s"""WITH e AS (
+    s"""WITH st AS (
+       |  SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(CAST(count(*) AS DOUBLE)
+       |      / greatest(1.0, ceil(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT))
+       |    AS stride
+       |  FROM embeddings),
+       |e AS (
        |  SELECT vec_id, embedding, sqrt(${sqSql("embedding")}) AS norm
        |  FROM embeddings),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
-       |  FROM e WHERE vec_id % $CentroidStride = 0),
+       |  FROM e WHERE vec_id % (SELECT stride FROM st) = 0),
        |a AS (
        |  SELECT e.vec_id, c.cent_id,
        |    row_number() OVER (PARTITION BY e.vec_id
