@@ -230,7 +230,7 @@ object TextOps {
     // parquet splits, and without this the per-doc shingle work would run
     // on a single core (at real scale the scan has many splits already).
     val docs = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / lit(100)).cast("int").as("len_bucket"),
         array_distinct(shingles).as("sh"))
@@ -280,7 +280,7 @@ object TextOps {
     * arithmetic. */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")

@@ -157,7 +157,7 @@ object VectorOps {
     // computed across all cores on the corpus side, not on the k-row side.
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         sqrt(sq("embedding")).as("c_norm"))
-      .repartition(col("c_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("c_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
     // Non-foldable constant-key BroadcastHashJoin instead of a non-equi
@@ -196,7 +196,8 @@ object VectorOps {
     * Vectors sharing no cell with anyone produce no row (the documented
     * recall/coverage trade-off of LSH; more tables → more recall). */
   private def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val hashed = e.select(
       col("vec_id") +:
         (0 until NumTables).map(t => bucket("embedding", t).as(s"b$t")): _*)
