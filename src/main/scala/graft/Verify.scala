@@ -28,7 +28,7 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         failures(name) = msg
         System.err.println(s"[verify] FAILED $name: $msg")
-      } finally spark.catalog.clearCache() // operators may persist() internally
+      } finally spark.catalog.clearCache() // defensive: no operator persists today
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
