@@ -80,6 +80,8 @@ object SparkEntry {
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
+    "cross_source_contamination" -> ((s, d) =>
+      TextOps.crossSourceContamination(s, d)),
     // --- multimodal columns: binary payloads + nested structs ---
     "binary_doc_stats" -> ((s, d) => MultiModalOps.binaryDocStats(s, d)),
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
@@ -516,6 +518,8 @@ object SparkEntry {
     "simhash_pairs" -> TextOps.simhashPairsOracleSql(shinglesSql),
     "docs_quality_filter" -> TextOps.qualityFilterOracleSql,
     "rolling_fingerprints" -> TextOps.rollingFingerprintsOracleSql,
+    "cross_source_contamination" ->
+      TextOps.crossSourceContaminationOracleSql,
 
     // Binary-payload stats: octet_length/md5/hex are byte-level in both
     // engines (DuckDB needs the explicit ::BLOB; the corpus is ASCII so

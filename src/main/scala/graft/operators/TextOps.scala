@@ -464,6 +464,40 @@ object TextOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Cross-source contamination screen — the train/test decontamination
+    * pass of a dataset pipeline: for every pair of sources, how many
+    * content groups they share. Grouping is on the order-insensitive
+    * bag-of-words fingerprint (a reordered copy of a test document in
+    * the training crawl is still contamination), so this catches what
+    * exact-hash dedup misses. One hash aggregate + a per-group source-set
+    * explode; no pairwise document join at any scale. */
+  def crossSourceContamination(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(array_join(array_sort(array_distinct(tokens)), " "))
+        .as("bag"))
+      .agg(array_sort(collect_set(col("source"))).as("sources"))
+      .filter(size(col("sources")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sources, x ->
+             transform(filter(sources, y -> y > x), y ->
+               named_struct('src_a', x, 'src_b', y))))""")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+
+  /** DuckDB oracle for [[crossSourceContamination]]. */
+  private[graft] def crossSourceContaminationOracleSql: String =
+    """WITH g AS (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag,
+      |    list_sort(list_distinct(list(source))) AS sources
+      |  FROM documents
+      |  GROUP BY 1)
+      |SELECT t1.s AS src_a, t2.s AS src_b, count(*) AS n_shared
+      |FROM g, unnest(g.sources) AS t1(s), unnest(g.sources) AS t2(s)
+      |WHERE t1.s < t2.s
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Rolling-hash parameters (shared with the oracle): polynomial base
     * and modulus, applied over per-token hashes in token order. */
   val RollBase = 1048573L

@@ -217,6 +217,42 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("two independent queries consume the full stream (dual group-id)") {
+    // The reference runs cdc_processor and stream_processor as two
+    // consumers with distinct group ids over the same topics
+    // (SURVEY §3.3) — in Spark, two streaming queries over one source
+    // definition, each with its own offsets/state. Both must see EVERY
+    // event, not split them.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val src = in.toDF()
+    val q1 = StreamOps.typeCounters(src)
+      .writeStream.format("memory").queryName("dual_cdc")
+      .outputMode("update").start()
+    val q2 = StreamOps.minuteMetrics(src)
+      .writeStream.format("memory").queryName("dual_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:10", 1, "click", 10.0),
+        event(2, "2024-01-01 10:00:20", 2, "view", 20.0))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      // close the 10:00 window for the windowed consumer
+      in.addData(event(3, "2024-01-01 10:10:00", 1, "click", 1.0))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      val counters = spark.table("dual_cdc").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events"))
+        .toMap
+      assert(counters("click") == 2L && counters("view") == 1L)
+      val minute = spark.table("dual_stream").collect()
+        .find(_.getAs[java.sql.Timestamp]("minute_start") ==
+          ts("2024-01-01 10:00:00")).get
+      assert(minute.getAs[Long]("n_events") == 2L) // full stream, not half
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming dedup drops watermark-horizon redeliveries") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
