@@ -167,23 +167,22 @@ object CdcOps {
       .orderBy("user_id")
 
   /** P6: table-dispatch routing — one stream demultiplexed into per-table
-    * handler branches (cdc_processor.py:54-61), expressed as filtered
-    * branches of one scan unioned back together. Catalyst collapses the
-    * branches into a single pass over the source. */
-  def tableDispatch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val customers = e.filter(col("event_type") === "signup")
-      .select(col("event_id"), col("user_id"),
-        lit("customer_cache").as("target"), col("value"))
-    val orders = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
-        lit("order_cache").as("target"), col("value"))
-    val activity = e.filter(col("event_type").isin("click", "view"))
-      .select(col("event_id"), col("user_id"),
-        lit("activity_cache").as("target"), col("value"))
-    customers.unionByName(orders).unionByName(activity)
+    * handler targets (cdc_processor.py:54-61). The handler predicates are
+    * DISJOINT on event_type, so routing is a single-pass CASE projection
+    * + filter — a filtered-branches union would scan the source once per
+    * branch (Catalyst does not merge scans across a union), which at
+    * 100 TB is N full fact reads for N handlers. Non-disjoint routing
+    * would need the union form (a row can route to several targets);
+    * this one doesn't. */
+  def tableDispatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("target",
+        when(col("event_type") === "signup", "customer_cache")
+          .when(col("event_type") === "purchase", "order_cache")
+          .when(col("event_type").isin("click", "view"), "activity_cache"))
+      .filter(col("target").isNotNull)
+      .select("event_id", "user_id", "target", "value")
       .orderBy("event_id", "target")
-  }
 
   /** A12/T1 batch analog: tumbling 1-minute event-time windows with count,
     * exact sum, and the divide-by-zero-guarded average
