@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
   *   cache is cleared between runs so no run sees another's persisted
   *   state.
   *
-  * The line is also written to bench_line.json so the signal survives any
-  * log-prefix mangling by the build tool. */
+  * The stdout line is kept SMALL (3-decimal medians, no min/max maps):
+  * the driver captures only the last ~4 KB of output, and round 5's
+  * full-precision line with min/max grew past that window — the driver
+  * recorded `parsed: null` and the round had no perf signal. The full-
+  * precision line including min/max is written to bench_line.json.
+  *
+  * Optional args: query names to run (default: all registered). */
 object Bench {
   private val RUNS = 3
 
@@ -42,7 +47,10 @@ object Bench {
     val lo = scala.collection.mutable.LinkedHashMap[String, Double]()
     val hi = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    selected.foreach { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       try {
         (1 to RUNS).foreach { _ =>
@@ -60,16 +68,26 @@ object Bench {
         System.err.println(s"[bench] FAILED $name: ${failed(name)}")
       } finally spark.catalog.clearCache()
     }
-    def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double],
+             fmt: Double => String): String =
+      m.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }
+        .mkString("{", ",", "}")
+    def ms3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def full(m: scala.collection.Map[String, Double]): String =
+      jmap(m, _.toString)
+    def short(m: scala.collection.Map[String, Double]): String =
+      jmap(m, ms3)
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = med.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(lo)},"max":${jmap(hi)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${short(med)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_line.json"), line + "\n")
+      java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
