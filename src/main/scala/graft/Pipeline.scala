@@ -26,6 +26,14 @@ object Pipeline {
       "segment_counts", "mktsegment_value_counts", "batch_summary"),
     "geo_analytics" -> Seq("geo_region_mask"))
 
+  /** Tasks allowed to emit zero rows: threshold-alert filters fire only
+    * when their rule trips — an empty alert set is a healthy outcome,
+    * not a broken phase (at sf0.001 no hour crosses the velocity
+    * threshold, for example). Every other task must produce rows. */
+  val mayBeEmpty: Set[String] = Set(
+    "alerts_high_value", "alerts_bulk_activity", "alerts_velocity",
+    "alerts_dominant_group", "alerts_low_stock")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,18 +45,27 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     phases.foreach { case (phase, names) =>
       println(s"== phase $phase ==")
       names.foreach { name =>
         val n = SparkEntry.queries(name)(spark, sfDir).count()
+        counts(name) = n
         println(f"   $name%-28s $n%8d rows")
       }
     }
     // Quality validation (the DAG's final task,
     // cdc_etl_orchestration.py:294-323, which checks cache-key
-    // existence): every phase produced rows.
-    val healthRows = SparkEntry.queries("health_score")(spark, sfDir).count()
-    require(healthRows == 1, "health gate must emit exactly one row")
+    // existence): EVERY task emitted rows, and the health gate emitted
+    // exactly its one summary row — a phase producing 0 rows must fail
+    // the run, not scroll past as a log line.
+    require(counts("health_score") == 1,
+      "health gate must emit exactly one row")
+    val empty = counts.collect {
+      case (name, 0L) if !mayBeEmpty(name) => name
+    }
+    require(empty.isEmpty,
+      s"pipeline tasks emitted no rows: ${empty.mkString(", ")}")
     println("== pipeline complete ==")
     spark.stop()
   }

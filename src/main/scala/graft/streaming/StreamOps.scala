@@ -280,10 +280,18 @@ object StreamOps {
     * newest bucket — out-of-order or minute-spanning batches accumulate
     * into their own buckets instead of being dropped), and every bucket
     * touched by the batch is emitted with `alert = units > threshold`
-    * (the `velocity > 50` rule, stream_processor.py:207). Buckets older
-    * than the TTL relative to the key's newest event are evicted; a key
-    * silent for 5 min of event time drops its whole state via
-    * `EventTimeTimeout` (same no-livelock rationale as T3). */
+    * (the `velocity > 50` rule, stream_processor.py:207). Buckets are
+    * evicted against the event-time WATERMARK, not the key's own newest
+    * event: the watermark already encodes the lateness allowance, so a
+    * bucket is dropped only once no admissible event can still target it
+    * (an event for bucket b has ts < b + 1 min ≤ b + TTL ≤ watermark ⇒
+    * it would be rejected as late upstream). Evicting at `key-max ts −
+    * TTL` — the earlier design — let an admissible late event re-open an
+    * evicted bucket with only its own partial counts, silently
+    * retracting the bucket's prior total (and possibly a fired alert) in
+    * an upsert consumer. A key silent for 5 min of event time drops its
+    * whole state via `EventTimeTimeout` (same no-livelock rationale as
+    * T3). */
   def velocityState(events: Dataset[Event],
                     threshold: Double = 50.0): Dataset[Velocity] = {
     import events.sparkSession.implicits._
@@ -309,11 +317,14 @@ object StreamOps {
                   p.n_events + es.size)
               }
             val maxTs = evs.map(_.ts.getTime).max
+            val wm = state.getCurrentWatermarkMs()
             val kept = (prev ++ touched).filter {
-              case (b, _) => b + ttlMs > maxTs
+              case (b, _) => b + ttlMs > wm
             }
             state.update(kept)
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            // Must exceed the current watermark (engine requirement);
+            // maxTs alone can trail it by up to the lateness allowance.
+            state.setTimeoutTimestamp(math.max(maxTs, wm) + ttlMs)
             touched.toSeq.sortBy(_._1).iterator.map { case (b, v) =>
               Velocity(etype, b, v.units, v.n_events, v.units > threshold)
             }

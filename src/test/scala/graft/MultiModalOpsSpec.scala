@@ -66,6 +66,22 @@ class MultiModalOpsSpec extends GraftSpec {
     assert(out(3L).max_run_length == 4 && out(3L).n_distinct_bytes == 2)
   }
 
+  test("testdata corpus is ASCII, as the byte-level oracle assumes") {
+    // The binary_doc_stats oracle computes magic_hex/md5 with DuckDB's
+    // char-level substr while Spark slices the binary payload — equal
+    // ONLY while every text is pure ASCII (byte length == char length).
+    // Enforce that assumption on the real corpora instead of leaving it
+    // as a comment: if the generator ever emits multi-byte characters,
+    // this fails before the oracle silently desynchronizes.
+    import org.apache.spark.sql.functions.{expr, length}
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.Tables.documents(spark, dir)
+        .filter(expr("octet_length(text)") =!= length($"text"))
+        .count()
+      assert(nonAscii == 0L, s"non-ASCII documents in $dir")
+    }
+  }
+
   test("document payload dataset carries media-type metadata") {
     val ds = MultiModalOps.documentPayloads(spark, scratch).collect()
     assert(ds.length == 3)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.BatchOps
+import graft.operators.{BatchOps, VectorOps}
 
 /** Physical-plan regression tests: the properties that make these
   * queries scale — scan-level predicate pushdown, top-k without a global
@@ -11,10 +11,17 @@ import graft.operators.BatchOps
 class PlanSpec extends GraftSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  /** Execute (noop sink) and return the final adaptive plan text. */
+  /** Execute the DataFrame's OWN QueryExecution to completion and return
+    * the plan text — only then is the AdaptiveSparkPlan final
+    * (isFinalPlan=true) and AQE-time changes (exchange coalescing, join
+    * strategy switches) visible. A side write would spawn a separate
+    * QueryExecution and stringify this one un-executed. */
   private def executedPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"),
+      s"plan not AQE-finalized:\n$plan")
+    plan
   }
 
   test("windowed extract pushes the date bound into the parquet scan") {
@@ -38,6 +45,20 @@ class PlanSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), s"plan:\n$plan")
+  }
+
+  test("vector fan-outs compile to BroadcastHashJoin, never a nested loop") {
+    // The constant-key join device (pmod(id, 1) on both sides) exists so
+    // the k×N / N×C fan-outs run as codegen'd BroadcastHashJoins. If an
+    // optimizer change ever folds pmod(x, 1) to a literal, the join
+    // silently reverts to an interpreted BroadcastNestedLoopJoin — a
+    // large performance cliff that must fail here, not in the bench.
+    for (df <- Seq(VectorOps.cosineTopK(spark, dir),
+                   VectorOps.annIvfTop1(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    }
   }
 
   test("fact-side-first rollup keeps dimension strings off the shuffle") {

@@ -190,6 +190,37 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("T4: an admissible late event re-emits its bucket with FULL counts") {
+    // Eviction is watermark-driven: a bucket must survive as long as the
+    // 10-min lateness allowance can still deliver an event for it, even
+    // when the key's own max ts has moved past bucket + TTL. (The earlier
+    // key-local eviction dropped the bucket, so the late event re-emitted
+    // it with only its own partial count — an upsert consumer would have
+    // silently retracted the bucket's prior total.)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.velocityState(in.toDS(), threshold = 50.0)
+      .writeStream.format("memory").queryName("t4_late")
+      .outputMode("update").start()
+    try {
+      // Key-max ts 10:07 puts bucket 10:00 past its 5-min TTL, but the
+      // watermark (10:07 − 10 min) has not passed it.
+      in.addData(
+        event(1, "2024-01-01 10:00:10", 1, "purchase", 30.0),
+        event(2, "2024-01-01 10:07:00", 1, "purchase", 1.0))
+      q.processAllAvailable()
+      // Late-but-admissible event for bucket 10:00: must ACCUMULATE.
+      in.addData(event(3, "2024-01-01 10:00:20", 1, "purchase", 25.0))
+      q.processAllAvailable()
+      val b0 = ts("2024-01-01 10:00:00").getTime
+      val units = spark.table("t4_late").collect()
+        .filter(_.getAs[Long]("window_start_ms") == b0)
+        .map(r => (r.getAs[Double]("units"), r.getAs[Boolean]("alert")))
+        .sortBy(_._1)
+      assert(units.toSeq == Seq((30.0, false), (55.0, true)))
+    } finally q.stop()
+  }
+
   test("T3: event-time TTL drops idle state silently; fresh events restart") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
