@@ -507,22 +507,34 @@ object TextOps {
     * over the token stream — fold((acc * B + h(token)) mod M) in token
     * order — versus `docFingerprints`' order-insensitive bag hash.
     * Two docs with identical token multisets but different order get the
-    * same bag_md5 and DIFFERENT roll_hash. The per-token lambda is a
-    * higher-order fold, once per document (not in a per-pair hot path).
-    * Intermediate values stay < 2^52 (M ≈ 2^31, B ≈ 2^20), so the fold
-    * is exact in 64-bit integers in both engines. */
+    * same bag_md5 and DIFFERENT roll_hash.
+    *
+    * The md5 runs in a CODEGEN'D projection over exploded (doc, pos,
+    * token) rows — the earlier form hashed inside the fold lambda, and
+    * HOF lambdas evaluate interpreted per element (tokens × docs
+    * interpreted md5 was 12 s of the sf0.1 bench vs ~1 s for this
+    * shape). The fold itself stays a per-doc lambda, but over plain
+    * 64-bit ints in token order (array_sort on (pos, h) structs), which
+    * is cheap. One hash shuffle on doc_id — the same posture as the
+    * minhash pipeline. Intermediate values stay < 2^52 (M ≈ 2^31,
+    * B ≈ 2^20), so the fold is exact in 64-bit integers in both
+    * engines. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("toks", tokens)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"),
+        expr(s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $RollMod")
+          .as("h"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("h"))))
+        .as("hs"))
       .select(
         col("doc_id"),
-        size(col("toks")).as("n_tokens"),
+        size(col("hs")).as("n_tokens"),
         expr(
-          s"""aggregate(
-                transform(toks, t ->
-                  cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $RollMod),
-                cast(0 as bigint),
-                (acc, x) -> (acc * $RollBase + x) % $RollMod)""")
+          s"""aggregate(hs, cast(0 as bigint),
+                (acc, x) -> (acc * $RollBase + x.h) % $RollMod)""")
           .as("roll_hash"))
       .orderBy("doc_id")
 
