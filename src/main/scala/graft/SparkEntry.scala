@@ -60,6 +60,7 @@ object SparkEntry {
     "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
     "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
+    "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
     "alerts_high_value" -> ((s, d) => AlertOps.highValueAlerts(s, d)),
     "alerts_bulk_activity" -> ((s, d) => AlertOps.bulkActivityAlerts(s, d)),
@@ -80,6 +81,8 @@ object SparkEntry {
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
+    "vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
+    "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
     // --- multimodal columns: binary payloads + nested structs ---
@@ -370,6 +373,35 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
+    // Sessionization (gaps-and-islands): ms-truncated ordering with the
+    // event_id tiebreak keeps island numbering identical across engines
+    // (ns vs µs native timestamp precision).
+    "event_sessions" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ms IS NULL
+         |      OR ts_ms - prev_ms > ${CdcOps.SessionGapMs} THEN 1 ELSE 0
+         |    END AS new_sess
+         |  FROM o),
+         |s AS (
+         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS session_seq
+         |  FROM f)
+         |SELECT user_id, session_seq,
+         |  min(ts_ms) AS session_start_ms,
+         |  max(ts_ms) AS session_end_ms,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  max(ts_ms) - min(ts_ms) AS duration_ms
+         |FROM s
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
     "alerts_high_value" ->
       """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
         |  'high_value_order' AS alert_type,
@@ -512,6 +544,34 @@ object SparkEntry {
          |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY 1
+        |ORDER BY n DESC, token
+        |LIMIT 100""".stripMargin,
+
+    "doc_repetition" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, token, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    max(c) AS top_token_count,
+         |    count(*) AS n_distinct
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, top_token_count, n_distinct,
+         |  CAST(top_token_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    AS top_ratio,
+         |  CAST(top_token_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    >= ${TextOps.RepetitiveTopRatio} AS repetitive
+         |FROM r
+         |ORDER BY doc_id""".stripMargin,
 
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),

@@ -206,4 +206,45 @@ object CdcOps {
       .select(col("window.start").as("minute_start"), col("n_events"),
         col("total_value"), col("avg_value"), col("n_users"))
       .orderBy("minute_start")
+
+  /** Inactivity gap that closes a user session (shared with the oracle
+    * and the streaming twin). */
+  val SessionGapMs: Long = 2L * 3600 * 1000
+
+  /** Sessionization: split each user's event stream into activity
+    * sessions separated by > `SessionGapMs` of event-time silence — the
+    * classic gaps-and-islands operator a behavioral pipeline runs over a
+    * CDC feed. One shuffle on user_id, then a per-user sort window: the
+    * lag flags session starts, a running sum numbers the islands, and a
+    * per-(user, session) aggregate rolls them up. Ordering (and the gap
+    * itself) uses millisecond-truncated timestamps with the event_id
+    * tiebreak so both engines fold ties identically regardless of their
+    * native timestamp precision (ns in DuckDB, µs in Spark). The
+    * streaming twin is `StreamOps.userSessions` (native
+    * `session_window`, which emits `end = last event + gap` rather than
+    * the batch form's observed end). */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("ts_ms", "event_id")
+    val cum = byUser
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > SessionGapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .withColumn("duration_ms",
+        col("session_end_ms") - col("session_start_ms"))
+      .orderBy("user_id", "session_seq")
+  }
 }

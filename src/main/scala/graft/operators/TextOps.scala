@@ -498,6 +498,50 @@ object TextOps {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Vocabulary head: corpus-wide token frequencies, top `k` by
+    * (count desc, token) — the vocabulary/stopword audit a tokenizer
+    * pipeline runs before training a BPE merge table. Explode → one hash
+    * aggregate on the token → TakeOrderedAndProject: the full frequency
+    * table never sorts globally, and the map-side partial aggregation
+    * collapses each partition's duplicates before the shuffle (token
+    * cardinality ≪ token count at any scale). */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** A document is flagged repetitive when its most frequent token
+    * accounts for at least this share of all tokens (shared with the
+    * oracle). */
+  val RepetitiveTopRatio = 0.05
+
+  /** Repetition screen: per document, how dominant is the single most
+    * frequent token — the cheap repetition/boilerplate quality signal
+    * (template pages and keyword-stuffed spam score high; natural prose
+    * stays low). Two hash aggregates — (doc, token) counts, then a
+    * per-doc rollup — both key-partitioned, no window and no sort until
+    * the final output ordering. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_token_count"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("top_ratio",
+        col("top_token_count").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("repetitive", col("top_ratio") >= RepetitiveTopRatio)
+      .orderBy("doc_id")
+
   /** Rolling-hash parameters (shared with the oracle): polynomial base
     * and modulus, applied over per-token hashes in token order. */
   val RollBase = 1048573L

@@ -186,6 +186,31 @@ object StreamOps {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"))
 
+  /** Sessionization over the live stream: native event-time session
+    * windows with a 2-hour inactivity gap (`CdcOps.SessionGapMs`'s
+    * streaming twin). `session_window` merges a key's overlapping
+    * [ts, ts+gap) intervals into one growing window; the watermark both
+    * bounds the merge state and decides when a session is final, so the
+    * sink sees each session exactly once (append mode). Per-session
+    * `end` is `last event + gap` — the window's close — where the batch
+    * twin reports the observed last-event time; both carry the same
+    * n_events/total_value. State is per (user, open session) — bounded
+    * by key cardinality × live sessions, the same RocksDB-at-scale
+    * posture as the other stateful ops. */
+  def userSessions(events: DataFrame,
+                   gap: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming exactly-once dedup: at-least-once CDC transports redeliver
     * events, and every downstream counter would double-count them. Keyed
     * on event_id with watermark-bounded state

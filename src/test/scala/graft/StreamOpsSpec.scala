@@ -190,6 +190,40 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and finalize on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.userSessions(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // User 7: two events 5 min apart (one session), then one 3 h later
+      // (a second session — the 2 h gap expired between them).
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "click", 10.0),
+        event(2, "2024-01-01 10:05:00", 7, "view", 5.0),
+        event(3, "2024-01-01 13:10:00", 7, "purchase", 20.0))
+      q.processAllAvailable()
+      // Advance the watermark far past every session's close so append
+      // mode finalizes them all.
+      in.addData(event(4, "2024-01-02 12:00:00", 8, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter($"user_id" === 7L)
+        .orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[java.sql.Timestamp]("session_start") ==
+        ts("2024-01-01 10:00:00"))
+      // session end = last event + gap (the window close, not the last
+      // observed event — the batch twin reports the latter)
+      assert(rows(0).getAs[java.sql.Timestamp]("session_end") ==
+        ts("2024-01-01 12:05:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("total_value") == 15.0)
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
   test("T4: an admissible late event re-emits its bucket with FULL counts") {
     // Eviction is watermark-driven: a bucket must survive as long as the
     // 10-min lateness allowance can still deliver an event for it, even
