@@ -61,6 +61,7 @@ object SparkEntry {
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
     "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
+    "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
     "alerts_high_value" -> ((s, d) => AlertOps.highValueAlerts(s, d)),
     "alerts_bulk_activity" -> ((s, d) => AlertOps.bulkActivityAlerts(s, d)),
@@ -95,6 +96,7 @@ object SparkEntry {
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
+    "doc_embedding_stats" -> ((s, d) => VectorOps.docEmbeddingStats(s, d)),
   )
 
   // Shared oracle fragments (DuckDB SQL).
@@ -402,6 +404,31 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
 
+    // Last-click attribution: interval self-join on the user key with a
+    // deterministic (click_ms, click_id) top-1 pick per purchase.
+    "purchase_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |    epoch_ms(ts) AS ts_ms
+         |  FROM events),
+         |c AS (SELECT user_id, event_id AS click_id, ts_ms AS click_ms
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS purchase_id, value,
+         |        ts_ms AS purchase_ms
+         |      FROM ev WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT p.purchase_id, p.user_id, p.value, p.purchase_ms,
+         |    c.click_id, c.click_ms,
+         |    row_number() OVER (PARTITION BY p.purchase_id
+         |      ORDER BY c.click_ms DESC, c.click_id DESC) AS rk
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |  WHERE c.click_ms <= p.purchase_ms
+         |    AND p.purchase_ms - c.click_ms <= ${CdcOps.AttributionWindowMs})
+         |SELECT purchase_id, user_id, value, purchase_ms, click_id,
+         |  click_ms, purchase_ms - click_ms AS lag_ms
+         |FROM j WHERE rk = 1
+         |ORDER BY purchase_id""".stripMargin,
+
     "alerts_high_value" ->
       """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
         |  'high_value_order' AS alert_type,
@@ -614,5 +641,6 @@ object SparkEntry {
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
+    "doc_embedding_stats" -> VectorOps.docEmbeddingStatsOracleSql,
   )
 }

@@ -211,6 +211,44 @@ object CdcOps {
     * and the streaming twin). */
   val SessionGapMs: Long = 2L * 3600 * 1000
 
+  /** Attribution lookback: a purchase is credited to the user's latest
+    * click at most this far before it (shared with the oracle and the
+    * streaming twin). */
+  val AttributionWindowMs: Long = 2L * 3600 * 1000
+
+  /** Last-click attribution: join each purchase to the same user's
+    * clicks within the lookback window and keep the latest one — the
+    * interval/as-of join family the reference never had (SURVEY §2.3
+    * "not present"), expressed Spark-first: an equi-join on the user
+    * key (hash-partitioned, so the interval predicate evaluates only
+    * within a user's co-located rows — never a cross product) followed
+    * by a per-purchase top-1 window. Ties on click time break by
+    * click_id, so the pick is deterministic in both engines. The
+    * streaming twin is `StreamOps.attributionJoin` (watermarked
+    * stream-stream interval join). */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("ts_ms").as("purchase_ms"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ms").desc, col("click_id").desc)
+    purchases.join(clicks, "user_id")
+      .filter(col("click_ms") <= col("purchase_ms") &&
+        col("purchase_ms") - col("click_ms") <= AttributionWindowMs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("purchase_id"), col("user_id"), col("value"),
+        col("purchase_ms"), col("click_id"), col("click_ms"),
+        (col("purchase_ms") - col("click_ms")).as("lag_ms"))
+      .orderBy("purchase_id")
+  }
+
   /** Sessionization: split each user's event stream into activity
     * sessions separated by > `SessionGapMs` of event-time silence — the
     * classic gaps-and-islands operator a behavioral pipeline runs over a

@@ -139,6 +139,47 @@ object VectorOps {
         col("sum_norm") / col("n_vectors").cast("double"))
       .orderBy("label")
 
+  /** Text↔embedding pairing: join each document to its embedding row
+    * (vec_id = doc_id — the multimodal-pipeline invariant that every
+    * modality row keys back to the parent document) and roll up
+    * per-label corpus stats over BOTH modalities. A plain equi-join on
+    * the shared key: hash-shuffled on id at scale, broadcast-able when
+    * one side is a sampled subset; the norm sum rides in decimal so the
+    * aggregate is order-independent. */
+  def docEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        sqrt(sq("embedding")).as("l2_norm"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("l2_norm").cast("decimal(28,12)")).cast("double")
+          .as("sum_norm"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("avg_norm",
+        col("sum_norm") / col("n_pairs").cast("double"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[docEmbeddingStats]]. */
+  private[graft] def docEmbeddingStatsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, sqrt(${sqSql("embedding")}) AS l2_norm
+       |  FROM embeddings)
+       |SELECT label, count(*) AS n_pairs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm,
+       |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+       |  CAST(sum(CAST(l2_norm AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_norm
+       |FROM documents d JOIN e ON d.doc_id = e.vec_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Brute-force cosine top-k: the exact baseline. Query set = vec_id < 5
     * (broadcast), candidates = whole corpus; rank per query by
     * (cosine desc, vec_id) — deterministic tiebreak. The cosine is rounded

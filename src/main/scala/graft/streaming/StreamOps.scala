@@ -211,6 +211,35 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's clicks within the lookback window, live — the streaming
+    * twin of `CdcOps.purchaseAttribution`. Both sides carry watermarks
+    * and the join condition bounds event time in BOTH directions, so
+    * the engine can size the join state and drop expired rows (an
+    * unbounded stream-stream join would buffer forever). Emits every
+    * qualifying (purchase, click) pair; the batch twin's per-purchase
+    * last-click pick is a second stateful stage downstream when
+    * needed. */
+  def attributionJoin(events: DataFrame,
+                      window: String = "2 hours"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window"))
+      .select(col("purchase_id"), col("user_id"), col("value"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exactly-once dedup: at-least-once CDC transports redeliver
     * events, and every downstream counter would double-count them. Keyed
     * on event_id with watermark-bounded state

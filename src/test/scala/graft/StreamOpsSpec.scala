@@ -190,6 +190,32 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution joins purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.attributionJoin(in.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "click", 0.0),
+        event(2, "2024-01-01 09:00:00", 8, "click", 0.0),
+        // in-window for user 7's click (1 h later)...
+        event(3, "2024-01-01 11:00:00", 7, "purchase", 99.0),
+        // ...but user 8's purchase is 4 h after its click: outside the
+        // 2 h lookback, must NOT join
+        event(4, "2024-01-01 13:00:00", 8, "purchase", 50.0),
+        // and a purchase with no prior click at all
+        event(5, "2024-01-01 11:30:00", 9, "purchase", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("purchase_id") == 3L)
+      assert(rows.head.getAs[Long]("click_id") == 1L)
+      assert(rows.head.getAs[Double]("value") == 99.0)
+    } finally q.stop()
+  }
+
   test("session windows merge within the gap and finalize on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
