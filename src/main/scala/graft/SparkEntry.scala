@@ -83,6 +83,7 @@ object SparkEntry {
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -579,6 +580,8 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n DESC, token
         |LIMIT 100""".stripMargin,
+
+    "token_counts" -> TextOps.tokenCountsOracleSql,
 
     "doc_repetition" ->
       s"""WITH c AS (

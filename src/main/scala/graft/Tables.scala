@@ -58,6 +58,17 @@ object Tables {
       .option("url", url).option("dbtable", table)
       .options(options).mode(mode).save()
 
+  /** Hive-layout partitioned parquet sink — the standard 100 TB fact
+    * layout: one directory per partition value, so a reader filtering
+    * on the partition column scans only matching directories
+    * (partition pruning happens at planning, before any file IO; the
+    * PlanSpec asserts the `PartitionFilters` actually appear). Callers
+    * pick coarse, low-cardinality columns (a date bucket, a region) —
+    * per-value directories with millions of entries defeat listing. */
+  def writePartitioned(df: DataFrame, dir: String,
+                       cols: Seq[String]): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
+
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

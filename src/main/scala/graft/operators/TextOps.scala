@@ -514,6 +514,40 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** BPE-ish pre-tokenizer pattern (shared with the oracle): letter
+    * runs, digit runs, and single non-alphanumeric marks — the classic
+    * GPT-2-style pre-split shape a byte-pair tokenizer refines. Kept to
+    * character classes that mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token-count accounting: whitespace tokens vs BPE-ish pre-tokens
+    * per document plus the chars-per-token compression ratio — the
+    * token-budget estimate a training pipeline runs before paying for
+    * real tokenization. Linear scan, one codegen'd regex projection per
+    * document. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens).as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$BpeTokenPattern', 0)"))
+          .as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[tokenCounts]]. */
+  private[graft] def tokenCountsOracleSql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS INT)
+       |    AS n_bpe_tokens,
+       |  CAST(n_chars AS DOUBLE)
+       |    / CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS DOUBLE)
+       |    AS chars_per_bpe_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   /** A document is flagged repetitive when its most frequent token
     * accounts for at least this share of all tokens (shared with the
     * oracle). */

@@ -133,4 +133,29 @@ class BatchOpsSpec extends GraftSpec {
       .collect().map(_.getAs[Long]("o_orderkey")).toSeq
     assert(viaOperator == repartitioned)
   }
+
+  test("approx sketches track exact aggregates within tolerance") {
+    // The 100 TB forms of COUNT DISTINCT and percentiles are sketches
+    // (HLL++, approx_percentile) — exact forms shuffle every distinct
+    // value / sort every group. No DuckDB oracle can referee an
+    // approximate answer, so the spec pins the error bound instead:
+    // HLL++ at default precision is specified to ~2% standard error,
+    // and approx_percentile with accuracy 1000 lands within 1/1000 of
+    // the rank space. Real testdata (sf0.01), not the scratch fixture.
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, expr, col}
+    val e = Tables.events(spark, "/root/testdata/sf0.01")
+    val r = e.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      expr("percentile(value, 0.5)").as("exact_p50"),
+      expr("approx_percentile(value, 0.5, 1000)").as("approx_p50")).head()
+    val exactUsers = r.getAs[Long]("exact_users").toDouble
+    val approxUsers = r.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approxUsers - exactUsers) / exactUsers <= 0.05,
+      s"HLL drift: $approxUsers vs $exactUsers")
+    val exactP50 = r.getAs[Double]("exact_p50")
+    val approxP50 = r.getAs[Double]("approx_p50")
+    assert(math.abs(approxP50 - exactP50) / math.abs(exactP50) <= 0.05,
+      s"percentile drift: $approxP50 vs $exactP50")
+  }
 }

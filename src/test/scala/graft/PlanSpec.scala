@@ -61,6 +61,27 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("partitioned layout prunes partitions at planning time") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val out = java.nio.file.Files
+      .createTempDirectory("orders_by_month").toString
+    val orders = graft.Tables.orders(spark, dir)
+      .withColumn("order_month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+    graft.Tables.writePartitioned(orders, out, Seq("order_month"))
+    val month = orders.selectExpr("max(order_month)").head.getString(0)
+    val read = spark.read.parquet(out)
+      .filter(col("order_month") === month)
+    val plan = executedPlan(read)
+    val scan = plan.split("\n").find(_.contains("FileScan")).get
+    // The month predicate must be a PartitionFilter (directory-level
+    // pruning before any IO), not a post-scan data filter.
+    val partFilters = scan.split("PartitionFilters: \\[", 2)
+      .lift(1).map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(partFilters.contains("order_month"),
+      s"month not in PartitionFilters of:\n$scan")
+  }
+
   test("fact-side-first rollup keeps dimension strings off the shuffle") {
     val plan = executedPlan(BatchOps.productRollup(spark, dir))
     // Every hash-partitioned exchange must key on ids only — p_name /
