@@ -22,6 +22,27 @@ object BatchOps {
     * Deterministic at any parallelism (decimal addition is associative). */
   def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Skew-safe exact distinct count: `groupBy(keys).agg(countDistinct(v))`
+    * shuffles every (key, v) row to the key's ONE reducer — a hot key
+    * (one segment holding most of the corpus) serializes onto a single
+    * task at scale. This decomposition shards the VALUE space instead:
+    * group on (keys, pmod(xxhash64(v), shards)) — each shard sees a
+    * disjoint slice of the key's values, so per-shard distinct counts
+    * sum exactly (no overlap, no undercount) — then re-aggregate the
+    * shard subtotals per key. The hot key's distinct work spreads over
+    * `shards` tasks; both stages stay partial+final hash aggregates.
+    * This is the salting pattern from the brief applied where it is
+    * actually needed — countDistinct is the one common aggregate whose
+    * map-side partials cannot shrink a skewed shuffle on their own
+    * (algebraic aggs like sum/count already combine map-side). */
+  def skewSafeDistinct(df: DataFrame, keys: Seq[String], value: String,
+                       outName: String, shards: Int = 64): DataFrame =
+    df.groupBy((keys.map(col) :+
+        pmod(xxhash64(col(value)), lit(shards)).as("__shard")): _*)
+      .agg(countDistinct(col(value)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(outName))
+
   // ===========================================================================
   // M0 — customer 360 rollup + percentile segmentation
   // (reference: python/batch_processor.py:22-145)

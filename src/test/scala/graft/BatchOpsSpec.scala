@@ -134,6 +134,21 @@ class BatchOpsSpec extends GraftSpec {
     assert(viaOperator == repartitioned)
   }
 
+  test("skew-safe sharded distinct equals direct countDistinct") {
+    // The value-space sharding must be exactly lossless: shards
+    // partition the distinct values (each value lands in one shard), so
+    // shard subtotals sum to the true distinct count for every key.
+    import org.apache.spark.sql.functions.{countDistinct, col}
+    val e = Tables.events(spark, "/root/testdata/sf0.01")
+    val direct = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sharded = BatchOps
+      .skewSafeDistinct(e, Seq("event_type"), "user_id", "n_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sharded == direct)
+  }
+
   test("approx sketches track exact aggregates within tolerance") {
     // The 100 TB forms of COUNT DISTINCT and percentiles are sketches
     // (HLL++, approx_percentile) — exact forms shuffle every distinct
