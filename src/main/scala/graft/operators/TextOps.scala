@@ -54,8 +54,9 @@ object TextOps {
 
   /** Per-document quality stats: token counts, distinct ratio, stopword
     * ratio, average token length — the length/stopword quality-scoring
-    * heuristics of a training-data pipeline, all via codegen'd higher-order
-    * functions on the token array. */
+    * heuristics of a training-data pipeline, via higher-order functions
+    * on the token array (whose lambdas evaluate interpreted — fine here:
+    * once per document, never in a per-pair hot path). */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
     Tables.documents(spark, dir)
