@@ -79,6 +79,8 @@ object SparkEntry {
     "language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
+    "neardup_jaccard_capped" -> ((s, d) =>
+      TextOps.nearDupJaccard(s, d, Some(TextOps.NearDupDocFreqCap))),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
@@ -602,6 +604,9 @@ object SparkEntry {
          |    >= ${TextOps.RepetitiveTopRatio} AS repetitive
          |FROM r
          |ORDER BY doc_id""".stripMargin,
+
+    "neardup_jaccard_capped" ->
+      TextOps.nearDupJaccardCappedOracleSql(shinglesSql),
 
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),

@@ -222,9 +222,10 @@ object TextOps {
     * inverted-index dedup. Pairs whose ONLY overlap is stop-shingles
     * disappear and counted intersections shrink accordingly (web-scale
     * practice accepts this: ubiquitous shingles carry no near-dup
-    * signal). The registered query runs uncapped so the DuckDB oracle's
-    * exact per-pair intersection stays comparable; the capped variant is
-    * spec-tested. */
+    * signal). BOTH variants are registered with oracles: the uncapped
+    * form checks the exact per-pair intersection, and the capped form
+    * (`neardup_jaccard_capped`, df ≤ `NearDupDocFreqCap`) checks the
+    * skew-guarded shape that actually ships at scale. */
   def nearDupJaccard(spark: SparkSession, dir: String,
                      docFreqCap: Option[Int] = None): DataFrame = {
     // Repartition before the shingle projection: the corpus arrives as few
@@ -268,6 +269,59 @@ object TextOps {
         col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Document-frequency cap for the production-shaped Jaccard variant
+    * (shared with its generated oracle): a shingle appearing in more
+    * than this many documents of one block carries no near-dup signal
+    * and is dropped before pair explosion. */
+  val NearDupDocFreqCap = 64
+
+  /** DuckDB oracle for the CAPPED [[nearDupJaccard]] — the
+    * document-frequency cut expressed relationally (posting counts per
+    * (shingle, block), postings kept only when 2 ≤ df ≤ cap), so the
+    * skew-guarded production shape is oracle-checked, not spec-only.
+    * n_union still uses the FULL distinct-shingle counts; only the
+    * intersection is computed over surviving postings — exactly what
+    * the Spark side does. */
+  private[graft] def nearDupJaccardCappedOracleSql(
+      shinglesSql: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+       |    list_distinct($shinglesSql) AS sh
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, len_bucket,
+       |    CAST(len(sh) AS INT) AS n_sh, sh
+       |  FROM d),
+       |p AS (
+       |  SELECT lang, len_bucket, unnest(sh) AS shingle, doc_id
+       |  FROM n),
+       |c AS (
+       |  SELECT lang, len_bucket, shingle, count(*) AS df
+       |  FROM p GROUP BY 1, 2, 3),
+       |pf AS (
+       |  SELECT p.lang, p.len_bucket, p.shingle, p.doc_id
+       |  FROM p JOIN c ON p.lang = c.lang AND p.len_bucket = c.len_bucket
+       |    AND p.shingle = c.shingle
+       |  WHERE c.df BETWEEN 2 AND $NearDupDocFreqCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM pf a JOIN pf b ON a.lang = b.lang
+       |    AND a.len_bucket = b.len_bucket AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT pairs.doc_a, pairs.doc_b,
+       |  CAST(pairs.n_inter AS INT) AS n_inter,
+       |  CAST(na.n_sh + nb.n_sh - pairs.n_inter AS INT) AS n_union,
+       |  CAST(pairs.n_inter AS DOUBLE)
+       |    / CAST(na.n_sh + nb.n_sh - pairs.n_inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN n na ON pairs.doc_a = na.doc_id
+       |JOIN n nb ON pairs.doc_b = nb.doc_id
+       |WHERE CAST(pairs.n_inter AS DOUBLE)
+       |    / CAST(na.n_sh + nb.n_sh - pairs.n_inter AS DOUBLE) >= 0.1
+       |ORDER BY 1, 2""".stripMargin
 
   /** Number of LSH bands and the per-(band, signature) bucket membership
     * cap shared by the Spark query and its generated oracle. */
