@@ -211,6 +211,22 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: each live event joined to its entity's
+    * dimension row — the everyday CDC pattern (enrich the change feed
+    * with the customer segment before alerting/routing). The static
+    * side rides a broadcast hash join, re-resolved per micro-batch, so
+    * a dimension refresh (new parquet snapshot under the same path) is
+    * picked up without restarting the query; left join keeps events for
+    * unknown entities flowing with a null segment instead of dropping
+    * them. Stateless — no watermark needed, any output mode. */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"))),
+        events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("segment"))
+
   /** Stream-stream interval join: purchases attributed to the same
     * user's clicks within the lookback window, live — the streaming
     * twin of `CdcOps.purchaseAttribution`. Both sides carry watermarks

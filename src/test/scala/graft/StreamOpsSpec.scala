@@ -190,6 +190,27 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "c7", "BUILDING", 0L), (8L, "c8", "MACHINERY", 1L))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val in = MemoryStream[Event]
+    val q = StreamOps.enrichEvents(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        event(2, "2024-01-01 10:00:01", 9, "view", 2.0)) // unknown user
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("segment"))).toMap
+      assert(rows(1L).contains("BUILDING"))
+      assert(rows(2L).isEmpty) // left join: unknown entity still flows
+    } finally q.stop()
+  }
+
   test("stream-stream attribution joins purchases to in-window clicks") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
