@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.{BatchOps, VectorOps}
+import graft.operators.{BatchOps, CdcOps, VectorOps}
 
 /** Physical-plan regression tests: the properties that make these
   * queries scale — scan-level predicate pushdown, top-k without a global
@@ -18,10 +18,13 @@ class PlanSpec extends GraftSpec {
     * QueryExecution and stringify this one un-executed. */
   private def executedPlan(df: DataFrame): String = {
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("isFinalPlan=false"),
-      s"plan not AQE-finalized:\n$plan")
-    plan
+    val full = df.queryExecution.executedPlan.toString
+    assert(!full.contains("isFinalPlan=false"),
+      s"plan not AQE-finalized:\n$full")
+    // AdaptiveSparkPlan stringifies BOTH the final plan and the pre-AQE
+    // "Initial Plan" — keep only the final section so counts and
+    // negative assertions don't see the discarded initial operators.
+    full.split("== Initial Plan ==")(0)
   }
 
   test("windowed extract pushes the date bound into the parquet scan") {
@@ -59,6 +62,26 @@ class PlanSpec extends GraftSpec {
       assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
     }
+  }
+
+  test("attribution's top-1 runs as a rank-limit, not a full sort") {
+    // WindowGroupLimit (partial before the shuffle, final after) keeps
+    // only each purchase's best click on both sides of the exchange —
+    // without it every (purchase, click) pair rides the shuffle and
+    // gets fully sorted per group.
+    val plan = executedPlan(CdcOps.purchaseAttribution(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
+
+  test("sessionization runs in a single user-key exchange") {
+    // lag, the island cumsum, and the session rollup must all reuse the
+    // one hashpartitioning(user_id) exchange; a second user_id exchange
+    // means the window specs diverged and the query shuffles the fact
+    // stream twice.
+    val plan = executedPlan(CdcOps.eventSessions(spark, dir))
+    val userExchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges == 1, s"$userExchanges user_id exchanges in:\n$plan")
   }
 
   test("partitioned layout prunes partitions at planning time") {
