@@ -288,19 +288,22 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
 
   /** Multi-table sign-LSH ANN top-1: each vector finds its nearest
-    * candidate neighbor (see [[lshScoredPairs]] for stages 1-4). */
+    * candidate neighbor (see [[lshScoredPairs]] for stages 1-4). The
+    * per-query winner is a max(struct(cosine, -c_id)) hash aggregate —
+    * same deterministic (cosine desc, c_id asc) pick as a row_number
+    * window, but with map-side partial combine and no per-key sort. */
   def annLshTop1(spark: SparkSession, dir: String): DataFrame = {
     val scored = lshScoredPairs(spark, dir)
     val oriented = scored
       .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
       .unionByName(scored
         .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id"))
     oriented
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("q_id"), col("c_id"), round(col("cosine"), 9).as("cosine"))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c")))
+        .as("best"))
+      .select(col("q_id"), (-col("best.neg_c")).as("c_id"),
+        round(col("best.cosine"), 9).as("cosine"))
       .orderBy("q_id")
   }
 
@@ -343,22 +346,27 @@ object VectorOps {
     val cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"),
         col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id"))
     // The N×C assignment fan-out joins on a NON-FOLDABLE always-zero key
     // (pmod of the id): BroadcastNestedLoopJoin does not participate in
     // whole-stage codegen, so above a crossJoin the unrolled dot product
     // runs interpreted (measured ~5 s at sf0.1) — and a plain literal
     // key constant-folds straight back into a crossJoin. As a
     // BroadcastHashJoin the whole assign-score stage compiles.
+    // The argmin itself is a max(struct(sim, -cent_id)) hash aggregate,
+    // not a row_number window: struct comparison is field-by-field, so
+    // the max picks highest sim with lowest cent_id on ties — the same
+    // deterministic winner — while map-side partial aggregation
+    // collapses the N×C scored rows to one per vector BEFORE the
+    // shuffle (a window would shuffle and per-key sort all N×C rows).
     val assigned = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
       .join(broadcast(cents.withColumn("jk", pmod(col("cent_id"), lit(1)))),
         "jk")
       .withColumn("sim",
         dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("neg_cent")))
+        .as("best"))
+      .select(col("vec_id"), (-col("best.neg_cent")).as("cent_id"))
     // In-cell ordered pairs via collect_list (the LSH pattern): the
     // assignment subtree runs ONCE — a self-join of `assigned` would
     // recompute the whole N×C argmin on both sides.
@@ -372,8 +380,6 @@ object VectorOps {
                named_struct('q_id', x, 'c_id', y))))""")).as("p"))
       .select(col("p.q_id").as("q_id"), col("cent_id"),
         col("p.c_id").as("c_id"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id"))
     pairs
       .join(e.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("norm").as("q_norm")), "q_id")
@@ -381,10 +387,14 @@ object VectorOps {
         col("embedding").as("c_emb"), col("norm").as("c_norm")), "c_id")
       .withColumn("cosine",
         dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("q_id"), col("cent_id"), col("c_id"),
-        round(col("cosine"), 9).as("cosine"))
+      // Per-query winner as a hash aggregate (same rationale as the
+      // assignment argmin above); cent_id is the query's one cell, so it
+      // rides the grouping key.
+      .groupBy("q_id", "cent_id")
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c")))
+        .as("best"))
+      .select(col("q_id"), col("cent_id"), (-col("best.neg_c")).as("c_id"),
+        round(col("best.cosine"), 9).as("cosine"))
       .orderBy("q_id")
   }
 
