@@ -245,13 +245,28 @@ object TextOps {
     val post = docs.select(col("lang"), col("len_bucket"),
       explode(col("sh")).as("shingle"),
       struct(col("doc_id"), col("n_sh")).as("d"))
-    val postings = post
-      .groupBy("shingle", "lang", "len_bucket")
-      .agg(array_sort(collect_list(col("d"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = docFreqCap
-      .map(cap => postings.filter(size(col("ds")) <= cap))
-      .getOrElse(postings)
+    val postings = docFreqCap match {
+      case Some(cap) =>
+        // Production shape: the df cut runs BEFORE the membership
+        // aggregate. A window count on the posting key (spillable —
+        // WindowExec buffers rows in a spill-able array, unlike an
+        // aggregation buffer which is one unbreakable row) drops
+        // stop-shingle postings pre-collect, so the collect_list buffer
+        // is bounded at `cap` — the round-6 filter-after-collect still
+        // materialized the stop-shingle's full posting list in one row.
+        val wPost = Window.partitionBy("shingle", "lang", "len_bucket")
+        post.withColumn("df", count(lit(1)).over(wPost))
+          .filter(col("df").between(2, cap))
+          .groupBy("shingle", "lang", "len_bucket")
+          .agg(array_sort(collect_list(col("d"))).as("ds"))
+      case None =>
+        // Exact variant (the correctness twin): every posting list kept,
+        // buffer unbounded by design — the capped form is what ships.
+        post.groupBy("shingle", "lang", "len_bucket")
+          .agg(array_sort(collect_list(col("d"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+    }
+    val pairs = postings
       .select(explode(expr(
         """flatten(transform(ds, x ->
              transform(filter(ds, y -> y.doc_id > x.doc_id), y ->
@@ -377,10 +392,19 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(array((0 until MinhashBands).map(b => col(s"sig$b")): _*))
           .as(Seq("band", "band_sig")))
+    // Rank-cap BEFORE the membership aggregate (row_number ≤ cap →
+    // WindowGroupLimit: ≤ cap rows per bucket survive each map partition
+    // before the shuffle), so neither the shuffle nor the collect_list
+    // buffer sees a degenerate bucket's full membership — the round-6
+    // slice-after-collect bounded pair compute but still materialized the
+    // whole bucket in one aggregation row. Same kept set (smallest
+    // doc_ids) as the old sorted slice.
+    val wBucket = Window.partitionBy("band", "band_sig").orderBy("doc_id")
     sig
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= MinhashBucketCap)
       .groupBy("band", "band_sig")
-      .agg(slice(array_sort(collect_list(col("doc_id"))), 1,
-        MinhashBucketCap).as("ids"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, x ->
@@ -460,11 +484,18 @@ object TextOps {
       posexplode(array((0 until SimhashBands).map(k =>
         expr(s"(simhash >> ${k * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1}")): _*))
         .as(Seq("band", "band_key")))
+    // Rank-cap before the aggregate (same WindowGroupLimit shape as
+    // minhashCandidates): the buffer and the shuffle are both bounded at
+    // `SimhashBucketCap` members per bucket, kept in doc_id order —
+    // identical survivors to the old sorted slice (struct ordering is
+    // field-by-field and doc_id leads).
+    val wBand = Window.partitionBy("band", "band_key").orderBy("doc_id")
     banded
+      .withColumn("rn", row_number().over(wBand))
+      .filter(col("rn") <= SimhashBucketCap)
       .groupBy("band", "band_key")
-      .agg(slice(array_sort(collect_list(
-        struct(col("doc_id"), col("simhash")))), 1,
-        SimhashBucketCap).as("ds"))
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
         """flatten(transform(ds, x ->

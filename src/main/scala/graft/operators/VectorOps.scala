@@ -45,6 +45,17 @@ object VectorOps {
     * are kept in vec_id order so the cap is deterministic. */
   val BucketCap = 64
 
+  /** Per-IVF-cell membership cap (shared with the generated oracle). A
+    * trained quantizer targets ~√N members per cell, but a dense embedding
+    * cluster can assign m ≫ √N vectors to ONE centroid — the same
+    * degenerate-bucket failure the LSH caps guard against, except in-cell
+    * probing explodes m² pairs in a single task. 128 is ~2× the expected
+    * cell size at the bench scale, so healthy cells are untouched and only
+    * pathological ones are cut (members kept in vec_id order →
+    * deterministic; vectors ranked past the cap emit no row, the same
+    * documented coverage trade-off as the LSH family). */
+  val CellCap = 128
+
   /** Terms per sparse hyperplane: each projection reads 8 of the 64 dims
     * with ±1 coefficients (sparse random projections à la Achlioptas).
     * Dense 64-coefficient hyperplanes would be 2048 expression terms per
@@ -245,10 +256,19 @@ object VectorOps {
       .select(col("vec_id"),
         posexplode(array((0 until NumTables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "bucket")))
+    // Rank-cap BEFORE the membership aggregate: row_number ≤ cap compiles
+    // to WindowGroupLimit (partial top-cap per map partition BEFORE the
+    // shuffle + final after), so neither the shuffle nor the collect_list
+    // buffer ever sees more than `BucketCap` members of a degenerate
+    // bucket — the round-6 slice-after-collect still materialized the
+    // FULL membership in one aggregation row first. Kept members are the
+    // smallest vec_ids, identical to the old sorted-slice cap.
+    val wBucket = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     val members = hashed
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= BucketCap)
       .groupBy("tbl", "bucket")
-      .agg(slice(array_sort(collect_list(col("vec_id"))), 1, BucketCap)
-        .as("ids"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = members
       .select(explode(expr(
@@ -328,8 +348,9 @@ object VectorOps {
     * bounded-hash-shuffle posture as the LSH tables, but with
     * data-dependent cells: denser regions get denser centroids under a
     * trained quantizer, which is why IVF recalls better than LSH on
-    * clustered corpora. Cell population ≈ `CentroidStride`, so in-cell
-    * scoring is ~stride² per cell. */
+    * clustered corpora. Cell population ≈ stride (√N), and membership is
+    * rank-capped at [[CellCap]] so in-cell scoring is bounded by
+    * min(stride, cap)² per cell even on a degenerately clustered corpus. */
   def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
     // NUMBERED repartition: AQE coalesces shuffle stages by BYTES, and
     // this stage is tiny in bytes but heavy in compute (N×C dot
@@ -369,8 +390,15 @@ object VectorOps {
       .select(col("vec_id"), (-col("best.neg_cent")).as("cent_id"))
     // In-cell ordered pairs via collect_list (the LSH pattern): the
     // assignment subtree runs ONCE — a self-join of `assigned` would
-    // recompute the whole N×C argmin on both sides.
+    // recompute the whole N×C argmin on both sides. Membership is
+    // rank-capped at `CellCap` BEFORE the aggregate (WindowGroupLimit
+    // keeps ≤ cap rows per cell per map partition before the shuffle), so
+    // a degenerate cell can neither explode cap² → m² pairs nor blow the
+    // collect_list buffer.
+    val wCell = Window.partitionBy("cent_id").orderBy("vec_id")
     val pairs = assigned
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= CellCap)
       .groupBy("cent_id")
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -420,11 +448,16 @@ object VectorOps {
        |        c.cent_id) AS rn
        |  FROM e CROSS JOIN c),
        |asg AS (SELECT vec_id, cent_id FROM a WHERE rn = 1),
+       |m AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS cr
+       |  FROM asg),
        |j AS (
        |  SELECT x.vec_id AS q_id, x.cent_id, y.vec_id AS c_id,
        |    ${dotSql("ex.embedding", "ey.embedding")} / (ex.norm * ey.norm) AS cosine
-       |  FROM asg x JOIN asg y ON x.cent_id = y.cent_id
+       |  FROM m x JOIN m y ON x.cent_id = y.cent_id
        |    AND x.vec_id <> y.vec_id
+       |    AND x.cr <= $CellCap AND y.cr <= $CellCap
        |  JOIN e ex ON x.vec_id = ex.vec_id
        |  JOIN e ey ON y.vec_id = ey.vec_id),
        |r AS (

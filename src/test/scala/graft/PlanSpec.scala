@@ -73,6 +73,18 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
 
+  test("bucket caps run as pre-aggregate rank limits, not post-collect slices") {
+    // The LSH-family membership caps must compile to WindowGroupLimit
+    // (≤ cap rows per bucket kept on the MAP side, before the shuffle) —
+    // reverting to slice(collect_list(...)) would re-materialize a
+    // degenerate bucket's full membership in one aggregation buffer.
+    for (df <- Seq(graft.operators.TextOps.minhashCandidates(spark, dir),
+                   graft.operators.VectorOps.annIvfTop1(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+    }
+  }
+
   test("sessionization runs in a single user-key exchange") {
     // lag, the island cumsum, and the session rollup must all reuse the
     // one hashpartitioning(user_id) exchange; a second user_id exchange
@@ -88,21 +100,27 @@ class PlanSpec extends GraftSpec {
     import org.apache.spark.sql.functions.{col, date_format}
     val out = java.nio.file.Files
       .createTempDirectory("orders_by_month").toString
-    val orders = graft.Tables.orders(spark, dir)
-      .withColumn("order_month",
-        date_format(col("o_orderdate"), "yyyy-MM"))
-    graft.Tables.writePartitioned(orders, out, Seq("order_month"))
-    val month = orders.selectExpr("max(order_month)").head.getString(0)
-    val read = spark.read.parquet(out)
-      .filter(col("order_month") === month)
-    val plan = executedPlan(read)
-    val scan = plan.split("\n").find(_.contains("FileScan")).get
-    // The month predicate must be a PartitionFilter (directory-level
-    // pruning before any IO), not a post-scan data filter.
-    val partFilters = scan.split("PartitionFilters: \\[", 2)
-      .lift(1).map(_.takeWhile(_ != ']')).getOrElse("")
-    assert(partFilters.contains("order_month"),
-      s"month not in PartitionFilters of:\n$scan")
+    try {
+      val orders = graft.Tables.orders(spark, dir)
+        .withColumn("order_month",
+          date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.Tables.writePartitioned(orders, out, Seq("order_month"))
+      val month = orders.selectExpr("max(order_month)").head.getString(0)
+      val read = spark.read.parquet(out)
+        .filter(col("order_month") === month)
+      val plan = executedPlan(read)
+      val scan = plan.split("\n").find(_.contains("FileScan")).get
+      // The month predicate must be a PartitionFilter (directory-level
+      // pruning before any IO), not a post-scan data filter.
+      val partFilters = scan.split("PartitionFilters: \\[", 2)
+        .lift(1).map(_.takeWhile(_ != ']')).getOrElse("")
+      assert(partFilters.contains("order_month"),
+        s"month not in PartitionFilters of:\n$scan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("fact-side-first rollup keeps dimension strings off the shuffle") {
