@@ -618,8 +618,13 @@ object TextOps {
         size(tokens).as("n_ws_tokens"),
         size(expr(s"regexp_extract_all(text, '$BpeTokenPattern', 0)"))
           .as("n_bpe_tokens"))
+      // Null (not NaN/Infinity) when a document yields zero BPE tokens
+      // (empty or all-space text): Spark and DuckDB disagree on float
+      // division-by-zero semantics, and null is the honest answer for a
+      // ratio with no denominator. Oracle mirrors via NULLIF.
       .withColumn("chars_per_bpe_token",
-        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens").cast("double")))
       .orderBy("doc_id")
 
   /** DuckDB oracle for [[tokenCounts]]. */
@@ -629,7 +634,7 @@ object TextOps {
        |  CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS INT)
        |    AS n_bpe_tokens,
        |  CAST(n_chars AS DOUBLE)
-       |    / CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS DOUBLE)
+       |    / NULLIF(CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS DOUBLE), 0)
        |    AS chars_per_bpe_token
        |FROM documents
        |ORDER BY doc_id""".stripMargin
@@ -685,6 +690,12 @@ object TextOps {
     * engines. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // Null-text docs emit NO fingerprint row, by construction on BOTH
+      // sides (the oracle filters identically): the inner posexplode
+      // would silently drop them here anyway while the oracle kept a
+      // null row — an explicit symmetric filter instead of a corpus
+      // invariant.
+      .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "t")))
       .select(col("doc_id"), col("pos"),
@@ -714,5 +725,6 @@ object TextOps {
        |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $RollMod)),
        |    (acc, x) -> (acc * $RollBase + x) % $RollMod) AS roll_hash
        |FROM documents
+       |WHERE text IS NOT NULL
        |ORDER BY doc_id""".stripMargin
 }

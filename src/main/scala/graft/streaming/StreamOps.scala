@@ -61,6 +61,15 @@ case class VelBucket(units: Double, n_events: Long)
   */
 object StreamOps {
 
+  /** Session gap / attribution lookback as interval strings, DERIVED from
+    * the batch twins' millisecond constants (`CdcOps.SessionGapMs` /
+    * `AttributionWindowMs`) so the two execution modes cannot silently
+    * drift if one constant changes. */
+  val SessionGapInterval: String =
+    s"${graft.operators.CdcOps.SessionGapMs / 1000} seconds"
+  val AttributionWindowInterval: String =
+    s"${graft.operators.CdcOps.AttributionWindowMs / 1000} seconds"
+
   /** The events schema (needed by file stream sources — streaming reads
     * cannot infer schemas). `ts` is TimestampType here because test/file
     * sources deliver converted micros; the raw parquet nanos conversion
@@ -198,7 +207,7 @@ object StreamOps {
     * by key cardinality × live sessions, the same RocksDB-at-scale
     * posture as the other stateful ops. */
   def userSessions(events: DataFrame,
-                   gap: String = "2 hours"): DataFrame =
+                   gap: String = SessionGapInterval): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -214,11 +223,15 @@ object StreamOps {
   /** Stream-static enrichment: each live event joined to its entity's
     * dimension row — the everyday CDC pattern (enrich the change feed
     * with the customer segment before alerting/routing). The static
-    * side rides a broadcast hash join, re-resolved per micro-batch, so
-    * a dimension refresh (new parquet snapshot under the same path) is
-    * picked up without restarting the query; left join keeps events for
-    * unknown entities flowing with a null segment instead of dropping
-    * them. Stateless — no watermark needed, any output mode. */
+    * side rides a broadcast hash join. Note the dimension SNAPSHOT is
+    * fixed at query start: a plain parquet DataFrame caches its file
+    * listing (InMemoryFileIndex) when created, so new files under the
+    * same path are not re-listed — a live dimension refresh needs a
+    * `foreachBatch` that re-reads the path per micro-batch (and an
+    * overwrite of the snapshot mid-query can fail the scan). Left join
+    * keeps events for unknown entities flowing with a null segment
+    * instead of dropping them. Stateless — no watermark needed, any
+    * output mode. */
   def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(
         broadcast(dim.select(col("c_custkey"),
@@ -237,7 +250,7 @@ object StreamOps {
     * last-click pick is a second stateful stage downstream when
     * needed. */
   def attributionJoin(events: DataFrame,
-                      window: String = "2 hours"): DataFrame = {
+                      window: String = AttributionWindowInterval): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("user_id").as("click_user"),
