@@ -60,6 +60,7 @@ object SparkEntry {
     "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
     "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
+    "daily_distinct_users" -> ((s, d) => CdcOps.dailyDistinctUsers(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
@@ -373,6 +374,16 @@ object SparkEntry {
         |  CASE WHEN count(*) > 0
         |       THEN CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |       ELSE 0.0 END AS avg_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // The oracle states plain count(DISTINCT); the Spark side computes it
+    // as the sharded two-stage decomposition — the hash match proves the
+    // shard/re-aggregate is exactly distinct-count-equivalent.
+    "daily_distinct_users" ->
+      """SELECT CAST(ts AS DATE) AS day,
         |  count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1

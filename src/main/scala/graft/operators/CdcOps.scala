@@ -207,6 +207,24 @@ object CdcOps {
         col("total_value"), col("avg_value"), col("n_users"))
       .orderBy("minute_start")
 
+  /** Daily active users via the skew-safe distinct decomposition
+    * ([[BatchOps.skewSafeDistinct]]): a plain
+    * `groupBy(day).agg(countDistinct(user_id))` ships every (day, user)
+    * row to the day's ONE reducer — and a day is exactly the kind of hot
+    * key that serializes at 100 TB (every row of a daily partition lands
+    * on one task). The decomposition shards the user space first
+    * (disjoint slices → per-shard distincts sum exactly), then
+    * re-aggregates per day, so the hot day's distinct work spreads over
+    * 64 tasks. This registers the pattern against the DuckDB oracle —
+    * the shard/re-aggregate must be EXACTLY count-distinct-equivalent,
+    * not approximately. */
+  def dailyDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    BatchOps.skewSafeDistinct(
+      Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")),
+      Seq("day"), "user_id", "n_users")
+      .orderBy("day")
+
   /** Inactivity gap that closes a user session (shared with the oracle
     * and the streaming twin). */
   val SessionGapMs: Long = 2L * 3600 * 1000
