@@ -588,6 +588,76 @@ class StreamOpsSpec extends GraftSpec {
       .getAs[Long]("user_id") == 8L)
   }
 
+  test("T5: state and offsets survive a stop/restart from the checkpoint") {
+    // The exactly-once restart guarantee — the reason Structured
+    // Streaming beats an auto-commit consumer (which re-delivers or
+    // drops whatever was in flight at the crash). A file source is used
+    // because its offsets (the processed-file log) live in the
+    // checkpoint, so a NEW query object genuinely resumes rather than
+    // reprocessing from scratch.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    // The memory sink refuses checkpoint recovery (not fault-tolerant);
+    // foreachBatch is the recoverable sink shape production uses.
+    def start(buf: scala.collection.mutable.Buffer[UpsertRow]) =
+      StreamOps.upsertLatest(
+          spark.readStream
+            .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+            .parquet(inDir).as[Event])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[UpsertRow],
+                         _: Long) =>
+          buf.synchronized { buf ++= df.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+    // Phase 1: users 7 and 8 get state; user 9 appears ONLY here.
+    Seq(
+      event(1, "2024-01-01 10:00:00", 7, "signup", 1.0),
+      event(2, "2024-01-01 10:05:00", 7, "purchase", 2.0),
+      event(3, "2024-01-01 10:01:00", 8, "click", 3.0),
+      event(4, "2024-01-01 10:02:00", 9, "view", 4.0))
+      .toDS().write.mode("append").parquet(inDir)
+    val phase1 = scala.collection.mutable.ArrayBuffer[UpsertRow]()
+    val q1 = start(phase1)
+    try {
+      q1.processAllAvailable()
+      assert(phase1.filter(_.user_id == 7L).map(_.last_ts_ms).max ==
+        ts("2024-01-01 10:05:00").getTime)
+    } finally q1.stop()
+
+    // Phase 2, after the stop: an EARLIER event for user 7 (answerable
+    // only from recovered state) and a fresh event for user 8.
+    Seq(
+      event(5, "2024-01-01 09:30:00", 7, "click", 5.0),
+      event(6, "2024-01-01 10:30:00", 8, "purchase", 6.0))
+      .toDS().write.mode("append").parquet(inDir)
+    val phase2 = scala.collection.mutable.ArrayBuffer[UpsertRow]()
+    val q2 = start(phase2)
+    try {
+      q2.processAllAvailable()
+      // The NEW query's buffer holds only post-restart emissions:
+      // phase-1 files must not be reprocessed, so user 9 — present only
+      // in phase 1 — must not re-emit. No double-counting.
+      assert(!phase2.exists(_.user_id == 9L),
+        s"phase-1 input was reprocessed after restart: ${phase2.mkString}")
+      // User 7's emission proves state continuity: the stale event loses
+      // to the RECOVERED (10:05, event 2) state, which a fresh query
+      // without checkpoint state could not know about.
+      val u7 = phase2.filter(_.user_id == 7L)
+      assert(u7.nonEmpty, "restarted query saw no user-7 input")
+      assert(u7.forall(_.last_ts_ms == ts("2024-01-01 10:05:00").getTime),
+        s"state lost across restart: ${u7.mkString}")
+      assert(u7.forall(_.last_event_type == "purchase"))
+      // User 8 advances normally on top of its recovered state.
+      val u8 = phase2.filter(_.user_id == 8L)
+      assert(u8.nonEmpty &&
+        u8.forall(_.last_ts_ms == ts("2024-01-01 10:30:00").getTime))
+    } finally q2.stop()
+  }
+
   test("S3: kafka-shaped value decodes through the envelope schema") {
     // No Kafka in this container — decodeKafka is exercised on a static
     // frame shaped like the Kafka source (binary key/value columns).
