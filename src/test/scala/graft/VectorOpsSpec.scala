@@ -21,22 +21,23 @@ class VectorOpsSpec extends GraftSpec {
 
     val out = VectorOps.annIvfTop1(spark, scratch).collect()
 
-    // Only the first `CellCap` members (smallest vec_ids) survive the
-    // rank cap; each emits exactly one top-1 row, so the candidate stage
-    // did at most cap·(cap−1) pair dots instead of m·(m−1) ≈ 90k.
-    assert(out.length == VectorOps.CellCap,
-      s"expected ${VectorOps.CellCap} capped rows, got ${out.length}")
+    // Every vector still queries (the cap never costs query coverage),
+    // but candidates come only from the capped membership — the
+    // candidate stage did at most n·NProbe·cap pair dots instead of
+    // n·(n−1) ≈ 90k.
+    assert(out.length == n, s"expected $n query rows, got ${out.length}")
     assert(out.forall(_.getAs[Long]("cent_id") == 0L),
       "all vectors should share the single degenerate cell")
     // Identical vectors → all cosines 1; tiebreak picks the lowest
-    // other id within the capped membership.
+    // other id within the CAPPED membership (ids 0..cap-1).
     out.foreach { r =>
       val q = r.getAs[Long]("q_id")
       val c = r.getAs[Long]("c_id")
+      assert(c < VectorOps.CellCap, s"uncapped candidate $c for q=$q")
       assert(c == (if (q == 0L) 1L else 0L), s"q=$q picked c=$c")
       assert(r.getAs[Double]("cosine") > 0.999)
     }
     assert(out.map(_.getAs[Long]("q_id")).toSet ==
-      (0L until VectorOps.CellCap.toLong).toSet)
+      (0L until n.toLong).toSet)
   }
 }
