@@ -88,6 +88,9 @@ object SparkEntry {
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
+    "train_val_split" -> ((s, d) => TextOps.trainValSplit(s, d)),
+    "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
     // --- multimodal columns: binary payloads + nested structs ---
@@ -595,6 +598,9 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "token_counts" -> TextOps.tokenCountsOracleSql,
+    "train_val_split" -> TextOps.trainValSplitOracleSql,
+    "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
+    "doc_chunks" -> TextOps.docChunksOracleSql,
 
     "doc_repetition" ->
       s"""WITH c AS (

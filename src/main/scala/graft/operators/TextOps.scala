@@ -727,4 +727,139 @@ object TextOps {
        |FROM documents
        |WHERE text IS NOT NULL
        |ORDER BY doc_id""".stripMargin
+
+  // ==========================================================================
+  // Dataset assembly: deterministic splits, stratified samples, chunking
+  // ==========================================================================
+
+  /** Split fractions in percent: train = [0, TrainPct), val =
+    * [TrainPct, TrainPct+ValPct), test = the rest (shared with the
+    * oracle). */
+  val TrainPct = 90
+  val ValPct = 5
+
+  /** 60-bit md5 integer of an expression, the cross-engine deterministic
+    * hash (15 hex chars stay positive in a signed 64-bit long in both
+    * engines). */
+  private def h60(sqlExpr: String): Column =
+    expr(s"cast(conv(substring(md5($sqlExpr), 1, 15), 16, 10) as bigint)")
+
+  /** Deterministic train/val/test assignment — the split step every
+    * training pipeline runs last. Membership is a pure function of
+    * doc_id (hash mod 100 against fixed percent bands), so the split is
+    * reproducible across runs, clusters, and engines, needs no stored
+    * split table, and any JOIN-shaped leak check can recompute it.
+    * Embarrassingly parallel: one codegen'd projection, no shuffle at
+    * all before the output sort. */
+  def trainValSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[trainValSplit]]. */
+  private[graft] def trainValSplitOracleSql: String =
+    s"""SELECT doc_id, lang, source, bucket,
+       |  CASE WHEN bucket < $TrainPct THEN 'train'
+       |       WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+       |      AS bucket
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Documents kept per language stratum by [[stratifiedSample]]
+    * (shared with the oracle). */
+  val StratumSampleK = 50
+
+  /** Deterministic stratified sample: the k lowest-salted-hash documents
+    * per language — a uniform-at-random-but-reproducible pick (the hash
+    * is a fixed permutation of doc ids), the eval-set / human-review
+    * sampling step of a data pipeline. The salt decorrelates the sample
+    * order from [[trainValSplit]]'s bucket hash. rank ≤ k over the
+    * hash order compiles to WindowGroupLimit: each map partition
+    * forwards at most k rows per stratum, so the sample of a 100 TB
+    * corpus shuffles ~k × strata rows, not the corpus. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        h60("concat('smpl:', cast(doc_id as string))").as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumSampleK)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  /** DuckDB oracle for [[stratifiedSample]]. */
+  private[graft] def stratifiedSampleOracleSql: String =
+    s"""SELECT lang, rk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY
+       |      CAST('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |      doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $StratumSampleK
+       |ORDER BY lang, rk""".stripMargin
+
+  /** Chunk geometry (shared with the oracle): window of `ChunkTokens`
+    * tokens, advancing `ChunkStride` tokens per chunk (overlap =
+    * ChunkTokens − ChunkStride). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Fixed-window document chunking — the sequence-packing precursor:
+    * split each document's token stream into overlapping
+    * [[ChunkTokens]]-token windows every [[ChunkStride]] tokens, with a
+    * content hash per chunk (dedup/lineage key for the downstream
+    * tokenizer). Starts run 0, stride, 2·stride … < n_tokens, so the
+    * tail chunk may be short — standard sliding-window semantics. One
+    * explode per document, all codegen'd expressions; chunk work is
+    * proportional to corpus token count, no shuffle before the output
+    * sort. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens.as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("n_tokens"),
+        explode(expr(s"sequence(0, n_tokens - 1, $ChunkStride)")).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_id"),
+        col("start"),
+        least(lit(ChunkTokens), col("n_tokens") - col("start"))
+          .as("chunk_len"),
+        md5(array_join(
+          slice(col("tk"), col("start") + 1, lit(ChunkTokens)), " "))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** DuckDB oracle for [[docChunks]] (same geometry; list slicing is
+    * 1-based inclusive in DuckDB vs (start, length) in Spark — both
+    * clamp at the list end). */
+  private[graft] def docChunksOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, tk, n_tokens,
+       |    unnest(generate_series(0, n_tokens - 1, $ChunkStride)) AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(start / $ChunkStride AS INT) AS chunk_id,
+       |  start,
+       |  least($ChunkTokens, n_tokens - start) AS chunk_len,
+       |  md5(array_to_string(tk[start + 1 : start + $ChunkTokens], ' '))
+       |    AS chunk_hash
+       |FROM s
+       |ORDER BY doc_id, chunk_id""".stripMargin
 }
