@@ -91,6 +91,7 @@ object SparkEntry {
     "train_val_split" -> ((s, d) => TextOps.trainValSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
     // --- multimodal columns: binary payloads + nested structs ---
@@ -601,6 +602,7 @@ object SparkEntry {
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
     "doc_chunks" -> TextOps.docChunksOracleSql,
+    "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->
       s"""WITH c AS (

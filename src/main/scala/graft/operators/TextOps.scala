@@ -808,6 +808,39 @@ object TextOps {
        |WHERE rk <= $StratumSampleK
        |ORDER BY lang, rk""".stripMargin
 
+  /** Per-source corpus profile with exact length percentiles — the
+    * source-level quality dashboard (which crawl is long-form, which is
+    * boilerplate-short) that gates per-source mixing weights. Exact
+    * `percentile` buffers each group's values (the A4 precedent:
+    * deterministic and oracle-matchable, the reason it is used here);
+    * at 100 TB the same query ships with `approx_percentile`
+    * (t-digest, mergeable map-side partials) at the cost of losing the
+    * bit-exact oracle — the documented exact-vs-sketch trade. Source
+    * cardinality is tiny, so the one shuffle is by source key. */
+  def sourceQualityProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("percentile(cast(n_chars as double), 0.5)").as("p50_chars"),
+        expr("percentile(cast(n_chars as double), 0.9)").as("p90_chars"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[sourceQualityProfile]]. */
+  private[graft] def sourceQualityProfileOracleSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+       |  quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
+       |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS avg_chars
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Chunk geometry (shared with the oracle): window of `ChunkTokens`
     * tokens, advancing `ChunkStride` tokens per chunk (overlap =
     * ChunkTokens − ChunkStride). */

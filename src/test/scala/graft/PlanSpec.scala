@@ -79,6 +79,7 @@ class PlanSpec extends GraftSpec {
     // reverting to slice(collect_list(...)) would re-materialize a
     // degenerate bucket's full membership in one aggregation buffer.
     for (df <- Seq(graft.operators.TextOps.minhashCandidates(spark, dir),
+                   graft.operators.TextOps.stratifiedSample(spark, dir),
                    graft.operators.VectorOps.annIvfTop1(spark, dir))) {
       val plan = executedPlan(df)
       assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
