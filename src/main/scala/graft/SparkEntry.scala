@@ -71,6 +71,7 @@ object SparkEntry {
       AlertOps.dominantGroupAnomaly(s, d)),
     "alerts_low_stock" -> ((s, d) => AlertOps.lowStockAlerts(s, d)),
     "health_score" -> ((s, d) => AlertOps.healthScore(s, d)),
+    "dq_report" -> ((s, d) => BatchOps.dqReport(s, d)),
     // --- LLM-pipeline text ops over documents (M4) ---
     "docs_exact_dedup" -> ((s, d) => TextOps.exactDedupGroups(s, d)),
     "docs_deduped" -> ((s, d) => TextOps.dedupedDocs(s, d)),
@@ -599,6 +600,7 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "token_counts" -> TextOps.tokenCountsOracleSql,
+    "dq_report" -> BatchOps.dqReportOracleSql,
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
     "doc_chunks" -> TextOps.docChunksOracleSql,

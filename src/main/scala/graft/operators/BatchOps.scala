@@ -421,4 +421,58 @@ object BatchOps {
         col("units_sold"), col("revenue"), col("order_count"))
       .orderBy("p_partkey")
   }
+
+  /** Data-quality report: one row per integrity check with its violation
+    * count — referential orphans (LEFT ANTI joins: the dimension side
+    * broadcasts when small, otherwise a null-safe hash shuffle on the
+    * FK; either way no fact row survives past its check), duplicate
+    * primary keys (count-per-key aggregate filtered > 1), null and
+    * domain violations (plain filtered counts). This is the real DQ
+    * pass behind the reference's cache-key-existence "validation"
+    * (`airflow/dags/cdc_etl_orchestration.py:294-323`) — each check is
+    * one scan-shaped aggregate, so the whole report is a union of
+    * one-row frames and runs in a single job at any scale. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    def count1(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    count1("duplicate_order_keys",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1))
+      .unionByName(count1("lineitem_without_order",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
+      .unionByName(count1("lineitem_without_part",
+        l.join(p, l("l_partkey") === p("p_partkey"), "left_anti")))
+      .unionByName(count1("negative_totalprice",
+        o.filter(col("o_totalprice") < 0)))
+      .unionByName(count1("null_order_dates",
+        o.filter(col("o_orderdate").isNull)))
+      .unionByName(count1("orders_without_customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .orderBy("check")
+  }
+
+  /** DuckDB oracle for [[dqReport]]. */
+  private[graft] def dqReportOracleSql: String =
+    s"""SELECT * FROM (
+       |  SELECT 'duplicate_order_keys' AS check, count(*) AS n_violations
+       |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+       |  UNION ALL
+       |  SELECT 'lineitem_without_order', count(*) FROM lineitem l
+       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       |  UNION ALL
+       |  SELECT 'lineitem_without_part', count(*) FROM lineitem l
+       |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+       |  UNION ALL
+       |  SELECT 'negative_totalprice', count(*) FROM orders WHERE o_totalprice < 0
+       |  UNION ALL
+       |  SELECT 'null_order_dates', count(*) FROM orders WHERE o_orderdate IS NULL
+       |  UNION ALL
+       |  SELECT 'orders_without_customer', count(*) FROM orders o
+       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       |ORDER BY 1""".stripMargin
 }
