@@ -100,6 +100,7 @@ object SparkEntry {
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
+    "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
@@ -665,6 +666,7 @@ object SparkEntry {
     // arithmetic + hyperplane constants the Spark queries use
     // (VectorOps.*Sql) — one source of truth for both engines.
     "embedding_norms" -> VectorOps.embeddingNormsOracleSql,
+    "embedding_quantize" -> VectorOps.embeddingQuantizeOracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,

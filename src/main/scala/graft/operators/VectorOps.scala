@@ -556,6 +556,69 @@ object VectorOps {
        |FROM r WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Quantization levels for [[embeddingQuantize]] (codes 0..255 — int8
+    * storage; shared with the generated oracle). */
+  val QuantLevels = 255
+
+  private def vminCol(c: String): Column =
+    (1 to Dim).map(elem(c, _)).reduce(least(_, _))
+  private def vmaxCol(c: String): Column =
+    (1 to Dim).map(elem(c, _)).reduce(greatest(_, _))
+  private def vminSql(c: String): String =
+    (1 to Dim).map(elemSql(c, _)).reduce((a, b) => s"least($a, $b)")
+  private def vmaxSql(c: String): String =
+    (1 to Dim).map(elemSql(c, _)).reduce((a, b) => s"greatest($a, $b)")
+
+  /** Per-vector int8 min-max quantization summary — the 4×-compression
+    * pass an embedding store runs before ANN serving at 100 TB (float32
+    * → uint8 codes + per-vector (min, max) dequant params). Codes use
+    * `floor((x−min)·levels/(max−min))`: floor, not round, because the
+    * two engines disagree on round-half semantics while floor is exact
+    * on any IEEE double; the arithmetic is left-associated and mirrored
+    * literally in the oracle, so codes are bit-identical. The harness
+    * compares scalar columns, so the code VECTOR is summarized by two
+    * exact checksums — the plain sum and the position-weighted sum
+    * (catches per-position swaps the plain sum would miss) — plus the
+    * dequant params themselves. A flat vector (max = min) yields code 0
+    * everywhere via the zero-range guard. Embarrassingly parallel: one
+    * codegen'd projection, no shuffle before the output sort. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    def code(j: Int): Column =
+      when(col("v_max") > col("v_min"),
+        floor(((elem("embedding", j) - col("v_min")) * lit(QuantLevels)) /
+          (col("v_max") - col("v_min"))).cast("bigint"))
+        .otherwise(lit(0L))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        vminCol("embedding").as("v_min"), vmaxCol("embedding").as("v_max"))
+      .select(col("vec_id"), col("v_min"), col("v_max"),
+        (1 to Dim).map(code).reduce(_ + _).as("code_sum"),
+        (1 to Dim).map(j => lit(j) * code(j)).reduce(_ + _)
+          .as("code_possum"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[embeddingQuantize]] (same floor arithmetic,
+    * same association order). */
+  private[graft] def embeddingQuantizeOracleSql: String = {
+    def codeSql(j: Int): String =
+      s"""(CASE WHEN v_max > v_min
+         | THEN CAST(floor(((${elemSql("embedding", j)} - v_min) * $QuantLevels)
+         |   / (v_max - v_min)) AS BIGINT)
+         | ELSE CAST(0 AS BIGINT) END)""".stripMargin.replace("\n", "")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${vminSql("embedding")} AS v_min,
+       |    ${vmaxSql("embedding")} AS v_max
+       |  FROM embeddings)
+       |SELECT vec_id, v_min, v_max,
+       |  ${(1 to Dim).map(codeSql).mkString("(", " + ", ")")} AS code_sum,
+       |  ${(1 to Dim).map(j => s"($j * ${codeSql(j)})")
+          .mkString("(", " + ", ")")} AS code_possum
+       |FROM e
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[embeddingNorms]]. */
   private[graft] def embeddingNormsOracleSql: String =
     s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,

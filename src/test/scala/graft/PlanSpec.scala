@@ -86,6 +86,21 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("split assignment is shuffle-free up to the output sort") {
+    // trainValSplit's whole point is that membership is a pure function
+    // of doc_id: the only exchange allowed is the rangepartitioning for
+    // the presentation sort — a hashpartitioning exchange would mean a
+    // join or aggregate crept into the assignment.
+    val plan = executedPlan(graft.operators.TextOps.trainValSplit(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
+  }
+
+  test("DQ orphan checks broadcast, with no cartesian product") {
+    val plan = executedPlan(graft.operators.BatchOps.dqReport(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("sessionization runs in a single user-key exchange") {
     // lag, the island cumsum, and the session rollup must all reuse the
     // one hashpartitioning(user_id) exchange; a second user_id exchange
