@@ -63,6 +63,7 @@ object SparkEntry {
     "daily_distinct_users" -> ((s, d) => CdcOps.dailyDistinctUsers(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
+    "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
     // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
     "alerts_high_value" -> ((s, d) => AlertOps.highValueAlerts(s, d)),
     "alerts_bulk_activity" -> ((s, d) => AlertOps.bulkActivityAlerts(s, d)),
@@ -448,6 +449,32 @@ object SparkEntry {
          |  click_ms, purchase_ms - click_ms AS lag_ms
          |FROM j WHERE rk = 1
          |ORDER BY purchase_id""".stripMargin,
+
+    // Union-merge as-of: one timeline per user, orders (kind 0) sort
+    // before events (kind 1) on equal ms, running IGNORE NULLS carry.
+    "event_asof_order" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS t_ms,
+        |    0 AS kind, CAST(NULL AS BIGINT) AS event_id,
+        |    o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 1, event_id,
+        |    NULL, NULL, NULL
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER win AS asof_orderkey,
+        |    last_value(o_orderdate_ms IGNORE NULLS) OVER win AS asof_orderdate_ms,
+        |    last_value(o_totalprice IGNORE NULLS) OVER win AS asof_totalprice
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY t_ms, kind, coalesce(o_orderkey, event_id)
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, t_ms AS ts_ms,
+        |  asof_orderkey, asof_orderdate_ms, asof_totalprice
+        |FROM w WHERE kind = 1
+        |ORDER BY event_id""".stripMargin,
 
     "alerts_high_value" ->
       """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,

@@ -225,6 +225,56 @@ object CdcOps {
       Seq("day"), "user_id", "n_users")
       .orderBy("day")
 
+  /** As-of join: each event enriched with the user's most recent order
+    * AT OR BEFORE the event time — the point-in-time dimension lookup of
+    * CDC enrichment (attach the latest version ≤ t, never a future one).
+    *
+    * Built as the UNION-MERGE as-of, not a pair join: both sides union
+    * into one keyed timeline (orders kind 0, events kind 1 — an order at
+    * the exact event instant counts as "at or before"), one hash
+    * exchange on the user key, one per-user sort, and a
+    * `last(..., ignoreNulls)` running carry pulls the latest order
+    * struct forward onto every event row. Work is O((|orders|+|events|)
+    * log) per user instead of the |orders|×|events| candidate pairs the
+    * equi-join + top-1 shape (purchaseAttribution) generates — the
+    * right as-of at 100 TB, where a hot user's history would explode a
+    * pair join. Events with no prior order carry nulls (left
+    * semantics). */
+  def eventAsofOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ordType = "struct<o_orderkey:bigint,o_orderdate_ms:bigint," +
+      "o_totalprice:double>"
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("t_ms"),
+      lit(0).as("kind"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_totalprice")).as("ord"))
+    val e = Tables.events(spark, dir).select(
+      col("user_id"),
+      unix_millis(col("ts")).as("t_ms"),
+      lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast(ordType).as("ord"))
+    // Deterministic total order: ms time, then orders-before-events on
+    // ties, then the side's own id (same-date orders resolve to the
+    // highest orderkey — "latest version wins" must not depend on
+    // partitioning in either engine).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_ms"), col("kind"),
+        coalesce(col("ord.o_orderkey"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("last_ord", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("t_ms").as("ts_ms"),
+        col("last_ord.o_orderkey").as("asof_orderkey"),
+        col("last_ord.o_orderdate_ms").as("asof_orderdate_ms"),
+        col("last_ord.o_totalprice").as("asof_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Inactivity gap that closes a user session (shared with the oracle
     * and the streaming twin). */
   val SessionGapMs: Long = 2L * 3600 * 1000

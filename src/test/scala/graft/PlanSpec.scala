@@ -101,6 +101,17 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("union-merge as-of runs in a single user-key exchange") {
+    // The as-of's entire point vs a pair join: both sides union BEFORE
+    // the one hashpartitioning(user_id) exchange, and the running carry
+    // is a window over that single sort — a second user_id exchange
+    // means the union degraded to a join-like two-shuffle plan.
+    val plan = executedPlan(CdcOps.eventAsofOrder(spark, dir))
+    val userExchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges == 1, s"$userExchanges user_id exchanges in:\n$plan")
+  }
+
   test("sessionization runs in a single user-key exchange") {
     // lag, the island cumsum, and the session rollup must all reuse the
     // one hashpartitioning(user_id) exchange; a second user_id exchange
