@@ -123,4 +123,42 @@ class TextOpsSpec extends GraftSpec {
     assert(d4.getAs[Double]("distinct_ratio") == 1.0)
     assert(d4.getAs[Double]("stopword_ratio") == 0.0)
   }
+
+  test("split assignment is total and stable across calls") {
+    val a = TextOps.trainValSplit(spark, scratch).collect()
+    val b = TextOps.trainValSplit(spark, scratch).collect()
+    assert(a.length == 7)
+    assert(a.forall(r => Set("train", "val", "test")
+      .contains(r.getAs[String]("split"))))
+    assert(a.forall { r =>
+      val bk = r.getAs[Long]("bucket"); bk >= 0 && bk < 100 })
+    // Reproducibility IS the operator's contract: same ids → same split.
+    assert(a.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+      .toSeq == b.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+      .toSeq)
+  }
+
+  test("chunk geometry: short docs, exact windows, overlapping tails") {
+    val chunks = TextOps.docChunks(spark, scratch).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // Doc 4 ("solitary") is 1 token → exactly one chunk of length 1.
+    assert(chunks(4L).length == 1)
+    assert(chunks(4L).head.getAs[Int]("chunk_len") == 1)
+    assert(chunks(4L).head.getAs[Int]("start") == 0)
+    // Every doc here is shorter than one window → single chunk each,
+    // chunk_len == its token count, chunk_id 0.
+    chunks.values.foreach { cs =>
+      assert(cs.length == 1 && cs.head.getAs[Int]("chunk_id") == 0)
+    }
+    // A doc longer than one window chunks with the documented stride:
+    // 100 tokens → starts 0, 48, 96 with lengths 64, 52, 4. Written to
+    // its own miniature table dir so the shared fixture is undisturbed.
+    val longDoc = Seq((99L, (1 to 100).map(i => s"w$i").mkString(" "),
+      "en", "web", 500L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("chunks-").toString
+    longDoc.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val lc = TextOps.docChunks(spark, base).collect().sortBy(_.getAs[Int]("start"))
+    assert(lc.map(r => (r.getAs[Int]("start"), r.getAs[Int]("chunk_len")))
+      .toSeq == Seq((0, 64), (48, 52), (96, 4)))
+  }
 }
