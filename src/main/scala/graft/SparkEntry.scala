@@ -93,6 +93,7 @@ object SparkEntry {
     "train_val_split" -> ((s, d) => TextOps.trainValSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -632,6 +633,7 @@ object SparkEntry {
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
     "doc_chunks" -> TextOps.docChunksOracleSql,
+    "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->

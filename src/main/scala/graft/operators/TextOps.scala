@@ -808,6 +808,72 @@ object TextOps {
        |WHERE rk <= $StratumSampleK
        |ORDER BY lang, rk""".stripMargin
 
+  /** Near-dup CLUSTERS from near-dup pairs: connected components over
+    * the capped-Jaccard edge set, labeled by the component's minimum
+    * doc_id — the step that turns pairwise detections into dedup groups
+    * (keep `component_id`, drop the rest). Iterative min-label
+    * propagation: every vertex repeatedly adopts the smallest label in
+    * its neighborhood until a fixpoint — the degenerate-but-standard
+    * form of large-star/small-star connected components, converging in
+    * ≤ graph-diameter rounds (near-dup clusters are shallow; the cap
+    * below is generous). Each round is one join + one min-aggregate —
+    * hash shuffles on the vertex key — and the driver only ever sees a
+    * ONE-SCALAR convergence count per round (the anchor-collect
+    * pattern, not a data collect). `localCheckpoint` cuts the growing
+    * lineage so round N's plan does not replay rounds 1..N−1. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("v"))
+      .distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    val MaxRounds = 20
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("v"))
+        .groupBy(edges("doc_a").as("nv"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, labels("v") === col("nv"), "left_outer")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.select(col("v"), col("label"))
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $MaxRounds")
+    labels
+      .select(col("v").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupComponents]]: reachability via a recursive
+    * CTE (UNION's set semantics terminates the recursion on cyclic
+    * graphs), component id = min reachable vertex. */
+  private[graft] def dedupComponentsOracleSql(shinglesSql: String): String =
+    s"""WITH RECURSIVE base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (
+       |  SELECT doc_a, doc_b FROM base
+       |  UNION ALL SELECT doc_b, doc_a FROM base),
+       |r AS (
+       |  SELECT doc_a AS v, doc_a AS u FROM e
+       |  UNION
+       |  SELECT r.v, e.doc_b AS u FROM r JOIN e ON r.u = e.doc_a)
+       |SELECT v AS doc_id, min(u) AS component_id
+       |FROM r GROUP BY v
+       |ORDER BY 1""".stripMargin
+
   /** Per-source corpus profile with exact length percentiles — the
     * source-level quality dashboard (which crawl is long-form, which is
     * boilerplate-short) that gates per-source mixing weights. Exact

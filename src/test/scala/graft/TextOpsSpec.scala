@@ -124,6 +124,16 @@ class TextOpsSpec extends GraftSpec {
     assert(d4.getAs[Double]("stopword_ratio") == 0.0)
   }
 
+  test("near-dup components label clusters by their minimum doc id") {
+    val cc = TextOps.dedupComponents(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id"))
+      .toMap
+    // Docs 1/2/3 are mutual near-dups (one cluster, min id 1); the
+    // token-permutation pair 6/7 shares its full bigram set (cluster 6);
+    // isolated docs 4/5 appear in no pair, so they have no row.
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("split assignment is total and stable across calls") {
     val a = TextOps.trainValSplit(spark, scratch).collect()
     val b = TextOps.trainValSplit(spark, scratch).collect()
