@@ -73,6 +73,9 @@ object SparkEntry {
     "alerts_low_stock" -> ((s, d) => AlertOps.lowStockAlerts(s, d)),
     "health_score" -> ((s, d) => AlertOps.healthScore(s, d)),
     "dq_report" -> ((s, d) => BatchOps.dqReport(s, d)),
+    "corpus_rollup" -> ((s, d) => BatchOps.corpusRollup(s, d)),
+    "lang_pivot" -> ((s, d) => BatchOps.langPivot(s, d)),
+    "daily_revenue_running" -> ((s, d) => BatchOps.dailyRevenueRunning(s, d)),
     // --- LLM-pipeline text ops over documents (M4) ---
     "docs_exact_dedup" -> ((s, d) => TextOps.exactDedupGroups(s, d)),
     "docs_deduped" -> ((s, d) => TextOps.dedupedDocs(s, d)),
@@ -630,6 +633,9 @@ object SparkEntry {
 
     "token_counts" -> TextOps.tokenCountsOracleSql,
     "dq_report" -> BatchOps.dqReportOracleSql,
+    "corpus_rollup" -> BatchOps.corpusRollupOracleSql,
+    "lang_pivot" -> BatchOps.langPivotOracleSql,
+    "daily_revenue_running" -> BatchOps.dailyRevenueRunningOracleSql,
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
     "doc_chunks" -> TextOps.docChunksOracleSql,

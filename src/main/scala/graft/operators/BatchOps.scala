@@ -422,6 +422,118 @@ object BatchOps {
       .orderBy("p_partkey")
   }
 
+  /** Multi-dimensional rollup over the document corpus: counts and char
+    * totals at (source, lang), per-source subtotal, and grand-total
+    * grain in ONE pass — Spark's `rollup` compiles to a single
+    * Expand+aggregate (each input row contributes to every grain), so
+    * the three grouping levels cost one shuffle, not three scans.
+    * `grouping_id` disambiguates a subtotal row from a genuine null
+    * group value, and rides the output because DuckDB's ROLLUP emits
+    * the same ids — the standard OLAP cube surface. */
+  def corpusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().as("grain"))
+      .orderBy(col("grain"), col("source"), col("lang"))
+
+  /** DuckDB oracle for [[corpusRollup]] (GROUPING returns the same
+    * bit-packed id as Spark's grouping_id for the same column order). */
+  private[graft] def corpusRollupOracleSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  GROUPING(source, lang) AS grain
+       |FROM documents
+       |GROUP BY ROLLUP (source, lang)
+       |ORDER BY grain, source, lang""".stripMargin
+
+  /** Languages pivoted into fixed columns by [[langPivot]] (shared with
+    * the oracle; a FIXED list — pivoting on discovered values would make
+    * the schema data-dependent, which neither a SQL consumer nor the
+    * oracle comparison could type statically). */
+  val PivotLangs: Seq[String] = Seq("en", "de", "fr", "ja", "zh")
+
+  /** Per-source language mix as a wide matrix: one row per source, one
+    * count column per language — the pivot/crosstab surface. Spark's
+    * `pivot(col, values)` with explicit values compiles to one
+    * aggregate with `count(CASE WHEN lang = v)` branches (no
+    * value-discovery job, no second shuffle); the oracle states the
+    * same thing with FILTER clauses. Languages outside the fixed list
+    * are rolled into `other`. */
+  def langPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // Remap BEFORE pivoting: pivot matches values literally, so the
+      // catch-all bucket must exist as a value, not as a pivot column.
+      .withColumn("lang_b",
+        when(col("lang").isin(PivotLangs: _*), col("lang"))
+          .otherwise("other"))
+      .groupBy("source")
+      .pivot("lang_b", PivotLangs :+ "other")
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs :+ "other")
+      .orderBy("source")
+
+  /** DuckDB oracle for [[langPivot]]. */
+  private[graft] def langPivotOracleSql: String = {
+    val inList = PivotLangs.map(l => s"'$l'").mkString(", ")
+    val cols = PivotLangs.map(l =>
+      s"""count(*) FILTER (lang = '$l') AS "$l"""").mkString(",\n  ")
+    s"""SELECT source,
+       |  $cols,
+       |  count(*) FILTER (lang NOT IN ($inList)) AS other
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Daily revenue with a cumulative running total and a 7-day moving
+    * average — the sliding-frame window surface (`ROWS BETWEEN`):
+    * running sums stay in decimal so every prefix is exact under any
+    * partitioning, and the frames sit on the one date-sorted window.
+    * At scale the single unpartitioned window is the honest cost of a
+    * global cumulative metric over an already-aggregated (one row per
+    * day) frame — thousands of rows, not the fact table. */
+  def dailyRevenueRunning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sales_dec"))
+    val wAll = Window.orderBy("order_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w7 = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("daily_sales", col("sales_dec").cast("double"))
+      .withColumn("running_sales",
+        sum(col("sales_dec")).over(wAll).cast("double"))
+      // Double division of the exact decimal sum — not decimal/decimal,
+      // whose result-scale rules differ between the two engines.
+      .withColumn("avg7_sales",
+        sum(col("sales_dec")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .select("order_day", "daily_sales", "running_sales", "avg7_sales")
+      .orderBy("order_day")
+  }
+
+  /** DuckDB oracle for [[dailyRevenueRunning]] (same frames, same
+    * decimal-exact prefix sums). */
+  private[graft] def dailyRevenueRunningOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+       |  FROM orders GROUP BY 1)
+       |SELECT order_day,
+       |  CAST(sales_dec AS DOUBLE) AS daily_sales,
+       |  CAST(sum(sales_dec) OVER (ORDER BY order_day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS running_sales,
+       |  CAST(sum(sales_dec) OVER w7 AS DOUBLE)
+       |    / CAST(count(*) OVER w7 AS DOUBLE) AS avg7_sales
+       |FROM d
+       |WINDOW w7 AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY order_day""".stripMargin
+
   /** Data-quality report: one row per integrity check with its violation
     * count — referential orphans (LEFT ANTI joins: the dimension side
     * broadcasts when small, otherwise a null-safe hash shuffle on the
