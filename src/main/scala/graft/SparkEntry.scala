@@ -64,6 +64,7 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
+    "audience_overlap" -> ((s, d) => CdcOps.audienceOverlap(s, d)),
     // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
     "alerts_high_value" -> ((s, d) => AlertOps.highValueAlerts(s, d)),
     "alerts_bulk_activity" -> ((s, d) => AlertOps.bulkActivityAlerts(s, d)),
@@ -453,6 +454,8 @@ object SparkEntry {
          |  click_ms, purchase_ms - click_ms AS lag_ms
          |FROM j WHERE rk = 1
          |ORDER BY purchase_id""".stripMargin,
+
+    "audience_overlap" -> CdcOps.audienceOverlapOracleSql,
 
     // Union-merge as-of: one timeline per user, orders (kind 0) sort
     // before events (kind 1) on equal ms, running IGNORE NULLS carry.

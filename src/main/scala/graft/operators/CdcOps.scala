@@ -225,6 +225,39 @@ object CdcOps {
       Seq("day"), "user_id", "n_users")
       .orderBy("day")
 
+  /** Audience overlap via explicit set operations: how the ordering
+    * population and the event-emitting population intersect — INTERSECT
+    * and EXCEPT over the two key sets, counted. Spark compiles both to
+    * the same aggregate/anti-join physicals the DQ checks use, but the
+    * declarative set-op form is the surface a SQL consumer reaches for;
+    * key sets deduplicate before comparing (set, not bag, semantics).
+    * One row: the three disjoint region sizes. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val orderUsers = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("id")).distinct()
+    val eventUsers = Tables.events(spark, dir)
+      .select(col("user_id").as("id")).distinct()
+    orderUsers.intersect(eventUsers)
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(orderUsers.except(eventUsers)
+        .agg(count(lit(1)).as("n_orders_only")))
+      .crossJoin(eventUsers.except(orderUsers)
+        .agg(count(lit(1)).as("n_events_only")))
+  }
+
+  /** DuckDB oracle for [[audienceOverlap]]. */
+  private[graft] def audienceOverlapOracleSql: String =
+    s"""SELECT
+       |  (SELECT count(*) FROM (
+       |     SELECT DISTINCT o_custkey FROM orders
+       |     INTERSECT SELECT DISTINCT user_id FROM events)) AS n_both,
+       |  (SELECT count(*) FROM (
+       |     SELECT DISTINCT o_custkey FROM orders
+       |     EXCEPT SELECT DISTINCT user_id FROM events)) AS n_orders_only,
+       |  (SELECT count(*) FROM (
+       |     SELECT DISTINCT user_id FROM events
+       |     EXCEPT SELECT DISTINCT o_custkey FROM orders)) AS n_events_only""".stripMargin
+
   /** As-of join: each event enriched with the user's most recent order
     * AT OR BEFORE the event time — the point-in-time dimension lookup of
     * CDC enrichment (attach the latest version ≤ t, never a future one).
