@@ -75,6 +75,8 @@ object SparkEntry {
     "health_score" -> ((s, d) => AlertOps.healthScore(s, d)),
     "dq_report" -> ((s, d) => BatchOps.dqReport(s, d)),
     "corpus_rollup" -> ((s, d) => BatchOps.corpusRollup(s, d)),
+    "customer_spend_rank" -> ((s, d) => BatchOps.customerSpendRank(s, d)),
+    "pricing_summary_sql" -> ((s, d) => BatchOps.pricingSummarySql(s, d)),
     "lang_pivot" -> ((s, d) => BatchOps.langPivot(s, d)),
     "daily_revenue_running" -> ((s, d) => BatchOps.dailyRevenueRunning(s, d)),
     // --- LLM-pipeline text ops over documents (M4) ---
@@ -637,6 +639,8 @@ object SparkEntry {
     "token_counts" -> TextOps.tokenCountsOracleSql,
     "dq_report" -> BatchOps.dqReportOracleSql,
     "corpus_rollup" -> BatchOps.corpusRollupOracleSql,
+    "customer_spend_rank" -> BatchOps.customerSpendRankOracleSql,
+    "pricing_summary_sql" -> BatchOps.pricingSummarySqlOracleSql,
     "lang_pivot" -> BatchOps.langPivotOracleSql,
     "daily_revenue_running" -> BatchOps.dailyRevenueRunningOracleSql,
     "train_val_split" -> TextOps.trainValSplitOracleSql,

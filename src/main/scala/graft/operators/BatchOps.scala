@@ -534,6 +534,79 @@ object BatchOps {
        |WINDOW w7 AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
        |ORDER BY order_day""".stripMargin
 
+  /** Customer spend ranking — the ranking-function window surface:
+    * quartile (`ntile`), `percent_rank`, and `cume_dist` over total
+    * spend, tie-broken by key so every rank is deterministic in both
+    * engines. percent_rank/cume_dist are rational values of row
+    * positions ((rank−1)/(n−1), peers/n) — identical IEEE doubles under
+    * the same ordering. One global window over the |customers|-row
+    * aggregate (not the fact table) — the honest cost of a global
+    * ranking, same posture as the running-revenue window. */
+  def customerSpendRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spent"))
+    val w = Window.orderBy(col("total_spent").desc, col("o_custkey"))
+    spend
+      .withColumn("spend_quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_custkey"), col("total_spent"),
+        col("spend_quartile"), col("pct_rank"), col("cume"))
+      .orderBy("o_custkey")
+  }
+
+  /** DuckDB oracle for [[customerSpendRank]]. */
+  private[graft] def customerSpendRankOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS total_spent
+       |  FROM orders GROUP BY 1)
+       |SELECT o_custkey, total_spent,
+       |  ntile(4) OVER w AS spend_quartile,
+       |  percent_rank() OVER w AS pct_rank,
+       |  cume_dist() OVER w AS cume
+       |FROM s
+       |WINDOW w AS (ORDER BY total_spent DESC, o_custkey)
+       |ORDER BY o_custkey""".stripMargin
+
+  /** Pricing summary implemented through the SQL FRONT DOOR
+    * (`spark.sql` over registered temp views) rather than the DataFrame
+    * DSL — the same Catalyst plan either way, but this registers proof
+    * that a SQL-speaking user of the reference can run ANSI SQL against
+    * this engine verbatim: the oracle string below differs only in the
+    * decimal cast spelling. TPC-H Q1-shaped: returnflag/linestatus
+    * pricing rollup with exact decimal sums. */
+  def pricingSummarySql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         |    AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem_v
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[pricingSummarySql]] — the same ANSI text. */
+  private[graft] def pricingSummarySqlOracleSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |    AS DOUBLE) AS sum_disc_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Data-quality report: one row per integrity check with its violation
     * count — referential orphans (LEFT ANTI joins: the dimension side
     * broadcasts when small, otherwise a null-safe hash shuffle on the
