@@ -687,7 +687,11 @@ object TextOps {
     * is cheap. One hash shuffle on doc_id — the same posture as the
     * minhash pipeline. Intermediate values stay < 2^52 (M ≈ 2^31,
     * B ≈ 2^20), so the fold is exact in 64-bit integers in both
-    * engines. */
+    * engines. The per-doc collect buffer is bounded by the longest
+    * SINGLE document — the invariant every per-document op here shares
+    * (the quality gate upstream is what caps document size in a real
+    * pipeline), unlike a bucket membership whose size is data-coupled
+    * across documents and therefore rank-capped. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       // Null-text docs emit NO fingerprint row, by construction on BOTH
