@@ -831,9 +831,14 @@ object TextOps {
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("v"))
-      .distinct()
-      .withColumn("label", col("v"))
+    // Seed with round 1 for free: label₀(v) = min(v, min N(v)) is one
+    // aggregate over the edge list — a full propagation round costs a
+    // join + aggregate + join, so starting one step in saves the most
+    // expensive round (singleton-free graphs converge in diameter−1
+    // further rounds).
+    var labels = edges.groupBy(col("doc_a").as("v"))
+      .agg(min(col("doc_b")).as("nmin"))
+      .select(col("v"), least(col("v"), col("nmin")).as("label"))
       .localCheckpoint()
     val MaxRounds = 20
     var round = 0
