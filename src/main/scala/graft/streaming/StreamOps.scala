@@ -195,6 +195,27 @@ object StreamOps {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"))
 
+  /** Daily active users over the live stream — the streaming twin of
+    * `CdcOps.dailyDistinctUsers`, as two watermark-bounded stages:
+    * first-seen dedup per (user, day-window), then a count of the
+    * survivors per window. The dedup keys on the event-time WINDOW
+    * STRUCT, not a truncated timestamp: the struct carries watermark
+    * metadata, so a user's dedup state lives exactly until the
+    * watermark closes that day and is then evicted — a
+    * `dropDuplicatesWithinWatermark` horizon shorter than a day would
+    * evict mid-day and re-count a returning user. Exact distinct, not
+    * a sketch — the same guarantee the batch twin hash-checks — with
+    * state bounded at (active users × live days). Update mode: each
+    * trigger re-emits the affected day's running DAU. */
+  def dailyActiveUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), window(col("ts"), "1 day").as("day_w"))
+      .dropDuplicates("user_id", "day_w")
+      .groupBy(col("day_w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("day_w.start").as("day_start"), col("n_users"))
+
   /** Sessionization over the live stream: native event-time session
     * windows with a 2-hour inactivity gap (`CdcOps.SessionGapMs`'s
     * streaming twin). `session_window` merges a key's overlapping

@@ -588,6 +588,33 @@ class StreamOpsSpec extends GraftSpec {
       .getAs[Long]("user_id") == 8L)
   }
 
+  test("daily active users count each user once per day across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.dailyActiveUsers(in.toDS().toDF())
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        event(2, "2024-01-01 11:00:00", 7, "view", 2.0), // same user+day
+        event(3, "2024-01-01 12:00:00", 8, "click", 3.0))
+      q.processAllAvailable()
+      val d1 = spark.table("dau").orderBy($"n_users".desc).collect()
+      assert(d1.head.getAs[Long]("n_users") == 2L,
+        s"duplicate user counted twice: ${d1.mkString}")
+
+      // A REDELIVERED user-7 event must not bump the count; user 9 must.
+      in.addData(
+        event(4, "2024-01-01 13:00:00", 7, "click", 4.0),
+        event(5, "2024-01-01 14:00:00", 9, "view", 5.0))
+      q.processAllAvailable()
+      val d2 = spark.table("dau").orderBy($"n_users".desc).collect()
+      assert(d2.head.getAs[Long]("n_users") == 3L,
+        s"expected DAU 3 after dedup, got: ${d2.mkString}")
+    } finally q.stop()
+  }
+
   test("T5: state and offsets survive a stop/restart from the checkpoint") {
     // The exactly-once restart guarantee — the reason Structured
     // Streaming beats an auto-commit consumer (which re-delivers or
