@@ -109,6 +109,7 @@ object SparkEntry {
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
     "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
+    "ann_ivf_trained_top1" -> ((s, d) => VectorOps.annIvfTrainedTop1(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
@@ -709,6 +710,7 @@ object SparkEntry {
     // (VectorOps.*Sql) — one source of truth for both engines.
     "embedding_norms" -> VectorOps.embeddingNormsOracleSql,
     "embedding_quantize" -> VectorOps.embeddingQuantizeOracleSql,
+    "ann_ivf_trained_top1" -> VectorOps.annIvfTrainedTop1OracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
