@@ -843,6 +843,12 @@ object TextOps {
     val MaxRounds = 20
     var round = 0
     var converged = false
+    // Superseded checkpoints are unpersisted on exit: localCheckpoint
+    // blocks otherwise live until RDD GC, and a caller looping this
+    // operator (or a bench re-running it) would accumulate every
+    // round's blocks in the block manager. Only the FINAL labels
+    // checkpoint — the one the returned plan reads — survives.
+    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     while (!converged && round < MaxRounds) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("v"))
@@ -856,10 +862,12 @@ object TextOps {
           (col("nlabel") < col("label")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).limit(1).count() == 0
+      superseded += labels
       labels = next.select(col("v"), col("label"))
       round += 1
     }
     require(converged, s"label propagation did not converge in $MaxRounds")
+    superseded.foreach(_.unpersist())
     labels
       .select(col("v").as("doc_id"), col("label").as("component_id"))
       .orderBy("doc_id")

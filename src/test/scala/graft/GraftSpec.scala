@@ -31,7 +31,18 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
+  /** Recursive delete for test temp dirs — suites must not accumulate
+    * parquet across runs. */
+  def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   override def afterAll(): Unit = {
+    deleteRecursively(scratch)
     // One session is shared across suites in the same JVM; don't stop it.
     super.afterAll()
   }

@@ -143,11 +143,7 @@ class PlanSpec extends GraftSpec {
         .lift(1).map(_.takeWhile(_ != ']')).getOrElse("")
       assert(partFilters.contains("order_month"),
         s"month not in PartitionFilters of:\n$scan")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally deleteRecursively(out)
   }
 
   test("fact-side-first rollup keeps dimension strings off the shuffle") {

@@ -682,7 +682,10 @@ class StreamOpsSpec extends GraftSpec {
       val u8 = phase2.filter(_.user_id == 8L)
       assert(u8.nonEmpty &&
         u8.forall(_.last_ts_ms == ts("2024-01-01 10:30:00").getTime))
-    } finally q2.stop()
+    } finally {
+      q2.stop()
+      deleteRecursively(base)
+    }
   }
 
   test("S3: kafka-shaped value decodes through the envelope schema") {

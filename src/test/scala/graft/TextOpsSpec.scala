@@ -166,9 +166,12 @@ class TextOpsSpec extends GraftSpec {
     val longDoc = Seq((99L, (1 to 100).map(i => s"w$i").mkString(" "),
       "en", "web", 500L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val base = java.nio.file.Files.createTempDirectory("chunks-").toString
-    longDoc.write.mode("overwrite").parquet(s"$base/documents.parquet")
-    val lc = TextOps.docChunks(spark, base).collect().sortBy(_.getAs[Int]("start"))
-    assert(lc.map(r => (r.getAs[Int]("start"), r.getAs[Int]("chunk_len")))
-      .toSeq == Seq((0, 64), (48, 52), (96, 4)))
+    try {
+      longDoc.write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val lc = TextOps.docChunks(spark, base).collect()
+        .sortBy(_.getAs[Int]("start"))
+      assert(lc.map(r => (r.getAs[Int]("start"), r.getAs[Int]("chunk_len")))
+        .toSeq == Seq((0, 64), (48, 52), (96, 4)))
+    } finally deleteRecursively(base)
   }
 }
