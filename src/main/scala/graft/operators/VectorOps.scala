@@ -483,16 +483,28 @@ object VectorOps {
       .agg(max(struct(col("sim"), (-col("cent_id")).as("neg_cent")))
         .as("best"))
       .select(col("v"), (-col("best.neg_cent")).as("cent_id"))
-    val meanAggs = (1 to Dim).map(j =>
-      (sum(elem("embedding", j).cast("decimal(28,12)")).cast("double") /
-        count(lit(1)).cast("double")).as(s"m$j"))
+    // Per-dimension means via posexplode + ONE decimal sum — not 64
+    // column-wise sum expressions: the wide form generated enough
+    // bytecode (on top of this query's two unrolled dot stages) to
+    // degrade the JIT run-over-run. Row form: (cell, dim, value) →
+    // sum/count per (cell, dim) → re-assemble the 64 means in dim
+    // order. Same decimal arithmetic, same values, ~64× fewer
+    // generated expressions; the 64× row explode is C·N rows of three
+    // scalars — noise. The result is materialized (localCheckpoint,
+    // C rows) so the search phase broadcasts data, not the whole
+    // training job inside the broadcast build.
     val trained = a0
       .join(e, a0("v") === e("vec_id"))
-      .groupBy("cent_id")
-      .agg(meanAggs.head, meanAggs.tail: _*)
       .select(col("cent_id"),
-        array((1 to Dim).map(j => col(s"m$j")): _*).as("cent_emb"))
+        posexplode(col("embedding")).as(Seq("dpos", "dval")))
+      .groupBy("cent_id", "dpos")
+      .agg((sum(col("dval").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy("cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dpos, m))), x -> x.m)")
+        .as("cent_emb"))
       .withColumn("cent_norm", sqrt(sq("cent_emb")))
+      .localCheckpoint()
     // Search phase: identical shape to annIvfTop1, against the trained
     // quantizer.
     val wAssign = Window.partitionBy("vec_id")
