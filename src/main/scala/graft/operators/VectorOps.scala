@@ -10,14 +10,16 @@ import graft.Tables
   * training-data pipeline (BASELINE.json extension goal; no reference
   * counterpart).
   *
-  * All vector math is UNROLLED over the fixed dimensionality: a dot
-  * product is a 64-term `element_at(...) * element_at(...)` sum — plain
-  * Catalyst expressions that whole-stage-codegen compiles, NOT
+  * All dot products run through ONE native Catalyst Expression
+  * (`graft.functions.DotProduct`, session-registered as `vec_dot`): a
+  * tight generated loop with strict ascending-index accumulation — NOT
   * higher-order-function lambdas (`aggregate`/`zip_with` evaluate an
-  * interpreted lambda per element and dominated the round-4 bench).
-  * Summation is left-associated in declaration order, and the oracle SQL
-  * is generated from the same code (`*Sql` helpers), so both engines
-  * compute bit-identical doubles. No UDFs.
+  * interpreted lambda per element and dominated the round-4 bench), not
+  * a boxing UDF, and no longer the 64-term unrolled `element_at` sum
+  * whose stacked bytecode degraded the JIT in multi-stage queries. The
+  * accumulation order matches the left-associated sums the oracle SQL
+  * generates (`*Sql` helpers), so both engines compute bit-identical
+  * doubles.
   *
   * Scale posture: brute-force top-k is quadratic and exists only as the
   * small-query-set baseline (k queries × corpus, a broadcast of the query
@@ -99,13 +101,20 @@ object VectorOps {
   private def elem(c: String, j: Int): Column =
     element_at(col(c), j).cast("double")
 
-  /** Σ x² over the vector, unrolled + left-associated. */
-  private def sq(c: String): Column =
-    (1 to Dim).map(j => elem(c, j) * elem(c, j)).reduce(_ + _)
+  /** Σ x² over the vector — `vec_dot(c, c)`, the native loop Expression
+    * ([[graft.functions.DotProduct]]). Accumulation order (ascending
+    * index, left-to-right) is identical to the previous 64-term unrolled
+    * sum, so results are bit-identical to the generated oracle SQL. */
+  private def sq(c: String): Column = expr(s"vec_dot($c, $c)")
 
-  /** Dot product of two vectors, unrolled + left-associated. */
-  private def dot(a: String, b: String): Column =
-    (1 to Dim).map(j => elem(a, j) * elem(b, j)).reduce(_ + _)
+  /** Dot product of two vectors — `vec_dot(a, b)` (same ordering
+    * contract as [[sq]]). */
+  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
+
+  /** Every public entry point registers the expression first (idempotent,
+    * per session). */
+  private def prepare(spark: SparkSession): Unit =
+    graft.functions.DotProduct.register(spark)
 
   /** Signed projection onto a sparse hyperplane, unrolled. */
   private def proj(c: String, h: Array[(Int, Int)]): Column =
@@ -143,17 +152,20 @@ object VectorOps {
 
   /** Per-vector L2 norm + dimension — the normalization pass run before
     * indexing a corpus. */
-  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
     Tables.embeddings(spark, dir)
       .select(
         col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
         sqrt(sq("embedding")).as("l2_norm"))
       .orderBy("vec_id")
+  }
 
   /** Per-label corpus stats with the norm sum carried in decimal so the
     * aggregate is order-independent. */
-  def labelStats(spark: SparkSession, dir: String): DataFrame =
+  def labelStats(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
     Tables.embeddings(spark, dir)
       .select(col("label"), sqrt(sq("embedding")).as("l2_norm"))
       .groupBy("label")
@@ -164,6 +176,7 @@ object VectorOps {
       .withColumn("avg_norm",
         col("sum_norm") / col("n_vectors").cast("double"))
       .orderBy("label")
+  }
 
   /** Text↔embedding pairing: join each document to its embedding row
     * (vec_id = doc_id — the multimodal-pipeline invariant that every
@@ -173,6 +186,7 @@ object VectorOps {
     * one side is a sampled subset; the norm sum rides in decimal so the
     * aggregate is order-independent. */
   def docEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
     val e = Tables.embeddings(spark, dir)
@@ -211,6 +225,7 @@ object VectorOps {
     * (cosine desc, vec_id) — deterministic tiebreak. The cosine is rounded
     * to 9 dp on output (ranking uses the unrounded value). */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    prepare(spark)
     val e = Tables.embeddings(spark, dir)
     // Norms are precomputed per VECTOR, not per pair — sqrt(Σx²) then a
     // multiply is the same float ops as computing both inside the pair, so
@@ -263,6 +278,7 @@ object VectorOps {
     * Vectors sharing no cell with anyone produce no row (the documented
     * recall/coverage trade-off of LSH; more tables → more recall). */
   private def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val hashed = e.select(
@@ -368,6 +384,7 @@ object VectorOps {
     * rank-capped at [[CellCap]] so in-cell scoring is bounded by
     * min(stride, cap)² per cell even on a degenerately clustered corpus. */
   def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
     // NUMBERED repartition: AQE coalesces shuffle stages by BYTES, and
     // this stage is tiny in bytes but heavy in compute (N×C dot
     // products) — byte-based coalescing would serialize it onto 1-2
@@ -463,6 +480,7 @@ object VectorOps {
     * corpus; clustered real embeddings gain far more). Costs one extra
     * N×C fan-out + one 64-column mean aggregate over [[annIvfTop1]]. */
   def annIvfTrainedTop1(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),

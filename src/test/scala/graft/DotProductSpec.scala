@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, expr}
+import graft.functions.DotProduct
+
+/** The native `vec_dot` Expression: codegen and interpreted paths must
+  * agree bit-exactly with the scala-side left-to-right fold, and data
+  * corruption (length mismatch) must fail loudly rather than return a
+  * plausible number. The cross-engine properties (agreement with the
+  * unrolled oracle SQL) are covered by the 10 vector queries in the
+  * oracle harness; this spec covers what the harness cannot see. */
+class DotProductSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("vec_dot matches the strict left-to-right fold bit-exactly") {
+    DotProduct.register(spark)
+    val a = Array.tabulate(64)(j => (j * 0.37f + 0.11f) * (if (j % 3 == 0) -1 else 1))
+    val b = Array.tabulate(64)(j => (j * 1.13f - 7.5f))
+    // The contract: ascending index, left-to-right double accumulation.
+    var want = 0.0
+    (0 until 64).foreach(j => want += a(j).toDouble * b(j).toDouble)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(expr("vec_dot(a, b)").as("d")).head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(want), s"$got != $want")
+    // Interpreted path (no codegen): same bits.
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = DotProduct(lit.create(a), lit.create(b)).eval(null)
+    assert(java.lang.Double.doubleToLongBits(interp.asInstanceOf[Double]) ==
+      java.lang.Double.doubleToLongBits(want))
+  }
+
+  test("vec_dot is null-intolerant on arrays and loud on corruption") {
+    DotProduct.register(spark)
+    val rows = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    // Null ARRAY → null result (standard null-intolerant binary op).
+    assert(rows.select(expr("vec_dot(a, cast(null as array<float>))"))
+      .head.isNullAt(0))
+    // Length mismatch → exception, not a truncated dot.
+    val boom = intercept[Exception] {
+      rows.select(expr("vec_dot(a, array(cast(1.0 as float)))")).head
+    }
+    assert(boom.getMessage != null)
+    // Mixed float/double element types resolve and compute.
+    assert(rows.select(expr("vec_dot(a, array(1.0d, 0.5d))")).head
+      .getDouble(0) == 1.0 * 1.0 + 2.0 * 0.5)
+  }
+
+  test("vec_dot rejects non-array inputs at analysis time") {
+    DotProduct.register(spark)
+    val e = intercept[Exception] {
+      Seq(1).toDF("x").select(expr("vec_dot(x, x)")).head
+    }
+    assert(e.getMessage.toLowerCase.contains("vec_dot") ||
+      e.getMessage.toLowerCase.contains("datatype"))
+  }
+}
