@@ -467,15 +467,19 @@ object TextOps {
     * is a single integer per doc — the cheapest near-dup signature to
     * store at 100 TB. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val voteAggs = (0 until SimhashBits).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    graft.functions.Simhash60.register(spark)
+    // The fingerprint is ONE native expression over the per-doc hash
+    // list ([[graft.functions.Simhash60]]) — the previous 60-column
+    // sum(CASE) aggregate plus 60-term bit assembly was the last wide
+    // generated-code stage in the engine and degraded the JIT under a
+    // long-lived JVM. Votes are integer sums, so the collect_list
+    // order is irrelevant and the result is identical; the buffer is
+    // bounded by the longest single document (the per-document
+    // invariant, same as rollingFingerprints).
     val sim = shingleHashes(spark, dir)
       .groupBy("doc_id")
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), expr("simhash60(hs)").as("simhash"))
     // The fingerprint rides through the band buckets (one long per
     // member), so the Hamming check needs no join back to `sim` — the
     // 60-col vote aggregate runs ONCE and the pair stage is pure

@@ -46,6 +46,31 @@ class DotProductSpec extends GraftSpec {
       .getDouble(0) == 1.0 * 1.0 + 2.0 * 0.5)
   }
 
+  test("simhash60 is order-independent and matches a scala fold") {
+    graft.functions.Simhash60.register(spark)
+    val hs = Array(0x7ffL, 0x123456789abL, 0x0L, 0xfff000fff000L, 0x1L)
+    def ref(xs: Seq[Long]): Long = {
+      var sig = 0L
+      (0 until 60).foreach { b =>
+        val votes = xs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) sig |= (1L << b)
+      }
+      sig
+    }
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(expr("simhash60(hs)")).head.getLong(0)
+    assert(got == ref(hs.toSeq))
+    // Any permutation of the list produces the same fingerprint.
+    val got2 = Seq(Tuple1(hs.reverse)).toDF("hs")
+      .select(expr("simhash60(hs)")).head.getLong(0)
+    assert(got2 == got)
+    // Null list → null; empty list → all-zero votes → 0.
+    assert(Seq(Tuple1(hs)).toDF("hs")
+      .select(expr("simhash60(cast(null as array<bigint>))")).head.isNullAt(0))
+    assert(Seq(Tuple1(Array.empty[Long])).toDF("hs")
+      .select(expr("simhash60(hs)")).head.getLong(0) == 0L)
+  }
+
   test("vec_dot rejects non-array inputs at analysis time") {
     DotProduct.register(spark)
     val e = intercept[Exception] {
