@@ -71,6 +71,36 @@ class DotProductSpec extends GraftSpec {
       .select(expr("simhash60(hs)")).head.getLong(0) == 0L)
   }
 
+  test("GraftExtensions injects both functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    // Build a SECOND session on the same context with the extension
+    // configured — the pure-SQL registration path, no graft API calls.
+    spark.sparkContext // force the shared session/context to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions is the programmatic twin of
+      // spark.sql.extensions=graft.functions.GraftExtensions — the
+      // config-string form only applies when the session owns a fresh
+      // context, which a shared-context test suite cannot create.
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne spark, "extension test must get a fresh session")
+      val r = s2.sql(
+        """SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+          |               array(cast(3.0 as float), cast(4.0 as float))) AS d,
+          |       simhash60(array(cast(3 as bigint))) AS s""".stripMargin)
+        .head
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getLong(1) == 3L)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("vec_dot rejects non-array inputs at analysis time") {
     DotProduct.register(spark)
     val e = intercept[Exception] {
