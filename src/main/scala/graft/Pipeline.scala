@@ -24,7 +24,12 @@ object Pipeline {
       "product_rollup", "product_performance", "product_rollup_windowed",
       "daily_order_analytics", "status_distribution", "revenue_analytics",
       "segment_counts", "mktsegment_value_counts", "batch_summary"),
-    "geo_analytics" -> Seq("geo_region_mask"))
+    "geo_analytics" -> Seq("geo_region_mask"),
+    // The reference DAG closes with validate_data_quality
+    // (cdc_etl_orchestration.py:294-323), which only checks cache-key
+    // existence; dq_report is its real implementation (referential
+    // orphans, duplicate PKs, null/domain violations).
+    "quality_validation" -> Seq("dq_report"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,
