@@ -79,6 +79,7 @@ object SparkEntry {
     "pricing_summary_sql" -> ((s, d) => BatchOps.pricingSummarySql(s, d)),
     "lang_pivot" -> ((s, d) => BatchOps.langPivot(s, d)),
     "daily_revenue_running" -> ((s, d) => BatchOps.dailyRevenueRunning(s, d)),
+    "daily_sales_dense" -> ((s, d) => BatchOps.dailySalesDense(s, d)),
     // --- LLM-pipeline text ops over documents (M4) ---
     "docs_exact_dedup" -> ((s, d) => TextOps.exactDedupGroups(s, d)),
     "docs_deduped" -> ((s, d) => TextOps.dedupedDocs(s, d)),
@@ -644,6 +645,7 @@ object SparkEntry {
     "pricing_summary_sql" -> BatchOps.pricingSummarySqlOracleSql,
     "lang_pivot" -> BatchOps.langPivotOracleSql,
     "daily_revenue_running" -> BatchOps.dailyRevenueRunningOracleSql,
+    "daily_sales_dense" -> BatchOps.dailySalesDenseOracleSql,
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
     "doc_chunks" -> TextOps.docChunksOracleSql,

@@ -534,6 +534,48 @@ object BatchOps {
        |WINDOW w7 AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
        |ORDER BY order_day""".stripMargin
 
+  /** Calendar densification — the date-spine pattern: generate every day
+    * between the first and last order date (a `sequence` explode off the
+    * one-row min/max aggregate — no driver round trip, no calendar
+    * table), left-join the daily sales, and zero-fill the gaps with an
+    * explicit `is_gap` marker. Downstream time-series consumers (moving
+    * averages, day-over-day deltas) need the dense spine or silently
+    * skip missing days. Spine cardinality is days-in-span — thousands of
+    * rows at any data scale, so the join broadcasts the daily aggregate
+    * side or the spine side, never the fact table. */
+  def dailySalesDense(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(moneySum(col("o_totalprice")).as("daily_sales"))
+    val spine = daily
+      .agg(min(col("order_day")).as("d0"), max(col("order_day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)"))
+        .as("order_day"))
+    spine.join(daily, Seq("order_day"), "left_outer")
+      .select(col("order_day"),
+        coalesce(col("daily_sales"), lit(0.0)).as("daily_sales"),
+        col("daily_sales").isNull.as("is_gap"))
+      .orderBy("order_day")
+  }
+
+  /** DuckDB oracle for [[dailySalesDense]]. */
+  private[graft] def dailySalesDenseOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS daily_sales
+       |  FROM orders GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(unnest(generate_series(
+       |    CAST((SELECT min(order_day) FROM d) AS TIMESTAMP),
+       |    CAST((SELECT max(order_day) FROM d) AS TIMESTAMP),
+       |    INTERVAL 1 DAY)) AS DATE) AS order_day)
+       |SELECT s.order_day,
+       |  coalesce(d.daily_sales, 0.0) AS daily_sales,
+       |  d.daily_sales IS NULL AS is_gap
+       |FROM s LEFT JOIN d USING (order_day)
+       |ORDER BY 1""".stripMargin
+
   /** Customer spend ranking — the ranking-function window surface:
     * quartile (`ntile`), `percent_rank`, and `cume_dist` over total
     * spend, tie-broken by key so every rank is deterministic in both
