@@ -696,7 +696,8 @@ object TextOps {
     * (the quality gate upstream is what caps document size in a real
     * pipeline), unlike a bucket membership whose size is data-coupled
     * across documents and therefore rank-capped. */
-  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyRollHash.register(spark)
     Tables.documents(spark, dir)
       // Null-text docs emit NO fingerprint row, by construction on BOTH
       // sides (the oracle filters identically): the inner posexplode
@@ -712,14 +713,18 @@ object TextOps {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("h"))))
         .as("hs"))
+      // The fold is the native poly_roll expression
+      // ([[graft.functions.PolyRollHash]]): the previous aggregate()
+      // HOF evaluated its lambda interpreted per token — cheap in a
+      // fresh JVM, multi-second jitter once the bench JVM carried
+      // enough generated code. Same left-to-right (pos-sorted)
+      // arithmetic; the oracle's list_reduce form is unchanged.
       .select(
         col("doc_id"),
         size(col("hs")).as("n_tokens"),
-        expr(
-          s"""aggregate(hs, cast(0 as bigint),
-                (acc, x) -> (acc * $RollBase + x.h) % $RollMod)""")
-          .as("roll_hash"))
+        expr(s"poly_roll(hs, ${RollBase}L, ${RollMod}L)").as("roll_hash"))
       .orderBy("doc_id")
+  }
 
   /** DuckDB oracle for [[rollingFingerprints]] — list_reduce has no
     * initial accumulator, so a 0 is prepended to match Spark's

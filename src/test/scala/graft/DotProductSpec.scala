@@ -71,6 +71,26 @@ class DotProductSpec extends GraftSpec {
       .select(expr("simhash60(hs)")).head.getLong(0) == 0L)
   }
 
+  test("poly_roll folds in array order and matches a scala fold") {
+    graft.functions.PolyRollHash.register(spark)
+    val b = 1048573L; val m = 2147483647L
+    val hs = Seq((0, 17L), (1, 99L), (2, 5L))
+    def ref(xs: Seq[Long]): Long = xs.foldLeft(0L)((a, h) => (a * b + h) % m)
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(expr(s"poly_roll(hs, ${b}L, ${m}L)")).head.getLong(0)
+    assert(got == ref(hs.map(_._2)))
+    // Order-SENSITIVE: reversing the array changes the fingerprint.
+    val rev = Seq(Tuple1(hs.reverse)).toDF("hs")
+      .select(expr(s"poly_roll(hs, ${b}L, ${m}L)")).head.getLong(0)
+    assert(rev == ref(hs.reverse.map(_._2)) && rev != got)
+    // Non-literal base/mod is rejected at registration-build time.
+    val e = intercept[Exception] {
+      Seq(Tuple1(hs)).toDF("hs")
+        .select(expr("poly_roll(hs, cast(rand()*10 as bigint), 7L)")).head
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("GraftExtensions injects both functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // Build a SECOND session on the same context with the extension
