@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32]; at 8g the old-gen fills over the run and later queries'
   // medians inflated 3-5× from GC (the container has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The JIT code cache is the other unbounded-growth JVM resource in a
+  // 73-query × 4-execution whole-stage-codegen bench: the 240 MB default
+  // fills mid-run, HotSpot silently stops compiling, and later queries
+  // run interpreted (round-7 example: product_rollup_windowed recorded
+  // 9.0 s in the full bench vs 0.92 s isolated, code unchanged).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -49,6 +49,7 @@ object Bench {
     val med = scala.collection.mutable.LinkedHashMap[String, Double]()
     val lo = scala.collection.mutable.LinkedHashMap[String, Double]()
     val hi = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val perRun = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -72,6 +73,9 @@ object Bench {
         med(name) = sorted(RUNS / 2)
         lo(name) = sorted.head
         hi(name) = sorted.last
+        // Execution order preserved (not sorted): bimodality across the
+        // run sequence is the diagnostic for JVM-accretion artifacts.
+        perRun(name) = runs.toSeq
       } catch { case e: Throwable =>
         failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         System.err.println(s"[bench] FAILED $name: ${failed(name)}")
@@ -92,8 +96,11 @@ object Bench {
     val total = med.values.sum
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${short(med)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+    val runsJson = perRun
+      .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")

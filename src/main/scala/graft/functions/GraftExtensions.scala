@@ -12,12 +12,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * gives a pure-SQL user (`spark-sql`, Thrift server, a notebook with no
-  * graft import) `vec_dot` and `simhash60` in every session, resolved to
-  * the same codegen'd expressions the library API uses. The operators in
-  * `graft.operators` do not REQUIRE the extension to be installed — they
-  * self-register through the session registry on first use
-  * ([[DotProduct.register]] / [[Simhash60.register]]) — so the injector
-  * exists for the SQL front door, not as a hidden dependency. */
+  * graft import) `vec_dot`, `simhash60`, `poly_roll`, and `quant_stats`
+  * in every session, resolved to the same codegen'd expressions the
+  * library API uses. The operators in `graft.operators` do not REQUIRE
+  * the extension to be installed — they self-register through the
+  * session registry on first use ([[DotProduct.register]] /
+  * [[Simhash60.register]] / [[PolyRollHash.register]] /
+  * [[QuantStats.register]]) — so the injector exists for the SQL front
+  * door, not as a hidden dependency. Keep the injected set equal to the
+  * registered-native set (spec-pinned in GraftExtensionsSpec). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -36,5 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"simhash60 takes 1 argument, got ${children.length}")
         Simhash60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_roll"),
+      new ExpressionInfo(classOf[PolyRollHash].getName, "poly_roll"),
+      PolyRollHash.fromChildren _))
+    ext.injectFunction((
+      new FunctionIdentifier("quant_stats"),
+      new ExpressionInfo(classOf[QuantStats].getName, "quant_stats"),
+      QuantStats.fromChildren _))
   }
 }

@@ -25,12 +25,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
 case class PolyRollHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
 
+  // The fold reads ordinal 1, so the field LAYOUT matters, not just the
+  // types: struct<h,pos> with the fields swapped would silently fold
+  // positions. Require the hash field to be NAMED `h` at ordinal 1 —
+  // a swapped struct fails analysis instead of fingerprinting garbage.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(s: StructType, _)
-        if s.length == 2 && s.fields(1).dataType == LongType =>
+        if s.length == 2 && s.fields(1).name == "h" &&
+          s.fields(1).dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"poly_roll requires array<struct<_, bigint>>, got ${t.catalogString}")
+      s"poly_roll requires array<struct<pos, h: bigint>> (hash field " +
+        s"named 'h' at ordinal 1), got ${t.catalogString}")
   }
 
   override def dataType: DataType = LongType
@@ -44,7 +50,11 @@ case class PolyRollHash(child: Expression, base: Long, mod: Long)
     var i = 0
     while (i < n) {
       require(!xs.isNullAt(i), s"poly_roll: null element at index $i")
-      acc = (acc * base + xs.getStruct(i, 2).getLong(1)) % mod
+      val h = xs.getStruct(i, 2).getLong(1)
+      // Java % returns negative for negative operands, diverging from the
+      // oracle's non-negative fold — reject rather than silently differ.
+      require(h >= 0L, s"poly_roll: negative hash $h at index $i")
+      acc = (acc * base + h) % mod
       i += 1
     }
     acc
@@ -56,6 +66,7 @@ case class PolyRollHash(child: Expression, base: Long, mod: Long)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val h = ctx.freshName("h")
       s"""
          |final int $n = $xs.numElements();
          |long $acc = 0L;
@@ -64,7 +75,12 @@ case class PolyRollHash(child: Expression, base: Long, mod: Long)
          |    throw new IllegalArgumentException(
          |      "poly_roll: null element at index " + $i);
          |  }
-         |  $acc = ($acc * ${base}L + $xs.getStruct($i, 2).getLong(1)) % ${mod}L;
+         |  final long $h = $xs.getStruct($i, 2).getLong(1);
+         |  if ($h < 0L) {
+         |    throw new IllegalArgumentException(
+         |      "poly_roll: negative hash " + $h + " at index " + $i);
+         |  }
+         |  $acc = ($acc * ${base}L + $h) % ${mod}L;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -75,23 +91,24 @@ case class PolyRollHash(child: Expression, base: Long, mod: Long)
 }
 
 object PolyRollHash {
-  /** Idempotent session registration: `poly_roll(arr, baseL, modL)` —
-    * base and mod must be literal bigints (they parameterize the
-    * generated code). */
+  /** Builder from SQL children: `poly_roll(arr, baseL, modL)` — base and
+    * mod must be literal integers (they parameterize the generated code).
+    * Shared by the session registry path and [[GraftExtensions]]. */
+  def fromChildren(children: Seq[Expression]): PolyRollHash = {
+    require(children.length == 3,
+      s"poly_roll takes 3 arguments, got ${children.length}")
+    def lit(e: Expression, what: String): Long = e match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"poly_roll: $what must be a literal integer, got $other")
+    }
+    PolyRollHash(children.head,
+      lit(children(1), "base"), lit(children(2), "mod"))
+  }
+
+  /** Idempotent session registration of `poly_roll(arr, baseL, modL)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_roll",
-      (children: Seq[Expression]) => {
-        require(children.length == 3,
-          s"poly_roll takes 3 arguments, got ${children.length}")
-        def lit(e: Expression, what: String): Long = e match {
-          case Literal(v: Long, LongType) => v
-          case Literal(v: Int, _) => v.toLong
-          case other => throw new IllegalArgumentException(
-            s"poly_roll: $what must be a literal integer, got $other")
-        }
-        PolyRollHash(children.head,
-          lit(children(1), "base"), lit(children(2), "mod"))
-      },
-      "internal")
+      "poly_roll", fromChildren _, "internal")
 }

@@ -743,10 +743,6 @@ object VectorOps {
     * storage; shared with the generated oracle). */
   val QuantLevels = 255
 
-  private def vminCol(c: String): Column =
-    (1 to Dim).map(elem(c, _)).reduce(least(_, _))
-  private def vmaxCol(c: String): Column =
-    (1 to Dim).map(elem(c, _)).reduce(greatest(_, _))
   private def vminSql(c: String): String =
     (1 to Dim).map(elemSql(c, _)).reduce((a, b) => s"least($a, $b)")
   private def vmaxSql(c: String): String =
@@ -764,20 +760,26 @@ object VectorOps {
     * (catches per-position swaps the plain sum would miss) — plus the
     * dequant params themselves. A flat vector (max = min) yields code 0
     * everywhere via the zero-range guard. Embarrassingly parallel: one
-    * codegen'd projection, no shuffle before the output sort. */
+    * codegen'd projection, no shuffle before the output sort.
+    *
+    * All four outputs come from ONE native loop
+    * ([[graft.functions.QuantStats]]): the previous projection unrolled
+    * ~256 expression terms per row (two full code(j) expansions plus
+    * 64-term least/greatest reduces) — the widest generated-code stage
+    * in the engine and a JIT/code-cache accretion driver in the
+    * 73-query bench JVM. The loop's running min/max equals the
+    * left-associated least/greatest chain and the per-element code
+    * arithmetic is unchanged, so the oracle SQL (still unrolled) remains
+    * bit-identical. */
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
-    def code(j: Int): Column =
-      when(col("v_max") > col("v_min"),
-        floor(((elem("embedding", j) - col("v_min")) * lit(QuantLevels)) /
-          (col("v_max") - col("v_min"))).cast("bigint"))
-        .otherwise(lit(0L))
+    graft.functions.QuantStats.register(spark)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        vminCol("embedding").as("v_min"), vmaxCol("embedding").as("v_max"))
-      .select(col("vec_id"), col("v_min"), col("v_max"),
-        (1 to Dim).map(code).reduce(_ + _).as("code_sum"),
-        (1 to Dim).map(j => lit(j) * code(j)).reduce(_ + _)
-          .as("code_possum"))
+      .select(col("vec_id"),
+        expr(s"quant_stats(embedding, $QuantLevels)").as("q"))
+      .select(col("vec_id"),
+        col("q.v_min").as("v_min"), col("q.v_max").as("v_max"),
+        col("q.code_sum").as("code_sum"),
+        col("q.code_possum").as("code_possum"))
       .orderBy("vec_id")
   }
 

@@ -76,22 +76,43 @@ class DotProductSpec extends GraftSpec {
     val b = 1048573L; val m = 2147483647L
     val hs = Seq((0, 17L), (1, 99L), (2, 5L))
     def ref(xs: Seq[Long]): Long = xs.foldLeft(0L)((a, h) => (a * b + h) % m)
-    val got = Seq(Tuple1(hs)).toDF("hs")
+    // The expression requires the production field layout (pos, h) by
+    // NAME — tuple columns (_1, _2) must not resolve (see below).
+    def named(rows: Seq[(Int, Long)]) = Seq(Tuple1(rows)).toDF("raw")
+      .select(expr("transform(raw, x -> named_struct('pos', x._1, 'h', x._2))")
+        .as("hs"))
+    val got = named(hs)
       .select(expr(s"poly_roll(hs, ${b}L, ${m}L)")).head.getLong(0)
     assert(got == ref(hs.map(_._2)))
     // Order-SENSITIVE: reversing the array changes the fingerprint.
-    val rev = Seq(Tuple1(hs.reverse)).toDF("hs")
+    val rev = named(hs.reverse)
       .select(expr(s"poly_roll(hs, ${b}L, ${m}L)")).head.getLong(0)
     assert(rev == ref(hs.reverse.map(_._2)) && rev != got)
     // Non-literal base/mod is rejected at registration-build time.
     val e = intercept[Exception] {
-      Seq(Tuple1(hs)).toDF("hs")
+      named(hs)
         .select(expr("poly_roll(hs, cast(rand()*10 as bigint), 7L)")).head
     }
     assert(e.getMessage.contains("literal"))
+    // SWAPPED field layout struct<h,pos> fails analysis instead of
+    // silently folding positions (the fold reads ordinal 1 by name 'h').
+    val swapped = intercept[Exception] {
+      Seq(Tuple1(hs)).toDF("raw")
+        .select(expr("transform(raw, x -> named_struct('h', cast(x._2 as bigint), 'pos', cast(x._1 as bigint)))").as("hs"))
+        .select(expr(s"poly_roll(hs, ${b}L, ${m}L)")).head
+    }
+    assert(swapped.getMessage.contains("poly_roll"))
+    // Negative hash values diverge from the oracle's non-negative fold —
+    // loud failure, not a silently different fingerprint.
+    val neg = intercept[Exception] {
+      named(Seq((0, -5L)))
+        .select(expr(s"poly_roll(hs, ${b}L, ${m}L)")).head
+    }
+    assert(neg.getMessage.contains("negative") ||
+      String.valueOf(neg.getCause).contains("negative"))
   }
 
-  test("GraftExtensions injects both functions via spark.sql.extensions") {
+  test("GraftExtensions injects all three natives via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // Build a SECOND session on the same context with the extension
     // configured — the pure-SQL registration path, no graft API calls.
@@ -111,14 +132,64 @@ class DotProductSpec extends GraftSpec {
       val r = s2.sql(
         """SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
           |               array(cast(3.0 as float), cast(4.0 as float))) AS d,
-          |       simhash60(array(cast(3 as bigint))) AS s""".stripMargin)
+          |       simhash60(array(cast(3 as bigint))) AS s,
+          |       poly_roll(array(named_struct('pos', 0L, 'h', 7L),
+          |                       named_struct('pos', 1L, 'h', 3L)),
+          |                 10L, 97L) AS p""".stripMargin)
         .head
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == 3L)
+      assert(r.getLong(2) == (7L * 10L + 3L) % 97L)
+      // The injected set must equal the registered-native set: every
+      // native the library self-registers resolves via the injector too.
+      val injected = Seq("vec_dot", "simhash60", "poly_roll", "quant_stats")
+      injected.foreach { f =>
+        assert(s2.catalog.functionExists(f), s"$f not injected")
+      }
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("quant_stats matches the unrolled min-max-floor arithmetic") {
+    graft.functions.QuantStats.register(spark)
+    val xs = Array.tabulate(64)(j => (j * 0.73f - 11.2f) * (if (j % 5 == 0) -1 else 1))
+    // Reference: left-associated least/greatest chain + per-element
+    // floor codes — the exact arithmetic the old unrolled projection used.
+    val ds = xs.map(_.toDouble)
+    val mn = ds.reduceLeft(math.min); val mx = ds.reduceLeft(math.max)
+    def code(x: Double): Long =
+      if (mx > mn) math.floor(((x - mn) * 255.0) / (mx - mn)).toLong else 0L
+    val wantSum = ds.map(code).sum
+    val wantPos = ds.zipWithIndex.map { case (x, i) => (i + 1) * code(x) }.sum
+    val r = Seq(Tuple1(xs)).toDF("e")
+      .select(expr("quant_stats(e, 255)").as("q"))
+      .select("q.v_min", "q.v_max", "q.code_sum", "q.code_possum").head
+    assert(r.getDouble(0) == mn && r.getDouble(1) == mx)
+    assert(r.getLong(2) == wantSum && r.getLong(3) == wantPos)
+    // Interpreted path agrees with codegen.
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.functions.QuantStats(lit.create(xs), 255).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(interp.getDouble(0) == mn && interp.getDouble(1) == mx)
+    assert(interp.getLong(2) == wantSum && interp.getLong(3) == wantPos)
+    // Flat vector → all codes 0; empty array → null; null array → null.
+    val flat = Seq(Tuple1(Array.fill(4)(2.5f))).toDF("e")
+      .select(expr("quant_stats(e, 255)").as("q"))
+      .select("q.code_sum", "q.code_possum").head
+    assert(flat.getLong(0) == 0L && flat.getLong(1) == 0L)
+    assert(Seq(Tuple1(Array.empty[Float])).toDF("e")
+      .select(expr("quant_stats(e, 255)")).head.isNullAt(0))
+    assert(Seq(Tuple1(xs)).toDF("e")
+      .select(expr("quant_stats(cast(null as array<float>), 255)"))
+      .head.isNullAt(0))
+    // Non-literal levels rejected at build time.
+    val e = intercept[Exception] {
+      Seq(Tuple1(xs)).toDF("e")
+        .select(expr("quant_stats(e, cast(rand()*10 as int))")).head
+    }
+    assert(e.getMessage.contains("literal"))
   }
 
   test("vec_dot rejects non-array inputs at analysis time") {
