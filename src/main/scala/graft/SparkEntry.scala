@@ -61,6 +61,7 @@ object SparkEntry {
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
     "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
     "daily_distinct_users" -> ((s, d) => CdcOps.dailyDistinctUsers(s, d)),
+    "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
@@ -400,6 +401,17 @@ object SparkEntry {
     // shard/re-aggregate is exactly distinct-count-equivalent.
     "daily_distinct_users" ->
       """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // The Spark side is the STREAMING dailyActiveUsers code run in batch
+    // (window-struct dedup + windowed count): the hash match anchors the
+    // streaming twin's semantics to the oracle. Epoch-aligned UTC day
+    // windows == date_trunc('day') for any positive-epoch timestamp.
+    "daily_active_users" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         |  count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1

@@ -429,7 +429,10 @@ object BatchOps {
     * the three grouping levels cost one shuffle, not three scans.
     * `grouping_id` disambiguates a subtotal row from a genuine null
     * group value, and rides the output because DuckDB's ROLLUP emits
-    * the same ids — the standard OLAP cube surface. */
+    * the same ids — the standard OLAP cube surface. Null placement in
+    * the output order is pinned explicitly on BOTH engines (Spark
+    * defaults ASC NULLS FIRST, DuckDB NULLS LAST): a genuinely-null
+    * group value at grain 0 must sort identically everywhere. */
   def corpusRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .rollup(col("source"), col("lang"))
@@ -437,17 +440,19 @@ object BatchOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         grouping_id().as("grain"))
-      .orderBy(col("grain"), col("source"), col("lang"))
+      .orderBy(col("grain").asc_nulls_first, col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
 
   /** DuckDB oracle for [[corpusRollup]] (GROUPING returns the same
-    * bit-packed id as Spark's grouping_id for the same column order). */
+    * bit-packed id as Spark's grouping_id for the same column order;
+    * NULLS FIRST pins null placement to match Spark's default). */
   private[graft] def corpusRollupOracleSql: String =
     s"""SELECT source, lang, count(*) AS n_docs,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |  GROUPING(source, lang) AS grain
        |FROM documents
        |GROUP BY ROLLUP (source, lang)
-       |ORDER BY grain, source, lang""".stripMargin
+       |ORDER BY grain NULLS FIRST, source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
   /** Languages pivoted into fixed columns by [[langPivot]] (shared with
     * the oracle; a FIXED list — pivoting on discovered values would make
@@ -620,10 +625,20 @@ object BatchOps {
     * that a SQL-speaking user of the reference can run ANSI SQL against
     * this engine verbatim: the oracle string below differs only in the
     * decimal cast spelling. TPC-H Q1-shaped: returnflag/linestatus
-    * pricing rollup with exact decimal sums. */
+    * pricing rollup with exact decimal sums.
+    *
+    * Catalog hygiene: the temp view exists only for the duration of
+    * this call — a uniquely-named view is registered, resolved (Dataset
+    * analysis is eager, so the returned plan no longer needs the
+    * catalog entry), and dropped. A fixed global name would clobber a
+    * user's own view of the same name and leak catalog state between
+    * concurrent callers; every other operator is catalog-side-effect
+    * free and this one now is too. */
   def pricingSummarySql(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
-    spark.sql(
+    val view = "graft_lineitem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.lineitem(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -631,9 +646,10 @@ object BatchOps {
          |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
          |    AS DOUBLE) AS sum_disc_price,
          |  count(*) AS count_order
-         |FROM lineitem_v
+         |FROM $view
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** DuckDB oracle for [[pricingSummarySql]] — the same ANSI text. */

@@ -225,25 +225,51 @@ object CdcOps {
       Seq("day"), "user_id", "n_users")
       .orderBy("day")
 
-  /** Audience overlap via explicit set operations: how the ordering
-    * population and the event-emitting population intersect — INTERSECT
-    * and EXCEPT over the two key sets, counted. Spark compiles both to
-    * the same aggregate/anti-join physicals the DQ checks use, but the
-    * declarative set-op form is the surface a SQL consumer reaches for;
-    * key sets deduplicate before comparing (set, not bag, semantics).
-    * One row: the three disjoint region sizes. */
-  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val orderUsers = Tables.orders(spark, dir)
-      .select(col("o_custkey").as("id")).distinct()
-    val eventUsers = Tables.events(spark, dir)
-      .select(col("user_id").as("id")).distinct()
-    orderUsers.intersect(eventUsers)
-      .agg(count(lit(1)).as("n_both"))
-      .crossJoin(orderUsers.except(eventUsers)
-        .agg(count(lit(1)).as("n_orders_only")))
-      .crossJoin(eventUsers.except(orderUsers)
-        .agg(count(lit(1)).as("n_events_only")))
-  }
+  /** Oracle anchor for the STREAMING daily-active-users: runs
+    * [[graft.streaming.StreamOps.dailyActiveUsers]] — the exact code
+    * the stream runs, window-struct dedup and all — over the batch
+    * events table (`withWatermark` is a no-op on a batch frame, so the
+    * plan is the same dedup + windowed count). The streaming twin's
+    * semantics are thereby hash-checked against DuckDB, not just
+    * spec-asserted: day buckets are the same epoch-aligned UTC windows,
+    * dedup is per (user, day window), and the count is exact distinct.
+    * The StreamOpsSpec fixture separately proves the stream emits these
+    * same rows incrementally across micro-batches. */
+  def dailyActiveUsersBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.dailyActiveUsers(Tables.events(spark, dir))
+      .orderBy("day_start")
+
+  /** Audience overlap: how the ordering population and the
+    * event-emitting population intersect — the three disjoint Venn
+    * region sizes in one row, with set (not bag) semantics per side.
+    *
+    * Single-pass union + side-tag aggregate, NOT three INTERSECT/EXCEPT
+    * branches: the set-op form scans and deduplicates each key set once
+    * per region (orders twice, events three times in total) — at 100 TB
+    * that is two scans of the fact table too many. Here each side is
+    * scanned ONCE, tagged with a membership flag, and one groupBy(id)
+    * max-aggregate (map-side partials dedupe before the shuffle)
+    * produces per-key membership; a final scalar aggregate counts the
+    * regions. The DuckDB oracle keeps the INTERSECT/EXCEPT formulation,
+    * proving the one-pass decomposition set-op-equivalent (NULL keys
+    * included: set ops match NULLs, and groupBy groups them the same
+    * way). */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("id"),
+        lit(1).as("in_o"), lit(0).as("in_e"))
+      .unionByName(Tables.events(spark, dir)
+        .select(col("user_id").as("id"),
+          lit(0).as("in_o"), lit(1).as("in_e")))
+      .groupBy("id")
+      .agg(max(col("in_o")).as("in_o"), max(col("in_e")).as("in_e"))
+      .agg(
+        count(when(col("in_o") === 1 && col("in_e") === 1, lit(1)))
+          .as("n_both"),
+        count(when(col("in_o") === 1 && col("in_e") === 0, lit(1)))
+          .as("n_orders_only"),
+        count(when(col("in_o") === 0 && col("in_e") === 1, lit(1)))
+          .as("n_events_only"))
 
   /** DuckDB oracle for [[audienceOverlap]]. */
   private[graft] def audienceOverlapOracleSql: String =

@@ -821,64 +821,114 @@ object TextOps {
        |WHERE rk <= $StratumSampleK
        |ORDER BY lang, rk""".stripMargin
 
-  /** Near-dup CLUSTERS from near-dup pairs: connected components over
-    * the capped-Jaccard edge set, labeled by the component's minimum
-    * doc_id — the step that turns pairwise detections into dedup groups
-    * (keep `component_id`, drop the rest). Iterative min-label
-    * propagation: every vertex repeatedly adopts the smallest label in
-    * its neighborhood until a fixpoint — the degenerate-but-standard
-    * form of large-star/small-star connected components, converging in
-    * ≤ graph-diameter rounds (near-dup clusters are shallow; the cap
-    * below is generous). Each round is one join + one min-aggregate —
-    * hash shuffles on the vertex key — and the driver only ever sees a
-    * ONE-SCALAR convergence count per round (the anchor-collect
-    * pattern, not a data collect). `localCheckpoint` cuts the growing
-    * lineage so round N's plan does not replay rounds 1..N−1. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+  /** Min-label propagation with pointer doubling over a SYMMETRIC edge
+    * list `(doc_a, doc_b)`: every vertex repeatedly adopts the smallest
+    * label in its neighborhood, then hops to its label's label
+    * (`label := label(label)`) — the shortcutting step of
+    * Shiloach-Vishkin-style connected components. Labels are always
+    * component-internal vertex ids and only ever decrease, so the hop
+    * preserves correctness while squaring the distance a minimum
+    * travels per round: a diameter-d component converges in O(log d)
+    * rounds instead of d (spec-pinned on a path fixture: a 16-path
+    * closes in 4 rounds, where plain propagation needs 15). Each round
+    * is one edges⋈labels join + min-aggregate + one labels⋈labels hop
+    * join — the hop joins the SMALL label table with itself, not the
+    * edge set, so the added per-round cost is |V|-scale while the saved
+    * rounds are |E|-scale. The driver only ever sees a ONE-SCALAR
+    * convergence count per round (the anchor-collect pattern, not a
+    * data collect). `localCheckpoint` cuts the growing lineage so round
+    * N's plan does not replay rounds 1..N−1; superseded checkpoints are
+    * unpersisted on EVERY exit path (localCheckpoint blocks otherwise
+    * live until RDD GC — a non-convergence abort must not leak them).
+    *
+    * Returns the fixpoint labels `(v, label)` and the round count. */
+  private[graft] def propagateMinLabels(edges: DataFrame): (DataFrame, Int) = {
     // Seed with round 1 for free: label₀(v) = min(v, min N(v)) is one
-    // aggregate over the edge list — a full propagation round costs a
-    // join + aggregate + join, so starting one step in saves the most
-    // expensive round (singleton-free graphs converge in diameter−1
-    // further rounds).
-    var labels = edges.groupBy(col("doc_a").as("v"))
+    // aggregate over the edge list — a full propagation round costs
+    // strictly more, so starting one step in saves the most expensive
+    // round.
+    var labelsCp = edges.groupBy(col("doc_a").as("v"))
       .agg(min(col("doc_b")).as("nmin"))
       .select(col("v"), least(col("v"), col("nmin")).as("label"))
       .localCheckpoint()
     val MaxRounds = 20
     var round = 0
     var converged = false
-    // Superseded checkpoints are unpersisted on exit: localCheckpoint
-    // blocks otherwise live until RDD GC, and a caller looping this
-    // operator (or a bench re-running it) would accumulate every
-    // round's blocks in the block manager. Only the FINAL labels
-    // checkpoint — the one the returned plan reads — survives.
-    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
-    while (!converged && round < MaxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("v"))
-        .groupBy(edges("doc_a").as("nv"))
-        .agg(min(col("label")).as("nlabel"))
-      val next = labels
-        .join(neighborMin, labels("v") === col("nv"), "left_outer")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (col("nlabel") < col("label")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      superseded += labels
-      labels = next.select(col("v"), col("label"))
-      round += 1
-    }
-    require(converged, s"label propagation did not converge in $MaxRounds")
-    superseded.foreach(_.unpersist())
-    labels
-      .select(col("v").as("doc_id"), col("label").as("component_id"))
+    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      while (!converged && round < MaxRounds) {
+        val labels = labelsCp.select(col("v"), col("label"))
+        val neighborMin = edges
+          .join(labels, edges("doc_b") === labels("v"))
+          .groupBy(edges("doc_a").as("nv"))
+          .agg(min(col("label")).as("nlabel"))
+        val stepped = labels
+          .join(neighborMin, labels("v") === col("nv"), "left_outer")
+          .select(col("v"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label"))
+        // Pointer doubling: adopt label(label(v)). Every label value is
+        // itself a vertex (a min over component vertex ids), so the
+        // self-join resolves; left_outer + coalesce keeps the row if a
+        // label has no own row (cannot happen on symmetric input, but
+        // correctness must not depend on it).
+        val hopped = stepped.as("a")
+          .join(stepped.select(col("v").as("lv"), col("label").as("llabel"))
+            .as("b"),
+            col("a.label") === col("b.lv"), "left_outer")
+          .select(col("a.v").as("v"),
+            least(col("a.label"), coalesce(col("llabel"), col("a.label")))
+              .as("label"),
+            col("a.prev").as("prev"))
+          .select(col("v"), col("label"),
+            // Labels only decrease: changed ⇔ strictly smaller.
+            (col("label") < col("prev")).as("changed"))
+          .localCheckpoint()
+        converged = hopped.filter(col("changed")).limit(1).count() == 0
+        superseded += labelsCp
+        labelsCp = hopped
+        round += 1
+      }
+      require(converged, s"label propagation did not converge in $MaxRounds")
+    } catch {
+      // On any failure the current checkpoint is dead too — release it
+      // (on success it backs the returned plan and must survive).
+      case t: Throwable => labelsCp.unpersist(); throw t
+    } finally superseded.foreach(_.unpersist())
+    (labelsCp.select(col("v"), col("label")), round)
+  }
+
+  /** Near-dup CLUSTERS from near-dup pairs: connected components over
+    * the capped-Jaccard edge set, labeled by the component's minimum
+    * doc_id — the step that turns pairwise detections into dedup groups
+    * (keep `component_id`, drop the rest).
+    *
+    * The component search is GraphX `connectedComponents` — Spark's own
+    * operator for exactly this, and the one place in the engine where
+    * the RDD layer earns its keep: Pregel's per-iteration cost is an
+    * in-memory join over cached vertex/edge RDDs with only still-active
+    * vertices participating, no per-round eager materialization or
+    * driver round-trip. Measured against the DataFrame alternatives at
+    * sf0.1 (1557 vertices, 13-18 round convergence): GraphX 1.6 s vs
+    * 3.5 s for batched min-label propagation and 3.7 s for
+    * hash-to-min — DataFrame rounds pay fixed per-round
+    * checkpoint+convergence-job overhead that Pregel does not. GraphX
+    * CC assigns every vertex the component's minimum vertex id,
+    * deterministically, which is precisely this operator's contract
+    * (recursive-CTE oracle). Undirected semantics are built in, so the
+    * pair list needs no symmetrization. At 100 TB: diameter-bound
+    * iterations over an edge set that is already blocked AND df-capped
+    * upstream; vertices = docs with ≥1 near-dup pair only.
+    * [[propagateMinLabels]] remains as the pure-DataFrame path (spec:
+    * "pointer doubling closes a 16-path in O(log d) rounds"). */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
+      .select(col("doc_a"), col("doc_b"))
+    val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+    spark.createDataFrame(cc)
+      .toDF("doc_id", "component_id")
       .orderBy("doc_id")
   }
 
