@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Measurement harness for the ANN quality knobs: recall@1 of the IVF
+  * variants against the exact brute-force nearest neighbor, per Lloyd
+  * iteration count (0 = the untrained stride-sampled quantizer of
+  * `annIvfTop1`). Dev tool — run with
+  * `sbt "runMain graft.RecallSweep [sfDir]"`; the measured numbers are
+  * documented at [[VectorOps.LloydIters]]. Not part of the driver
+  * contract (Verify/Bench) and registered in no query map. */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.DotProduct.register(spark)
+    // Exact top-1 by brute force (N² dots — the harness runs at small SF
+    // only; the engine's scalable exact path is cosineTopK's broadcast
+    // form). Same (cosine desc, c_id asc) tiebreak as the ANN queries.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("norm"))
+    val q = e.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val exact = q.crossJoin(broadcast(c))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        expr("vec_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c"))).as("best"))
+      .select(col("q_id"), (-col("best.neg_c")).as("exact_c"))
+      .cache()
+    val total = exact.count().toDouble
+    for (iters <- 0 to 3) {
+      val ann =
+        if (iters == 0) VectorOps.annIvfTop1(spark, dir)
+        else VectorOps.annIvfTrainedTop1Iter(spark, dir, iters)
+      val hits = ann.select(col("q_id"), col("c_id"))
+        .join(exact, "q_id")
+        .filter(col("c_id") === col("exact_c"))
+        .count()
+      println(f"lloyd_iters=$iters%d recall@1=${hits / total}%.3f " +
+        f"(nprobe=${VectorOps.NProbe}%d, n=${total.toLong}%d)")
+    }
+    spark.stop()
+  }
+}

@@ -108,6 +108,7 @@ object SparkEntry {
     // --- multimodal columns: binary payloads + nested structs ---
     "binary_doc_stats" -> ((s, d) => MultiModalOps.binaryDocStats(s, d)),
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
+    "wav_features" -> ((s, d) => MultiModalOps.wavFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
     "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
@@ -718,6 +719,13 @@ object SparkEntry {
          |  md5(substr(text, 1, ${MultiModalOps.PageChars})) AS first_page_md5
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    // Real-codec roundtrip: the Spark side builds genuine RIFF/WAVE
+    // bytes and parses them back with a chunk-walking decoder; the
+    // oracle recomputes the features from (doc_id, length(text)) alone,
+    // never seeing the container, so a hash match proves byte-level
+    // encode/parse correctness.
+    "wav_features" -> MultiModalOps.wavFeaturesOracleSql,
 
     // Vector-query oracles are GENERATED from the same unrolled
     // arithmetic + hyperplane constants the Spark queries use

@@ -15,6 +15,17 @@ case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Int, n_distinct_bytes: Int,
     max_run_length: Int, byte_mean: Double)
 
+/** One real WAV container payload awaiting decode. */
+case class WavPayload(doc_id: Long, payload: Array[Byte])
+
+/** Features extracted by genuinely parsing a RIFF/WAVE container: the
+  * format fields come from the `fmt ` chunk, the sample statistics from
+  * walking the `data` chunk's little-endian PCM16 frames. All-integer so
+  * the DuckDB oracle hash-matches exactly. */
+case class WavFeatures(
+    doc_id: Long, sample_rate: Int, n_channels: Int, bits_per_sample: Int,
+    n_samples: Long, container_bytes: Int, peak_abs: Int, energy: Long)
+
 /** Multimodal-column operators (builder-brief extension; no reference
   * counterpart — the reference is purely relational/JSON).
   *
@@ -22,11 +33,13 @@ case class MediaFeatures(
   * operators exercise: an opaque `binary` payload column with typed
   * metadata beside it, nested array-of-struct columns for per-segment
   * structure (pages/frames/windows), and a partition-parallel decode
-  * stage. The container has no image/audio codecs, so `decodeStub`
-  * substitutes a deterministic byte-statistics "decoder" — the Spark-side
-  * plumbing (schema, batching, partition parallelism, feature row shape)
-  * is the real thing and is what the specs test; swapping in a JNI/
-  * library decoder changes one function body, not the pipeline.
+  * stage. Two decoders ride that stage: [[wavDecode]], a REAL RIFF/WAVE
+  * parser (the format is a public byte layout, so no codec library is
+  * needed — chunk walking, fmt fields, LE PCM16 samples, oracle-checked
+  * end to end), and [[decodeStub]], a deterministic byte-statistics
+  * stand-in for formats whose codecs this container lacks (JPEG/OPUS/
+  * H.264). Swapping a JNI/library decoder into the stub changes one
+  * function body, not the pipeline.
   */
 object MultiModalOps {
 
@@ -130,4 +143,157 @@ object MultiModalOps {
         lit("text/plain").as("media_type"))
       .as[MediaPayload]
   }
+
+  // --------------------------------------------------------------------
+  // Real codec: RIFF/WAVE (PCM16 mono). The container has no image/audio
+  // libraries, but WAVE needs none — the format is a public byte layout
+  // (RIFF chunks + little-endian PCM), so the decode stage can be a REAL
+  // parser rather than a stub: it validates magics, walks the chunk
+  // list, reads the format fields out of `fmt `, and computes sample
+  // statistics from the `data` frames. Any byte-offset or endianness bug
+  // in EITHER the encoder or the parser breaks the oracle hash match,
+  // because the DuckDB oracle recomputes the features from first
+  // principles without ever seeing the container.
+  // --------------------------------------------------------------------
+
+  /** Synthesized-audio parameters: PCM16 mono at 8 kHz; one sample per
+    * text character, clamped to [1, [[WavMaxSamples]]]. */
+  val WavSampleRate = 8000
+  val WavMaxSamples = 256
+
+  /** Deterministic PCM sample `i` for document `docId` — a full-range
+    * 16-bit value derived from (docId, i) so the oracle can recompute it
+    * in SQL without the container. */
+  @inline def wavSample(docId: Long, i: Int): Int =
+    (((docId * 31L + i * 17L) % 65536L) - 32768L).toInt
+
+  /** Encode a genuine RIFF/WAVE container: `RIFF` header, `fmt ` chunk
+    * (PCM, mono, 8 kHz, 16-bit), `data` chunk with little-endian PCM16
+    * samples. Runs partition-parallel over (doc_id, n_samples) rows —
+    * the synth stage of the pipeline; a real corpus would carry these
+    * bytes in from storage instead. */
+  def wavEncode(rows: Dataset[(Long, Int)]): Dataset[WavPayload] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { case (docId, n) =>
+        val dataBytes = 2 * n
+        val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII"))
+        buf.putInt(36 + dataBytes)              // RIFF payload size
+        buf.put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII"))
+        buf.putInt(16)                          // PCM fmt chunk size
+        buf.putShort(1)                         // audio format: PCM
+        buf.putShort(1)                         // channels: mono
+        buf.putInt(WavSampleRate)
+        buf.putInt(WavSampleRate * 2)           // byte rate
+        buf.putShort(2)                         // block align
+        buf.putShort(16)                        // bits per sample
+        buf.put("data".getBytes("US-ASCII"))
+        buf.putInt(dataBytes)
+        var i = 0
+        while (i < n) { buf.putShort(wavSample(docId, i).toShort); i += 1 }
+        WavPayload(docId, buf.array())
+      }
+    }
+  }
+
+  /** REAL RIFF/WAVE parser: validates the `RIFF`/`WAVE` magics and the
+    * declared RIFF size, walks the chunk list (honoring odd-size pad
+    * bytes, as the spec requires), reads the PCM format fields from
+    * `fmt `, then iterates the `data` chunk's little-endian 16-bit
+    * frames for peak amplitude and total energy (sum of squares — exact
+    * in Long for any payload < 2⁴⁵ samples). Malformed containers throw
+    * (corruption is a signal, not a skip). Partition-parallel, one
+    * output row per payload — the decode-stage contract. */
+  def wavDecode(payloads: Dataset[WavPayload]): Dataset[WavFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+        require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+          s"wav_decode: not a RIFF/WAVE container (doc ${p.doc_id})")
+        require(u32(4) == b.length - 8,
+          s"wav_decode: RIFF size ${u32(4)} != ${b.length - 8} (doc ${p.doc_id})")
+        var off = 12
+        var sampleRate = -1; var channels = -1; var bits = -1
+        var blockAlign = -1; var dataOff = -1; var dataLen = -1L
+        while (off + 8 <= b.length) {
+          val id = tag(off); val sz = u32(off + 4)
+          require(off + 8 + sz <= b.length,
+            s"wav_decode: chunk '$id' overruns container (doc ${p.doc_id})")
+          id match {
+            case "fmt " =>
+              require(u16(off + 8) == 1,
+                s"wav_decode: not PCM (doc ${p.doc_id})")
+              channels = u16(off + 10)
+              sampleRate = u32(off + 12).toInt
+              blockAlign = u16(off + 20)
+              bits = u16(off + 22)
+            case "data" => dataOff = off + 8; dataLen = sz
+            case _ => // unknown chunks are legal; skip
+          }
+          off += 8 + sz.toInt + (sz.toInt & 1) // odd chunks carry a pad byte
+        }
+        require(sampleRate > 0 && dataOff >= 0,
+          s"wav_decode: missing fmt/data chunk (doc ${p.doc_id})")
+        require(bits == 16 && channels == 1,
+          s"wav_decode: expected PCM16 mono (doc ${p.doc_id})")
+        val nSamples = dataLen / blockAlign
+        var i = 0; var peak = 0; var energy = 0L
+        while (i < nSamples) {
+          val s = u16(dataOff + 2 * i).toShort.toInt // sign-extend LE16
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          energy += s.toLong * s.toLong
+          i += 1
+        }
+        WavFeatures(p.doc_id, sampleRate, channels, bits, nSamples,
+          b.length, peak, energy)
+      }
+    }
+  }
+
+  /** End-to-end codec query: synthesize one genuine WAV container per
+    * document (sample count = clamped text length), parse it back with
+    * the real chunk walker, and emit the all-integer features. The
+    * oracle recomputes every feature from (doc_id, length(text)) alone —
+    * it never sees the bytes — so a hash match proves the full encode →
+    * container → parse → features loop is byte-correct. */
+  def wavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(greatest(coalesce(length(col("text")), lit(0)), lit(1)),
+          lit(WavMaxSamples)).cast("int").as("n"))
+      .as[(Long, Int)]
+    wavDecode(wavEncode(in)).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[wavFeatures]] — features from first principles
+    * (the sample formula in SQL), independent of the container bytes. */
+  private[graft] def wavFeaturesOracleSql: String =
+    s"""SELECT doc_id,
+       |  $WavSampleRate AS sample_rate,
+       |  1 AS n_channels,
+       |  16 AS bits_per_sample,
+       |  CAST(n AS BIGINT) AS n_samples,
+       |  CAST(44 + 2 * n AS INT) AS container_bytes,
+       |  CAST(list_max(list_transform(range(n),
+       |    i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS INT)
+       |    AS peak_abs,
+       |  CAST(list_sum(list_transform(range(n),
+       |    i -> ((doc_id * 31 + i * 17) % 65536 - 32768)
+       |       * ((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT)
+       |    AS energy
+       |FROM (SELECT doc_id,
+       |        least(greatest(coalesce(length(text), 0), 1), $WavMaxSamples) AS n
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 }

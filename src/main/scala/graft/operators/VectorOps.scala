@@ -73,6 +73,18 @@ object VectorOps {
     * is the knob working. */
   val NProbe = 2
 
+  /** Lloyd iterations for the TRAINED coarse quantizer
+    * ([[annIvfTrainedTop1]]): each iteration is the same
+    * assign-then-mean plan shape repeated (a constant, not a
+    * data-dependent loop — the oracle SQL is generated with the same
+    * count). Recall@1 vs exact brute force on the sf0.01 corpus at
+    * nprobe=2, measured by [[graft.RecallSweep]]: 0.332 untrained →
+    * 0.382 at 1 iter → 0.404 at 2 → 0.410 at 3. Two iterations buy the
+    * bulk of the k-means convergence at one extra N×C fan-out; the tail
+    * is asymptotic (the near-uniform synthetic corpus has little cluster
+    * structure left to learn). */
+  val LloydIters = 2
+
   /** Terms per sparse hyperplane: each projection reads 8 of the 64 dims
     * with ±1 coefficients (sparse random projections à la Achlioptas).
     * Dense 64-coefficient hyperplanes would be 2048 expression terms per
@@ -463,23 +475,32 @@ object VectorOps {
       .orderBy("q_id")
   }
 
-  /** IVF with a TRAINED coarse quantizer — one Lloyd iteration on top of
-    * the stride-sampled init, then the same capped-cell nprobe search as
-    * [[annIvfTop1]]: assign every vector to its nearest init centroid,
-    * recompute each cell's centroid as the per-dimension MEAN, and
-    * search against the trained set. The means ride DECIMAL(28,12) sums
-    * (order-independent, so bit-identical at any partition count and in
-    * both engines) and divide as doubles; empty cells (an init sample
-    * captured by a duplicate's lower id) simply drop out. One iteration
-    * is where quantizer quality jumps — centroids move from arbitrary
-    * sample points to density-weighted cell centers; further iterations
-    * are the same plan shape repeated (a constant, not a data-dependent
-    * loop). Measured recall@1 vs exact brute force on the sf0.01
-    * corpus: 0.382 trained vs 0.332 untrained at the same nprobe=2
-    * probe cost (+15% relative even on this near-uniform synthetic
-    * corpus; clustered real embeddings gain far more). Costs one extra
-    * N×C fan-out + one 64-column mean aggregate over [[annIvfTop1]]. */
-  def annIvfTrainedTop1(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF with a TRAINED coarse quantizer — [[LloydIters]] Lloyd
+    * iterations on top of the stride-sampled init, then the same
+    * capped-cell nprobe search as [[annIvfTop1]]: each iteration assigns
+    * every vector to its nearest current centroid and recomputes each
+    * cell's centroid as the per-dimension MEAN. The means ride
+    * DECIMAL(28,12) sums (order-independent, so bit-identical at any
+    * partition count and in both engines) and divide as doubles; empty
+    * cells (an init sample captured by a duplicate's lower id) simply
+    * drop out. The first iteration is where quantizer quality jumps —
+    * centroids move from arbitrary sample points to density-weighted
+    * cell centers; later iterations are the same plan shape repeated (a
+    * constant fold, not a data-dependent loop). Measured recall@1 vs
+    * exact brute force on the sf0.01 corpus at nprobe=2
+    * ([[graft.RecallSweep]]): 0.332 untrained → 0.382 → 0.404 over the
+    * two trained iterations (+22% relative even on this near-uniform
+    * synthetic corpus; clustered real embeddings gain far more). Costs
+    * [[LloydIters]] extra N×C fan-outs + mean aggregates over
+    * [[annIvfTop1]]. */
+  def annIvfTrainedTop1(spark: SparkSession, dir: String): DataFrame =
+    annIvfTrainedTop1Iter(spark, dir, LloydIters)
+
+  /** [[annIvfTrainedTop1]] with an explicit iteration count — the public
+    * entry fixes `iters = LloydIters`; the parameter exists so the recall
+    * harness can sweep it. */
+  private[graft] def annIvfTrainedTop1Iter(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
     prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
@@ -489,18 +510,9 @@ object VectorOps {
     val c0 = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"),
         col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
-    // Lloyd step: argmin assignment to the INIT centroids (max(struct)
-    // hash aggregate — top-1 only, so no window needed), then the
-    // decimal-exact per-dimension mean per cell.
-    val a0 = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
-      .join(broadcast(c0.withColumn("jk", pmod(col("cent_id"), lit(1)))),
-        "jk")
-      .withColumn("sim",
-        dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
-      .groupBy(col("vec_id").as("v"))
-      .agg(max(struct(col("sim"), (-col("cent_id")).as("neg_cent")))
-        .as("best"))
-      .select(col("v"), (-col("best.neg_cent")).as("cent_id"))
+    // Lloyd step (×LloydIters): argmin assignment to the current
+    // centroids (max(struct) hash aggregate — top-1 only, so no window
+    // needed), then the decimal-exact per-dimension mean per cell.
     // Per-dimension means via posexplode + ONE decimal sum — not 64
     // column-wise sum expressions: the wide form generated enough
     // bytecode (on top of this query's two unrolled dot stages) to
@@ -508,21 +520,34 @@ object VectorOps {
     // sum/count per (cell, dim) → re-assemble the 64 means in dim
     // order. Same decimal arithmetic, same values, ~64× fewer
     // generated expressions; the 64× row explode is C·N rows of three
-    // scalars — noise. The result is materialized (localCheckpoint,
-    // C rows) so the search phase broadcasts data, not the whole
-    // training job inside the broadcast build.
-    val trained = a0
-      .join(e, a0("v") === e("vec_id"))
-      .select(col("cent_id"),
-        posexplode(col("embedding")).as(Seq("dpos", "dval")))
-      .groupBy("cent_id", "dpos")
-      .agg((sum(col("dval").cast("decimal(28,12)")).cast("double") /
-        count(lit(1)).cast("double")).as("m"))
-      .groupBy("cent_id")
-      .agg(expr("transform(array_sort(collect_list(struct(dpos, m))), x -> x.m)")
-        .as("cent_emb"))
-      .withColumn("cent_norm", sqrt(sq("cent_emb")))
-      .localCheckpoint()
+    // scalars — noise. Each iteration's result is materialized
+    // (localCheckpoint, C rows) so the next assignment — and finally the
+    // search phase — broadcasts data, not the whole training job inside
+    // the broadcast build; it also keeps the plan size constant in the
+    // iteration count instead of nesting.
+    def lloydStep(cents: DataFrame): DataFrame = {
+      val a = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+        .join(broadcast(cents.withColumn("jk", pmod(col("cent_id"), lit(1)))),
+          "jk")
+        .withColumn("sim",
+          dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
+        .groupBy(col("vec_id").as("v"))
+        .agg(max(struct(col("sim"), (-col("cent_id")).as("neg_cent")))
+          .as("best"))
+        .select(col("v"), (-col("best.neg_cent")).as("cent_id"))
+      a.join(e, a("v") === e("vec_id"))
+        .select(col("cent_id"),
+          posexplode(col("embedding")).as(Seq("dpos", "dval")))
+        .groupBy("cent_id", "dpos")
+        .agg((sum(col("dval").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dpos, m))), x -> x.m)")
+          .as("cent_emb"))
+        .withColumn("cent_norm", sqrt(sq("cent_emb")))
+        .localCheckpoint()
+    }
+    val trained = (1 to iters).foldLeft(c0)((c, _) => lloydStep(c))
     // Search phase: identical shape to annIvfTop1, against the trained
     // quantizer.
     val wAssign = Window.partitionBy("vec_id")
@@ -563,12 +588,17 @@ object VectorOps {
       .orderBy("q_id")
   }
 
-  /** DuckDB oracle for [[annIvfTrainedTop1]] — same init, same Lloyd
-    * step (decimal sums, double division), same search. The trained
-    * centroid's coordinates are 64 named columns; the dot against them
-    * is generated in the same term order as the Spark array dot. */
-  private[graft] def annIvfTrainedTop1OracleSql: String = {
-    val meanCols = (1 to Dim).map(j =>
+  /** DuckDB oracle for [[annIvfTrainedTop1]] — same init, same
+    * [[LloydIters]]× Lloyd step (decimal sums, double division), same
+    * search; the iterated CTE chain is GENERATED with the same constant
+    * the Spark plan folds over. The trained centroid's coordinates are
+    * 64 named columns; the dot against them is generated in the same
+    * term order as the Spark array dot. */
+  private[graft] def annIvfTrainedTop1OracleSql: String =
+    annIvfTrainedTop1OracleSqlIter(LloydIters)
+
+  private[graft] def annIvfTrainedTop1OracleSqlIter(iters: Int): String = {
+    def meanCols(a: String) = (1 to Dim).map(j =>
       s"CAST(sum(CAST(e.embedding[$j] AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m$j")
       .mkString(",\n    ")
     def dotMean(v: String): String =
@@ -576,6 +606,33 @@ object VectorOps {
         .mkString("(", " + ", ")")
     val normMean =
       (1 to Dim).map(j => s"(m$j * m$j)").mkString("sqrt((", " + ", "))")
+    // One Lloyd round = assign (a{k}) + per-cell means (tcn{k}); round 1
+    // assigns against the array-typed init sample, later rounds against
+    // the previous round's named mean columns.
+    val rounds = (1 to iters).map { k =>
+      val (from, sim, id) =
+        if (k == 1)
+          ("c0 c",
+            s"${dotSql("e.embedding", "c.cent_emb")} / (e.norm * c.cent_norm)",
+            "c.cent_id")
+        else
+          (s"tcn${k - 1} t",
+            s"${dotMean("e.embedding")} / (e.norm * t.cent_norm)",
+            "t.cent_id")
+      s"""a${k}r AS (
+         |  SELECT e.vec_id, $id AS cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $sim DESC,
+         |        $id) AS rn
+         |  FROM e CROSS JOIN $from),
+         |a$k AS (SELECT vec_id, cent_id FROM a${k}r WHERE rn = 1),
+         |tc$k AS (
+         |  SELECT a$k.cent_id,
+         |    ${meanCols(s"a$k")}
+         |  FROM a$k JOIN e ON a$k.vec_id = e.vec_id
+         |  GROUP BY a$k.cent_id),
+         |tcn$k AS (SELECT *, $normMean AS cent_norm FROM tc$k)""".stripMargin
+    }.mkString(",\n")
     s"""WITH st AS (
        |  SELECT greatest(CAST(1 AS BIGINT),
        |    CAST(ceil(CAST(count(*) AS DOUBLE)
@@ -588,31 +645,19 @@ object VectorOps {
        |c0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
        |  FROM e WHERE vec_id % (SELECT stride FROM st) = 0),
-       |a0r AS (
-       |  SELECT e.vec_id, c.cent_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${dotSql("e.embedding", "c.cent_emb")} / (e.norm * c.cent_norm) DESC,
-       |        c.cent_id) AS rn
-       |  FROM e CROSS JOIN c0 c),
-       |a0 AS (SELECT vec_id, cent_id FROM a0r WHERE rn = 1),
-       |tc AS (
-       |  SELECT a0.cent_id,
-       |    $meanCols
-       |  FROM a0 JOIN e ON a0.vec_id = e.vec_id
-       |  GROUP BY a0.cent_id),
-       |tcn AS (SELECT *, $normMean AS cent_norm FROM tc),
-       |a1 AS (
+       |$rounds,
+       |srch AS (
        |  SELECT e.vec_id, t.cent_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${dotMean("e.embedding")} / (e.norm * t.cent_norm) DESC,
        |        t.cent_id) AS rn
-       |  FROM e CROSS JOIN tcn t),
-       |asg AS (SELECT vec_id, cent_id FROM a1 WHERE rn = 1),
+       |  FROM e CROSS JOIN tcn$iters t),
+       |asg AS (SELECT vec_id, cent_id FROM srch WHERE rn = 1),
        |m AS (
        |  SELECT vec_id, cent_id,
        |    row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS cr
        |  FROM asg),
-       |p AS (SELECT vec_id, cent_id FROM a1 WHERE rn <= $NProbe),
+       |p AS (SELECT vec_id, cent_id FROM srch WHERE rn <= $NProbe),
        |j AS (
        |  SELECT p.vec_id AS q_id, y.cent_id, y.vec_id AS c_id,
        |    ${dotSql("ex.embedding", "ey.embedding")} / (ex.norm * ey.norm) AS cosine

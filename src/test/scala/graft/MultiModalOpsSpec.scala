@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaPayload, MultiModalOps}
+import graft.operators.{MediaPayload, MultiModalOps, WavPayload}
 
 /** Multimodal-column plumbing: opaque binary payloads, nested
   * array-of-struct page structure, and the partition-parallel decode
@@ -79,6 +79,77 @@ class MultiModalOpsSpec extends GraftSpec {
         .filter(expr("octet_length(text)") =!= length($"text"))
         .count()
       assert(nonAscii == 0L, s"non-ASCII documents in $dir")
+    }
+  }
+
+  test("wav encoder emits the exact RIFF byte layout") {
+    // Golden container for (doc_id=5, n=2): every offset hand-checked
+    // against the public WAVE layout so an encoder regression is a
+    // byte-diff, not a roundtrip tautology.
+    val b = MultiModalOps.wavEncode(spark.createDataset(Seq((5L, 2))))
+      .collect().head.payload
+    assert(b.length == 48) // 44-byte header + 2×2 data bytes
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(b, 8, 4, "US-ASCII") == "WAVE")
+    assert(new String(b, 12, 4, "US-ASCII") == "fmt ")
+    assert(new String(b, 36, 4, "US-ASCII") == "data")
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    assert(le32(4) == 40)                        // RIFF size = total - 8
+    assert(le32(16) == 16 && le16(20) == 1)      // PCM fmt chunk
+    assert(le16(22) == 1 && le32(24) == MultiModalOps.WavSampleRate)
+    assert(le32(28) == MultiModalOps.WavSampleRate * 2) // byte rate
+    assert(le16(32) == 2 && le16(34) == 16)      // block align / bits
+    assert(le32(40) == 4)                        // data chunk bytes
+    assert(le16(44).toShort == MultiModalOps.wavSample(5L, 0).toShort)
+    assert(le16(46).toShort == MultiModalOps.wavSample(5L, 1).toShort)
+  }
+
+  test("wav decoder parses a real container back to exact features") {
+    val ds = spark.createDataset(Seq((7L, 5), (8L, 1)))
+    val out = MultiModalOps.wavDecode(MultiModalOps.wavEncode(ds))
+      .collect().map(f => f.doc_id -> f).toMap
+    val f7 = out(7L)
+    assert(f7.sample_rate == MultiModalOps.WavSampleRate)
+    assert(f7.n_channels == 1 && f7.bits_per_sample == 16)
+    assert(f7.n_samples == 5 && f7.container_bytes == 44 + 10)
+    val samples = (0 until 5).map(MultiModalOps.wavSample(7L, _))
+    assert(f7.peak_abs == samples.map(math.abs).max)
+    assert(f7.energy == samples.map(s => s.toLong * s.toLong).sum)
+    assert(out(8L).n_samples == 1)
+  }
+
+  test("wav decoder walks unknown and odd-sized chunks per the spec") {
+    // Splice a 3-byte vendor chunk (odd size → 1 pad byte) between
+    // `fmt ` and `data`: a spec-compliant reader must skip it and still
+    // find the data chunk at its padded offset.
+    val base = MultiModalOps.wavEncode(spark.createDataset(Seq((9L, 3))))
+      .collect().head.payload
+    val extra = "junk".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 0) // id, LE size=3, payload + pad
+    val spliced = base.slice(0, 36) ++ extra ++ base.drop(36)
+    // patch the RIFF size for the 12 inserted bytes
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte
+    spliced(5) = ((total >> 8) & 0xff).toByte
+    val f = MultiModalOps.wavDecode(
+      spark.createDataset(Seq(WavPayload(9L, spliced)))).collect().head
+    assert(f.n_samples == 3 && f.sample_rate == MultiModalOps.WavSampleRate)
+  }
+
+  test("wav decoder rejects corrupted containers") {
+    val good = MultiModalOps.wavEncode(spark.createDataset(Seq((4L, 4))))
+      .collect().head.payload
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    for (bad <- Seq(badMagic, badSize)) {
+      val ex = intercept[Exception] {
+        MultiModalOps.wavDecode(
+          spark.createDataset(Seq(WavPayload(4L, bad)))).collect()
+      }
+      assert(ex.getMessage.contains("wav_decode") ||
+        Option(ex.getCause).exists(_.getMessage.contains("wav_decode")))
     }
   }
 
