@@ -101,6 +101,8 @@ object SparkEntry {
     "train_val_split" -> ((s, d) => TextOps.trainValSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
@@ -662,6 +664,8 @@ object SparkEntry {
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
     "doc_chunks" -> TextOps.docChunksOracleSql,
+    "pii_scrub" -> TextOps.piiScrubOracleSql,
+    "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 

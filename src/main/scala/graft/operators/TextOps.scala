@@ -1037,4 +1037,189 @@ object TextOps {
        |    AS chunk_hash
        |FROM s
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // PII scrub — regex detection + redaction (emails, phone numbers,
+  // IPv4), the privacy pass every training-data pipeline runs before
+  // anything ships. The corpus is synthetic word salad with no real PII,
+  // so the query INJECTS deterministic PII tokens derived from doc_id
+  // (the wav_features pattern: enrichment formula mirrored verbatim in
+  // the oracle), which makes the cross-engine regex semantics — Java
+  // regex in Spark vs RE2 in DuckDB — the thing the hash match actually
+  // proves. Patterns stay inside the common subset (character classes,
+  // bounded repetition; no lookaround/backreferences, which RE2 lacks).
+  // --------------------------------------------------------------------
+
+  /** Shared PII regexes (Java-regex ∩ RE2 subset; single-quote-free so
+    * they interpolate into the oracle SQL verbatim). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Deterministic PII enrichment: ~1/3 of documents get an email, 1/4 a
+    * phone number, 1/5 an IPv4 — so counts vary 0-3 per document and
+    * every pattern exercises both hit and miss paths. */
+  private def piiEnriched: Column = {
+    val idS = col("doc_id").cast("string")
+    concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), idS, lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1")))
+        .otherwise(lit("")))
+  }
+
+  /** PII detection + redaction: per-document match counts per class and
+    * the hash of the scrubbed text (classes replaced in fixed order:
+    * email → phone → IP, so the redaction composition is deterministic).
+    * Pure per-row regex projections — codegen'd, shuffle-free, and
+    * embarrassingly parallel at any corpus size. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(piiEnriched, lit(PiiEmailRe), lit("<EMAIL>")),
+        lit(PiiPhoneRe), lit("<PHONE>")),
+      lit(PiiIpRe), lit("<IP>"))
+    def hits(re: String): Column =
+      size(regexp_extract_all(piiEnriched, lit(re), lit(0))).cast("int")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        hits(PiiEmailRe).as("n_emails"),
+        hits(PiiPhoneRe).as("n_phones"),
+        hits(PiiIpRe).as("n_ips"),
+        md5(redacted).as("clean_md5"),
+        length(redacted).cast("bigint").as("clean_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[piiScrub]] — identical enrichment formula,
+    * identical regexes, identical replacement order ('g' = replace-all,
+    * Spark's default). */
+  private[graft] def piiScrubOracleSql: String =
+    s"""WITH en AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0
+       |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+       |         ELSE '' END
+       |    AS t
+       |  FROM documents),
+       |rd AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(t, '$PiiEmailRe', '<EMAIL>', 'g'),
+       |        '$PiiPhoneRe', '<PHONE>', 'g'),
+       |      '$PiiIpRe', '<IP>', 'g') AS clean
+       |  FROM en)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS INT) AS n_ips,
+       |  md5(clean) AS clean_md5,
+       |  CAST(length(clean) AS BIGINT) AS clean_chars
+       |FROM rd
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Paragraph-level dedup — sub-document exact dedup à la C4/RefinedWeb:
+  // segment every document, hash each segment, keep only the globally
+  // FIRST occurrence of each distinct segment, and reassemble what
+  // survives per document. The corpus has no paragraph delimiters
+  // (single-space word salad), so segmentation is fixed [[ParaWords]]-
+  // word blocks — boundary detection is the pluggable 10-line piece
+  // (split on '\n\n' for a real corpus); the corpus-wide
+  // first-occurrence-keep machinery is the operator.
+  // --------------------------------------------------------------------
+
+  /** Words per paragraph block (shared with the oracle). */
+  val ParaWords = 32
+
+  /** Paragraph-level dedup: per document, how many blocks it had, how
+    * many survive corpus-wide first-occurrence dedup (keeper = minimum
+    * (doc_id, para_no) per distinct block text), and the hash of the
+    * reassembled surviving text. Duplicated documents keep 0 blocks
+    * (their twin came first) — exactly how sub-document dedup interacts
+    * with full-document dups. One explode proportional to corpus tokens,
+    * one hash-partitioned shuffle on the block hash (the min-over-window),
+    * one per-doc re-aggregate; no all-pairs anything, so the plan is the
+    * 100 TB plan. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val paras = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, n_tokens - 1, $ParaWords)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ParaWords).cast("int").as("para_no"),
+        array_join(slice(col("tk"), col("start") + 1, lit(ParaWords)), " ")
+          .as("para"))
+    // Corpus-wide keeper per distinct block: min (doc_id, para_no) over a
+    // window partitioned by the block hash — one shuffle, map-side
+    // partial min, no collect of members.
+    val w = Window.partitionBy(md5(col("para")))
+    val kept = paras
+      .withColumn("keep",
+        min(struct(col("doc_id"), col("para_no"))).over(w))
+      .filter(col("keep.doc_id") === col("doc_id") &&
+        col("keep.para_no") === col("para_no"))
+    val totals = paras.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"))
+    val survivors = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_n"),
+        expr("array_join(transform(array_sort(collect_list(struct(para_no, para))), x -> x.para), ' ')")
+          .as("clean_text"))
+    totals.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("kept_n"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[paragraphDedup]] — same segmentation, same
+    * (doc_id, para_no) keeper rule, same space-joined reassembly. */
+  private[graft] def paragraphDedupOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(0, n_tokens - 1, $ParaWords)) AS start
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, CAST(start / $ParaWords AS INT) AS para_no,
+       |    array_to_string(tk[start + 1 : start + $ParaWords], ' ') AS para
+       |  FROM s),
+       |f AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(para)
+       |    ORDER BY doc_id, para_no) AS rn
+       |  FROM p),
+       |tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS kept_n,
+       |    string_agg(para, ' ' ORDER BY para_no) AS clean_text
+       |  FROM f WHERE rn = 1
+       |  GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_paras,
+       |  CAST(coalesce(kept.kept_n, 0) AS BIGINT) AS n_kept,
+       |  md5(coalesce(kept.clean_text, '')) AS clean_md5
+       |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
 }

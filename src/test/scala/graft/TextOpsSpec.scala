@@ -191,4 +191,60 @@ class TextOpsSpec extends GraftSpec {
         .toSeq == Seq((0, 64), (48, 52), (96, 4)))
     } finally deleteRecursively(base)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pii scrub counts and redacts each identifier class") {
+    val rows = TextOps.piiScrub(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Injection residues: %3 → email, %4 → phone, %5 → IPv4.
+    assert(rows(3L).getAs[Int]("n_emails") == 1)
+    assert(rows(4L).getAs[Int]("n_phones") == 1)
+    assert(rows(5L).getAs[Int]("n_ips") == 1)
+    // Doc 1 gets no injection: scrub is a no-op, hash equals raw text.
+    assert(Seq("n_emails", "n_phones", "n_ips")
+      .map(rows(1L).getAs[Int](_)).sum == 0)
+    assert(rows(1L).getAs[String]("clean_md5") ==
+      md5Hex("the quick brown fox jumps over the lazy dog"))
+    // Doc 6's email is replaced, not deleted: length shifts by exactly
+    // (match − token) and the hash matches the redacted composition.
+    val enriched6 = "alpha beta alpha beta contact u6@example.com"
+    assert(rows(6L).getAs[Long]("clean_chars") ==
+      enriched6.length - "u6@example.com".length + "<EMAIL>".length)
+    assert(rows(6L).getAs[String]("clean_md5") ==
+      md5Hex("alpha beta alpha beta contact <EMAIL>"))
+    assert(rows(4L).getAs[String]("clean_md5") ==
+      md5Hex("solitary call <PHONE>"))
+  }
+
+  test("paragraph dedup keeps only the globally first block occurrence") {
+    val block = (1 to TextOps.ParaWords).map(i => s"w$i").mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("para-").toString
+    try {
+      Seq(
+        // two blocks, both first occurrences
+        (1L, block + " tail words here", "en", "web", 0L),
+        // first block duplicates doc 1's → only its tail survives
+        (2L, block + " different ending", "en", "web", 0L),
+        // wholly unique single block
+        (3L, "unique words entirely", "en", "web", 0L),
+        // exact one-block duplicate → nothing survives
+        (4L, block, "en", "web", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val rows = TextOps.paragraphDedup(spark, base).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows(1L).getAs[Long]("n_paras") == 2 &&
+        rows(1L).getAs[Long]("n_kept") == 2)
+      assert(rows(2L).getAs[Long]("n_paras") == 2 &&
+        rows(2L).getAs[Long]("n_kept") == 1)
+      assert(rows(2L).getAs[String]("clean_md5") ==
+        md5Hex("different ending"))
+      assert(rows(3L).getAs[Long]("n_kept") == 1)
+      assert(rows(4L).getAs[Long]("n_kept") == 0)
+      assert(rows(4L).getAs[String]("clean_md5") == md5Hex(""))
+    } finally deleteRecursively(base)
+  }
 }
