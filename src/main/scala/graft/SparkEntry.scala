@@ -103,6 +103,7 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
+    "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
@@ -666,6 +667,7 @@ object SparkEntry {
     "doc_chunks" -> TextOps.docChunksOracleSql,
     "pii_scrub" -> TextOps.piiScrubOracleSql,
     "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
+    "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 

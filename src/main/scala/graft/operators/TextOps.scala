@@ -1222,4 +1222,63 @@ object TextOps {
        |  md5(coalesce(kept.clean_text, '')) AS clean_md5
        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
        |ORDER BY tot.doc_id""".stripMargin
+
+  /** Keywords kept per document by [[tfidfTopK]]. */
+  val TfidfK = 3
+
+  /** TF-IDF keyword extraction: top-[[TfidfK]] terms per document ranked
+    * by `tf · (N / df)` — term frequency × inverse document frequency
+    * with the RAW ratio as the idf (no logarithm: IEEE `+ − × ÷` are
+    * correctly rounded and therefore bit-identical across engines,
+    * while `ln` is a libm call with no such guarantee — the log-scaled
+    * variant is the same plan with one extra projection, but it could
+    * not be hash-anchored). Monotone in the usual log formulation for
+    * fixed tf, and the per-doc RANKING is what the operator delivers.
+    *
+    * Plan: one explode (corpus tokens) → (doc, term) count → term-level
+    * df aggregate → hash join back on term → per-doc rank ≤ K, which
+    * compiles to WindowGroupLimit (rank-capped BEFORE any buffer, the
+    * engine-wide rule). The corpus size N rides a 1-row broadcast, not
+    * a driver collect. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val tf = d
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfK)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** DuckDB oracle for [[tfidfTopK]] — same counts, same exact-division
+    * score, same (score desc, term asc) tiebreak. */
+  private[graft] def tfidfTopKOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM d),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfreq.df DESC, tf.term)
+       |      AS rk
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, score, rk
+       |FROM s WHERE rk <= $TfidfK
+       |ORDER BY doc_id, rk""".stripMargin
 }

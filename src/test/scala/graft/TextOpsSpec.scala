@@ -247,4 +247,19 @@ class TextOpsSpec extends GraftSpec {
       assert(rows(4L).getAs[String]("clean_md5") == md5Hex(""))
     } finally deleteRecursively(base)
   }
+
+  test("tfidf ranks rare high-frequency terms first, ties by term") {
+    val byDoc = TextOps.tfidfTopK(spark, scratch).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rk"))
+        .map(_.getAs[String]("term")).toSeq).toMap
+    // Doc 2: "cat" is unique to it (df=1 → idf 7) and outranks "the"
+    // (tf=2, df=3); the tf=1/df=3 tail tie-breaks alphabetically.
+    assert(byDoc(2L) == Seq("cat", "the", "brown"))
+    // Doc 4 has one term; a short doc yields < K rows, never pads.
+    assert(byDoc(4L) == Seq("solitary"))
+    // Docs 6/7 are permutations: identical tf/df per term → identical
+    // ranking, alpha before beta on the tie.
+    assert(byDoc(6L) == Seq("alpha", "beta") && byDoc(7L) == byDoc(6L))
+  }
 }
