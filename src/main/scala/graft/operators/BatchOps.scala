@@ -170,7 +170,15 @@ object BatchOps {
     * (SURVEY.md §2.6 C5). p_size stands in for stock_quantity (testdata has
     * no stock column); Overstock threshold scaled to p_size's 1..50 range. */
   def productPerformance(spark: SparkSession, dir: String): DataFrame = {
-    val roll = productRollup(spark, dir)
+    // Materialized ONCE (localCheckpoint, |parts| rows): the percentile
+    // thresholds and the categorized output both consume the rollup, and
+    // without the checkpoint the whole scan→join→distinct-agg pipeline
+    // plans twice (6 scans, zero reused exchanges under AQE — measured
+    // r8; the 2× recompute was also the bench bimodality this query
+    // showed). Checkpointing the small aggregate is what a 100 TB run
+    // would do too: thresholds must see the full rollup, so a barrier is
+    // semantically required before the per-row categorization.
+    val roll = productRollup(spark, dir).localCheckpoint()
     val th = roll.agg(
       expr("percentile(revenue, 0.8)").as("p80_revenue"),
       expr("percentile(units_sold / cast(greatest(p_size, 1) as double), 0.8)")

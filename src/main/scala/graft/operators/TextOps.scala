@@ -1172,23 +1172,25 @@ object TextOps {
           .as("para"))
     // Corpus-wide keeper per distinct block: min (doc_id, para_no) over a
     // window partitioned by the block hash — one shuffle, map-side
-    // partial min, no collect of members.
+    // partial min, no collect of members. Totals and survivors then come
+    // from ONE aggregate over the flagged rows (collect_list skips the
+    // nulls the `when` leaves on dropped blocks), so the plan scans and
+    // explodes the corpus once — no totals⟕survivors join, no second
+    // scan (the first cut of this operator had both).
     val w = Window.partitionBy(md5(col("para")))
-    val kept = paras
+    paras
       .withColumn("keep",
         min(struct(col("doc_id"), col("para_no"))).over(w))
-      .filter(col("keep.doc_id") === col("doc_id") &&
-        col("keep.para_no") === col("para_no"))
-    val totals = paras.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_paras"))
-    val survivors = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("kept_n"),
-        expr("array_join(transform(array_sort(collect_list(struct(para_no, para))), x -> x.para), ' ')")
-          .as("clean_text"))
-    totals.join(survivors, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("kept_n"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+      .withColumn("is_keep",
+        col("keep.doc_id") === col("doc_id") &&
+          col("keep.para_no") === col("para_no"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN is_keep THEN struct(para_no, para) END)), x -> x.para)"),
+          " ")).as("clean_md5"))
       .orderBy("doc_id")
   }
 
