@@ -105,6 +105,7 @@ object SparkEntry {
     "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
+    "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -669,6 +670,7 @@ object SparkEntry {
     "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
     "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
+    "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->

@@ -921,16 +921,53 @@ object TextOps {
     * upstream; vertices = docs with ≥1 near-dup pair only.
     * [[propagateMinLabels]] remains as the pure-DataFrame path (spec:
     * "pointer doubling closes a 16-path in O(log d) rounds"). */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    dedupComponentsCore(spark, dir).orderBy("doc_id")
+
+  /** [[dedupComponents]] without the presentation sort — the shared core
+    * for consumers that join the labels onward (a pre-join sort would be
+    * executed, then destroyed by the join shuffle). */
+  private def dedupComponentsCore(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
       .select(col("doc_a"), col("doc_b"))
     val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents().vertices
-    spark.createDataFrame(cc)
-      .toDF("doc_id", "component_id")
+    spark.createDataFrame(cc).toDF("doc_id", "component_id")
+  }
+
+  /** The dedup pipeline's FINAL step: the corpus with near-duplicate
+    * clusters collapsed to one representative each. A document survives
+    * iff it is its component's minimum doc_id (the cluster
+    * representative) or belongs to no component at all — LEFT ANTI
+    * against the non-representative members, the same keep rule as
+    * [[dedupedDocs]] lifted from exact-text groups to near-dup clusters.
+    * Completes candidates → verify → cluster → survivors; at scale the
+    * anti join is a hash join on doc_id against a set no larger than the
+    * clustered minority of the corpus. */
+  def nearDupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupComponentsCore(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracle for [[nearDupSurvivors]] — the recursive-CTE
+    * component labels, dropping every non-minimum member. */
+  private[graft] def nearDupSurvivorsOracleSql(shinglesSql: String): String =
+    s"""WITH comp AS (
+       |${dedupComponentsOracleSql(shinglesSql)
+          .replace("ORDER BY 1", "")}),
+       |dropped AS (
+       |  SELECT doc_id FROM comp WHERE doc_id <> component_id)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB oracle for [[dedupComponents]]: reachability via a recursive
     * CTE (UNION's set semantics terminates the recursion on cyclic

@@ -134,6 +134,14 @@ class TextOpsSpec extends GraftSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("near-dup survivors keep representatives and untouched docs") {
+    val kept = TextOps.nearDupSurvivors(spark, scratch).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    // Cluster {1,2,3} collapses to 1, cluster {6,7} to 6; isolated docs
+    // 4/5 pass through. Output is the full document row, doc-sorted.
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("pointer doubling closes a 16-path in O(log d) rounds") {
     // Path graph 1-2-…-16 (diameter 15): plain min-label propagation
     // needs 15 rounds for the minimum to reach vertex 16; with the
