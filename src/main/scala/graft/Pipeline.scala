@@ -31,13 +31,31 @@ object Pipeline {
     // orphans, duplicate PKs, null/domain violations).
     "quality_validation" -> Seq("dq_report"))
 
+  /** The engine's OWN second DAG — the training-data curation pipeline
+    * over the documents/embeddings tables (no reference counterpart;
+    * the extension surface of SURVEY §2.8b composed in the order a
+    * corpus run executes): profile → scrub → dedup (exact, paragraph,
+    * near-dup survivors) → decontaminate → quality-gate → assemble. */
+  val curationPhases: Seq[(String, Seq[String])] = Seq(
+    "corpus_profile" -> Seq("text_stats", "lang_stats", "source_quality_profile"),
+    "privacy_scrub" -> Seq("pii_scrub"),
+    "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
+      "neardup_survivors"),
+    "decontamination" -> Seq("cross_source_contamination"),
+    "quality_gate" -> Seq("docs_quality_filter", "doc_repetition"),
+    "assembly" -> Seq("train_val_split", "stratified_sample", "doc_chunks",
+      "tfidf_topk"))
+
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,
     * not a broken phase (at sf0.001 no hour crosses the velocity
     * threshold, for example). Every other task must produce rows. */
   val mayBeEmpty: Set[String] = Set(
     "alerts_high_value", "alerts_bulk_activity", "alerts_velocity",
-    "alerts_dominant_group", "alerts_low_stock")
+    "alerts_dominant_group", "alerts_low_stock",
+    // Decontamination reports cross-source shared content — a clean
+    // corpus legitimately reports none.
+    "cross_source_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -51,7 +69,7 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    phases.foreach { case (phase, names) =>
+    (phases ++ curationPhases).foreach { case (phase, names) =>
       println(s"== phase $phase ==")
       names.foreach { name =>
         val n = SparkEntry.queries(name)(spark, sfDir).count()

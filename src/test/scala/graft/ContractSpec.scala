@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("pipeline phases reference registered queries only") {
     val q = SparkEntry.queries.keySet
-    val dag = Pipeline.phases.flatMap(_._2)
+    val dag = (Pipeline.phases ++ Pipeline.curationPhases).flatMap(_._2)
     assert(dag.nonEmpty)
     dag.foreach(n => assert(q.contains(n), s"unknown pipeline query: $n"))
   }
