@@ -69,6 +69,21 @@ object Tables {
                        cols: Seq[String]): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
 
+  /** Bucketed managed-table sink — the co-location tool for repeated
+    * big⋈big joins at 100 TB: both sides written with `bucketBy(n, key)`
+    * (+ per-bucket sort) join with NO exchange on either side — the
+    * shuffle is paid once at write time instead of on every query. The
+    * PlanSpec asserts the shuffle-free SortMergeJoin. Bucket count is a
+    * layout contract: both tables must agree (or differ by an integer
+    * factor) for the co-located join to kick in, so callers share one
+    * constant per keyspace. Spark's bucketed layout requires the table
+    * catalog (`saveAsTable`), not a bare path — the session's warehouse
+    * dir owns the files. */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+                    key: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(tableName)
+
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

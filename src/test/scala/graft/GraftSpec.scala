@@ -14,6 +14,10 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)
+    // Managed tables (the bucketed-layout specs) land in a temp
+    // warehouse, never ./spark-warehouse inside the repo.
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse-").toString)
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

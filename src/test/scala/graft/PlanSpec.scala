@@ -123,6 +123,32 @@ class PlanSpec extends GraftSpec {
     assert(userExchanges == 1, s"$userExchanges user_id exchanges in:\n$plan")
   }
 
+  test("bucketed co-located join runs with no exchange on either side") {
+    import spark.implicits._
+    // Broadcast off: a broadcast join would also be exchange-free on the
+    // probe side and mask whether bucketing did anything.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(
+        (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "va"),
+        "bk_a", 4, "k")
+      Tables.writeBucketed(
+        (1 to 200).map(i => (i.toLong, i * 2L)).toDF("k", "vb"),
+        "bk_b", 4, "k")
+      val plan =
+        executedPlan(spark.table("bk_a").join(spark.table("bk_b"), "k"))
+      // The write-time layout replaces the query-time shuffle: a
+      // sort-merge join with zero Exchange operators anywhere.
+      assert(plan.contains("SortMergeJoin"), s"not a SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     import org.apache.spark.sql.functions.{col, date_format}
     val out = java.nio.file.Files
