@@ -63,6 +63,7 @@ object SparkEntry {
     "daily_distinct_users" -> ((s, d) => CdcOps.dailyDistinctUsers(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
+    "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
     "audience_overlap" -> ((s, d) => CdcOps.audienceOverlap(s, d)),
@@ -450,6 +451,9 @@ object SparkEntry {
          |FROM s
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+
+    // Field-level diffs between consecutive row versions per key.
+    "cdc_change_log" -> CdcOps.changeLogOracleSql,
 
     // Last-click attribution: interval self-join on the user key with a
     // deterministic (click_ms, click_id) top-1 pick per purchase.

@@ -412,4 +412,52 @@ object CdcOps {
         col("session_end_ms") - col("session_start_ms"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** CDC change log — field-level diffs between CONSECUTIVE row versions
+    * per key: for each user's version chain (ts order, event_id
+    * tiebreak), emit the transitions where `value` actually changed,
+    * with the delta and the time since the previous version. This is
+    * the audit-log derivation every CDC consumer eventually builds on
+    * top of the raw envelope feed (the reference stores only the latest
+    * row per key, cdc_processor.py:77-190; the change log is its
+    * history-preserving complement). One shuffle on the key, one
+    * per-key sort window, two lags sharing the same window frame —
+    * value comparisons are IEEE doubles, exact in both engines. */
+  def changeLog(spark: SparkSession, dir: String): DataFrame =
+    changeLogOf(Tables.events(spark, dir))
+
+  /** [[changeLog]] over an injectable events frame (property tests). */
+  private[graft] def changeLogOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev_value").isNotNull &&
+        col("value") =!= col("prev_value"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+        col("prev_value"),
+        (col("value") - col("prev_value")).as("delta"),
+        (col("ts_ms") - col("prev_ms")).as("ms_since_prev"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  /** DuckDB oracle for [[changeLog]] — same window, same tiebreak, same
+    * change predicate. */
+  private[graft] def changeLogOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT user_id, event_id, value,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |    lag(value) OVER w AS prev_value,
+       |    lag(CAST(epoch_ms(ts) AS BIGINT)) OVER w AS prev_ms
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id))
+       |SELECT user_id, event_id, ts_ms, value, prev_value,
+       |  value - prev_value AS delta,
+       |  ts_ms - prev_ms AS ms_since_prev
+       |FROM v
+       |WHERE prev_value IS NOT NULL AND value <> prev_value
+       |ORDER BY user_id, ts_ms, event_id""".stripMargin
 }

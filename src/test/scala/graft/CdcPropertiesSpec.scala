@@ -91,4 +91,22 @@ class CdcPropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  test("property: change log equals the pairwise diff of each version chain") {
+    cases(8).foreach { events =>
+      // Reference model: per user, sort the chain by (ts, event_id) and
+      // keep exactly the consecutive pairs whose value differs.
+      val expected = events.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val chain = es.sortBy(e => (e.ts.getTime, e.event_id))
+        chain.zip(chain.drop(1)).collect {
+          case (a, b) if a.value != b.value =>
+            (u, b.event_id, b.value - a.value)
+        }
+      }.toSet
+      val got = CdcOps.changeLogOf(df(events)).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("delta"))).toSet
+      assert(got == expected)
+    }
+  }
 }
