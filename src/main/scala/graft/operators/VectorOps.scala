@@ -598,7 +598,7 @@ object VectorOps {
     annIvfTrainedTop1OracleSqlIter(LloydIters)
 
   private[graft] def annIvfTrainedTop1OracleSqlIter(iters: Int): String = {
-    def meanCols(a: String) = (1 to Dim).map(j =>
+    val meanCols = (1 to Dim).map(j =>
       s"CAST(sum(CAST(e.embedding[$j] AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m$j")
       .mkString(",\n    ")
     def dotMean(v: String): String =
@@ -628,7 +628,7 @@ object VectorOps {
          |a$k AS (SELECT vec_id, cent_id FROM a${k}r WHERE rn = 1),
          |tc$k AS (
          |  SELECT a$k.cent_id,
-         |    ${meanCols(s"a$k")}
+         |    $meanCols
          |  FROM a$k JOIN e ON a$k.vec_id = e.vec_id
          |  GROUP BY a$k.cent_id),
          |tcn$k AS (SELECT *, $normMean AS cent_norm FROM tc$k)""".stripMargin

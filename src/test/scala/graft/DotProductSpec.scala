@@ -112,7 +112,7 @@ class DotProductSpec extends GraftSpec {
       String.valueOf(neg.getCause).contains("negative"))
   }
 
-  test("GraftExtensions injects all three natives via spark.sql.extensions") {
+  test("GraftExtensions injects every registered native via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // Build a SECOND session on the same context with the extension
     // configured — the pure-SQL registration path, no graft API calls.
