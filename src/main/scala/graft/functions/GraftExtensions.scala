@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[Simhash60.register]] / [[PolyRollHash.register]] /
   * [[QuantStats.register]]) — so the injector exists for the SQL front
   * door, not as a hidden dependency. Keep the injected set equal to the
-  * registered-native set (spec-pinned in GraftExtensionsSpec). */
+  * registered-native set (spec-pinned: "GraftExtensions injects every
+  * registered native" in DotProductSpec). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -151,7 +151,12 @@ object QuantStats {
       s"quant_stats takes 2 arguments, got ${children.length}")
     val levels = children(1) match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      case Literal(v: Long, LongType) =>
+        // No silent toInt truncation: 2³²+255 would quantize with
+        // levels=255 and produce wrong codes without a whisper.
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"quant_stats: levels literal $v out of int range")
+        v.toInt
       case other => throw new IllegalArgumentException(
         s"quant_stats: levels must be a literal integer, got $other")
     }

@@ -177,7 +177,12 @@ object BatchOps {
     // r8; the 2× recompute was also the bench bimodality this query
     // showed). Checkpointing the small aggregate is what a 100 TB run
     // would do too: thresholds must see the full rollup, so a barrier is
-    // semantically required before the per-row categorization.
+    // semantically required before the per-row categorization. Lifecycle:
+    // the checkpoint IS the returned plan's input, so it cannot be
+    // unpersisted here — its |parts|-row blocks are reclaimed by the
+    // ContextCleaner once the caller drops the DataFrame (unlike the
+    // SUPERSEDED per-round checkpoints elsewhere, which are unpersisted
+    // eagerly because nothing alive references them).
     val roll = productRollup(spark, dir).localCheckpoint()
     val th = roll.agg(
       expr("percentile(revenue, 0.8)").as("p80_revenue"),

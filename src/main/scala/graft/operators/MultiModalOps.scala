@@ -203,9 +203,10 @@ object MultiModalOps {
     * declared RIFF size, walks the chunk list (honoring odd-size pad
     * bytes, as the spec requires), reads the PCM format fields from
     * `fmt `, then iterates the `data` chunk's little-endian 16-bit
-    * frames for peak amplitude and total energy (sum of squares — exact
-    * in Long for any payload < 2⁴⁵ samples). Malformed containers throw
-    * (corruption is a signal, not a skip). Partition-parallel, one
+    * frames for peak amplitude and total energy (sum of squares — each
+    * term ≤ 2³⁰, so the Long sum is exact below ~2³³ samples; far above
+    * any real audio clip). Malformed containers throw (corruption is a
+    * signal, not a skip). Partition-parallel, one
     * output row per payload — the decode-stage contract. */
   def wavDecode(payloads: Dataset[WavPayload]): Dataset[WavFeatures] = {
     import payloads.sparkSession.implicits._
@@ -243,8 +244,10 @@ object MultiModalOps {
         }
         require(sampleRate > 0 && dataOff >= 0,
           s"wav_decode: missing fmt/data chunk (doc ${p.doc_id})")
-        require(bits == 16 && channels == 1,
-          s"wav_decode: expected PCM16 mono (doc ${p.doc_id})")
+        require(bits == 16 && channels == 1 && blockAlign == 2,
+          s"wav_decode: expected PCM16 mono with blockAlign 2, got " +
+            s"bits=$bits channels=$channels blockAlign=$blockAlign " +
+            s"(doc ${p.doc_id})")
         val nSamples = dataLen / blockAlign
         var i = 0; var peak = 0; var energy = 0L
         while (i < nSamples) {

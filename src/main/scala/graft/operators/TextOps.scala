@@ -933,8 +933,21 @@ object TextOps {
     val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
       .select(col("doc_a"), col("doc_b"))
     val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents().vertices
-    spark.createDataFrame(cc).toDF("doc_id", "component_id")
+    val g = Graph.fromEdges(edgeRdd, ())
+    val cc = g.connectedComponents()
+    // Pregel runs eagerly, so the labels exist now; checkpoint the SMALL
+    // result (vertices with ≥1 near-dup pair only) and release the
+    // graph's cached vertex/edge RDDs deterministically — without this,
+    // every invocation (bench: warmup + 3 timed runs × 2 consumers)
+    // leaves a full graph's cached partitions in the block manager until
+    // RDD GC, the exact accretion class the bench hunts.
+    val out = spark.createDataFrame(cc.vertices)
+      .toDF("doc_id", "component_id").localCheckpoint()
+    cc.unpersistVertices(blocking = false)
+    cc.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
   }
 
   /** The dedup pipeline's FINAL step: the corpus with near-duplicate
@@ -960,8 +973,7 @@ object TextOps {
     * component labels, dropping every non-minimum member. */
   private[graft] def nearDupSurvivorsOracleSql(shinglesSql: String): String =
     s"""WITH comp AS (
-       |${dedupComponentsOracleSql(shinglesSql)
-          .replace("ORDER BY 1", "")}),
+       |${dedupComponentsOracleCoreSql(shinglesSql)}),
        |dropped AS (
        |  SELECT doc_id FROM comp WHERE doc_id <> component_id)
        |SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -971,8 +983,12 @@ object TextOps {
 
   /** DuckDB oracle for [[dedupComponents]]: reachability via a recursive
     * CTE (UNION's set semantics terminates the recursion on cyclic
-    * graphs), component id = min reachable vertex. */
-  private[graft] def dedupComponentsOracleSql(shinglesSql: String): String =
+    * graphs), component id = min reachable vertex. Composed as an
+    * UNSORTED core + trailing presentation sort so consumers that embed
+    * the labels ([[nearDupSurvivorsOracleSql]]) reuse the core rather
+    * than string-stripping the ORDER BY (a global replace would corrupt
+    * the SQL if the inner oracle ever gained another one). */
+  private def dedupComponentsOracleCoreSql(shinglesSql: String): String =
     s"""WITH RECURSIVE base AS (
        |${nearDupJaccardCappedOracleSql(shinglesSql)
           .replace("ORDER BY 1, 2", "")}),
@@ -984,8 +1000,10 @@ object TextOps {
        |  UNION
        |  SELECT r.v, e.doc_b AS u FROM r JOIN e ON r.u = e.doc_a)
        |SELECT v AS doc_id, min(u) AS component_id
-       |FROM r GROUP BY v
-       |ORDER BY 1""".stripMargin
+       |FROM r GROUP BY v""".stripMargin
+
+  private[graft] def dedupComponentsOracleSql(shinglesSql: String): String =
+    dedupComponentsOracleCoreSql(shinglesSql) + "\nORDER BY 1"
 
   /** Per-source corpus profile with exact length percentiles — the
     * source-level quality dashboard (which crawl is long-form, which is

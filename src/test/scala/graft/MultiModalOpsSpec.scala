@@ -143,7 +143,10 @@ class MultiModalOpsSpec extends GraftSpec {
       .collect().head.payload
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
     val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
-    for (bad <- Seq(badMagic, badSize)) {
+    // Corrupt blockAlign (offset 32, LE16) to 4: without its own check
+    // this would silently halve n_samples instead of throwing.
+    val badAlign = good.clone(); badAlign(32) = 4
+    for (bad <- Seq(badMagic, badSize, badAlign)) {
       val ex = intercept[Exception] {
         MultiModalOps.wavDecode(
           spark.createDataset(Seq(WavPayload(4L, bad)))).collect()
