@@ -42,6 +42,14 @@ case class Velocity(
   * bucket, keyed by the bucket's epoch-millis start). */
 case class VelBucket(units: Double, n_events: Long)
 
+/** One emitted change-log transition (streaming twin of
+  * `CdcOps.changeLog`'s row shape). */
+case class ChangeRow(user_id: Long, event_id: Long, ts_ms: Long,
+    value: Double, prev_value: Double, delta: Double, ms_since_prev: Long)
+
+/** Per-key change-log state: the chain's current tail version. */
+case class ChainState(ts_ms: Long, event_id: Long, value: Double)
+
 /** Structured Streaming runtime — the streaming twin of
   * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
   *
@@ -333,6 +341,44 @@ object StreamOps {
             Iterator(UpsertRow(userId, latest.event_type, latest.value,
               latest.ts_ms, deleted = false))
           }
+      }
+  }
+
+  /** Streaming twin of `CdcOps.changeLog`: per-key field-level diffs
+    * between consecutive row versions, as keyed state carrying only the
+    * previous (ts_ms, event_id, value) per key. Each trigger folds its
+    * events in (ts, event_id) chain order against the stored tail and
+    * emits one row per transition whose value changed. Append mode —
+    * emitted diffs are immutable facts.
+    *
+    * Ordering contract: like any CDC change-log consumer, this assumes
+    * the FEED is per-key ordered across triggers (Debezium guarantees
+    * per-key topic order); an event older than the stored tail would
+    * chain against the wrong predecessor. The batch twin (which sees the
+    * whole history and sorts it) is the replay/backfill path — the
+    * cross-checking spec pins the two to identical output on an ordered
+    * fixture. */
+  def changeLog(events: Dataset[Event]): Dataset[ChangeRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainState, ChangeRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[ChangeRow]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            prev.foreach { p =>
+              if (e.value != p.value)
+                out += ChangeRow(userId, e.event_id, ms, e.value, p.value,
+                  e.value - p.value, ms - p.ts_ms)
+            }
+            prev = Some(ChainState(ms, e.event_id, e.value))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
       }
   }
 

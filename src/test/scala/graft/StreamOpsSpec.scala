@@ -66,6 +66,44 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming change log matches the batch twin on an ordered feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.changeLog(in.toDS())
+      .writeStream.format("memory").queryName("chg_log")
+      .outputMode("append").start()
+    // Per-key ordered feed split across triggers, with an unchanged-value
+    // transition (2.0 → 2.0) that must NOT emit, and a second key.
+    val evs = Seq(
+      event(1, "2024-01-01 10:00:00", 7, "signup", 1.0),
+      event(2, "2024-01-01 10:05:00", 7, "purchase", 2.0),
+      event(3, "2024-01-01 10:06:00", 7, "click", 2.0),
+      event(4, "2024-01-01 10:30:00", 7, "click", 5.0),
+      event(5, "2024-01-01 10:01:00", 8, "signup", 4.0),
+      event(6, "2024-01-01 10:02:00", 8, "click", 3.0))
+    try {
+      in.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(3): _*) // state must chain across the trigger
+      q.processAllAvailable()
+      val got = spark.table("chg_log").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("delta"), r.getAs[Long]("ms_since_prev"))).toSet
+      // Key 7: 1→2 (event 2), 2.0→2.0 suppressed, 2→5 across triggers
+      // (event 4, 24 min after event 3); key 8: 4→3 (event 6).
+      assert(got == Set(
+        (7L, 2L, 1.0, 5 * 60 * 1000L),
+        (7L, 4L, 3.0, 24 * 60 * 1000L),
+        (8L, 6L, -1.0, 60 * 1000L)))
+      // Batch twin on the same fixture produces the identical set.
+      val batch = graft.operators.CdcOps.changeLogOf(
+        spark.createDataset(evs).toDF()).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("delta"), r.getAs[Long]("ms_since_prev"))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("T1/A12: minute windows emit after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
