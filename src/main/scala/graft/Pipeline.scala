@@ -44,7 +44,7 @@ object Pipeline {
     "decontamination" -> Seq("cross_source_contamination"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition"),
     "assembly" -> Seq("train_val_split", "stratified_sample", "doc_chunks",
-      "tfidf_topk"))
+      "chunk_packing", "tfidf_topk"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,

@@ -105,6 +105,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
+    "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
@@ -673,6 +674,7 @@ object SparkEntry {
     "pii_scrub" -> TextOps.piiScrubOracleSql,
     "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
     "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
+    "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,

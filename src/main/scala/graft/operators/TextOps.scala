@@ -1054,6 +1054,11 @@ object TextOps {
     * proportional to corpus token count, no shuffle before the output
     * sort. */
   def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunksCore(spark, dir).orderBy("doc_id", "chunk_id")
+
+  /** [[docChunks]] without the presentation sort (consumers that window
+    * or join the chunk stream would destroy it anyway). */
+  private def docChunksCore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -1070,7 +1075,6 @@ object TextOps {
         md5(array_join(
           slice(col("tk"), col("start") + 1, lit(ChunkTokens)), " "))
           .as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
 
   /** DuckDB oracle for [[docChunks]] (same geometry; list slicing is
     * 1-based inclusive in DuckDB vs (start, length) in Spark — both
@@ -1279,6 +1283,54 @@ object TextOps {
        |  md5(coalesce(kept.clean_text, '')) AS clean_md5
        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
        |ORDER BY tot.doc_id""".stripMargin
+
+  /** Token budget per training pack ([[chunkPacking]]) and the shard
+    * fan-out the packing runs under. */
+  val PackBudget = 512
+  val PackShards = 16
+
+  /** Sequence packing — assign the chunk stream to fixed token-budget
+    * training packs: within each shard (doc-hash partition, the
+    * data-parallel worker analog), chunks are laid out in (doc_id,
+    * chunk_id) order and each lands in the pack where its running token
+    * count STARTS (`floor((cum − len) / budget)`), so a pack may
+    * overflow by < one chunk — the standard pack-then-truncate layout,
+    * exactly expressible as a running-sum window (true greedy
+    * never-overflow packing needs a per-row reset, which is iterative).
+    * Per-shard windows keep the sort partition-parallel: no global
+    * ordering exists or is needed, matching how per-worker packing
+    * behaves in a real loader. */
+  def chunkPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docChunksCore(spark, dir)
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)).cast("int"))
+      .withColumn("cum", sum(col("chunk_len").cast("long")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("chunk_len")) / PackBudget).cast("long"))
+      .select("shard", "doc_id", "chunk_id", "chunk_len", "cum", "pack_id")
+      .orderBy("shard", "doc_id", "chunk_id")
+  }
+
+  /** DuckDB oracle for [[chunkPacking]] — same chunk geometry, same
+    * shard, same running sum and start-of-chunk bin rule. */
+  private[graft] def chunkPackingOracleSql: String =
+    s"""WITH c AS (
+       |${docChunksOracleSql.replace("ORDER BY doc_id, chunk_id", "")}),
+       |s AS (
+       |  SELECT doc_id, chunk_id, chunk_len,
+       |    CAST(doc_id % $PackShards AS INT) AS shard
+       |  FROM c),
+       |p AS (
+       |  SELECT shard, doc_id, chunk_id, chunk_len,
+       |    CAST(sum(chunk_len) OVER (PARTITION BY shard
+       |      ORDER BY doc_id, chunk_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM s)
+       |SELECT shard, doc_id, chunk_id, chunk_len, cum,
+       |  CAST(floor((cum - chunk_len) / $PackBudget) AS BIGINT) AS pack_id
+       |FROM p
+       |ORDER BY shard, doc_id, chunk_id""".stripMargin
 
   /** Keywords kept per document by [[tfidfTopK]]. */
   val TfidfK = 3

@@ -256,6 +256,35 @@ class TextOpsSpec extends GraftSpec {
     } finally deleteRecursively(base)
   }
 
+  test("chunk packing bins by running token count within a shard") {
+    // Docs 1 and 17 share shard 1 (doc_id % 16); 300 tokens each chunk
+    // to lens 64,64,64,64,64,60,12 (sum 392), so the budget boundary
+    // (512) lands inside doc 17's chunk stream.
+    val text = (1 to 300).map(i => s"w$i").mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("pack-").toString
+    try {
+      Seq((1L, text, "en", "web", 0L), (17L, text, "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val rows = TextOps.chunkPacking(spark, base).collect()
+      assert(rows.forall(_.getAs[Int]("shard") == 1))
+      // Reference model: running sum in (doc_id, chunk_id) order; a
+      // chunk lands in the pack where it STARTS.
+      val lens = Seq(64, 64, 64, 64, 64, 60, 12)
+      val expected = (lens ++ lens).scanLeft(0L)(_ + _).zip(lens ++ lens)
+        .map { case (before, len) =>
+          (before + len, before / TextOps.PackBudget) }
+      assert(rows.sortBy(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_id")))
+        .map(r => (r.getAs[Long]("cum"), r.getAs[Long]("pack_id")))
+        .toSeq == expected)
+      // The boundary chunk (cum crosses 512 mid-doc-17) overflows its
+      // pack rather than splitting: pack 0 ends at the chunk that
+      // STARTS before 512.
+      assert(expected.count(_._2 == 0L) == 9) // 10th chunk starts at 520 ≥ 512
+    } finally deleteRecursively(base)
+  }
+
   test("tfidf ranks rare high-frequency terms first, ties by term") {
     val byDoc = TextOps.tfidfTopK(spark, scratch).collect()
       .groupBy(_.getAs[Long]("doc_id"))
