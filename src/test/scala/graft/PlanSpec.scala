@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.{BatchOps, CdcOps, VectorOps}
+import graft.operators.{BatchOps, CdcOps, TextOps, VectorOps}
 
 /** Physical-plan regression tests: the properties that make these
   * queries scale — scan-level predicate pushdown, top-k without a global
@@ -121,6 +121,19 @@ class PlanSpec extends GraftSpec {
     val userExchanges = plan.split("\n").count(l =>
       l.contains("Exchange hashpartitioning") && l.contains("user_id"))
     assert(userExchanges == 1, s"$userExchanges user_id exchanges in:\n$plan")
+  }
+
+  test("tfidf's per-doc top-k cap compiles to WindowGroupLimit") {
+    val plan = executedPlan(TextOps.tfidfTopK(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cap not a group limit:\n$plan")
+  }
+
+  test("paragraph dedup scans the corpus exactly once, with no join") {
+    val plan = executedPlan(TextOps.paragraphDedup(spark, dir))
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"multiple scans:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
   test("bucketed co-located join runs with no exchange on either side") {
