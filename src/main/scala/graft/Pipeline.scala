@@ -41,7 +41,8 @@ object Pipeline {
     "privacy_scrub" -> Seq("pii_scrub"),
     "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
       "neardup_survivors"),
-    "decontamination" -> Seq("cross_source_contamination"),
+    "decontamination" -> Seq("cross_source_contamination",
+      "split_contamination"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition"),
     "assembly" -> Seq("train_val_split", "stratified_sample", "doc_chunks",
       "chunk_packing", "tfidf_topk"))
@@ -53,9 +54,9 @@ object Pipeline {
   val mayBeEmpty: Set[String] = Set(
     "alerts_high_value", "alerts_bulk_activity", "alerts_velocity",
     "alerts_dominant_group", "alerts_low_stock",
-    // Decontamination reports cross-source shared content — a clean
-    // corpus legitimately reports none.
-    "cross_source_contamination")
+    // Decontamination reports shared content (cross-source, or across
+    // the train/eval split) — a clean corpus legitimately reports none.
+    "cross_source_contamination", "split_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -106,6 +106,7 @@ object SparkEntry {
     "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
+    "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
@@ -675,6 +676,7 @@ object SparkEntry {
     "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
     "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
+    "split_contamination" -> TextOps.splitContaminationOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,

@@ -787,6 +787,56 @@ object TextOps {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Eval-set decontamination — the check an LLM pipeline runs before
+    * trusting its held-out numbers: val/test documents sharing a chunk
+    * fingerprint ([[docChunks]]' 64-token window hashes) with ANY train
+    * document, i.e. evaluation text the model may have memorized from
+    * training. Reuses [[trainValSplit]]'s hash-band assignment (a pure
+    * function of doc_id) and the chunk stream: the train side collapses
+    * to DISTINCT fingerprints before the join, the eval side is the
+    * split's small minority, and the semi join is a plain hash join on
+    * the fingerprint — each side shuffles once on chunk_hash, nothing
+    * quadratic. An exact document duplicate straddling the split
+    * boundary is the canonical catch (every window shared). */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunksCore(spark, dir)
+      .select(col("doc_id"), col("chunk_hash"))
+      .withColumn("bucket",
+        pmod(h60("cast(doc_id as string)"), lit(100)))
+    val trainHashes = chunks.filter(col("bucket") < TrainPct)
+      .select("chunk_hash").distinct()
+    chunks.filter(col("bucket") >= TrainPct)
+      .join(trainHashes, Seq("chunk_hash"), "left_semi")
+      .groupBy("doc_id", "bucket")
+      .agg(countDistinct(col("chunk_hash")).as("n_shared_chunks"))
+      .select(col("doc_id"),
+        when(col("bucket") < TrainPct + ValPct, "val").otherwise("test")
+          .as("split"),
+        col("n_shared_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[splitContamination]] — same chunk geometry,
+    * same hash bands, same distinct-fingerprint semi join. */
+  private[graft] def splitContaminationOracleSql: String =
+    s"""WITH c AS (
+       |${docChunksOracleSql.replace("ORDER BY doc_id, chunk_id", "")}),
+       |b AS (
+       |  SELECT doc_id, chunk_hash,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+       |      AS bucket
+       |  FROM c),
+       |tr AS (SELECT DISTINCT chunk_hash FROM b WHERE bucket < $TrainPct)
+       |SELECT doc_id,
+       |  CASE WHEN bucket < ${TrainPct + ValPct} THEN 'val' ELSE 'test' END
+       |    AS split,
+       |  count(DISTINCT chunk_hash) AS n_shared_chunks
+       |FROM b
+       |WHERE bucket >= $TrainPct
+       |  AND chunk_hash IN (SELECT chunk_hash FROM tr)
+       |GROUP BY doc_id, bucket
+       |ORDER BY doc_id""".stripMargin
+
   /** Documents kept per language stratum by [[stratifiedSample]]
     * (shared with the oracle). */
   val StratumSampleK = 50

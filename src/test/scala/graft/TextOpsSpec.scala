@@ -285,6 +285,33 @@ class TextOpsSpec extends GraftSpec {
     } finally deleteRecursively(base)
   }
 
+  test("split contamination flags eval docs sharing train chunks") {
+    val base = java.nio.file.Files.createTempDirectory("contam-").toString
+    try {
+      // Phase 1: discover which ids the hash bands assign where.
+      (1L to 300L).map(i => (i, "x", "en", "web", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val bands = TextOps.trainValSplit(spark, base).collect()
+        .map(r => r.getAs[String]("split") -> r.getAs[Long]("doc_id"))
+      def idIn(s: String) = bands.collectFirst { case (`s`, id) => id }.get
+      val (trainId, valId, testId) = (idIn("train"), idIn("val"), idIn("test"))
+      // Phase 2: the val doc duplicates the train doc (80 tokens → 2
+      // overlapping chunks, both shared); the test doc is unique.
+      val shared = (1 to 80).map(i => s"s$i").mkString(" ")
+      val unique = (1 to 80).map(i => s"u$i").mkString(" ")
+      Seq((trainId, shared), (valId, shared), (testId, unique))
+        .map { case (id, t) => (id, t, "en", "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val out = TextOps.splitContamination(spark, base).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("split"), r.getAs[Long]("n_shared_chunks")))
+        .toMap
+      assert(out == Map(valId -> ("val", 2L))) // test doc is clean
+    } finally deleteRecursively(base)
+  }
+
   test("tfidf ranks rare high-frequency terms first, ties by term") {
     val byDoc = TextOps.tfidfTopK(spark, scratch).collect()
       .groupBy(_.getAs[Long]("doc_id"))
