@@ -125,6 +125,8 @@ object SparkEntry {
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
+    "semantic_dedup_survivors" -> ((s, d) =>
+      VectorOps.semanticDedupSurvivors(s, d)),
     "doc_embedding_stats" -> ((s, d) => VectorOps.docEmbeddingStats(s, d)),
   )
 
@@ -754,6 +756,8 @@ object SparkEntry {
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
+    "semantic_dedup_survivors" ->
+      VectorOps.semanticDedupSurvivorsOracleSql,
     "doc_embedding_stats" -> VectorOps.docEmbeddingStatsOracleSql,
   )
 }

@@ -767,6 +767,55 @@ object VectorOps {
        |WHERE cosine >= $NearDupMinCosine
        |ORDER BY 1, 2""".stripMargin
 
+  /** SEMANTIC dedup survivors — the embedding-space mirror of
+    * `TextOps.nearDupSurvivors`: cosine near-dup pairs (LSH-blocked)
+    * become connected components (GraphX CC, labels = component-min
+    * vec_id), and the corpus keeps each component's representative plus
+    * every unclustered vector. Completes the semantic-dedup path
+    * candidates → threshold → cluster → survivors; same graph-cache
+    * release discipline as the text-side components. */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = lshScoredPairs(spark, dir)
+      .filter(col("cosine") >= NearDupMinCosine)
+      .select(col("a"), col("b"))
+    val g = Graph.fromEdges(
+      pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())), ())
+    val cc = g.connectedComponents()
+    val labels = spark.createDataFrame(cc.vertices)
+      .toDF("vec_id", "component_id").localCheckpoint()
+    cc.unpersistVertices(blocking = false)
+    cc.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    val dropped = labels.filter(col("vec_id") =!= col("component_id"))
+      .select("vec_id")
+    Tables.embeddings(spark, dir)
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDedupSurvivors]] — recursive-CTE
+    * reachability over the cosine edge set, drop non-minimum members. */
+  private[graft] def semanticDedupSurvivorsOracleSql: String =
+    s"""WITH RECURSIVE base AS (
+       |$lshScoredPairsSqlPrefix
+       |SELECT a, b FROM s WHERE cosine >= $NearDupMinCosine),
+       |ed AS (
+       |  SELECT a, b FROM base
+       |  UNION ALL SELECT b, a FROM base),
+       |r AS (
+       |  SELECT a AS v, a AS u FROM ed
+       |  UNION
+       |  SELECT r.v, ed.b AS u FROM r JOIN ed ON r.u = ed.a),
+       |comp AS (SELECT v AS vec_id, min(u) AS component_id FROM r GROUP BY v),
+       |dropped AS (SELECT vec_id FROM comp WHERE vec_id <> component_id)
+       |SELECT em.vec_id, em.label
+       |FROM embeddings em
+       |WHERE em.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY em.vec_id""".stripMargin
+
   /** DuckDB oracle for [[cosineTopK]] (same unrolled arithmetic). */
   private[graft] def cosineTopKOracleSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
