@@ -40,7 +40,7 @@ object Pipeline {
     "corpus_profile" -> Seq("text_stats", "lang_stats", "source_quality_profile"),
     "privacy_scrub" -> Seq("pii_scrub"),
     "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
-      "neardup_survivors"),
+      "neardup_survivors", "semantic_dedup_survivors"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition"),
