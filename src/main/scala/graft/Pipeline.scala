@@ -43,9 +43,10 @@ object Pipeline {
       "neardup_survivors", "semantic_dedup_survivors"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination"),
-    "quality_gate" -> Seq("docs_quality_filter", "doc_repetition"),
+    "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
+      "oov_rate"),
     "assembly" -> Seq("train_val_split", "stratified_sample", "doc_chunks",
-      "chunk_packing", "tfidf_topk"))
+      "chunk_packing", "tfidf_topk", "split_balance"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,

@@ -107,6 +107,8 @@ object SparkEntry {
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
+    "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
+    "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
@@ -679,6 +681,8 @@ object SparkEntry {
     "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
+    "oov_rate" -> TextOps.oovRateOracleSql,
+    "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,

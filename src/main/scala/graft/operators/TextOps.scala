@@ -787,6 +787,107 @@ object TextOps {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for the OOV screen (shared with the oracle). */
+  val OovVocabK = 20
+
+  /** Out-of-vocabulary rate — tokenizer health per document: what share
+    * of a document's tokens fall outside the corpus's
+    * top-[[OovVocabK]] vocabulary. High-OOV documents are the ones a
+    * fixed tokenizer will shred into bytes (or a cheap filter should
+    * route to review). Vocab selection is the deterministic
+    * (count desc, token asc) head; the membership test is one broadcast
+    * of K tokens against the exploded stream, flagged in a LEFT join so
+    * totals and known-counts come from a single aggregate — one corpus
+    * scan for the stream plus one for the vocab head, nothing
+    * quadratic. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopK(spark, dir, OovVocabK)
+      .select(col("token"), lit(1L).as("known"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .select(col("doc_id"), col("n_tokens"), col("n_known"),
+        (col("n_tokens") - col("n_known")).as("n_oov"),
+        ((col("n_tokens") - col("n_known")).cast("double") /
+          col("n_tokens").cast("double")).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[oovRate]] — same vocab head, same flagged-join
+    * accounting, same exact IEEE division. */
+  private[graft] def oovRateOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |v AS (
+       |  SELECT token FROM tok
+       |  GROUP BY token
+       |  ORDER BY count(*) DESC, token
+       |  LIMIT $OovVocabK),
+       |f AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN token IN (SELECT token FROM v)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_known,
+       |  n_tokens - n_known AS n_oov,
+       |  CAST(n_tokens - n_known AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS oov_ratio
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+
+  /** Split-balance QA — the distribution check after dataset assembly:
+    * per (split, lang), document and character counts plus each
+    * language's share of its split. A skewed share (a language
+    * over-represented in val vs train) is the classic silent eval bias;
+    * the window sum per split makes the share exact (IEEE division of
+    * exact longs). */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("split")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("split_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"))
+      .orderBy("split", "lang")
+  }
+
+  /** DuckDB oracle for [[splitBalance]]. */
+  private[graft] def splitBalanceOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN bucket < $TrainPct THEN 'train'
+       |         WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT lang, n_chars,
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+       |        AS bucket
+       |    FROM documents)),
+       |g AS (
+       |  SELECT split, lang, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM b GROUP BY split, lang)
+       |SELECT split, lang, n_docs, total_chars,
+       |  CAST(n_docs AS DOUBLE) /
+       |    CAST(sum(n_docs) OVER (PARTITION BY split) AS DOUBLE)
+       |    AS split_share
+       |FROM g
+       |ORDER BY split, lang""".stripMargin
+
   /** Eval-set decontamination — the check an LLM pipeline runs before
     * trusting its held-out numbers: val/test documents sharing a chunk
     * fingerprint ([[docChunks]]' 64-token window hashes) with ANY train

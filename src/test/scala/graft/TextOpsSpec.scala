@@ -312,6 +312,35 @@ class TextOpsSpec extends GraftSpec {
     } finally deleteRecursively(base)
   }
 
+  test("oov rate counts tokens outside the frequency-head vocabulary") {
+    // 20 common tokens (freq 2) fill the vocab head; "rareword" (freq 1)
+    // falls outside it and is the only OOV occurrence.
+    val common = (1 to 20).map(i => s"c$i")
+    val base = java.nio.file.Files.createTempDirectory("oov-").toString
+    try {
+      Seq(
+        (1L, common.mkString(" "), "en", "web", 0L),
+        (2L, (common :+ "rareword").mkString(" "), "en", "web", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val rows = TextOps.oovRate(spark, base).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows(1L).getAs[Long]("n_oov") == 0)
+      assert(rows(2L).getAs[Long]("n_tokens") == 21)
+      assert(rows(2L).getAs[Long]("n_oov") == 1)
+      assert(rows(2L).getAs[Double]("oov_ratio") == 1.0 / 21.0)
+    } finally deleteRecursively(base)
+  }
+
+  test("split balance shares sum to one within each split") {
+    val rows = TextOps.splitBalance(spark, scratch).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 7)
+    rows.groupBy(_.getAs[String]("split")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("split_share")).sum - 1.0)
+        < 1e-12)
+    }
+  }
+
   test("tfidf ranks rare high-frequency terms first, ties by term") {
     val byDoc = TextOps.tfidfTopK(spark, scratch).collect()
       .groupBy(_.getAs[Long]("doc_id"))
