@@ -44,6 +44,7 @@ object SparkEntry {
     "daily_order_analytics" -> ((s, d) => BatchOps.dailyOrderAnalytics(s, d)),
     "status_distribution" -> ((s, d) => BatchOps.statusDistribution(s, d)),
     "revenue_analytics" -> ((s, d) => BatchOps.revenueAnalytics(s, d)),
+    "price_quantity_corr" -> ((s, d) => BatchOps.priceQuantityCorr(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
       BatchOps.mktsegmentValueCounts(s, d)),
@@ -267,6 +268,11 @@ object SparkEntry {
         |  count(*) AS order_count,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(greatest(count(*), 1) AS DOUBLE) AS avg_order_value
         |FROM orders""".stripMargin,
+
+    // Pearson r + regression from exact decimal component sums (the
+    // built-in corr streams doubles in partition order — not
+    // cross-engine-reproducible; the component-sum form is).
+    "price_quantity_corr" -> BatchOps.priceQuantityCorrOracleSql,
 
     "segment_counts" ->
       s"""WITH roll AS ($custRollupSql),

@@ -263,6 +263,84 @@ object BatchOps {
         col("total_revenue") /
           greatest(col("order_count"), lit(1L)).cast("double"))
 
+  /** Per-group Pearson correlation + least-squares regression of
+    * quantity on price — the `corr`/`regr_slope` analytics surface,
+    * built from EXACT decimal component sums (Σx, Σy, Σxy, Σx², n)
+    * instead of the built-in `corr` (whose streaming covariance
+    * accumulates doubles in partition order — not reproducible
+    * cross-engine). The five sums are associative decimals (identical
+    * at any parallelism, partial+final-friendly at 100 TB); the final
+    * r/slope/intercept arithmetic is all IEEE `+ − × ÷ sqrt` on exact
+    * inputs — every operation correctly rounded, so both engines emit
+    * bit-identical doubles with no rounding fudge. */
+  def priceQuantityCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice").cast("decimal(18,2)")
+    val y = col("l_quantity").cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(y).cast("double").as("sum_y"),
+        sum((x * y).cast("decimal(38,6)")).cast("double").as("sum_xy"),
+        sum((x * x).cast("decimal(38,6)")).cast("double").as("sum_xx"),
+        sum((y * y).cast("decimal(38,6)")).cast("double").as("sum_yy"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("cov_num",
+        col("nn") * col("sum_xy") - col("sum_x") * col("sum_y"))
+      .withColumn("var_x",
+        col("nn") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .withColumn("var_y",
+        col("nn") * col("sum_yy") - col("sum_y") * col("sum_y"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("cov_num") / (sqrt(col("var_x")) * sqrt(col("var_y"))))
+          .as("corr_r"),
+        (col("cov_num") / col("var_x")).as("slope"),
+        ((col("sum_y") - (col("cov_num") / col("var_x")) * col("sum_x")) /
+          col("nn")).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB oracle for [[priceQuantityCorr]] — same exact sums, same
+    * IEEE final arithmetic, term-for-term. The decimal→double bridge
+    * goes through VARCHAR: DuckDB's direct decimal cast converts the
+    * int128 payload to double and THEN divides by 10^scale (two
+    * roundings — 1 ULP off Spark's correctly-rounded BigDecimal
+    * conversion once Σx² exceeds 2⁵³), while string parsing is a single
+    * correctly-rounded conversion in both engines. */
+  private[graft] def priceQuantityCorrOracleSql: String = {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH a AS (
+       |  SELECT l_returnflag,
+       |    count(*) AS n,
+       |    ${d("sum(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS sum_x,
+       |    ${d("sum(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_y,
+       |    ${d("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |                  CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6)))""")}
+       |      AS sum_xy,
+       |    ${d("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6)))""")}
+       |      AS sum_xx,
+       |    ${d("""sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+       |                  CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6)))""")}
+       |      AS sum_yy
+       |  FROM lineitem
+       |  GROUP BY l_returnflag),
+       |b AS (
+       |  SELECT *, CAST(n AS DOUBLE) AS nn,
+       |    CAST(n AS DOUBLE) * sum_xy - sum_x * sum_y AS cov_num,
+       |    CAST(n AS DOUBLE) * sum_xx - sum_x * sum_x AS var_x,
+       |    CAST(n AS DOUBLE) * sum_yy - sum_y * sum_y AS var_y
+       |  FROM a)
+       |SELECT l_returnflag, n,
+       |  cov_num / (sqrt(var_x) * sqrt(var_y)) AS corr_r,
+       |  cov_num / var_x AS slope,
+       |  (sum_y - (cov_num / var_x) * sum_x) / nn AS intercept
+       |FROM b
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** A8: segment counting over the segmentation output
     * (airflow_etl_utils.py:250-258). */
   def segmentCounts(spark: SparkSession, dir: String): DataFrame =
