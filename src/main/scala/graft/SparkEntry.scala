@@ -45,6 +45,8 @@ object SparkEntry {
     "status_distribution" -> ((s, d) => BatchOps.statusDistribution(s, d)),
     "revenue_analytics" -> ((s, d) => BatchOps.revenueAnalytics(s, d)),
     "price_quantity_corr" -> ((s, d) => BatchOps.priceQuantityCorr(s, d)),
+    "order_status_cube" -> ((s, d) => BatchOps.orderStatusCube(s, d)),
+    "price_histogram" -> ((s, d) => BatchOps.priceHistogram(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
       BatchOps.mktsegmentValueCounts(s, d)),
@@ -273,6 +275,8 @@ object SparkEntry {
     // built-in corr streams doubles in partition order — not
     // cross-engine-reproducible; the component-sum form is).
     "price_quantity_corr" -> BatchOps.priceQuantityCorrOracleSql,
+    "order_status_cube" -> BatchOps.orderStatusCubeOracleSql,
+    "price_histogram" -> BatchOps.priceHistogramOracleSql,
 
     "segment_counts" ->
       s"""WITH roll AS ($custRollupSql),

@@ -545,6 +545,75 @@ object BatchOps {
        |GROUP BY ROLLUP (source, lang)
        |ORDER BY grain NULLS FIRST, source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
+  /** CUBE over (status, priority) — the remaining grouping-set shape
+    * after [[corpusRollup]]'s ROLLUP: all four grains (detail, each
+    * one-dimension margin, grand total) in ONE Expand+aggregate pass,
+    * grouping_id-matched to DuckDB GROUPING, null placement pinned on
+    * both sides. */
+  def orderStatusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("grain"))
+      .orderBy(col("grain").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** DuckDB oracle for [[orderStatusCube]]. */
+  private[graft] def orderStatusCubeOracleSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price,
+       |  GROUPING(o_orderstatus, o_orderpriority) AS grain
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY grain NULLS FIRST, o_orderstatus NULLS FIRST,
+       |  o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Histogram bin width for [[priceHistogram]] (shared with the
+    * oracle). */
+  val PriceBinWidth = 10000
+
+  /** Equi-width order-value histogram — the distribution profile every
+    * analytics surface ships: one row per non-empty
+    * [[PriceBinWidth]]-wide bin with count and exact decimal bounds.
+    * The bin id is integer arithmetic on the decimal price (no
+    * data-dependent anchors, no second pass); one hash aggregate on a
+    * small key space. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bin",
+        floor(col("o_totalprice").cast("decimal(18,2)") / PriceBinWidth)
+          .cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("min_price"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("max_price"))
+      .withColumn("bin_lo", (col("bin") * PriceBinWidth).cast("long"))
+      .select("bin", "bin_lo", "n_orders", "min_price", "max_price")
+      .orderBy("bin")
+
+  /** DuckDB oracle for [[priceHistogram]]. */
+  private[graft] def priceHistogramOracleSql: String =
+    s"""SELECT
+       |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / $PriceBinWidth)
+       |    AS INT) AS bin,
+       |  CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / $PriceBinWidth)
+       |    AS INT) * $PriceBinWidth AS BIGINT) AS bin_lo,
+       |  count(*) AS n_orders,
+       |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS min_price,
+       |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS max_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Languages pivoted into fixed columns by [[langPivot]] (shared with
     * the oracle; a FIXED list — pivoting on discovered values would make
     * the schema data-dependent, which neither a SQL consumer nor the
