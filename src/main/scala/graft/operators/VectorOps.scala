@@ -79,10 +79,14 @@ object VectorOps {
     * data-dependent loop — the oracle SQL is generated with the same
     * count). Recall@1 vs exact brute force on the sf0.01 corpus at
     * nprobe=2, measured by [[graft.RecallSweep]]: 0.332 untrained →
-    * 0.382 at 1 iter → 0.404 at 2 → 0.410 at 3. Two iterations buy the
-    * bulk of the k-means convergence at one extra N×C fan-out; the tail
-    * is asymptotic (the near-uniform synthetic corpus has little cluster
-    * structure left to learn). */
+    * 0.382 at 1 iter → 0.404 at 2 → 0.410 at 3; at sf0.1 (4× the
+    * corpus, same nprobe): 0.240 → 0.269 → 0.291 → 0.304 — the same
+    * monotone trained lift (~+21% relative at 2 iters) at both scales,
+    * with the absolute level dropping as √N grows the cell count at
+    * fixed probe budget (the standard IVF recall/nprobe trade). Two
+    * iterations buy the bulk of the k-means convergence at one extra
+    * N×C fan-out; the tail is asymptotic (the near-uniform synthetic
+    * corpus has little cluster structure left to learn). */
   val LloydIters = 2
 
   /** Terms per sparse hyperplane: each projection reads 8 of the 64 dims
