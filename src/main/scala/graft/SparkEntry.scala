@@ -67,6 +67,7 @@ object SparkEntry {
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
+    "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
     "audience_overlap" -> ((s, d) => CdcOps.audienceOverlap(s, d)),
@@ -470,6 +471,7 @@ object SparkEntry {
 
     // Field-level diffs between consecutive row versions per key.
     "cdc_change_log" -> CdcOps.changeLogOracleSql,
+    "event_transitions" -> CdcOps.eventTransitionsOracleSql,
 
     // Last-click attribution: interval self-join on the user key with a
     // deterministic (click_ms, click_id) top-1 pick per purchase.

@@ -413,6 +413,50 @@ object CdcOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Event-type transition matrix — Markov bigram counts over each
+    * user's event chain: for every consecutive (prev_type → event_type)
+    * pair in (ts, event_id) order, the corpus-wide count and the
+    * conditional transition probability given the previous type. The
+    * funnel/behavior-model input a product-analytics pipeline derives
+    * from the same ordered chains as sessionization; the probability is
+    * an IEEE division of exact longs, so it hash-anchors. One key
+    * shuffle + lag window (chain construction), then a tiny aggregate
+    * on the (prev, next) type space. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val wPrev = Window.partitionBy("prev_type")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_next",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(wPrev).cast("double"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** DuckDB oracle for [[eventTransitions]] — same chain order, same
+    * conditional division. */
+  private[graft] def eventTransitionsOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id) AS prev_type
+       |  FROM events),
+       |g AS (
+       |  SELECT prev_type, event_type, count(*) AS n_transitions
+       |  FROM c WHERE prev_type IS NOT NULL
+       |  GROUP BY prev_type, event_type)
+       |SELECT prev_type, event_type, n_transitions,
+       |  CAST(n_transitions AS DOUBLE) /
+       |    CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+       |    AS p_next
+       |FROM g
+       |ORDER BY prev_type, event_type""".stripMargin
+
   /** CDC change log — field-level diffs between CONSECUTIVE row versions
     * per key: for each user's version chain (ts order, event_id
     * tiebreak), emit the transitions where `value` actually changed,
