@@ -68,6 +68,7 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
+    "user_funnel" -> ((s, d) => CdcOps.userFunnel(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
     "audience_overlap" -> ((s, d) => CdcOps.audienceOverlap(s, d)),
@@ -472,6 +473,7 @@ object SparkEntry {
     // Field-level diffs between consecutive row versions per key.
     "cdc_change_log" -> CdcOps.changeLogOracleSql,
     "event_transitions" -> CdcOps.eventTransitionsOracleSql,
+    "user_funnel" -> CdcOps.userFunnelOracleSql,
 
     // Last-click attribution: interval self-join on the user key with a
     // deterministic (click_ms, click_id) top-1 pick per purchase.

@@ -457,6 +457,82 @@ object CdcOps {
        |FROM g
        |ORDER BY prev_type, event_type""".stripMargin
 
+  /** Strict-order conversion funnel signup → click → purchase: a user
+    * converts a stage only by an event AT OR AFTER their entry into the
+    * previous stage (first signup, first click ≥ that, first purchase ≥
+    * that). Three stacked per-user window mins — each conditioned on
+    * the previous stage's timestamp, which a window may reference
+    * because it is per-row constant within the partition — then one
+    * global count row with IEEE-exact conversion ratios. One shuffle on
+    * the user key; the window state per user is three longs. */
+  def userFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("m1",
+        min(when(col("event_type") === "signup", col("ts_ms"))).over(w))
+      .withColumn("m2",
+        min(when(col("event_type") === "click" && col("ts_ms") >= col("m1"),
+          col("ts_ms"))).over(w))
+      .withColumn("m3",
+        min(when(col("event_type") === "purchase" && col("ts_ms") >= col("m2"),
+          col("ts_ms"))).over(w))
+      .groupBy("user_id")
+      .agg(min(col("m1")).as("m1"), min(col("m2")).as("m2"),
+        min(col("m3")).as("m3"))
+    staged.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("m1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("m2").isNotNull, 1L).otherwise(0L)).as("n_click_after"),
+      sum(when(col("m3").isNotNull, 1L).otherwise(0L)).as("n_purchase_after"))
+      .select(col("n_users"), col("n_signup"), col("n_click_after"),
+        col("n_purchase_after"),
+        (col("n_click_after").cast("double") /
+          col("n_signup").cast("double")).as("p_click_given_signup"),
+        (col("n_purchase_after").cast("double") /
+          col("n_click_after").cast("double")).as("p_purchase_given_click"))
+  }
+
+  /** DuckDB oracle for [[userFunnel]] — the same stacked conditional
+    * window mins, stated as nested selects. */
+  private[graft] def userFunnelOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       |  FROM events),
+       |s1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_ms END)
+       |    OVER (PARTITION BY user_id) AS m1
+       |  FROM e),
+       |s2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_ms >= m1
+       |      THEN ts_ms END)
+       |    OVER (PARTITION BY user_id) AS m2
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ms >= m2
+       |      THEN ts_ms END)
+       |    OVER (PARTITION BY user_id) AS m3
+       |  FROM s2),
+       |u AS (
+       |  SELECT user_id, min(m1) AS m1, min(m2) AS m2, min(m3) AS m3
+       |  FROM s3 GROUP BY user_id),
+       |f AS (
+       |  SELECT count(*) AS n_users,
+       |    CAST(sum(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_signup,
+       |    CAST(sum(CASE WHEN m2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_click_after,
+       |    CAST(sum(CASE WHEN m3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_purchase_after
+       |  FROM u)
+       |SELECT n_users, n_signup, n_click_after, n_purchase_after,
+       |  CAST(n_click_after AS DOUBLE) / CAST(n_signup AS DOUBLE)
+       |    AS p_click_given_signup,
+       |  CAST(n_purchase_after AS DOUBLE) / CAST(n_click_after AS DOUBLE)
+       |    AS p_purchase_given_click
+       |FROM f""".stripMargin
+
   /** CDC change log — field-level diffs between CONSECUTIVE row versions
     * per key: for each user's version chain (ts order, event_id
     * tiebreak), emit the transitions where `value` actually changed,
