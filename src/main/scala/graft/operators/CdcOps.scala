@@ -422,10 +422,15 @@ object CdcOps {
     * an IEEE division of exact longs, so it hash-anchors. One key
     * shuffle + lag window (chain construction), then a tiny aggregate
     * on the (prev, next) type space. */
-  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOf(Tables.events(spark, dir))
+
+  /** [[eventTransitions]] over an injectable events frame (property
+    * tests). */
+  private[graft] def eventTransitionsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     val wPrev = Window.partitionBy("prev_type")
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_millis(col("ts")).as("ts_ms"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))

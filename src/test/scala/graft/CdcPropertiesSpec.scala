@@ -92,6 +92,21 @@ class CdcPropertiesSpec extends GraftSpec {
     }
   }
 
+  test("property: transitions conserve chains and probabilities sum to 1") {
+    cases(8).foreach { events =>
+      val rows = CdcOps.eventTransitionsOf(df(events)).collect()
+      // Conservation: every user chain of length n contributes exactly
+      // n−1 transitions.
+      val expected = events.groupBy(_.user_id).values
+        .map(_.size - 1).filter(_ > 0).sum
+      assert(rows.map(_.getAs[Long]("n_transitions")).sum == expected)
+      // Stochastic rows: P(next | prev) sums to 1 for every prev state.
+      rows.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rs) =>
+        assert(math.abs(rs.map(_.getAs[Double]("p_next")).sum - 1.0) < 1e-12)
+      }
+    }
+  }
+
   test("property: change log equals the pairwise diff of each version chain") {
     cases(8).foreach { events =>
       // Reference model: per user, sort the chain by (ts, event_id) and
