@@ -68,6 +68,9 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
+    "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
+    "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
+    "cdc_incremental_rollup" -> ((s, d) => CdcOps.incrementalRollup(s, d)),
     "user_funnel" -> ((s, d) => CdcOps.userFunnel(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
@@ -110,6 +113,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
+    "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
@@ -473,6 +477,9 @@ object SparkEntry {
     // Field-level diffs between consecutive row versions per key.
     "cdc_change_log" -> CdcOps.changeLogOracleSql,
     "event_transitions" -> CdcOps.eventTransitionsOracleSql,
+    "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
+    "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
+    "cdc_incremental_rollup" -> CdcOps.incrementalRollupOracleSql,
     "user_funnel" -> CdcOps.userFunnelOracleSql,
 
     // Last-click attribution: interval self-join on the user key with a
@@ -693,6 +700,7 @@ object SparkEntry {
     "pii_scrub" -> TextOps.piiScrubOracleSql,
     "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
     "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
+    "doc_surprisal" -> TextOps.docSurprisalOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
     "oov_rate" -> TextOps.oovRateOracleSql,

@@ -585,4 +585,234 @@ object CdcOps {
        |FROM v
        |WHERE prev_value IS NOT NULL AND value <> prev_value
        |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
+  /** Weekly cohort retention — users cohorted by the ISO week of their
+    * FIRST event, then for every (cohort, week-offset) cell: how many of
+    * the cohort's users were active that week, and the retention share.
+    * The classic product-analytics matrix a behavioral pipeline derives
+    * from the same event feed the CDC consumers read.
+    *
+    * Scale shape: the raw feed compacts to distinct (user, week) pairs
+    * FIRST (one hash aggregate — map-side partials collapse each user's
+    * in-week activity before the shuffle, so a hot week never ships its
+    * full event volume), cohort assignment is a per-user min over that
+    * already-compacted frame (window over the same hash partitioning,
+    * no second shuffle of the raw feed), and the matrix aggregate runs
+    * on |users| × |weeks| rows, not |events|. Week truncation is
+    * Monday-aligned in both engines (Spark `date_trunc('week')`, DuckDB
+    * same), and the offset division is exact (week deltas are multiples
+    * of 7 days). Retention is one IEEE division of exact longs. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, dir))
+
+  /** [[cohortRetention]] over an injectable events frame (property
+    * tests). */
+  private[graft] def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+    val active = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+      .withColumn("cohort_week", min(col("wk")).over(wUser))
+    val cells = active
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = active.filter(col("wk") === col("cohort_week"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_users"),
+        (col("n_active").cast("double") /
+          col("cohort_users").cast("double")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** DuckDB oracle for [[cohortRetention]] — same Monday truncation,
+    * same exact offset division. */
+  private[graft] def cohortRetentionOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, wk,
+       |    min(wk) OVER (PARTITION BY user_id) AS cohort_week
+       |  FROM a),
+       |cells AS (
+       |  SELECT cohort_week,
+       |    CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+       |    count(*) AS n_active
+       |  FROM c GROUP BY 1, 2),
+       |sz AS (
+       |  SELECT cohort_week, count(*) AS cohort_users
+       |  FROM c WHERE wk = cohort_week GROUP BY 1)
+       |SELECT cells.cohort_week, week_offset, n_active, cohort_users,
+       |  CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE) AS retention
+       |FROM cells JOIN sz ON cells.cohort_week = sz.cohort_week
+       |ORDER BY cells.cohort_week, week_offset""".stripMargin
+
+  /** |z| threshold that flags a daily total as anomalous (shared with
+    * the oracle). */
+  val AnomalyZ = 2.0
+
+  /** Daily anomaly detection by z-score — per event type, each day's
+    * value total scored against that type's own distribution of daily
+    * totals. The statistical upgrade of the reference's FIXED alert
+    * thresholds (stream_processor.py:35-39: `> 1000`, `> 50`…): a fixed
+    * cut needs retuning per type and per scale, a z-score self-adapts.
+    *
+    * Exactness: daily totals and the second moment ride DECIMAL sums
+    * (order-independent at any parallelism — DECIMAL(18,2)² → (37,4) is
+    * exact multiplication, and the (38,4) running sum cannot overflow
+    * before the corpus outgrows the mantissa anyway), so the doubles
+    * that enter mean/variance are bit-identical in both engines; from
+    * there each engine performs the SAME IEEE op sequence (two
+    * divisions, one multiply, one subtract, one correctly-rounded sqrt),
+    * so the emitted z-scores hash-match. Constant-total types (zero
+    * variance) yield null z and never flag. Two hash aggregates — (type,
+    * day), then per-type moments — both partial+final; the fact table is
+    * touched once. */
+  def dailyAnomalyZscore(spark: SparkSession, dir: String): DataFrame =
+    dailyAnomalyZscoreOf(Tables.events(spark, dir))
+
+  /** [[dailyAnomalyZscore]] over an injectable events frame. */
+  private[graft] def dailyAnomalyZscoreOf(events: DataFrame): DataFrame = {
+    val wType = Window.partitionBy("event_type")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,2)").as("x_dec"))
+    daily
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("mean",
+        sum(col("x_dec")).over(wType).cast("double") /
+          col("n").cast("double"))
+      .withColumn("var",
+        (sum((col("x_dec") * col("x_dec")).cast("decimal(38,4)")).over(wType)
+          .cast("double") / col("n").cast("double")) -
+          (col("mean") * col("mean")))
+      .withColumn("z",
+        when(col("var") > 0.0,
+          (col("x_dec").cast("double") - col("mean")) / sqrt(col("var"))))
+      .select(col("event_type"), col("day"),
+        col("x_dec").cast("double").as("day_total"),
+        col("n").as("n_days"), col("z").as("zscore"),
+        (abs(coalesce(col("z"), lit(0.0))) > AnomalyZ).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[dailyAnomalyZscore]] — same decimal moments,
+    * same IEEE op sequence. */
+  private[graft] def dailyAnomalyZscoreOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x_dec
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT *,
+       |    count(*) OVER w AS n,
+       |    CAST(sum(x_dec) OVER w AS DOUBLE)
+       |      / CAST(count(*) OVER w AS DOUBLE) AS mean,
+       |    CAST(sum(CAST(x_dec * x_dec AS DECIMAL(38,4))) OVER w AS DOUBLE)
+       |      / CAST(count(*) OVER w AS DOUBLE) AS ex2
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type)),
+       |z AS (
+       |  SELECT event_type, day, x_dec, n, mean,
+       |    ex2 - (mean * mean) AS var
+       |  FROM m)
+       |SELECT event_type, day, CAST(x_dec AS DOUBLE) AS day_total,
+       |  n AS n_days,
+       |  CASE WHEN var > 0.0
+       |    THEN (CAST(x_dec AS DOUBLE) - mean) / sqrt(var) END AS zscore,
+       |  abs(coalesce(CASE WHEN var > 0.0
+       |    THEN (CAST(x_dec AS DOUBLE) - mean) / sqrt(var) END, 0.0))
+       |    > $AnomalyZ AS is_anomaly
+       |FROM z
+       |ORDER BY event_type, day""".stripMargin
+
+  /** Incremental view maintenance — the per-key aggregate maintained
+    * from CDC DELTAS alone, never recomputed from a base-table scan:
+    * a create adds its `after` image, an update adds `after − before`,
+    * a delete retracts its `before`. This is what the reference's Redis
+    * caches are at heart (INCR/INCRBYFLOAT per change —
+    * cdc_processor.py:50-51,124-131) and the capability that matters at
+    * 100 TB: the maintained view costs one pass over the (small) change
+    * feed instead of re-aggregating the (huge) base table every cycle.
+    * The delta fold is a plain partial+final hash aggregate on the key —
+    * commutative, so arrival order within a micro-batch is irrelevant —
+    * and the same code runs in update-mode streaming
+    * ([[graft.streaming.StreamOps.incrementalRollup]]).
+    *
+    * Change images are synthesized the same way as [[envelopeNested]]
+    * (op from event_type, `before.value = value − 10` when a prior
+    * version exists); the spec proves on a true create/update/delete
+    * chain fixture that the delta fold equals a from-scratch aggregate
+    * of the surviving latest rows. */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame =
+    incrementalRollupOf(Tables.events(spark, dir))
+
+  /** The per-change delta projection shared by the batch fold, the
+    * streaming twin, and the specs: op verb → (value delta, row delta).
+    * Change images are synthesized from the events schema the same way
+    * as [[envelopeNested]] (`before.value = value − 10`). */
+  private[graft] def changeDeltas(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), opCol.as("op"),
+        col("value").cast("decimal(18,2)").as("after_v"),
+        (col("value").cast("decimal(18,2)") - 10).cast("decimal(18,2)")
+          .as("before_v"))
+      .select(col("user_id"),
+        when(col("op") === "c", col("after_v"))
+          .when(col("op") === "u", (col("after_v") - col("before_v"))
+            .cast("decimal(18,2)"))
+          .otherwise(-col("before_v")).as("value_delta"),
+        when(col("op") === "c", 1L)
+          .when(col("op") === "u", 0L).otherwise(-1L).as("row_delta"))
+
+  /** The maintained-view fold over [[changeDeltas]] — shared verbatim
+    * with [[graft.streaming.StreamOps.incrementalRollup]] so the spec's
+    * stream/batch agreement is by construction. */
+  private[graft] def foldDeltas(deltas: DataFrame): DataFrame =
+    deltas
+      .groupBy("user_id")
+      .agg(
+        sum(col("value_delta")).cast("double").as("net_value"),
+        sum(col("row_delta")).as("net_rows"),
+        count(lit(1)).as("n_changes"))
+
+  /** [[incrementalRollup]] over an injectable events frame (property
+    * tests). */
+  private[graft] def incrementalRollupOf(events: DataFrame): DataFrame =
+    foldDeltas(changeDeltas(events)).orderBy("user_id")
+
+  /** DuckDB oracle for [[incrementalRollup]] — the same delta CASE
+    * fold. */
+  private[graft] def incrementalRollupOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT user_id,
+       |    CASE WHEN event_type = 'signup' THEN 'c'
+       |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+       |    CAST(value AS DECIMAL(18,2)) AS after_v,
+       |    CAST(CAST(value AS DECIMAL(18,2)) - 10 AS DECIMAL(18,2))
+       |      AS before_v
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id,
+       |    CASE WHEN op = 'c' THEN after_v
+       |         WHEN op = 'u' THEN CAST(after_v - before_v AS DECIMAL(18,2))
+       |         ELSE -before_v END AS value_delta,
+       |    CASE WHEN op = 'c' THEN 1
+       |         WHEN op = 'u' THEN 0 ELSE -1 END AS row_delta
+       |  FROM d)
+       |SELECT user_id,
+       |  CAST(sum(value_delta) AS DOUBLE) AS net_value,
+       |  CAST(sum(row_delta) AS BIGINT) AS net_rows,
+       |  count(*) AS n_changes
+       |FROM f
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
 }

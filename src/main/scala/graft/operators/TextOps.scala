@@ -1541,4 +1541,70 @@ object TextOps {
        |SELECT doc_id, term, tf, df, score, rk
        |FROM s WHERE rk <= $TfidfK
        |ORDER BY doc_id, rk""".stripMargin
+
+  /** A document is flagged improbable when its mean token surprisal
+    * exceeds this many bits (shared with the oracle). */
+  val SurprisalBitsMax = 10.0
+
+  /** Unigram language-model surprisal scoring — the perplexity-style
+    * quality filter of a training pipeline (CCNet/Gopher-style: score
+    * each document by how improbable its tokens are under a corpus
+    * language model; gibberish, boilerplate IDs, and wrong-language text
+    * score high). The LM here is the corpus's own unigram distribution,
+    * and per-token surprisal is quantized to BITS so the score is
+    * hash-exact across engines: surprisal(t) = ⌊log₂(N / cnt(t))⌋ + 1 =
+    * `length(bin(N div cnt))` — integer division, binary digit count,
+    * no floating log anywhere. The per-document mean is then one IEEE
+    * division of exact longs. A real fractional-bit LM would rank
+    * almost identically (quantization shifts scores < 1 bit); the
+    * integer form is what lets DuckDB referee it.
+    *
+    * Scale shape: token explode → one hash aggregate for the vocab
+    * (partial+final, hot tokens combine map-side), corpus total rides a
+    * 1-row broadcast, and the score join is token-keyed — AQE's skew
+    * split handles the 'the'-sized posting lists. The fact table is
+    * scanned once (the exploded frame feeds both the vocab build and
+    * the score join). */
+  def docSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        length(bin(expr("n_total DIV cnt"))).cast("bigint").as("bits"))
+    toks.join(bits, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("avg_bits",
+        col("total_bits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("improbable", col("avg_bits") > SurprisalBitsMax)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[docSurprisal]] — same integer-division
+    * bit-count quantization, same final division. */
+  private[graft] def docSurprisalOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+       |n AS (SELECT count(*) AS n_total FROM t),
+       |b AS (
+       |  SELECT token,
+       |    CAST(length(bin(CAST(n_total // cnt AS BIGINT))) AS BIGINT)
+       |      AS bits
+       |  FROM v CROSS JOIN n),
+       |d AS (
+       |  SELECT doc_id, count(*) AS n_tokens, sum(bits) AS total_bits
+       |  FROM t JOIN b USING (token)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, CAST(total_bits AS BIGINT) AS total_bits,
+       |  CAST(total_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_bits,
+       |  CAST(total_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    > $SurprisalBitsMax AS improbable
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
 }

@@ -191,6 +191,23 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("total_value"))
 
+  /** Incremental view maintenance over the live change feed — the
+    * streaming twin of `CdcOps.incrementalRollup`: per-key aggregates
+    * maintained from CDC deltas (create adds `after`, update adds
+    * `after − before`, delete retracts `before`) in UPDATE output mode,
+    * so each trigger emits exactly the keys whose maintained value
+    * changed — the INCR/INCRBYFLOAT semantics of the reference's Redis
+    * caches (cdc_processor.py:50-51,124-131), with exactly-once instead
+    * of at-least-once. The delta projection and the fold are the SAME
+    * code the batch query runs (`CdcOps.changeDeltas`/`foldDeltas`), so
+    * stream/batch agreement holds by construction; the spec replays a
+    * fixture through a MemoryStream and asserts the final update equals
+    * the batch fold. Unwatermarked running state is the point (a
+    * maintained view never expires); state size is |live keys|. */
+  def incrementalRollup(events: DataFrame): DataFrame =
+    graft.operators.CdcOps.foldDeltas(
+      graft.operators.CdcOps.changeDeltas(events))
+
   /** A11: per-group daily distribution — `realtime:geo:customers:{state}` /
     * `realtime:categories:{cat}` counters with their daily TTL
     * (stream_processor.py:147-152,174-179). The 1-day event-time window IS

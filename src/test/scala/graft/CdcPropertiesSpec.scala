@@ -124,4 +124,113 @@ class CdcPropertiesSpec extends GraftSpec {
       assert(got == expected)
     }
   }
+
+  test("property: cohort retention is anchored and bounded") {
+    cases(8).foreach { events =>
+      val rows = CdcOps.cohortRetentionOf(df(events)).collect()
+      // Offset 0 is every cohort's own week: full retention by
+      // construction (a user is active in the week of their first
+      // event).
+      rows.filter(_.getAs[Int]("week_offset") == 0).foreach { r =>
+        assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_users"))
+        assert(r.getAs[Double]("retention") == 1.0)
+      }
+      // No cell exceeds its cohort; cohort sizes partition the users.
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_users"))
+        assert(r.getAs[Int]("week_offset") >= 0)
+      }
+      val users = events.map(_.user_id).distinct.size
+      assert(rows.filter(_.getAs[Int]("week_offset") == 0)
+        .map(_.getAs[Long]("cohort_users")).sum == users)
+    }
+  }
+
+  test("property: z-scores are centered and zero-variance never flags") {
+    cases(8).foreach { events =>
+      val rows = CdcOps.dailyAnomalyZscoreOf(df(events)).collect()
+      // One row per (type, day) of the input.
+      val expected = events
+        .map(e => (e.event_type, e.ts.toLocalDateTime.toLocalDate))
+        .distinct.size
+      assert(rows.length == expected)
+      // Standardized scores sum to ~0 within each type (exact decimal
+      // moments ⇒ only the final IEEE divisions wiggle).
+      rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+        val zs = rs.flatMap(r => Option(r.getAs[java.lang.Double]("zscore")))
+        if (zs.nonEmpty)
+          assert(math.abs(zs.map(_.toDouble).sum) < 1e-6 * (zs.length + 1))
+      }
+    }
+  }
+
+  test("z-score flags an injected outlier day; constant series never flag") {
+    // Type 'click': 9 quiet days + one 100× day. Type 'view': constant —
+    // zero variance, z must be null and the flag false.
+    val quiet = (1 to 9).map(d => Event(d.toLong,
+      ts(f"2024-01-$d%02d 10:00:00"), 1L, "click", 10.0, "{}"))
+    val spike = Event(10L, ts("2024-01-10 10:00:00"), 1L, "click",
+      1000.0, "{}")
+    val flat = (1 to 5).map(d => Event(100L + d,
+      ts(f"2024-01-$d%02d 12:00:00"), 2L, "view", 7.0, "{}"))
+    val rows = CdcOps.dailyAnomalyZscoreOf(df(quiet ++ Seq(spike) ++ flat))
+      .collect()
+    val flagged = rows.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[String]("event_type") == "click")
+    assert(flagged.head.getAs[Double]("day_total") == 1000.0)
+    rows.filter(_.getAs[String]("event_type") == "view").foreach { r =>
+      assert(r.getAs[java.lang.Double]("zscore") == null)
+      assert(!r.getAs[Boolean]("is_anomaly"))
+    }
+  }
+
+  test("incremental rollup equals a from-scratch aggregate of survivors") {
+    // True CDC chains honoring the synthesized-image convention
+    // (before = value − 10): create v0, k updates of +10 each, optional
+    // delete carrying prev + 10 (so its before retracts exactly prev).
+    val rnd = new scala.util.Random(11)
+    (0 until 6).foreach { _ =>
+      var id = 0L
+      var minute = 0
+      val alive = scala.collection.mutable.Map.empty[Long, Double]
+      val events = (1L to 8L).flatMap { user =>
+        val k = rnd.nextInt(4)
+        val dead = rnd.nextBoolean()
+        val v0 = (rnd.nextInt(10000) + 100) / 100.0
+        def next(etype: String, v: Double): Event = {
+          id += 1; minute += 1
+          Event(id, ts(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"),
+            user, etype, v, "{}")
+        }
+        val chain = scala.collection.mutable.Buffer(next("signup", v0))
+        var v = v0
+        (1 to k).foreach { _ => v += 10; chain += next("click", v) }
+        if (dead) chain += next("error", v + 10)
+        else alive(user) = v
+        chain
+      }
+      val got = CdcOps.incrementalRollupOf(df(events)).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Double]("net_value"), r.getAs[Long]("net_rows"))).toMap
+      (1L to 8L).foreach { user =>
+        val (v, n) = got(user)
+        alive.get(user) match {
+          case Some(expected) =>
+            assert(n == 1L, s"user $user net_rows")
+            assert(math.abs(v - expected) < 1e-9, s"user $user net_value")
+          case None =>
+            assert(n == 0L && math.abs(v) < 1e-9, s"user $user tombstoned")
+        }
+      }
+      // Cross-check against the independent latest-state compaction.
+      val survivors = CdcOps.upsertLatestOf(df(events)).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("last_value"))
+        .toMap
+      assert(survivors.keySet == alive.keySet)
+      survivors.foreach { case (u, v) =>
+        assert(math.abs(v - got(u)._1) < 1e-9)
+      }
+    }
+  }
 }

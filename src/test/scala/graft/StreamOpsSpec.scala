@@ -653,6 +653,49 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("incremental rollup maintains the view across batches (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.incrementalRollup(in.toDS().toDF())
+      .writeStream.format("memory").queryName("ivm")
+      .outputMode("update").start()
+    try {
+      // Batch 1: user 7 created at 100.00, user 8 created at 50.00.
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "signup", 100.0),
+        event(2, "2024-01-01 10:01:00", 8, "signup", 50.0))
+      q.processAllAvailable()
+      // Batch 2: user 7 updated (+10 by the image convention), user 8
+      // deleted (delete value v means before = v − 10 is retracted).
+      in.addData(
+        event(3, "2024-01-01 11:00:00", 7, "click", 110.0),
+        event(4, "2024-01-01 11:01:00", 8, "error", 60.0))
+      q.processAllAvailable()
+      // The memory sink accumulates per-trigger updates: the LAST row
+      // per key is the maintained value.
+      val state = spark.table("ivm").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_changes")) }
+      assert(state(7L).getAs[Double]("net_value") == 110.0)
+      assert(state(7L).getAs[Long]("net_rows") == 1L)
+      assert(state(8L).getAs[Double]("net_value") == 0.0)
+      assert(state(8L).getAs[Long]("net_rows") == 0L)
+      // Stream/batch agreement: the final maintained view equals the
+      // batch fold over the full feed (same code path by construction,
+      // asserted anyway as the contract).
+      val batch = graft.operators.CdcOps.incrementalRollupOf(
+        Seq(
+          event(1, "2024-01-01 10:00:00", 7, "signup", 100.0),
+          event(2, "2024-01-01 10:01:00", 8, "signup", 50.0),
+          event(3, "2024-01-01 11:00:00", 7, "click", 110.0),
+          event(4, "2024-01-01 11:01:00", 8, "error", 60.0)).toDF())
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Double]("net_value")).toMap
+      assert(batch == state.map { case (u, r) =>
+        u -> r.getAs[Double]("net_value") })
+    } finally q.stop()
+  }
+
   test("T5: state and offsets survive a stop/restart from the checkpoint") {
     // The exactly-once restart guarantee — the reason Structured
     // Streaming beats an auto-commit consumer (which re-delivers or
