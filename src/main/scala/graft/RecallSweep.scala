@@ -53,6 +53,32 @@ object RecallSweep {
       println(f"lloyd_iters=$iters%d recall@1=${hits / total}%.3f " +
         f"(nprobe=${VectorOps.NProbe}%d, n=${total.toLong}%d)")
     }
+    // IVF-PQ: same coarse candidates as annIvfTop1, scored on 4-byte
+    // codes. Measured against the exact L2 top-1 (PQ approximates
+    // squared L2) — and against the raw-vector IVF pick to isolate the
+    // quantization loss from the candidate-generation loss.
+    val exactL2 = q.crossJoin(broadcast(c))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("d2",
+        expr("vec_dot(q_emb, q_emb)") -
+          lit(2.0) * expr("vec_dot(q_emb, c_emb)") +
+          expr("vec_dot(c_emb, c_emb)"))
+      .groupBy("q_id")
+      .agg(min(struct(col("d2"), col("c_id"))).as("best"))
+      .select(col("q_id"), col("best.c_id").as("exact_l2_c"))
+      .cache()
+    val pq = VectorOps.annPqTop1(spark, dir)
+      .select(col("q_id"), col("c_id")).cache()
+    val pqL2Hits = pq.join(exactL2, "q_id")
+      .filter(col("c_id") === col("exact_l2_c")).count()
+    val ivfPick = VectorOps.annIvfTop1(spark, dir)
+      .select(col("q_id"), col("c_id").as("ivf_c"))
+    val pqIvfAgree = pq.join(ivfPick, "q_id")
+      .filter(col("c_id") === col("ivf_c")).count()
+    println(f"pq recall@1(L2)=${pqL2Hits / total}%.3f " +
+      f"agree_with_ivf=${pqIvfAgree / total}%.3f " +
+      f"(m=${VectorOps.PqSubspaces}%d k=${VectorOps.PqCodebook}%d, " +
+      f"n=${total.toLong}%d)")
     spark.stop()
   }
 }

@@ -135,6 +135,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
+    "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
     "semantic_dedup_survivors" -> ((s, d) =>
       VectorOps.semanticDedupSurvivors(s, d)),
@@ -781,6 +782,9 @@ object SparkEntry {
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
+    // IVF-PQ: coarse candidates scored by asymmetric distance over
+    // product-quantization codes — the compressed-index ANN scale path.
+    "ann_pq_top1" -> VectorOps.annPqTop1OracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
     "semantic_dedup_survivors" ->
       VectorOps.semanticDedupSurvivorsOracleSql,

@@ -543,7 +543,7 @@ object VectorOps {
         .select(col("cent_id"),
           posexplode(col("embedding")).as(Seq("dpos", "dval")))
         .groupBy("cent_id", "dpos")
-        .agg((sum(col("dval").cast("decimal(28,12)")).cast("double") /
+        .agg((sum(col("dval").cast("double").cast("decimal(28,12)")).cast("double") /
           count(lit(1)).cast("double")).as("m"))
         .groupBy("cent_id")
         .agg(expr("transform(array_sort(collect_list(struct(dpos, m))), x -> x.m)")
@@ -603,7 +603,7 @@ object VectorOps {
 
   private[graft] def annIvfTrainedTop1OracleSqlIter(iters: Int): String = {
     val meanCols = (1 to Dim).map(j =>
-      s"CAST(sum(CAST(e.embedding[$j] AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m$j")
+      s"CAST(sum(CAST(CAST(e.embedding[$j] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m$j")
       .mkString(",\n    ")
     def dotMean(v: String): String =
       (1 to Dim).map(j => s"(CAST($v[$j] AS DOUBLE) * m$j)")
@@ -678,9 +678,11 @@ object VectorOps {
        |ORDER BY q_id""".stripMargin
   }
 
-  /** DuckDB oracle for [[annIvfTop1]] (same stride, same unrolled
-    * arithmetic, same tiebreaks). */
-  private[graft] def annIvfTop1OracleSql: String =
+  /** Shared oracle prefix for the untrained-coarse-quantizer IVF family
+    * ([[annIvfTop1]], [[annPqTop1]]): CTEs `st` (√N stride), `e`
+    * (norms), `c` (stride-sampled centroids), `a` (ranked assignment),
+    * `asg` (top-1 cell), `m` (capped membership), `p` (probed cells). */
+  private def ivfCoarseSqlPrefix: String =
     s"""WITH st AS (
        |  SELECT greatest(CAST(1 AS BIGINT),
        |    CAST(ceil(CAST(count(*) AS DOUBLE)
@@ -704,7 +706,12 @@ object VectorOps {
        |  SELECT vec_id, cent_id,
        |    row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS cr
        |  FROM asg),
-       |p AS (SELECT vec_id, cent_id FROM a WHERE rn <= $NProbe),
+       |p AS (SELECT vec_id, cent_id FROM a WHERE rn <= $NProbe)""".stripMargin
+
+  /** DuckDB oracle for [[annIvfTop1]] (same stride, same unrolled
+    * arithmetic, same tiebreaks). */
+  private[graft] def annIvfTop1OracleSql: String =
+    s"""$ivfCoarseSqlPrefix,
        |j AS (
        |  SELECT p.vec_id AS q_id, y.cent_id, y.vec_id AS c_id,
        |    ${dotSql("ex.embedding", "ey.embedding")} / (ex.norm * ey.norm) AS cosine
@@ -719,6 +726,334 @@ object VectorOps {
        |SELECT q_id, cent_id, c_id, round(cosine, 9) AS cosine
        |FROM r WHERE rk = 1
        |ORDER BY q_id""".stripMargin
+
+  /** Product-quantization geometry: [[Dim]] = 64 dims split into
+    * [[PqSubspaces]] = 16 subspaces of [[PqSubDims]] = 4 dims, each
+    * quantized against a [[PqCodebook]] = 64-entry (6-bit) trained
+    * codebook — a vector's PQ code is 16 × 6 bits = 12 bytes instead
+    * of 64 × 4-byte floats, ~21× compression that lets a 100 TB
+    * corpus's index live in executor memory. Geometry swept by
+    * [[graft.RecallSweep]] on the sf0.01 corpus (recall@1 vs exact L2 /
+    * agreement with raw-vector IVF scoring on the same candidates):
+    * untrained m=8/K=16 → 0.078/0.162, m=16/K=16 → 0.118/0.242,
+    * m=16/K=32 → 0.154/0.320, m=16/K=64 → 0.180/0.402; ONE trained
+    * Lloyd round lifts m=16/K=16 to 0.134/0.298 and the shipped
+    * m=16/K=64 to 0.214/0.486 (+19%/+21% relative over untrained at
+    * the same geometry — the absolute level is a property of the
+    * near-uniform synthetic corpus, as with the IVF quantizer's
+    * measured recall). */
+  val PqSubDims = 4
+  val PqSubspaces: Int = Dim / PqSubDims
+  val PqCodebook = 64
+
+  /** IVF-PQ ANN top-1 — the FAISS-style composition that scales ANN past
+    * what raw-vector probing can hold: the [[annIvfTop1]] coarse
+    * inverted file generates candidates, but candidate scoring never
+    * touches candidate EMBEDDINGS — it reads their 12-byte PQ codes and
+    * a per-query lookup table (asymmetric distance computation). Per
+    * subspace s, every vector is encoded as the index of its nearest
+    * TRAINED codebook entry ([[pqEncode]]: one Lloyd round per
+    * subspace, squared L2 on the 4-dim slice, rank tiebreak); a query's
+    * LUT holds its true distance to every entry of every subspace;
+    * ADC(q, y) = Σₛ lut[s][code?(y)] then approximates ‖q − y‖². At
+    * 100 TB the codes table is ~21× smaller than the corpus — the
+    * difference between an index that fits in cluster RAM and one that
+    * doesn't — and scoring is 16 array lookups per candidate instead of
+    * a 64-dim dot product. Measured quality at [[PqSubDims]].
+    *
+    * Cross-engine exactness: the seed codebook is stride-sampled
+    * (deterministic ids, rank = position in id order), the Lloyd round
+    * rides decimal-exact per-dimension means, subspace distances are
+    * `(‖x?‖² − 2·x?·c?) + ‖c?‖²` with every inner product a [[sq]]/[[dot]]
+    * native loop over a 4-dim slice — ascending-index accumulation
+    * mirrored term-for-term by the generated oracle — and codes/LUTs
+    * come off one distance fan-out via lexicographic struct-min (codes)
+    * and rank-ordered list aggregation (LUTs). Ties everywhere break on
+    * ascending rank / c_id. */
+  def annPqTop1(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sq("embedding")).as("norm"))
+    // One-scalar driver collect (the documented anchor pattern): corpus
+    // size fixes the √N coarse stride (the codebook stride inside
+    // pqEncode derives from the same count).
+    val n = Tables.embeddings(spark, dir).count()
+    val coarseStride = centroidStride(n)
+    val pq = pqEncode(spark, dir, n)
+    // Coarse candidate generation — identical shape to annIvfTop1
+    // (ranked nprobe assignment, capped cells, probe join).
+    val cents = e.filter(col("vec_id") % coarseStride === 0)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val ranked = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cents.withColumn("jk", pmod(col("cent_id"), lit(1)))),
+        "jk")
+      .withColumn("sim",
+        dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
+      .select(col("vec_id"), col("cent_id"), col("sim"))
+      .withColumn("pr", row_number().over(wAssign))
+      .filter(col("pr") <= NProbe)
+    val wCell = Window.partitionBy("cent_id").orderBy("vec_id")
+    val cells = ranked.filter(col("pr") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= CellCap)
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+    val cand = ranked.select(col("vec_id").as("q_id"), col("cent_id"))
+      .join(cells, "cent_id")
+      .select(col("q_id"), col("cent_id"), explode(col("ids")).as("c_id"))
+      .filter(col("c_id") =!= col("q_id"))
+    // ADC scoring: candidate side brings CODES (4 bytes of payload — at
+    // scale this join moves the compressed index, never the vectors),
+    // query side brings its LUT; the distance is 8 array lookups.
+    val codes = pq.select(Seq(col("vec_id").as("c_id")) ++
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    val luts = pq.select(Seq(col("vec_id").as("q_id")) ++
+      (0 until PqSubspaces).map(s => col(s"l$s")): _*)
+    val adc = (0 until PqSubspaces)
+      .map(s => element_at(col(s"l$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    cand.join(codes, "c_id").join(luts, "q_id")
+      .withColumn("adc", adc)
+      .groupBy("q_id")
+      .agg(min(struct(col("adc"), col("c_id"), col("cent_id"))).as("best"))
+      .select(col("q_id"), col("best.cent_id").as("cent_id"),
+        col("best.c_id").as("c_id"),
+        round(col("best.adc"), 9).as("adc_dist"))
+      .orderBy("q_id")
+  }
+
+  /** The PQ encode pass shared by [[annPqTop1]] and the specs: one row
+    * per vector with its [[PqSubspaces]] codebook codes (`code0..15`)
+    * and its per-subspace distance LUTs (`l0..15`, rank-ordered).
+    *
+    * The codebook is TRAINED — stride-sampled seeds, then one Lloyd
+    * round per subspace (the [[annIvfTrainedTop1]] recipe applied 16×
+    * independently): assign every subvector to its nearest seed entry,
+    * recompute each entry as the per-dimension mean of its assignees.
+    * Means ride DECIMAL(28,12) sums (order-independent ⇒ bit-identical
+    * at any parallelism and in both engines) and divide as doubles;
+    * entries that lose every assignee drop out and the survivors are
+    * re-ranked densely per subspace so code indices and LUT positions
+    * stay aligned. Training is what makes short codes usable — the
+    * measured recall lift is at [[PqSubDims]].
+    *
+    * Shape: the init fan-out is N×K wide rows (one vec_dot per
+    * subspace-entry pair); training is ONE long-form pipeline — codes
+    * unpivoted to (vec, s) rows, dims exploded once, one decimal-mean
+    * aggregate — never 16 separate per-subspace jobs; the trained
+    * encode fan-out is N×m×K long rows (4-dim vec_dot each) and ONE
+    * conditional aggregate widens codes and LUTs together. All three
+    * stages are partial+final hash aggregates over broadcast-joined
+    * fan-outs: no shuffle carries more than N×m rows. */
+  private[graft] def pqEncode(spark: SparkSession, dir: String,
+      n: Long): DataFrame = {
+    prepare(spark)
+    val off = (s: Int) => s * PqSubDims
+    // Per-subspace slices and their squared norms in one projection.
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        (0 until PqSubspaces).flatMap { s =>
+          Seq(slice(col("embedding"), off(s) + 1, PqSubDims).as(s"xs$s"),
+            expr(s"vec_dot(slice(embedding, ${off(s) + 1}, $PqSubDims), " +
+              s"slice(embedding, ${off(s) + 1}, $PqSubDims))").as(s"sqx$s"))
+        }: _*)
+    val pqStride = math.max(1L, math.ceil(n.toDouble / PqCodebook).toLong)
+    // Seed codebook: ≤16 stride-sampled vectors, rank = position in
+    // vec_id order (16 rows — the window's single partition is fine).
+    val seeds = e.filter(col("vec_id") % pqStride === 0)
+      .select(Seq(col("vec_id").as("seed_id")) ++
+        (0 until PqSubspaces).flatMap { s =>
+          Seq(col(s"xs$s").as(s"cs$s"), col(s"sqx$s").as(s"sqc$s"))
+        }: _*)
+      .withColumn("rank",
+        row_number().over(Window.orderBy("seed_id")) - 1)
+    // Init N×K distance fan-out (broadcast hash join on the always-zero
+    // key, same codegen rationale as annIvfTop1's assignment join): per
+    // subspace, ‖x? − c?‖² in the (sq − 2·dot) + sq form whose term
+    // order the oracle mirrors.
+    val dmat = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(seeds.withColumn("jk", pmod(col("seed_id"), lit(1)))),
+        "jk")
+      .select(Seq(col("vec_id"), col("rank")) ++
+        (0 until PqSubspaces).map { s =>
+          ((col(s"sqx$s") - lit(2.0) * expr(s"vec_dot(xs$s, cs$s)")) +
+            col(s"sqc$s")).as(s"d$s")
+        }: _*)
+    // Round-0 codes (assignment only — no LUTs needed yet), then
+    // unpivot to (vec, s, rank0) rows for the one-pipeline Lloyd round.
+    val code0Aggs = (0 until PqSubspaces).map(s =>
+      min(struct(col(s"d$s"), col("rank"))).as(s"mc$s"))
+    val codes0 = dmat.groupBy("vec_id")
+      .agg(code0Aggs.head, code0Aggs.tail: _*)
+      .select(Seq(col("vec_id")) ++
+        (0 until PqSubspaces).map(s => col(s"mc$s.rank").as(s"code$s")): _*)
+    val stackArgs = (0 until PqSubspaces)
+      .map(s => s"$s, code$s").mkString(", ")
+    val codes0Long = codes0.select(col("vec_id"),
+      expr(s"stack($PqSubspaces, $stackArgs)").as(Seq("s", "rank0")))
+    // Lloyd round: per-dimension decimal-exact means per (subspace,
+    // entry) — dims exploded ONCE, subspace derived from the position,
+    // one aggregate for all 16 codebooks.
+    val dimsLong = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dpos", "dval")))
+      .select(col("vec_id"),
+        (col("dpos") / lit(PqSubDims)).cast("int").as("s"),
+        (col("dpos") % lit(PqSubDims) + 1).as("subdim"),
+        col("dval"))
+    // The float→decimal hop goes THROUGH DOUBLE on both sides: DuckDB
+    // casts REAL→DECIMAL in float precision (loses digits 8-12), Spark
+    // via the double value — the explicit double cast pins both engines
+    // to the same 12-digit decimal.
+    val trained = dimsLong.join(codes0Long, Seq("vec_id", "s"))
+      .groupBy("s", "rank0", "subdim")
+      .agg((sum(col("dval").cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy("s", "rank0")
+      .agg(expr("transform(array_sort(collect_list(struct(subdim, m))), x -> x.m)")
+        .as("cm"))
+      .withColumn("sqc2", expr("vec_dot(cm, cm)"))
+      .withColumn("rank2",
+        row_number().over(Window.partitionBy("s").orderBy("rank0")) - 1)
+      .localCheckpoint()
+    // Trained-encode fan-out: N×m slice rows × K entries (broadcast),
+    // 4-dim vec_dot each; then ONE conditional aggregate widens codes
+    // (per-subspace lexicographic struct-min) and LUTs (per-subspace
+    // rank-ordered list) together.
+    val sliceStack = (0 until PqSubspaces)
+      .map(s => s"$s, xs$s, sqx$s").mkString(", ")
+    val eLong = e.select(col("vec_id"),
+      expr(s"stack($PqSubspaces, $sliceStack)").as(Seq("s", "xs", "sqx")))
+    val dmat2 = eLong.join(broadcast(trained), "s")
+      .select(col("vec_id"), col("s"), col("rank2"),
+        ((col("sqx") - lit(2.0) * expr("vec_dot(xs, cm)")) + col("sqc2"))
+          .as("d"))
+    val wideAggs =
+      (0 until PqSubspaces).map(s =>
+        min(when(col("s") === s, struct(col("d"), col("rank2"))))
+          .as(s"mc$s")) ++
+      (0 until PqSubspaces).map(s =>
+        expr(s"transform(array_sort(collect_list(CASE WHEN s = $s THEN " +
+          s"struct(rank2, d) END)), x -> x.d)").as(s"l$s"))
+    dmat2.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
+      .select(Seq(col("vec_id")) ++
+        (0 until PqSubspaces).map(s => col(s"mc$s.rank2").as(s"code$s")) ++
+        (0 until PqSubspaces).map(s => col(s"l$s")): _*)
+  }
+
+  /** DuckDB oracle for [[annPqTop1]] — the [[ivfCoarseSqlPrefix]]
+    * candidate CTEs plus generated PQ CTEs mirroring [[pqEncode]] stage
+    * for stage: the same stride-sampled seed codebook, the same
+    * (sq − 2·dot) + sq subspace distances unrolled in ascending index
+    * order, the same Lloyd round (per-subspace means as named columns
+    * over DECIMAL(28,12) sums — the [[annIvfTrainedTop1OracleSql]]
+    * recipe, 16×), dense re-ranking of surviving entries, codes via
+    * lexicographic struct-min, LUTs via rank-ordered FILTER list
+    * aggregation, and ADC as the same left-associated 16-lookup sum. */
+  private[graft] def annPqTop1OracleSql: String = {
+    def sub4(f: Int => String): String =
+      (1 to PqSubDims).map(f).mkString("(", " + ", ")")
+    // Init distances against the raw seed slices (d0..d15).
+    def dSql(s: Int): String = {
+      val o = s * PqSubDims
+      val sqx = sub4(j =>
+        s"(CAST(e.embedding[${o + j}] AS DOUBLE) * CAST(e.embedding[${o + j}] AS DOUBLE))")
+      val dotxc = sub4(j =>
+        s"(CAST(e.embedding[${o + j}] AS DOUBLE) * CAST(sd.semb[${o + j}] AS DOUBLE))")
+      val sqc = sub4(j =>
+        s"(CAST(sd.semb[${o + j}] AS DOUBLE) * CAST(sd.semb[${o + j}] AS DOUBLE))")
+      s"(($sqx - (2.0 * $dotxc)) + $sqc)"
+    }
+    val dCols = (0 until PqSubspaces).map(s => s"${dSql(s)} AS d$s")
+      .mkString(",\n    ")
+    val code0Cols = (0 until PqSubspaces).map(s =>
+      s"struct_extract(min({'d': d$s, 'r': rank}), 'r') AS code$s")
+      .mkString(",\n    ")
+    // One Lloyd round per subspace: per-entry per-dimension decimal
+    // means (named columns m1..m4), then dense re-rank of survivors.
+    val trainCtes = (0 until PqSubspaces).map { s =>
+      val o = s * PqSubDims
+      val meanCols = (1 to PqSubDims).map(j =>
+        s"CAST(sum(CAST(CAST(e.embedding[${o + j}] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m$j")
+        .mkString(",\n    ")
+      val sqc2 = sub4(j => s"(m$j * m$j)")
+      s"""ms$s AS (
+         |  SELECT c0.code$s AS rank0,
+         |    $meanCols
+         |  FROM c0 JOIN e ON c0.vec_id = e.vec_id
+         |  GROUP BY c0.code$s),
+         |tr$s AS (
+         |  SELECT rank0, ${(1 to PqSubDims).map(j => s"m$j").mkString(", ")},
+         |    $sqc2 AS sqc2,
+         |    row_number() OVER (ORDER BY rank0) - 1 AS rank2
+         |  FROM ms$s)""".stripMargin
+    }.mkString(",\n")
+    // Trained-encode distances, one UNION ALL arm per subspace (the
+    // long-form mirror of the Spark slice-stack join).
+    val dm2Arms = (0 until PqSubspaces).map { s =>
+      val o = s * PqSubDims
+      val sqx = sub4(j =>
+        s"(CAST(e.embedding[${o + j}] AS DOUBLE) * CAST(e.embedding[${o + j}] AS DOUBLE))")
+      val dotxm = sub4(j =>
+        s"(CAST(e.embedding[${o + j}] AS DOUBLE) * t.m$j)")
+      s"""  SELECT e.vec_id, $s AS s, t.rank2,
+         |    (($sqx - (2.0 * $dotxm)) + t.sqc2) AS d
+         |  FROM e CROSS JOIN tr$s t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val codeCols = (0 until PqSubspaces).map(s =>
+      s"struct_extract(min(CASE WHEN s = $s THEN {'d': d, 'r': rank2} END), 'r') AS code$s")
+      .mkString(",\n    ")
+    val lutCols = (0 until PqSubspaces).map(s =>
+      s"list(d ORDER BY rank2) FILTER (WHERE s = $s) AS l$s")
+      .mkString(",\n    ")
+    val adcSum = (0 until PqSubspaces)
+      .map(s => s"lu.l$s[co.code$s + 1]").mkString(" + ")
+    s"""$ivfCoarseSqlPrefix,
+       |sd AS (
+       |  SELECT embedding AS semb,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS rank
+       |  FROM e
+       |  WHERE vec_id % (SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(CAST(count(*) AS DOUBLE) / $PqCodebook) AS BIGINT))
+       |    FROM embeddings) = 0),
+       |dmat AS (
+       |  SELECT e.vec_id, sd.rank,
+       |    $dCols
+       |  FROM e CROSS JOIN sd),
+       |c0 AS (
+       |  SELECT vec_id,
+       |    $code0Cols
+       |  FROM dmat GROUP BY vec_id),
+       |$trainCtes,
+       |dm2 AS (
+       |$dm2Arms),
+       |pq AS (
+       |  SELECT vec_id,
+       |    $codeCols,
+       |    $lutCols
+       |  FROM dm2 GROUP BY vec_id),
+       |sc AS (
+       |  SELECT p.vec_id AS q_id, y.cent_id, y.vec_id AS c_id,
+       |    $adcSum AS adc
+       |  FROM p JOIN m y ON p.cent_id = y.cent_id
+       |    AND y.vec_id <> p.vec_id
+       |    AND y.cr <= $CellCap
+       |  JOIN pq co ON y.vec_id = co.vec_id
+       |  JOIN pq lu ON p.vec_id = lu.vec_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, c_id, cent_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, cent_id, c_id, round(adc, 9) AS adc_dist
+       |FROM r WHERE rk = 1
+       |ORDER BY q_id""".stripMargin
+  }
 
   /** Shared oracle prefix for the LSH family: CTEs `e` (buckets + norm),
     * `m` (capped membership), `p` (distinct candidate pairs), `s`

@@ -40,4 +40,60 @@ class VectorOpsSpec extends GraftSpec {
     assert(out.map(_.getAs[Long]("q_id")).toSet ==
       (0L until n.toLong).toSet)
   }
+
+  test("PQ codes honor the argmin contract against their own LUTs") {
+    // 128 DISTINCT vectors (distinct residues mod 257 per subspace —
+    // no legitimate ties) → seed stride ⌈128/64⌉ = 2. After the Lloyd
+    // round: every vector's code must point at the minimum of its own
+    // LUT in every subspace (code = argmin is THE encode contract),
+    // codes must index inside the surviving-entry range, and all
+    // vectors must agree on each subspace's entry count.
+    val n = 128
+    val rows = (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(VectorOps.Dim)(j => ((i * 31 + j * 17) % 257 + 1).toFloat),
+        0)
+    }
+    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val pq = VectorOps.pqEncode(spark, scratch, n.toLong).collect()
+    assert(pq.length == n)
+    val lutLens = Array.fill(VectorOps.PqSubspaces)(-1)
+    pq.foreach { r =>
+      (0 until VectorOps.PqSubspaces).foreach { s =>
+        val code = r.getAs[Int](s"code$s")
+        val lut = r.getAs[collection.Seq[Double]](s"l$s")
+        if (lutLens(s) < 0) lutLens(s) = lut.length
+        assert(lut.length == lutLens(s),
+          s"inconsistent entry count in subspace $s")
+        assert(code >= 0 && code < lut.length, s"code$s out of range: $code")
+        assert(lut(code) == lut.min,
+          s"code$s is not the argmin of its LUT (vec ${r.getAs[Long]("vec_id")})")
+      }
+    }
+  }
+
+  test("PQ ADC is lossless on a corpus of codebook copies") {
+    // 15 prototypes × 4 copies: round-0 assignment sends every copy to
+    // its prototype's first copy (distance exactly 0, min-rank tie),
+    // so each surviving trained entry is the MEAN OF IDENTICAL COPIES
+    // = the prototype itself up to the 12-digit decimal mean rounding.
+    // Quantization therefore loses (almost) nothing: the top-1 must be
+    // a same-prototype copy at ADC ≈ 0 (≤ 1e-9 — the decimal rounding
+    // of the means is the only slack), while cross-prototype distances
+    // are ≥ 1 by construction.
+    val protos = (0 until 15).map(p =>
+      Array.tabulate(VectorOps.Dim)(j => ((p * 37 + j * 11) % 17 + 1).toFloat))
+    val rows = (0 until 60).map(i => (i.toLong, protos(i / 4), 0))
+    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val out = VectorOps.annPqTop1(spark, scratch).collect()
+    assert(out.length == 60)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val c = r.getAs[Long]("c_id")
+      assert(c / 4 == q / 4,
+        s"q=$q (proto ${q / 4}) matched c=$c (proto ${c / 4})")
+      assert(math.abs(r.getAs[Double]("adc_dist")) <= 1e-9,
+        s"near-lossless corpus must score ~0, got ${r.getAs[Double]("adc_dist")} for q=$q")
+    }
+  }
 }
