@@ -808,9 +808,14 @@ object VectorOps {
       .join(cells, "cent_id")
       .select(col("q_id"), col("cent_id"), explode(col("ids")).as("c_id"))
       .filter(col("c_id") =!= col("q_id"))
-    // ADC scoring: candidate side brings CODES (4 bytes of payload — at
+    // ADC scoring: candidate side brings CODES (12 bytes of payload — at
     // scale this join moves the compressed index, never the vectors),
-    // query side brings its LUT; the distance is 8 array lookups.
+    // query side brings its LUT; the distance is 16 array lookups. Both
+    // sides broadcast EXPLICITLY: codes are the compressed index (the
+    // thing PQ made small enough to fit in memory) and the LUT table is
+    // m×K doubles per query — letting either ride a shuffle attaches
+    // kilobytes of LUT payload to every candidate pair (measured: the
+    // un-broadcast LUT join dominated this query's bench time).
     val codes = pq.select(Seq(col("vec_id").as("c_id")) ++
       (0 until PqSubspaces).map(s => col(s"code$s")): _*)
     val luts = pq.select(Seq(col("vec_id").as("q_id")) ++
@@ -818,7 +823,7 @@ object VectorOps {
     val adc = (0 until PqSubspaces)
       .map(s => element_at(col(s"l$s"), col(s"code$s") + 1))
       .reduce(_ + _)
-    cand.join(codes, "c_id").join(luts, "q_id")
+    cand.join(broadcast(codes), "c_id").join(broadcast(luts), "q_id")
       .withColumn("adc", adc)
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("c_id"), col("cent_id"))).as("best"))
@@ -855,53 +860,46 @@ object VectorOps {
       n: Long): DataFrame = {
     prepare(spark)
     val off = (s: Int) => s * PqSubDims
-    // Per-subspace slices and their squared norms in one projection.
-    val e = Tables.embeddings(spark, dir)
+    // EVERYTHING long-form: one narrow (vec, subspace, slice) frame
+    // feeds init assignment, training, and the trained encode. The
+    // first cut of this pass built 16-subspace-wide stages (16 slice +
+    // 16 vec_dot columns per projection, a 16-buffer code aggregate)
+    // and each wide stage paid seconds of whole-stage-codegen compile
+    // at ANY data size — the bench measured the encode at ~10 s with
+    // wide stages vs ~3 s long-form on identical data. Long rows keep
+    // every generated function small and every aggregate 2-buffer.
+    val e0 = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(Seq(col("vec_id"), col("embedding")) ++
-        (0 until PqSubspaces).flatMap { s =>
-          Seq(slice(col("embedding"), off(s) + 1, PqSubDims).as(s"xs$s"),
-            expr(s"vec_dot(slice(embedding, ${off(s) + 1}, $PqSubDims), " +
-              s"slice(embedding, ${off(s) + 1}, $PqSubDims))").as(s"sqx$s"))
-        }: _*)
+    val sliceStack = (0 until PqSubspaces)
+      .map(s => s"$s, slice(embedding, ${off(s) + 1}, $PqSubDims)")
+      .mkString(", ")
+    val eLong = e0.select(col("vec_id"),
+      expr(s"stack($PqSubspaces, $sliceStack)").as(Seq("s", "xs")))
+      .withColumn("sqx", expr("vec_dot(xs, xs)"))
     val pqStride = math.max(1L, math.ceil(n.toDouble / PqCodebook).toLong)
-    // Seed codebook: ≤16 stride-sampled vectors, rank = position in
-    // vec_id order (16 rows — the window's single partition is fine).
-    val seeds = e.filter(col("vec_id") % pqStride === 0)
-      .select(Seq(col("vec_id").as("seed_id")) ++
-        (0 until PqSubspaces).flatMap { s =>
-          Seq(col(s"xs$s").as(s"cs$s"), col(s"sqx$s").as(s"sqc$s"))
-        }: _*)
+    // Seed codebook: stride-sampled vectors, rank = position in vec_id
+    // order (identical across subspaces; the per-s window partitions
+    // are K rows each).
+    val seedsLong = eLong.filter(col("vec_id") % pqStride === 0)
+      .select(col("vec_id").as("seed_id"), col("s"),
+        col("xs").as("cs"), col("sqx").as("sqc"))
       .withColumn("rank",
-        row_number().over(Window.orderBy("seed_id")) - 1)
-    // Init N×K distance fan-out (broadcast hash join on the always-zero
-    // key, same codegen rationale as annIvfTop1's assignment join): per
-    // subspace, ‖x? − c?‖² in the (sq − 2·dot) + sq form whose term
-    // order the oracle mirrors.
-    val dmat = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
-      .join(broadcast(seeds.withColumn("jk", pmod(col("seed_id"), lit(1)))),
-        "jk")
-      .select(Seq(col("vec_id"), col("rank")) ++
-        (0 until PqSubspaces).map { s =>
-          ((col(s"sqx$s") - lit(2.0) * expr(s"vec_dot(xs$s, cs$s)")) +
-            col(s"sqc$s")).as(s"d$s")
-        }: _*)
-    // Round-0 codes (assignment only — no LUTs needed yet), then
-    // unpivot to (vec, s, rank0) rows for the one-pipeline Lloyd round.
-    val code0Aggs = (0 until PqSubspaces).map(s =>
-      min(struct(col(s"d$s"), col("rank"))).as(s"mc$s"))
-    val codes0 = dmat.groupBy("vec_id")
-      .agg(code0Aggs.head, code0Aggs.tail: _*)
-      .select(Seq(col("vec_id")) ++
-        (0 until PqSubspaces).map(s => col(s"mc$s.rank").as(s"code$s")): _*)
-    val stackArgs = (0 until PqSubspaces)
-      .map(s => s"$s, code$s").mkString(", ")
-    val codes0Long = codes0.select(col("vec_id"),
-      expr(s"stack($PqSubspaces, $stackArgs)").as(Seq("s", "rank0")))
+        row_number().over(Window.partitionBy("s").orderBy("seed_id")) - 1)
+    // Init fan-out: N×m slice rows × K entries per subspace (broadcast
+    // hash join on the subspace id): ‖x? − c?‖² in the (sq − 2·dot) +
+    // sq form whose term order the oracle mirrors; round-0 codes are
+    // the per-(vec, subspace) argmin (lexicographic struct-min).
+    val codes0Long = eLong.join(broadcast(seedsLong), "s")
+      .select(col("vec_id"), col("s"), col("rank"),
+        ((col("sqx") - lit(2.0) * expr("vec_dot(xs, cs)")) + col("sqc"))
+          .as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("rank"))).as("mc"))
+      .select(col("vec_id"), col("s"), col("mc.rank").as("rank0"))
     // Lloyd round: per-dimension decimal-exact means per (subspace,
     // entry) — dims exploded ONCE, subspace derived from the position,
     // one aggregate for all 16 codebooks.
-    val dimsLong = e.select(col("vec_id"),
+    val dimsLong = e0.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("dpos", "dval")))
       .select(col("vec_id"),
         (col("dpos") / lit(PqSubDims)).cast("int").as("s"),
@@ -922,29 +920,35 @@ object VectorOps {
       .withColumn("rank2",
         row_number().over(Window.partitionBy("s").orderBy("rank0")) - 1)
       .localCheckpoint()
-    // Trained-encode fan-out: N×m slice rows × K entries (broadcast),
-    // 4-dim vec_dot each; then ONE conditional aggregate widens codes
-    // (per-subspace lexicographic struct-min) and LUTs (per-subspace
-    // rank-ordered list) together.
-    val sliceStack = (0 until PqSubspaces)
-      .map(s => s"$s, xs$s, sqx$s").mkString(", ")
-    val eLong = e.select(col("vec_id"),
-      expr(s"stack($PqSubspaces, $sliceStack)").as(Seq("s", "xs", "sqx")))
+    // Trained-encode fan-out: the same N×m slice rows × K entries
+    // (broadcast), 4-dim vec_dot each.
     val dmat2 = eLong.join(broadcast(trained), "s")
       .select(col("vec_id"), col("s"), col("rank2"),
         ((col("sqx") - lit(2.0) * expr("vec_dot(xs, cm)")) + col("sqc2"))
           .as("d"))
-    val wideAggs =
-      (0 until PqSubspaces).map(s =>
-        min(when(col("s") === s, struct(col("d"), col("rank2"))))
-          .as(s"mc$s")) ++
-      (0 until PqSubspaces).map(s =>
-        expr(s"transform(array_sort(collect_list(CASE WHEN s = $s THEN " +
-          s"struct(rank2, d) END)), x -> x.d)").as(s"l$s"))
-    dmat2.groupBy("vec_id").agg(wideAggs.head, wideAggs.tail: _*)
+    // Two-step widen: aggregate per (vec, s) FIRST (the N×m×K fan-out
+    // collapses through 2 aggregate buffers per group), then fold the
+    // m skinny rows per vector through ONE map aggregate and project
+    // the wide columns as map lookups. (The first cut pivoted with 32
+    // conditional min-buffers — 16× more buffer updates over the
+    // fan-out, and a generated aggregate class big enough to show up
+    // as JIT warm-up in the bench.) The result is localCheckpoint-ed:
+    // the caller references it twice (codes side + LUT side) and a
+    // fresh plan per reference would re-run the whole encode.
+    val perSub = dmat2.groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("rank2"))).as("mc"),
+        expr("transform(array_sort(collect_list(struct(rank2, d))), " +
+          "x -> x.d)").as("lut"))
+    perSub.groupBy("vec_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("s"), struct(col("mc.rank2").as("code"), col("lut")))))
+        .as("pm"))
       .select(Seq(col("vec_id")) ++
-        (0 until PqSubspaces).map(s => col(s"mc$s.rank2").as(s"code$s")) ++
-        (0 until PqSubspaces).map(s => col(s"l$s")): _*)
+        (0 until PqSubspaces).map(s =>
+          col("pm").getItem(s).getField("code").as(s"code$s")) ++
+        (0 until PqSubspaces).map(s =>
+          col("pm").getItem(s).getField("lut").as(s"l$s")): _*)
+      .localCheckpoint()
   }
 
   /** DuckDB oracle for [[annPqTop1]] — the [[ivfCoarseSqlPrefix]]
