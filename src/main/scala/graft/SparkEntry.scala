@@ -71,6 +71,7 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
     "cdc_incremental_rollup" -> ((s, d) => CdcOps.incrementalRollup(s, d)),
+    "rolling_7d_metrics" -> ((s, d) => CdcOps.rolling7dMetrics(s, d)),
     "user_funnel" -> ((s, d) => CdcOps.userFunnel(s, d)),
     "purchase_attribution" -> ((s, d) => CdcOps.purchaseAttribution(s, d)),
     "event_asof_order" -> ((s, d) => CdcOps.eventAsofOrder(s, d)),
@@ -481,6 +482,8 @@ object SparkEntry {
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
     "cdc_incremental_rollup" -> CdcOps.incrementalRollupOracleSql,
+    // True RANGE frame on the day number (not ROWS — gap semantics).
+    "rolling_7d_metrics" -> CdcOps.rolling7dMetricsOracleSql,
     "user_funnel" -> CdcOps.userFunnelOracleSql,
 
     // Last-click attribution: interval self-join on the user key with a

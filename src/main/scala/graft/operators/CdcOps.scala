@@ -734,6 +734,56 @@ object CdcOps {
        |FROM z
        |ORDER BY event_type, day""".stripMargin
 
+  /** Trailing 7-day rolling metrics over the event feed — a true
+    * RANGE frame on the day number, not a ROWS frame: with calendar
+    * gaps, `ROWS 6 PRECEDING` grabs the last seven days THAT HAD DATA
+    * (a different, usually wrong, window), while `RANGE 6 PRECEDING`
+    * is the last seven calendar days whatever landed in them —
+    * `days_present` makes the gap semantics observable. The frame
+    * rides an integer epoch-day order key, identical in both engines.
+    * One day-grain aggregate (partial+final over the fact table), then
+    * a window over |days| rows — the window input is calendar-sized,
+    * never event-sized, at any scale. */
+  def rolling7dMetrics(spark: SparkSession, dir: String): DataFrame =
+    rolling7dMetricsOf(Tables.events(spark, dir))
+
+  /** [[rolling7dMetrics]] over an injectable events frame. */
+  private[graft] def rolling7dMetricsOf(events: DataFrame): DataFrame = {
+    val w7 = Window.orderBy("day_num").rangeBetween(-6, 0)
+    events
+      .select(to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("v_dec"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      .select(col("day"), col("n_events"),
+        col("v_dec").cast("double").as("day_value"),
+        sum(col("n_events")).over(w7).as("events_7d"),
+        sum(col("v_dec")).over(w7).cast("double").as("value_7d"),
+        count(lit(1)).over(w7).as("days_present_7d"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[rolling7dMetrics]] — the same integer RANGE
+    * frame. */
+  private[graft] def rolling7dMetricsOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS v_dec
+       |  FROM events GROUP BY 1),
+       |n AS (
+       |  SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_num
+       |  FROM d)
+       |SELECT day, n_events,
+       |  CAST(v_dec AS DOUBLE) AS day_value,
+       |  sum(n_events) OVER w7 AS events_7d,
+       |  CAST(sum(v_dec) OVER w7 AS DOUBLE) AS value_7d,
+       |  count(*) OVER w7 AS days_present_7d
+       |FROM n
+       |WINDOW w7 AS (ORDER BY day_num
+       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+
   /** Incremental view maintenance — the per-key aggregate maintained
     * from CDC DELTAS alone, never recomputed from a base-table scan:
     * a create adds its `after` image, an update adds `after − before`,

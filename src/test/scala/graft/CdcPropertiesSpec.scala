@@ -185,6 +185,40 @@ class CdcPropertiesSpec extends GraftSpec {
     }
   }
 
+  test("rolling 7d window is a calendar RANGE frame, not a ROWS frame") {
+    // Days 1, 2, then a jump to 10: a ROWS-6 frame at day 10 would
+    // reach back and swallow days 1-2; the RANGE frame must see only
+    // day 10 itself.
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1L, "click", 5.0, "{}"),
+      Event(2, ts("2024-01-02 10:00:00"), 1L, "click", 7.0, "{}"),
+      Event(3, ts("2024-01-02 11:00:00"), 2L, "view", 1.0, "{}"),
+      Event(4, ts("2024-01-10 10:00:00"), 3L, "purchase", 9.0, "{}"))
+    val rows = CdcOps.rolling7dMetricsOf(df(events)).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(rows("2024-01-02").getAs[Long]("events_7d") == 3L)
+    assert(rows("2024-01-02").getAs[Long]("days_present_7d") == 2L)
+    assert(rows("2024-01-10").getAs[Long]("events_7d") == 1L)
+    assert(rows("2024-01-10").getAs[Long]("days_present_7d") == 1L)
+    assert(rows("2024-01-10").getAs[Double]("value_7d") == 9.0)
+  }
+
+  test("property: rolling 7d totals equal a brute-force calendar window") {
+    cases(8).foreach { events =>
+      val byDay = events
+        .groupBy(e => e.ts.toLocalDateTime.toLocalDate)
+        .view.mapValues(_.size).toMap
+      val got = CdcOps.rolling7dMetricsOf(df(events)).collect()
+      got.foreach { r =>
+        val day = r.getAs[java.sql.Date]("day").toLocalDate
+        val expected = (0 to 6)
+          .map(k => byDay.getOrElse(day.minusDays(k.toLong), 0)).sum
+        assert(r.getAs[Long]("events_7d") == expected,
+          s"window at $day")
+      }
+    }
+  }
+
   test("incremental rollup equals a from-scratch aggregate of survivors") {
     // True CDC chains honoring the synthesized-image convention
     // (before = value − 10): create v0, k updates of +10 each, optional
