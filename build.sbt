@@ -39,4 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // run interpreted (round-7 example: product_rollup_windowed recorded
   // 9.0 s in the full bench vs 0.92 s isolated, code unchanged).
   "-XX:ReservedCodeCacheSize=512m",
+  // GC log per forked JVM (pid-keyed, under target/ so it never lands in
+  // git): the r9 bench artifact (product_performance 3→39→47 s within one
+  // run) is a heap/GC-or-accretion class diagnosis — this makes the next
+  // occurrence directly attributable from the log instead of inferred.
+  "-Xlog:gc*:file=target/gc-%p.log:time,uptime",
 )

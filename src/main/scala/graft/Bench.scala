@@ -39,6 +39,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Broadcast blocks, shuffle files, and non-returned localCheckpoint
+      // RDDs are reclaimed by the ContextCleaner only when their driver
+      // references are GC'd — and a 96-query bench in a 24 GiB heap may
+      // never GC on its own, so dead blocks accrete across queries (the
+      // r9 product_performance 3→39→47 s within-run degradation). The
+      // periodic cleaner GC plus the explicit per-query System.gc()
+      // below bound that growth.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
@@ -50,6 +58,7 @@ object Bench {
     val lo = scala.collection.mutable.LinkedHashMap[String, Double]()
     val hi = scala.collection.mutable.LinkedHashMap[String, Double]()
     val perRun = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val heapMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -79,7 +88,19 @@ object Bench {
       } catch { case e: Throwable =>
         failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         System.err.println(s"[bench] FAILED $name: ${failed(name)}")
-      } finally spark.catalog.clearCache()
+      } finally {
+        spark.catalog.clearCache()
+        // Explicit GC after every query: drops driver references to dead
+        // broadcasts/checkpoints so the ContextCleaner can release their
+        // blocks NOW, not whenever a 24 GiB heap finally collects. A full
+        // GC on a mostly-dead heap is ~100s of ms — cheap insurance
+        // against the r9 accretion artifact. Post-GC live heap is logged
+        // per query (bench_line.json "heap_mb") so order-dependent growth
+        // is directly observable next round.
+        System.gc()
+        val rt = Runtime.getRuntime
+        heapMb(name) = (rt.totalMemory() - rt.freeMemory()) / 1e6
+      }
     }
     def jmap(m: scala.collection.Map[String, Double],
              fmt: Double => String): String =
@@ -100,7 +121,7 @@ object Bench {
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"heap_mb":${short(heapMb)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")

@@ -776,7 +776,7 @@ object CdcOps {
        |  FROM d)
        |SELECT day, n_events,
        |  CAST(v_dec AS DOUBLE) AS day_value,
-       |  sum(n_events) OVER w7 AS events_7d,
+       |  CAST(sum(n_events) OVER w7 AS BIGINT) AS events_7d,
        |  CAST(sum(v_dec) OVER w7 AS DOUBLE) AS value_7d,
        |  count(*) OVER w7 AS days_present_7d
        |FROM n

@@ -1075,10 +1075,29 @@ object TextOps {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     dedupComponentsCore(spark, dir).orderBy("doc_id")
 
+  /** Session-scoped memo of the CC labels, keyed by (applicationId, dir).
+    * The labels frame is the dedup pipeline's materialized intermediate:
+    * [[dedupComponents]] and [[nearDupSurvivors]] both consume it, and at
+    * 100 TB you would persist it once and fan out — recomputing the whole
+    * candidates→verify→CC pipeline per consumer is the anti-pattern (r9
+    * bench: each consumer paid ~3.4 s for an identical Pregel run). The
+    * cached frame is the localCheckpoint'd label set (docs with ≥1
+    * near-dup pair only — KBs, not corpus-sized), so the memo's block
+    * footprint is negligible and keyed entries die with the session. */
+  private val ccLabelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   /** [[dedupComponents]] without the presentation sort — the shared core
     * for consumers that join the labels onward (a pre-join sort would be
-    * executed, then destroyed by the join shuffle). */
+    * executed, then destroyed by the join shuffle). Memoized per
+    * (session, dir) via [[ccLabelMemo]]. */
   private def dedupComponentsCore(spark: SparkSession,
+      dir: String): DataFrame =
+    ccLabelMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      _ => dedupComponentsUncached(spark, dir))
+
+  /** The actual candidates→verify→CC pipeline behind [[ccLabelMemo]]. */
+  private def dedupComponentsUncached(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
@@ -1210,9 +1229,12 @@ object TextOps {
   /** [[docChunks]] without the presentation sort (consumers that window
     * or join the chunk stream would destroy it anyway). */
   private def docChunksCore(spark: SparkSession, dir: String): DataFrame =
+    // No repartition here: chunking is pure projection+explode, so an
+    // exchange only adds a full-corpus shuffle with nothing downstream
+    // to amortize it — scan splits (files.maxPartitionBytes) supply the
+    // parallelism at scale.
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens.as("tk"))
       .withColumn("n_tokens", size(col("tk")))
       .select(col("doc_id"), col("tk"), col("n_tokens"),
@@ -1562,9 +1584,13 @@ object TextOps {
     * Scale shape: token explode → one hash aggregate for the vocab
     * (partial+final, hot tokens combine map-side), corpus total rides a
     * 1-row broadcast, and the score join is token-keyed — AQE's skew
-    * split handles the 'the'-sized posting lists. The fact table is
-    * scanned once (the exploded frame feeds both the vocab build and
-    * the score join). */
+    * split handles the 'the'-sized posting lists. The exploded frame is
+    * REUSED logically (vocab build, corpus total, score join all derive
+    * from `toks`) but deliberately not cached: materializing the
+    * token-grain frame would cost corpus-token-count × row overhead in
+    * the block manager, while the three derived jobs each reduce it
+    * map-side — re-scanning the columnar source is the cheaper side of
+    * that trade at every scale. */
   def docSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))

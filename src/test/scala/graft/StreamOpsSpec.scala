@@ -457,6 +457,50 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("T5: transformWithState twin emits identical rows to upsertLatest " +
+      "on a shared fixture (RocksDB provider)") {
+    // The new-API path (upsertLatestTws + UpsertLatestProcessor) requires
+    // the RocksDB provider; run BOTH implementations under it so the only
+    // variable is the state API. The fixture exercises every branch:
+    // multi-key, cross-trigger fold, an out-of-order late event that must
+    // lose to stored state, a tombstone, and post-tombstone resurrection.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batches = Seq(
+      Seq(event(1, "2024-01-01 10:00:00", 7, "signup", 1.0),
+        event(2, "2024-01-01 10:05:00", 7, "purchase", 2.0),
+        event(3, "2024-01-01 10:01:00", 8, "signup", 3.0)),
+      Seq(event(4, "2024-01-01 09:00:00", 7, "click", 4.0), // late: loses
+        event(5, "2024-01-01 11:00:00", 8, "error", 0.0)),  // tombstone
+      Seq(event(6, "2024-01-01 12:00:00", 8, "signup", 5.0))) // resurrect
+    def run(name: String,
+            f: org.apache.spark.sql.Dataset[Event] =>
+              org.apache.spark.sql.Dataset[UpsertRow]): Seq[(Long, String,
+        Double, Long, Boolean)] = {
+      val in = MemoryStream[Event]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name).as[UpsertRow].collect().toSeq
+          .map(r => (r.user_id, r.last_event_type, r.last_value,
+            r.last_ts_ms, r.deleted)).sorted
+      } finally q.stop()
+    }
+    try {
+      val classic = run("t5_twin_classic", StreamOps.upsertLatest)
+      val tws = run("t5_twin_tws", StreamOps.upsertLatestTws)
+      assert(tws.nonEmpty)
+      assert(tws == classic)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T7: alert union carries both rule streams with severity") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
