@@ -128,6 +128,7 @@ object SparkEntry {
     "binary_doc_stats" -> ((s, d) => MultiModalOps.binaryDocStats(s, d)),
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
     "wav_features" -> ((s, d) => MultiModalOps.wavFeatures(s, d)),
+    "bmp_features" -> ((s, d) => MultiModalOps.bmpFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
     "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
@@ -774,6 +775,10 @@ object SparkEntry {
     // never seeing the container, so a hash match proves byte-level
     // encode/parse correctness.
     "wav_features" -> MultiModalOps.wavFeaturesOracleSql,
+    // BMP twin of the above: same contract, plus the two codec hazards
+    // WAV lacks (bottom-up row order, stride padding) made
+    // hash-observable via the top-row checksum and padded-stride walk.
+    "bmp_features" -> MultiModalOps.bmpFeaturesOracleSql,
 
     // Vector-query oracles are GENERATED from the same unrolled
     // arithmetic + hyperplane constants the Spark queries use

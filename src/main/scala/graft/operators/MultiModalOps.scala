@@ -18,6 +18,16 @@ case class MediaFeatures(
 /** One real WAV container payload awaiting decode. */
 case class WavPayload(doc_id: Long, payload: Array[Byte])
 
+/** One real BMP container payload awaiting decode. */
+case class BmpPayload(doc_id: Long, payload: Array[Byte])
+
+/** Features extracted by genuinely parsing a BMP container — all-integer
+  * so the DuckDB oracle hash-matches exactly. */
+case class BmpFeatures(
+    doc_id: Long, width: Int, height: Int, bpp: Int, row_stride: Int,
+    n_pixels: Int, container_bytes: Int, max_byte: Int, pixel_sum: Long,
+    top_row_checksum: Long)
+
 /** Features extracted by genuinely parsing a RIFF/WAVE container: the
   * format fields come from the `fmt ` chunk, the sample statistics from
   * walking the `data` chunk's little-endian PCM16 frames. All-integer so
@@ -278,6 +288,174 @@ object MultiModalOps {
       .as[(Long, Int)]
     wavDecode(wavEncode(in)).toDF().orderBy("doc_id")
   }
+
+  // --------------------------------------------------------------------
+  // Real codec #2: BMP (24-bit uncompressed). Like WAVE, the format is a
+  // public byte layout needing no codec library: BITMAPFILEHEADER +
+  // BITMAPINFOHEADER + bottom-up pixel rows, each row padded to a 4-byte
+  // stride. The two codec-shaped hazards WAV lacks — bottom-up row order
+  // and per-row stride padding — are both made hash-observable: the
+  // top-row checksum reads the LAST stored row (a decoder that ignores
+  // bottom-up reads the wrong bytes), and every row offset goes through
+  // the padded stride (a decoder that uses w*3 drifts off alignment from
+  // row 1 onward).
+  // --------------------------------------------------------------------
+
+  /** Synthesized-image geometry: width from the text length, height from
+    * the doc id — small, but every value exercises the stride-padding
+    * arithmetic (widths 4..16 hit all four `w*3 mod 4` classes). */
+  @inline def bmpWidth(nChars: Int): Int = (nChars % 13) + 4
+  @inline def bmpHeight(docId: Long): Int = ((docId % 11) + 3).toInt
+
+  /** Deterministic channel byte for image coordinates (x, y) and channel
+    * c (0=B, 1=G, 2=R — BMP storage order), recomputable in SQL. */
+  @inline def bmpByte(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 7L + y * 13L + x * 5L + c * 11L) % 256L).toInt
+
+  /** Encode a genuine 24-bit BMP: `BM` file header, 40-byte
+    * BITMAPINFOHEADER, then pixel rows stored BOTTOM-UP (positive height,
+    * per the format), each padded with zero bytes to a 4-byte stride.
+    * Partition-parallel over (doc_id, width, height) rows. */
+  def bmpEncode(rows: Dataset[(Long, Int, Int)]): Dataset[BmpPayload] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { case (docId, w, h) =>
+        val stride = ((w * 3 + 3) / 4) * 4
+        val fileSize = 54 + stride * h
+        val buf = java.nio.ByteBuffer.allocate(fileSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte)
+        buf.putInt(fileSize)
+        buf.putShort(0).putShort(0)             // reserved1/2
+        buf.putInt(54)                          // pixel-data offset
+        buf.putInt(40)                          // BITMAPINFOHEADER size
+        buf.putInt(w)
+        buf.putInt(h)                           // positive = bottom-up
+        buf.putShort(1)                         // planes
+        buf.putShort(24)                        // bits per pixel
+        buf.putInt(0)                           // BI_RGB (uncompressed)
+        buf.putInt(stride * h)                  // image size
+        buf.putInt(2835).putInt(2835)           // 72 dpi in px/metre
+        buf.putInt(0).putInt(0)                 // clrUsed/clrImportant
+        var r = 0
+        while (r < h) {
+          val y = h - 1 - r                     // stored row r = image row y
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              buf.put(bmpByte(docId, x, y, c).toByte); c += 1
+            }
+            x += 1
+          }
+          var pad = w * 3
+          while (pad < stride) { buf.put(0.toByte); pad += 1 }
+          r += 1
+        }
+        BmpPayload(docId, buf.array())
+      }
+    }
+  }
+
+  /** REAL BMP parser: validates the `BM` magic and declared file size,
+    * reads the DIB header (requires the 40-byte BITMAPINFOHEADER,
+    * 24 bpp, uncompressed, one plane, positive height), then walks the
+    * pixel array bottom-up through the padded stride. Emits max channel
+    * byte and total channel sum over the true w×h×3 pixel bytes (pad
+    * bytes excluded by construction of the walk), plus a position-
+    * weighted checksum of the TOP image row — the row stored last, so
+    * the value is wrong unless the decoder honors bottom-up order.
+    * Malformed containers throw (corruption is a signal, not a skip). */
+  def bmpDecode(payloads: Dataset[BmpPayload]): Dataset[BmpFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def i32(o: Int): Int =
+          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+          s"bmp_decode: not a BMP container (doc ${p.doc_id})")
+        require(i32(2) == b.length,
+          s"bmp_decode: declared size ${i32(2)} != ${b.length} (doc ${p.doc_id})")
+        val offBits = i32(10)
+        require(i32(14) == 40,
+          s"bmp_decode: expected BITMAPINFOHEADER (40), got ${i32(14)} " +
+            s"(doc ${p.doc_id})")
+        val w = i32(18); val h = i32(22)
+        require(w > 0 && h > 0,
+          s"bmp_decode: expected positive bottom-up dims, got ${w}x$h " +
+            s"(doc ${p.doc_id})")
+        require(u16(26) == 1 && u16(28) == 24 && i32(30) == 0,
+          s"bmp_decode: expected 1 plane, 24 bpp, BI_RGB; got " +
+            s"planes=${u16(26)} bpp=${u16(28)} compression=${i32(30)} " +
+            s"(doc ${p.doc_id})")
+        val stride = ((w * 3 + 3) / 4) * 4
+        require(offBits + stride * h <= b.length,
+          s"bmp_decode: pixel array overruns container (doc ${p.doc_id})")
+        var maxByte = 0; var pixelSum = 0L; var topRowChecksum = 0L
+        var y = 0
+        while (y < h) {                          // image coords, top-down
+          val rowOff = offBits + (h - 1 - y) * stride // bottom-up storage
+          var j = 0
+          while (j < w * 3) {
+            val v = b(rowOff + j) & 0xff
+            if (v > maxByte) maxByte = v
+            pixelSum += v
+            if (y == 0) topRowChecksum += v.toLong * (j + 1)
+            j += 1
+          }
+          y += 1
+        }
+        BmpFeatures(p.doc_id, w, h, 24, stride, w * h, b.length, maxByte,
+          pixelSum, topRowChecksum)
+      }
+    }
+  }
+
+  /** End-to-end codec query #2: synthesize one genuine BMP per document,
+    * parse it back with the real header/stride/bottom-up walker, and emit
+    * the all-integer features. The oracle recomputes every feature from
+    * (doc_id, length(text)) alone — it never sees the bytes — so a hash
+    * match proves the full encode → container → parse → features loop is
+    * byte-correct, including row order and stride padding. */
+  def bmpFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (coalesce(length(col("text")), lit(0)) % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 11 + 3).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    bmpDecode(bmpEncode(in)).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bmpFeatures]] — features from first principles
+    * (the pixel formula in SQL), independent of the container bytes. */
+  private[graft] def bmpFeaturesOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    (coalesce(length(text), 0) % 13) + 4 AS w,
+       |    (doc_id % 11) + 3 AS h
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(w AS INT) AS width,
+       |  CAST(h AS INT) AS height,
+       |  24 AS bpp,
+       |  CAST(((w * 3 + 3) // 4) * 4 AS INT) AS row_stride,
+       |  CAST(w * h AS INT) AS n_pixels,
+       |  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS container_bytes,
+       |  CAST(list_max(list_transform(range(w * h * 3), i ->
+       |    (doc_id * 7 + (i // (w * 3)) * 13 + ((i % (w * 3)) // 3) * 5
+       |     + (i % 3) * 11) % 256)) AS INT) AS max_byte,
+       |  CAST(list_sum(list_transform(range(w * h * 3), i ->
+       |    (doc_id * 7 + (i // (w * 3)) * 13 + ((i % (w * 3)) // 3) * 5
+       |     + (i % 3) * 11) % 256)) AS BIGINT) AS pixel_sum,
+       |  CAST(list_sum(list_transform(range(w * 3), j ->
+       |    ((doc_id * 7 + (j // 3) * 5 + (j % 3) * 11) % 256) * (j + 1)))
+       |    AS BIGINT) AS top_row_checksum
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for [[wavFeatures]] — features from first principles
     * (the sample formula in SQL), independent of the container bytes. */

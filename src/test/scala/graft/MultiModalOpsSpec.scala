@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaPayload, MultiModalOps, WavPayload}
+import graft.operators.{BmpPayload, MediaPayload, MultiModalOps, WavPayload}
 
 /** Multimodal-column plumbing: opaque binary payloads, nested
   * array-of-struct page structure, and the partition-parallel decode
@@ -153,6 +153,73 @@ class MultiModalOpsSpec extends GraftSpec {
       }
       assert(ex.getMessage.contains("wav_decode") ||
         Option(ex.getCause).exists(_.getMessage.contains("wav_decode")))
+    }
+  }
+
+  test("bmp encoder emits the exact BITMAP byte layout") {
+    // Golden container for (doc_id=5, w=5, h=3): stride = 16 (15 pixel
+    // bytes + 1 pad), file = 54 + 3×16 = 102 bytes. Every offset
+    // hand-checked against the public BMP layout.
+    val b = MultiModalOps.bmpEncode(spark.createDataset(Seq((5L, 5, 3))))
+      .collect().head.payload
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    assert(b.length == 102)
+    assert(b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+    assert(le32(2) == 102)                      // declared file size
+    assert(le32(10) == 54)                      // pixel-data offset
+    assert(le32(14) == 40)                      // BITMAPINFOHEADER size
+    assert(le32(18) == 5 && le32(22) == 3)      // width / height
+    assert(le16(26) == 1 && le16(28) == 24)     // planes / bpp
+    assert(le32(30) == 0 && le32(34) == 48)     // BI_RGB / image size
+    // Stored row 0 is IMAGE row y=2 (bottom-up); its first byte is the
+    // blue channel of pixel (0, 2).
+    assert((b(54) & 0xff) == MultiModalOps.bmpByte(5L, 0, 2, 0))
+    assert((b(54 + 15) & 0xff) == 0)            // the stride pad byte
+    // Stored LAST row starts the TOP image row (y=0).
+    assert((b(54 + 2 * 16) & 0xff) == MultiModalOps.bmpByte(5L, 0, 0, 0))
+  }
+
+  test("bmp decoder parses a real container back to exact features, " +
+      "honoring bottom-up rows and stride padding") {
+    // (7,4,3): stride 12, pad-free; (8,5,2): stride 16, padded — both
+    // stride classes, features recomputed from the formula directly.
+    val ds = spark.createDataset(Seq((7L, 4, 3), (8L, 5, 2)))
+    val out = MultiModalOps.bmpDecode(MultiModalOps.bmpEncode(ds))
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((docId, w, h) <- Seq((7L, 4, 3), (8L, 5, 2))) {
+      val f = out(docId)
+      val bytes = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        yield MultiModalOps.bmpByte(docId, x, y, c)
+      assert(f.width == w && f.height == h && f.bpp == 24)
+      assert(f.row_stride == ((w * 3 + 3) / 4) * 4)
+      assert(f.n_pixels == w * h)
+      assert(f.container_bytes == 54 + f.row_stride * h)
+      assert(f.max_byte == bytes.max)
+      assert(f.pixel_sum == bytes.map(_.toLong).sum)
+      val top = for (x <- 0 until w; c <- 0 until 3)
+        yield MultiModalOps.bmpByte(docId, x, 0, c)
+      assert(f.top_row_checksum ==
+        top.zipWithIndex.map { case (v, j) => v.toLong * (j + 1) }.sum)
+    }
+  }
+
+  test("bmp decoder rejects corrupted containers") {
+    val good = MultiModalOps.bmpEncode(spark.createDataset(Seq((4L, 6, 4))))
+      .collect().head.payload
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val badSize = good.clone(); badSize(2) = (badSize(2) + 1).toByte
+    // 32 bpp at offset 28: without the bpp check the stride arithmetic
+    // would silently walk the wrong bytes.
+    val badBpp = good.clone(); badBpp(28) = 32
+    for (bad <- Seq(badMagic, badSize, badBpp)) {
+      val ex = intercept[Exception] {
+        MultiModalOps.bmpDecode(
+          spark.createDataset(Seq(BmpPayload(4L, bad)))).collect()
+      }
+      assert(ex.getMessage.contains("bmp_decode") ||
+        Option(ex.getCause).exists(_.getMessage.contains("bmp_decode")))
     }
   }
 
