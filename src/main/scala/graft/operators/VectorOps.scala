@@ -746,6 +746,19 @@ object VectorOps {
   val PqSubspaces: Int = Dim / PqSubDims
   val PqCodebook = 64
 
+  /** PQ training-set size, as vectors PER CODEBOOK ENTRY: the Lloyd
+    * round trains on a deterministic stride-sample of
+    * `PqTrainPerEntry × PqCodebook` vectors (≈1k at these constants),
+    * not the full corpus — standard PQ practice (FAISS trains on
+    * 10-100k vectors regardless of N), and the reason PQ training cost
+    * is BOUNDED at 100 TB: the init-assignment fan-out and the
+    * per-dimension mean aggregate are train-set-sized, while only the
+    * single trained-encode pass touches all N. The stride is derived
+    * from the corpus count in both engines, so the sampled set — and
+    * therefore the trained codebook — is deterministic and
+    * oracle-mirrored. */
+  val PqTrainPerEntry = 16
+
   /** IVF-PQ ANN top-1 — the FAISS-style composition that scales ANN past
     * what raw-vector probing can hold: the [[annIvfTop1]] coarse
     * inverted file generates candidates, but candidate scoring never
@@ -848,14 +861,16 @@ object VectorOps {
     * stay aligned. Training is what makes short codes usable — the
     * measured recall lift is at [[PqSubDims]].
     *
-    * Shape: the init fan-out is N×K wide rows (one vec_dot per
-    * subspace-entry pair); training is ONE long-form pipeline — codes
-    * unpivoted to (vec, s) rows, dims exploded once, one decimal-mean
-    * aggregate — never 16 separate per-subspace jobs; the trained
-    * encode fan-out is N×m×K long rows (4-dim vec_dot each) and ONE
-    * conditional aggregate widens codes and LUTs together. All three
-    * stages are partial+final hash aggregates over broadcast-joined
-    * fan-outs: no shuffle carries more than N×m rows. */
+    * Shape: training touches only the [[PqTrainPerEntry]]×K
+    * stride-sampled subset T — the init fan-out is T×m×K long rows (one
+    * 4-dim vec_dot each) and the Lloyd means explode T×Dim values;
+    * training is ONE long-form pipeline — codes unpivoted to (vec, s)
+    * rows, dims exploded once, one decimal-mean aggregate — never 16
+    * separate per-subspace jobs. Only the trained-encode fan-out is
+    * N-sized (N×m×K long rows) and ONE conditional aggregate widens
+    * codes and LUTs together. All three stages are partial+final hash
+    * aggregates over broadcast-joined fan-outs: no shuffle carries more
+    * than N×m rows. */
   private[graft] def pqEncode(spark: SparkSession, dir: String,
       n: Long): DataFrame = {
     prepare(spark)
@@ -877,6 +892,11 @@ object VectorOps {
       expr(s"stack($PqSubspaces, $sliceStack)").as(Seq("s", "xs")))
       .withColumn("sqx", expr("vec_dot(xs, xs)"))
     val pqStride = math.max(1L, math.ceil(n.toDouble / PqCodebook).toLong)
+    // Training subset: PqTrainPerEntry × K vectors by deterministic
+    // stride — init assignment and the Lloyd means are train-set-sized;
+    // only the trained encode below touches all N.
+    val trainStride = math.max(1L, math.ceil(
+      n.toDouble / (PqTrainPerEntry.toLong * PqCodebook)).toLong)
     // Seed codebook: stride-sampled vectors, rank = position in vec_id
     // order (identical across subspaces; the per-s window partitions
     // are K rows each).
@@ -889,7 +909,8 @@ object VectorOps {
     // hash join on the subspace id): ‖x? − c?‖² in the (sq − 2·dot) +
     // sq form whose term order the oracle mirrors; round-0 codes are
     // the per-(vec, subspace) argmin (lexicographic struct-min).
-    val codes0Long = eLong.join(broadcast(seedsLong), "s")
+    val codes0Long = eLong.filter(col("vec_id") % trainStride === 0)
+      .join(broadcast(seedsLong), "s")
       .select(col("vec_id"), col("s"), col("rank"),
         ((col("sqx") - lit(2.0) * expr("vec_dot(xs, cs)")) + col("sqc"))
           .as("d"))
@@ -899,8 +920,9 @@ object VectorOps {
     // Lloyd round: per-dimension decimal-exact means per (subspace,
     // entry) — dims exploded ONCE, subspace derived from the position,
     // one aggregate for all 16 codebooks.
-    val dimsLong = e0.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("dpos", "dval")))
+    val dimsLong = e0.filter(col("vec_id") % trainStride === 0)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dpos", "dval")))
       .select(col("vec_id"),
         (col("dpos") / lit(PqSubDims)).cast("int").as("s"),
         (col("dpos") % lit(PqSubDims) + 1).as("subdim"),
@@ -1029,7 +1051,11 @@ object VectorOps {
        |dmat AS (
        |  SELECT e.vec_id, sd.rank,
        |    $dCols
-       |  FROM e CROSS JOIN sd),
+       |  FROM e CROSS JOIN sd
+       |  WHERE e.vec_id % (SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(CAST(count(*) AS DOUBLE)
+       |      / ${PqTrainPerEntry * PqCodebook}) AS BIGINT))
+       |    FROM embeddings) = 0),
        |c0 AS (
        |  SELECT vec_id,
        |    $code0Cols

@@ -241,6 +241,42 @@ object StreamOps {
       .agg(count(lit(1)).as("n_users"))
       .select(col("day_w.start").as("day_start"), col("n_users"))
 
+  /** Trailing 7-day rolling metrics over the live stream — the streaming
+    * twin of `CdcOps.rolling7dMetrics`, as Spark 4 CHAINED event-time
+    * aggregations (multiple stateful operators, append mode): a day-grain
+    * tumbling aggregate, then a 7-day sliding window (1-day slide) over
+    * the day rows' `window_time`. Each sliding span [d−6, d+1) anchors
+    * calendar day d — exactly the batch query's `RANGE BETWEEN 6
+    * PRECEDING AND CURRENT ROW` on the day number — and the anchor day's
+    * own totals are recovered inside the same aggregate via a
+    * day-window-end match, so the emitted row carries the full batch
+    * schema. Spans whose anchor day had no data are filtered out
+    * (matching the batch side, which only emits days present in the
+    * feed); a span is emitted once, when the watermark closes it. State
+    * is |live days| per stage — calendar-sized, never event-sized, the
+    * same bound the batch plan argues. */
+  def rolling7dMetrics(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("day_w"))
+      .agg(
+        count(lit(1)).as("d_events"),
+        sum(col("value").cast("decimal(18,2)")).as("d_value"))
+      .groupBy(window(window_time(col("day_w")), "7 days", "1 day"))
+      .agg(
+        sum(when(col("day_w.end") === col("window.end"), col("d_events")))
+          .as("n_events"),
+        max(when(col("day_w.end") === col("window.end"),
+          col("d_value").cast("double"))).as("day_value"),
+        sum(col("d_events")).as("events_7d"),
+        sum(col("d_value")).cast("double").as("value_7d"),
+        count(lit(1)).as("days_present_7d"))
+      .filter(col("n_events").isNotNull)
+      .select(
+        to_date(col("window.end") - expr("interval 1 day")).as("day"),
+        col("n_events"), col("day_value"), col("events_7d"),
+        col("value_7d"), col("days_present_7d"))
+
   /** Sessionization over the live stream: native event-time session
     * windows with a 2-hour inactivity gap (`CdcOps.SessionGapMs`'s
     * streaming twin). `session_window` merges a key's overlapping

@@ -104,6 +104,53 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming 7-day rolling metrics match the batch twin on a " +
+      "gapped calendar (chained event-time aggregations)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.rolling7dMetrics(in.toDF())
+      .writeStream.format("memory").queryName("r7d")
+      .outputMode("append").start()
+    // Calendar gaps are the RANGE-vs-ROWS trap: Jan 10's trailing window
+    // covers Jan 4-10 and must see ONLY Jan 5 + Jan 10 (2 days present),
+    // not "the last 7 days that had data".
+    val evs = Seq(
+      event(1, "2024-01-01 08:00:00", 1, "click", 10.0),
+      event(2, "2024-01-01 09:00:00", 2, "purchase", 20.0),
+      event(3, "2024-01-02 10:00:00", 1, "view", 5.0),
+      event(4, "2024-01-05 12:00:00", 3, "click", 7.0),
+      event(5, "2024-01-10 13:00:00", 2, "click", 3.0))
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      // Two sentinel triggers push the watermark past every fixture
+      // span's end THROUGH BOTH stateful stages (stage 1 closes day
+      // windows with the watermark of the previous trigger; stage 2
+      // needs one more).
+      in.addData(event(6, "2024-02-01 00:00:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(event(7, "2024-02-02 00:00:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n_events"),
+          r.getAs[Double]("day_value"), r.getAs[Long]("events_7d"),
+          r.getAs[Double]("value_7d"), r.getAs[Long]("days_present_7d"))
+      val got = spark.table("r7d").collect().map(key).sortBy(_._1).toSeq
+      // Hand-checked anchor rows (sentinel days' spans stay open).
+      assert(got.map(t => (t._1, t._2, t._4, t._6)) == Seq(
+        ("2024-01-01", 2L, 2L, 1L),
+        ("2024-01-02", 1L, 3L, 2L),
+        ("2024-01-05", 1L, 4L, 3L),
+        ("2024-01-10", 1L, 2L, 2L)))
+      // The batch twin on the same fixture produces identical rows for
+      // every day the stream finalized.
+      val batch = graft.operators.CdcOps.rolling7dMetricsOf(
+          spark.createDataset(evs).toDF())
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("T1/A12: minute windows emit after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
