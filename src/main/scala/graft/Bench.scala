@@ -44,9 +44,10 @@ object Bench {
       // references are GC'd — and a 96-query bench in a 24 GiB heap may
       // never GC on its own, so dead blocks accrete across queries (the
       // r9 product_performance 3→39→47 s within-run degradation). The
-      // periodic cleaner GC plus the explicit per-query System.gc()
-      // below bound that growth.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // explicit per-query System.gc() below bounds that growth BETWEEN
+      // queries; the periodic cleaner GC is deliberately left at its
+      // default (30 min) — a short interval fires full-GC pauses INSIDE
+      // timed runs.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
@@ -90,13 +91,17 @@ object Bench {
         System.err.println(s"[bench] FAILED $name: ${failed(name)}")
       } finally {
         spark.catalog.clearCache()
-        // Explicit GC after every query: drops driver references to dead
-        // broadcasts/checkpoints so the ContextCleaner can release their
-        // blocks NOW, not whenever a 24 GiB heap finally collects. A full
-        // GC on a mostly-dead heap is ~100s of ms — cheap insurance
-        // against the r9 accretion artifact. Post-GC live heap is logged
-        // per query (bench_line.json "heap_mb") so order-dependent growth
-        // is directly observable next round.
+        // Explicit GC after every query: the ContextCleaner only releases
+        // dead broadcast/checkpoint blocks after a driver GC, and a
+        // 24 GiB heap may never collect on its own (the r9 accretion
+        // artifact: product_performance 3→39→47 s within one run). An
+        // A/B against a threshold-only GC (collect past 6 GiB used)
+        // measured WORSE heavy-query medians under the threshold — the
+        // heap climbed to ~6 GiB and collection pauses landed inside
+        // timed runs — while the per-query collect keeps the live set
+        // flat (~190 MB all run) and pauses strictly between queries.
+        // Post-GC live heap is logged per query (bench_line.json
+        // "heap_mb") so order-dependent growth stays observable.
         System.gc()
         val rt = Runtime.getRuntime
         heapMb(name) = (rt.totalMemory() - rt.freeMemory()) / 1e6

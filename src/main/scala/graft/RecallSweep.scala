@@ -54,7 +54,8 @@ object RecallSweep {
         f"(nprobe=${VectorOps.NProbe}%d, n=${total.toLong}%d)")
     }
     // IVF-PQ: same coarse candidates as annIvfTop1, scored on
-    // PqSubspaces-byte codes (16 subspaces × 6-bit codebooks = 12 bytes). Measured against the exact L2 top-1 (PQ approximates
+    // PqSubspaces-byte codes (16 subspaces × 6-bit codebooks = 12
+    // bytes). Measured against the exact L2 top-1 (PQ approximates
     // squared L2) — and against the raw-vector IVF pick to isolate the
     // quantization loss from the candidate-generation loss.
     val exactL2 = q.crossJoin(broadcast(c))

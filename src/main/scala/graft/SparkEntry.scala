@@ -114,6 +114,8 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
+    "bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "domain_mixture" -> ((s, d) => TextOps.domainMixture(s, d)),
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
@@ -705,6 +707,13 @@ object SparkEntry {
     "pii_scrub" -> TextOps.piiScrubOracleSql,
     "paragraph_dedup" -> TextOps.paragraphDedupOracleSql,
     "tfidf_topk" -> TextOps.tfidfTopKOracleSql,
+    // BM25 keeps every step hash-exact: integer-rational saturation
+    // term (one double division of exact longs), bit-quantized idf
+    // (no floating log), one IEEE multiply.
+    "bm25_topk" -> TextOps.bm25TopKOracleSql,
+    // √-temperature mixture: sqrt is correctly-rounded IEEE in both
+    // engines (pow is not), and the normalizer sums decimals.
+    "domain_mixture" -> TextOps.domainMixtureOracleSql,
     "doc_surprisal" -> TextOps.docSurprisalOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,

@@ -1564,6 +1564,166 @@ object TextOps {
        |FROM s WHERE rk <= $TfidfK
        |ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 Okapi parameters as exact rationals (k1 = 6/5, b = 3/4),
+    * pre-folded into the integer numerator/denominator forms below so
+    * the saturation term is ONE double division of two exact longs —
+    * deterministic in both engines (long→double conversion is IEEE
+    * round-to-nearest in both). */
+  val Bm25TopK = 5
+
+  /** BM25-scored top terms per document — [[tfidfTopK]]'s ranking
+    * upgraded with the two things BM25 adds: term-frequency SATURATION
+    * (a term's 50th occurrence adds almost nothing) and document-LENGTH
+    * normalization (matches in short docs count for more). Every
+    * arithmetic step is cross-engine hash-exact:
+    *
+    *  - the saturation term tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *    with avgdl = T/N, clears to the integer ratio
+    *    22·tf·T / (10·T·tf + 3·T + 9·dl·N) at k1=1.2, b=0.75 — two
+    *    exact longs, one double division;
+    *  - the idf is quantized to INTEGER BITS via the [[docSurprisal]]
+    *    trick: idf_q = ⌊log₂((2N+2)/(2df+1))⌋ + 1 = `length(bin(DIV))`
+    *    — the BM25 idf's odds ratio with the halves cleared by
+    *    doubling, no floating log anywhere;
+    *  - score = idf_q × saturation: one IEEE multiply.
+    *
+    * Plan shape (the 100 TB shape, same class as [[tfidfTopK]]): one
+    * corpus explode → (doc, term) counts → per-doc length and per-term
+    * df as two partial+final aggregates off that frame → hash joins
+    * back → corpus totals (N, T) ride a 1-row broadcast → per-doc rank
+    * ≤ K compiles to WindowGroupLimit, capping before any sort buffer. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val tf = d
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = d.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        tf.agg(sum(col("tf")).as("t_total"))))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dl, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_q",
+        length(bin(expr("(2 * n + 2) DIV (2 * df + 1)"))).cast("bigint"))
+      .withColumn("sat",
+        (lit(22L) * col("tf") * col("t_total")).cast("double") /
+          (lit(10L) * col("t_total") * col("tf") + lit(3L) * col("t_total")
+            + lit(9L) * col("dl") * col("n")).cast("double"))
+      .withColumn("score", col("idf_q").cast("double") * col("sat"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select("doc_id", "term", "tf", "dl", "df", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — the same integer-rational
+    * saturation, bit-quantized idf, and (score desc, term) tiebreak. */
+  private[graft] def bm25TopKOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM d) AS n,
+       |    (SELECT sum(tf) FROM tf) AS t_total),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, CAST(dl.dl AS BIGINT) AS dl,
+       |    dfreq.df,
+       |    CAST(length(bin((2 * n + 2) // (2 * df + 1))) AS BIGINT)
+       |      AS idf_q,
+       |    CAST(22 * tf.tf * t_total AS DOUBLE)
+       |      / CAST(10 * t_total * tf.tf + 3 * t_total + 9 * dl.dl * n
+       |             AS DOUBLE) AS sat
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+       |    CROSS JOIN tot),
+       |r AS (
+       |  SELECT doc_id, term, tf, dl, df,
+       |    CAST(idf_q AS DOUBLE) * sat AS score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY CAST(idf_q AS DOUBLE) * sat DESC, term) AS rk
+       |  FROM s)
+       |SELECT doc_id, term, tf, dl, df, score, rk
+       |FROM r WHERE rk <= $Bm25TopK
+       |ORDER BY doc_id, rk""".stripMargin
+
+  /** Mixture temperature for [[domainMixture]], expressed as the exact
+    * operation √p (temperature α = 1/2): sqrt is a correctly-rounded
+    * IEEE primitive in both engines, unlike pow(x, α) — the reason the
+    * canonical-in-the-literature α values like 0.7 are traded for 0.5
+    * here (the REBALANCING BEHAVIOR is identical in kind: rare domains
+    * up-weighted, dominant domains damped). */
+  val MixtureAlphaIsHalf = true
+
+  /** Temperature-scaled domain (source) mixture weights — the data-MIXING
+    * step of a training pipeline (XLM-R/Gopher-style multinomial
+    * sampling): compute each source's natural token share p_s, damp it
+    * through the α=0.5 temperature q_s ∝ p_s^α, and emit the resampling
+    * factor q_s/p_s each source needs to hit the target mix. All-exact
+    * pipeline: token counts are longs, p_s is one double division, √ is
+    * correctly-rounded IEEE, and the normalizing sum Σ√p runs over
+    * DECIMAL(28,12) casts so it is order-independent at any parallelism
+    * — the one place a plain double sum would make the hash
+    * partitioning-dependent.
+    *
+    * Plan: one partial+final aggregate over the corpus (|sources| rows
+    * out), a 1-row broadcast of the totals, and a |sources|-row window
+    * for the normalizer — nothing at any scale ever shuffles more than
+    * the per-source aggregate. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+          .as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    perSource
+      .withColumn("t_total", sum(col("n_tokens")).over(wAll))
+      .withColumn("p_raw",
+        col("n_tokens").cast("double") / col("t_total").cast("double"))
+      .withColumn("sq", sqrt(col("p_raw")))
+      .withColumn("z",
+        sum(col("sq").cast("decimal(28,12)")).over(wAll).cast("double"))
+      .withColumn("q_temp", col("sq") / col("z"))
+      .withColumn("oversample", col("q_temp") / col("p_raw"))
+      .select("source", "n_docs", "n_tokens", "p_raw", "q_temp",
+        "oversample")
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[domainMixture]] — same √-temperature, same
+    * decimal-exact normalizer. */
+  private[graft] def domainMixtureOracleSql: String =
+    s"""WITH ps AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT))
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |p AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE)
+       |      / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p_raw
+       |  FROM ps),
+       |q AS (
+       |  SELECT *, sqrt(p_raw) AS sq,
+       |    CAST(sum(CAST(sqrt(p_raw) AS DECIMAL(28,12))) OVER ()
+       |      AS DOUBLE) AS z
+       |  FROM p)
+       |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, p_raw,
+       |  sq / z AS q_temp,
+       |  (sq / z) / p_raw AS oversample
+       |FROM q
+       |ORDER BY source""".stripMargin
+
   /** A document is flagged improbable when its mean token surprisal
     * exceeds this many bits (shared with the oracle). */
   val SurprisalBitsMax = 10.0

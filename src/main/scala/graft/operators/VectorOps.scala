@@ -821,28 +821,46 @@ object VectorOps {
       .join(cells, "cent_id")
       .select(col("q_id"), col("cent_id"), explode(col("ids")).as("c_id"))
       .filter(col("c_id") =!= col("q_id"))
-    // ADC scoring: candidate side brings CODES (12 bytes of payload — at
-    // scale this join moves the compressed index, never the vectors),
-    // query side brings its LUT; the distance is 16 array lookups. Both
-    // sides broadcast EXPLICITLY: codes are the compressed index (the
-    // thing PQ made small enough to fit in memory) and the LUT table is
-    // m×K doubles per query — letting either ride a shuffle attaches
-    // kilobytes of LUT payload to every candidate pair (measured: the
-    // un-broadcast LUT join dominated this query's bench time).
-    val codes = pq.select(Seq(col("vec_id").as("c_id")) ++
-      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
-    val luts = pq.select(Seq(col("vec_id").as("q_id")) ++
-      (0 until PqSubspaces).map(s => col(s"l$s")): _*)
-    val adc = (0 until PqSubspaces)
-      .map(s => element_at(col(s"l$s"), col(s"code$s") + 1))
-      .reduce(_ + _)
-    cand.join(broadcast(codes), "c_id").join(broadcast(luts), "q_id")
-      .withColumn("adc", adc)
+    // ADC scoring, LONG-FORM: a candidate pair carries only its 12-byte
+    // codes (at scale this join moves the compressed index, never the
+    // vectors). Two earlier shapes both lost to this one, measured:
+    // joining the m×K-double LUT arrays onto every pair copied ~8 KB of
+    // array payload per candidate (dominated the query), and scoring
+    // grouped candidates through transform/aggregate higher-order
+    // functions dropped to interpreted per-element lambda eval (2×
+    // slower still). Here pairs explode to (pair, s, code) rows and the
+    // LUT flattens to (q_id, s, code, d) rows off the encode checkpoint;
+    // scoring is a broadcast hash join plus two partial+final hash
+    // aggregates — every operator whole-stage-codegen'd, no wide array
+    // ever rides a row. The per-pair ADC sum runs over DECIMAL(28,12)
+    // casts of the 16 subspace terms so it is order-independent (exact
+    // decimal addition) — the oracle mirrors the same per-term decimal
+    // cast — and the argmin keeps the (adc, c_id, cent_id)
+    // lexicographic tie-break.
+    val codesLong = pq.select(col("vec_id").as("c_id"),
+      expr(s"stack($PqSubspaces, ${(0 until PqSubspaces)
+        .map(s => s"$s, code$s").mkString(", ")})").as(Seq("s", "code")))
+    val lutLong = pq.select(col("vec_id").as("q_id"),
+      expr(s"stack($PqSubspaces, ${(0 until PqSubspaces)
+        .map(s => s"$s, l$s").mkString(", ")})").as(Seq("s", "lut")))
+      .select(col("q_id"), col("s"),
+        posexplode(col("lut")).as(Seq("code", "d")))
+    // codesLong broadcasts (m rows per corpus vector, ints only); the
+    // LUT side deliberately does NOT — a query-set×m×K row broadcast
+    // builds its hash relation single-threaded on the driver, which
+    // measured slower than letting the join shuffle across cores.
+    cand.join(broadcast(codesLong), "c_id")
+      .hint("shuffle_hash")
+      .join(lutLong, Seq("q_id", "s", "code"))
+      .groupBy("q_id", "c_id", "cent_id")
+      .agg(sum(col("d").cast("decimal(28,12)")).cast("double").as("adc"))
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("c_id"), col("cent_id"))).as("best"))
+      // No round(): the decimal sum is exact and its double cast is the
+      // same IEEE value in both engines — rounding would only reintroduce
+      // a half-tie hazard (round-half behavior differs across engines).
       .select(col("q_id"), col("best.cent_id").as("cent_id"),
-        col("best.c_id").as("c_id"),
-        round(col("best.adc"), 9).as("adc_dist"))
+        col("best.c_id").as("c_id"), col("best.adc").as("adc_dist"))
       .orderBy("q_id")
   }
 
@@ -1038,8 +1056,12 @@ object VectorOps {
     val lutCols = (0 until PqSubspaces).map(s =>
       s"list(d ORDER BY rank2) FILTER (WHERE s = $s) AS l$s")
       .mkString(",\n    ")
-    val adcSum = (0 until PqSubspaces)
-      .map(s => s"lu.l$s[co.code$s + 1]").mkString(" + ")
+    // Per-term DECIMAL(28,12) casts, then exact decimal addition → one
+    // double cast: order-independent, mirroring the Spark side's decimal
+    // sum aggregate (a plain double sum would be fold-order-dependent).
+    val adcSum = "CAST(" + (0 until PqSubspaces)
+      .map(s => s"CAST(lu.l$s[co.code$s + 1] AS DECIMAL(28,12))")
+      .mkString(" + ") + " AS DOUBLE)"
     s"""$ivfCoarseSqlPrefix,
        |sd AS (
        |  SELECT embedding AS semb,
@@ -1080,7 +1102,7 @@ object VectorOps {
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY adc, c_id, cent_id) AS rk
        |  FROM sc)
-       |SELECT q_id, cent_id, c_id, round(adc, 9) AS adc_dist
+       |SELECT q_id, cent_id, c_id, adc AS adc_dist
        |FROM r WHERE rk = 1
        |ORDER BY q_id""".stripMargin
   }

@@ -129,6 +129,23 @@ class PlanSpec extends GraftSpec {
       s"rank cap not a group limit:\n$plan")
   }
 
+  test("bm25's per-doc top-k cap compiles to WindowGroupLimit") {
+    val plan = executedPlan(TextOps.bm25TopK(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cap not a group limit:\n$plan")
+    // Corpus totals must ride a broadcast, never a shuffled join.
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
+  }
+
+  test("domain mixture is one aggregate over the corpus scan") {
+    // One FileScan, one partial+final aggregate pair on source; the
+    // |sources|-row normalizer windows never touch the corpus again.
+    val plan = executedPlan(TextOps.domainMixture(spark, dir))
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"multiple scans:\n$plan")
+  }
+
   test("paragraph dedup scans the corpus exactly once, with no join") {
     val plan = executedPlan(TextOps.paragraphDedup(spark, dir))
     assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
