@@ -64,9 +64,11 @@ object SparkEntry {
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
     "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
     "daily_distinct_users" -> ((s, d) => CdcOps.dailyDistinctUsers(s, d)),
+    "kmv_distinct" -> ((s, d) => CdcOps.kmvDistinct(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
+    "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
@@ -90,6 +92,7 @@ object SparkEntry {
     "pricing_summary_sql" -> ((s, d) => BatchOps.pricingSummarySql(s, d)),
     "lang_pivot" -> ((s, d) => BatchOps.langPivot(s, d)),
     "daily_revenue_running" -> ((s, d) => BatchOps.dailyRevenueRunning(s, d)),
+    "ewma_daily" -> ((s, d) => BatchOps.ewmaDaily(s, d)),
     "daily_sales_dense" -> ((s, d) => BatchOps.dailySalesDense(s, d)),
     // --- LLM-pipeline text ops over documents (M4) ---
     "docs_exact_dedup" -> ((s, d) => TextOps.exactDedupGroups(s, d)),
@@ -119,6 +122,7 @@ object SparkEntry {
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
+    "ngram_decontam" -> ((s, d) => TextOps.ngramDecontam(s, d)),
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
@@ -439,6 +443,10 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
+    // Deterministic approximate-distinct: KMV order-statistic sketch
+    // (HLL can't be cross-engine checked; md5 order statistics can).
+    "kmv_distinct" -> CdcOps.kmvDistinctOracleSql,
+
     // The Spark side is the STREAMING dailyActiveUsers code run in batch
     // (window-struct dedup + windowed count): the hash match anchors the
     // streaming twin's semantics to the oracle. Epoch-aligned UTC day
@@ -481,6 +489,9 @@ object SparkEntry {
 
     // Field-level diffs between consecutive row versions per key.
     "cdc_change_log" -> CdcOps.changeLogOracleSql,
+    // Type-2 validity intervals from the same chain (lead over c/u/d
+    // BEFORE the tombstone filter, so deletes close their version).
+    "scd2_history" -> CdcOps.scd2HistoryOracleSql,
     "event_transitions" -> CdcOps.eventTransitionsOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
@@ -700,6 +711,8 @@ object SparkEntry {
     "pricing_summary_sql" -> BatchOps.pricingSummarySqlOracleSql,
     "lang_pivot" -> BatchOps.langPivotOracleSql,
     "daily_revenue_running" -> BatchOps.dailyRevenueRunningOracleSql,
+    // Bounded half-life decay: exact power-of-two weights, one division.
+    "ewma_daily" -> BatchOps.ewmaDailyOracleSql,
     "daily_sales_dense" -> BatchOps.dailySalesDenseOracleSql,
     "train_val_split" -> TextOps.trainValSplitOracleSql,
     "stratified_sample" -> TextOps.stratifiedSampleOracleSql,
@@ -717,6 +730,8 @@ object SparkEntry {
     "doc_surprisal" -> TextOps.docSurprisalOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
+    // Train-side n-gram decontamination (the GPT-3 appendix direction).
+    "ngram_decontam" -> TextOps.ngramDecontamOracleSql,
     "oov_rate" -> TextOps.oovRateOracleSql,
     "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),

@@ -681,6 +681,86 @@ object BatchOps {
       .orderBy("order_day")
   }
 
+  /** Trailing decay-window width in days for [[ewmaDaily]] (shared with
+    * the oracle): weights halve per day of age, 2^9 … 2^0. */
+  val EwmaWindowDays = 10
+
+  /** Exponentially-decayed daily revenue — the trend-smoothing
+    * companion to [[dailyRevenueRunning]]'s flat 7-day average: each
+    * day's smoothed value is the weight-normalized sum of the trailing
+    * [[EwmaWindowDays]] days with per-day half-life decay. The usual
+    * EWMA recurrence (s_t = α·x_t + (1−α)·s_{t−1}) is an infinite
+    * float product — unverifiable cross-engine and inherently
+    * sequential; the bounded form here keeps every weight an exact
+    * POWER OF TWO (integer 2^(W−1−age), decimal-cast), so numerator and
+    * denominator are exact decimal/long sums and the single division
+    * happens once, in doubles, identically in both engines. Truncating
+    * at W=10 days discards < 2^−10 of the mass — below double ulp of
+    * any realistic revenue value.
+    *
+    * Scale shape: revenue first collapses to DAY GRAIN (one
+    * partial+final aggregate — the only pass over the fact table), then
+    * the decay window is an explicit offset fan-out (sequence 0..W−1,
+    * date_sub) EQUI-joined back to the day frame: a hash join between
+    * two calendar-sized frames (a millennium is ~365 K rows), never a
+    * range/BNL join, never event grain. Gap days contribute nothing and
+    * the denominator renormalizes over the days actually present —
+    * lag-k windows would silently misalign across gaps. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val past = daily.select(col("day").as("pday"),
+      col("rev").as("prev_rev"))
+    daily
+      .withColumn("off",
+        explode(expr(s"sequence(0, ${EwmaWindowDays - 1})")))
+      .withColumn("pday", date_sub(col("day"), col("off")))
+      .join(past, "pday")
+      .withColumn("w",
+        expr(s"cast(shiftleft(1, ${EwmaWindowDays - 1} - off) as " +
+          "decimal(10,0))"))
+      .groupBy("day")
+      .agg(
+        max(col("n_orders")).as("n_orders"),
+        max(col("rev")).cast("double").as("day_revenue"),
+        count(lit(1)).as("n_win_days"),
+        sum(col("prev_rev") * col("w")).cast("double").as("num"),
+        sum(col("w").cast("long")).as("den"))
+      .withColumn("ewma_revenue", col("num") / col("den").cast("double"))
+      .select("day", "n_orders", "day_revenue", "n_win_days",
+        "ewma_revenue")
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[ewmaDaily]] — same power-of-two weights, same
+    * offset fan-out join, same exact sums (BIGINT-cast denominator:
+    * DuckDB widens integer sums to HUGEINT). */
+  private[graft] def ewmaDailyOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+       |    count(*) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |f AS (
+       |  SELECT d.day, d.n_orders, d.rev, p.rev AS prev_rev,
+       |    CAST(1 << (${EwmaWindowDays - 1} - o.off) AS DECIMAL(10,0))
+       |      AS w
+       |  FROM daily d
+       |  CROSS JOIN (SELECT CAST(unnest(generate_series(0,
+       |    ${EwmaWindowDays - 1})) AS INTEGER) AS off) o
+       |  JOIN daily p ON p.day = d.day - o.off)
+       |SELECT day, n_orders,
+       |  CAST(max(rev) AS DOUBLE) AS day_revenue,
+       |  count(*) AS n_win_days,
+       |  CAST(sum(prev_rev * w) AS DOUBLE)
+       |    / CAST(CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    AS ewma_revenue
+       |FROM f
+       |GROUP BY day, n_orders
+       |ORDER BY day""".stripMargin
+
   /** DuckDB oracle for [[dailyRevenueRunning]] (same frames, same
     * decimal-exact prefix sums). */
   private[graft] def dailyRevenueRunningOracleSql: String =

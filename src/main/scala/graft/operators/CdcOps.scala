@@ -239,6 +239,92 @@ object CdcOps {
     graft.streaming.StreamOps.dailyActiveUsers(Tables.events(spark, dir))
       .orderBy("day_start")
 
+  /** KMV sketch size (number of minimum hash values kept per group). */
+  val KmvK = 64
+
+  /** K-minimum-values distinct-count sketch — the DETERMINISTIC member
+    * of the approximate-distinct family (HyperLogLog cannot be
+    * cross-engine hash-checked: every engine ships a different sketch;
+    * KMV is pure order statistics over an md5 both engines compute
+    * bit-identically). Per event_type: hash each distinct user to a
+    * 60-bit integer, keep the K smallest, and estimate
+    * |distinct| ≈ (K−1) / (h_(K) / 2^60) — the classic KMV estimator
+    * (Bar-Yossef et al. 2002): K−1 uniform points before the K-th
+    * order statistic. Groups with fewer than K members degrade to the
+    * exact count. Emits exact vs estimate vs relative error, so the
+    * sketch's ~1/√K accuracy is itself oracle-checked.
+    *
+    * Scale shape: ONE distinct-compaction shuffle on (type, user), then
+    * the per-group K-smallest runs through a rank window that compiles
+    * to WindowGroupLimit — Spark pushes the rank cap into a PARTIAL
+    * group-limit before the exchange, so each map task ships at most K
+    * rows per group: exactly how a distributed sketch union works (merge
+    * K-minima of K-minima). Hash duplicates are NOT collapsed before
+    * ranking — a 60-bit collision would bias the estimate a hair but
+    * both engines see the identical duplicate, so the check is unharmed
+    * and the skipped second shuffle stays skipped. All arithmetic after
+    * the longs: two IEEE divisions (exact-long→double is
+    * round-to-nearest in both engines), no transcendentals. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashed = du.withColumn("h",
+      expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+        " 16, 10) as bigint)"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sketch = hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KmvK)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("kth_h"), count(lit(1)).as("k_seen"))
+    val exact = du.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    exact.join(sketch, "event_type")
+      .withColumn("kmv_est",
+        when(col("k_seen") < KmvK, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (col("kth_h").cast("double") /
+              lit(1152921504606846976L).cast("double"))))
+      .withColumn("rel_err",
+        abs(col("kmv_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .select("event_type", "n_exact", "kmv_est", "rel_err")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[kmvDistinct]] — same 60-bit hash (the
+    * `'0x…'::BIGINT` twin of Spark's `conv`), same order statistic,
+    * same two-division estimator. */
+  private[graft] def kmvDistinctOracleSql: String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM du),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM h),
+       |sk AS (
+       |  SELECT event_type, max(h) AS kth_h, count(*) AS k_seen
+       |  FROM r WHERE rk <= $KmvK GROUP BY event_type),
+       |ex AS (
+       |  SELECT event_type, count(*) AS n_exact FROM du
+       |  GROUP BY event_type)
+       |SELECT ex.event_type, n_exact,
+       |  CASE WHEN k_seen < $KmvK THEN CAST(n_exact AS DOUBLE)
+       |       ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |         / (CAST(kth_h AS DOUBLE)
+       |            / CAST(1152921504606846976 AS DOUBLE)) END AS kmv_est,
+       |  abs(CASE WHEN k_seen < $KmvK THEN CAST(n_exact AS DOUBLE)
+       |       ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |         / (CAST(kth_h AS DOUBLE)
+       |            / CAST(1152921504606846976 AS DOUBLE)) END
+       |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       |    AS rel_err
+       |FROM ex JOIN sk USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   /** Audience overlap: how the ordering population and the
     * event-emitting population intersect — the three disjoint Venn
     * region sizes in one row, with set (not bag) semantics per side.
@@ -838,6 +924,68 @@ object CdcOps {
     * tests). */
   private[graft] def incrementalRollupOf(events: DataFrame): DataFrame =
     foldDeltas(changeDeltas(events)).orderBy("user_id")
+
+  /** SCD Type-2 dimension build — the warehouse-side complement of the
+    * reference's latest-row cache (cdc_processor.py:77-190 keeps only
+    * the newest row per key; a Type-2 dimension keeps EVERY version with
+    * its validity interval). Each create/update event opens a version
+    * carrying its row image; a delete closes the chain without opening
+    * one. `valid_to` is the NEXT change's timestamp regardless of its
+    * verb — computed with the lead over the full c/u/d chain BEFORE
+    * deletes are dropped, so a version followed by a tombstone is
+    * correctly closed, not left looking current. `version_no` is a
+    * running conditional count over the same window frame, so the whole
+    * derivation is one shuffle on the key and ONE per-key sort (the two
+    * window functions share partitioning and ordering; no second
+    * exchange, no join back). At 100 TB this is the standard
+    * history-build shape: key-partitioned, event-ordered, linear. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2HistoryOf(Tables.events(spark, dir))
+
+  /** [[scd2History]] over an injectable events frame (property tests). */
+  private[graft] def scd2HistoryOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"), opCol.as("op"))
+      .withColumn("next_ms", lead(col("ts_ms"), 1).over(w))
+      .withColumn("version_no",
+        sum(when(col("op") =!= "d", 1L).otherwise(0L)).over(wRun))
+      .filter(col("op") =!= "d")
+      .select(col("user_id"), col("version_no"), col("op"), col("value"),
+        col("ts_ms").as("valid_from_ms"), col("next_ms").as("valid_to_ms"),
+        col("next_ms").isNull.as("is_current"),
+        (col("next_ms") - col("ts_ms")).as("duration_ms"))
+      .orderBy("user_id", "version_no")
+  }
+
+  /** DuckDB oracle for [[scd2History]] — same chain-wide lead, same
+    * running version count (BIGINT-cast: DuckDB widens integer sums to
+    * HUGEINT), same explicit ROWS frame (the ordering is unique, but
+    * the explicit frame keeps both engines' peer handling identical). */
+  private[graft] def scd2HistoryOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |    CASE WHEN event_type = 'signup' THEN 'c'
+       |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+       |  FROM events),
+       |v AS (
+       |  SELECT *,
+       |    lead(ts_ms) OVER w AS next_ms,
+       |    CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS version_no
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+       |SELECT user_id, version_no, op, value,
+       |  ts_ms AS valid_from_ms, next_ms AS valid_to_ms,
+       |  next_ms IS NULL AS is_current,
+       |  next_ms - ts_ms AS duration_ms
+       |FROM v WHERE op <> 'd'
+       |ORDER BY user_id, version_no""".stripMargin
 
   /** DuckDB oracle for [[incrementalRollup]] — the same delta CASE
     * fold. */

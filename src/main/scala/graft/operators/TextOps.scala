@@ -938,6 +938,99 @@ object TextOps {
        |GROUP BY doc_id, bucket
        |ORDER BY doc_id""".stripMargin
 
+  /** Word n-gram width for [[ngramDecontam]] (real pipelines run 8–13;
+    * 3 keeps collisions nonzero on the short synthetic docs — the
+    * machinery is width-independent). */
+  val DecontamN = 3
+
+  /** Word 3-grams of a pre-split token array column — the O(n)
+    * zip_with composition ([[shingles]]' trick widened one step:
+    * ((t_i · t_{i+1}) · t_{i+2})); the <n guard returns an explicit
+    * empty array for the same `sequence(1, 0)`-descends reason. */
+  private def ngrams3(toksCol: String): Column =
+    expr(s"""case when size($toksCol) < 3
+              then cast(array() as array<string>)
+              else zip_with(
+                zip_with(
+                  slice($toksCol, 1, size($toksCol) - 2),
+                  slice($toksCol, 2, size($toksCol) - 2),
+                  (x, y) -> concat(x, ' ', y)),
+                slice($toksCol, 3, size($toksCol) - 2),
+                (xy, z) -> concat(xy, ' ', z))
+            end""")
+
+  /** n-gram eval decontamination, the GPT-3 direction: flag TRAIN
+    * documents that share any word [[DecontamN]]-gram with the held-out
+    * split, so they can be dropped from training before the eval is
+    * compromised ([[splitContamination]] is the mirror check — eval
+    * docs contaminated by train chunks; this one is finer-grained and
+    * aims the removal at the training side, which is what the GPT-3 /
+    * PaLM decontamination appendix actually does). Per train doc:
+    * distinct n-grams, distinct n-grams also present anywhere in eval,
+    * the hit share, and the drop flag.
+    *
+    * Scale shape: the corpus is scanned once per side for n-grams (one
+    * codegen'd projection + explode, hashes immediately — strings never
+    * shuffle); the eval side collapses to DISTINCT 60-bit hashes and is
+    * BROADCAST (an eval set is tiny by construction — broadcasting the
+    * dirty list is the canonical decontamination join at any corpus
+    * size); the train side aggregates partial+final per doc. Nothing
+    * quadratic, no corpus-side shuffle except the per-doc aggregate. */
+  def ngramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("bucket"),
+        explode(ngrams3("toks")).as("g"))
+      .select(col("doc_id"), col("bucket"), h60("g").as("gh"))
+    val evalGrams = grams.filter(col("bucket") >= TrainPct)
+      .select(col("gh").as("ev_gh")).distinct()
+    grams.filter(col("bucket") < TrainPct)
+      .join(broadcast(evalGrams), col("gh") === col("ev_gh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("gh")).as("n_ngrams"),
+        countDistinct(col("ev_gh")).as("n_hits"))
+      .withColumn("hit_rate",
+        col("n_hits").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[ngramDecontam]] — same 3-gram stream (DuckDB
+    * builds it with a list comprehension over 1-based slices), same
+    * hash bands, same distinct-hit LEFT join. */
+  private[graft] def ngramDecontamOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % 100 AS bucket,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, bucket,
+       |    CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS gh
+       |  FROM (
+       |    SELECT doc_id, bucket,
+       |      unnest(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |        AS gr
+       |    FROM d WHERE len(toks) >= 3)),
+       |ev AS (SELECT DISTINCT gh AS ev_gh FROM g
+       |       WHERE bucket >= $TrainPct),
+       |tr AS (SELECT doc_id, gh FROM g WHERE bucket < $TrainPct)
+       |SELECT tr.doc_id,
+       |  count(DISTINCT tr.gh) AS n_ngrams,
+       |  count(DISTINCT ev.ev_gh) AS n_hits,
+       |  CAST(count(DISTINCT ev.ev_gh) AS DOUBLE)
+       |    / CAST(count(DISTINCT tr.gh) AS DOUBLE) AS hit_rate,
+       |  count(DISTINCT ev.ev_gh) > 0 AS contaminated
+       |FROM tr LEFT JOIN ev ON tr.gh = ev.ev_gh
+       |GROUP BY tr.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+
   /** Documents kept per language stratum by [[stratifiedSample]]
     * (shared with the oracle). */
   val StratumSampleK = 50

@@ -146,6 +146,43 @@ class PlanSpec extends GraftSpec {
       s"multiple scans:\n$plan")
   }
 
+  test("scd2 history is one key shuffle, one sort, no join") {
+    val plan = executedPlan(CdcOps.scd2History(spark, dir))
+    // lead() and the running version count share partitioning AND
+    // ordering: a second sort or a join would mean the shared frame
+    // regressed to two passes.
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 key exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("kmv sketch caps the per-group rank before the exchange") {
+    val plan = executedPlan(CdcOps.kmvDistinct(spark, dir))
+    // The K-smallest-per-group must run as a group limit (partial mode
+    // ships ≤K rows per group per map task — the distributed sketch
+    // merge), never a full per-group sort of all distinct users.
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cap not a group limit:\n$plan")
+  }
+
+  test("ngram decontam broadcasts the eval dirty list") {
+    val plan = executedPlan(TextOps.ngramDecontam(spark, dir))
+    // The eval-side distinct n-gram set is tiny by construction; the
+    // train-side probe must be a broadcast join, not a corpus shuffle.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set not broadcast:\n$plan")
+  }
+
+  test("ewma decay joins day frames hash-to-hash, never nested-loop") {
+    val plan = executedPlan(BatchOps.ewmaDaily(spark, dir))
+    // The offset fan-out exists precisely so the decay window is an
+    // EQUI join between calendar-sized frames.
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join:\n$plan")
+  }
+
   test("paragraph dedup scans the corpus exactly once, with no join") {
     val plan = executedPlan(TextOps.paragraphDedup(spark, dir))
     assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
