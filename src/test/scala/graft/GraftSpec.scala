@@ -27,11 +27,24 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val scratch: String =
     Files.createTempDirectory("graft-test-").toString
 
-  /** Write rows as `<scratch>/<table>.parquet` so `Tables.<table>` finds
+  private val extraScratch = scala.collection.mutable.ArrayBuffer[String]()
+
+  /** A fresh fixture dir for tests that REWRITE a table another test in
+    * the suite also writes: the session-scoped memos (CC labels, PQ
+    * index) key on (session, dir) and assume a dir's content is
+    * immutable for the session — the same contract as any persisted
+    * index. Cleaned up with the suite. */
+  def freshScratch(): String = {
+    val d = Files.createTempDirectory("graft-test-").toString
+    extraScratch.synchronized { extraScratch += d }
+    d
+  }
+
+  /** Write rows as `<dir>/<table>.parquet` so `Tables.<table>` finds
     * them. */
-  def writeTable(name: String, df: DataFrame): Unit =
+  def writeTable(name: String, df: DataFrame, dir: String = null): Unit =
     df.coalesce(1).write.mode("overwrite")
-      .parquet(s"$scratch/$name.parquet")
+      .parquet(s"${Option(dir).getOrElse(scratch)}/$name.parquet")
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
@@ -47,6 +60,7 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     deleteRecursively(scratch)
+    extraScratch.foreach(deleteRecursively)
     // One session is shared across suites in the same JVM; don't stop it.
     super.afterAll()
   }

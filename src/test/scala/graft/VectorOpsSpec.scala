@@ -54,8 +54,11 @@ class VectorOpsSpec extends GraftSpec {
         Array.tabulate(VectorOps.Dim)(j => ((i * 31 + j * 17) % 257 + 1).toFloat),
         0)
     }
-    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"))
-    val pq = VectorOps.pqEncode(spark, scratch, n.toLong).collect()
+    // Own fixture dir: the PQ index memo keys on (session, dir) and the
+    // suite's shared scratch is rewritten by the other tests.
+    val dir = freshScratch()
+    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"), dir)
+    val pq = VectorOps.pqEncode(spark, dir, n.toLong).collect()
     assert(pq.length == n)
     val lutLens = Array.fill(VectorOps.PqSubspaces)(-1)
     pq.foreach { r =>
@@ -84,8 +87,10 @@ class VectorOpsSpec extends GraftSpec {
     val protos = (0 until 15).map(p =>
       Array.tabulate(VectorOps.Dim)(j => ((p * 37 + j * 11) % 17 + 1).toFloat))
     val rows = (0 until 60).map(i => (i.toLong, protos(i / 4), 0))
-    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"))
-    val out = VectorOps.annPqTop1(spark, scratch).collect()
+    // Own fixture dir (PQ memo keys on (session, dir) — see above).
+    val dir = freshScratch()
+    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"), dir)
+    val out = VectorOps.annPqTop1(spark, dir).collect()
     assert(out.length == 60)
     out.foreach { r =>
       val q = r.getAs[Long]("q_id")
