@@ -126,6 +126,7 @@ object SparkEntry {
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
+    "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
@@ -735,6 +736,9 @@ object SparkEntry {
     "oov_rate" -> TextOps.oovRateOracleSql,
     "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
+    // Damped PageRank over the same capped edge set, one CTE per
+    // iteration; decimal-exact contribution sums.
+    "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 

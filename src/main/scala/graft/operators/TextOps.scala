@@ -1189,12 +1189,26 @@ object TextOps {
     ccLabelMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
       _ => dedupComponentsUncached(spark, dir))
 
+  /** Session-scoped memo of the verified capped near-dup PAIR set —
+    * the edge list both graph consumers ([[dedupComponentsUncached]]'s
+    * CC and [[pageRankNearDup]]) build on. Same immutable-dir contract
+    * as [[ccLabelMemo]]; the checkpointed frame is pair-count-sized
+    * (KBs). */
+  private val nearDupPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def nearDupPairsCore(spark: SparkSession,
+      dir: String): DataFrame =
+    nearDupPairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint())
+
   /** The actual candidates→verify→CC pipeline behind [[ccLabelMemo]]. */
   private def dedupComponentsUncached(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
-    val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = nearDupPairsCore(spark, dir)
     val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph.fromEdges(edgeRdd, ())
     val cc = g.connectedComponents()
@@ -1267,6 +1281,107 @@ object TextOps {
 
   private[graft] def dedupComponentsOracleSql(shinglesSql: String): String =
     dedupComponentsOracleCoreSql(shinglesSql) + "\nORDER BY 1"
+
+  /** Fixed PageRank iteration count for [[pageRankNearDup]] (shared
+    * with the generated oracle — one CTE per iteration). */
+  val PageRankIters = 3
+
+  /** PageRank centrality over the near-dup graph — which documents are
+    * HUBS of a duplication cluster (a template page near-dupping
+    * against hundreds of fills scores high; a one-off pair scores
+    * ~0.15+0.85/2). Complements [[dedupComponents]]: CC says which
+    * cluster a doc is in, PageRank says how central it is inside it —
+    * the signal a curation pipeline uses to pick what to KEEP (or to
+    * find boilerplate families). [[PageRankIters]] damped iterations
+    * (d = 0.85) over the symmetrized [[nearDupPairsCore]] edge set;
+    * ranks start at 1 (unnormalized form — the fixpoint is the same up
+    * to the constant Σpr, and 1 is exact where 1/N is not).
+    *
+    * Cross-engine exactness: the whole iteration is FIXED-POINT INTEGER
+    * arithmetic — ranks carry 12 decimal digits as scaled longs
+    * ([[PageRankScale]]), contributions are integer floor divisions
+    * pr÷outdeg, per-vertex sums are exact long sums, and the damped
+    * update is 0.15·S + (17·s)÷20 in integers. A first cut summed
+    * DECIMAL(28,12)-cast double contributions and failed the sf0.1
+    * hash by ~1e-12 on 4 of 1557 rows: the double→decimal cast lands
+    * on half-ties where Spark (HALF_UP) and DuckDB (half-even)
+    * disagree — integers have no rounding mode at all. The ÷ truncation
+    * loses < 10⁻¹² per term (damped geometrically); floats appear only
+    * in the final display division. GraphX's `staticPageRank` is the
+    * Pregel-scale path but accumulates doubles in visit order —
+    * unverifiable across engines; this DataFrame form is its
+    * oracle-checkable twin (the CC precedent in reverse: there GraphX
+    * was checkable because labels are integers).
+    *
+    * Scale shape: [[PageRankIters]] joins+aggregates over the BLOCKED,
+    * df-CAPPED pair set (never corpus-sized); the edge frame is the
+    * memoized checkpoint, so iterations reference a materialized
+    * KB-sized input rather than re-running the candidate pipeline.
+    * Overflow headroom: 17·s needs s < 5.4e17, i.e. Σ neighbor ranks
+    * < 540 000 in rank units — degrees here are bucket-capped at
+    * [[MinhashBucketCap]]-scale, orders of magnitude under it. */
+  def pageRankNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src")
+    var ranks = outdeg.select(col("src").as("id"),
+      lit(PageRankScale).as("pr"))
+    for (_ <- 1 to PageRankIters) {
+      ranks = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst")
+        .agg((lit(PageRankScale * 15L / 100L) +
+          expr("(17 * sum(c)) div 20")).as("pr"))
+        .select(col("dst").as("id"), col("pr"))
+    }
+    ranks.join(outdeg, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("outdeg").as("n_neighbors"),
+        (col("pr").cast("double") / lit(PageRankScale.toDouble))
+          .as("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-point scale for [[pageRankNearDup]]: ranks are longs in
+    * units of 10⁻¹². */
+  val PageRankScale = 1000000000000L
+
+  /** DuckDB oracle for [[pageRankNearDup]] — the capped-pair CTE chain
+    * plus one generated CTE per damped iteration, each mirroring the
+    * fixed-point integer update (BIGINT-cast sums: DuckDB widens
+    * integer sums to HUGEINT; `//` is DuckDB's integer floor division,
+    * `div` Spark's — both truncate toward zero on these positives). */
+  private[graft] def pageRankNearDupOracleSql(shinglesSql: String): String = {
+    val iterCtes = (1 to PageRankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT ed.dst AS id,
+         |    ${PageRankScale * 15L / 100L} +
+         |      (17 * CAST(sum(r${i - 1}.pr // ed.outdeg) AS BIGINT)) // 20
+         |      AS pr
+         |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id
+         |  GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM base
+       |  UNION ALL SELECT doc_b, doc_a FROM base),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e
+       |       JOIN deg USING (src)),
+       |r0 AS (SELECT src AS id, CAST($PageRankScale AS BIGINT) AS pr
+       |       FROM deg),
+       |$iterCtes
+       |SELECT r$PageRankIters.id AS doc_id,
+       |  deg.outdeg AS n_neighbors,
+       |  CAST(CAST(r$PageRankIters.pr AS BIGINT) AS DOUBLE)
+       |    / ${PageRankScale.toDouble} AS pagerank
+       |FROM r$PageRankIters JOIN deg ON r$PageRankIters.id = deg.src
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-source corpus profile with exact length percentiles — the
     * source-level quality dashboard (which crawl is long-form, which is

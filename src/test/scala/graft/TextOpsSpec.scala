@@ -142,6 +142,31 @@ class TextOpsSpec extends GraftSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("pagerank ranks a star's hub above its leaves, fixed-point exact") {
+    // Star: center shares one bigram with each leaf (jaccard 1/5 ≥ 0.1),
+    // leaves share none with each other — edges c–l1, c–l2 only. Own
+    // fixture dir (the pair memo keys on (session, dir) and the suite
+    // scratch holds the shared corpus).
+    val dir = freshScratch()
+    writeTable("documents", Seq(
+      (1L, "a b c d", "en", "web", 7L), // center
+      (2L, "a b x y", "en", "web", 7L), // leaf (shares "a b")
+      (3L, "c d p q", "en", "web", 7L)  // leaf (shares "c d")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val pr = TextOps.pageRankNearDup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_neighbors"), r.getAs[Double]("pagerank"))).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr(1L)._1 == 2 && pr(2L)._1 == 1 && pr(3L)._1 == 1)
+    // Hand-computed fixed-point trace (S = 10^12, all divisions exact):
+    // r1: hub 1.85, leaves 0.575; r2: hub 1.1275, leaves 0.93625;
+    // r3: hub 1.741625, leaves 0.6291875.
+    assert(math.abs(pr(1L)._2 - 1.741625) < 1e-12, s"hub ${pr(1L)._2}")
+    assert(math.abs(pr(2L)._2 - 0.6291875) < 1e-12)
+    assert(pr(2L)._2 == pr(3L)._2, "symmetric leaves must tie exactly")
+    assert(pr(1L)._2 > pr(2L)._2, "hub must outrank leaves")
+  }
+
   test("pointer doubling closes a 16-path in O(log d) rounds") {
     // Path graph 1-2-…-16 (diameter 15): plain min-label propagation
     // needs 15 rounds for the minimum to reach vertex 16; with the
