@@ -127,6 +127,7 @@ object SparkEntry {
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
+    "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
@@ -739,6 +740,10 @@ object SparkEntry {
     // Damped PageRank over the same capped edge set, one CTE per
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
+    // Naive-form oracle on purpose: prefix filtering is lossless, so a
+    // prefix bug shows up as a missing row, not a mirrored mistake.
+    "neardup_jaccard_prefix" ->
+      TextOps.nearDupJaccardPrefixOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 

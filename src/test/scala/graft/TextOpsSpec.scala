@@ -142,6 +142,20 @@ class TextOpsSpec extends GraftSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("prefix-filtered join finds exactly the high-threshold pairs") {
+    // Fixture pairs at t = 0.6: 1-3 identical (j=1), 1-2 and 2-3 differ
+    // in the last token (7 shared of 9 union = 0.778), 6-7 share their
+    // full 2-bigram set (j=1). Doc 4 has no bigrams, doc 5 is its own
+    // language block. Losslessness means exactly these four, nothing
+    // dropped by the prefix index.
+    val pairs = TextOps.nearDupJaccardPrefix(spark, scratch).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (6L, 7L)))
+    assert(pairs((1L, 3L)) == 1.0 && pairs((6L, 7L)) == 1.0)
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-15)
+  }
+
   test("pagerank ranks a star's hub above its leaves, fixed-point exact") {
     // Star: center shares one bigram with each leaf (jaccard 1/5 ≥ 0.1),
     // leaves share none with each other — edges c–l1, c–l2 only. Own
