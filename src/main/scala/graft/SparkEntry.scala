@@ -141,6 +141,7 @@ object SparkEntry {
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
     "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
     "ann_ivf_trained_top1" -> ((s, d) => VectorOps.annIvfTrainedTop1(s, d)),
+    "cluster_profile" -> ((s, d) => VectorOps.clusterProfile(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
@@ -819,6 +820,9 @@ object SparkEntry {
     "embedding_norms" -> VectorOps.embeddingNormsOracleSql,
     "embedding_quantize" -> VectorOps.embeddingQuantizeOracleSql,
     "ann_ivf_trained_top1" -> VectorOps.annIvfTrainedTop1OracleSql,
+    // K-means-as-a-product: per-cluster moments + label purity off the
+    // same trained quantizer CTE chain.
+    "cluster_profile" -> VectorOps.clusterProfileOracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,

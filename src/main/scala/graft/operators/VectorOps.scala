@@ -503,8 +503,26 @@ object VectorOps {
   /** [[annIvfTrainedTop1]] with an explicit iteration count — the public
     * entry fixes `iters = LloydIters`; the parameter exists so the recall
     * harness can sweep it. */
-  private[graft] def annIvfTrainedTop1Iter(spark: SparkSession, dir: String,
-      iters: Int): DataFrame = {
+  /** Session-scoped memo of the TRAINED coarse quantizer, keyed by
+    * (applicationId, dir, iters) — the quantizer is trained once and
+    * then serves every consumer ([[annIvfTrainedTop1]],
+    * [[clusterProfile]], the recall harness), the same
+    * build-an-index-once contract as the PQ memo. C rows, checkpointed;
+    * immutable-dir assumption as elsewhere. */
+  private val trainedCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int),
+      DataFrame]()
+
+  /** [[LloydIters]]-trained coarse centroids (cent_id, cent_emb,
+    * cent_norm), memoized per (session, dir, iters). */
+  private[graft] def trainedCoarseCentroids(spark: SparkSession,
+      dir: String, iters: Int): DataFrame =
+    trainedCentMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, iters),
+      _ => trainedCoarseCentroidsUncached(spark, dir, iters))
+
+  private def trainedCoarseCentroidsUncached(spark: SparkSession,
+      dir: String, iters: Int): DataFrame = {
     prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
@@ -514,9 +532,9 @@ object VectorOps {
     val c0 = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"),
         col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
-    // Lloyd step (×LloydIters): argmin assignment to the current
+    // Lloyd step (×iters): argmin assignment to the current
     // centroids (max(struct) hash aggregate — top-1 only, so no window
-    // needed), then the decimal-exact per-dimension mean per cell.
+    // needed), then the fixed-point per-dimension mean per cell.
     // Per-dimension means via posexplode + ONE decimal sum — not 64
     // column-wise sum expressions: the wide form generated enough
     // bytecode (on top of this query's two unrolled dot stages) to
@@ -539,19 +557,39 @@ object VectorOps {
         .agg(max(struct(col("sim"), (-col("cent_id")).as("neg_cent")))
           .as("best"))
         .select(col("v"), (-col("best.neg_cent")).as("cent_id"))
+      // FIXED-POINT per-dimension means (floor at 2^40, long sums) —
+      // not decimal-cast sums: the double→DECIMAL(28,12) cast rounds
+      // at digit 12 and can land on a half-tie where Spark (HALF_UP)
+      // and DuckDB (half-even) disagree, and a 1e-12 drift in ONE
+      // centroid coordinate contaminates every downstream sim
+      // (cluster_profile's mean_sim caught it at sf0.1). The 2^40
+      // multiply is a pure exponent shift and floor/long-sum have no
+      // rounding mode, so the trained coordinates are bit-identical
+      // across engines by construction.
       a.join(e, a("v") === e("vec_id"))
         .select(col("cent_id"),
           posexplode(col("embedding")).as(Seq("dpos", "dval")))
         .groupBy("cent_id", "dpos")
-        .agg((sum(col("dval").cast("double").cast("decimal(28,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("m"))
+        .agg((sum(floor(col("dval").cast("double") * lit(FxScale))
+          .cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * lit(FxScale))).as("m"))
         .groupBy("cent_id")
         .agg(expr("transform(array_sort(collect_list(struct(dpos, m))), x -> x.m)")
           .as("cent_emb"))
         .withColumn("cent_norm", sqrt(sq("cent_emb")))
         .localCheckpoint()
     }
-    val trained = (1 to iters).foldLeft(c0)((c, _) => lloydStep(c))
+    (1 to iters).foldLeft(c0)((c, _) => lloydStep(c))
+  }
+
+  private[graft] def annIvfTrainedTop1Iter(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    prepare(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sq("embedding")).as("norm"))
+    val trained = trainedCoarseCentroids(spark, dir, iters)
     // Search phase: identical shape to annIvfTop1, against the trained
     // quantizer.
     val wAssign = Window.partitionBy("vec_id")
@@ -593,7 +631,7 @@ object VectorOps {
   }
 
   /** DuckDB oracle for [[annIvfTrainedTop1]] — same init, same
-    * [[LloydIters]]× Lloyd step (decimal sums, double division), same
+    * [[LloydIters]]× Lloyd step (fixed-point mean sums, double division), same
     * search; the iterated CTE chain is GENERATED with the same constant
     * the Spark plan folds over. The trained centroid's coordinates are
     * 64 named columns; the dot against them is generated in the same
@@ -601,13 +639,20 @@ object VectorOps {
   private[graft] def annIvfTrainedTop1OracleSql: String =
     annIvfTrainedTop1OracleSqlIter(LloydIters)
 
-  private[graft] def annIvfTrainedTop1OracleSqlIter(iters: Int): String = {
+  /** Per-query dot of `v` against a trained centroid's named mean
+    * columns, generated in the same ascending term order as the Spark
+    * array dot. */
+  private def dotMeanSql(v: String): String =
+    (1 to Dim).map(j => s"(CAST($v[$j] AS DOUBLE) * m$j)")
+      .mkString("(", " + ", ")")
+
+  /** The trained-quantizer CTE chain (st, e, c0, one a/tc/tcn trio per
+    * Lloyd round — final centroids in `tcn$iters`), shared by the
+    * trained-IVF search oracle and [[clusterProfileOracleSql]]. */
+  private def trainedCentroidSqlPrefix(iters: Int): String = {
     val meanCols = (1 to Dim).map(j =>
-      s"CAST(sum(CAST(CAST(e.embedding[$j] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m$j")
+      s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$j] AS DOUBLE) * $FxScale) AS BIGINT)) AS BIGINT) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $FxScale) AS m$j")
       .mkString(",\n    ")
-    def dotMean(v: String): String =
-      (1 to Dim).map(j => s"(CAST($v[$j] AS DOUBLE) * m$j)")
-        .mkString("(", " + ", ")")
     val normMean =
       (1 to Dim).map(j => s"(m$j * m$j)").mkString("sqrt((", " + ", "))")
     // One Lloyd round = assign (a{k}) + per-cell means (tcn{k}); round 1
@@ -621,7 +666,7 @@ object VectorOps {
             "c.cent_id")
         else
           (s"tcn${k - 1} t",
-            s"${dotMean("e.embedding")} / (e.norm * t.cent_norm)",
+            s"${dotMeanSql("e.embedding")} / (e.norm * t.cent_norm)",
             "t.cent_id")
       s"""a${k}r AS (
          |  SELECT e.vec_id, $id AS cent_id,
@@ -649,7 +694,12 @@ object VectorOps {
        |c0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
        |  FROM e WHERE vec_id % (SELECT stride FROM st) = 0),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private[graft] def annIvfTrainedTop1OracleSqlIter(iters: Int): String = {
+    def dotMean(v: String): String = dotMeanSql(v)
+    s"""${trainedCentroidSqlPrefix(iters)},
        |srch AS (
        |  SELECT e.vec_id, t.cent_id,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -677,6 +727,118 @@ object VectorOps {
        |FROM r WHERE rk = 1
        |ORDER BY q_id""".stripMargin
   }
+
+  /** Embedding-space cluster report — the semantic-curation dashboard a
+    * training pipeline derives from its coarse quantizer: every vector
+    * assigned to its nearest TRAINED centroid (the [[LloydIters]]-Lloyd
+    * quantizer, reused via [[trainedCoarseCentroids]] — k-means as a
+    * first-class product, not just an ANN internal), then per cluster:
+    * membership count, decimal-exact mean norm and mean
+    * cosine-to-centroid (cluster tightness), and the dominant label
+    * with its share (label purity — the signal that tells you a
+    * cluster IS something: one topic, one template family, one junk
+    * mode). Sampling by cluster-balanced quotas is the canonical next
+    * step and composes as a WindowGroupLimit over this assignment.
+    *
+    * Scale shape: one broadcast assignment pass over the corpus (C
+    * centroids ride the broadcast; the quantizer itself is the
+    * memoized C-row checkpoint), then two partial+final aggregates
+    * (per-cluster moments; per-(cluster,label) counts → argmax). No
+    * shuffle carries an embedding. */
+  /** Fixed-point scale for [[clusterProfile]]'s means: 2^40 — the
+    * multiply is a pure exponent shift, so quantization is the only
+    * (deterministic) loss. */
+  private val FxScale = 1099511627776.0
+
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(sq("embedding")).as("norm"))
+    val trained = trainedCoarseCentroids(spark, dir, LloydIters)
+    val assigned = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(trained.withColumn("jk", pmod(col("cent_id"), lit(1)))),
+        "jk")
+      .withColumn("sim",
+        dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("neg_cent")))
+        .as("best"))
+      .select(col("vec_id"), (-col("best.neg_cent")).as("cent_id"),
+        col("best.sim").as("sim"))
+      .join(e.select(col("vec_id"), col("label"), col("norm")), "vec_id")
+    // FIXED-POINT means, not decimal-cast sums: multiplying a double by
+    // 2^40 only shifts its exponent (exact), floor is exact, and the
+    // long sum has no rounding mode — whereas the double→DECIMAL(28,12)
+    // cast rounds at digit 12 and can land on a half-tie where Spark
+    // (HALF_UP) and DuckDB (half-even) disagree (this query's first cut
+    // failed one cluster's mean_sim by 4e-14 exactly that way; same
+    // trap class as pagerank's). Quantization error ≤ 2^-40 per term.
+    val moments = assigned.groupBy("cent_id")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(floor(col("norm") * lit(FxScale)).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * lit(FxScale))).as("mean_norm"),
+        (sum(floor(col("sim") * lit(FxScale)).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * lit(FxScale))).as("mean_sim"))
+    val topLabel = assigned.groupBy("cent_id", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cent_id")
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg_label")))
+        .as("top"))
+      .select(col("cent_id"), (-col("top.neg_label")).as("top_label"),
+        col("top.cnt").as("top_cnt"))
+    moments.join(topLabel, "cent_id")
+      .withColumn("top_share",
+        col("top_cnt").cast("double") / col("n_members").cast("double"))
+      .select("cent_id", "n_members", "mean_norm", "mean_sim",
+        "top_label", "top_share")
+      .orderBy("cent_id")
+  }
+
+  /** DuckDB oracle for [[clusterProfile]] — the shared trained-quantizer
+    * CTE chain plus the same assignment window, decimal-exact moments,
+    * and (count desc, label asc) dominant-label pick. The sim the
+    * oracle decimal-casts is the identical IEEE double (same dot term
+    * order), so the casts agree. */
+  private[graft] def clusterProfileOracleSql: String =
+    s"""${trainedCentroidSqlPrefix(LloydIters)},
+       |srch AS (
+       |  SELECT e.vec_id,
+       |    ${dotMeanSql("e.embedding")} / (e.norm * t.cent_norm) AS sim,
+       |    t.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotMeanSql("e.embedding")} / (e.norm * t.cent_norm)
+       |        DESC, t.cent_id) AS rn
+       |  FROM e CROSS JOIN tcn$LloydIters t),
+       |al AS (
+       |  SELECT s.vec_id, s.cent_id, s.sim, e.norm, emb.label
+       |  FROM srch s
+       |  JOIN e ON s.vec_id = e.vec_id
+       |  JOIN embeddings emb ON s.vec_id = emb.vec_id
+       |  WHERE s.rn = 1),
+       |g AS (
+       |  SELECT cent_id, count(*) AS n_members,
+       |    CAST(CAST(sum(CAST(floor(norm * $FxScale) AS BIGINT))
+       |        AS BIGINT) AS DOUBLE)
+       |      / (CAST(count(*) AS DOUBLE) * $FxScale) AS mean_norm,
+       |    CAST(CAST(sum(CAST(floor(sim * $FxScale) AS BIGINT))
+       |        AS BIGINT) AS DOUBLE)
+       |      / (CAST(count(*) AS DOUBLE) * $FxScale) AS mean_sim
+       |  FROM al GROUP BY 1),
+       |lc AS (
+       |  SELECT cent_id, label, count(*) AS cnt
+       |  FROM al GROUP BY 1, 2),
+       |lm AS (
+       |  SELECT cent_id, label AS top_label, cnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY cnt DESC, label) AS r
+       |    FROM lc) WHERE r = 1)
+       |SELECT g.cent_id, g.n_members, g.mean_norm, g.mean_sim,
+       |  lm.top_label,
+       |  CAST(lm.cnt AS DOUBLE) / CAST(g.n_members AS DOUBLE) AS top_share
+       |FROM g JOIN lm USING (cent_id)
+       |ORDER BY g.cent_id""".stripMargin
 
   /** Shared oracle prefix for the untrained-coarse-quantizer IVF family
     * ([[annIvfTop1]], [[annPqTop1]]): CTEs `st` (√N stride), `e`
