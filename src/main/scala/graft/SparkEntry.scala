@@ -142,6 +142,7 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
     "ann_ivf_trained_top1" -> ((s, d) => VectorOps.annIvfTrainedTop1(s, d)),
     "cluster_profile" -> ((s, d) => VectorOps.clusterProfile(s, d)),
+    "cluster_sample" -> ((s, d) => VectorOps.clusterSample(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
@@ -823,6 +824,9 @@ object SparkEntry {
     // K-means-as-a-product: per-cluster moments + label purity off the
     // same trained quantizer CTE chain.
     "cluster_profile" -> VectorOps.clusterProfileOracleSql,
+    // Cluster-balanced sampling: rank-only output (the cosine orders,
+    // never emits), so the hash is rank-exact.
+    "cluster_sample" -> VectorOps.clusterSampleOracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,

@@ -750,14 +750,18 @@ object VectorOps {
     * (deterministic) loss. */
   private val FxScale = 1099511627776.0
 
-  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+  /** Nearest-TRAINED-centroid assignment of every corpus vector:
+    * `(vec_id, cent_id, sim, label, norm)` — one broadcast pass (C
+    * centroids ride the broadcast, embeddings never shuffle), shared by
+    * [[clusterProfile]] and [[clusterSample]]. */
+  private def trainedAssignment(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(sq("embedding")).as("norm"))
     val trained = trainedCoarseCentroids(spark, dir, LloydIters)
-    val assigned = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+    e.withColumn("jk", pmod(col("vec_id"), lit(1)))
       .join(broadcast(trained.withColumn("jk", pmod(col("cent_id"), lit(1)))),
         "jk")
       .withColumn("sim",
@@ -768,6 +772,10 @@ object VectorOps {
       .select(col("vec_id"), (-col("best.neg_cent")).as("cent_id"),
         col("best.sim").as("sim"))
       .join(e.select(col("vec_id"), col("label"), col("norm")), "vec_id")
+  }
+
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
     // FIXED-POINT means, not decimal-cast sums: multiplying a double by
     // 2^40 only shifts its exponent (exact), floor is exact, and the
     // long sum has no rounding mode — whereas the double→DECIMAL(28,12)
@@ -796,12 +804,61 @@ object VectorOps {
       .orderBy("cent_id")
   }
 
+  /** Per-cluster exemplar quota: [[SampleQuota]] vectors per cluster. */
+  private[graft] val SampleQuota = 8
+
+  /** Cluster-balanced exemplar selection — the sampling step
+    * [[clusterProfile]]'s scaladoc names: every vector assigned to its
+    * nearest TRAINED centroid, then the [[SampleQuota]] most central
+    * members of each cluster (highest cosine-to-centroid, vec_id
+    * tie-break) kept. This is the semantic-diversity sampling move a
+    * training pipeline uses to rebalance a scraped corpus: quota per
+    * embedding-space cluster instead of per source, so over-represented
+    * template families contribute the same budget as rare modes.
+    *
+    * The output carries NO floating-point column — the cosine only
+    * ORDERS the window (bit-identical doubles on both engines, same
+    * generated term order), it is never emitted — so the cross-engine
+    * hash is rank-exact by construction.
+    *
+    * Scale shape: the broadcast assignment pass (embeddings never
+    * shuffle), then ONE hash-partitioned window on cent_id whose
+    * rank≤k filter Catalyst rewrites to WindowGroupLimit — per-cluster
+    * top-k runs map-side-capped (k rows per cluster per partition
+    * survive the partial pass) before the single window sort. */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("cent_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    trainedAssignment(spark, dir)
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= SampleQuota)
+      .select(col("cent_id"), col("samp_rank"), col("vec_id"), col("label"))
+      .orderBy("cent_id", "samp_rank")
+  }
+
+  /** DuckDB oracle for [[clusterSample]] — the shared trained-assignment
+    * chain plus the identical (sim DESC, vec_id) per-cluster window. */
+  private[graft] def clusterSampleOracleSql: String =
+    s"""$trainedAssignSqlPrefix,
+       |rk AS (
+       |  SELECT cent_id, vec_id, label,
+       |    row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY sim DESC, vec_id) AS samp_rank
+       |  FROM al)
+       |SELECT cent_id, samp_rank, vec_id, label
+       |FROM rk WHERE samp_rank <= $SampleQuota
+       |ORDER BY cent_id, samp_rank""".stripMargin
+
   /** DuckDB oracle for [[clusterProfile]] — the shared trained-quantizer
     * CTE chain plus the same assignment window, decimal-exact moments,
     * and (count desc, label asc) dominant-label pick. The sim the
     * oracle decimal-casts is the identical IEEE double (same dot term
     * order), so the casts agree. */
-  private[graft] def clusterProfileOracleSql: String =
+  /** The trained-assignment CTE chain — [[trainedCentroidSqlPrefix]]
+    * plus `srch` (ranked vector×centroid sims) and `al` (top-1
+    * assignment with label and norm), the SQL twin of
+    * [[trainedAssignment]]. */
+  private def trainedAssignSqlPrefix: String =
     s"""${trainedCentroidSqlPrefix(LloydIters)},
        |srch AS (
        |  SELECT e.vec_id,
@@ -816,7 +873,10 @@ object VectorOps {
        |  FROM srch s
        |  JOIN e ON s.vec_id = e.vec_id
        |  JOIN embeddings emb ON s.vec_id = emb.vec_id
-       |  WHERE s.rn = 1),
+       |  WHERE s.rn = 1)""".stripMargin
+
+  private[graft] def clusterProfileOracleSql: String =
+    s"""$trainedAssignSqlPrefix,
        |g AS (
        |  SELECT cent_id, count(*) AS n_members,
        |    CAST(CAST(sum(CAST(floor(norm * $FxScale) AS BIGINT))

@@ -138,6 +138,16 @@ class PlanSpec extends GraftSpec {
       plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
   }
 
+  test("cluster sample's per-cluster quota compiles to WindowGroupLimit") {
+    val plan = executedPlan(VectorOps.clusterSample(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"quota cap not a group limit:\n$plan")
+    // The centroid side must ride a broadcast — embeddings never
+    // shuffle for the assignment.
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$plan")
+  }
+
   test("domain mixture is one aggregate over the corpus scan") {
     // One FileScan, one partial+final aggregate pair on source; the
     // |sources|-row normalizer windows never touch the corpus again.

@@ -41,6 +41,33 @@ class VectorOpsSpec extends GraftSpec {
       (0L until n.toLong).toSet)
   }
 
+  test("cluster sample honors the quota against the profile's census") {
+    // Real-corpus invariants tying the two trained-quantizer consumers
+    // together: the sample must draw from exactly the profile's
+    // clusters, take min(quota, n_members) from each, and rank densely
+    // from 1 — any drift between the two assignment paths (they share
+    // trainedAssignment, but a refactor could fork them) breaks this.
+    val dir = "/root/testdata/sf0.001"
+    val census = VectorOps.clusterProfile(spark, dir).collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    val sample = VectorOps.clusterSample(spark, dir).collect()
+    val byCluster = sample.groupBy(_.getAs[Long]("cent_id"))
+    assert(byCluster.keySet == census.keySet,
+      "sample clusters must match the profile's")
+    byCluster.foreach { case (cid, rows) =>
+      val expected = math.min(census(cid), VectorOps.SampleQuota.toLong)
+      assert(rows.length.toLong == expected,
+        s"cluster $cid: ${rows.length} sampled, expected $expected")
+      assert(rows.map(_.getAs[Int]("samp_rank")).sorted.toSeq ==
+        (1 to rows.length), s"cluster $cid ranks not dense")
+    }
+    // No vector is sampled twice (quota is per cluster, assignment is
+    // a partition of the corpus).
+    val ids = sample.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("PQ codes honor the argmin contract against their own LUTs") {
     // 128 DISTINCT vectors (distinct residues mod 257 per subspace —
     // no legitimate ties) → seed stride ⌈128/64⌉ = 2. After the Lloyd
