@@ -373,11 +373,21 @@ object TextOps {
     * bet). No unbounded buffer: a prefix posting list is df-bounded by
     * the prefix discipline itself at high t. */
   def nearDupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    // Shingles are HASHED TO LONGS at the source: every downstream
+    // structure — postings, the df join, the rank window, the candidate
+    // buckets, and the verification arrays — carries fixed-width longs
+    // instead of bigram strings, so shuffles shrink ~5× and the exact
+    // per-pair intersection compares longs. Jaccard is on DISTINCT
+    // shingles, so a (vanishingly unlikely, deterministic) xxhash64
+    // collision would alter n_inter and fail the string-based naive
+    // oracle — the gate, not silence, absorbs that risk.
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / lit(100)).cast("int").as("len_bucket"),
-        array_distinct(shingles).as("sh"))
+        array_distinct(shingles).as("sh_s"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"),
+        expr("transform(sh_s, s -> xxhash64(s))").as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     val post = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
@@ -390,15 +400,54 @@ object TextOps {
     val prefixPost = post.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= prefixLen)
-    val cands = prefixPost
-      .groupBy("shingle", "lang", "len_bucket")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, x ->
-             transform(filter(ds, y -> y > x), y ->
-               named_struct('doc_a', x, 'doc_b', y))))""")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // In-bucket pair generation with PPJoin's LENGTH and POSITIONAL
+    // filters, both in integer arithmetic. This corpus is the regime
+    // that needs them: a ~1k-shingle vocabulary makes every posting
+    // list huge, so the bare in-bucket explode emits ~350k distinct
+    // candidates at sf0.1 — the filters prune inside the bucket, before
+    // any struct is built or shuffled.
+    //   Length: J ≥ t ⟹ inter ≥ t·max ⟹ DEN·min ≥ NUM·max.
+    //   Positional (lossless): a qualifying pair's FIRST common token
+    //   in the global (df, shingle) order sits in BOTH prefixes — if it
+    //   hid in a's suffix, the overlap would be ≤ ⌈t·n_a⌉ − 1 < α —
+    //   and every other common token follows it in both docs' orders,
+    //   so overlap ≤ 1 + min(n_a − rk_a, n_b − rk_b). Any occurrence
+    //   with that bound < α = ⌈t/(1+t)·(n_a+n_b)⌉ can be dropped; the
+    //   first-common-token occurrence always survives, and DISTINCT
+    //   keeps the pair if ANY occurrence does.
+    val alphaNum = PrefixJaccardNum                    // t/(1+t) = 3/8
+    val alphaDen = PrefixJaccardNum + PrefixJaccardDen
+    // Pair generation is a SELF-EQUI-JOIN on the posting key, NOT the
+    // collect_list + lambda explode the df-capped variant uses: this
+    // corpus's ~1k-shingle vocabulary makes posting lists huge, and a
+    // higher-order-function explode over them is INTERPRETED per pair
+    // (tens of millions of lambda calls, outside codegen). The join +
+    // filter fuse into one whole-stage-codegen pass producing the same
+    // raw pairs, with PPJoin's filters applied inline before anything
+    // shuffles.
+    val pp = prefixPost.select(col("shingle"), col("lang"),
+      col("len_bucket"), col("doc_id"), col("n_sh"), col("rk"))
+    val cands = pp.toDF("shingle", "lang", "len_bucket",
+        "doc_a", "n_a0", "rk_a")
+      .join(pp.toDF("shingle", "lang", "len_bucket",
+        "doc_b", "n_b0", "rk_b"), Seq("shingle", "lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b")
+        // Length filter: J ≥ t ⟹ inter ≥ t·max ⟹ DEN·min ≥ NUM·max.
+        && lit(PrefixJaccardDen) * least(col("n_a0"), col("n_b0")) >=
+          lit(PrefixJaccardNum) * greatest(col("n_a0"), col("n_b0"))
+        // Positional filter (lossless): a qualifying pair's FIRST
+        // common token in the global (df, shingle) order sits in BOTH
+        // prefixes — if it hid in a's suffix the overlap would be
+        // ≤ ⌈t·n_a⌉ − 1 < α — and every other common token follows it
+        // in both docs' orders, so overlap ≤ 1 + min(remaining). Any
+        // occurrence with that bound < α = ⌈t/(1+t)·(n_a+n_b)⌉ drops;
+        // the first-common-token occurrence always survives, and
+        // DISTINCT keeps the pair if ANY occurrence does.
+        && lit(1) + least(col("n_a0") - col("rk_a"),
+          col("n_b0") - col("rk_b")) >=
+          expr(s"($alphaNum * (n_a0 + n_b0) + ${alphaDen - 1}) " +
+            s"div $alphaDen"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
