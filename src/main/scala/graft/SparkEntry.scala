@@ -119,6 +119,7 @@ object SparkEntry {
     "tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "domain_mixture" -> ((s, d) => TextOps.domainMixture(s, d)),
+    "mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
@@ -731,6 +732,9 @@ object SparkEntry {
     // √-temperature mixture: sqrt is correctly-rounded IEEE in both
     // engines (pow is not), and the normalizer sums decimals.
     "domain_mixture" -> TextOps.domainMixtureOracleSql,
+    // Stochastic-rounding copy counts off the mixture weights; the
+    // hash-uniform comparison is bit-deterministic on both engines.
+    "mixture_resample" -> TextOps.mixtureResampleOracleSql,
     "doc_surprisal" -> TextOps.docSurprisalOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,

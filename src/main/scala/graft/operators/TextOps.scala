@@ -2097,6 +2097,75 @@ object TextOps {
        |FROM q
        |ORDER BY source""".stripMargin
 
+  /** 2^60 as an exact double — the denominator that turns a 60-bit md5
+    * hash into a uniform in [0,1) for stochastic rounding. */
+  private val H60Unit = math.pow(2, 60)
+
+  /** Materialization plan for the √-temperature mixture: each document's
+    * copy count under its source's [[domainMixture]] oversample factor
+    * f, via DETERMINISTIC stochastic rounding — ⌊f⌋ copies plus one more
+    * iff frac(f) > u(doc), u a salted 60-bit md5 uniform. In
+    * expectation every source lands exactly on its target mixture
+    * weight; f < 1 degrades to a keep-with-probability-f downsample
+    * (n_copies ∈ {0, 1}), so one operator covers both over- and
+    * under-represented sources. Emitting the per-doc count (not the
+    * exploded copies) keeps the plan a projection; the actual repeat is
+    * `explode(sequence(1, n_copies))` at the consumer.
+    *
+    * Cross-engine exactness: f = q_temp/p_raw is identical IEEE on both
+    * engines (√ is correctly rounded, the normalizer is a decimal-exact
+    * sum), floor/frac are exact, frac·2^60 is a pure exponent shift,
+    * and the long→double cast of the hash rounds to nearest
+    * identically — so the comparison, not just the estimate, matches
+    * bit-for-bit.
+    *
+    * Scale shape: the mixture table is source-count-sized and rides a
+    * broadcast; the corpus pass is one codegen'd projection, no
+    * shuffle before the output sort. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = domainMixture(spark, dir)
+      .select(col("source"), col("oversample"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(weights), "source")
+      .withColumn("u", h60("concat('mix', cast(doc_id as string))"))
+      .withColumn("n_copies",
+        floor(col("oversample")).cast("long") +
+          when((col("oversample") - floor(col("oversample"))) *
+            lit(H60Unit) > col("u").cast("double"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[mixtureResample]] — the [[domainMixtureOracleSql]]
+    * CTE chain plus the same salted-hash stochastic rounding. */
+  private[graft] def mixtureResampleOracleSql: String =
+    s"""WITH ps AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT))
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |p AS (
+       |  SELECT source, n_tokens,
+       |    CAST(n_tokens AS DOUBLE)
+       |      / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p_raw
+       |  FROM ps),
+       |q AS (
+       |  SELECT *, sqrt(p_raw) AS sq,
+       |    CAST(sum(CAST(sqrt(p_raw) AS DECIMAL(28,12))) OVER ()
+       |      AS DOUBLE) AS z
+       |  FROM p),
+       |mix AS (
+       |  SELECT source, (sq / z) / p_raw AS f FROM q)
+       |SELECT d.doc_id, d.source,
+       |  CAST(floor(m.f) AS BIGINT) +
+       |    CASE WHEN (m.f - floor(m.f)) * $H60Unit >
+       |      CAST(CAST('0x' || substr(md5('mix' ||
+       |        CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS n_copies
+       |FROM documents d JOIN mix m USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** A document is flagged improbable when its mean token surprisal
     * exceeds this many bits (shared with the oracle). */
   val SurprisalBitsMax = 10.0
