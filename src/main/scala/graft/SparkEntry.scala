@@ -107,6 +107,7 @@ object SparkEntry {
       TextOps.nearDupJaccard(s, d, Some(TextOps.NearDupDocFreqCap))),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    "dedup_features" -> ((s, d) => TextOps.dedupFeatures(s, d)),
     "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -779,6 +780,8 @@ object SparkEntry {
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),
     "simhash_pairs" -> TextOps.simhashPairsOracleSql(shinglesSql),
+    // All three dedup modalities side by side per candidate pair.
+    "dedup_features" -> TextOps.dedupFeaturesOracleSql(shinglesSql),
     "docs_quality_filter" -> TextOps.qualityFilterOracleSql,
     "rolling_fingerprints" -> TextOps.rollingFingerprintsOracleSql,
     "cross_source_contamination" ->

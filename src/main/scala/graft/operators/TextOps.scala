@@ -681,17 +681,18 @@ object TextOps {
 
   /** DuckDB oracle for [[simhashPairs]] (same bit votes, bands, cap,
     * threshold). */
-  private[graft] def simhashPairsOracleSql(shinglesSql: String): String = {
+  /** The per-document simhash fingerprint as CTEs `s`/`h`/`v`/`sim`
+    * (shingle stream → 60-bit hashes → bit votes → assembled
+    * fingerprint), shared by [[simhashPairsOracleSql]] and
+    * [[dedupFeaturesOracleSql]]. */
+  private def simhashFingerprintSqlCtes(shinglesSql: String): String = {
     val votes = (0 until SimhashBits)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n    ")
     val bits = (0 until SimhashBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    val bandUnion = (0 until SimhashBands)
-      .map(k => s"SELECT doc_id, $k AS band, (simhash >> ${k * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1} AS band_key FROM sim")
-      .mkString("\n    UNION ALL ")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
        |h AS (
        |  SELECT doc_id,
@@ -701,7 +702,14 @@ object TextOps {
        |  SELECT doc_id,
        |    $votes
        |  FROM h GROUP BY 1),
-       |sim AS (SELECT doc_id, $bits AS simhash FROM v),
+       |sim AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
+  }
+
+  private[graft] def simhashPairsOracleSql(shinglesSql: String): String = {
+    val bandUnion = (0 until SimhashBands)
+      .map(k => s"SELECT doc_id, $k AS band, (simhash >> ${k * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1} AS band_key FROM sim")
+      .mkString("\n    UNION ALL ")
+    s"""WITH ${simhashFingerprintSqlCtes(shinglesSql)},
        |m AS (
        |  SELECT band, band_key, doc_id, simhash,
        |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
@@ -718,6 +726,106 @@ object TextOps {
        |WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashHammingMax
        |ORDER BY 1, 2""".stripMargin
   }
+
+  /** Per-candidate-pair dedup feature table — the training set a
+    * dedup-decision classifier consumes: for every lexical near-dup
+    * candidate (the df-capped production Jaccard screen), all three
+    * similarity modalities side by side — exact n-gram Jaccard,
+    * simhash Hamming distance, and embedding cosine (LEFT join: a doc
+    * without an embedding row keeps its lexical features, cosine
+    * null). Disagreement between columns is the signal: high jaccard +
+    * low cosine flags templated boilerplate; low jaccard + high cosine
+    * flags paraphrase — the pairs a threshold-per-modality pipeline
+    * misclassifies.
+    *
+    * Scale shape: the pair list is the filtered minority; the per-doc
+    * simhash aggregate and the embedding table join onto it hash-to-
+    * hash (the pair side is small enough that AQE broadcasts it). No
+    * stage is quadratic beyond the already-capped candidate screen. */
+  def dedupFeatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Simhash60.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sim = shingleHashes(spark, dir)
+      .groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), expr("simhash60(hs)").as("simhash"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("norm"))
+    pairs
+      .join(sim.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b")), "doc_b")
+      .join(e.select(col("vec_id").as("doc_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a")),
+        Seq("doc_a"), "left")
+      .join(e.select(col("vec_id").as("doc_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b")),
+        Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"),
+        round(expr("vec_dot(emb_a, emb_b)") /
+          (col("norm_a") * col("norm_b")), 9).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[dedupFeatures]] — the capped-Jaccard pair CTEs,
+    * the shared simhash fingerprint CTEs, and a term-order-mirrored
+    * cosine over the embeddings, LEFT-joined like the Spark side. */
+  private[graft] def dedupFeaturesOracleSql(shinglesSql: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+       |    list_distinct($shinglesSql) AS sh
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, len_bucket,
+       |    CAST(len(sh) AS INT) AS n_sh, sh
+       |  FROM d),
+       |p AS (
+       |  SELECT lang, len_bucket, unnest(sh) AS shingle, doc_id
+       |  FROM n),
+       |c AS (
+       |  SELECT lang, len_bucket, shingle, count(*) AS df
+       |  FROM p GROUP BY 1, 2, 3),
+       |pf AS (
+       |  SELECT p.lang, p.len_bucket, p.shingle, p.doc_id
+       |  FROM p JOIN c ON p.lang = c.lang AND p.len_bucket = c.len_bucket
+       |    AND p.shingle = c.shingle
+       |  WHERE c.df BETWEEN 2 AND $NearDupDocFreqCap),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM pf a JOIN pf b ON a.lang = b.lang
+       |    AND a.len_bucket = b.len_bucket AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT prs.doc_a, prs.doc_b,
+       |    CAST(prs.n_inter AS DOUBLE)
+       |      / CAST(na.n_sh + nb.n_sh - prs.n_inter AS DOUBLE) AS jaccard
+       |  FROM prs
+       |  JOIN n na ON prs.doc_a = na.doc_id
+       |  JOIN n nb ON prs.doc_b = nb.doc_id
+       |  WHERE CAST(prs.n_inter AS DOUBLE)
+       |      / CAST(na.n_sh + nb.n_sh - prs.n_inter AS DOUBLE) >= 0.1),
+       |${simhashFingerprintSqlCtes(shinglesSql)},
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${graft.operators.VectorOps.sqSql("embedding")}) AS norm
+       |  FROM embeddings)
+       |SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+       |  round(${graft.operators.VectorOps.dotSql("ea.embedding", "eb.embedding")}
+       |    / (ea.norm * eb.norm), 9) AS cosine
+       |FROM jp
+       |JOIN sim sa ON jp.doc_a = sa.doc_id
+       |JOIN sim sb ON jp.doc_b = sb.doc_id
+       |LEFT JOIN e ea ON jp.doc_a = ea.vec_id
+       |LEFT JOIN e eb ON jp.doc_b = eb.vec_id
+       |ORDER BY 1, 2""".stripMargin
 
   /** Cross-source contamination screen — the train/test decontamination
     * pass of a dataset pipeline: for every pair of sources, how many
