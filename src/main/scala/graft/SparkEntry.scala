@@ -47,6 +47,7 @@ object SparkEntry {
     "price_quantity_corr" -> ((s, d) => BatchOps.priceQuantityCorr(s, d)),
     "order_status_cube" -> ((s, d) => BatchOps.orderStatusCube(s, d)),
     "price_histogram" -> ((s, d) => BatchOps.priceHistogram(s, d)),
+    "zorder_stats" -> ((s, d) => BatchOps.zorderStats(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
       BatchOps.mktsegmentValueCounts(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
+    "scd2_asof" -> ((s, d) => CdcOps.scd2Asof(s, d)),
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
@@ -298,6 +300,8 @@ object SparkEntry {
     "price_quantity_corr" -> BatchOps.priceQuantityCorrOracleSql,
     "order_status_cube" -> BatchOps.orderStatusCubeOracleSql,
     "price_histogram" -> BatchOps.priceHistogramOracleSql,
+    // Morton-interleave layout diagnostics, bit-exact integer terms.
+    "zorder_stats" -> BatchOps.zorderStatsOracleSql,
 
     "segment_counts" ->
       s"""WITH roll AS ($custRollupSql),
@@ -498,6 +502,8 @@ object SparkEntry {
     // Type-2 validity intervals from the same chain (lead over c/u/d
     // BEFORE the tombstone filter, so deletes close their version).
     "scd2_history" -> CdcOps.scd2HistoryOracleSql,
+    // Point-in-time snapshot at the integer-exact midpoint anchor.
+    "scd2_asof" -> CdcOps.scd2AsofOracleSql,
     "event_transitions" -> CdcOps.eventTransitionsOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,

@@ -614,6 +614,96 @@ object BatchOps {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Bits per dimension folded into the Z-value, AFTER range-normalizing
+    * each dimension onto [0, 2^bits) — without the normalization a key
+    * domain narrower than the bit width leaves the high interleaved
+    * bits zero and collapses every row into the first Z-range. Shared
+    * with the oracle. */
+  val ZorderBits = 8
+
+  /** log₂ of the number of equal-width Z-range buckets. */
+  val ZorderBucketLog = 6
+
+  /** Z-order (Morton) layout diagnostics — the multi-dimensional
+    * clustering move behind Delta/Iceberg OPTIMIZE ZORDER: interleave
+    * the bits of (l_partkey, l_suppkey) into one Z-value, cut Z-space
+    * into 2^[[ZorderBucketLog]] equal-width ranges (map-side integer
+    * arithmetic — an equal-DEPTH cut would use repartitionByRange, whose
+    * sampled boundaries are not reproducible, so the diagnostic uses the
+    * deterministic equal-width form), and report each bucket's bounding
+    * box on BOTH dimensions. The boxes are precisely what file-skipping
+    * prunes on: under a Z-layout every bucket bounds both keys at once,
+    * so a conjunctive 2-d predicate skips most buckets — a single-key
+    * sort bounds only its own column. `n_rows` exposes Z-space skew
+    * (sparse key regions → empty/thin buckets).
+    *
+    * Scale shape: one codegen'd projection (the interleave is 2·bits
+    * shift-mask terms), one hash aggregate on a 64-key space. Nothing
+    * shuffles but the 64 partial rows. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val top = (1 << ZorderBits) - 1
+    val zTerms = (0 until ZorderBits).map(i =>
+      s"(((npk >> $i) & 1) << ${2 * i}) + " +
+        s"(((nsk >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    // 1-row min/max anchor, broadcast: the integer range-normalization
+    // (x − min)·(2^bits − 1) div span is exact on both engines.
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+        min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("npk", expr(
+        s"((l_partkey - pk_lo) * $top) div greatest(1L, pk_hi - pk_lo)"))
+      .withColumn("nsk", expr(
+        s"((l_suppkey - sk_lo) * $top) div greatest(1L, sk_hi - sk_lo)"))
+      .withColumn("z", expr(s"cast(($zTerms) as bigint)"))
+      .withColumn("z_bucket", expr(s"shiftright(z, $shift)"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .withColumn("pk_span", col("pk_max") - col("pk_min"))
+      .withColumn("sk_span", col("sk_max") - col("sk_min"))
+      .orderBy("z_bucket")
+  }
+
+  /** DuckDB oracle for [[zorderStats]] — the same generated interleave
+    * terms and bucket shift. */
+  private[graft] def zorderStatsOracleSql: String = {
+    val top = (1 << ZorderBits) - 1
+    val zTerms = (0 until ZorderBits).map(i =>
+      s"(((npk >> $i) & 1) << ${2 * i}) + " +
+        s"(((nsk >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+       |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+       |  FROM lineitem),
+       |nrm AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - pk_lo) * $top) // greatest(1, pk_hi - pk_lo)
+       |      AS npk,
+       |    ((l_suppkey - sk_lo) * $top) // greatest(1, sk_hi - sk_lo)
+       |      AS nsk
+       |  FROM lineitem CROSS JOIN b),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(($zTerms) AS BIGINT) >> $shift AS z_bucket
+       |  FROM nrm)
+       |SELECT z_bucket, count(*) AS n_rows,
+       |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+       |  max(l_partkey) - min(l_partkey) AS pk_span,
+       |  max(l_suppkey) - min(l_suppkey) AS sk_span
+       |FROM z
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Languages pivoted into fixed columns by [[langPivot]] (shared with
     * the oracle; a FIXED list — pivoting on discovered values would make
     * the schema data-dependent, which neither a SQL consumer nor the

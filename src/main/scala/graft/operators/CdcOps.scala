@@ -960,6 +960,63 @@ object CdcOps {
       .orderBy("user_id", "version_no")
   }
 
+  /** Point-in-time dimension snapshot off the SCD2 history — the
+    * time-travel read every warehouse runs against a versioned
+    * dimension ("what did the table look like at T?"). The anchor is
+    * the midpoint of the corpus's event-time range (integer-exact, so
+    * both engines pick the same instant); the snapshot keeps the one
+    * version per user whose validity interval covers T. A delete closes
+    * its predecessor's interval in [[scd2History]], so users tombstoned
+    * before T drop out of the snapshot with no extra handling.
+    *
+    * Scale shape: the anchor is a 1-row broadcast off a min/max
+    * aggregate; the snapshot filter is a codegen'd projection over the
+    * history (at scale: the history table is partitioned by
+    * valid_from date, and this predicate prunes to the anchor's
+    * neighborhood). */
+  def scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.events(spark, dir)
+      .agg(expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2")
+        .as("asof_ms"))
+    scd2History(spark, dir)
+      .crossJoin(broadcast(anchor))
+      .filter(col("valid_from_ms") <= col("asof_ms") &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > col("asof_ms")))
+      .select(col("user_id"), col("version_no"), col("value"),
+        col("valid_from_ms"), col("valid_to_ms"), col("asof_ms"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[scd2Asof]] — the [[scd2HistoryOracleSql]] CTEs
+    * plus the same midpoint anchor and interval-cover filter. */
+  private[graft] def scd2AsofOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |    CASE WHEN event_type = 'signup' THEN 'c'
+       |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+       |  FROM events),
+       |v AS (
+       |  SELECT *,
+       |    lead(ts_ms) OVER w AS next_ms,
+       |    CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS version_no
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |a AS (
+       |  SELECT CAST((min(CAST(epoch_ms(ts) AS BIGINT)) +
+       |               max(CAST(epoch_ms(ts) AS BIGINT))) // 2 AS BIGINT)
+       |    AS asof_ms
+       |  FROM events)
+       |SELECT v.user_id, v.version_no, v.value,
+       |  v.ts_ms AS valid_from_ms, v.next_ms AS valid_to_ms, a.asof_ms
+       |FROM v CROSS JOIN a
+       |WHERE v.op <> 'd' AND v.ts_ms <= a.asof_ms
+       |  AND (v.next_ms IS NULL OR v.next_ms > a.asof_ms)
+       |ORDER BY v.user_id""".stripMargin
+
   /** DuckDB oracle for [[scd2History]] — same chain-wide lead, same
     * running version count (BIGINT-cast: DuckDB widens integer sums to
     * HUGEINT), same explicit ROWS frame (the ordering is unique, but
