@@ -836,6 +836,59 @@ object VectorOps {
       .orderBy("cent_id", "samp_rank")
   }
 
+  /** Inter-cluster separation — the third panel of the quantizer
+    * dashboard ([[clusterProfile]] = within-cluster tightness,
+    * [[clusterSample]] = exemplars, this = between-cluster margins):
+    * each trained centroid's nearest OTHER centroid and their cosine. A
+    * pair of mutually-nearest centroids with sim close to the clusters'
+    * own mean_sim is the canonical over-split signal (merge them); a
+    * centroid whose nearest neighbor is far is a well-isolated mode.
+    *
+    * Scale shape: C×C over the memoized C-row quantizer — centroid
+    * count is a design constant (√N cells), so the pair square is
+    * driver-trivial at any corpus size and rides one broadcast
+    * nested-loop; nothing touches the corpus at all. */
+  def clusterSeparation(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val t = trainedCoarseCentroids(spark, dir, LloydIters)
+    val a = t.select(col("cent_id"), col("cent_emb").as("emb_a"),
+      col("cent_norm").as("norm_a"))
+    val b = t.select(col("cent_id").as("other_id"),
+      col("cent_emb").as("emb_b"), col("cent_norm").as("norm_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("cent_id") =!= col("other_id"))
+      .withColumn("sim",
+        dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .groupBy("cent_id")
+      .agg(max(struct(col("sim"), (-col("other_id")).as("neg_o")))
+        .as("best"))
+      .select(col("cent_id"), (-col("best.neg_o")).as("nn_cent"),
+        round(col("best.sim"), 9).as("nn_sim"))
+      .orderBy("cent_id")
+  }
+
+  /** DuckDB oracle for [[clusterSeparation]] — the trained-centroid CTE
+    * chain plus the same C×C cosine (per-term order mirrored) and
+    * (sim DESC, other_id) nearest pick. */
+  private[graft] def clusterSeparationOracleSql: String = {
+    val dotAb = (1 to Dim).map(j => s"(a.m$j * b.m$j)")
+      .mkString("(", " + ", ")")
+    s"""${trainedCentroidSqlPrefix(LloydIters)},
+       |cp AS (
+       |  SELECT a.cent_id, b.cent_id AS other_id,
+       |    $dotAb / (a.cent_norm * b.cent_norm) AS sim
+       |  FROM tcn$LloydIters a CROSS JOIN tcn$LloydIters b
+       |  WHERE a.cent_id <> b.cent_id),
+       |r AS (
+       |  SELECT cent_id, other_id, sim,
+       |    row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY sim DESC, other_id) AS rn
+       |  FROM cp)
+       |SELECT cent_id, other_id AS nn_cent, round(sim, 9) AS nn_sim
+       |FROM r WHERE rn = 1
+       |ORDER BY cent_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[clusterSample]] — the shared trained-assignment
     * chain plus the identical (sim DESC, vec_id) per-cluster window. */
   private[graft] def clusterSampleOracleSql: String =
