@@ -153,6 +153,7 @@ object SparkEntry {
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
+    "pq_distortion" -> ((s, d) => VectorOps.pqDistortion(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
     "semantic_dedup_survivors" -> ((s, d) =>
       VectorOps.semanticDedupSurvivors(s, d)),
@@ -850,6 +851,8 @@ object SparkEntry {
     // IVF-PQ: coarse candidates scored by asymmetric distance over
     // product-quantization codes — the compressed-index ANN scale path.
     "ann_pq_top1" -> VectorOps.annPqTop1OracleSql,
+    // Per-subspace quantization error off the shared PQ index chain.
+    "pq_distortion" -> VectorOps.pqDistortionOracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
     "semantic_dedup_survivors" ->
       VectorOps.semanticDedupSurvivorsOracleSql,

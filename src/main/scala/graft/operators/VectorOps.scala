@@ -1294,7 +1294,14 @@ object VectorOps {
     * recipe, 16×), dense re-ranking of surviving entries, codes via
     * lexicographic struct-min, LUTs via rank-ordered FILTER list
     * aggregation, and ADC as the same left-associated 16-lookup sum. */
-  private[graft] def annPqTop1OracleSql: String = {
+  /** The generated PQ index CTE chain (seed codebook `sd`, init
+    * distances `dmat`, round-0 codes `c0`, per-subspace Lloyd CTEs,
+    * trained distances `dm2`, and the final `pq` codes+LUTs view),
+    * appended to [[ivfCoarseSqlPrefix]] — shared by the ADC search
+    * oracle and [[pqDistortionOracleSql]] (DuckDB evaluates only the
+    * CTEs a query references, so the unused coarse-probe CTEs cost the
+    * distortion oracle nothing). */
+  private def pqIndexSqlPrefix: String = {
     def sub4(f: Int => String): String =
       (1 to PqSubDims).map(f).mkString("(", " + ", ")")
     // Init distances against the raw seed slices (d0..d15).
@@ -1350,12 +1357,6 @@ object VectorOps {
     val lutCols = (0 until PqSubspaces).map(s =>
       s"list(d ORDER BY rank2) FILTER (WHERE s = $s) AS l$s")
       .mkString(",\n    ")
-    // Per-term DECIMAL(28,12) casts, then exact decimal addition → one
-    // double cast: order-independent, mirroring the Spark side's decimal
-    // sum aggregate (a plain double sum would be fold-order-dependent).
-    val adcSum = "CAST(" + (0 until PqSubspaces)
-      .map(s => s"CAST(lu.l$s[co.code$s + 1] AS DECIMAL(28,12))")
-      .mkString(" + ") + " AS DOUBLE)"
     s"""$ivfCoarseSqlPrefix,
        |sd AS (
        |  SELECT embedding AS semb,
@@ -1383,7 +1384,17 @@ object VectorOps {
        |  SELECT vec_id,
        |    $codeCols,
        |    $lutCols
-       |  FROM dm2 GROUP BY vec_id),
+       |  FROM dm2 GROUP BY vec_id)""".stripMargin
+  }
+
+  private[graft] def annPqTop1OracleSql: String = {
+    // Per-term DECIMAL(28,12) casts, then exact decimal addition → one
+    // double cast: order-independent, mirroring the Spark side's decimal
+    // sum aggregate (a plain double sum would be fold-order-dependent).
+    val adcSum = "CAST(" + (0 until PqSubspaces)
+      .map(s => s"CAST(lu.l$s[co.code$s + 1] AS DECIMAL(28,12))")
+      .mkString(" + ") + " AS DOUBLE)"
+    s"""$pqIndexSqlPrefix,
        |sc AS (
        |  SELECT p.vec_id AS q_id, y.cent_id, y.vec_id AS c_id,
        |    $adcSum AS adc
@@ -1399,6 +1410,54 @@ object VectorOps {
        |SELECT q_id, cent_id, c_id, adc AS adc_dist
        |FROM r WHERE rk = 1
        |ORDER BY q_id""".stripMargin
+  }
+
+  /** PQ quantization-distortion report — the index-quality metric that
+    * decides whether [[PqSubDims]]/[[PqCodebook]] are adequate before an
+    * index ships: per subspace, the mean and max squared L2 error
+    * between a slice and its chosen codebook entry. The per-vector
+    * error is FREE off the encode: each vector's LUT row already holds
+    * its distance to every entry, so its own error is `l_s[code_s + 1]`
+    * — one projection over the memoized index, no distance recomputed.
+    * A subspace whose mean error dwarfs the others is the one to split
+    * further (or the dimension block that needs a rotation at 100 TB).
+    *
+    * The mean rides the fixed-point (2^40) long sum — no rounding mode
+    * — and max is order-independent on identical IEEE doubles, so both
+    * moments are hash-exact. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val n = Tables.embeddings(spark, dir).count()
+    val arms = (0 until PqSubspaces)
+      .map(s => s"$s, element_at(l$s, code$s + 1)").mkString(", ")
+    pqEncode(spark, dir, n)
+      .select(col("vec_id"),
+        expr(s"stack($PqSubspaces, $arms)").as(Seq("s", "err")))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("err") * lit(FxScale)).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * lit(FxScale))).as("mean_err"),
+        max(col("err")).as("max_err"))
+      .orderBy("s")
+  }
+
+  /** DuckDB oracle for [[pqDistortion]] — the shared PQ index chain plus
+    * the same own-code LUT lookup and fixed-point mean. */
+  private[graft] def pqDistortionOracleSql: String = {
+    val arms = (0 until PqSubspaces).map(s =>
+      s"  SELECT vec_id, $s AS s, l$s[code$s + 1] AS err FROM pq")
+      .mkString("\n  UNION ALL\n")
+    s"""$pqIndexSqlPrefix,
+       |de AS (
+       |$arms)
+       |SELECT s, count(*) AS n_vecs,
+       |  CAST(CAST(sum(CAST(floor(err * $FxScale) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * $FxScale) AS mean_err,
+       |  max(err) AS max_err
+       |FROM de
+       |GROUP BY s
+       |ORDER BY s""".stripMargin
   }
 
   /** Shared oracle prefix for the LSH family: CTEs `e` (buckets + norm),
