@@ -102,6 +102,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "docs_quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "lang_stats" -> ((s, d) => TextOps.langStats(s, d)),
+    "length_boxplot" -> ((s, d) => TextOps.lengthBoxplot(s, d)),
     "language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
@@ -677,6 +678,9 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // Per-language Tukey box plot over n_chars (exact quartiles).
+    "length_boxplot" -> TextOps.lengthBoxplotOracleSql,
 
     "language_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,

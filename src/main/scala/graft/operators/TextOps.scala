@@ -827,6 +827,41 @@ object TextOps {
        |LEFT JOIN e eb ON jp.doc_b = eb.vec_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** Per-language length box-plot — the distribution profile behind a
+    * per-language length filter (a fixed global cut mis-filters CJK
+    * against English; quartile whiskers per language are the standard
+    * fix): exact p25/p50/p75 over n_chars, IQR, and 1.5·IQR Tukey
+    * whiskers. Exact `percentile` matches DuckDB's `quantile_cont`
+    * bit-for-bit on integer inputs (the established A4 pattern); the
+    * whisker arithmetic is the same expression tree on both engines.
+    * One hash aggregate on a language-sized key space. */
+  def lengthBoxplot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(cast(n_chars as double), 0.25)").as("p25"),
+        expr("percentile(cast(n_chars as double), 0.5)").as("p50"),
+        expr("percentile(cast(n_chars as double), 0.75)").as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("whisker_lo", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("whisker_hi", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+      .orderBy("lang")
+
+  /** DuckDB oracle for [[lengthBoxplot]]. */
+  private[graft] def lengthBoxplotOracleSql: String =
+    """WITH q AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, p25, p50, p75,
+      |  p75 - p25 AS iqr,
+      |  p25 - 1.5 * (p75 - p25) AS whisker_lo,
+      |  p75 + 1.5 * (p75 - p25) AS whisker_hi
+      |FROM q
+      |ORDER BY lang""".stripMargin
+
   /** Cross-source contamination screen — the train/test decontamination
     * pass of a dataset pipeline: for every pair of sources, how many
     * content groups they share. Grouping is on the order-insensitive
