@@ -37,15 +37,22 @@ object Pipeline {
     * corpus run executes): profile → scrub → dedup (exact, paragraph,
     * near-dup survivors) → decontaminate → quality-gate → assemble. */
   val curationPhases: Seq[(String, Seq[String])] = Seq(
-    "corpus_profile" -> Seq("text_stats", "lang_stats", "source_quality_profile"),
+    "corpus_profile" -> Seq("text_stats", "lang_stats",
+      "source_quality_profile", "length_boxplot"),
     "privacy_scrub" -> Seq("pii_scrub"),
     "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
-      "neardup_survivors", "semantic_dedup_survivors"),
+      "neardup_survivors", "semantic_dedup_survivors", "dedup_features"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
       "oov_rate"),
-    "assembly" -> Seq("train_val_split", "stratified_sample", "doc_chunks",
+    // Embedding-space curation: the trained-quantizer dashboard
+    // (tightness / margins) and the cluster-balanced sample feeding
+    // assembly.
+    "semantic_curation" -> Seq("cluster_profile", "cluster_separation",
+      "cluster_sample"),
+    "assembly" -> Seq("train_val_split", "stratified_sample",
+      "domain_mixture", "mixture_resample", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
