@@ -48,6 +48,9 @@ object SparkEntry {
     "order_status_cube" -> ((s, d) => BatchOps.orderStatusCube(s, d)),
     "price_histogram" -> ((s, d) => BatchOps.priceHistogram(s, d)),
     "zorder_stats" -> ((s, d) => BatchOps.zorderStats(s, d)),
+    "rfm_scores" -> ((s, d) => BatchOps.rfmScores(s, d)),
+    "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
+    "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
       BatchOps.mktsegmentValueCounts(s, d)),
@@ -305,6 +308,12 @@ object SparkEntry {
     "price_histogram" -> BatchOps.priceHistogramOracleSql,
     // Morton-interleave layout diagnostics, bit-exact integer terms.
     "zorder_stats" -> BatchOps.zorderStatsOracleSql,
+    // RFM quintiles with custkey tie-broken ntile cuts.
+    "rfm_scores" -> BatchOps.rfmScoresOracleSql,
+    // In-order distinct part pairs, top-k by (count desc, pair).
+    "part_copurchase" -> BatchOps.partCopurchaseOracleSql,
+    // Linear multi-touch split of the purchase value over lookback clicks.
+    "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 
     "segment_counts" ->
       s"""WITH roll AS ($custRollupSql),

@@ -614,6 +614,119 @@ object BatchOps {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** RFM quintile scoring — the classic customer-value segmentation:
+    * per customer (with orders), recency (days since their last order,
+    * against the corpus max date so the anchor is deterministic),
+    * frequency (order count), monetary (exact decimal spend), each cut
+    * into quintiles by `ntile(5)`, composed into the 3-digit RFM cell.
+    * Every ntile ORDER BY carries the custkey tiebreak — quintile
+    * boundaries on tied values are otherwise engine-dependent. Recency
+    * orders DESC (most recent last ⇒ highest score), frequency and
+    * monetary ASC (biggest last ⇒ highest score).
+    *
+    * Scale shape: one orders aggregate, then three ntile windows over
+    * the same unpartitioned customer-sized frame — customer cardinality
+    * is the small side at any corpus size (the window is over the
+    * AGGREGATE, never the fact table); at true scale the quintile cuts
+    * become percentile thresholds broadcast back, trading the global
+    * sort for two passes. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("max_day"))
+    val base = o
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("max_day"), col("last_day")).cast("long"))
+    base
+      .withColumn("r_score", ntile(5).over(Window.orderBy(
+        col("recency_days").desc, col("custkey"))))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(
+        col("frequency"), col("custkey"))))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(
+        col("monetary"), col("custkey"))))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select("custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_cell")
+      .orderBy("custkey")
+  }
+
+  /** DuckDB oracle for [[rfmScores]] — same aggregate, same tie-broken
+    * ntile cuts. */
+  private[graft] def rfmScoresOracleSql: String =
+    """WITH b AS (
+      |  SELECT o_custkey AS custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_day,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS monetary
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+      |s AS (
+      |  SELECT b.custkey,
+      |    CAST(date_diff('day', b.last_day, a.max_day) AS BIGINT)
+      |      AS recency_days,
+      |    b.frequency, b.monetary,
+      |    ntile(5) OVER (ORDER BY
+      |      date_diff('day', b.last_day, a.max_day) DESC, b.custkey)
+      |      AS r_score,
+      |    ntile(5) OVER (ORDER BY b.frequency, b.custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY b.monetary, b.custkey) AS m_score
+      |  FROM b CROSS JOIN a)
+      |SELECT custkey, recency_days, frequency, monetary,
+      |  r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+      |FROM s
+      |ORDER BY custkey""".stripMargin
+
+  /** Top co-purchased part pairs to keep (shared with the oracle). */
+  val CopurchaseTopK = 50
+
+  /** Market-basket co-occurrence — which parts sell together: distinct
+    * part pairs within each order counted across orders, top
+    * [[CopurchaseTopK]] by (count desc, pair). In-order pair explosion
+    * uses the collect-and-lambda shape — the RIGHT regime for it: an
+    * order's distinct parts are single digits, so the quadratic is tiny
+    * and stays in one shuffle (the self-join alternative pays the fact
+    * scan twice; measured the other way around on the big-bucket
+    * near-dup corpus). Top-k is orderBy+limit ⇒ TakeOrderedAndProject,
+    * never a global sort. */
+  def partCopurchase(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(expr(
+        """flatten(transform(parts, x ->
+             transform(filter(parts, y -> y > x), y ->
+               named_struct('part_a', x, 'part_b', y))))""")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(CopurchaseTopK)
+
+  /** DuckDB oracle for [[partCopurchase]]. */
+  private[graft] def partCopurchaseOracleSql: String =
+    s"""WITH lp AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pr AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*) AS n_orders
+       |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2)
+       |SELECT part_a, part_b, n_orders
+       |FROM pr
+       |ORDER BY n_orders DESC, part_a, part_b
+       |LIMIT $CopurchaseTopK""".stripMargin
+
   /** Bits per dimension folded into the Z-value, AFTER range-normalizing
     * each dimension onto [0, 2^bits) — without the normalization a key
     * domain narrower than the bit width leaves the high interleaved

@@ -462,6 +462,66 @@ object CdcOps {
       .orderBy("purchase_id")
   }
 
+  /** Multi-touch LINEAR attribution — the companion to
+    * [[purchaseAttribution]]'s last-click pick: every click inside the
+    * lookback shares the purchase value equally (credit = value / n).
+    * Last-click over-credits the final retargeting impression; the
+    * linear split is the standard first alternative a marketing
+    * pipeline A/Bs against it. Same join shape as the single-touch
+    * variant — only the finisher differs: a per-purchase COUNT window
+    * replaces the rank-1 filter, and the division of the (identical
+    * IEEE) value by an exact integer count is deterministic on both
+    * engines.
+    *
+    * Scale shape: one user-key co-partitioned join, one purchase-key
+    * window — both AQE-sized; the window's partition is bounded by a
+    * purchase's lookback clicks. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("ts_ms").as("purchase_ms"))
+    val w = Window.partitionBy("purchase_id")
+    purchases.join(clicks, "user_id")
+      .filter(col("click_ms") <= col("purchase_ms") &&
+        col("purchase_ms") - col("click_ms") <= AttributionWindowMs)
+      .withColumn("n_touches", count(lit(1)).over(w).cast("int"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("click_ms"), col("n_touches"),
+        (col("value") / col("n_touches").cast("double")).as("credit"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** DuckDB oracle for [[attributionLinear]]. */
+  private[graft] def attributionLinearOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, event_id AS click_id, ts_ms AS click_ms
+       |  FROM ev WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT user_id, event_id AS purchase_id, value,
+       |    ts_ms AS purchase_ms
+       |  FROM ev WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT p.purchase_id, p.user_id, c.click_id, c.click_ms, p.value,
+       |    CAST(count(*) OVER (PARTITION BY p.purchase_id) AS INT)
+       |      AS n_touches
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |  WHERE c.click_ms <= p.purchase_ms
+       |    AND p.purchase_ms - c.click_ms <= $AttributionWindowMs)
+       |SELECT purchase_id, user_id, click_id, click_ms, n_touches,
+       |  value / CAST(n_touches AS DOUBLE) AS credit
+       |FROM j
+       |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Sessionization: split each user's event stream into activity
     * sessions separated by > `SessionGapMs` of event-time silence — the
     * classic gaps-and-islands operator a behavioral pipeline runs over a
