@@ -32,12 +32,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     // --- batch analytics (SURVEY §2.2-2.6) ---
     "customer_rollup" -> ((s, d) =>
-      BatchOps.customerOrdersRollup(s, d).orderBy("c_custkey")),
+      BatchOps.customerOrdersRollupCached(s, d).orderBy("c_custkey")),
     "customer_segments" -> ((s, d) => BatchOps.customerSegments(s, d)),
     "customer_rollup_windowed" -> ((s, d) =>
       BatchOps.customerRollupWindowed(s, d)),
     "product_rollup" -> ((s, d) =>
-      BatchOps.productRollup(s, d).orderBy("p_partkey")),
+      BatchOps.productRollupCached(s, d).orderBy("p_partkey")),
     "product_performance" -> ((s, d) => BatchOps.productPerformance(s, d)),
     "product_rollup_windowed" -> ((s, d) =>
       BatchOps.productRollupWindowed(s, d)),
