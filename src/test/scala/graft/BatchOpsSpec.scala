@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions.md5
-import graft.operators.BatchOps
+import graft.operators.{BatchOps, CdcOps}
 
 /** Boundary semantics of the batch operators (SURVEY §5 item 2): percentile
   * edges, CASE precedence, zero/null guards — the places where the
@@ -132,6 +132,59 @@ class BatchOpsSpec extends GraftSpec {
       .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey").limit(1)
       .collect().map(_.getAs[Long]("o_orderkey")).toSeq
     assert(viaOperator == repartitioned)
+  }
+
+  test("RFM scores are quintile-valued and the cell composes them") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.rfmScores(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Int]("r_score"),
+        r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
+      assert((1 to 5).contains(rs) && (1 to 5).contains(fs) &&
+        (1 to 5).contains(ms))
+      assert(r.getAs[Int]("rfm_cell") == rs * 100 + fs * 10 + ms)
+    }
+    // ntile(5) quintiles differ in size by at most one customer.
+    val sizes = rows.groupBy(_.getAs[Int]("m_score")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("co-purchase pairs are ordered, distinct, and truly co-ordered") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.partCopurchase(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= BatchOps.CopurchaseTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("n_orders") >= 1L)
+    }
+    // Spot-check the top pair really shares that many orders.
+    val top = rows.head
+    val n = Tables.lineitem(spark, dir)
+      .filter($"l_partkey" === top.getAs[Long]("part_a") ||
+        $"l_partkey" === top.getAs[Long]("part_b"))
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey").count().filter($"count" === 2).count()
+    assert(n == top.getAs[Long]("n_orders"))
+  }
+
+  test("linear attribution credits per purchase sum to the purchase value") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CdcOps.attributionLinear(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val values = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getAs[Long]("purchase_id")).foreach { case (pid, rs) =>
+      // Every touch shares equally...
+      assert(rs.map(_.getAs[Int]("n_touches")).distinct.length == 1)
+      assert(rs.head.getAs[Int]("n_touches") == rs.length)
+      // ...and the credits reassemble the purchase value.
+      val total = rs.map(_.getAs[Double]("credit")).sum
+      assert(math.abs(total - values(pid)) < 1e-6,
+        s"purchase $pid: credits $total vs value ${values(pid)}")
+    }
   }
 
   test("skew-safe sharded distinct equals direct countDistinct") {
