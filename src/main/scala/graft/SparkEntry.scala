@@ -48,6 +48,7 @@ object SparkEntry {
     "order_status_cube" -> ((s, d) => BatchOps.orderStatusCube(s, d)),
     "price_histogram" -> ((s, d) => BatchOps.priceHistogram(s, d)),
     "zorder_stats" -> ((s, d) => BatchOps.zorderStats(s, d)),
+    "regional_revenue" -> ((s, d) => BatchOps.regionalRevenue(s, d)),
     "rfm_scores" -> ((s, d) => BatchOps.rfmScores(s, d)),
     "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
@@ -308,6 +309,8 @@ object SparkEntry {
     "price_histogram" -> BatchOps.priceHistogramOracleSql,
     // Morton-interleave layout diagnostics, bit-exact integer terms.
     "zorder_stats" -> BatchOps.zorderStatsOracleSql,
+    // Q5-shaped full-star rollup with the local-supplier condition.
+    "regional_revenue" -> BatchOps.regionalRevenueOracleSql,
     // RFM quintiles with custkey tie-broken ntile cuts.
     "rfm_scores" -> BatchOps.rfmScoresOracleSql,
     // In-order distinct part pairs, top-k by (count desc, pair).

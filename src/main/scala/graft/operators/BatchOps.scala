@@ -425,6 +425,57 @@ object BatchOps {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q5-shaped regional revenue — the one query that exercises the
+    * WHOLE star: lineitem ⋈ orders ⋈ customer with the signature
+    * LOCAL-SUPPLIER condition (the supplying nation equals the buying
+    * customer's nation — revenue kept in-region), rolled up through
+    * nation → region. Revenue rides the decimal-exact money sum.
+    *
+    * Scale shape: the two fact-sized joins (lineitem⋈orders on
+    * orderkey, then ⋈customer on custkey) are the only shuffles;
+    * supplier/nation/region are classic broadcast dims. The
+    * local-supplier predicate is applied IN the supplier join condition
+    * so non-local rows die before the aggregate. */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(
+        sum(l("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            l("l_discount").cast("decimal(18,2)"))).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** DuckDB oracle for [[regionalRevenue]]. */
+  private[graft] def regionalRevenueOracleSql: String =
+    """SELECT r.r_name, n.n_name,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ===========================================================================
   // O1/O2 — ordering / top-k
   // ===========================================================================

@@ -138,6 +138,13 @@ class PlanSpec extends GraftSpec {
       plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
   }
 
+  test("regional revenue joins dims by broadcast, facts by hash — no cartesian") {
+    val plan = executedPlan(BatchOps.regionalRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian in:\n$plan")
+  }
+
   test("cluster sample's per-cluster quota compiles to WindowGroupLimit") {
     val plan = executedPlan(VectorOps.clusterSample(spark, dir))
     assert(plan.contains("WindowGroupLimit"),
