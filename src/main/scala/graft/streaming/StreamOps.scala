@@ -351,6 +351,36 @@ object StreamOps {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream join — [[attributionJoin]] plus the
+    * organic-purchase rows: a purchase with no in-window click is held
+    * in state until the watermark proves no matching click can still
+    * arrive, then emitted once with null click columns. This is the
+    * attribution table a revenue dashboard actually needs (organic vs
+    * attributed share); the inner form silently drops organic revenue.
+    * Same state-size bound as the inner join — both sides watermarked,
+    * the join condition bounds event time in both directions — plus
+    * the outer side's held rows, which the watermark evicts. */
+  def attributionJoinOuter(events: DataFrame,
+      window: String = AttributionWindowInterval): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("value"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exactly-once dedup: at-least-once CDC transports redeliver
     * events, and every downstream counter would double-count them. Keyed
     * on event_id with watermark-bounded state

@@ -322,6 +322,47 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("outer attribution emits organic purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.attributionJoinOuter(in.toDF())
+      .writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 7, "click", 0.0),
+        event(3, "2024-01-01 11:00:00", 7, "purchase", 99.0),
+        // Organic: no click for user 9 at all.
+        event(5, "2024-01-01 11:30:00", 9, "purchase", 10.0))
+      q.processAllAvailable()
+      // Matched rows emit immediately; the organic row is HELD — the
+      // watermark cannot yet prove no matching click will arrive.
+      val early = spark.table("attribution_outer").collect()
+      assert(early.map(_.getAs[Long]("purchase_id")).toSet == Set(3L))
+      // Far-future events on BOTH branches: the global watermark is the
+      // MIN of the click-side and purchase-side watermarks (both derive
+      // from this one input, post-filter), so a click alone cannot
+      // advance it past the held purchase.
+      in.addData(
+        event(9, "2024-01-02 12:00:00", 7, "click", 0.0),
+        event(10, "2024-01-02 12:00:00", 7, "purchase", 1.0))
+      q.processAllAvailable()
+      // Null-row eviction happens at state cleanup, one micro-batch
+      // AFTER the batch whose watermark passed the horizon — nudge one
+      // more batch through.
+      in.addData(
+        event(11, "2024-01-02 13:00:00", 7, "click", 0.0),
+        event(12, "2024-01-02 13:00:00", 7, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution_outer").collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          Option(r.getAs[java.lang.Long]("click_id"))).toMap
+      assert(rows(3L).contains(1L))
+      assert(rows.contains(5L) && rows(5L).isEmpty,
+        s"organic purchase missing or joined: $rows")
+    } finally q.stop()
+  }
+
   test("session windows merge within the gap and finalize on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
