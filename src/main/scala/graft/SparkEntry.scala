@@ -78,6 +78,7 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
+    "mad_outliers" -> ((s, d) => CdcOps.madOutliers(s, d)),
     "cdc_incremental_rollup" -> ((s, d) => CdcOps.incrementalRollup(s, d)),
     "rolling_7d_metrics" -> ((s, d) => CdcOps.rolling7dMetrics(s, d)),
     "user_funnel" -> ((s, d) => CdcOps.userFunnel(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "domain_mixture" -> ((s, d) => TextOps.domainMixture(s, d)),
     "mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
+    "token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "ngram_decontam" -> ((s, d) => TextOps.ngramDecontam(s, d)),
@@ -136,6 +138,7 @@ object SparkEntry {
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
+    "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
@@ -522,6 +525,7 @@ object SparkEntry {
     "event_transitions" -> CdcOps.eventTransitionsOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
+    "mad_outliers" -> CdcOps.madOutliersOracleSql,
     "cdc_incremental_rollup" -> CdcOps.incrementalRollupOracleSql,
     // True RANGE frame on the day number (not ROWS — gap semantics).
     "rolling_7d_metrics" -> CdcOps.rolling7dMetricsOracleSql,
@@ -761,6 +765,7 @@ object SparkEntry {
     // hash-uniform comparison is bit-deterministic on both engines.
     "mixture_resample" -> TextOps.mixtureResampleOracleSql,
     "doc_surprisal" -> TextOps.docSurprisalOracleSql,
+    "token_entropy" -> TextOps.tokenEntropyOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
     // Train-side n-gram decontamination (the GPT-3 appendix direction).
@@ -771,6 +776,7 @@ object SparkEntry {
     // Damped PageRank over the same capped edge set, one CTE per
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
+    "neardup_triangles" -> TextOps.nearDupTrianglesOracleSql(shinglesSql),
     // Naive-form oracle on purpose: prefix filtering is lossless, so a
     // prefix bug shows up as a missing row, not a mirrored mistake.
     "neardup_jaccard_prefix" ->

@@ -880,6 +880,82 @@ object CdcOps {
        |FROM z
        |ORDER BY event_type, day""".stripMargin
 
+  /** A day is flagged a robust outlier when its absolute deviation from
+    * the per-type median exceeds this many MADs (shared with the
+    * oracle). */
+  val MadK = 3.5
+
+  /** Robust daily outliers via median absolute deviation — the
+    * heavy-tail-safe twin of [[dailyAnomalyZscore]]: a single
+    * spike-day inflates the mean AND the variance enough to hide
+    * itself from a z-score (masking), while the median and MAD are
+    * 50%-breakdown estimators a spike cannot drag. Day totals are
+    * decimal-exact (the zscore pattern); both medians are exact
+    * interpolated percentiles over those totals (the A4
+    * percentile ≡ quantile_cont equivalence), and the outlier ratio
+    * is one IEEE division — every float op is a single deterministic
+    * step on exact inputs, so the hash holds across engines.
+    *
+    * Scale shape: one day-grain partial+final aggregate over the fact
+    * table; everything downstream (medians, deviations, flags) is
+    * calendar-sized per event type. The median/MAD frames are
+    * |event_type|-sized and broadcast back onto the daily frame. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOf(Tables.events(spark, dir))
+
+  /** [[madOutliers]] over an injectable events frame. */
+  private[graft] def madOutliersOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,2)").as("x_dec"))
+      .withColumn("x", col("x_dec").cast("double"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(x, 0.5)").as("med"),
+        count(lit(1)).as("n_days"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("x").as("day_total"),
+        col("n_days"), col("med"), col("mad"),
+        when(col("mad") > 0.0, col("absdev") / col("mad"))
+          .as("mad_ratio"),
+        (coalesce(
+          when(col("mad") > 0.0, col("absdev") / col("mad")), lit(0.0))
+          > MadK).as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[madOutliers]] — same decimal day totals,
+    * same two quantile_cont medians, same IEEE op sequence. */
+  private[graft] def madOutliersOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+       |      AS DECIMAL(18,2)) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, quantile_cont(x, 0.5) AS med,
+       |    count(*) AS n_days
+       |  FROM daily GROUP BY event_type),
+       |dev AS (
+       |  SELECT d.event_type, d.day, d.x, m.med, m.n_days,
+       |    abs(d.x - m.med) AS absdev
+       |  FROM daily d JOIN m USING (event_type)),
+       |md AS (
+       |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+       |  FROM dev GROUP BY event_type)
+       |SELECT dev.event_type, dev.day, dev.x AS day_total,
+       |  dev.n_days, dev.med, md.mad,
+       |  CASE WHEN md.mad > 0.0 THEN dev.absdev / md.mad END AS mad_ratio,
+       |  coalesce(CASE WHEN md.mad > 0.0
+       |    THEN dev.absdev / md.mad END, 0.0) > $MadK AS is_outlier
+       |FROM dev JOIN md USING (event_type)
+       |ORDER BY dev.event_type, dev.day""".stripMargin
+
   /** Trailing 7-day rolling metrics over the event feed — a true
     * RANGE frame on the day number, not a ROWS frame: with calendar
     * gaps, `ROWS 6 PRECEDING` grabs the last seven days THAT HAD DATA

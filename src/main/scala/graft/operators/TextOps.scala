@@ -2378,4 +2378,149 @@ object TextOps {
        |    > $SurprisalBitsMax AS improbable
        |FROM d
        |ORDER BY doc_id""".stripMargin
+
+  /** A document is flagged low-diversity when its quantized token
+    * entropy falls below this many bits (shared with the oracle). */
+  val EntropyBitsMin = 3.0
+
+  /** Per-document token-entropy screen — the distribution-wide
+    * diversity signal that complements [[docRepetition]]'s single
+    * top-token ratio (a page alternating between TWO boilerplate
+    * tokens sails past the top-ratio screen but has ~1 bit of
+    * entropy) and [[docSurprisal]]'s corpus-level LM (which scores
+    * rare tokens, not within-doc monotony). Same integer-bit
+    * quantization as surprisal, but against the document's OWN
+    * distribution: bits(t) = |bin(n_tokens DIV cnt(t))|, entropy ≈
+    * Σ cnt·bits / n — exact long arithmetic end-to-end, one IEEE
+    * division at the end, so DuckDB referees it bit-for-bit.
+    *
+    * Scale shape: one (doc, token) hash aggregate, then a per-doc
+    * hash-partitioned window for the total (no global sort), then a
+    * per-doc rollup — all partial+final-friendly; nothing is
+    * corpus-pairwise and the widest frame is token-grain, the same
+    * posture as [[docSurprisal]]. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tokens", sum(col("cnt")).over(wDoc))
+      .withColumn("bits",
+        length(bin(expr("n_tokens DIV cnt"))).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("bits")).as("weighted_bits"))
+      .withColumn("entropy_bits",
+        col("weighted_bits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("low_diversity", col("entropy_bits") < EntropyBitsMin)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenEntropy]] — same integer-bit
+    * quantization against the per-doc distribution; every integer
+    * aggregate cast to BIGINT (DuckDB widens sums to HUGEINT). */
+  private[graft] def tokenEntropyOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |d AS (
+       |  SELECT doc_id, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+       |  FROM c),
+       |b AS (
+       |  SELECT doc_id, cnt, n_tokens,
+       |    CAST(length(bin(CAST(n_tokens // cnt AS BIGINT))) AS BIGINT)
+       |      AS bits
+       |  FROM d),
+       |g AS (
+       |  SELECT doc_id, max(n_tokens) AS n_tokens,
+       |    count(*) AS n_distinct,
+       |    CAST(sum(cnt * bits) AS BIGINT) AS weighted_bits
+       |  FROM b GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct, weighted_bits,
+       |  CAST(weighted_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS entropy_bits,
+       |  CAST(weighted_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    < $EntropyBitsMin AS low_diversity
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+
+  /** Triangle census over the near-dup graph — the cluster-cohesion
+    * audit of a dedup pipeline: a component whose members form
+    * triangles (mutual near-dups) is a genuine template family, while
+    * a triangle-free chain is the transitive-closure artifact that
+    * over-merges distinct documents ([[dedupComponents]] collapses
+    * both identically — this is the signal that tells them apart).
+    * Per vertex: degree, triangle count, and the local clustering
+    * coefficient 2·tri / (deg·(deg−1)) — one exact-long division, so
+    * the doubles hash across engines.
+    *
+    * Scale shape: node-iterator triangle enumeration over the
+    * canonically oriented (a<b) verified pair set — two self-joins of
+    * the BLOCKED, df-CAPPED edge list ([[nearDupPairsCore]], KB-sized,
+    * memoized+checkpointed), each triangle found exactly once via
+    * a<b<c orientation. Never corpus-sized: the join input is the
+    * near-dup pair set, whose cap is the pipeline's standing skew
+    * guard. */
+  def nearDupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = nearDupPairsCore(spark, dir)
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.doc_b") === col("bc.doc_a"))
+      .join(e.as("ac"),
+        col("ab.doc_a") === col("ac.doc_a") &&
+          col("bc.doc_b") === col("ac.doc_b"))
+      .select(col("ab.doc_a").as("v_a"), col("ab.doc_b").as("v_b"),
+        col("bc.doc_b").as("v_c"))
+    val deg = e.select(col("doc_a").as("v"))
+      .unionByName(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val triPerV = tri
+      .select(explode(array(col("v_a"), col("v_b"), col("v_c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerV, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .as("clustering"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[nearDupTriangles]] — the same node-iterator
+    * enumeration over the capped pair oracle's edge set. */
+  private[graft] def nearDupTrianglesOracleSql(shinglesSql: String): String =
+    s"""WITH base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (SELECT doc_a, doc_b FROM base),
+       |tri AS (
+       |  SELECT ab.doc_a AS v_a, ab.doc_b AS v_b, bc.doc_b AS v_c
+       |  FROM e ab
+       |  JOIN e bc ON ab.doc_b = bc.doc_a
+       |  JOIN e ac ON ab.doc_a = ac.doc_a AND bc.doc_b = ac.doc_b),
+       |deg AS (
+       |  SELECT v, count(*) AS degree FROM (
+       |    SELECT doc_a AS v FROM e
+       |    UNION ALL SELECT doc_b AS v FROM e)
+       |  GROUP BY v),
+       |tv AS (
+       |  SELECT v, count(*) AS n_triangles FROM (
+       |    SELECT v_a AS v FROM tri
+       |    UNION ALL SELECT v_b AS v FROM tri
+       |    UNION ALL SELECT v_c AS v FROM tri)
+       |  GROUP BY v)
+       |SELECT deg.v AS doc_id, deg.degree,
+       |  coalesce(tv.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN deg.degree >= 2
+       |    THEN CAST(2 * coalesce(tv.n_triangles, 0) AS DOUBLE)
+       |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+       |  END AS clustering
+       |FROM deg LEFT JOIN tv ON deg.v = tv.v
+       |ORDER BY doc_id""".stripMargin
 }

@@ -185,6 +185,52 @@ class CdcPropertiesSpec extends GraftSpec {
     }
   }
 
+  test("MAD flags the masked spike a z-score misses; zero MAD never flags") {
+    // Type 'click': 7 ramp days + one 20× day. The spike inflates mean
+    // AND stddev; MAD's 50% breakdown point keeps the median estimates
+    // where the quiet days are, so the ratio stays diagnostic. Type
+    // 'view': 4 identical days + one different — MAD is 0 (majority
+    // identical), ratio must be null and the flag false even for the
+    // deviating day (the mad=0 guard, mirroring the zero-variance rule).
+    val ramp = (1 to 7).map(d => Event(d.toLong,
+      ts(f"2024-01-$d%02d 10:00:00"), 1L, "click", d.toDouble, "{}"))
+    val spike = Event(8L, ts("2024-01-08 10:00:00"), 1L, "click",
+      20.0, "{}")
+    val flat = (1 to 4).map(d => Event(100L + d,
+      ts(f"2024-01-$d%02d 12:00:00"), 2L, "view", 7.0, "{}")) :+
+      Event(105L, ts("2024-01-05 12:00:00"), 2L, "view", 9.0, "{}")
+    val rows = CdcOps.madOutliersOf(df(ramp ++ Seq(spike) ++ flat))
+      .collect()
+    val flagged = rows.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[String]("event_type") == "click")
+    assert(flagged.head.getAs[Double]("day_total") == 20.0)
+    // click medians: med of 1..7,20 = 4.5; mad of absdevs
+    // [3.5,2.5,1.5,.5,.5,1.5,2.5,15.5] = 2.0; ratio = 15.5/2 = 7.75.
+    assert(flagged.head.getAs[Double]("mad_ratio") == 7.75)
+    rows.filter(_.getAs[String]("event_type") == "view").foreach { r =>
+      assert(r.getAs[Double]("mad") == 0.0)
+      assert(r.getAs[java.lang.Double]("mad_ratio") == null)
+      assert(!r.getAs[Boolean]("is_outlier"))
+    }
+  }
+
+  test("property: MAD outlier rows cover exactly the input (type, day)s") {
+    cases(8).foreach { events =>
+      val rows = CdcOps.madOutliersOf(df(events)).collect()
+      val expected = events
+        .map(e => (e.event_type, e.ts.toLocalDateTime.toLocalDate))
+        .distinct.size
+      assert(rows.length == expected)
+      // At most half of any type's days can sit beyond the MAD cut —
+      // the estimator's breakdown-point invariant.
+      rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+        val n = rs.length
+        assert(rs.count(_.getAs[Boolean]("is_outlier")) <= n / 2)
+      }
+    }
+  }
+
   test("rolling 7d window is a calendar RANGE frame, not a ROWS frame") {
     // Days 1, 2, then a jump to 10: a ROWS-6 frame at day 10 would
     // reach back and swallow days 1-2; the RANGE frame must see only

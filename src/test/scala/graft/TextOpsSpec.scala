@@ -394,4 +394,46 @@ class TextOpsSpec extends GraftSpec {
     // ranking, alpha before beta on the tie.
     assert(byDoc(6L) == Seq("alpha", "beta") && byDoc(7L) == byDoc(6L))
   }
+
+  test("token entropy catches the two-token alternator repetition misses") {
+    val rows = TextOps.tokenEntropy(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Doc 6 "alpha beta alpha beta": each token covers half the doc —
+    // bits = |bin(4 div 2)| = 2 → entropy exactly 2.0, low-diversity.
+    assert(rows(6L).getAs[Long]("n_tokens") == 4)
+    assert(rows(6L).getAs[Long]("n_distinct") == 2)
+    assert(rows(6L).getAs[Double]("entropy_bits") == 2.0)
+    assert(rows(6L).getAs[Boolean]("low_diversity"))
+    // ...while its top-token ratio is only 0.5-of-4 — docRepetition's
+    // single-token screen scores it like any short doc.
+    // Doc 1 (natural prose, 8 distinct of 9): 'the'×2 → 3 bits, seven
+    // singletons → 4 bits each: (2·3 + 7·4)/9.
+    assert(rows(1L).getAs[Double]("entropy_bits") == 34.0 / 9.0)
+    assert(!rows(1L).getAs[Boolean]("low_diversity"))
+    // Degenerate single-token doc: 1 token, |bin(1)| = 1 bit.
+    assert(rows(4L).getAs[Double]("entropy_bits") == 1.0)
+    assert(rows(4L).getAs[Boolean]("low_diversity"))
+  }
+
+  test("triangle census separates the clique from the isolated pair") {
+    val rows = TextOps.nearDupTriangles(spark, scratch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Docs 1-2-3 pair pairwise (dup + near-dup in one block): one
+    // triangle, degree 2 each, clustering 2·1/(2·1) = 1.0.
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(rows(d).getAs[Long]("degree") == 2)
+      assert(rows(d).getAs[Long]("n_triangles") == 1)
+      assert(rows(d).getAs[Double]("clustering") == 1.0)
+    }
+    // The 6-7 permutation pair is an edge with no third vertex:
+    // degree 1, no triangle, clustering undefined (null, not 0.0).
+    Seq(6L, 7L).foreach { d =>
+      assert(rows(d).getAs[Long]("degree") == 1)
+      assert(rows(d).getAs[Long]("n_triangles") == 0)
+      assert(rows(d).getAs[java.lang.Double]("clustering") == null)
+    }
+    // No other vertices appear (doc 4 has no shingles; doc 5 is alone
+    // in its language block).
+    assert(rows.keySet == Set(1L, 2L, 3L, 6L, 7L))
+  }
 }
