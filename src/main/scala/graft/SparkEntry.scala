@@ -72,6 +72,7 @@ object SparkEntry {
     "kmv_distinct" -> ((s, d) => CdcOps.kmvDistinct(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
+    "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
     "scd2_asof" -> ((s, d) => CdcOps.scd2Asof(s, d)),
@@ -134,6 +135,9 @@ object SparkEntry {
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "ngram_decontam" -> ((s, d) => TextOps.ngramDecontam(s, d)),
+    "bloom_decontam" -> ((s, d) => TextOps.bloomDecontam(s, d)),
+    "cms_heavy_hitters" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
+    "token_budget_sample" -> ((s, d) => TextOps.tokenBudgetSample(s, d)),
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
@@ -149,6 +153,7 @@ object SparkEntry {
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
     "wav_features" -> ((s, d) => MultiModalOps.wavFeatures(s, d)),
     "bmp_features" -> ((s, d) => MultiModalOps.bmpFeatures(s, d)),
+    "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
     "embedding_quantize" -> ((s, d) => VectorOps.embeddingQuantize(s, d)),
@@ -487,6 +492,9 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     // Sessionization (gaps-and-islands): ms-truncated ordering with the
+    // Calendar-grain gaps-and-islands: consecutive-day streaks per user,
+    // argmin tie-break via a packed integer key (pure BIGINT ordering).
+    "activity_streaks" -> CdcOps.activityStreaksOracleSql,
     // event_id tiebreak keeps island numbering identical across engines
     // (ns vs µs native timestamp precision).
     "event_sessions" ->
@@ -770,6 +778,12 @@ object SparkEntry {
     "split_contamination" -> TextOps.splitContaminationOracleSql,
     // Train-side n-gram decontamination (the GPT-3 appendix direction).
     "ngram_decontam" -> TextOps.ngramDecontamOracleSql,
+    // Sketch family: the Bloom filter's false positives and the CMS's
+    // overestimates are themselves deterministic and hash-checked.
+    "bloom_decontam" -> TextOps.bloomDecontamOracleSql,
+    "cms_heavy_hitters" -> TextOps.cmsHeavyHittersOracleSql,
+    // Token-proportional systematic sampling (integer lattice crossing).
+    "token_budget_sample" -> TextOps.tokenBudgetSampleOracleSql,
     "oov_rate" -> TextOps.oovRateOracleSql,
     "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
@@ -851,6 +865,11 @@ object SparkEntry {
     // WAV lacks (bottom-up row order, stride padding) made
     // hash-observable via the top-row checksum and padded-stride walk.
     "bmp_features" -> MultiModalOps.bmpFeaturesOracleSql,
+    // PNG completes the codec triad with the compressed-container
+    // hazards: big-endian fields, per-chunk CRC-32, zlib inflate, and
+    // per-row defiltering (None/Sub/Up) verified via the bottom-row
+    // checksum (an Up-chain bug corrupts downward).
+    "png_features" -> MultiModalOps.pngFeaturesOracleSql,
 
     // Vector-query oracles are GENERATED from the same unrolled
     // arithmetic + hyperplane constants the Spark queries use

@@ -1206,4 +1206,82 @@ object CdcOps {
        |FROM f
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
+
+  /** Per-user consecutive-day activity streaks — the gaps-and-islands
+    * operator in its calendar form (engagement/retention pipelines run
+    * this daily; [[eventSessions]] is the same shape at minute grain
+    * over timestamps, this one runs at DAY grain over a distinct
+    * calendar). Island key = epoch_day − row_number(): consecutive days
+    * share it, any gap shifts it — the classic O(n) formulation, all
+    * integer so the oracle hash-anchors. Per user: total active days,
+    * number of streaks, longest streak, and the first day of the
+    * longest streak (earliest on ties, made deterministic by the
+    * two-level min).
+    *
+    * Scale shape: the (user, day) calendar is a distinct-compaction of
+    * the fact table (≤ users × days rows — tiny next to the events);
+    * both windows partition BY USER, so no global sort exists and the
+    * heaviest key holds ≤ |days| rows. Everything after the compaction
+    * is partial+final aggregates. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("dd"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dd")
+    val streaks = days
+      .withColumn("island", col("dd") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min(col("dd")).as("start_dd"))
+    streaks.groupBy("user_id")
+      .agg(
+        sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        // earliest start among maximal streaks: argmin over the packed
+        // integer key (1e6 − len)·1e7 + start_dd — len and epoch-day
+        // both sit far below the radix, so min(key) is exactly
+        // lexicographic (-len, start_dd) and is pure BIGINT arithmetic
+        // both engines order identically
+        min((lit(1000000L) - col("len")) * lit(10000000L) + col("start_dd"))
+          .as("best_key"))
+      .select(col("user_id"),
+        col("active_days").cast("long").as("active_days"),
+        col("n_streaks"),
+        col("max_streak").cast("long").as("max_streak"),
+        date_add(lit("1970-01-01").cast("date"),
+          pmod(col("best_key"), lit(10000000L)).cast("int"))
+          .as("max_streak_start"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[activityStreaks]] — same epoch-day island key,
+    * same tie rule (earliest start of a maximal streak). */
+  private[graft] def activityStreaksOracleSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, dd,
+      |    dd - row_number() OVER (PARTITION BY user_id ORDER BY dd)
+      |      AS island
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, island, count(*) AS len,
+      |    min(dd) AS start_dd
+      |  FROM isl GROUP BY user_id, island),
+      |agg AS (
+      |  SELECT user_id,
+      |    CAST(sum(len) AS BIGINT) AS active_days,
+      |    count(*) AS n_streaks,
+      |    CAST(max(len) AS BIGINT) AS max_streak,
+      |    min((1000000 - len) * 10000000 + start_dd) AS best_key
+      |  FROM st GROUP BY user_id)
+      |SELECT user_id, active_days, n_streaks, max_streak,
+      |  DATE '1970-01-01' + CAST(best_key % 10000000 AS INT)
+      |    AS max_streak_start
+      |FROM agg
+      |ORDER BY user_id""".stripMargin
 }

@@ -36,6 +36,17 @@ case class WavFeatures(
     doc_id: Long, sample_rate: Int, n_channels: Int, bits_per_sample: Int,
     n_samples: Long, container_bytes: Int, peak_abs: Int, energy: Long)
 
+/** One real PNG container payload awaiting decode. */
+case class PngPayload(doc_id: Long, payload: Array[Byte])
+
+/** Features extracted by genuinely parsing a PNG container: dimensions
+  * and format from IHDR, pixel statistics from the inflated + defiltered
+  * scanlines. All-integer so the DuckDB oracle hash-matches exactly. */
+case class PngFeatures(
+    doc_id: Long, width: Int, height: Int, bit_depth: Int, color_type: Int,
+    n_chunks: Int, n_pixels: Int, raw_bytes: Int, max_byte: Int,
+    pixel_sum: Long, bottom_row_checksum: Long)
+
 /** Multimodal-column operators (builder-brief extension; no reference
   * counterpart — the reference is purely relational/JSON).
   *
@@ -476,5 +487,269 @@ object MultiModalOps {
        |FROM (SELECT doc_id,
        |        least(greatest(coalesce(length(text), 0), 1), $WavMaxSamples) AS n
        |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Real codec #3: PNG (8-bit truecolor, zlib-compressed). Unlike WAV and
+  // BMP this is a COMPRESSED container: the pixel array rides inside IDAT
+  // as a zlib stream of per-scanline-filtered bytes, and every chunk
+  // carries a CRC-32 over its type+data. Three codec-shaped hazards are
+  // made hash-observable: (1) big-endian chunk lengths/dimensions (WAV and
+  // BMP are both LE — a decoder reusing their readers gets garbage dims);
+  // (2) the per-row FILTER byte — rows are encoded with None/Sub/Up in
+  // rotation, and because Up chains on the prior reconstructed row, a
+  // defilter bug corrupts everything below it, which the bottom-row
+  // checksum then catches; (3) CRC-32 verification on every chunk.
+  // Compression is java.util.zip (Deflater/Inflater — the JDK's real
+  // zlib), so the bytes are a genuine PNG any external tool could open.
+  // --------------------------------------------------------------------
+
+  /** Synthesized-image geometry for the PNG pipeline — distinct moduli
+    * from BMP's so the two codec queries never alias. */
+  @inline def pngWidth(nChars: Int): Int = (nChars % 9) + 4
+  @inline def pngHeight(docId: Long): Int = ((docId % 7) + 3).toInt
+
+  /** Deterministic channel byte for image coordinates (x, y) and channel
+    * c (0=R, 1=G, 2=B — PNG storage order), recomputable in SQL. */
+  @inline def pngByte(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 11L + y * 7L + x * 3L + c * 5L) % 256L).toInt
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode a genuine PNG: 8-byte signature, IHDR (big-endian dims, bit
+    * depth 8, color type 2 = truecolor), one IDAT holding the
+    * zlib-deflated filtered scanlines (row y uses filter y % 3: 0 None,
+    * 1 Sub, 2 Up — so defiltering is genuinely exercised, not a no-op),
+    * and IEND. Every chunk gets its real CRC-32. Partition-parallel over
+    * (doc_id, width, height) rows. */
+  def pngEncode(rows: Dataset[(Long, Int, Int)]): Dataset[PngPayload] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { case (docId, w, h) =>
+        val rowBytes = w * 3
+        // Raw top-down scanlines, then per-row filtering per the spec:
+        // Sub subtracts the pixel 3 bytes left; Up subtracts the prior
+        // row's RECONSTRUCTED byte (= raw byte, since filtering is an
+        // encoder-side transform of raw values).
+        val raw = Array.ofDim[Int](h, rowBytes)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          raw(y)(x * 3 + c) = pngByte(docId, x, y, c)
+        val filtered = new Array[Byte](h * (1 + rowBytes))
+        var o = 0
+        for (y <- 0 until h) {
+          val f = y % 3
+          filtered(o) = f.toByte; o += 1
+          var j = 0
+          while (j < rowBytes) {
+            val v = f match {
+              case 0 => raw(y)(j)
+              case 1 => raw(y)(j) - (if (j >= 3) raw(y)(j - 3) else 0)
+              case 2 => raw(y)(j) - (if (y > 0) raw(y - 1)(j) else 0)
+            }
+            filtered(o) = (v & 0xff).toByte; o += 1; j += 1
+          }
+        }
+        val deflater = new java.util.zip.Deflater()
+        deflater.setInput(filtered); deflater.finish()
+        val zbuf = new Array[Byte](filtered.length + 64)
+        var zlen = 0
+        while (!deflater.finished())
+          zlen += deflater.deflate(zbuf, zlen, zbuf.length - zlen)
+        deflater.end()
+        def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+          val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          buf.putInt(data.length)
+          val typeAndData = typ.getBytes("US-ASCII") ++ data
+          buf.put(typeAndData)
+          val crc = new java.util.zip.CRC32()
+          crc.update(typeAndData)
+          buf.putInt(crc.getValue.toInt)
+          buf.array()
+        }
+        val ihdr = java.nio.ByteBuffer.allocate(13)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        ihdr.putInt(w).putInt(h)
+        ihdr.put(8.toByte)   // bit depth
+        ihdr.put(2.toByte)   // color type: truecolor RGB
+        ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+        val payload = PngSignature ++
+          chunk("IHDR", ihdr.array()) ++
+          chunk("IDAT", java.util.Arrays.copyOf(zbuf, zlen)) ++
+          chunk("IEND", Array.emptyByteArray)
+        PngPayload(docId, payload)
+      }
+    }
+  }
+
+  /** REAL PNG parser: validates the 8-byte signature, walks the chunk
+    * stream reading big-endian lengths and VERIFYING every CRC-32,
+    * requires IHDR first (8-bit truecolor, deflate, adaptive filtering,
+    * no interlace), concatenates IDAT data, inflates it with the JDK's
+    * real zlib, then defilters each scanline honoring its filter byte
+    * (all five spec filter types, though the encoder emits 0–2; Up and
+    * Sub reconstruct against prior RECONSTRUCTED bytes per the spec).
+    * Emits IHDR fields, pixel stats over the reconstructed w×h×3 bytes,
+    * and a position-weighted checksum of the BOTTOM row — the row a
+    * broken Up-chain corrupts most. Malformed containers throw. */
+  def pngDecode(payloads: Dataset[PngPayload]): Dataset[PngFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        require(b.length >= 8 && java.util.Arrays.equals(
+          java.util.Arrays.copyOf(b, 8), PngSignature),
+          s"png_decode: bad signature (doc ${p.doc_id})")
+        def i32(o: Int): Int =
+          ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+            ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        var off = 8
+        var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+        var nChunks = 0; var sawIhdr = false; var sawIend = false
+        val idat = new java.io.ByteArrayOutputStream()
+        while (off < b.length && !sawIend) {
+          val len = i32(off)
+          val typ = new String(b, off + 4, 4, "US-ASCII")
+          require(off + 12 + len <= b.length,
+            s"png_decode: chunk $typ overruns container (doc ${p.doc_id})")
+          val crc = new java.util.zip.CRC32()
+          crc.update(b, off + 4, 4 + len)
+          require(crc.getValue.toInt == i32(off + 8 + len),
+            s"png_decode: CRC mismatch in $typ (doc ${p.doc_id})")
+          typ match {
+            case "IHDR" =>
+              require(!sawIhdr && nChunks == 0,
+                s"png_decode: IHDR must be first (doc ${p.doc_id})")
+              require(len == 13,
+                s"png_decode: IHDR length $len != 13 (doc ${p.doc_id})")
+              width = i32(off + 8); height = i32(off + 12)
+              bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+              require(bitDepth == 8 && colorType == 2,
+                s"png_decode: expected 8-bit truecolor, got depth=$bitDepth" +
+                  s" color=$colorType (doc ${p.doc_id})")
+              require((b(off + 18) & 0xff) == 0 && (b(off + 19) & 0xff) == 0
+                && (b(off + 20) & 0xff) == 0,
+                s"png_decode: unsupported compression/filter/interlace " +
+                  s"(doc ${p.doc_id})")
+              sawIhdr = true
+            case "IDAT" => idat.write(b, off + 8, len)
+            case "IEND" => sawIend = true
+            case _      => () // ancillary chunk: CRC-checked, skipped
+          }
+          nChunks += 1
+          off += 12 + len
+        }
+        require(sawIhdr && sawIend,
+          s"png_decode: missing IHDR or IEND (doc ${p.doc_id})")
+        val rowBytes = width * 3
+        val expected = height * (1 + rowBytes)
+        val inflater = new java.util.zip.Inflater()
+        inflater.setInput(idat.toByteArray)
+        val filtered = new Array[Byte](expected)
+        var got = 0
+        while (got < expected && !inflater.finished())
+          got += inflater.inflate(filtered, got, expected - got)
+        inflater.end()
+        require(got == expected,
+          s"png_decode: inflated $got bytes, expected $expected " +
+            s"(doc ${p.doc_id})")
+        // Defilter per the spec (prior = reconstructed bytes).
+        val recon = new Array[Int](height * rowBytes)
+        var y = 0
+        while (y < height) {
+          val f = filtered(y * (1 + rowBytes)) & 0xff
+          var j = 0
+          while (j < rowBytes) {
+            val x = filtered(y * (1 + rowBytes) + 1 + j) & 0xff
+            val a = if (j >= 3) recon(y * rowBytes + j - 3) else 0
+            val u = if (y > 0) recon((y - 1) * rowBytes + j) else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + u
+              case 3 => x + (a + u) / 2
+              case 4 => // Paeth predictor
+                val pp = a + u - (if (y > 0 && j >= 3)
+                  recon((y - 1) * rowBytes + j - 3) else 0)
+                val c0 = if (y > 0 && j >= 3)
+                  recon((y - 1) * rowBytes + j - 3) else 0
+                val pa = math.abs(pp - a); val pb = math.abs(pp - u)
+                val pc = math.abs(pp - c0)
+                x + (if (pa <= pb && pa <= pc) a
+                     else if (pb <= pc) u else c0)
+              case other => throw new IllegalArgumentException(
+                s"png_decode: bad filter byte $other (doc ${p.doc_id})")
+            }
+            recon(y * rowBytes + j) = v & 0xff
+            j += 1
+          }
+          y += 1
+        }
+        var maxByte = 0; var pixelSum = 0L; var bottomRowChecksum = 0L
+        var i = 0
+        while (i < recon.length) {
+          val v = recon(i)
+          if (v > maxByte) maxByte = v
+          pixelSum += v
+          i += 1
+        }
+        var j = 0
+        while (j < rowBytes) {
+          bottomRowChecksum +=
+            recon((height - 1) * rowBytes + j).toLong * (j + 1)
+          j += 1
+        }
+        PngFeatures(p.doc_id, width, height, bitDepth, colorType, nChunks,
+          width * height, expected, maxByte, pixelSum, bottomRowChecksum)
+      }
+    }
+  }
+
+  /** End-to-end codec query #3: synthesize one genuine zlib-compressed
+    * PNG per document, parse it back with the real chunk/CRC/inflate/
+    * defilter walker, and emit the all-integer features. The oracle
+    * recomputes every feature from (doc_id, length(text)) alone — it
+    * never sees the bytes — so a hash match proves the full encode →
+    * compress → container → parse → decompress → defilter loop is
+    * byte-correct. Compressed size is deliberately NOT emitted (zlib
+    * output is implementation-defined; everything emitted is
+    * first-principles recomputable). */
+  def pngFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (coalesce(length(col("text")), lit(0)) % 9 + 4).cast("int").as("w"),
+        (col("doc_id") % 7 + 3).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    pngDecode(pngEncode(in)).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[pngFeatures]] — features from first principles
+    * (the pixel formula in SQL), independent of the container bytes. */
+  private[graft] def pngFeaturesOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    (coalesce(length(text), 0) % 9) + 4 AS w,
+       |    (doc_id % 7) + 3 AS h
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(w AS INT) AS width,
+       |  CAST(h AS INT) AS height,
+       |  8 AS bit_depth,
+       |  2 AS color_type,
+       |  3 AS n_chunks,
+       |  CAST(w * h AS INT) AS n_pixels,
+       |  CAST(h * (1 + w * 3) AS INT) AS raw_bytes,
+       |  CAST(list_max(list_transform(range(w * h * 3), i ->
+       |    (doc_id * 11 + (i // (w * 3)) * 7 + ((i % (w * 3)) // 3) * 3
+       |     + (i % 3) * 5) % 256)) AS INT) AS max_byte,
+       |  CAST(list_sum(list_transform(range(w * h * 3), i ->
+       |    (doc_id * 11 + (i // (w * 3)) * 7 + ((i % (w * 3)) // 3) * 3
+       |     + (i % 3) * 5) % 256)) AS BIGINT) AS pixel_sum,
+       |  CAST(list_sum(list_transform(range(w * 3), j ->
+       |    ((doc_id * 11 + (h - 1) * 7 + (j // 3) * 3 + (j % 3) * 5) % 256)
+       |      * (j + 1))) AS BIGINT) AS bottom_row_checksum
+       |FROM g
        |ORDER BY doc_id""".stripMargin
 }

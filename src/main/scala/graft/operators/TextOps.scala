@@ -2523,4 +2523,298 @@ object TextOps {
        |  END AS clustering
        |FROM deg LEFT JOIN tv ON deg.v = tv.v
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Probabilistic membership + frequency sketches. Both are the
+  // DETERMINISTIC members of their families (like [[CdcOps.kmvDistinct]]
+  // vs HLL): every bit position and cell index is a pure function of
+  // md5 hashes both engines compute identically, so even the sketches'
+  // ERRORS (Bloom false positives, CMS overestimates) are cross-engine
+  // hash-checked — the oracle verifies the sketch, not just the answer.
+  // --------------------------------------------------------------------
+
+  /** Bloom filter size in bits — sized so the sf0.01 eval set loads the
+    * filter lightly (FP ≈ 1e-3, a handful of observable false positives)
+    * while staying well-defined at any scale. */
+  val BloomBits = 65536
+
+  /** Bloom-filter decontamination — the at-scale form of
+    * [[ngramDecontam]]: instead of broadcasting the full distinct eval
+    * n-gram set, broadcast an [[BloomBits]]-bit Bloom filter of it
+    * (k=3 positions per gram via Kirsch–Mitzenmacher double hashing:
+    * pos_i = (h1 + i·h2) mod m). A train gram is bloom-positive iff all
+    * three of its positions are set. Per train doc the query emits both
+    * the bloom verdict AND the exact verdict, so `false_positives`
+    * measures the filter's actual FP behavior — and because every
+    * position is md5-derived, the oracle reproduces the same filter
+    * bit-for-bit and the FPs themselves hash-match.
+    *
+    * Scale shape: the filter is the whole point — at 100 TB the eval
+    * gram set may be 10^9 rows, but the BITSET is [[BloomBits]] bits
+    * regardless (here the set-position list, ≤ 3·|eval| distinct ints,
+    * stands in for the bitset; a production build would OR it into
+    * long[1024] and broadcast that). The corpus side stays one scan +
+    * one per-doc aggregate; the three position probes are broadcast
+    * hash joins against a table that never exceeds m rows. */
+  def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val m = lit(BloomBits.toLong)
+    val grams = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("bucket"),
+        explode(ngrams3("toks")).as("g"))
+      .select(col("doc_id"), col("bucket"),
+        h60("g").as("h1"), h60("concat(g, '#b2')").as("h2"))
+      .withColumn("p0", pmod(col("h1"), m))
+      .withColumn("p1", pmod(col("h1") + col("h2"), m))
+      .withColumn("p2", pmod(col("h1") + lit(2L) * col("h2"), m))
+    val evalGrams = grams.filter(col("bucket") >= TrainPct)
+    val bits = evalGrams
+      .select(explode(array(col("p0"), col("p1"), col("p2"))).as("bp"))
+      .distinct()
+    val evalExact = evalGrams.select(col("h1").as("ev_h")).distinct()
+    val train = grams.filter(col("bucket") < TrainPct)
+      .select("doc_id", "h1", "p0", "p1", "p2").distinct()
+    train
+      .join(broadcast(bits.select(col("bp").as("b0"))),
+        col("p0") === col("b0"), "left")
+      .join(broadcast(bits.select(col("bp").as("b1"))),
+        col("p1") === col("b1"), "left")
+      .join(broadcast(bits.select(col("bp").as("b2"))),
+        col("p2") === col("b2"), "left")
+      .join(broadcast(evalExact), col("h1") === col("ev_h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("b0").isNotNull && col("b1").isNotNull
+          && col("b2").isNotNull, 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("ev_h").isNotNull, 1L).otherwise(0L)).as("exact_hits"))
+      .withColumn("false_positives", col("bloom_hits") - col("exact_hits"))
+      .withColumn("contaminated", col("bloom_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bloomDecontam]] — the same double-hashed
+    * positions, the same distinct-bit build, the same all-three-set
+    * probe rule. */
+  private[graft] def bloomDecontamOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % 100 AS bucket,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, bucket,
+       |    CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(gr || '#b2'), 1, 15) AS BIGINT) AS h2
+       |  FROM (
+       |    SELECT doc_id, bucket,
+       |      unnest(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |        AS gr
+       |    FROM d WHERE len(toks) >= 3)),
+       |pos AS (
+       |  SELECT doc_id, bucket, h1,
+       |    h1 % $BloomBits AS p0,
+       |    (h1 + h2) % $BloomBits AS p1,
+       |    (h1 + 2 * h2) % $BloomBits AS p2
+       |  FROM g),
+       |bits AS (
+       |  SELECT DISTINCT bp FROM (
+       |    SELECT p0 AS bp FROM pos WHERE bucket >= $TrainPct
+       |    UNION ALL SELECT p1 FROM pos WHERE bucket >= $TrainPct
+       |    UNION ALL SELECT p2 FROM pos WHERE bucket >= $TrainPct)),
+       |ev AS (SELECT DISTINCT h1 AS ev_h FROM pos
+       |       WHERE bucket >= $TrainPct),
+       |tr AS (SELECT DISTINCT doc_id, h1, p0, p1, p2 FROM pos
+       |       WHERE bucket < $TrainPct)
+       |SELECT tr.doc_id,
+       |  count(*) AS n_ngrams,
+       |  CAST(sum(CASE WHEN b0.bp IS NOT NULL AND b1.bp IS NOT NULL
+       |    AND b2.bp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS bloom_hits,
+       |  CAST(sum(CASE WHEN ev.ev_h IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS exact_hits,
+       |  CAST(sum(CASE WHEN b0.bp IS NOT NULL AND b1.bp IS NOT NULL
+       |    AND b2.bp IS NOT NULL THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN ev.ev_h IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS false_positives,
+       |  sum(CASE WHEN b0.bp IS NOT NULL AND b1.bp IS NOT NULL
+       |    AND b2.bp IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+       |FROM tr
+       |LEFT JOIN bits b0 ON tr.p0 = b0.bp
+       |LEFT JOIN bits b1 ON tr.p1 = b1.bp
+       |LEFT JOIN bits b2 ON tr.p2 = b2.bp
+       |LEFT JOIN ev ON tr.h1 = ev.ev_h
+       |GROUP BY tr.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+
+  /** Count-min sketch geometry: [[CmsDepth]] rows × [[CmsWidth]]
+    * counters. The width is deliberately SMALLER than the corpus vocab
+    * so collisions actually happen and the min-over-rows estimator has
+    * real work to do — the `overestimate` column is the sketch's
+    * signature error, and it hash-matches. */
+  val CmsDepth = 3
+  val CmsWidth = 16
+
+  /** Count-min-sketch heavy hitters over corpus tokens. Build: one pass
+    * explodes tokens and increments [[CmsDepth]] cells per occurrence
+    * (row r's column = (h1 + r·h2) mod [[CmsWidth]], Kirsch–Mitzenmacher
+    * again); the sketch is a fixed d×w = 48 counters regardless
+    * of corpus size. Read: every distinct token's estimate is the MIN of
+    * its d cells (Cormode–Muthukrishnan), joined against its exact count
+    * so the overestimate is observable; `heavy` flags tokens whose
+    * ESTIMATE clears 5% of the corpus — the decision a real pipeline
+    * makes from the sketch alone.
+    *
+    * Scale shape: the sketch build is a partial+final aggregate onto
+    * d·w cells — map-side combine collapses each task to ≤ 48 rows, so
+    * the shuffle is microscopic at any corpus size. The exact side (for
+    * verification) is one token-level aggregate; the sketch probe is a
+    * broadcast join against the 48-row cell table. The corpus total
+    * rides the same 1-row broadcast cross join the other global-scalar
+    * queries use — no driver collect. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val w = lit(CmsWidth.toLong)
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("t"), h60("t").as("h1"), h60("concat(t, '#cms')").as("h2"))
+    val cells = toks
+      .select(posexplode(array(
+        pmod(col("h1"), w),
+        pmod(col("h1") + col("h2"), w),
+        pmod(col("h1") + lit(2L) * col("h2"), w))).as(Seq("r", "p")))
+      .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val exact = toks.groupBy("t", "h1", "h2")
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("q0", pmod(col("h1"), w))
+      .withColumn("q1", pmod(col("h1") + col("h2"), w))
+      .withColumn("q2", pmod(col("h1") + lit(2L) * col("h2"), w))
+    exact
+      .join(broadcast(cells.select(col("r").as("r0"), col("p").as("pp0"),
+        col("cnt").as("c0"))), col("r0") === 0 && col("q0") === col("pp0"))
+      .join(broadcast(cells.select(col("r").as("r1"), col("p").as("pp1"),
+        col("cnt").as("c1"))), col("r1") === 1 && col("q1") === col("pp1"))
+      .join(broadcast(cells.select(col("r").as("r2"), col("p").as("pp2"),
+        col("cnt").as("c2"))), col("r2") === 2 && col("q2") === col("pp2"))
+      .crossJoin(broadcast(total))
+      .select(col("t").as("token"), col("n_exact"),
+        least(col("c0"), col("c1"), col("c2")).as("cms_est"),
+        (least(col("c0"), col("c1"), col("c2")) - col("n_exact"))
+          .as("overestimate"),
+        (least(col("c0"), col("c1"), col("c2")) * 20 >= col("n_total"))
+          .as("heavy"))
+      .orderBy("token")
+  }
+
+  /** DuckDB oracle for [[cmsHeavyHitters]] — same cells, same min-read,
+    * same 5% heavy rule. */
+  private[graft] def cmsHeavyHittersOracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT t,
+       |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(t || '#cms'), 1, 15) AS BIGINT) AS h2
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(t) > 0),
+       |cells AS (
+       |  SELECT r, p, count(*) AS cnt FROM (
+       |    SELECT 0 AS r, h1 % $CmsWidth AS p FROM tk
+       |    UNION ALL SELECT 1, (h1 + h2) % $CmsWidth FROM tk
+       |    UNION ALL SELECT 2, (h1 + 2 * h2) % $CmsWidth FROM tk)
+       |  GROUP BY r, p),
+       |tot AS (SELECT count(*) AS n_total FROM tk),
+       |ex AS (
+       |  SELECT t, h1, h2, count(*) AS n_exact,
+       |    h1 % $CmsWidth AS q0,
+       |    (h1 + h2) % $CmsWidth AS q1,
+       |    (h1 + 2 * h2) % $CmsWidth AS q2
+       |  FROM tk GROUP BY t, h1, h2)
+       |SELECT ex.t AS token,
+       |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  CAST(least(c0.cnt, c1.cnt, c2.cnt) AS BIGINT) AS cms_est,
+       |  CAST(least(c0.cnt, c1.cnt, c2.cnt) - ex.n_exact AS BIGINT)
+       |    AS overestimate,
+       |  least(c0.cnt, c1.cnt, c2.cnt) * 20 >= tot.n_total AS heavy
+       |FROM ex
+       |JOIN cells c0 ON c0.r = 0 AND c0.p = ex.q0
+       |JOIN cells c1 ON c1.r = 1 AND c1.p = ex.q1
+       |JOIN cells c2 ON c2.r = 2 AND c2.p = ex.q2
+       |CROSS JOIN tot
+       |ORDER BY token""".stripMargin
+
+  /** Token-budget systematic sampling: one lattice point every
+    * [[BudgetStep]] tokens. */
+  val BudgetStep = 500
+
+  /** Shards for [[tokenBudgetSample]]'s running sums — same rationale as
+    * [[chunkPacking]]'s [[PackShards]]. */
+  val SampleShards = 8
+
+  /** Weighted (token-proportional) corpus sampling via SYSTEMATIC
+    * lattice selection — the deterministic member of the weighted-
+    * sampling family (Efraimidis–Spirakis A-ES keys are `u^(1/w)` powers
+    * whose cross-engine float ordering cannot be hash-anchored; lattice
+    * crossing is pure integer arithmetic). Docs are laid out in
+    * hash-of-id order, each occupying an interval equal to its token
+    * count; a doc is selected iff its interval contains a multiple of
+    * [[BudgetStep]], with `copies` = how many (long docs can earn > 1 —
+    * exactly proportional-to-size sampling, the epoch-construction
+    * primitive mixture_resample's stochastic rounding approximates from
+    * weights instead of sizes).
+    *
+    * Scale shape: the layout is per-shard ([[SampleShards]] independent
+    * running sums — the [[chunkPacking]] pattern), so no global sort or
+    * single-partition window exists; each shard's window is an
+    * independent partition sort. At 1000 executors you'd raise the shard
+    * count to match; selection stays exact per shard. */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h60("cast(doc_id as string)").as("ord"))
+      .withColumn("shard", pmod(col("ord"), lit(SampleShards)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("copies",
+        expr(s"cum div $BudgetStep") -
+          expr(s"(cum - n_tokens) div $BudgetStep"))
+      .filter(col("copies") > 0)
+      .select("doc_id", "n_tokens", "shard", "cum", "copies")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenBudgetSample]] — same hash layout, same
+    * per-shard running sum, same lattice-crossing rule. */
+  private[graft] def tokenBudgetSampleOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS ord
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, n_tokens, ord,
+       |    CAST(ord % $SampleShards AS INT) AS shard
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum
+       |  FROM s)
+       |SELECT doc_id, n_tokens, shard, cum,
+       |  CAST(cum // $BudgetStep - (cum - n_tokens) // $BudgetStep
+       |    AS BIGINT) AS copies
+       |FROM c
+       |WHERE cum // $BudgetStep - (cum - n_tokens) // $BudgetStep > 0
+       |ORDER BY doc_id""".stripMargin
 }
