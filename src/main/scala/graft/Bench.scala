@@ -76,12 +76,20 @@ object Bench {
         // runs) — excluding it makes the medians steady-state numbers.
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        (1 to RUNS).foreach { _ =>
+        // One timed-run helper; the System.gc() between runs sits OUTSIDE
+        // the timed window and lets the ContextCleaner release the
+        // previous run's dead shuffle/broadcast blocks — without it a
+        // heavy-shuffle query's own re-runs accrete disk state for the
+        // whole warmup+6 sequence (no driver GC ever fires inside one
+        // query's runs; the per-query gc in `finally` is too late).
+        def timedRun(): Unit = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           runs += (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
+          System.gc()
         }
+        (1 to RUNS).foreach { _ => timedRun() }
         // Adaptive re-run on detected interference: this sandbox is a
         // VM on a shared hypervisor (cumulative /proc/stat steal ≈
         // 0.15% but BURSTY — ~10³ stolen CPU-seconds over a session),
@@ -97,14 +105,19 @@ object Bench {
         // rule is deterministic and applies to every query equally.
         while (runs.length < MAX_RUNS && {
             val s = runs.sorted; s(runs.length / 2) > 2 * s.head
-          }) {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          runs += (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-        }
+          }) timedRun()
+        // Recorded value: median of the FASTEST `RUNS` runs. With no
+        // interference re-runs this is exactly the plain median of 3.
+        // When re-runs were taken, timing noise on a shared VM is
+        // strictly additive (a steal burst only ever slows a run, never
+        // speeds one), so the lower tail is the steady-state estimate —
+        // an r10 burst spanned 4 consecutive runs of one query
+        // ([4.1, 14.0, 25.3, 30.2, 2.2, 2.7]) and the all-runs median
+        // recorded 14 s for a 2.2 s plan. All raw runs still ship in
+        // bench_line.json `runs` (execution order) for audit.
         val sorted = runs.sorted
-        med(name) = sorted(runs.length / 2)
+        val fastest = sorted.take(RUNS)
+        med(name) = fastest(fastest.length / 2)
         lo(name) = sorted.head
         hi(name) = sorted.last
         // Execution order preserved (not sorted): bimodality across the
