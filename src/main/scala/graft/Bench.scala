@@ -41,6 +41,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // Broadcast blocks, shuffle files, and non-returned localCheckpoint
       // RDDs are reclaimed by the ContextCleaner only when their driver

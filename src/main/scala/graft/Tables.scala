@@ -12,13 +12,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL / "illegal Parquet type"). Read
-    * nanos as a raw long (legacy conf) and convert to a microsecond
-    * timestamp; integer `div` keeps the conversion exact and matches DuckDB's
-    * native TIMESTAMP_NS read at millisecond/microsecond granularity.
+  /** The generator writes naive (isAdjustedToUTC=false) parquet
+    * TIMESTAMP(MICROS) columns, which Spark 4 infers as TIMESTAMP_NTZ by
+    * default while DuckDB reads them as plain TIMESTAMP. Every session
+    * builder in this repo disables the inference
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled=false`) so the scan
+    * itself yields TIMESTAMP (filter pushdown on time columns stays
+    * intact); this fallback covers sessions built elsewhere by
+    * reinterpreting any NTZ column as TIMESTAMP. All sessions here run
+    * with session timezone UTC, where the cast is an exact
+    * reinterpretation of the stored micros — the same values DuckDB's
+    * naive read produces, so oracle comparisons are unaffected. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, d.col(f.name).cast("timestamp"))
+    }
+  }
+
+  /** Earlier generator runs stored `events.ts` as parquet TIMESTAMP(NANOS),
+    * which Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL); the current
+    * generator writes TIMESTAMP(MICROS), handled by [[normalizeTimestamps]].
+    * This wrapper keeps the nanos era readable: with the legacy conf the
+    * nanos column surfaces as a raw long, converted here to a microsecond
+    * timestamp. Integer `div` keeps the conversion exact and matches
+    * DuckDB's native TIMESTAMP_NS read at millisecond granularity.
     *
     * The conf belongs in the SparkSession builder (Bench/Verify/tests all
     * set it); the fallback here only covers sessions built elsewhere, and
