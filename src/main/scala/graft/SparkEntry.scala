@@ -51,6 +51,7 @@ object SparkEntry {
     "regional_revenue" -> ((s, d) => BatchOps.regionalRevenue(s, d)),
     "rfm_scores" -> ((s, d) => BatchOps.rfmScores(s, d)),
     "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
+    "pareto_frontier" -> ((s, d) => BatchOps.paretoFrontier(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -70,6 +71,7 @@ object SparkEntry {
     "minute_metrics" -> ((s, d) => CdcOps.minuteMetrics(s, d)),
     "daily_distinct_users" -> ((s, d) => CdcOps.dailyDistinctUsers(s, d)),
     "kmv_distinct" -> ((s, d) => CdcOps.kmvDistinct(s, d)),
+    "hll_distinct" -> ((s, d) => CdcOps.hllDistinct(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
@@ -138,6 +140,9 @@ object SparkEntry {
     "bloom_decontam" -> ((s, d) => TextOps.bloomDecontam(s, d)),
     "cms_heavy_hitters" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
     "token_budget_sample" -> ((s, d) => TextOps.tokenBudgetSample(s, d)),
+    "pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
+    "dup_span_census" -> ((s, d) => TextOps.dupSpanCensus(s, d)),
+    "incremental_dedup" -> ((s, d) => TextOps.incrementalDedup(s, d)),
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
@@ -323,6 +328,8 @@ object SparkEntry {
     "rfm_scores" -> BatchOps.rfmScoresOracleSql,
     // In-order distinct part pairs, top-k by (count desc, pair).
     "part_copurchase" -> BatchOps.partCopurchaseOracleSql,
+    // Distributed skyline: per-size champions, size-grain range window.
+    "pareto_frontier" -> BatchOps.paretoFrontierOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 
@@ -476,9 +483,11 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
-    // Deterministic approximate-distinct: KMV order-statistic sketch
-    // (HLL can't be cross-engine checked; md5 order statistics can).
+    // Deterministic approximate-distinct: KMV order statistics and a
+    // fully deterministic raw HLL (registers and even estimation error
+    // derive from the shared 60-bit md5, so both hash-check).
     "kmv_distinct" -> CdcOps.kmvDistinctOracleSql,
+    "hll_distinct" -> CdcOps.hllDistinctOracleSql,
 
     // The Spark side is the STREAMING dailyActiveUsers code run in batch
     // (window-struct dedup + windowed count): the hash match anchors the
@@ -784,6 +793,12 @@ object SparkEntry {
     "cms_heavy_hitters" -> TextOps.cmsHeavyHittersOracleSql,
     // Token-proportional systematic sampling (integer lattice crossing).
     "token_budget_sample" -> TextOps.tokenBudgetSampleOracleSql,
+    // Exact-count PMI lift (one IEEE divide at the end, no log taken).
+    "pmi_collocations" -> TextOps.pmiCollocationsOracleSql,
+    // Lee-et-al-style sub-document duplication census (stride-1 spans).
+    "dup_span_census" -> TextOps.dupSpanCensusOracleSql,
+    // Production ingest screen: new batch vs standing corpus.
+    "incremental_dedup" -> TextOps.incrementalDedupOracleSql,
     "oov_rate" -> TextOps.oovRateOracleSql,
     "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),

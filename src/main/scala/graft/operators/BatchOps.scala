@@ -1237,4 +1237,83 @@ object BatchOps {
        |  SELECT 'orders_without_customer', count(*) FROM orders o
        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
        |ORDER BY 1""".stripMargin
+
+  /** Two-dimensional Pareto frontier (skyline) over parts: minimize
+    * price, maximize size — the "best value at every capacity" query
+    * (SKYLINE OF in the research literature; no SQL engine ships the
+    * operator, so it is composed from aggregates + one range window).
+    * Price is integer cents (one IEEE multiply + round, identical both
+    * engines) so the window's RANGE frame has exact integer semantics.
+    *
+    * The plan is the DISTRIBUTED skyline decomposition, not the naive
+    * all-pairs dominance test: (1) local reduction — only the
+    * min-price part(s) of each size can be on the frontier (any
+    * same-size cheaper part dominates), one partial+final hash
+    * aggregate; (2) the global dominance test runs over the SIZE-GRAIN
+    * frame (≤ |distinct sizes| rows — 50 here, thousands at most
+    * anywhere): a size's champion is on the frontier iff no strictly
+    * larger size achieves an equal-or-lower minimum price, one
+    * strictly-following RANGE window. The single-partition window is
+    * deliberate and safe — it sorts 50 rows, never the parts table;
+    * the part-grain work is all hash-partitioned. (3) champions join
+    * back to count the parts at each frontier point — a broadcast join
+    * of the size-grain frame against parts.
+    *
+    * Every size row ships with its `on_frontier` verdict (the
+    * dominated ones are the "strictly worse than a bigger, cheaper
+    * part" report — as useful as the frontier itself). */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val priced = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("bigint").as("price_cents"))
+    val champs = priced.groupBy("p_size")
+      .agg(min(col("price_cents")).as("min_price_cents"))
+    val wFollow = Window.orderBy("p_size")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val flagged = champs
+      .withColumn("best_larger",
+        min(col("min_price_cents")).over(wFollow))
+      .withColumn("on_frontier",
+        col("best_larger").isNull ||
+          col("best_larger") > col("min_price_cents"))
+    val atMin = priced
+      .join(broadcast(champs), "p_size")
+      .filter(col("price_cents") === col("min_price_cents"))
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_parts_at_min"),
+        min(col("p_partkey")).as("rep_partkey"))
+    flagged.join(atMin, "p_size")
+      .select("p_size", "min_price_cents", "n_parts_at_min",
+        "rep_partkey", "on_frontier")
+      .orderBy("p_size")
+  }
+
+  /** DuckDB oracle for [[paretoFrontier]] — same cents rounding, same
+    * strictly-following RANGE frame, same champion join-back. */
+  private[graft] def paretoFrontierOracleSql: String =
+    s"""WITH priced AS (
+       |  SELECT p_partkey, p_size,
+       |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+       |  FROM part),
+       |champs AS (
+       |  SELECT p_size, min(price_cents) AS min_price_cents
+       |  FROM priced GROUP BY p_size),
+       |f AS (
+       |  SELECT p_size, min_price_cents,
+       |    min(min_price_cents) OVER (ORDER BY p_size
+       |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |      AS best_larger
+       |  FROM champs),
+       |am AS (
+       |  SELECT p.p_size, count(*) AS n_parts_at_min,
+       |    min(p_partkey) AS rep_partkey
+       |  FROM priced p JOIN champs c
+       |    ON p.p_size = c.p_size AND p.price_cents = c.min_price_cents
+       |  GROUP BY p.p_size)
+       |SELECT f.p_size, min_price_cents, n_parts_at_min, rep_partkey,
+       |  best_larger IS NULL OR best_larger > min_price_cents
+       |    AS on_frontier
+       |FROM f JOIN am ON f.p_size = am.p_size
+       |ORDER BY f.p_size""".stripMargin
 }

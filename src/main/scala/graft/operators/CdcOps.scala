@@ -1284,4 +1284,115 @@ object CdcOps {
       |    AS max_streak_start
       |FROM agg
       |ORDER BY user_id""".stripMargin
+
+  /** HyperLogLog register count (2^8; shared with the oracle). */
+  val HllM = 256
+
+  /** The raw-HLL estimator's constant numerator α_m·m²·2^53, folded to
+    * ONE double in Scala and interpolated into both engines as the
+    * same round-trip literal — DuckDB would otherwise evaluate
+    * `0.7213/(1.0+1.079/256)` in DECIMAL arithmetic, not IEEE double,
+    * and the estimate would drift in the last bits. */
+  private val HllEstNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) *
+      (HllM.toLong * HllM).toDouble * (1L << 53).toDouble
+
+  /** HyperLogLog distinct-count sketch — the industry-standard
+    * approximate-distinct, built DETERMINISTICALLY like [[kmvDistinct]]
+    * (the exact-count twin this complements: KMV keeps order
+    * statistics, HLL keeps leading-zero maxima; both here derive every
+    * bit from the same 60-bit md5 both engines compute identically, so
+    * the sketch's registers and even its ESTIMATION ERROR hash-match
+    * cross-engine). Per event_type: register index = low 8 hash bits,
+    * rho = leading-zero count of the remaining 52-bit word + 1
+    * (computed exactly as 53 − |bin(w)|, with the w=0 all-zeros case
+    * pinned to 53); registers aggregate as max(rho). The harmonic mean
+    * runs in EXACT integer arithmetic: Σ 2^(53−rho) over present
+    * registers plus 2^53 per never-hit register (≤ 2^61, no overflow),
+    * so the only floating ops are the final multiply/divide of the raw
+    * estimator α·m²·2^53/Σ — the α literal and op order identical in
+    * both engines. Raw HLL, no small-range bias correction: the linear
+    * counting branch needs ln(), a transcendental no cross-engine
+    * bit-contract covers (documented trade; at sketch-worthy
+    * cardinalities the raw estimator is the operative one anyway).
+    *
+    * Scale shape: one distinct-compaction on (type, user), one
+    * (type, register) aggregate of [[HllM]]·|types| rows, then a
+    * per-type rollup — the classic mergeable-sketch plan where every
+    * partial max is itself a valid register. The exact count rides the
+    * same compaction purely to oracle-check the error. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+          " 16, 10) as bigint)"))
+      .withColumn("idx", pmod(col("h"), lit(HllM)).cast("int"))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w")))))
+    val regs = du.groupBy("event_type", "idx")
+      .agg(max(col("rho")).as("r"))
+    val perType = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("m_hit"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - r as int))"))
+          .as("hit_num"))
+      .withColumn("sum_num",
+        col("hit_num") +
+          (lit(HllM.toLong) - col("m_hit")) * lit(1L << 53))
+    val exact = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    exact.join(perType, "event_type")
+      .withColumn("hll_est", lit(HllEstNum) / col("sum_num").cast("double"))
+      .withColumn("rel_err",
+        abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .select("event_type", "n_exact", "m_hit", "sum_num", "hll_est",
+        "rel_err")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[hllDistinct]] — same 60-bit hash split, same
+    * exact-integer harmonic sum, same α expression text (both engines
+    * fold the identical double literals). */
+  private[graft] def hllDistinctOracleSql: String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM du),
+       |r AS (
+       |  SELECT event_type, CAST(h % $HllM AS INT) AS idx,
+       |    CASE WHEN h // $HllM = 0 THEN 53
+       |         ELSE 53 - length(bin(h // $HllM)) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT event_type, idx, max(rho) AS r
+       |  FROM r GROUP BY event_type, idx),
+       |pt AS (
+       |  SELECT event_type, count(*) AS m_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT)
+       |      AS hit_num
+       |  FROM regs GROUP BY event_type),
+       |s AS (
+       |  SELECT event_type, m_hit,
+       |    hit_num + ($HllM - m_hit) * (CAST(1 AS BIGINT) << 53)
+       |      AS sum_num
+       |  FROM pt),
+       |ex AS (
+       |  SELECT event_type, count(*) AS n_exact FROM du
+       |  GROUP BY event_type),
+       |e AS (
+       |  SELECT ex.event_type, n_exact, m_hit, sum_num,
+       |    CAST($HllEstNum AS DOUBLE) / CAST(sum_num AS DOUBLE)
+       |      AS hll_est
+       |  FROM ex JOIN s ON ex.event_type = s.event_type)
+       |SELECT event_type, n_exact, m_hit, sum_num, hll_est,
+       |  abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       |    AS rel_err
+       |FROM e
+       |ORDER BY event_type""".stripMargin
 }

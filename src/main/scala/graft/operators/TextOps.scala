@@ -2817,4 +2817,276 @@ object TextOps {
        |FROM c
        |WHERE cum // $BudgetStep - (cum - n_tokens) // $BudgetStep > 0
        |ORDER BY doc_id""".stripMargin
+
+  /** Minimum corpus bigram count for a pair to enter the collocation
+    * report (shared with the oracle) — the standard noise floor: a
+    * pair seen once has an unbounded lift estimate and no evidence. */
+  val PmiMinPairCount = 5
+
+  /** PMI-lift bigram collocations — the phrase-mining pass of a
+    * training-data pipeline (tokenizer vocab candidates, boilerplate
+    * phrase discovery). For each adjacent token pair, lift =
+    * p(w1,w2)/(p(w1)·p(w2)) estimated as c12·N/(c1·c2) with N the
+    * corpus token count; PMI = log2(lift), left un-taken: the four
+    * counts are exact longs, each long→double cast is exact
+    * (counts ≪ 2^53), and the score is two IEEE multiplies and one
+    * IEEE divide — bit-identical cross-engine, where a log2 would not
+    * be. Consumers threshold on lift directly (log2 is monotone).
+    *
+    * Scale shape: bigrams come from a per-document array zip
+    * (shuffle-free, embarrassingly parallel), then ONE token-grain
+    * hash aggregate each for pairs and unigrams; the unigram counts
+    * join back onto the pair table as two vocab-keyed hash joins
+    * (never broadcast — at 100 TB the vocab is executor-sized), and
+    * the corpus total N is a broadcast scalar. The [[PmiMinPairCount]]
+    * floor bounds the output to genuinely repeated pairs. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens.as("tk"))
+    val toks = docs.select(explode(col("tk")).as("token"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    val pairs = docs
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= PmiMinPairCount)
+    pairs
+      .join(uni.withColumnRenamed("token", "w1")
+        .withColumnRenamed("cnt", "c1"), "w1")
+      .join(uni.withColumnRenamed("token", "w2")
+        .withColumnRenamed("cnt", "c2"), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (col("c12").cast("double") * col("n_total").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")))
+          .as("lift"))
+      .orderBy("w1", "w2")
+  }
+
+  /** DuckDB oracle for [[pmiCollocations]] — same bigram extraction
+    * (1-based adjacent positions), same count floor, same exact-cast
+    * multiply/divide sequence. */
+  private[graft] def pmiCollocationsOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT unnest(tk) AS token FROM d),
+       |uni AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+       |n AS (SELECT count(*) AS n_total FROM t),
+       |bg AS (
+       |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+       |p AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+       |  HAVING count(*) >= $PmiMinPairCount)
+       |SELECT w1, w2, c12, u1.cnt AS c1, u2.cnt AS c2,
+       |  CAST(c12 AS DOUBLE) * CAST(n_total AS DOUBLE) /
+       |    (CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)) AS lift
+       |FROM p
+       |JOIN uni u1 ON p.w1 = u1.token
+       |JOIN uni u2 ON p.w2 = u2.token
+       |CROSS JOIN n
+       |ORDER BY w1, w2""".stripMargin
+
+  /** Sliding-window width (tokens) for the duplicated-span census
+    * (shared with the oracle). */
+  val SpanTokens = 16
+
+  /** A document is span-heavy when at least this share of its windows
+    * is corpus-duplicated (shared with the oracle). */
+  val SpanHeavyShare = 0.5
+
+  /** Duplicated-span census — the sub-document view of duplication
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" direction): instead of asking "is this DOCUMENT a
+    * near-dup", ask what FRACTION of each document sits inside a span
+    * that recurs anywhere in the corpus. Every [[SpanTokens]]-token
+    * window at stride 1 is content-hashed; a window is duplicated when
+    * its hash occurs more than once corpus-wide (cross-doc or
+    * self-repeat — both are training-loss double-counting). Per doc:
+    * window count, duplicated-window count, duplicated share, and the
+    * [[SpanHeavyShare]] flag that marks span-removal candidates the
+    * document-level passes ([[nearDupJaccard]] etc.) cannot see.
+    *
+    * Scale shape: stride-1 windows make the intermediate token-grain
+    * (≈ one row per token) — the same order as every explode-based
+    * pass here; the duplicate test is ONE hash-partitioned count
+    * window on the span hash, then one per-doc aggregate. Nothing is
+    * pairwise: the span hash plays the role the LSH band plays for
+    * whole documents. Docs shorter than [[SpanTokens]] emit no
+    * windows, symmetrically on both sides (explicit filter — Spark's
+    * `sequence(0, n)` turns DESCENDING for negative n while DuckDB's
+    * `generate_series` returns empty, so the guard is load-bearing). */
+  def dupSpanCensus(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Window.partitionBy("h")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens.as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .filter(col("n_tokens") >= SpanTokens)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, n_tokens - $SpanTokens)")).as("start"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("tk"), col("start") + 1, lit(SpanTokens)), " "))
+          .as("h"))
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_share",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .withColumn("span_heavy", col("dup_share") >= SpanHeavyShare)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dupSpanCensus]] — same window geometry (the
+    * 1-based inclusive slice spans exactly [[SpanTokens]] tokens
+    * because start ≤ n − [[SpanTokens]]), same corpus-wide count
+    * window, same single IEEE division. */
+  private[graft] def dupSpanCensusOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= $SpanTokens),
+       |w AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(tk[s + 1 : s + $SpanTokens], ' ')) AS h
+       |  FROM d, unnest(generate_series(0, n_tokens - $SpanTokens))
+       |    AS g(s)),
+       |c AS (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM w),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_windows
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |  CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+       |    AS dup_share,
+       |  CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+       |    >= $SpanHeavyShare AS span_heavy
+       |FROM a
+       |ORDER BY doc_id""".stripMargin
+
+  /** Hash-band boundary for the incremental-ingest split: buckets at or
+    * above this are the "new batch", the rest the standing corpus
+    * (shared with the oracle). */
+  val IngestPct = 90
+
+  /** Chunk-overlap share at or above which an incoming doc is ruled a
+    * near-duplicate of the corpus (shared with the oracle). */
+  val IngestNearShare = 0.5
+
+  /** Incremental new-batch-vs-corpus dedup — the pass a PRODUCTION
+    * pipeline actually runs: the corpus is already deduplicated, a new
+    * crawl batch arrives, and each incoming doc must be screened
+    * against the standing corpus without re-deduplicating the corpus
+    * against itself. The batch (hash band ≥ [[IngestPct]], the
+    * [[trainValSplit]] mechanism) is checked two ways: exact text-hash
+    * membership, and shared [[docChunks]] 64-token chunk fingerprints
+    * (the [[splitContamination]] machinery pointed at ingest). Verdict
+    * ladder: `exact` ⊃ `near` (chunk share ≥ [[IngestNearShare]]) ⊃
+    * `partial` (any shared chunk) ⊃ `novel`.
+    *
+    * Scale shape: both membership tests are hash-partitioned LEFT SEMI
+    * joins keyed on content hashes — deliberately NOT broadcast: at
+    * 100 TB the corpus fingerprint set is itself TB-sized, and the
+    * shuffle-by-hash semi join (batch side is the small side, 10% of
+    * ingest) is the correct distributed posture. The batch frame is
+    * scanned once per test; everything else is per-doc aggregation. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(h60("cast(doc_id as string)"), lit(100)))
+    val corpusHashes = bucketed
+      .filter(col("bucket") < IngestPct && col("text").isNotNull)
+      .select(md5(col("text")).as("text_hash")).distinct()
+    val batch = bucketed.filter(col("bucket") >= IngestPct)
+    val exactDup = batch
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(corpusHashes, Seq("text_hash"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    val chunks = docChunksCore(spark, dir)
+      .select(col("doc_id"), col("chunk_hash"))
+      .withColumn("bucket", pmod(h60("cast(doc_id as string)"), lit(100)))
+    val corpusChunks = chunks.filter(col("bucket") < IngestPct)
+      .select("chunk_hash").distinct()
+    val batchChunks = chunks.filter(col("bucket") >= IngestPct)
+    val perDoc = batchChunks
+      .join(corpusChunks.withColumn("shared", lit(1L)),
+        Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("shared"), lit(0L))).as("n_shared_chunks"))
+    batch.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
+      .withColumn("verdict",
+        when(col("is_exact_dup"), "exact")
+          .when(col("n_chunks") > 0 &&
+            col("n_shared_chunks").cast("double") >=
+              col("n_chunks").cast("double") * IngestNearShare, "near")
+          .when(col("n_shared_chunks") > 0, "partial")
+          .otherwise("novel"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[incrementalDedup]] — same hash band, same
+    * distinct-fingerprint membership tests, same verdict ladder (the
+    * near test is the multiplication form, no division). */
+  private[graft] def incrementalDedupOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |ch AS (
+       |${docChunksOracleSql.replace("ORDER BY doc_id, chunk_id", "")}),
+       |chb AS (
+       |  SELECT doc_id, chunk_hash,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % 100 AS bucket
+       |  FROM ch),
+       |corpus_h AS (
+       |  SELECT DISTINCT md5(text) AS text_hash FROM b
+       |  WHERE bucket < $IngestPct AND text IS NOT NULL),
+       |corpus_c AS (
+       |  SELECT DISTINCT chunk_hash FROM chb WHERE bucket < $IngestPct),
+       |ex AS (
+       |  SELECT doc_id, TRUE AS is_exact_dup FROM b
+       |  WHERE bucket >= $IngestPct AND text IS NOT NULL
+       |    AND md5(text) IN (SELECT text_hash FROM corpus_h)),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS n_chunks,
+       |    CAST(sum(CASE WHEN chunk_hash IN
+       |      (SELECT chunk_hash FROM corpus_c) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_shared_chunks
+       |  FROM chb WHERE bucket >= $IngestPct GROUP BY doc_id),
+       |j AS (
+       |  SELECT b.doc_id,
+       |    coalesce(is_exact_dup, FALSE) AS is_exact_dup,
+       |    coalesce(n_chunks, 0) AS n_chunks,
+       |    coalesce(n_shared_chunks, 0) AS n_shared_chunks
+       |  FROM b
+       |  LEFT JOIN ex ON b.doc_id = ex.doc_id
+       |  LEFT JOIN pd ON b.doc_id = pd.doc_id
+       |  WHERE bucket >= $IngestPct)
+       |SELECT doc_id, is_exact_dup, n_chunks, n_shared_chunks,
+       |  CASE WHEN is_exact_dup THEN 'exact'
+       |       WHEN n_chunks > 0 AND CAST(n_shared_chunks AS DOUBLE) >=
+       |         CAST(n_chunks AS DOUBLE) * $IngestNearShare THEN 'near'
+       |       WHEN n_shared_chunks > 0 THEN 'partial'
+       |       ELSE 'novel' END AS verdict
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
 }
