@@ -1285,22 +1285,33 @@ object TextOps {
     * size); the train side aggregates partial+final per doc. Nothing
     * quadratic, no corpus-side shuffle except the per-doc aggregate. */
   def ngramDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    // Distinct-compact each side on the gram TEXT before hashing (the
+    // [[bloomDecontam]] restructure): the 60-bit md5 runs once per
+    // distinct eval gram / distinct train (doc, gram) instead of once
+    // per occurrence per consumer, and the per-doc tallies become
+    // plain counts over the pre-compacted frame (countDistinct's
+    // in-aggregate dedup priced the distinct anyway).
+    val gramsRaw = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"),
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("bucket"),
         explode(ngrams3("toks")).as("g"))
-      .select(col("doc_id"), col("bucket"), h60("g").as("gh"))
-    val evalGrams = grams.filter(col("bucket") >= TrainPct)
-      .select(col("gh").as("ev_gh")).distinct()
-    grams.filter(col("bucket") < TrainPct)
+    // The trailing hash-keyed distincts keep the contract symmetric
+    // with the oracle under a 60-bit collision (it dedups on the HASH,
+    // not the gram text); they run over the already-compacted frames.
+    val evalGrams = gramsRaw.filter(col("bucket") >= TrainPct)
+      .select("g").distinct()
+      .select(h60("g").as("ev_gh")).distinct()
+    gramsRaw.filter(col("bucket") < TrainPct)
+      .select("doc_id", "g").distinct()
+      .select(col("doc_id"), h60("g").as("gh")).distinct()
       .join(broadcast(evalGrams), col("gh") === col("ev_gh"), "left")
       .groupBy("doc_id")
       .agg(
-        countDistinct(col("gh")).as("n_ngrams"),
-        countDistinct(col("ev_gh")).as("n_hits"))
+        count(col("gh")).as("n_ngrams"),
+        count(col("ev_gh")).as("n_hits"))
       .withColumn("hit_rate",
         col("n_hits").cast("double") / col("n_ngrams").cast("double"))
       .withColumn("contaminated", col("n_hits") > 0)
@@ -2558,24 +2569,39 @@ object TextOps {
     * hash joins against a table that never exceeds m rows. */
   def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     val m = lit(BloomBits.toLong)
-    val grams = Tables.documents(spark, dir)
+    // Gram TEXT first, hashes later: distinct-compact each side BEFORE
+    // the double md5 so the hash runs once per distinct gram (eval) /
+    // distinct (doc, gram) (train) instead of once per occurrence per
+    // consumer — the filter's own math is untouched (every position is
+    // still a pure function of the gram). The checkpoint pins the
+    // small eval frame; its two consumers (bit set, exact set) would
+    // otherwise each re-run the explode+distinct lineage.
+    val gramsRaw = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"),
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("bucket"),
         explode(ngrams3("toks")).as("g"))
-      .select(col("doc_id"), col("bucket"),
-        h60("g").as("h1"), h60("concat(g, '#b2')").as("h2"))
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("h1", h60("g"))
+      .withColumn("h2", h60("concat(g, '#b2')"))
       .withColumn("p0", pmod(col("h1"), m))
       .withColumn("p1", pmod(col("h1") + col("h2"), m))
       .withColumn("p2", pmod(col("h1") + lit(2L) * col("h2"), m))
-    val evalGrams = grams.filter(col("bucket") >= TrainPct)
-    val bits = evalGrams
+    val evalHashed = positions(
+      gramsRaw.filter(col("bucket") >= TrainPct).select("g").distinct())
+      .localCheckpoint()
+    val bits = evalHashed
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("bp"))
       .distinct()
-    val evalExact = evalGrams.select(col("h1").as("ev_h")).distinct()
-    val train = grams.filter(col("bucket") < TrainPct)
+    val evalExact = evalHashed.select(col("h1").as("ev_h")).distinct()
+    // The trailing hash-keyed distinct keeps the contract symmetric
+    // with the oracle under a 60-bit collision (it dedups on the
+    // hashes, not the gram text); it runs over the compacted frame.
+    val train = positions(
+      gramsRaw.filter(col("bucket") < TrainPct)
+        .select("doc_id", "g").distinct())
       .select("doc_id", "h1", "p0", "p1", "p2").distinct()
     train
       .join(broadcast(bits.select(col("bp").as("b0"))),
@@ -2679,24 +2705,30 @@ object TextOps {
     * queries use — no driver collect. */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val w = lit(CmsWidth.toLong)
-    val toks = Tables.documents(spark, dir)
+    // Compact to vocab grain FIRST: one token-grain hash aggregate, and
+    // the double md5 runs once per DISTINCT token — the cell counts,
+    // corpus total, and exact counts all derive count-weighted from the
+    // vocab frame (identical sketch arithmetic: a cell's count is the
+    // Σ n_exact of the tokens that map there). The checkpoint pins the
+    // KB-sized vocab so the three consumers below don't re-run the
+    // token-grain aggregate per branch.
+    val vocab = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
-      .select(col("t"), h60("t").as("h1"), h60("concat(t, '#cms')").as("h2"))
-    val cells = toks
-      .select(posexplode(array(
-        pmod(col("h1"), w),
-        pmod(col("h1") + col("h2"), w),
-        pmod(col("h1") + lit(2L) * col("h2"), w))).as(Seq("r", "p")))
-      .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val exact = toks.groupBy("t", "h1", "h2")
-      .agg(count(lit(1)).as("n_exact"))
+      .groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .select(col("t"), col("n_exact"),
+        h60("t").as("h1"), h60("concat(t, '#cms')").as("h2"))
       .withColumn("q0", pmod(col("h1"), w))
       .withColumn("q1", pmod(col("h1") + col("h2"), w))
       .withColumn("q2", pmod(col("h1") + lit(2L) * col("h2"), w))
-    exact
+      .localCheckpoint()
+    val cells = vocab
+      .select(col("n_exact"),
+        posexplode(array(col("q0"), col("q1"), col("q2"))).as(Seq("r", "p")))
+      .groupBy("r", "p").agg(sum(col("n_exact")).as("cnt"))
+    val total = vocab.agg(sum(col("n_exact")).as("n_total"))
+    vocab
       .join(broadcast(cells.select(col("r").as("r0"), col("p").as("pp0"),
         col("cnt").as("c0"))), col("r0") === 0 && col("q0") === col("pp0"))
       .join(broadcast(cells.select(col("r").as("r1"), col("p").as("pp1"),
