@@ -169,6 +169,7 @@ object SparkEntry {
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
+    "ann_mih_top1" -> ((s, d) => VectorOps.annMihTop1(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
     "pq_distortion" -> ((s, d) => VectorOps.pqDistortion(s, d)),
@@ -903,6 +904,8 @@ object SparkEntry {
     "label_stats" -> VectorOps.labelStatsOracleSql,
     "cosine_topk" -> VectorOps.cosineTopKOracleSql,
     "ann_lsh_top1" -> VectorOps.annLshTop1OracleSql,
+    // Binary-quantized Hamming ANN: exact-by-pigeonhole MIH candidates.
+    "ann_mih_top1" -> VectorOps.annMihTop1OracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     // IVF-PQ: coarse candidates scored by asymmetric distance over
     // product-quantization codes — the compressed-index ANN scale path.

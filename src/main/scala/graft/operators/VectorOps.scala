@@ -1660,4 +1660,129 @@ object VectorOps {
        |FROM n
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
+
+  /** Multi-index-hashing band geometry: the 64 sign bits split into
+    * [[MihBands]] disjoint 8-bit substrings (shared with the oracle) —
+    * near the m ≈ b/log₂(n) optimum the MIH paper derives (n = 2000 →
+    * m ≈ 6; 8 keeps the bands byte-aligned), and the pigeonhole radius
+    * it buys (r < 8) covers the Hamming distances sign-bit neighbors
+    * actually sit at. */
+  val MihBands = 8
+
+  /** Bits per MIH band. */
+  val MihBandBits = 8
+
+  /** Per-(band, value) bucket cap: buckets larger than this are dropped
+    * whole as "stop bands" (the [[nearDupJaccard]] document-frequency
+    * rule) — a degenerate band value (e.g. all-positive dimensions)
+    * would otherwise contribute |bucket|² pairs. Deterministic: the cap
+    * is on the bucket SIZE, not a sampled membership. */
+  val MihBucketCap = 256
+
+  /** Binary-quantized Hamming ANN top-1 via multi-index hashing
+    * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
+    * Multi-Index Hashing", CVPR 2012): each embedding compresses to 64
+    * SIGN BITS — a 128× compression that turns similarity into XOR +
+    * popcount — held as [[MihBands]] 16-bit band integers. Candidate
+    * generation is EXACT by pigeonhole, not probabilistic: any pair
+    * within Hamming radius r < [[MihBands]] agrees exactly on at least
+    * one band, so equi-joining per band finds every such pair —
+    * the same guarantee LSH only gives in expectation. Verification is
+    * one codegen'd `bit_count(xor)` sum over the band pairs; top-1 is
+    * the (hamming, c_id) lexicographic argmin. Queries whose true
+    * nearest sits beyond radius [[MihBands]]−1 may surface a farther
+    * candidate or none — the documented MIH regime (raise bands to
+    * widen the guaranteed radius).
+    *
+    * Scale shape: sign-packing is a per-row projection; each band is a
+    * hash-partitioned bucket join with the same skew posture as the
+    * LSH tables (stop-bucket drop at [[MihBucketCap]]); the verify runs
+    * on deduplicated id pairs carrying 4 ints per side — corpus ×
+    * corpus never materializes, and the index (4 ints/vector) is ~32×
+    * smaller than the embeddings. Output is ALL-INTEGER (ids + Hamming
+    * distance), so the hash contract needs no float reasoning. */
+  def annMihTop1(spark: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until MihBands).map { j =>
+      expr(s"aggregate(sequence(0, ${MihBandBits - 1}), 0, (acc, k) -> " +
+        s"acc + IF(element_at(embedding, ${j * MihBandBits} + k + 1) > 0, " +
+        s"shiftleft(1, k), 0))").as(s"b$j")
+    }
+    val bands = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: bandCols: _*)
+      .localCheckpoint()
+    val posted = bands.select(col("vec_id"),
+      posexplode(array((0 until MihBands).map(j => col(s"b$j")): _*))
+        .as(Seq("j", "bv")))
+    val wB = Window.partitionBy("j", "bv")
+    val capped = posted
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= MihBucketCap)
+      .select("vec_id", "j", "bv")
+    val pairs = capped.select(col("vec_id").as("q_id"), col("j"), col("bv"))
+      .join(capped.select(col("vec_id").as("c_id"), col("j"), col("bv")),
+        Seq("j", "bv"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val qb = bands.select(col("vec_id").as("q_id") +:
+      (0 until MihBands).map(j => col(s"b$j").as(s"qb$j")): _*)
+    val cb = bands.select(col("vec_id").as("c_id") +:
+      (0 until MihBands).map(j => col(s"b$j").as(s"cb$j")): _*)
+    val ham = (0 until MihBands)
+      .map(j => expr(s"bit_count(qb$j ^ cb$j)"))
+      .reduce(_ + _)
+    pairs.join(qb, "q_id").join(cb, "c_id")
+      .select(col("q_id"), col("c_id"), ham.cast("int").as("hamming"))
+      .groupBy("q_id")
+      .agg(min(struct(col("hamming"), col("c_id"))).as("best"))
+      .select(col("q_id"), col("best.c_id").as("c_id"),
+        col("best.hamming").as("hamming"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[annMihTop1]] — same sign packing (strict
+    * `> 0`, zero goes to 0), same stop-bucket cap, same xor/popcount
+    * verify, same lexicographic argmin. */
+  private[graft] def annMihTop1OracleSql: String = {
+    val bandSelects = (0 until MihBands).map { j =>
+      s"""list_sum(list_transform(generate_series(0, ${MihBandBits - 1}),
+         |      k -> CASE WHEN embedding[${j * MihBandBits} + k + 1] > 0
+         |        THEN (1 << k) ELSE 0 END)) AS b$j""".stripMargin
+    }.mkString(",\n    ")
+    val postUnion = (0 until MihBands)
+      .map(j => s"SELECT vec_id, $j AS j, b$j AS bv FROM bands")
+      .mkString("\n    UNION ALL ")
+    val hamSum = (0 until MihBands)
+      .map(j => s"bit_count(xor(CAST(q.b$j AS BIGINT), CAST(c.b$j AS BIGINT)))")
+      .mkString(" + ")
+    s"""WITH bands AS (
+       |  SELECT vec_id,
+       |    $bandSelects
+       |  FROM embeddings),
+       |posted AS (
+       |    $postUnion),
+       |capped AS (
+       |  SELECT vec_id, j, bv FROM (
+       |    SELECT vec_id, j, bv,
+       |      count(*) OVER (PARTITION BY j, bv) AS bsz
+       |    FROM posted)
+       |  WHERE bsz <= $MihBucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+       |  FROM capped a JOIN capped b ON a.j = b.j AND a.bv = b.bv
+       |  WHERE a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT p.q_id, p.c_id,
+       |    CAST($hamSum AS INT) AS hamming
+       |  FROM pairs p
+       |  JOIN bands q ON p.q_id = q.vec_id
+       |  JOIN bands c ON p.c_id = c.vec_id),
+       |best AS (
+       |  SELECT q_id, c_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, c_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, c_id, hamming FROM best
+       |WHERE rn = 1
+       |ORDER BY q_id""".stripMargin
+  }
 }

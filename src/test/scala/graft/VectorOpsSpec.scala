@@ -128,4 +128,39 @@ class VectorOpsSpec extends GraftSpec {
         s"near-lossless corpus must score ~0, got ${r.getAs[Double]("adc_dist")} for q=$q")
     }
   }
+
+  test("MIH finds exact Hamming-1 neighbors and drops stop buckets") {
+    val dir = freshScratch()
+    // Base vector: alternating signs. Neighbor: ONE dimension flipped →
+    // Hamming 1; pigeonhole guarantees the pair shares 7 of 8 bands, so
+    // MIH candidate generation MUST surface it (no luck involved).
+    val base = Array.tabulate(VectorOps.Dim)(j =>
+      if (j % 2 == 0) 1.0f else -1.0f)
+    val flip1 = base.clone(); flip1(5) = -flip1(5)
+    // A far vector: first half flipped → Hamming 32 from base, but its
+    // SECOND-half bands still equal base's, so it becomes a candidate —
+    // verification must rank it behind the true neighbor.
+    val far = Array.tabulate(VectorOps.Dim)(j =>
+      if (j < 32) -base(j) else base(j))
+    writeTable("embeddings", Seq(
+      (1L, base, 0), (2L, flip1, 0), (3L, far, 0)
+    ).toDF("vec_id", "embedding", "label"), dir)
+    val out = VectorOps.annMihTop1(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Int]("hamming"))).toMap
+    assert(out(1L) == (2L, 1))  // exact nearest, found by pigeonhole
+    assert(out(2L) == (1L, 1))
+    // far↔flip1 share the flipped dim 5, so 31 beats far↔base's 32.
+    assert(out(3L) == (2L, 31))
+
+    // Stop-bucket guard: a bucket above the cap is dropped WHOLE. With
+    // cap+2 identical vectors, every band bucket overflows → no
+    // candidates at all, and the query returns empty rather than
+    // exploding |bucket|² pairs.
+    val dir2 = freshScratch()
+    val many = (0 until VectorOps.MihBucketCap + 2).map(i =>
+      (i.toLong, base, 0))
+    writeTable("embeddings", many.toDF("vec_id", "embedding", "label"), dir2)
+    assert(VectorOps.annMihTop1(spark, dir2).count() == 0L)
+  }
 }
