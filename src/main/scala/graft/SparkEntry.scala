@@ -158,6 +158,7 @@ object SparkEntry {
     "doc_page_stats" -> ((s, d) => MultiModalOps.docPageStats(s, d)),
     "wav_features" -> ((s, d) => MultiModalOps.wavFeatures(s, d)),
     "bmp_features" -> ((s, d) => MultiModalOps.bmpFeatures(s, d)),
+    "image_resize" -> ((s, d) => MultiModalOps.imageResize(s, d)),
     "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
@@ -881,6 +882,8 @@ object SparkEntry {
     // WAV lacks (bottom-up row order, stride padding) made
     // hash-observable via the top-row checksum and padded-stride walk.
     "bmp_features" -> MultiModalOps.bmpFeaturesOracleSql,
+    // Block-mean downsample + aHash off the real BMP parse.
+    "image_resize" -> MultiModalOps.imageResizeOracleSql,
     // PNG completes the codec triad with the compressed-container
     // hazards: big-endian fields, per-chunk CRC-32, zlib inflate, and
     // per-row defiltering (None/Sub/Up) verified via the bottom-row

@@ -37,6 +37,17 @@ case class WavFeatures(
     n_samples: Long, container_bytes: Int, peak_abs: Int, energy: Long)
 
 /** One real PNG container payload awaiting decode. */
+/** Block-mean downsample + average-hash features of one decoded image
+  * (all-integer: means are floor divisions, the hash threshold is a
+  * cross-multiplied exact comparison). */
+case class BmpResized(
+    doc_id: Long,
+    grid_w: Int,
+    grid_h: Int,
+    n_pixels: Int,
+    resize_checksum: Long,
+    ahash: Int)
+
 case class PngPayload(doc_id: Long, payload: Array[Byte])
 
 /** Features extracted by genuinely parsing a PNG container: dimensions
@@ -424,6 +435,132 @@ object MultiModalOps {
       }
     }
   }
+
+  /** Downsample grid geometry (shared with the oracle): 4×3 blocks —
+    * within the minimum synthesized dims (w ≥ 4, h ≥ 3), so every
+    * block holds at least one pixel at every image size. */
+  val ResizeGridW = 4
+  val ResizeGridH = 3
+
+  /** The RESIZE stage of an image pipeline, on top of the real BMP
+    * parser: block-mean downsample each decoded image to a
+    * [[ResizeGridW]]×[[ResizeGridH]] grid (pixel (x,y) → block
+    * (x·gw div w, y·gh div h) — the exact-integer form of nearest-area
+    * resampling), then derive the average-hash (aHash) bit per block by
+    * comparing block mean against global mean via CROSS-MULTIPLICATION
+    * (blockSum·N > totalSum·blockN), so no division ever rounds. Gray
+    * is the plain channel sum (B+G+R — monotone in luminance for equal
+    * weights; no float weights enter). Emits the downsampled-grid
+    * checksum (floor-div block means, position-weighted) and the packed
+    * 12-bit aHash — the perceptual fingerprint an image-dedup pass
+    * bands on, all-integer end to end.
+    *
+    * Scale shape: partition-parallel mapPartitions over the payload
+    * column, one pass per image, constant memory (the grid
+    * accumulators); the walk honors bottom-up storage and the padded
+    * stride exactly like [[bmpDecode]]. */
+  def bmpResize(payloads: Dataset[BmpPayload]): Dataset[BmpResized] = {
+    import payloads.sparkSession.implicits._
+    val gw = ResizeGridW; val gh = ResizeGridH
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def i32(o: Int): Int =
+          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+          s"bmp_resize: not a BMP container (doc ${p.doc_id})")
+        require(i32(14) == 40 && u16(28) == 24 && i32(30) == 0,
+          s"bmp_resize: unsupported DIB/bpp/compression (doc ${p.doc_id})")
+        val offBits = i32(10)
+        val w = i32(18); val h = i32(22)
+        require(w >= gw && h >= gh,
+          s"bmp_resize: image ${w}x$h smaller than the $gw×$gh grid " +
+            s"(doc ${p.doc_id})")
+        val stride = ((w * 3 + 3) / 4) * 4
+        require(offBits + stride * h <= b.length,
+          s"bmp_resize: pixel array overruns container (doc ${p.doc_id})")
+        val blockSum = Array.ofDim[Long](gw * gh)
+        val blockN = Array.ofDim[Long](gw * gh)
+        var y = 0
+        while (y < h) {
+          val rowOff = offBits + (h - 1 - y) * stride
+          val by = y * gh / h
+          var x = 0
+          while (x < w) {
+            val o = rowOff + x * 3
+            val gray = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+            val bi = by * gw + x * gw / w
+            blockSum(bi) += gray; blockN(bi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var totalSum = 0L; var i = 0
+        while (i < gw * gh) { totalSum += blockSum(i); i += 1 }
+        val totalN = w.toLong * h
+        var checksum = 0L; var ahash = 0; i = 0
+        while (i < gw * gh) {
+          checksum += (blockSum(i) / blockN(i)) * (i + 1)
+          if (blockSum(i) * totalN > totalSum * blockN(i)) ahash |= 1 << i
+          i += 1
+        }
+        BmpResized(p.doc_id, gw, gh, w * h, checksum, ahash)
+      }
+    }
+  }
+
+  /** End-to-end resize query: synthesize BMPs ([[bmpEncode]]), run the
+    * real parse+downsample, emit all-integer grid features. The oracle
+    * recomputes blocks from the pixel FORMULA (never the bytes), so the
+    * hash match proves the decode→resize loop honors geometry, row
+    * order, and stride. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (coalesce(length(col("text")), lit(0)) % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 11 + 3).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    bmpResize(bmpEncode(in)).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[imageResize]] — per-pixel gray from the
+    * [[bmpByte]] formula, the same floor-scaled block mapping, the same
+    * cross-multiplied aHash threshold. */
+  private[graft] def imageResizeOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    (coalesce(length(text), 0) % 13) + 4 AS w,
+       |    (doc_id % 11) + 3 AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    i % w AS x, i // w AS y,
+       |    (doc_id * 7 + (i // w) * 13 + (i % w) * 5) % 256
+       |      + (doc_id * 7 + (i // w) * 13 + (i % w) * 5 + 11) % 256
+       |      + (doc_id * 7 + (i // w) * 13 + (i % w) * 5 + 22) % 256
+       |      AS gray
+       |  FROM g, unnest(generate_series(0, w * h - 1)) AS r(i)),
+       |blk AS (
+       |  SELECT doc_id, w, h,
+       |    (y * $ResizeGridH) // h * $ResizeGridW + (x * $ResizeGridW) // w
+       |      AS bi,
+       |    sum(gray) AS bs, count(*) AS bn
+       |  FROM px GROUP BY 1, 2, 3, 4),
+       |tot AS (
+       |  SELECT doc_id, sum(bs) AS ts, w * h AS tn
+       |  FROM blk GROUP BY doc_id, w, h)
+       |SELECT blk.doc_id,
+       |  $ResizeGridW AS grid_w, $ResizeGridH AS grid_h,
+       |  CAST(tot.tn AS INT) AS n_pixels,
+       |  CAST(sum((bs // bn) * (bi + 1)) AS BIGINT) AS resize_checksum,
+       |  CAST(sum(CASE WHEN bs * tot.tn > tot.ts * bn
+       |    THEN 1 << CAST(bi AS INT) ELSE 0 END) AS INT) AS ahash
+       |FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+       |GROUP BY blk.doc_id, tot.tn
+       |ORDER BY blk.doc_id""".stripMargin
 
   /** End-to-end codec query #2: synthesize one genuine BMP per document,
     * parse it back with the real header/stride/bottom-up walker, and emit

@@ -230,4 +230,34 @@ class MultiModalOpsSpec extends GraftSpec {
     assert(new String(ds.find(_.doc_id == 3L).get.payload, "UTF-8")
       == "tiny doc")
   }
+
+  test("bmp resize matches an independent block recomputation") {
+    import MultiModalOps.{ResizeGridW => gw, ResizeGridH => gh}
+    // w=5 exercises stride padding (15 → 16) AND a 2-pixel block
+    // (x·4/5 = 0,0,1,2,3); the parse walks bottom-up storage, the
+    // expectation below walks top-down image coords — agreement proves
+    // the decoder reorders rows correctly.
+    val cases = Seq((7L, 5, 3), (9L, 4, 3), (11L, 16, 13))
+    val in = spark.createDataset(cases)
+    val out = MultiModalOps.bmpResize(MultiModalOps.bmpEncode(in))
+      .collect().map(r => r.doc_id -> r).toMap
+    cases.foreach { case (d, w, h) =>
+      val bs = Array.ofDim[Long](gw * gh)
+      val bn = Array.ofDim[Long](gw * gh)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (0 until 3).map(MultiModalOps.bmpByte(d, x, y, _)).sum
+        val bi = (y * gh / h) * gw + x * gw / w
+        bs(bi) += gray; bn(bi) += 1
+      }
+      val ts = bs.sum; val tn = w.toLong * h
+      val expChecksum =
+        bs.indices.map(i => (bs(i) / bn(i)) * (i + 1)).sum
+      val expHash = bs.indices
+        .filter(i => bs(i) * tn > ts * bn(i)).map(1 << _).sum
+      val r = out(d)
+      assert(r.n_pixels == w * h)
+      assert(r.resize_checksum == expChecksum, s"checksum doc $d")
+      assert(r.ahash == expHash, s"ahash doc $d")
+    }
+  }
 }
