@@ -52,6 +52,7 @@ object SparkEntry {
     "rfm_scores" -> ((s, d) => BatchOps.rfmScores(s, d)),
     "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
     "pareto_frontier" -> ((s, d) => BatchOps.paretoFrontier(s, d)),
+    "shipping_priority" -> ((s, d) => BatchOps.shippingPriority(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -332,6 +333,8 @@ object SparkEntry {
     "part_copurchase" -> BatchOps.partCopurchaseOracleSql,
     // Distributed skyline: per-size champions, size-grain range window.
     "pareto_frontier" -> BatchOps.paretoFrontierOracleSql,
+    // TPC-H Q3 shape: broadcast dim, scan-pruned dates, top-10 heap.
+    "shipping_priority" -> BatchOps.shippingPriorityOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 

@@ -1238,6 +1238,61 @@ object BatchOps {
        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
        |ORDER BY 1""".stripMargin
 
+  /** [[shippingPriority]]'s segment + date anchors (shared with the
+    * oracle). The date sits mid-corpus so both filters keep and drop
+    * real rows. */
+  val ShipPrioSegment = "BUILDING"
+  val ShipPrioCutoff = "1998-06-30"
+
+  /** TPC-H Q3-shaped shipping priority: unshipped-revenue top-10 for
+    * one market segment — the classic join+agg+top-k probe of the
+    * star's selective path. Plan posture: the segment-filtered
+    * customer key set broadcasts into the orders scan, the
+    * orders⋈lineitem join is the only shuffle (both sides
+    * date-pruned AT THE SCAN — `PushedFilters` carries both
+    * predicates), the revenue rides the repo's exact-decimal money
+    * arithmetic, and the top-10 compiles to TakeOrderedAndProject
+    * (per-partition heads, never a global sort). The (revenue desc,
+    * l_orderkey) tiebreak pins row order cross-engine. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === ShipPrioSegment)
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(ShipPrioCutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(ShipPrioCutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("double")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** DuckDB oracle for [[shippingPriority]] — same anchors, same exact
+    * decimal product/sum, same tiebreak. */
+  private[graft] def shippingPriorityOracleSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |    AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$ShipPrioSegment'
+       |  AND o_orderdate < TIMESTAMP '$ShipPrioCutoff'
+       |  AND l_shipdate > TIMESTAMP '$ShipPrioCutoff'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
   /** Two-dimensional Pareto frontier (skyline) over parts: minimize
     * price, maximize size — the "best value at every capacity" query
     * (SKYLINE OF in the research literature; no SQL engine ships the

@@ -27,6 +27,24 @@ class PlanSpec extends GraftSpec {
     full.split("== Initial Plan ==")(0)
   }
 
+  test("shipping priority: pushed dates, broadcast dim, top-k heap") {
+    val plan = executedPlan(BatchOps.shippingPriority(spark, dir))
+    // Both date predicates must reach their scans (the selective path
+    // of Q3 — at 100 TB these prune most of the fact table).
+    assert(plan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("o_orderdate")),
+      s"o_orderdate not pushed:\n$plan")
+    assert(plan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("l_shipdate")),
+      s"l_shipdate not pushed:\n$plan")
+    // The segment-filtered customer key set rides a broadcast join.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer dim not broadcast:\n$plan")
+    // Top-10 is per-partition heads + merge, never a global sort.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no top-k heap:\n$plan")
+  }
+
   test("windowed extract pushes the date bound into the parquet scan") {
     val plan = executedPlan(BatchOps.customerRollupWindowed(spark, dir))
     // The literal-anchor rewrite exists precisely so this line appears:
