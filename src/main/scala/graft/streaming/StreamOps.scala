@@ -322,6 +322,61 @@ object StreamOps {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("segment"))
 
+  /** Streaming ingest dedup screen — the live twin of
+    * `TextOps.incrementalDedup`: incoming documents stream in, the
+    * STANDING corpus is a static frame, and each arrival gets the same
+    * exact/near/partial/novel verdict the batch screen would give it,
+    * in append mode with ZERO stateful operators. The trick that keeps
+    * it stateless: the per-doc chunk-overlap count — a groupBy in the
+    * batch twin — becomes an array-membership count over a chunk-hash
+    * ARRAY built inline (same 64/48 geometry as `TextOps.docChunks`)
+    * against the corpus's collected chunk-hash set, a pure projection.
+    * Exact membership rides a stream-static broadcast left join
+    * (stateless by construction).
+    *
+    * Scale posture: collecting the corpus chunk set into one broadcast
+    * row is the SMALL-corpus regime (a dimension-table-sized dedup
+    * set); at 100 TB the same projection swaps the exact set for the
+    * Bloom bitset `TextOps.bloomDecontam` builds — constant-size
+    * broadcast, same stateless shape, bloom-positive instead of exact
+    * membership. The batch twin's hash-partitioned semi join remains
+    * the replay/backfill path. */
+  def ingestScreen(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.TextOps.{ChunkStride, ChunkTokens, IngestNearShare}
+    val corpusHashes = corpus.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("corpus_text_hash")).distinct()
+    val corpusChunkSet = corpus.filter(col("text").isNotNull)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(split(text, ' ')) - 1, $ChunkStride),
+           |  s -> md5(array_join(slice(split(text, ' '), s + 1, $ChunkTokens), ' ')))"""
+          .stripMargin)).as("ch"))
+      .agg(collect_set(col("ch")).as("corpus_set"))
+    docs
+      .withColumn("chunks", expr(
+        s"""CASE WHEN text IS NULL THEN array()
+           |ELSE transform(sequence(0, size(split(text, ' ')) - 1, $ChunkStride),
+           |  s -> md5(array_join(slice(split(text, ' '), s + 1, $ChunkTokens), ' ')))
+           |END""".stripMargin))
+      .crossJoin(broadcast(corpusChunkSet))
+      .join(broadcast(corpusHashes),
+        md5(col("text")) === col("corpus_text_hash"), "left")
+      .select(col("doc_id"),
+        col("corpus_text_hash").isNotNull.as("is_exact_dup"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        // filter+array_contains, NOT array_intersect: the batch twin
+        // counts chunk OCCURRENCES (a repeated in-corpus window counts
+        // each time), and intersect would dedup them.
+        size(expr("filter(chunks, c -> array_contains(corpus_set, c))"))
+          .cast("long").as("n_shared_chunks"))
+      .withColumn("verdict",
+        when(col("is_exact_dup"), "exact")
+          .when(col("n_chunks") > 0 &&
+            col("n_shared_chunks").cast("double") >=
+              col("n_chunks").cast("double") * IngestNearShare, "near")
+          .when(col("n_shared_chunks") > 0, "partial")
+          .otherwise("novel"))
+  }
+
   /** Stream-stream interval join: purchases attributed to the same
     * user's clicks within the lookback window, live — the streaming
     * twin of `CdcOps.purchaseAttribution`. Both sides carry watermarks

@@ -918,4 +918,57 @@ class StreamOpsSpec extends GraftSpec {
     // dict.get defaults), it does not throw.
     assert(decoded.exists(_.isNullAt(0)))
   }
+
+  test("streaming ingest screen matches the batch twin verdict-for-verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    // The batch twin splits corpus/batch on the md5(doc_id) band; feed
+    // the SAME table dir to both paths so the pinning is exact.
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.take(15), 16) % 100).toInt
+    }
+    val corpusId = (1L to 500L).find(bucket(_) < TextOps.IngestPct).get
+    val batchIds = (1L to 500L).filter(bucket(_) >= TextOps.IngestPct).take(3)
+    val corpusText = (1 to 80).map(i => s"w$i").mkString(" ")
+    val dir = freshScratch()
+    val docs = Seq(
+      (corpusId, corpusText, "en", "web", corpusText.length.toLong),
+      (batchIds(0), corpusText, "en", "web", corpusText.length.toLong),
+      (batchIds(1), (1 to 80).map(i => s"z$i").mkString(" "), "en", "web", 1L),
+      (batchIds(2), null.asInstanceOf[String], "en", "web", 0L))
+    writeTable("documents", docs.toDF(
+      "doc_id", "text", "lang", "source", "n_chars"), dir)
+    val batchVerdicts = TextOps.incrementalDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_exact_dup"), r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("n_shared_chunks"), r.getAs[String]("verdict")))
+      .toMap
+    val corpus = Seq((corpusId, corpusText))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.ingestScreen(
+      in.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ingest_screen")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.filter(d => batchIds.contains(d._1))
+        .map(d => (d._1, d._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_screen").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("is_exact_dup"), r.getAs[Long]("n_chunks"),
+            r.getAs[Long]("n_shared_chunks"), r.getAs[String]("verdict")))
+        .toMap
+      assert(streamed.keySet == batchVerdicts.keySet)
+      streamed.keys.foreach { id =>
+        assert(streamed(id) == batchVerdicts(id),
+          s"doc $id: stream ${streamed(id)} != batch ${batchVerdicts(id)}")
+      }
+      // And the ladder is actually exercised: one of each verdict.
+      assert(streamed.values.map(_._4).toSet == Set("exact", "novel"))
+    } finally q.stop()
+  }
 }
