@@ -53,6 +53,8 @@ object SparkEntry {
     "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
     "pareto_frontier" -> ((s, d) => BatchOps.paretoFrontier(s, d)),
     "shipping_priority" -> ((s, d) => BatchOps.shippingPriority(s, d)),
+    "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
+    "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -335,6 +337,10 @@ object SparkEntry {
     "pareto_frontier" -> BatchOps.paretoFrontierOracleSql,
     // TPC-H Q3 shape: broadcast dim, scan-pruned dates, top-10 heap.
     "shipping_priority" -> BatchOps.shippingPriorityOracleSql,
+    // TPC-H Q18 shape: decimal HAVING cut, then tiny-frame join-back.
+    "large_volume_customers" -> BatchOps.largeVolumeCustomersOracleSql,
+    // Metronomic-cadence abuse filter: integer-exact verdict.
+    "bot_screen" -> CdcOps.botScreenOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 

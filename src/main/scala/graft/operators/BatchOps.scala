@@ -1238,6 +1238,51 @@ object BatchOps {
        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
        |ORDER BY 1""".stripMargin
 
+  /** [[largeVolumeCustomers]]' quantity floor (shared with the oracle):
+    * ~99.5th percentile of per-order quantity, so the cut is genuinely selective and the join-back frame genuinely broadcast-sized. */
+  val LargeVolumeQtyMin = 280
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose TOTAL
+    * lineitem quantity clears [[LargeVolumeQtyMin]], carrying the
+    * customer identity — the aggregate-HAVING + join shape (the
+    * classic "find the whales" probe). Plan posture: the quantity
+    * rollup is one partial+final hash aggregate on the fact table
+    * (decimal-exact, so the HAVING cut is deterministic at any
+    * partitioning); only the surviving order keys — a tiny frame —
+    * join back to orders/customer, and the order side of that join is
+    * the BROADCAST side by construction. Never a fact×dim join before
+    * the cut. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val whales = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") >= LargeVolumeQtyMin)
+    Tables.orders(spark, dir)
+      .join(broadcast(whales), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DuckDB oracle for [[largeVolumeCustomers]] — same decimal rollup,
+    * same floor, same join-back. */
+  private[graft] def largeVolumeCustomersOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT l_orderkey,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2)))
+       |    >= $LargeVolumeQtyMin)
+       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |  CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM orders
+       |JOIN w ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_orderkey""".stripMargin
+
   /** [[shippingPriority]]'s segment + date anchors (shared with the
     * oracle). The date sits mid-corpus so both filters keep and drop
     * real rows. */

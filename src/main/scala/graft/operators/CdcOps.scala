@@ -1285,6 +1285,73 @@ object CdcOps {
       |FROM agg
       |ORDER BY user_id""".stripMargin
 
+  /** [[botScreen]] thresholds (shared with the oracle): a user is
+    * metronomic when at least `BotMinGaps` inter-event gaps vary by no
+    * more than `BotGapTolMs` end to end. */
+  val BotMinGaps = 10
+  val BotGapTolMs = 1000L
+
+  /** Metronomic-cadence bot screen — the abuse filter a training-data
+    * pipeline runs over behavioral logs: humans emit bursty
+    * inter-arrival gaps; scripted clients tick. Per user: event count,
+    * min/max/total inter-event gap (millis, from the (ts, event_id)
+    * lag — the id tiebreak pins duplicate timestamps), mean gap as ONE
+    * IEEE division over exact longs, and the `metronomic` flag —
+    * `max_gap − min_gap ≤ tol` over ≥ [[BotMinGaps]] gaps, a pure
+    * integer predicate (no float variance enters the verdict, so the
+    * flag is bit-deterministic at any partitioning).
+    *
+    * Scale shape: one user-partitioned window sort (the sessionization
+    * partitioning — no global sort), then a partial+final per-user
+    * aggregate. Nothing is corpus-pairwise. */
+  def botScreen(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_ms")).as("n_gaps"),
+        min(col("gap_ms")).as("min_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"),
+        sum(col("gap_ms")).as("total_gap_ms"))
+      .withColumn("avg_gap_ms",
+        col("total_gap_ms").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("metronomic",
+        col("n_gaps") >= BotMinGaps &&
+          col("max_gap_ms") - col("min_gap_ms") <= BotGapTolMs)
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[botScreen]] — same lag tiebreak, same integer
+    * predicate, same single IEEE division. */
+  private[graft] def botScreenOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id,
+       |    epoch_ms(ts) AS ts_ms
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id,
+       |    ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+       |      ORDER BY ts_ms, event_id) AS gap_ms
+       |  FROM e),
+       |a AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    count(gap_ms) AS n_gaps,
+       |    CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+       |    CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+       |    CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
+       |  FROM g GROUP BY user_id)
+       |SELECT user_id, n_events, n_gaps, min_gap_ms, max_gap_ms,
+       |  total_gap_ms,
+       |  CAST(total_gap_ms AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+       |    AS avg_gap_ms,
+       |  n_gaps >= $BotMinGaps
+       |    AND max_gap_ms - min_gap_ms <= $BotGapTolMs AS metronomic
+       |FROM a
+       |ORDER BY user_id""".stripMargin
+
   /** HyperLogLog register count (2^8; shared with the oracle). */
   val HllM = 256
 
