@@ -41,11 +41,12 @@ object Pipeline {
       "source_quality_profile", "length_boxplot"),
     "privacy_scrub" -> Seq("pii_scrub"),
     "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
-      "neardup_survivors", "semantic_dedup_survivors", "dedup_features"),
+      "neardup_survivors", "semantic_dedup_survivors", "dedup_features",
+      "dup_span_census", "incremental_dedup"),
     "decontamination" -> Seq("cross_source_contamination",
-      "split_contamination"),
+      "split_contamination", "bloom_decontam"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
-      "oov_rate"),
+      "oov_rate", "token_entropy"),
     // Embedding-space curation: the trained-quantizer dashboard
     // (tightness / margins) and the cluster-balanced sample feeding
     // assembly.
@@ -53,7 +54,8 @@ object Pipeline {
       "cluster_sample"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
-      "chunk_packing", "tfidf_topk", "split_balance"))
+      "chunk_packing", "tfidf_topk", "split_balance",
+      "token_budget_sample", "pmi_collocations"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,
