@@ -12,14 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * gives a pure-SQL user (`spark-sql`, Thrift server, a notebook with no
-  * graft import) `vec_dot`, `simhash60`, `poly_roll`, and `quant_stats`
-  * in every session, resolved to the same codegen'd expressions the
-  * library API uses. The operators in `graft.operators` do not REQUIRE
-  * the extension to be installed — they self-register through the
-  * session registry on first use ([[DotProduct.register]] /
+  * graft import) `vec_dot`, `simhash60`, `poly_roll`, `quant_stats`,
+  * and `sign_bits` in every session, resolved to the same codegen'd
+  * expressions the library API uses. The operators in `graft.operators`
+  * do not REQUIRE the extension to be installed — they self-register
+  * through the session registry on first use ([[DotProduct.register]] /
   * [[Simhash60.register]] / [[PolyRollHash.register]] /
-  * [[QuantStats.register]]) — so the injector exists for the SQL front
-  * door, not as a hidden dependency. Keep the injected set equal to the
+  * [[QuantStats.register]] / [[SignBits.register]]) — so the injector
+  * exists for the SQL front door, not as a hidden dependency. Keep the injected set equal to the
   * registered-native set (spec-pinned: "GraftExtensions injects every
   * registered native" in DotProductSpec). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("quant_stats"),
       new ExpressionInfo(classOf[QuantStats].getName, "quant_stats"),
       QuantStats.fromChildren _))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_bits"),
+      new ExpressionInfo(classOf[SignBits].getName, "sign_bits"),
+      SignBits.fromChildren _))
   }
 }

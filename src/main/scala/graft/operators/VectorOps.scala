@@ -1702,10 +1702,13 @@ object VectorOps {
     * smaller than the embeddings. Output is ALL-INTEGER (ids + Hamming
     * distance), so the hash contract needs no float reasoning. */
   def annMihTop1(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SignBits.register(spark)
+    // Native band packer (graft.functions.SignBits): the aggregate()
+    // HOF this replaces evaluated an interpreted lambda per ELEMENT —
+    // per vector per band, the binary-quantization hot path at scale.
     val bandCols = (0 until MihBands).map { j =>
-      expr(s"aggregate(sequence(0, ${MihBandBits - 1}), 0, (acc, k) -> " +
-        s"acc + IF(element_at(embedding, ${j * MihBandBits} + k + 1) > 0, " +
-        s"shiftleft(1, k), 0))").as(s"b$j")
+      expr(s"sign_bits(embedding, ${j * MihBandBits}, $MihBandBits)")
+        .as(s"b$j")
     }
     val bands = Tables.embeddings(spark, dir)
       .select(col("vec_id") +: bandCols: _*)

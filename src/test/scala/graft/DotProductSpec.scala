@@ -142,10 +142,16 @@ class DotProductSpec extends GraftSpec {
       assert(r.getLong(2) == (7L * 10L + 3L) % 97L)
       // The injected set must equal the registered-native set: every
       // native the library self-registers resolves via the injector too.
-      val injected = Seq("vec_dot", "simhash60", "poly_roll", "quant_stats")
+      val injected =
+        Seq("vec_dot", "simhash60", "poly_roll", "quant_stats", "sign_bits")
       injected.foreach { f =>
         assert(s2.catalog.functionExists(f), s"$f not injected")
       }
+      // sign_bits resolves and packs strictly-positive signs.
+      assert(s2.sql(
+        """SELECT sign_bits(array(cast(1.0 as float), cast(-1.0 as float),
+          |                       cast(0.0 as float), cast(2.0 as float)),
+          |                 0, 4) AS b""".stripMargin).head.getInt(0) == 9)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
