@@ -149,6 +149,7 @@ object SparkEntry {
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
+    "dedup_components_df" -> ((s, d) => TextOps.dedupComponentsDf(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
@@ -813,6 +814,9 @@ object SparkEntry {
     "oov_rate" -> TextOps.oovRateOracleSql,
     "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),
+    // Same labels, same recursive-CTE oracle — the pure-DataFrame
+    // min-label-propagation twin of the GraphX form.
+    "dedup_components_df" -> TextOps.dedupComponentsOracleSql(shinglesSql),
     // Damped PageRank over the same capped edge set, one CTE per
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),

@@ -1487,6 +1487,53 @@ object TextOps {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     dedupComponentsCore(spark, dir).orderBy("doc_id")
 
+  /** Connected components as a PURE-DataFrame iteration — the
+    * no-GraphX twin of [[dedupComponents]], same labels, same oracle.
+    * Min-label propagation: l(u) starts at min(u, N(u)) and each round
+    * folds in the minimum label of u's neighborhood; the fixpoint
+    * (reached in O(component diameter) rounds — near-dup clusters are
+    * shallow) assigns every vertex its component's minimum doc_id,
+    * exactly GraphX's convention. The driver loop is ONE count() per
+    * round for the convergence test — the same coordination Pregel
+    * does internally — and each round's labels are localCheckpoint'd
+    * (KB-sized: only docs with ≥1 pair) so lineage stays flat instead
+    * of growing a join-tree per iteration.
+    *
+    * Why it exists alongside the GraphX form: Catalyst sees THROUGH
+    * this one (AQE sizes every round's shuffle; the edge frame is the
+    * memoized checkpoint), it needs no second execution engine, and
+    * integer min-labels make it oracle-checkable — the same reasons
+    * the PageRank twin is DataFrame-shaped. The Pregel form remains
+    * the deep-graph path (diameter ≫ rounds). */
+  def dedupComponentsDf(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+    // No checkpoint here: pairs IS the memoized checkpoint, and the
+    // symmetrization is one cheap projection per consumer round.
+    val adj = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = adj.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("l"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      // ONE materializing action per round: the next labels carry their
+      // own `moved` flag, so the convergence test reads the checkpoint
+      // instead of re-joining previous vs next.
+      val next = adj
+        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
+        .groupBy("u").agg(min(col("lv")).as("ln"))
+        .join(labels, "u")
+        .select(col("u"), least(col("l"), col("ln")).as("l"),
+          (col("ln") < col("l")).as("moved"))
+        .localCheckpoint()
+      converged = next.filter(col("moved")).isEmpty
+      labels = next.select("u", "l")
+    }
+    labels.select(col("u").as("doc_id"), col("l").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   /** Session-scoped memo of the CC labels, keyed by (applicationId, dir).
     * The labels frame is the dedup pipeline's materialized intermediate:
     * [[dedupComponents]] and [[nearDupSurvivors]] both consume it, and at
