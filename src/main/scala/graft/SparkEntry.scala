@@ -55,6 +55,7 @@ object SparkEntry {
     "shipping_priority" -> ((s, d) => BatchOps.shippingPriority(s, d)),
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
+    "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -342,6 +343,8 @@ object SparkEntry {
     "large_volume_customers" -> BatchOps.largeVolumeCustomersOracleSql,
     // Metronomic-cadence abuse filter: integer-exact verdict.
     "bot_screen" -> CdcOps.botScreenOracleSql,
+    // Robust mean via ORDER-STATISTIC clipping (never interpolated).
+    "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 

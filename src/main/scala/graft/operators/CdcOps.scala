@@ -1285,6 +1285,100 @@ object CdcOps {
       |FROM agg
       |ORDER BY user_id""".stripMargin
 
+  /** Winsorization tail share (per side), as an exact integer ratio:
+    * k-th order statistic with k = ⌈n/[[WinsorDenom]]⌉ (shared with the
+    * oracle). 20 → clip at the exact 5th/95th percentile ORDER
+    * STATISTICS. */
+  val WinsorDenom = 20
+
+  /** Winsorized per-type value stats — the robust-mean companion of
+    * [[madOutliers]]: clip each event's value into the [p05, p95]
+    * ORDER-STATISTIC envelope of its event type, then aggregate. Both
+    * bounds are actual data values picked by rank (k = ⌈n/20⌉ from
+    * each end, pure integer arithmetic) — never interpolated: an
+    * interpolated percentile is a computed double whose
+    * decimal-rounding could land on a half-tie where Spark (HALF_UP)
+    * and DuckDB (half-even) disagree, while an order statistic is a
+    * value the data already carries in DECIMAL(18,2), so every clip,
+    * sum, and count downstream is exact. The two means are each one
+    * IEEE division at the end.
+    *
+    * Scale shape: one rank window per event type (the exact-percentile
+    * sort any exact method pays), the 2-row-per-type bounds frame
+    * broadcasts back onto the fact scan, then one partial+final
+    * aggregate. The approx twin at 100 TB is `approx_percentile`
+    * bounds with the same clip projection (documented trade, as with
+    * `source_quality_profile`). */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val wn = Window.partitionBy("event_type")
+    val ranked = vals
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("k_lo", expr(s"(n + ${WinsorDenom - 1}) div $WinsorDenom"))
+    val bounds = ranked
+      .filter(col("rn") === col("k_lo") ||
+        col("rn") === col("n") - col("k_lo") + 1)
+      .groupBy("event_type")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    vals.join(broadcast(bounds), "event_type")
+      .withColumn("clipped", greatest(col("lo"), least(col("v"), col("hi"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("v")).as("sum_raw"),
+        sum(col("clipped")).as("sum_winsor"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .select(col("event_type"), col("n_events"),
+        col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi"),
+        (col("sum_raw").cast("double") / col("n_events").cast("double"))
+          .as("mean_raw"),
+        (col("sum_winsor").cast("double") / col("n_events").cast("double"))
+          .as("mean_winsor"),
+        col("n_clip_lo"), col("n_clip_hi"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[winsorizedStats]] — same integer rank picks,
+    * same decimal clip/sums, same final divisions. */
+  private[graft] def winsorizedStatsOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n,
+       |    (count(*) OVER (PARTITION BY event_type) + ${WinsorDenom - 1})
+       |      // $WinsorDenom AS k_lo
+       |  FROM v),
+       |b AS (
+       |  SELECT event_type, min(v) AS lo, max(v) AS hi
+       |  FROM r WHERE rn = k_lo OR rn = n - k_lo + 1
+       |  GROUP BY event_type),
+       |c AS (
+       |  SELECT v.event_type, v.v,
+       |    greatest(b.lo, least(v.v, b.hi)) AS clipped, b.lo, b.hi
+       |  FROM v JOIN b ON v.event_type = b.event_type)
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(min(lo) AS DOUBLE) AS lo,
+       |  CAST(min(hi) AS DOUBLE) AS hi,
+       |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mean_raw,
+       |  CAST(CAST(sum(clipped) AS DECIMAL(28,2)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mean_winsor,
+       |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clip_lo,
+       |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clip_hi
+       |FROM c
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** [[botScreen]] thresholds (shared with the oracle): a user is
     * metronomic when at least `BotMinGaps` inter-event gaps vary by no
     * more than `BotGapTolMs` end to end. */
