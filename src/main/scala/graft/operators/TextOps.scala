@@ -745,8 +745,7 @@ object TextOps {
   def dedupFeatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Simhash60.register(spark)
     graft.functions.DotProduct.register(spark)
-    val pairs = nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val pairs = nearDupPairsCore(spark, dir)
     val sim = shingleHashes(spark, dir)
       .groupBy("doc_id")
       .agg(collect_list(col("h")).as("hs"))
@@ -1563,12 +1562,18 @@ object TextOps {
   private val nearDupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
+  /** The memoized frame carries `jaccard` too: [[dedupFeatures]] needs
+    * the score, every graph consumer just ignores the third column, and
+    * keeping one memo (not two) means one checkpoint and one pipeline
+    * run feed ALL pair consumers. Column ORDER (doc_a, doc_b, …) is
+    * load-bearing: [[dedupComponentsUncached]] reads positionally. */
   private def nearDupPairsCore(spark: SparkSession,
       dir: String): DataFrame =
     nearDupPairsMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
       _ => nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint())
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint())
 
   /** The actual candidates→verify→CC pipeline behind [[ccLabelMemo]]. */
   private def dedupComponentsUncached(spark: SparkSession,
