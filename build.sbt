@@ -34,11 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // medians inflated 3-5× from GC (the container has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // The JIT code cache is the other unbounded-growth JVM resource in a
-  // 73-query × 4-execution whole-stage-codegen bench: the 240 MB default
+  // 138-query × 4-execution whole-stage-codegen bench: the 240 MB default
   // fills mid-run, HotSpot silently stops compiling, and later queries
   // run interpreted (round-7 example: product_rollup_windowed recorded
-  // 9.0 s in the full bench vs 0.92 s isolated, code unchanged).
-  "-XX:ReservedCodeCacheSize=512m",
+  // 9.0 s in the full bench vs 0.92 s isolated, code unchanged; raised
+  // 512m → 1g in round 10 when the suite hit 138 queries and ann_pq_top1
+  // ran ~2× slower in-suite than isolated).
+  "-XX:ReservedCodeCacheSize=1g",
   // GC log per forked JVM (pid-keyed, under target/ so it never lands in
   // git): the r9 bench artifact (product_performance 3→39→47 s within one
   // run) is a heap/GC-or-accretion class diagnosis — this makes the next
