@@ -27,6 +27,26 @@ class PlanSpec extends GraftSpec {
     full.split("== Initial Plan ==")(0)
   }
 
+  test("pmi collocations: vocab joins are equi-joins, never nested-loop") {
+    val plan = executedPlan(TextOps.pmiCollocations(spark, dir))
+    // Two vocab-keyed hash joins + one 1-row broadcast total; a
+    // refactor that turns either unigram join into a nested loop
+    // re-derives pair×vocab work.
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.split("\n").count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loop joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("MIH candidate generation is a bucket equi-join, never all-pairs") {
+    val plan = executedPlan(VectorOps.annMihTop1(spark, dir))
+    // The pigeonhole join must stay keyed on (band, value); an
+    // all-pairs Hamming scan is exactly what MIH exists to avoid.
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi candidate join:\n$plan")
+  }
+
   test("shipping priority: pushed dates, broadcast dim, top-k heap") {
     val plan = executedPlan(BatchOps.shippingPriority(spark, dir))
     // Both date predicates must reach their scans (the selective path
