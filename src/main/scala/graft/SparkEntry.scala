@@ -56,6 +56,7 @@ object SparkEntry {
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
+    "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -345,6 +346,8 @@ object SparkEntry {
     "bot_screen" -> CdcOps.botScreenOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
+    // FULL OUTER cross-derivation audit at the aggregate grain.
+    "revenue_reconciliation" -> BatchOps.revenueReconciliationOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 

@@ -1238,6 +1238,75 @@ object BatchOps {
        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
        |ORDER BY 1""".stripMargin
 
+  /** Cross-derivation revenue reconciliation — the audit query every
+    * warehouse runs: the SAME daily metric derived two independent ways
+    * (order-header `o_totalprice` vs line-level Σ extendedprice·(1−disc)
+    * rolled up through the join), FULL OUTER joined on the day so a day
+    * present in only one derivation surfaces instead of disappearing
+    * into an inner join. Emits both sides, their exact-decimal delta,
+    * and the day's line/order counts; the generator's header-vs-lines
+    * discrepancy is the REPORT, not an error — what matters is that
+    * both paths and the delta are decimal-exact and the join drops
+    * nothing.
+    *
+    * Scale shape: two independent partial+final day-grain aggregates
+    * (one per derivation — each shuffles once on the day key), then a
+    * day-grain FULL OUTER merge of two calendar-sized frames. The fact
+    * tables are never joined row-to-row: reconciliation happens at the
+    * AGGREGATE grain, which is what makes it run at 100 TB. */
+  def revenueReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val fromOrders = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("header_rev"),
+        count(lit(1)).as("n_orders"))
+    val fromLines = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("line_rev"),
+        count(lit(1)).as("n_lines"))
+    fromOrders.join(fromLines, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("header_rev"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("header_rev"),
+        coalesce(col("line_rev"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("line_rev"),
+        (coalesce(col("line_rev"), lit(0).cast("decimal(18,2)")) -
+          coalesce(col("header_rev"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("delta"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[revenueReconciliation]] — same two decimal
+    * derivations, same FULL OUTER day merge, same coalesce defaults. */
+  private[graft] def revenueReconciliationOracleSql: String =
+    s"""WITH ho AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS header_rev,
+       |    count(*) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |ln AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |      AS line_rev,
+       |    count(*) AS n_lines
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1)
+       |SELECT coalesce(ho.day, ln.day) AS day,
+       |  coalesce(n_orders, 0) AS n_orders,
+       |  coalesce(n_lines, 0) AS n_lines,
+       |  CAST(coalesce(header_rev, 0) AS DOUBLE) AS header_rev,
+       |  CAST(coalesce(line_rev, 0) AS DOUBLE) AS line_rev,
+       |  CAST(coalesce(line_rev, 0) - coalesce(header_rev, 0) AS DOUBLE)
+       |    AS delta
+       |FROM ho FULL OUTER JOIN ln ON ho.day = ln.day
+       |ORDER BY 1""".stripMargin
+
   /** [[largeVolumeCustomers]]' quantity floor (shared with the oracle):
     * ~99.5th percentile of per-order quantity, so the cut is genuinely selective and the join-back frame genuinely broadcast-sized. */
   val LargeVolumeQtyMin = 280
