@@ -165,6 +165,7 @@ object SparkEntry {
     "wav_features" -> ((s, d) => MultiModalOps.wavFeatures(s, d)),
     "bmp_features" -> ((s, d) => MultiModalOps.bmpFeatures(s, d)),
     "image_resize" -> ((s, d) => MultiModalOps.imageResize(s, d)),
+    "video_frame_sample" -> ((s, d) => MultiModalOps.videoFrameSampleQuery(s, d)),
     "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
@@ -903,6 +904,8 @@ object SparkEntry {
     "bmp_features" -> MultiModalOps.bmpFeaturesOracleSql,
     // Block-mean downsample + aHash off the real BMP parse.
     "image_resize" -> MultiModalOps.imageResizeOracleSql,
+    // Multi-frame container walk + stride-2 frame sampling.
+    "video_frame_sample" -> MultiModalOps.videoFrameSampleOracleSql,
     // PNG completes the codec triad with the compressed-container
     // hazards: big-endian fields, per-chunk CRC-32, zlib inflate, and
     // per-row defiltering (None/Sub/Up) verified via the bottom-row

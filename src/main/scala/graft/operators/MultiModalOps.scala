@@ -37,6 +37,19 @@ case class WavFeatures(
     n_samples: Long, container_bytes: Int, peak_abs: Int, energy: Long)
 
 /** One real PNG container payload awaiting decode. */
+case class VideoPayload(doc_id: Long, payload: Array[Byte])
+
+/** Frame-sampling features of one multi-frame video container
+  * (all-integer). */
+case class VideoFrameSample(
+    doc_id: Long,
+    n_frames: Int,
+    frame_w: Int,
+    frame_h: Int,
+    n_sampled: Int,
+    sampled_pixel_sum: Long,
+    sampled_max_byte: Int)
+
 /** Block-mean downsample + average-hash features of one decoded image
   * (all-integer: means are floor divisions, the hash threshold is a
   * cross-multiplied exact comparison). */
@@ -338,43 +351,49 @@ object MultiModalOps {
     * BITMAPINFOHEADER, then pixel rows stored BOTTOM-UP (positive height,
     * per the format), each padded with zero bytes to a 4-byte stride.
     * Partition-parallel over (doc_id, width, height) rows. */
+  /** One genuine BMP container for pixel seed `seed` — the shared byte
+    * builder behind [[bmpEncode]] and the multi-frame [[videoEncode]]. */
+  private[operators] def bmpBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val fileSize = 54 + stride * h
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize)
+    buf.putShort(0).putShort(0)             // reserved1/2
+    buf.putInt(54)                          // pixel-data offset
+    buf.putInt(40)                          // BITMAPINFOHEADER size
+    buf.putInt(w)
+    buf.putInt(h)                           // positive = bottom-up
+    buf.putShort(1)                         // planes
+    buf.putShort(24)                        // bits per pixel
+    buf.putInt(0)                           // BI_RGB (uncompressed)
+    buf.putInt(stride * h)                  // image size
+    buf.putInt(2835).putInt(2835)           // 72 dpi in px/metre
+    buf.putInt(0).putInt(0)                 // clrUsed/clrImportant
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r                     // stored row r = image row y
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          buf.put(bmpByte(seed, x, y, c).toByte); c += 1
+        }
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { buf.put(0.toByte); pad += 1 }
+      r += 1
+    }
+    buf.array()
+  }
+
   def bmpEncode(rows: Dataset[(Long, Int, Int)]): Dataset[BmpPayload] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { case (docId, w, h) =>
-        val stride = ((w * 3 + 3) / 4) * 4
-        val fileSize = 54 + stride * h
-        val buf = java.nio.ByteBuffer.allocate(fileSize)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.put('B'.toByte).put('M'.toByte)
-        buf.putInt(fileSize)
-        buf.putShort(0).putShort(0)             // reserved1/2
-        buf.putInt(54)                          // pixel-data offset
-        buf.putInt(40)                          // BITMAPINFOHEADER size
-        buf.putInt(w)
-        buf.putInt(h)                           // positive = bottom-up
-        buf.putShort(1)                         // planes
-        buf.putShort(24)                        // bits per pixel
-        buf.putInt(0)                           // BI_RGB (uncompressed)
-        buf.putInt(stride * h)                  // image size
-        buf.putInt(2835).putInt(2835)           // 72 dpi in px/metre
-        buf.putInt(0).putInt(0)                 // clrUsed/clrImportant
-        var r = 0
-        while (r < h) {
-          val y = h - 1 - r                     // stored row r = image row y
-          var x = 0
-          while (x < w) {
-            var c = 0
-            while (c < 3) {
-              buf.put(bmpByte(docId, x, y, c).toByte); c += 1
-            }
-            x += 1
-          }
-          var pad = w * 3
-          while (pad < stride) { buf.put(0.toByte); pad += 1 }
-          r += 1
-        }
-        BmpPayload(docId, buf.array())
+        BmpPayload(docId, bmpBytes(docId, w, h))
       }
     }
   }
@@ -510,6 +529,140 @@ object MultiModalOps {
       }
     }
   }
+
+  /** Frame-sampling stride: every [[FrameStride]]-th frame is decoded
+    * (shared with the oracle). */
+  val FrameStride = 2
+
+  /** Per-frame pixel-seed offset — frames of one video differ
+    * deterministically (shared with the oracle). */
+  val FrameSeedStep = 7919L
+
+  /** Synthesize a "video": [[bmpBytes]] frames back-to-back in one
+    * binary payload — the opaque multi-frame container shape (an
+    * MJPEG/AVI stand-in built from the codec this repo actually has).
+    * Frame f's pixel seed is `doc_id + f·[[FrameSeedStep]]`. */
+  def videoEncode(rows: Dataset[(Long, Int, Int, Int)]): Dataset[VideoPayload] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { case (docId, w, h, nFrames) =>
+        val frames = (0 until nFrames)
+          .map(f => bmpBytes(docId + f * FrameSeedStep, w, h))
+        val out = new Array[Byte](frames.map(_.length).sum)
+        var off = 0
+        frames.foreach { fb =>
+          System.arraycopy(fb, 0, out, off, fb.length); off += fb.length
+        }
+        VideoPayload(docId, out)
+      }
+    }
+  }
+
+  /** The FRAME-SAMPLE stage of a video pipeline: walk the multi-frame
+    * container by each frame's own declared size (offset 2 of the BMP
+    * header — a walker that assumes a fixed frame length desyncs the
+    * moment stride padding changes the frame size), decode every
+    * [[FrameStride]]-th frame with the REAL parser, and aggregate
+    * pixel stats over the sampled frames only. Malformed frames or a
+    * trailing partial frame throw — container corruption is a signal.
+    * Partition-parallel, constant memory per video. */
+  def videoFrameSample(payloads: Dataset[VideoPayload]): Dataset[VideoFrameSample] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def i32(o: Int): Int =
+          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        var off = 0; var f = 0; var sampled = 0
+        var pixelSum = 0L; var maxByte = 0
+        var fw = 0; var fh = 0
+        while (off < b.length) {
+          require(off + 54 <= b.length &&
+            b(off) == 'B'.toByte && b(off + 1) == 'M'.toByte,
+            s"video_sample: frame $f is not a BMP (doc ${p.doc_id})")
+          val frameLen = i32(off + 2)
+          require(frameLen > 54 && off + frameLen <= b.length,
+            s"video_sample: frame $f overruns container (doc ${p.doc_id})")
+          if (f % FrameStride == 0) {
+            val offBits = i32(off + 10)
+            val w = i32(off + 18); val h = i32(off + 22)
+            require(u16(off + 28) == 24 && i32(off + 30) == 0,
+              s"video_sample: frame $f not 24bpp BI_RGB (doc ${p.doc_id})")
+            fw = w; fh = h
+            val stride = ((w * 3 + 3) / 4) * 4
+            var y = 0
+            while (y < h) {
+              val rowOff = off + offBits + (h - 1 - y) * stride
+              var j = 0
+              while (j < w * 3) {
+                val v = b(rowOff + j) & 0xff
+                pixelSum += v
+                if (v > maxByte) maxByte = v
+                j += 1
+              }
+              y += 1
+            }
+            sampled += 1
+          }
+          off += frameLen; f += 1
+        }
+        VideoFrameSample(p.doc_id, f, fw, fh, sampled, pixelSum, maxByte)
+      }
+    }
+  }
+
+  /** End-to-end frame-sample query: synthesize a multi-frame video per
+    * document, walk + sample + decode with the real parser, emit
+    * all-integer stats over the sampled frames. The oracle recomputes
+    * the sampled frames' pixel sums from the FORMULA (never the
+    * bytes), so the hash match proves the container walk, the stride-2
+    * sampling, and the per-frame parse are all byte-correct. */
+  def videoFrameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (coalesce(length(col("text")), lit(0)) % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 11 + 3).cast("int").as("h"),
+        (col("doc_id") % 3 + 2).cast("int").as("n_frames"))
+      .as[(Long, Int, Int, Int)]
+    videoFrameSample(videoEncode(in)).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[videoFrameSampleQuery]] — frame geometry and
+    * sampled pixel sums from first principles. */
+  private[graft] def videoFrameSampleOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    (coalesce(length(text), 0) % 13) + 4 AS w,
+       |    (doc_id % 11) + 3 AS h,
+       |    (doc_id % 3) + 2 AS n_frames
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, w, h, n_frames, f,
+       |    doc_id + f * $FrameSeedStep AS seed
+       |  FROM g, unnest(generate_series(0, n_frames - 1)) AS s(f)
+       |  WHERE f % $FrameStride = 0),
+       |px AS (
+       |  SELECT doc_id, n_frames, w, h, f,
+       |    list_sum(list_transform(generate_series(0, w * h * 3 - 1), i ->
+       |      (seed * 7 + (i // (w * 3)) * 13 + ((i % (w * 3)) // 3) * 5
+       |       + (i % 3) * 11) % 256)) AS frame_sum,
+       |    list_max(list_transform(generate_series(0, w * h * 3 - 1), i ->
+       |      (seed * 7 + (i // (w * 3)) * 13 + ((i % (w * 3)) // 3) * 5
+       |       + (i % 3) * 11) % 256)) AS frame_max
+       |  FROM fr)
+       |SELECT doc_id,
+       |  CAST(n_frames AS INT) AS n_frames,
+       |  CAST(w AS INT) AS frame_w,
+       |  CAST(h AS INT) AS frame_h,
+       |  CAST(count(*) AS INT) AS n_sampled,
+       |  CAST(sum(frame_sum) AS BIGINT) AS sampled_pixel_sum,
+       |  CAST(max(frame_max) AS INT) AS sampled_max_byte
+       |FROM px
+       |GROUP BY doc_id, n_frames, w, h
+       |ORDER BY doc_id""".stripMargin
 
   /** End-to-end resize query: synthesize BMPs ([[bmpEncode]]), run the
     * real parse+downsample, emit all-integer grid features. The oracle

@@ -231,6 +231,29 @@ class MultiModalOpsSpec extends GraftSpec {
       == "tiny doc")
   }
 
+  test("video frame sampler walks frame sizes and samples stride-2") {
+    // 3 frames -> samples frames 0 and 2; 2 frames -> frame 0 only.
+    // w=5 gives stride-padded frames, so a walker that advances by
+    // w*3*h + 54 instead of the declared size desyncs at frame 1.
+    val cases = Seq((21L, 5, 3, 3), (22L, 4, 3, 2))
+    val in = spark.createDataset(cases)
+    val out = MultiModalOps.videoFrameSample(MultiModalOps.videoEncode(in))
+      .collect().map(r => r.doc_id -> r).toMap
+    cases.foreach { case (d, w, h, nf) =>
+      val sampledFrames = (0 until nf).filter(_ % MultiModalOps.FrameStride == 0)
+      var sum = 0L; var mx = 0
+      for (f <- sampledFrames; y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val v = MultiModalOps.bmpByte(d + f * MultiModalOps.FrameSeedStep, x, y, c)
+        sum += v; if (v > mx) mx = v
+      }
+      val r = out(d)
+      assert(r.n_frames == nf && r.n_sampled == sampledFrames.length)
+      assert(r.frame_w == w && r.frame_h == h)
+      assert(r.sampled_pixel_sum == sum, s"pixel sum doc $d")
+      assert(r.sampled_max_byte == mx, s"max byte doc $d")
+    }
+  }
+
   test("bmp resize matches an independent block recomputation") {
     import MultiModalOps.{ResizeGridW => gw, ResizeGridH => gh}
     // w=5 exercises stride padding (15 → 16) AND a 2-pixel block
