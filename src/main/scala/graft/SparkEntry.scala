@@ -166,6 +166,7 @@ object SparkEntry {
     "bmp_features" -> ((s, d) => MultiModalOps.bmpFeatures(s, d)),
     "image_resize" -> ((s, d) => MultiModalOps.imageResize(s, d)),
     "video_frame_sample" -> ((s, d) => MultiModalOps.videoFrameSampleQuery(s, d)),
+    "audio_resample" -> ((s, d) => MultiModalOps.audioResample(s, d)),
     "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
@@ -906,6 +907,8 @@ object SparkEntry {
     "image_resize" -> MultiModalOps.imageResizeOracleSql,
     // Multi-frame container walk + stride-2 frame sampling.
     "video_frame_sample" -> MultiModalOps.videoFrameSampleOracleSql,
+    // Exact-integer audio decimation off the real WAV parse.
+    "audio_resample" -> MultiModalOps.audioResampleOracleSql,
     // PNG completes the codec triad with the compressed-container
     // hazards: big-endian fields, per-chunk CRC-32, zlib inflate, and
     // per-row defiltering (None/Sub/Up) verified via the bottom-row

@@ -36,7 +36,18 @@ case class WavFeatures(
     doc_id: Long, sample_rate: Int, n_channels: Int, bits_per_sample: Int,
     n_samples: Long, container_bytes: Int, peak_abs: Int, energy: Long)
 
-/** One real PNG container payload awaiting decode. */
+/** Integer-decimation resample features of one parsed WAV
+  * (all-integer). */
+case class WavResampled(
+    doc_id: Long,
+    in_rate: Int,
+    out_rate: Int,
+    n_in: Long,
+    n_out: Long,
+    peak_abs: Int,
+    energy: Long)
+
+/** One multi-frame video container payload awaiting frame sampling. */
 case class VideoPayload(doc_id: Long, payload: Array[Byte])
 
 /** Frame-sampling features of one multi-frame video container
@@ -61,6 +72,7 @@ case class BmpResized(
     resize_checksum: Long,
     ahash: Int)
 
+/** One real PNG container payload awaiting decode. */
 case class PngPayload(doc_id: Long, payload: Array[Byte])
 
 /** Features extracted by genuinely parsing a PNG container: dimensions
@@ -307,6 +319,103 @@ object MultiModalOps {
       }
     }
   }
+
+  /** Audio decimation factor for [[wavResample]] (shared with the
+    * oracle): keep every [[WavDecim]]-th sample — 8 kHz → 4 kHz. */
+  val WavDecim = 2
+
+  /** The RESAMPLE stage of an audio pipeline: parse the genuine WAV
+    * container (same chunk walk as [[wavDecode]] — magics, declared
+    * sizes, odd-chunk pad bytes), then DECIMATE the PCM stream by
+    * [[WavDecim]] (every 2nd sample; nearest-sample decimation, the
+    * exact-integer member of the resampling family — a windowed-sinc
+    * low-pass would put IEEE float accumulation between the engines)
+    * and emit peak/energy over the kept samples. The output frame
+    * carries in/out rates and counts, so downstream stages see a
+    * genuine 4 kHz clip. Partition-parallel, constant memory. */
+  def wavResample(payloads: Dataset[WavPayload]): Dataset[WavResampled] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+        require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+          s"wav_resample: not a RIFF/WAVE container (doc ${p.doc_id})")
+        var off = 12
+        var sampleRate = -1; var dataOff = -1; var dataLen = -1L
+        while (off + 8 <= b.length) {
+          val id = tag(off); val sz = u32(off + 4)
+          require(off + 8 + sz <= b.length,
+            s"wav_resample: chunk '$id' overruns container (doc ${p.doc_id})")
+          id match {
+            case "fmt " =>
+              require(u16(off + 8) == 1 && u16(off + 10) == 1 &&
+                u16(off + 22) == 16,
+                s"wav_resample: expected PCM16 mono (doc ${p.doc_id})")
+              sampleRate = u32(off + 12).toInt
+            case "data" => dataOff = off + 8; dataLen = sz
+            case _ => // unknown chunks are legal; skip
+          }
+          off += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        require(sampleRate > 0 && dataOff >= 0,
+          s"wav_resample: missing fmt/data chunk (doc ${p.doc_id})")
+        val nIn = dataLen / 2
+        var i = 0; var nOut = 0L; var peak = 0; var energy = 0L
+        while (i < nIn) {
+          val s = u16(dataOff + 2 * i).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          energy += s.toLong * s.toLong
+          nOut += 1
+          i += WavDecim
+        }
+        WavResampled(p.doc_id, sampleRate, sampleRate / WavDecim,
+          nIn, nOut, peak, energy)
+      }
+    }
+  }
+
+  /** End-to-end resample query: synthesize the WAV, parse + decimate,
+    * emit all-integer stats over the kept samples. The oracle
+    * recomputes the decimated stream from the sample FORMULA. */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(greatest(coalesce(length(col("text")), lit(0)), lit(1)),
+          lit(WavMaxSamples)).cast("int").as("n"))
+      .as[(Long, Int)]
+    wavResample(wavEncode(in)).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[audioResample]] — the same clamped sample
+    * count, the same (docId·31 + i·17) PCM formula over the kept
+    * indices, the same exact-integer peak/energy. */
+  private[graft] def audioResampleOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    least(greatest(coalesce(length(text), 0), 1), $WavMaxSamples)
+       |      AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n,
+       |    ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+       |  FROM g, unnest(generate_series(0, n - 1, $WavDecim)) AS q(i))
+       |SELECT doc_id,
+       |  $WavSampleRate AS in_rate,
+       |  ${WavSampleRate / WavDecim} AS out_rate,
+       |  CAST(n AS BIGINT) AS n_in,
+       |  count(*) AS n_out,
+       |  CAST(max(abs(v)) AS INT) AS peak_abs,
+       |  CAST(sum(v * v) AS BIGINT) AS energy
+       |FROM s
+       |GROUP BY doc_id, n
+       |ORDER BY doc_id""".stripMargin
 
   /** End-to-end codec query: synthesize one genuine WAV container per
     * document (sample count = clamped text length), parse it back with

@@ -231,6 +231,26 @@ class MultiModalOpsSpec extends GraftSpec {
       == "tiny doc")
   }
 
+  test("wav resample decimates exactly the even-index samples") {
+    // Odd n: ceil(n/2) kept (indices 0,2,4); even n: n/2 kept. The
+    // expectation recomputes from the sample formula independently.
+    val cases = Seq((31L, 5), (32L, 4), (33L, 1))
+    val in = spark.createDataset(cases)
+    val out = MultiModalOps.wavResample(MultiModalOps.wavEncode(in))
+      .collect().map(r => r.doc_id -> r).toMap
+    cases.foreach { case (d, n) =>
+      val kept = (0 until n by MultiModalOps.WavDecim)
+        .map(MultiModalOps.wavSample(d, _))
+      val r = out(d)
+      assert(r.n_in == n && r.n_out == kept.length)
+      assert(r.in_rate == MultiModalOps.WavSampleRate)
+      assert(r.out_rate ==
+        MultiModalOps.WavSampleRate / MultiModalOps.WavDecim)
+      assert(r.peak_abs == kept.map(math.abs).max, s"peak doc $d")
+      assert(r.energy == kept.map(s => s.toLong * s).sum, s"energy doc $d")
+    }
+  }
+
   test("video frame sampler walks frame sizes and samples stride-2") {
     // 3 frames -> samples frames 0 and 2; 2 frames -> frame 0 only.
     // w=5 gives stride-padded frames, so a walker that advances by
