@@ -52,6 +52,11 @@ object Pipeline {
     // assembly.
     "semantic_curation" -> Seq("cluster_profile", "cluster_separation",
       "cluster_sample"),
+    // Multimodal ingest: payload stats, the three real codecs, and the
+    // decode→resize / frame-sample / decimate stages over them.
+    "multimodal" -> Seq("binary_doc_stats", "doc_page_stats",
+      "wav_features", "audio_resample", "bmp_features", "image_resize",
+      "png_features", "video_frame_sample", "doc_embedding_stats"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance",
