@@ -81,6 +81,20 @@ object RecallSweep {
       f"agree_with_ivf=${pqIvfAgree / total}%.3f " +
       f"(m=${VectorOps.PqSubspaces}%d k=${VectorOps.PqCodebook}%d, " +
       f"n=${total.toLong}%d)")
+    // MIH: sign-bit Hamming is a 128×-compressed PROXY metric, so two
+    // recalls matter — coverage (share of queries that surface any
+    // candidate through the banded join) and agreement with the exact
+    // COSINE pick (how often 64 sign bits suffice to name the true
+    // neighbor).
+    val mih = VectorOps.annMihTop1(spark, dir)
+      .select(col("q_id"), col("c_id")).cache()
+    val mihN = mih.count().toDouble
+    val mihCosHits = mih.join(exact, "q_id")
+      .filter(col("c_id") === col("exact_c")).count()
+    println(f"mih coverage=${mihN / total}%.3f " +
+      f"recall@1(cosine)=${mihCosHits / total}%.3f " +
+      f"(bands=${VectorOps.MihBands}%dx${VectorOps.MihBandBits}%d bits, " +
+      f"n=${total.toLong}%d)")
     spark.stop()
   }
 }

@@ -1697,10 +1697,18 @@ object VectorOps {
     * Scale shape: sign-packing is a per-row projection; each band is a
     * hash-partitioned bucket join with the same skew posture as the
     * LSH tables (stop-bucket drop at [[MihBucketCap]]); the verify runs
-    * on deduplicated id pairs carrying 4 ints per side — corpus ×
-    * corpus never materializes, and the index (4 ints/vector) is ~32×
-    * smaller than the embeddings. Output is ALL-INTEGER (ids + Hamming
-    * distance), so the hash contract needs no float reasoning. */
+    * on deduplicated id pairs carrying the band ints — corpus ×
+    * corpus never materializes, and the index is ~32× smaller than the
+    * embeddings. Output is ALL-INTEGER (ids + Hamming distance), so
+    * the hash contract needs no float reasoning.
+    *
+    * Measured quality (`graft.RecallSweep`, sf0.01): coverage 1.000 —
+    * the banded join surfaces a candidate for EVERY query — and
+    * recall@1 vs the exact cosine pick 0.086: 64 sign bits are a
+    * coarse proxy on this corpus, which is exactly why production
+    * binary-quantization stacks rerank MIH survivors with exact
+    * scoring; the number quantifies the proxy gap the rerank pays
+    * for. */
   def annMihTop1(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SignBits.register(spark)
     // Native band packer (graft.functions.SignBits): the aggregate()
