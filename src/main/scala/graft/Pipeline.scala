@@ -59,7 +59,7 @@ object Pipeline {
       "png_features", "video_frame_sample", "doc_embedding_stats"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
-      "chunk_packing", "tfidf_topk", "split_balance",
+      "chunk_packing", "tfidf_topk", "split_balance", "split_drift",
       "token_budget_sample", "pmi_collocations"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only

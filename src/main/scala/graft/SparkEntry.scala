@@ -148,6 +148,7 @@ object SparkEntry {
     "pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "dup_span_census" -> ((s, d) => TextOps.dupSpanCensus(s, d)),
     "incremental_dedup" -> ((s, d) => TextOps.incrementalDedup(s, d)),
+    "split_drift" -> ((s, d) => TextOps.splitDrift(s, d)),
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
@@ -819,6 +820,10 @@ object SparkEntry {
     "dup_span_census" -> TextOps.dupSpanCensusOracleSql,
     // Production ingest screen: new batch vs standing corpus.
     "incremental_dedup" -> TextOps.incrementalDedupOracleSql,
+    // Per-bin train/val drift over a fixed histogram (no scalar PSI —
+    // a transcendental log and an ordered float sum are both
+    // cross-engine-inexact; the per-bin frame is all exact counts).
+    "split_drift" -> TextOps.splitDriftOracleSql,
     "oov_rate" -> TextOps.oovRateOracleSql,
     "split_balance" -> TextOps.splitBalanceOracleSql,
     "dedup_components" -> TextOps.dedupComponentsOracleSql(shinglesSql),

@@ -2902,6 +2902,113 @@ object TextOps {
        |WHERE cum // $BudgetStep - (cum - n_tokens) // $BudgetStep > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** [[splitDrift]] histogram geometry (shared with the oracle): fixed
+    * [[DriftBinWidth]]-char bins, ids 0..[[DriftBins]]−1 with the last
+    * bin open-ended; a share gap above [[DriftShareTol]] flags the
+    * bin. */
+  val DriftBins = 10
+  val DriftBinWidth = 60
+  val DriftShareTol = 0.1
+
+  /** Train/val distribution-drift report — the split-skew check a
+    * training pipeline runs before trusting its eval numbers: compare
+    * the TRAIN and VAL document-length distributions bin by bin over a
+    * FIXED equi-width histogram (data-independent bin anchors, so the
+    * report is stable across corpus versions). Emits per bin both
+    * splits' counts and shares, the share delta, and a
+    * [[DriftShareTol]] flag. Deliberately PER-BIN, not a scalar
+    * divergence: a single PSI/KL number needs a transcendental log and
+    * an ordered float sum (neither cross-engine exact), while the
+    * per-bin frame is all exact counts + one IEEE division per
+    * share — and tells you WHERE the drift lives, which is what the
+    * responding engineer needs anyway. Empty bins surface as explicit
+    * zero rows via a generated bin spine (a dropped bin would silently
+    * shrink the comparison).
+    *
+    * Scale shape: one hash aggregate per split at bin grain (≤
+    * [[DriftBins]] × 2 rows out of any corpus size), then a broadcast
+    * join against the constant spine. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.documents(spark, dir)
+      .select(col("n_chars"),
+        pmod(h60("cast(doc_id as string)"), lit(100)).as("bucket"))
+      .filter(col("bucket") < TrainPct + ValPct)
+      .select(
+        when(col("bucket") < TrainPct, "train").otherwise("val").as("split"),
+        least(expr(s"n_chars div $DriftBinWidth"),
+          lit((DriftBins - 1).toLong)).cast("int").as("bin"))
+    val counts = bucketed.groupBy("split", "bin")
+      .agg(count(lit(1)).as("n"))
+    val spine = spark.range(DriftBins)
+      .select(col("id").cast("int").as("bin"))
+    val tr = counts.filter(col("split") === "train")
+      .select(col("bin"), col("n").as("train_n"))
+    val va = counts.filter(col("split") === "val")
+      .select(col("bin"), col("n").as("val_n"))
+    val joined = spine
+      .join(tr, Seq("bin"), "left")
+      .join(va, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("train_n"), lit(0L)).as("train_n"),
+        coalesce(col("val_n"), lit(0L)).as("val_n"))
+    val totals = joined.agg(sum(col("train_n")).as("train_total"),
+      sum(col("val_n")).as("val_total"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        (col("bin") * DriftBinWidth).cast("long").as("bin_lo"),
+        col("train_n"), col("val_n"),
+        (col("train_n").cast("double") / col("train_total").cast("double"))
+          .as("train_share"),
+        (col("val_n").cast("double") / col("val_total").cast("double"))
+          .as("val_share"))
+      .withColumn("share_delta", col("val_share") - col("train_share"))
+      .withColumn("drifted", abs(col("share_delta")) > DriftShareTol)
+      .orderBy("bin")
+  }
+
+  /** DuckDB oracle for [[splitDrift]] — same hash bands, same fixed
+    * bins, same zero-row spine, same per-share divisions. */
+  private[graft] def splitDriftOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT
+       |    CASE WHEN bucket < $TrainPct THEN 'train' ELSE 'val' END
+       |      AS split,
+       |    CAST(least(n_chars // $DriftBinWidth, ${DriftBins - 1})
+       |      AS INT) AS bin
+       |  FROM (
+       |    SELECT n_chars,
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) % 100 AS bucket
+       |    FROM documents)
+       |  WHERE bucket < ${TrainPct + ValPct}),
+       |c AS (SELECT split, bin, count(*) AS n FROM b GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT CAST(i AS INT) AS bin
+       |  FROM unnest(generate_series(0, ${DriftBins - 1})) AS s(i)),
+       |j AS (
+       |  SELECT spine.bin,
+       |    coalesce(tr.n, 0) AS train_n, coalesce(va.n, 0) AS val_n
+       |  FROM spine
+       |  LEFT JOIN c tr ON tr.split = 'train' AND tr.bin = spine.bin
+       |  LEFT JOIN c va ON va.split = 'val' AND va.bin = spine.bin),
+       |t AS (
+       |  SELECT CAST(sum(train_n) AS BIGINT) AS train_total,
+       |    CAST(sum(val_n) AS BIGINT) AS val_total
+       |  FROM j),
+       |r AS (
+       |  SELECT bin, CAST(bin * $DriftBinWidth AS BIGINT) AS bin_lo,
+       |    CAST(train_n AS BIGINT) AS train_n,
+       |    CAST(val_n AS BIGINT) AS val_n,
+       |    CAST(train_n AS DOUBLE) / CAST(train_total AS DOUBLE)
+       |      AS train_share,
+       |    CAST(val_n AS DOUBLE) / CAST(val_total AS DOUBLE) AS val_share
+       |  FROM j CROSS JOIN t)
+       |SELECT bin, bin_lo, train_n, val_n, train_share, val_share,
+       |  val_share - train_share AS share_delta,
+       |  abs(val_share - train_share) > $DriftShareTol AS drifted
+       |FROM r
+       |ORDER BY bin""".stripMargin
+
   /** Minimum corpus bigram count for a pair to enter the collocation
     * report (shared with the oracle) — the standard noise floor: a
     * pair seen once has an unbounded lift estimate and no evidence. */
