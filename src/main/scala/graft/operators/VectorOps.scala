@@ -1085,50 +1085,64 @@ object VectorOps {
       .select(col("vec_id"), col("cent_id"), col("sim"))
       .withColumn("pr", row_number().over(wAssign))
       .filter(col("pr") <= NProbe)
-    val wCell = Window.partitionBy("cent_id").orderBy("vec_id")
+    // Cell membership cap WITHOUT a second window: members are capped in
+    // ascending vec_id order, which is exactly the first [[CellCap]]
+    // entries of the sorted list — `slice(array_sort(...))` inside the
+    // one hash aggregate replaces the earlier rank-filter window (same
+    // rows, one less exchange+sort on the critical path).
     val cells = ranked.filter(col("pr") === 1)
       .select(col("vec_id"), col("cent_id"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= CellCap)
       .groupBy("cent_id")
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .agg(slice(array_sort(collect_list(col("vec_id"))), 1, CellCap)
+        .as("ids"))
     val cand = ranked.select(col("vec_id").as("q_id"), col("cent_id"))
       .join(cells, "cent_id")
       .select(col("q_id"), col("cent_id"), explode(col("ids")).as("c_id"))
       .filter(col("c_id") =!= col("q_id"))
-    // ADC scoring, LONG-FORM: a candidate pair carries only its 12-byte
+    // ADC scoring, FUSED: a candidate pair carries only its 12-byte
     // codes (at scale this join moves the compressed index, never the
-    // vectors). Two earlier shapes both lost to this one, measured:
-    // joining the m×K-double LUT arrays onto every pair copied ~8 KB of
-    // array payload per candidate (dominated the query), and scoring
-    // grouped candidates through transform/aggregate higher-order
-    // functions dropped to interpreted per-element lambda eval (2×
-    // slower still). Here pairs explode to (pair, s, code) rows and the
-    // LUT flattens to (q_id, s, code, d) rows off the encode checkpoint;
-    // scoring is a broadcast hash join plus two partial+final hash
-    // aggregates — every operator whole-stage-codegen'd, no wide array
-    // ever rides a row. The per-pair ADC sum runs over DECIMAL(28,12)
-    // casts of the 16 subspace terms so it is order-independent (exact
-    // decimal addition) — the oracle mirrors the same per-term decimal
-    // cast — and the argmin keeps the (adc, c_id, cent_id)
-    // lexicographic tie-break.
-    val codesLong = pq.select(col("vec_id").as("c_id"),
-      expr(s"stack($PqSubspaces, ${(0 until PqSubspaces)
-        .map(s => s"$s, code$s").mkString(", ")})").as(Seq("s", "code")))
-    val lutLong = pq.select(col("vec_id").as("q_id"),
-      expr(s"stack($PqSubspaces, ${(0 until PqSubspaces)
-        .map(s => s"$s, l$s").mkString(", ")})").as(Seq("s", "lut")))
-      .select(col("q_id"), col("s"),
-        posexplode(col("lut")).as(Seq("code", "d")))
-    // codesLong broadcasts (m rows per corpus vector, ints only); the
-    // LUT side deliberately does NOT — a query-set×m×K row broadcast
-    // builds its hash relation single-threaded on the driver, which
-    // measured slower than letting the join shuffle across cores.
-    cand.join(broadcast(codesLong), "c_id")
+    // vectors). Three earlier shapes lost to this one, measured: joining
+    // the m×K-double LUT arrays ACROSS AN EXCHANGE copied ~8 KB of array
+    // payload per candidate row; higher-order transform/aggregate
+    // scoring dropped to interpreted per-element lambda eval; and the
+    // round-10 long form (pairs exploded to (pair, s, code) rows,
+    // LUTs flattened to (q_id, s, code, d) rows, one shuffled-hash join,
+    // two hash aggregates) was exchange-clean but paid FOUR sequential
+    // stage barriers — 2.2 s of the query's recorded 4.65 s at sf0.1
+    // was this chain's stage latency. Here the codes table broadcasts
+    // wide (m ints per corpus vector — the replicated-in-RAM compressed
+    // index, PQ's deployment contract), the per-query LUT rows join by
+    // SHUFFLED hash on q_id (scale-safe: the LUT side grows with the
+    // query set, so it must never broadcast), and ADC is a single fused
+    // projection of 16 `element_at` lookups — join and scoring live in
+    // ONE whole-stage-codegen stage, so the LUT arrays are read in
+    // place from the join row and no array payload ever crosses an
+    // exchange or lands in an output row. The per-pair ADC sum chains
+    // DECIMAL(28,12) casts of the 16 subspace terms, so it is exact and
+    // order-independent — bit-identical to the round-10 decimal SUM
+    // aggregate and to the oracle's mirrored per-term cast — and the
+    // argmin keeps the (adc, c_id, cent_id) lexicographic tie-break.
+    val codesWide = pq.select(col("vec_id").as("c_id") +:
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    val luts = pq.select(col("vec_id").as("q_id") +:
+      (0 until PqSubspaces).map(s => col(s"l$s")): _*)
+    // decimal(20,12) per term, NOT (28,12): Spark widens each chained
+    // addition by one digit of precision, and 16 terms at p=28 overflow
+    // the 38-digit cap — the default precision-loss rule then shrinks
+    // the SCALE to 7 digits and the sum stops matching the oracle's
+    // exact 12-digit arithmetic. At p=20 the chain peaks at p=35, the
+    // scale never degrades, and — since ADC terms are O(1) squared
+    // distances, nowhere near 8 integer digits — the (20,12) cast of
+    // each double is the identical value to the oracle's (28,12) cast.
+    val adcExpr = (0 until PqSubspaces)
+      .map(s => element_at(col(s"l$s"), col(s"code$s") + 1)
+        .cast("decimal(20,12)"))
+      .reduce(_ + _)
+    cand.join(broadcast(codesWide), "c_id")
       .hint("shuffle_hash")
-      .join(lutLong, Seq("q_id", "s", "code"))
-      .groupBy("q_id", "c_id", "cent_id")
-      .agg(sum(col("d").cast("decimal(28,12)")).cast("double").as("adc"))
+      .join(luts, "q_id")
+      .select(col("q_id"), col("c_id"), col("cent_id"),
+        adcExpr.cast("double").as("adc"))
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("c_id"), col("cent_id"))).as("best"))
       // No round(): the decimal sum is exact and its double cast is the
