@@ -157,15 +157,34 @@ object Bench {
       jmap(m, ms3)
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = med.values.sum
+    // Session-memo cold-path cost (r10 verdict item: the memos populate
+    // during UNTIMED warmups, so without this the dedup-family and
+    // trained-ANN totals silently excluded the candidates→verify→CC /
+    // quantizer-training pipeline cost). Reported per memo and COUNTED
+    // in the total: recorded per-query numbers stay reuse-path (the
+    // production shape — Pipeline.scala shares the same intermediates)
+    // while the bench total carries the true end-to-end cost once.
+    val memoPop = scala.collection.immutable.SortedMap[String, Double]() ++
+      Memos.populateSeconds
+    val memoTotal = memoPop.values.sum
+    val total = med.values.sum + memoTotal
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${short(med)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${short(med)},"memo_populate":${short(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     val runsJson = perRun
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"heap_mb":${short(heapMb)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"heap_mb":${short(heapMb)},"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
+    // Compact trailer, printed LAST: every round so far recorded
+    // `parsed: null` because the driver keeps only the final ~2000
+    // chars of stdout and the 142-query line outgrew that window. The
+    // full line stays (contract + anyone parsing first-'{'); this
+    // self-contained summary rides the tail so the capture window
+    // always ends with one complete, parseable JSON object. Per-query
+    // medians live in bench_line.json (committed) either way.
+    println(
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")
     catch { case _: Throwable => () }

@@ -77,13 +77,14 @@ object BatchOps {
     * round-3/4 no-persist comment below recommended exactly this:
     * "persist the rollup at the session level"; the memo owns that
     * lifecycle). [[customerOrdersRollup]] stays the raw plan. */
-  private val customerRollupMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val customerRollupMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   def customerOrdersRollupCached(spark: SparkSession, dir: String): DataFrame =
     customerRollupMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => customerOrdersRollup(spark, dir).localCheckpoint())
+      _ => graft.Memos.timed("customer_rollup_memo")(
+        customerOrdersRollup(spark, dir).localCheckpoint()))
 
   /** M0 flagship: tiered segmentation (C1), CLV (C2), recency banding (C3)
     * on top of the A1 rollup, thresholds from exact percentiles (A4).
@@ -162,13 +163,14 @@ object BatchOps {
     * ([[topPartsByRevenue]], [[productPerformance]], the registered
     * rollup itself) read it. [[productRollup]] stays the raw plan — the
     * shuffle-shape spec asserts on it. */
-  private val productRollupMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val productRollupMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   def productRollupCached(spark: SparkSession, dir: String): DataFrame =
     productRollupMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => productRollup(spark, dir).localCheckpoint())
+      _ => graft.Memos.timed("product_rollup_memo")(
+        productRollup(spark, dir).localCheckpoint()))
 
   def productRollup(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)

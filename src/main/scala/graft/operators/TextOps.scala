@@ -1542,8 +1542,8 @@ object TextOps {
     * cached frame is the localCheckpoint'd label set (docs with ≥1
     * near-dup pair only — KBs, not corpus-sized), so the memo's block
     * footprint is negligible and keyed entries die with the session. */
-  private val ccLabelMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val ccLabelMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   /** [[dedupComponents]] without the presentation sort — the shared core
     * for consumers that join the labels onward (a pre-join sort would be
@@ -1552,15 +1552,16 @@ object TextOps {
   private def dedupComponentsCore(spark: SparkSession,
       dir: String): DataFrame =
     ccLabelMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
-      _ => dedupComponentsUncached(spark, dir))
+      _ => graft.Memos.timed("cc_labels")(
+        dedupComponentsUncached(spark, dir)))
 
   /** Session-scoped memo of the verified capped near-dup PAIR set —
     * the edge list both graph consumers ([[dedupComponentsUncached]]'s
     * CC and [[pageRankNearDup]]) build on. Same immutable-dir contract
     * as [[ccLabelMemo]]; the checkpointed frame is pair-count-sized
     * (KBs). */
-  private val nearDupPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val nearDupPairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   /** The memoized frame carries `jaccard` too: [[dedupFeatures]] needs
     * the score, every graph consumer just ignores the third column, and
@@ -1571,9 +1572,10 @@ object TextOps {
       dir: String): DataFrame =
     nearDupPairsMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint())
+      _ => graft.Memos.timed("neardup_pairs")(
+        nearDupJaccard(spark, dir, Some(NearDupDocFreqCap))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .localCheckpoint()))
 
   /** The actual candidates→verify→CC pipeline behind [[ccLabelMemo]]. */
   private def dedupComponentsUncached(spark: SparkSession,

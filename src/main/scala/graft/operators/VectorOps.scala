@@ -509,9 +509,9 @@ object VectorOps {
     * [[clusterProfile]], the recall harness), the same
     * build-an-index-once contract as the PQ memo. C rows, checkpointed;
     * immutable-dir assumption as elsewhere. */
-  private val trainedCentMemo =
+  private val trainedCentMemo = graft.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int),
-      DataFrame]()
+      DataFrame]())
 
   /** [[LloydIters]]-trained coarse centroids (cent_id, cent_emb,
     * cent_norm), memoized per (session, dir, iters). */
@@ -519,7 +519,8 @@ object VectorOps {
       dir: String, iters: Int): DataFrame =
     trainedCentMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, iters),
-      _ => trainedCoarseCentroidsUncached(spark, dir, iters))
+      _ => graft.Memos.timed("trained_centroids")(
+        trainedCoarseCentroidsUncached(spark, dir, iters)))
 
   private def trainedCoarseCentroidsUncached(spark: SparkSession,
       dir: String, iters: Int): DataFrame = {
@@ -1188,13 +1189,13 @@ object VectorOps {
     * corpus — that is PQ's point). The memoized frame is the
     * localCheckpoint'd N×(m codes + m LUTs) table; entries die with the
     * session. */
-  private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val pqMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   private[graft] def pqEncode(spark: SparkSession, dir: String,
       n: Long): DataFrame =
     pqMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
-      _ => pqEncodeUncached(spark, dir, n))
+      _ => graft.Memos.timed("pq_index")(pqEncodeUncached(spark, dir, n)))
 
   /** The actual train+encode pipeline behind [[pqMemo]]. */
   private def pqEncodeUncached(spark: SparkSession, dir: String,
