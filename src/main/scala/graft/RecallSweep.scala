@@ -95,6 +95,43 @@ object RecallSweep {
       f"recall@1(cosine)=${mihCosHits / total}%.3f " +
       f"(bands=${VectorOps.MihBands}%dx${VectorOps.MihBandBits}%d bits, " +
       f"n=${total.toLong}%d)")
+    // MIH + exact-cosine rerank: the two-stage production shape — the
+    // number that matters is agreement with the exact brute-force
+    // cosine pick (the rerank's ceiling is MIH's candidate coverage;
+    // its floor is the bare Hamming argmin's 0.086).
+    val rr = VectorOps.annMihRerankTop1(spark, dir)
+      .select(col("q_id"), col("c_id")).cache()
+    val rrN = rr.count().toDouble
+    val rrHits = rr.join(exact, "q_id")
+      .filter(col("c_id") === col("exact_c")).count()
+    println(f"mih_rerank coverage=${rrN / total}%.3f " +
+      f"recall@1(cosine)=${rrHits / total}%.3f " +
+      f"(cap=${VectorOps.MihRerankCap}%d, n=${total.toLong}%d)")
+    // Decomposition of the rerank number: (a) candidate coverage of the
+    // TRUE neighbor — the hard ceiling no rerank can beat (did the
+    // banded stage-1 surface the exact-cosine pick at all?) — and
+    // (b) shortlist retention — among queries whose full candidate set
+    // contains a cosine-best candidate, how often the capped Hamming
+    // shortlist keeps a pick that matches the UNCAPPED exact-cosine
+    // argmax over all candidates (stage-2 fidelity: what cap costs).
+    val mihCand = VectorOps.mihScoredPairs(spark, dir)
+      .select(col("q_id"), col("c_id")).cache()
+    val candTrue = mihCand.join(exact, "q_id")
+      .filter(col("c_id") === col("exact_c"))
+      .select("q_id").distinct().count()
+    val fullBest = mihCand
+      .join(q, "q_id")
+      .join(c, "c_id")
+      .withColumn("cosine",
+        expr("vec_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c"))).as("b"))
+      .select(col("q_id"), (-col("b.neg_c")).as("full_c"))
+    val retained = rr.join(fullBest, "q_id")
+      .filter(col("c_id") === col("full_c")).count()
+    println(f"mih_rerank true_in_cand=${candTrue / total}%.3f " +
+      f"shortlist_retention=${retained / rrN}%.3f " +
+      f"(cap=${VectorOps.MihRerankCap}%d, n=${total.toLong}%d)")
     spark.stop()
   }
 }
