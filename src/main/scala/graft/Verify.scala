@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise make
+    * the driver's json.load fail and silently zero the round's
+    * correctness. Shared with [[oracleSqlJson]] consumers (the
+    * OracleTypeSweepSpec standing gate). */
+  private[graft] def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The full oracle registry as the JSON object `graft.Verify` dumps —
+    * exposed so the type-sweep spec can hand `tools/check_oracle_types
+    * .py` the identical artifact without running any query. */
+  private[graft] def oracleSqlJson: String = SparkEntry.oracleSql
+    .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+    .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg (builder-side dev only; the driver passes two):
@@ -37,21 +59,8 @@ object Verify {
         System.err.println(s"[verify] FAILED $name: $msg")
       } finally spark.catalog.clearCache() // defensive: no operator persists today
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def q(s: String): String = jsonQuote(s)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
