@@ -47,13 +47,21 @@ case class SignBits(first: Expression, second: Expression, third: Expression)
       TypeCheckResult.TypeCheckFailure(
         "sign_bits requires foldable INT start and len")
     else {
-      val len = third.eval().asInstanceOf[Int]
-      val start = second.eval().asInstanceOf[Int]
-      if (start < 0 || len < 0 || len > 31)
-        TypeCheckResult.TypeCheckFailure(
-          s"sign_bits requires 0 <= start and 0 <= len <= 31, " +
-            s"got start=$start len=$len")
-      else TypeCheckResult.TypeCheckSuccess
+      // eval() before unboxing: a foldable NULL int (CAST(NULL AS INT))
+      // would unbox to 0 and silently pass the range check below.
+      (second.eval(), third.eval()) match {
+        case (null, _) | (_, null) =>
+          TypeCheckResult.TypeCheckFailure(
+            "sign_bits requires non-null start and len")
+        case (startRaw, lenRaw) =>
+          val start = startRaw.asInstanceOf[Int]
+          val len = lenRaw.asInstanceOf[Int]
+          if (start < 0 || len < 0 || len > 31)
+            TypeCheckResult.TypeCheckFailure(
+              s"sign_bits requires 0 <= start and 0 <= len <= 31, " +
+                s"got start=$start len=$len")
+          else TypeCheckResult.TypeCheckSuccess
+      }
     }
 
   override def dataType: DataType = IntegerType

@@ -152,6 +152,15 @@ class DotProductSpec extends GraftSpec {
         """SELECT sign_bits(array(cast(1.0 as float), cast(-1.0 as float),
           |                       cast(0.0 as float), cast(2.0 as float)),
           |                 0, 4) AS b""".stripMargin).head.getInt(0) == 9)
+      // A foldable NULL start/len is a clear type-check failure, not a
+      // silent unbox-to-0 pass.
+      val nullArg = intercept[Exception] {
+        s2.sql(
+          """SELECT sign_bits(array(cast(1.0 as float)),
+            |                 cast(null as int), 1)""".stripMargin).head
+      }
+      assert(nullArg.getMessage.contains("non-null start and len"),
+        s"unexpected message: ${nullArg.getMessage}")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -32,7 +32,7 @@ class PlanSpec extends GraftSpec {
     // Two vocab-keyed hash joins + one 1-row broadcast total; a
     // refactor that turns either unigram join into a nested loop
     // re-derives pair×vocab work.
-    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+    assert(
       plan.split("\n").count(_.contains("BroadcastNestedLoopJoin")) <= 1,
       s"unexpected nested-loop joins:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
