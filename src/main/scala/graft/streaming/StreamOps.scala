@@ -640,6 +640,30 @@ object StreamOps {
       }
   }
 
+  /** [[velocityState]] on Spark 4's NEW arbitrary-state API
+    * (`transformWithState` + [[VelocityProcessor]]): same per-minute
+    * bucket accumulation, same watermark-rule eviction, same 5-min
+    * whole-key event-time TTL, same emitted rows — the spec pins both
+    * implementations to identical output on a shared fixture (the
+    * [[upsertLatestTws]] pattern, extended to COMPOSITE state). Where
+    * the classic form serializes the whole bucket map as one value per
+    * key, this one holds a typed `MapState[Long, VelBucket]` — per-BUCKET
+    * state-store rows, so a batch touching one minute of a key with
+    * hundreds of live buckets rewrites one entry, not the map — and
+    * replaces `EventTimeTimeout` with an explicit event-time timer.
+    * Requires the RocksDB state store provider (the documented 100 TB
+    * configuration). */
+  def velocityStateTws(events: Dataset[Event],
+                       threshold: Double = 50.0): Dataset[Velocity] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .transformWithState(new VelocityProcessor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
   /** P7+C7+T7: rule alerts with severity, unioned into ONE alert stream —
     * high-value events (stream_processor.py:103-109, thresholds :35-39)
     * unioned with per-minute bulk-activity alerts (:255-270), each tagged
@@ -793,5 +817,67 @@ class UpsertLatestProcessor
     if (isDelete) latest.clear() else latest.update(top)
     Iterator.single(UpsertRow(userId, top.event_type, top.value,
       top.ts_ms, deleted = isDelete))
+  }
+}
+
+/** The [[StreamOps.velocityStateTws]] processor: T4's per-minute bucket
+  * accumulator on the new API. Composite per-key state is a typed
+  * `MapState` (bucket-start-millis → [[VelBucket]]) so each live minute
+  * is its own state-store entry, and the classic form's
+  * `EventTimeTimeout` becomes ONE explicit event-time timer per key —
+  * replace-not-accumulate (`listTimers` + `deleteTimer` before
+  * `registerTimer`), mirroring `GroupState.setTimeoutTimestamp`
+  * semantics so a stale timer can never clear a key that has since
+  * seen data. Bucket accumulation, the watermark eviction rule, emitted
+  * rows, and the alert threshold are all deliberately identical to
+  * [[StreamOps.velocityState]] — the spec runs both on a shared fixture
+  * and requires equal output. */
+class VelocityProcessor(threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Event, Velocity] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  private val MinuteMs = 60L * 1000
+  private val TtlMs = 5L * 60 * 1000
+
+  @transient private var buckets: MapState[Long, VelBucket] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: TimeMode): Unit =
+    buckets = getHandle.getMapState[Long, VelBucket]("buckets",
+      Encoders.scalaLong, Encoders.product[VelBucket], TTLConfig.NONE)
+
+  override def handleInputRows(etype: String, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[Velocity] = {
+    val evs = rows.toSeq
+    val touched = evs
+      .groupBy(e => e.ts.getTime / MinuteMs * MinuteMs)
+      .map { case (b, es) =>
+        val p = if (buckets.containsKey(b)) buckets.getValue(b)
+                else VelBucket(0.0, 0L)
+        b -> VelBucket(p.units + es.map(_.value).sum, p.n_events + es.size)
+      }
+    touched.foreach { case (b, v) => buckets.updateValue(b, v) }
+    // Same eviction rule as the classic twin: a bucket is dropped only
+    // once no admissible event can still target it.
+    val wm = timerValues.getCurrentWatermarkInMs()
+    buckets.keys().toSeq.filter(_ + TtlMs <= wm).foreach(buckets.removeKey)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    val maxTs = evs.map(_.ts.getTime).max
+    // Must exceed the current watermark (engine requirement); maxTs
+    // alone can trail it by up to the lateness allowance.
+    getHandle.registerTimer(math.max(maxTs, wm) + TtlMs)
+    touched.toSeq.sortBy(_._1).iterator.map { case (b, v) =>
+      Velocity(etype, b, v.units, v.n_events, v.units > threshold)
+    }
+  }
+
+  override def handleExpiredTimer(etype: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Velocity] = {
+    // Key silent for the TTL of event time: drop its whole state,
+    // silently — the classic twin's hasTimedOut branch.
+    buckets.clear()
+    Iterator.empty
   }
 }

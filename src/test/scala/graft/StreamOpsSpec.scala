@@ -589,6 +589,68 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("T4: transformWithState twin emits identical rows to velocityState " +
+      "on a shared fixture (RocksDB provider)") {
+    // Second instance of the new-API pattern (the T5 twin proved it for
+    // ValueState): COMPOSITE per-key state as MapState + an explicit
+    // event-time timer replacing EventTimeTimeout. The fixture exercises
+    // every branch: multi-key, same-bucket accumulation, a
+    // minute-spanning batch, an out-of-order event folding into an older
+    // live bucket, threshold alerts, watermark-driven bucket eviction,
+    // and a key going silent past the TTL (timer fires, state clears)
+    // then returning with fresh counts.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batches = Seq(
+      Seq(event(1, "2024-01-01 10:00:10", 1, "purchase", 30.0),
+        event(2, "2024-01-01 10:00:20", 1, "purchase", 25.0), // alert
+        event(3, "2024-01-01 10:01:05", 2, "view", 10.0)),
+      Seq(event(4, "2024-01-01 10:01:30", 1, "purchase", 5.0),
+        event(5, "2024-01-01 10:00:40", 1, "purchase", 10.0)), // late fold
+      // Advances purchase's watermark far past view's last event + TTL:
+      // view's whole-key state must clear (timer), old buckets evict.
+      Seq(event(6, "2024-01-01 10:30:00", 1, "purchase", 1.0)),
+      // view returns: counts restart from zero, not 10.0 + 2.0.
+      Seq(event(7, "2024-01-01 10:31:00", 2, "view", 2.0)))
+    def run(name: String,
+            f: org.apache.spark.sql.Dataset[Event] =>
+              org.apache.spark.sql.Dataset[Velocity]): Seq[(String, Long,
+        Double, Long, Boolean)] = {
+      val in = MemoryStream[Event]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name).as[Velocity].collect().toSeq
+          .map(v => (v.event_type, v.window_start_ms, v.units, v.n_events,
+            v.alert)).sorted
+      } finally q.stop()
+    }
+    try {
+      val classic = run("t4_twin_classic",
+        StreamOps.velocityState(_, threshold = 50.0))
+      val tws = run("t4_twin_tws",
+        StreamOps.velocityStateTws(_, threshold = 50.0))
+      assert(tws.nonEmpty)
+      // The fixture's key behaviors actually happened: the 10:00 bucket
+      // alerted at 55 then re-emitted at 65 after the late fold, and
+      // view's return row carries FRESH counts.
+      assert(tws.contains(("purchase", ts("2024-01-01 10:00:00").getTime,
+        55.0, 2L, true)))
+      assert(tws.contains(("purchase", ts("2024-01-01 10:00:00").getTime,
+        65.0, 3L, true)))
+      assert(tws.contains(("view", ts("2024-01-01 10:31:00").getTime,
+        2.0, 1L, false)))
+      assert(tws == classic)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T7: alert union carries both rule streams with severity") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
