@@ -91,6 +91,23 @@ object Tables {
                        cols: Seq[String]): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
 
+  /** Day-grain date-partitioned fact layout — [[writePartitioned]]
+    * keyed by the fact's own DATE column, the SURVEY §7.5 posture
+    * ("partition all fact reads by date"). Partitioning by the date
+    * column ITSELF (not a derived month string) means date-RANGE
+    * predicates — the dominant fact filter shape (`customer_rollup
+    * _windowed`'s BETWEEN, every incremental backfill) — land directly
+    * in `PartitionFilters` and prune whole days at planning time; a
+    * derived-bucket layout only prunes on exact bucket equality.
+    * Day grain bounds directory cardinality at ~365/year, safely inside
+    * listing limits at any fact size; the within-day file count is
+    * governed by the writer's parallelism, so callers coalesce to taste
+    * before handing the frame in. The PlanSpec asserts a BETWEEN
+    * predicate prunes (PartitionFilters, not just PushedFilters). */
+  def writeDatePartitioned(df: DataFrame, dir: String,
+                           dateCol: String): Unit =
+    writePartitioned(df, dir, Seq(dateCol))
+
   /** Bucketed managed-table sink — the co-location tool for repeated
     * big⋈big joins at 100 TB: both sides written with `bucketBy(n, key)`
     * (+ per-bucket sort) join with NO exchange on either side — the

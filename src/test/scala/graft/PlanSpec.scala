@@ -294,6 +294,34 @@ class PlanSpec extends GraftSpec {
     } finally deleteRecursively(out)
   }
 
+  test("date-partitioned layout prunes a date-RANGE predicate at planning") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("orders_by_date").toString
+    try {
+      // Keyed by the fact's own date column (day grain), so the
+      // dominant fact filter shape — a BETWEEN — prunes directories at
+      // planning time; a derived-bucket layout only prunes equality.
+      val orders = graft.Tables.orders(spark, dir)
+      graft.Tables.writeDatePartitioned(orders, out, "o_orderdate")
+      val read = spark.read.parquet(out)
+        .filter(col("o_orderdate")
+          .between("1995-01-01", "1995-03-31"))
+      val plan = executedPlan(read)
+      val scan = plan.split("\n").find(_.contains("FileScan")).get
+      val partFilters = scan.split("PartitionFilters: \\[", 2)
+        .lift(1).map(_.takeWhile(_ != ']')).getOrElse("")
+      assert(partFilters.contains("o_orderdate"),
+        s"date range not in PartitionFilters of:\n$scan")
+      // And the pruning is real: only the matching day-directories
+      // survive into the scan's partition count.
+      val total = orders.count()
+      val kept = read.count()
+      assert(kept > 0 && kept < total,
+        s"range kept $kept of $total — fixture no longer selective")
+    } finally deleteRecursively(out)
+  }
+
   test("fact-side-first rollup keeps dimension strings off the shuffle") {
     val plan = executedPlan(BatchOps.productRollup(spark, dir))
     // Every hash-partitioned exchange must key on ids only — p_name /
