@@ -52,6 +52,7 @@ object SparkEntry {
     "rfm_scores" -> ((s, d) => BatchOps.rfmScores(s, d)),
     "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
     "pareto_frontier" -> ((s, d) => BatchOps.paretoFrontier(s, d)),
+    "shipment_overlaps" -> ((s, d) => BatchOps.shipmentOverlaps(s, d)),
     "shipping_priority" -> ((s, d) => BatchOps.shippingPriority(s, d)),
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
@@ -116,6 +117,10 @@ object SparkEntry {
     "docs_quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "lang_stats" -> ((s, d) => TextOps.langStats(s, d)),
     "length_boxplot" -> ((s, d) => TextOps.lengthBoxplot(s, d)),
+    "length_quantile_sketch" ->
+      ((s, d) => TextOps.lengthQuantileSketch(s, d)),
+    "curriculum_interleave" ->
+      ((s, d) => TextOps.curriculumInterleave(s, d)),
     "language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
@@ -185,6 +190,7 @@ object SparkEntry {
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
     "pq_distortion" -> ((s, d) => VectorOps.pqDistortion(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
+    "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
     "semantic_dedup_survivors" -> ((s, d) =>
       VectorOps.semanticDedupSurvivors(s, d)),
     "doc_embedding_stats" -> ((s, d) => VectorOps.docEmbeddingStats(s, d)),
@@ -342,6 +348,9 @@ object SparkEntry {
     "part_copurchase" -> BatchOps.partCopurchaseOracleSql,
     // Distributed skyline: per-size champions, size-grain range window.
     "pareto_frontier" -> BatchOps.paretoFrontierOracleSql,
+    // Interval-overlap range join: naive BETWEEN self-join oracle
+    // proves the coarse-bin-blocked equi-join plan lossless.
+    "shipment_overlaps" -> BatchOps.shipmentOverlapsOracleSql,
     // TPC-H Q3 shape: broadcast dim, scan-pruned dates, top-10 heap.
     "shipping_priority" -> BatchOps.shippingPriorityOracleSql,
     // TPC-H Q18 shape: decimal HAVING cut, then tiny-frame join-back.
@@ -736,6 +745,12 @@ object SparkEntry {
 
     // Per-language Tukey box plot over n_chars (exact quartiles).
     "length_boxplot" -> TextOps.lengthBoxplotOracleSql,
+    // Mergeable fixed-bin quantile sketch: partial+final hash agg twin
+    // of the exact boxplot; integer covering-rule read-out.
+    "length_quantile_sketch" -> TextOps.lengthQuantileSketchOracleSql,
+    // Deterministic source-round-robin training order; sharded rank
+    // windows, sparse arithmetic positions.
+    "curriculum_interleave" -> TextOps.curriculumInterleaveOracleSql,
 
     "language_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
@@ -948,6 +963,9 @@ object SparkEntry {
     // Per-subspace quantization error off the shared PQ index chain.
     "pq_distortion" -> VectorOps.pqDistortionOracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,
+    // Contrastive mining: nearest DIFFERENT-label neighbor off the
+    // shared LSH candidate core.
+    "hard_negatives" -> VectorOps.hardNegativesOracleSql,
     "semantic_dedup_survivors" ->
       VectorOps.semanticDedupSurvivorsOracleSql,
     "doc_embedding_stats" -> VectorOps.docEmbeddingStatsOracleSql,

@@ -1460,6 +1460,94 @@ object BatchOps {
       .orderBy("p_size")
   }
 
+  /** Coarse blocking-bin width (days) for [[shipmentOverlaps]]'s
+    * interval self-join — wide enough that a max-length transit window
+    * ([[MaxTransitDays]]) spans ≤ 3 bins (bounded fan-out in the
+    * explode), narrow enough that a (supplier, bin) bucket holds only
+    * genuinely-near-in-time shipments. */
+  val OverlapBinDays = 16
+
+  /** Upper bound (days) of the synthetic transit window. The generated
+    * lineitem carries only l_shipdate (no l_receiptdate), so the
+    * in-transit interval end is DERIVED deterministically from the
+    * line's id via the shared 60-bit md5 hash — the same
+    * engine-mirrorable synthesis the multimodal codecs use for bytes;
+    * 1..[[MaxTransitDays]] matches TPC-H's receipt-lag distribution. */
+  val MaxTransitDays = 28
+
+  /** Interval-overlap RANGE JOIN — the classic operator Spark has no
+    * native form for (Databricks exposes it only as a join hint):
+    * per-supplier count of concurrently-in-transit shipment pairs, i.e.
+    * a self-join on interval overlap, plus the total pairwise overlap
+    * days. The scale answer is coarse-bin blocking: each interval
+    * explodes to the ≤ 3 [[OverlapBinDays]]-day bins it touches, pairs
+    * form inside a (supplier, bin) bucket via one shuffled EQUI-join —
+    * never a nested-loop inequality join over the supplier's whole
+    * history — and each qualifying pair is counted exactly once, in the
+    * bin containing the later interval's start (both intervals provably
+    * span that bin: overlap means max(start) ≤ min(end)). All
+    * arithmetic is integer day-offsets from a fixed epoch, so the
+    * result hash-matches the naive BETWEEN-join oracle exactly.
+    *
+    * 100 TB: the explode ≤ 3×s the fact, the join keys on
+    * (supplier, bin) — fine-grained, uniformly distributed — and the
+    * final rollup is a partial+final hash aggregate at supplier grain.
+    * Bucket population is bounded by shipments-per-supplier-per-16-days,
+    * not corpus size, so the in-bucket pair work scales linearly. */
+  def shipmentOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    val bin = OverlapBinDays
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
+        datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1992-01-01"))).cast("long").as("d0"))
+      .withColumn("d1",
+        col("d0") + pmod(expr("cast(conv(substring(md5(" +
+          "cast(lid as string)), 1, 15), 16, 10) as bigint)"),
+          lit(MaxTransitDays.toLong)) + lit(1L))
+    val spans = base.withColumn("bin",
+      explode(sequence(expr(s"d0 div $bin"), expr(s"d1 div $bin"))))
+    val lhs = spans.select(col("l_suppkey"), col("bin"),
+      col("lid").as("lid_a"), col("d0").as("d0_a"), col("d1").as("d1_a"))
+    val rhs = spans.select(col("l_suppkey"), col("bin"),
+      col("lid").as("lid_b"), col("d0").as("d0_b"), col("d1").as("d1_b"))
+    lhs.join(rhs, Seq("l_suppkey", "bin"))
+      .filter(col("lid_a") < col("lid_b")
+        && col("d0_a") <= col("d1_b") && col("d0_b") <= col("d1_a")
+        // Count-once rule: only the bin holding the later start emits.
+        && col("bin") === expr(s"greatest(d0_a, d0_b) div $bin"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("d1_a"), col("d1_b")) -
+          greatest(col("d0_a"), col("d0_b")) + lit(1L))
+          .as("overlap_days"))
+      .orderBy("l_suppkey")
+  }
+
+  /** DuckDB oracle for [[shipmentOverlaps]] — deliberately the NAIVE
+    * inequality self-join (no bins): same synthetic transit windows,
+    * every supplier pair tested directly. Hash-matching it proves the
+    * blocked plan is lossless. */
+  private[graft] def shipmentOverlapsOracleSql: String =
+    s"""WITH li AS (
+       |  SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,
+       |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       |      AS d0
+       |  FROM lineitem),
+       |t AS (
+       |  SELECT l_suppkey, lid, d0,
+       |    d0 + CAST('0x' || substr(md5(CAST(lid AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % $MaxTransitDays + 1 AS d1
+       |  FROM li)
+       |SELECT a.l_suppkey,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(least(a.d1, b.d1) - greatest(a.d0, b.d0) + 1)
+       |    AS BIGINT) AS overlap_days
+       |FROM t a JOIN t b ON a.l_suppkey = b.l_suppkey AND a.lid < b.lid
+       |  AND a.d0 <= b.d1 AND b.d0 <= a.d1
+       |GROUP BY a.l_suppkey
+       |ORDER BY a.l_suppkey""".stripMargin
+
   /** DuckDB oracle for [[paretoFrontier]] — same cents rounding, same
     * strictly-following RANGE frame, same champion join-back. */
   private[graft] def paretoFrontierOracleSql: String =

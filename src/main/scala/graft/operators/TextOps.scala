@@ -861,6 +861,148 @@ object TextOps {
       |FROM q
       |ORDER BY lang""".stripMargin
 
+  /** [[lengthQuantileSketch]] geometry (shared with the oracle): fixed
+    * [[QSketchWidth]]-char equi-width bins, ids 0..[[QSketchBins]]−1
+    * with the last bin open-ended. */
+  val QSketchBins = 64
+  val QSketchWidth = 60
+
+  /** Mergeable histogram-quantile SKETCH — the single-pass scale twin
+    * of [[lengthBoxplot]]: exact `percentile()` buffers and sorts every
+    * value per group (per-group memory ∝ group size — the aggregate
+    * that breaks first at 100 TB), while a fixed equi-width histogram
+    * is a plain partial+final hash aggregate at (lang, bin) grain —
+    * counts combine map-side, merge associatively across any partition
+    * layout, and the state per group is ≤ [[QSketchBins]] longs
+    * regardless of corpus size (the t-digest/KLL trade expressed in
+    * its simplest exactly-deterministic form; those sketches'
+    * float-centroid merges are order-dependent and could never
+    * hash-match an oracle). Quantile read-out: smallest bin whose
+    * cumulative count covers ⌈q·n⌉, reported as bin id + upper edge —
+    * error is bounded by the bin width, known in advance, and the
+    * integer arithmetic is engine-exact. The cumulative window runs at
+    * BIN grain (≤ 64 rows per lang), not document grain. */
+  def lengthQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .select(col("lang"),
+        least(expr(s"n_chars div $QSketchWidth"),
+          lit(QSketchBins - 1L)).as("bin"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("bin")
+    val cum = binned
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+    def qBin(q: Int) =
+      min(when(col("cum") * 100 >= col("n") * q, col("bin")))
+    cum.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        qBin(50).as("p50_bin"), qBin(90).as("p90_bin"),
+        qBin(99).as("p99_bin"))
+      .select(col("lang"), col("n_docs"),
+        col("p50_bin"),
+        ((col("p50_bin") + 1) * QSketchWidth).as("p50_hi"),
+        col("p90_bin"),
+        ((col("p90_bin") + 1) * QSketchWidth).as("p90_hi"),
+        col("p99_bin"),
+        ((col("p99_bin") + 1) * QSketchWidth).as("p99_hi"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[lengthQuantileSketch]] — same bins, same
+    * integer covering rule. */
+  private[graft] def lengthQuantileSketchOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT lang,
+       |    least(n_chars // $QSketchWidth, ${QSketchBins - 1}) AS bin
+       |  FROM documents),
+       |c AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |w AS (
+       |  SELECT lang, bin,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM c)
+       |SELECT lang, max(n) AS n_docs,
+       |  min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS p50_bin,
+       |  (min(CASE WHEN cum * 100 >= n * 50 THEN bin END) + 1)
+       |    * $QSketchWidth AS p50_hi,
+       |  min(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS p90_bin,
+       |  (min(CASE WHEN cum * 100 >= n * 90 THEN bin END) + 1)
+       |    * $QSketchWidth AS p90_hi,
+       |  min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS p99_bin,
+       |  (min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1)
+       |    * $QSketchWidth AS p99_hi
+       |FROM w
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  /** Shards for [[curriculumInterleave]]'s per-source rank windows. */
+  val InterleaveShards = 8
+
+  /** Deterministic source-interleaved training ORDER — the data-order
+    * op an epoch builder runs last: lay documents out so consecutive
+    * training positions rotate through sources (no source ever
+    * dominates a context window's neighborhood) and the layout is a
+    * pure function of ids (reproducible across runs, engines, and
+    * cluster layouts — the same determinism contract as
+    * [[trainValSplit]]). Each doc gets `pos = ((rk−1)·S + shard)·n_src
+    * + src_idx`: round-robin across sources by construction (positions
+    * mod n_src = the source's index), hash-shuffled within a source
+    * (rank by 60-bit md5 of doc_id), and SHARDED so no per-source
+    * global window exists — rank windows run at (source, shard) grain,
+    * S× the parallelism of a naive per-source row_number, the
+    * [[tokenBudgetSample]] shard pattern. `pos` is a sparse total sort
+    * key, not a dense index: density would need exactly the global
+    * coordination the sharding avoids, and a consumer only ever sorts
+    * by it. The source index comes from a bin-grain rank over the
+    * (tiny, bounded) distinct-source frame. */
+  def curriculumInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = Tables.documents(spark, dir)
+      .select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy("source")) - 1)
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        h60("cast(doc_id as string)").as("ord"))
+      .withColumn("shard",
+        pmod(col("ord"), lit(InterleaveShards.toLong)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source", "shard").orderBy("ord", "doc_id")))
+    ranked.join(broadcast(srcIdx), "source")
+      .select(col("doc_id"), col("source"),
+        (((col("rk") - 1).cast("long") * InterleaveShards + col("shard"))
+          * col("n_src") + col("src_idx")).as("pos"))
+      .orderBy("pos")
+  }
+
+  /** DuckDB oracle for [[curriculumInterleave]] — same hash, same
+    * shard/rank/index arithmetic. */
+  private[graft] def curriculumInterleaveOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT source,
+       |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+       |      AS src_idx,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_src
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |r AS (
+       |  SELECT doc_id, source, ord, ord % $InterleaveShards AS shard,
+       |    CAST(row_number() OVER (PARTITION BY source,
+       |      ord % $InterleaveShards ORDER BY ord, doc_id) AS BIGINT)
+       |      AS rk
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) AS ord
+       |    FROM documents))
+       |SELECT r.doc_id, r.source,
+       |  ((r.rk - 1) * $InterleaveShards + r.shard) * s.n_src + s.src_idx
+       |    AS pos
+       |FROM r JOIN s ON r.source = s.source
+       |ORDER BY pos""".stripMargin
+
   /** Cross-source contamination screen — the train/test decontamination
     * pass of a dataset pipeline: for every pair of sources, how many
     * content groups they share. Grouping is on the order-insensitive

@@ -374,6 +374,67 @@ object VectorOps {
       .orderBy("q_id")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * vector, the most-similar neighbor with a DIFFERENT label (the
+    * "looks alike, isn't" pair a triplet/InfoNCE loss wants as its
+    * negative). Candidates come from the shared multi-table sign-LSH
+    * core ([[lshScoredPairs]]) — hard negatives are by definition
+    * high-cosine, exactly the pairs LSH surfaces, so the screen's
+    * recall loss concentrates on EASY negatives a trainer wouldn't
+    * mine anyway. Labels join on after the id-only candidate shuffles
+    * (embeddings and labels never ride the explode/distinct stages),
+    * the different-label filter prunes before the per-query winner, and
+    * the winner is the same max(struct) partial-aggregable pick as
+    * [[annLshTop1]] — no per-key sort, map-side combinable, the
+    * 100 TB aggregation shape. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val scored = lshScoredPairs(spark, dir)
+    val oriented = scored
+      .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
+    oriented
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("c_label")), "c_id")
+      .filter(col("q_label") =!= col("c_label"))
+      .groupBy("q_id", "q_label")
+      // (cosine, neg_c) is already a total order per query; c_label
+      // rides along without affecting the pick.
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c"),
+        col("c_label"))).as("best"))
+      .select(col("q_id"), col("q_label"),
+        (-col("best.neg_c")).as("c_id"),
+        col("best.c_label").as("c_label"),
+        round(col("best.cosine"), 9).as("cosine"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[hardNegatives]] — the shared LSH candidate
+    * CTEs plus the label anti-match and per-query argmax. */
+  private[graft] def hardNegativesOracleSql: String =
+    s"""$lshScoredPairsSqlPrefix,
+       |o AS (
+       |  SELECT a AS q_id, b AS c_id, cosine FROM s
+       |  UNION ALL SELECT b AS q_id, a AS c_id, cosine FROM s),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |j AS (
+       |  SELECT o.q_id, lq.label AS q_label, o.c_id, lc.label AS c_label,
+       |    o.cosine
+       |  FROM o JOIN l lq ON o.q_id = lq.vec_id
+       |         JOIN l lc ON o.c_id = lc.vec_id
+       |  WHERE lq.label <> lc.label),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, c_id) AS rk
+       |  FROM j)
+       |SELECT q_id, q_label, c_id, c_label, round(cosine, 9) AS cosine
+       |FROM r WHERE rk = 1
+       |ORDER BY q_id""".stripMargin
+
   /** IVF coarse-quantizer sizing: C ≈ √N centroids, sampled as every
     * stride-th vec_id with stride = ⌈N / ⌈√N⌉⌉. √N balances the two
     * cost terms of IVF — assignment is N×C and in-cell probing is

@@ -294,6 +294,17 @@ class PlanSpec extends GraftSpec {
     } finally deleteRecursively(out)
   }
 
+  test("interval-overlap range join stays a bucket equi-join, never a " +
+      "nested-loop inequality join") {
+    val plan = executedPlan(BatchOps.shipmentOverlaps(spark, dir))
+    // The coarse-bin blocking exists precisely so the overlap predicate
+    // rides a (supplier, bin) hash join; an inequality-only join shape
+    // re-derives the all-pairs scan per supplier.
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("date-partitioned layout prunes a date-RANGE predicate at planning") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files
