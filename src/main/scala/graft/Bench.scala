@@ -77,6 +77,14 @@ object Bench {
         // runs) — excluding it makes the medians steady-state numbers.
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        // GC the WARMUP's garbage too: the per-run System.gc() below
+        // only fires after each TIMED run, so without this the first
+        // timed run inherited the warmup's dead shuffle/broadcast blocks
+        // and ContextCleaner work — a reproducible first-run spike on
+        // heavy-shuffle queries (r10/r11 raw runs: the max run was the
+        // FIRST timed run for neardup_jaccard_prefix in every recorded
+        // bench: 22.3/8.0/11.1 vs steady-state ~2.3).
+        System.gc()
         // One timed-run helper; the System.gc() between runs sits OUTSIDE
         // the timed window and lets the ContextCleaner release the
         // previous run's dead shuffle/broadcast blocks — without it a

@@ -53,6 +53,7 @@ object SparkEntry {
     "part_copurchase" -> ((s, d) => BatchOps.partCopurchase(s, d)),
     "pareto_frontier" -> ((s, d) => BatchOps.paretoFrontier(s, d)),
     "shipment_overlaps" -> ((s, d) => BatchOps.shipmentOverlaps(s, d)),
+    "record_linkage" -> ((s, d) => BatchOps.recordLinkage(s, d)),
     "shipping_priority" -> ((s, d) => BatchOps.shippingPriority(s, d)),
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
     "scd2_asof" -> ((s, d) => CdcOps.scd2Asof(s, d)),
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
+    "session_paths" -> ((s, d) => CdcOps.sessionPaths(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
     "mad_outliers" -> ((s, d) => CdcOps.madOutliers(s, d)),
@@ -351,6 +353,9 @@ object SparkEntry {
     // Interval-overlap range join: naive BETWEEN self-join oracle
     // proves the coarse-bin-blocked equi-join plan lossless.
     "shipment_overlaps" -> BatchOps.shipmentOverlapsOracleSql,
+    // Entity resolution: blocking-key buckets + levenshtein verify over
+    // injected dirty twins; ground-truth flag makes precision readable.
+    "record_linkage" -> BatchOps.recordLinkageOracleSql,
     // TPC-H Q3 shape: broadcast dim, scan-pruned dates, top-10 heap.
     "shipping_priority" -> BatchOps.shippingPriorityOracleSql,
     // TPC-H Q18 shape: decimal HAVING cut, then tiny-frame join-back.
@@ -571,6 +576,9 @@ object SparkEntry {
     // Point-in-time snapshot at the integer-exact midpoint anchor.
     "scd2_asof" -> CdcOps.scd2AsofOracleSql,
     "event_transitions" -> CdcOps.eventTransitionsOracleSql,
+    // Whole-journey path census: per-group chain-order sort, path-grain
+    // count, tie-broken top-k heap.
+    "session_paths" -> CdcOps.sessionPathsOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
     "mad_outliers" -> CdcOps.madOutliersOracleSql,

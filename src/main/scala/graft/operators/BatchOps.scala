@@ -1460,6 +1460,85 @@ object BatchOps {
       .orderBy("p_size")
   }
 
+  /** Blocking-key prefix length for [[recordLinkage]]. */
+  val LinkBlockLen = 4
+
+  /** Edit-distance match threshold for [[recordLinkage]]. */
+  val LinkMaxEdit = 2
+
+  /** Entity resolution / record linkage — the blocking + pairwise-verify
+    * + match operator of any customer-MDM or training-metadata pipeline:
+    * candidate pairs form ONLY inside a blocking-key bucket (first
+    * [[LinkBlockLen]] chars of the address field — the standard
+    * cheap-key blocking that turns the N² all-pairs comparison into
+    * per-bucket work), then each candidate is verified with a REAL
+    * string-similarity measure (`levenshtein`, identical edit-distance
+    * semantics in both engines) against [[LinkMaxEdit]]. Emits the
+    * matched pairs with their distance and a ground-truth
+    * `same_entity` flag, so precision is directly readable.
+    *
+    * Fixture honesty (the [[graft.operators.TextOps]] `pii_scrub`
+    * precedent): the generated customer table carries no address-like
+    * field, so the address is SYNTHESIZED as 16 hex chars of
+    * md5(custkey) — cross-engine recomputable — and every third entity
+    * gets a dirty twin (same address, last char dropped → edit
+    * distance 1). md5 uniformity makes non-twin in-block distances
+    * ~14+, so the threshold separates cleanly; the oracle recomputes
+    * the same records, blocks, and distances from first principles.
+    *
+    * 100 TB: one hash shuffle on the blocking key; bucket population is
+    * corpus-size-independent (hex⁴ uniform buckets), the verify is
+    * codegen'd per pair inside the bucket, and the match output is
+    * pairs-only (records never ride the join twice). A production
+    * deployment swaps the synthesized address for the real column and
+    * widens blocking to multi-pass keys; the plan shape is unchanged. */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val addr = substring(md5(col("c_custkey").cast("string")), 1, 16)
+    val base = Tables.customer(spark, dir)
+      .select((col("c_custkey") * 2).as("rec_id"),
+        col("c_custkey").as("entity_key"), addr.as("addr"))
+    val twins = Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        col("c_custkey").as("entity_key"),
+        substring(md5(col("c_custkey").cast("string")), 1, 15).as("addr"))
+    val recs = base.unionByName(twins)
+      .withColumn("block", substring(col("addr"), 1, LinkBlockLen))
+    val lhs = recs.select(col("block"), col("rec_id").as("rec_a"),
+      col("addr").as("addr_a"), col("entity_key").as("ent_a"))
+    val rhs = recs.select(col("block"), col("rec_id").as("rec_b"),
+      col("addr").as("addr_b"), col("entity_key").as("ent_b"))
+    lhs.join(rhs, "block")
+      .filter(col("rec_a") < col("rec_b"))
+      .withColumn("lev", levenshtein(col("addr_a"), col("addr_b")))
+      .filter(col("lev") <= LinkMaxEdit)
+      .select(col("rec_a"), col("rec_b"), col("lev"),
+        (col("ent_a") === col("ent_b")).as("same_entity"))
+      .orderBy("rec_a", "rec_b")
+  }
+
+  /** DuckDB oracle for [[recordLinkage]] — same synthesized records,
+    * same blocking, same edit-distance verify. */
+  private[graft] def recordLinkageOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_key,
+       |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS addr
+       |  FROM customer),
+       |twins AS (
+       |  SELECT c_custkey * 2 + 1 AS rec_id, c_custkey AS entity_key,
+       |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS addr
+       |  FROM customer WHERE c_custkey % 3 = 0),
+       |recs AS (
+       |  SELECT *, substr(addr, 1, $LinkBlockLen) AS block
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM twins))
+       |SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+       |  CAST(levenshtein(a.addr, b.addr) AS INTEGER) AS lev,
+       |  a.entity_key = b.entity_key AS same_entity
+       |FROM recs a JOIN recs b
+       |  ON a.block = b.block AND a.rec_id < b.rec_id
+       |WHERE levenshtein(a.addr, b.addr) <= $LinkMaxEdit
+       |ORDER BY rec_a, rec_b""".stripMargin
+
   /** Coarse blocking-bin width (days) for [[shipmentOverlaps]]'s
     * interval self-join — wide enough that a max-length transit window
     * ([[MaxTransitDays]]) spans ≤ 3 bins (bounded fan-out in the

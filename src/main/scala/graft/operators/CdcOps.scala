@@ -589,6 +589,53 @@ object CdcOps {
       .orderBy("prev_type", "event_type")
   }
 
+  /** Top journey count for [[sessionPaths]]. */
+  val PathTopK = 20
+
+  /** Top user-journey paths — the whole-sequence upgrade of
+    * [[eventTransitions]]'s Markov bigrams: each (user, day)'s events in
+    * (ts, event_id) chain order become one `a>b>c` path string, counted
+    * corpus-wide, top-[[PathTopK]] by (count desc, path). The bigram
+    * matrix answers "what follows X"; the path census answers "which
+    * WHOLE journeys dominate" — the funnel-design input.
+    *
+    * Ordering is hash-anchored: the path is built by `array_sort` over
+    * (ts_ms, event_id, type) structs — a per-GROUP sort of a bounded
+    * day's events inside one aggregation buffer, not a global or
+    * per-partition sort — mirrored by the oracle's ordered
+    * `string_agg`. Grouping at (user, day) grain bounds both the
+    * buffer and the path length by a user's daily activity, corpus
+    * size notwithstanding; the census is then a plain partial+final
+    * count at path grain and the top-k is a TakeOrderedAndProject
+    * heap, never a full sort. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy("user_id", "day")
+      .agg(array_join(expr("transform(array_sort(collect_list(e)), " +
+        "x -> x.event_type)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("path"))
+      .limit(PathTopK)
+
+  /** DuckDB oracle for [[sessionPaths]] — ordered `string_agg` over the
+    * same chain order, same tie-broken top-k. */
+  private[graft] def sessionPathsOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    string_agg(event_type, '>'
+       |      ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id) AS path
+       |  FROM events
+       |  GROUP BY user_id, CAST(ts AS DATE))
+       |SELECT path, count(*) AS n_journeys
+       |FROM p
+       |GROUP BY path
+       |ORDER BY n_journeys DESC, path
+       |LIMIT $PathTopK""".stripMargin
+
   /** DuckDB oracle for [[eventTransitions]] — same chain order, same
     * conditional division. */
   private[graft] def eventTransitionsOracleSql: String =
