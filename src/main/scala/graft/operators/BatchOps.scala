@@ -1590,7 +1590,15 @@ object BatchOps {
       col("lid").as("lid_a"), col("d0").as("d0_a"), col("d1").as("d1_a"))
     val rhs = spans.select(col("l_suppkey"), col("bin"),
       col("lid").as("lid_b"), col("d0").as("d0_b"), col("d1").as("d1_b"))
-    lhs.join(rhs, Seq("l_suppkey", "bin"))
+    // SHUFFLE_HASH, not the broadcast the optimizer picks from local
+    // byte stats: the span set IS the corpus (×3), so broadcasting one
+    // side is exactly the wrong 100 TB shape — and locally it also
+    // serialized pair generation onto the scan's 1-2 parquet splits
+    // (7.5 s → the hash-partitioned form runs the in-bucket pair work
+    // across every core). Both sides are the same size, so a shuffled
+    // hash join on the fine-grained (supplier, bin) key is the right
+    // physical form at ANY scale; no sort needed.
+    lhs.join(rhs.hint("shuffle_hash"), Seq("l_suppkey", "bin"))
       .filter(col("lid_a") < col("lid_b")
         && col("d0_a") <= col("d1_b") && col("d0_b") <= col("d1_a")
         // Count-once rule: only the bin holding the later start emits.

@@ -303,6 +303,13 @@ class PlanSpec extends GraftSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // And the equi-join must be the SHUFFLED hash form: both sides are
+    // the corpus's span set, so the broadcast the optimizer picks from
+    // local byte stats is wrong at scale (and serialized the in-bucket
+    // pair work onto the scan's splits).
+    assert(plan.contains("ShuffledHashJoin"), s"not shuffled-hash:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"span set broadcast:\n$plan")
   }
 
   test("date-partitioned layout prunes a date-RANGE predicate at planning") {
