@@ -72,6 +72,7 @@ object SparkEntry {
     "cdc_envelope_nested" -> ((s, d) => CdcOps.envelopeNested(s, d)),
     "cdc_op_filter" -> ((s, d) => CdcOps.opFilter(s, d)),
     "cdc_upsert_latest" -> ((s, d) => CdcOps.upsertLatest(s, d)),
+    "cdc_merge_snapshot" -> ((s, d) => CdcOps.mergeSnapshot(s, d)),
     "cdc_event_type_counters" -> ((s, d) => CdcOps.eventTypeCounters(s, d)),
     "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "domain_mixture" -> ((s, d) => TextOps.domainMixture(s, d)),
     "mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
+    "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
@@ -461,6 +463,10 @@ object SparkEntry {
         |      FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // Lakehouse MERGE: feed compaction + FULL OUTER against the base
+    // snapshot; all five branch outcomes tagged in `src`.
+    "cdc_merge_snapshot" -> CdcOps.mergeSnapshotOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,
@@ -827,6 +833,9 @@ object SparkEntry {
     // hash-uniform comparison is bit-deterministic on both engines.
     "mixture_resample" -> TextOps.mixtureResampleOracleSql,
     "doc_surprisal" -> TextOps.docSurprisalOracleSql,
+    // Context-aware LM screen: integer-bit conditional bigram
+    // surprisal; low mean bits flags templated text.
+    "bigram_surprisal" -> TextOps.bigramSurprisalOracleSql,
     "token_entropy" -> TextOps.tokenEntropyOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,

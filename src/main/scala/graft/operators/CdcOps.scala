@@ -123,6 +123,78 @@ object CdcOps {
       .orderBy("user_id")
   }
 
+  /** Key shift mapping the event feed onto the customer keyspace for
+    * [[mergeSnapshot]] — chosen so the feed straddles the base table's
+    * key boundary: keys 1450..1499 hit existing rows (UPDATE/DELETE
+    * branches), 1500..1599 are new (INSERT branch). */
+  val MergeKeyShift = 1450
+
+  /** Lakehouse-style MERGE: apply the CDC feed onto a BASE TABLE
+    * snapshot — the `MERGE INTO base USING changes` statement every
+    * Delta/Iceberg pipeline runs, built from its two primitive plans:
+    * (1) log-compact the feed to latest-per-key ([[upsertLatest]]'s
+    * window), (2) one hash FULL OUTER join against the base on the
+    * merge key. WHEN MATCHED AND op='d' → row dropped; WHEN MATCHED →
+    * updated value; WHEN NOT MATCHED AND op≠'d' → inserted; base rows
+    * untouched by the feed pass through; a delete for an absent key is
+    * a no-op (all five MERGE branches, each tagged in `src` so the
+    * branch mix is hash-observable). At 100 TB this is exactly the
+    * copy-on-write MERGE shape: compaction is one key shuffle over the
+    * DELTA only, and the join re-writes base partitions it touches —
+    * the base never re-aggregates. */
+  def mergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("entity_key"),
+        col("c_acctbal").as("base_value"))
+    val w = Window.partitionBy("entity_key")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = Tables.events(spark, dir)
+      .withColumn("entity_key",
+        col("user_id") + lit(MergeKeyShift.toLong))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("entity_key"), opCol.as("op"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+    base.join(latest, Seq("entity_key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "d")
+      .select(col("entity_key"),
+        coalesce(col("value"), col("base_value")).as("acct_value"),
+        when(col("op").isNull, "base")
+          .when(col("base_value").isNull, "insert")
+          .otherwise("update").as("src"),
+        col("ts_ms").as("last_ts_ms"))
+      .orderBy("entity_key")
+  }
+
+  /** DuckDB oracle for [[mergeSnapshot]] — same compaction window, same
+    * FULL OUTER branch rules. */
+  private[graft] def mergeSnapshotOracleSql: String =
+    s"""WITH latest AS (
+       |  SELECT entity_key, op, value, ts_ms FROM (
+       |    SELECT user_id + $MergeKeyShift AS entity_key,
+       |      CASE WHEN event_type = 'signup' THEN 'c'
+       |           WHEN event_type = 'error' THEN 'd'
+       |           ELSE 'u' END AS op,
+       |      value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events)
+       |  WHERE rn = 1),
+       |m AS (
+       |  SELECT COALESCE(l.entity_key, b.c_custkey) AS entity_key,
+       |    b.c_acctbal AS base_value, l.op, l.value, l.ts_ms
+       |  FROM (SELECT c_custkey, c_acctbal FROM customer) b
+       |  FULL OUTER JOIN latest l ON b.c_custkey = l.entity_key)
+       |SELECT entity_key,
+       |  COALESCE(value, base_value) AS acct_value,
+       |  CASE WHEN op IS NULL THEN 'base'
+       |       WHEN base_value IS NULL THEN 'insert'
+       |       ELSE 'update' END AS src,
+       |  ts_ms AS last_ts_ms
+       |FROM m
+       |WHERE op IS NULL OR op <> 'd'
+       |ORDER BY entity_key""".stripMargin
+
   /** S6+A10: per-(table,op)-style running counters — the Redis
     * `cdc:stats:{table}:{op}` INCR counters (cdc_processor.py:50-51) plus
     * the per-type revenue/user metrics (cdc_processor.py:124-131,203-205).

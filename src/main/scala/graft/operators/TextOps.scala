@@ -2586,6 +2586,82 @@ object TextOps {
        |FROM d
        |ORDER BY doc_id""".stripMargin
 
+  /** A document is flagged templated when its mean conditional bigram
+    * surprisal falls below this many bits (shared with the oracle). */
+  val BigramPredictableBits = 3.0
+
+  /** Bigram-LM conditional surprisal — the CONTEXT-aware upgrade of
+    * [[docSurprisal]]'s unigram LM: each in-document bigram (prev, cur)
+    * scores |bin(c(prev) DIV c(prev, cur))| bits, the integer-quantized
+    * −log₂ P(cur | prev) under the corpus bigram model (observed
+    * bigrams only, so every count ≥ 1 and no smoothing constant enters
+    * the hash). Low mean bits = the corpus LM predicts each next token
+    * from its context — templated/boilerplate text that unigram
+    * surprisal misses (template RARE-word slots score high under a
+    * unigram model but their contexts make them predictable).
+    *
+    * Scale shape: token explode → one per-doc lag window
+    * (hash-partitioned on doc_id, no global sort) → bigram-grain hash
+    * aggregate (c2), context counts by RE-AGGREGATING c2 (never a
+    * second corpus pass), bits joined back on the bigram key (hash
+    * join, nothing broadcast at corpus scale), per-doc rollup. Widest
+    * shuffle is bigram-vocabulary grain. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val c2 = bi.groupBy("prev", "token").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val bits = c2.join(c1, "prev")
+      .select(col("prev"), col("token"),
+        length(bin(expr("c1 DIV c2"))).cast("bigint").as("bits"))
+    bi.join(bits, Seq("prev", "token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("avg_bits",
+        col("total_bits").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("templated", col("avg_bits") < BigramPredictableBits)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bigramSurprisal]] — bigrams via 1-based list
+    * slicing (same pairs as the lag window), same integer bits. */
+  private[graft] def bigramSurprisalOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+       |b AS (
+       |  SELECT doc_id, tk[s] AS prev, tk[s + 1] AS token
+       |  FROM d, unnest(generate_series(1, n - 1)) AS g(s)),
+       |c2 AS (SELECT prev, token, count(*) AS c2 FROM b
+       |       GROUP BY prev, token),
+       |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2
+       |       GROUP BY prev),
+       |bits AS (
+       |  SELECT c2.prev, c2.token,
+       |    CAST(length(bin(CAST(c1 // c2 AS BIGINT))) AS BIGINT) AS bits
+       |  FROM c2 JOIN c1 USING (prev)),
+       |r AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(bits) AS BIGINT) AS total_bits
+       |  FROM b JOIN bits USING (prev, token)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, total_bits,
+       |  CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |    AS avg_bits,
+       |  CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |    < $BigramPredictableBits AS templated
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   /** A document is flagged low-diversity when its quantized token
     * entropy falls below this many bits (shared with the oracle). */
   val EntropyBitsMin = 3.0
