@@ -58,4 +58,118 @@ class CurationInvariantsSpec extends GraftSpec {
       assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"))
     }
   }
+
+  test("interval-overlap join is lossless vs a naive in-Spark self-join") {
+    import graft.operators.BatchOps
+    // Independent in-engine oracle (the DuckDB one shares only the
+    // synthesis): brute-force all supplier pairs, no bins — the blocked
+    // plan must reproduce it exactly.
+    val blocked = BatchOps.shipmentOverlaps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("overlap_days"))).toSeq.sorted
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
+        datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1992-01-01"))).cast("long").as("d0"))
+      .withColumn("d1",
+        col("d0") + pmod(expr("cast(conv(substring(md5(" +
+          "cast(lid as string)), 1, 15), 16, 10) as bigint)"),
+          lit(BatchOps.MaxTransitDays.toLong)) + lit(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val naive = base.groupBy(_._1).map { case (supp, rows) =>
+      val pairs = for {
+        a <- rows; b <- rows
+        if a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield math.min(a._4, b._4) - math.max(a._3, b._3) + 1
+      (supp, pairs.size.toLong, pairs.sum)
+    }.filter(_._2 > 0).toSeq.sorted
+    assert(blocked == naive)
+  }
+
+  test("record linkage: every match is a true twin, every twin is found") {
+    import graft.operators.BatchOps
+    val rows = BatchOps.recordLinkage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // Precision 1.0 on this fixture (md5 separation) ...
+    assert(rows.forall(_.getAs[Boolean]("same_entity")))
+    // ... and recall 1.0: one match per injected twin.
+    val nTwins = graft.Tables.customer(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 3 === 0)
+      .count()
+    assert(rows.length.toLong == nTwins)
+  }
+
+  test("curriculum interleave: positions unique and round-robin by source") {
+    val rows = TextOps.curriculumInterleave(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source")))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // pos mod n_src identifies the source — the round-robin guarantee.
+    val srcs = rows.map(_._2).distinct.sorted
+    val n = srcs.length.toLong
+    val idx = srcs.zipWithIndex.toMap
+    rows.foreach { case (pos, src) =>
+      assert(pos % n == idx(src),
+        s"pos $pos of $src breaks rotation")
+    }
+  }
+
+  test("quantile sketch: bins ordered and p50 brackets the exact median") {
+    val sketch = TextOps.lengthQuantileSketch(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("p50_bin"), r.getAs[Long]("p90_bin"),
+          r.getAs[Long]("p99_bin"))).toMap
+    assert(sketch.nonEmpty)
+    sketch.values.foreach { case (p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+    // The exact per-lang median must land INSIDE (or at the edge of)
+    // the sketch's p50 bin — the bin-width error bound, verified.
+    TextOps.lengthBoxplot(spark, dir).collect().foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val exactP50 = r.getAs[Double]("p50")
+      val bin = sketch(lang)._1
+      val lo = bin * TextOps.QSketchWidth
+      val hi = (bin + 1) * TextOps.QSketchWidth
+      assert(exactP50 >= lo - TextOps.QSketchWidth && exactP50 <= hi,
+        s"$lang: exact median $exactP50 outside sketch bin [$lo, $hi)")
+    }
+  }
+
+  test("merge snapshot: branch accounting ties to base and feed") {
+    val rows = CdcOps.mergeSnapshot(spark, dir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("src"))
+      .view.mapValues(_.length.toLong).toMap
+    val nBase = graft.Tables.customer(spark, dir).count()
+    import org.apache.spark.sql.functions._
+    val latest = CdcOps.upsertLatestOf(graft.Tables.events(spark, dir))
+    val nLive = latest.count() // latest-per-key, deletes dropped
+    val nKeys = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    val shift = CdcOps.MergeKeyShift
+    // Every snapshot row is exactly one branch; untouched = base minus
+    // the feed keys that hit the base keyspace.
+    val feedKeysInBase = graft.Tables.events(spark, dir)
+      .select((col("user_id") + shift).as("k")).distinct()
+      .filter(col("k") < nBase).count()
+    assert(bySrc.getOrElse("base", 0L) == nBase - feedKeysInBase)
+    assert(bySrc.getOrElse("update", 0L) + bySrc.getOrElse("insert", 0L)
+      == nLive)
+    assert(rows.length.toLong <= nBase + nKeys)
+  }
+
+  test("bigram surprisal: bit totals are consistent and flags honest") {
+    TextOps.bigramSurprisal(spark, dir).collect().foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val bits = r.getAs[Long]("total_bits")
+      assert(n > 0 && bits >= n) // every observed bigram scores >= 1 bit
+      val avg = r.getAs[Double]("avg_bits")
+      assert(math.abs(avg - bits.toDouble / n) < 1e-12)
+      assert(r.getAs[Boolean]("templated") ==
+        (avg < TextOps.BigramPredictableBits))
+    }
+  }
 }
