@@ -83,8 +83,13 @@ object Bench {
         // and ContextCleaner work — a reproducible first-run spike on
         // heavy-shuffle queries (r10/r11 raw runs: the max run was the
         // FIRST timed run for neardup_jaccard_prefix in every recorded
-        // bench: 22.3/8.0/11.1 vs steady-state ~2.3).
+        // bench: 22.3/8.0/11.1 vs steady-state ~2.3). The short sleep
+        // lets the ContextCleaner — which processes the gc-discovered
+        // garbage ASYNCHRONOUSLY — drain its shuffle/broadcast removals
+        // before the first timed run instead of during it (the gc alone
+        // cut the spike 11.1→7.4 s; the overlap is the remainder).
         System.gc()
+        Thread.sleep(500)
         // One timed-run helper; the System.gc() between runs sits OUTSIDE
         // the timed window and lets the ContextCleaner release the
         // previous run's dead shuffle/broadcast blocks — without it a

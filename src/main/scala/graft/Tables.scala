@@ -108,6 +108,43 @@ object Tables {
                            dateCol: String): Unit =
     writePartitioned(df, dir, Seq(dateCol))
 
+  /** Z-ORDER layout WRITE — the acting half of
+    * `BatchOps.zorderStats`'s diagnostics (same integer
+    * range-normalization, same bit-interleave): compute the Morton key
+    * of two dimensions, RANGE-partition on it so each output file owns
+    * a contiguous Z-range, sort within partitions, and write parquet.
+    * Because the Z-curve clusters BOTH dimensions, every file's
+    * parquet min/max footer is tight on both columns — a reader
+    * filtering on EITHER dimension skips most files (the OPTIMIZE
+    * ZORDER effect; a single-column sort clusters one dimension and
+    * leaves the other spanning the full domain per file). The layout
+    * spec quantifies exactly that trade on real data. Bounds come from
+    * one 1-row broadcast anchor; the interleave is a codegen'd
+    * projection; the only shuffle is the range exchange the layout
+    * requires. */
+  def writeZOrdered(df: DataFrame, dir: String, colA: String,
+                    colB: String, files: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val top = (1 << bits) - 1
+    val zTerms = (0 until bits).map(i =>
+      s"(((za >> $i) & 1) << ${2 * i}) + " +
+        s"(((zb >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    val bounds = df.agg(
+      min(col(colA)).as("a_lo"), max(col(colA)).as("a_hi"),
+      min(col(colB)).as("b_lo"), max(col(colB)).as("b_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("za", expr(
+        s"(($colA - a_lo) * $top) div greatest(1L, a_hi - a_lo)"))
+      .withColumn("zb", expr(
+        s"(($colB - b_lo) * $top) div greatest(1L, b_hi - b_lo)"))
+      .withColumn("__z", expr(s"cast(($zTerms) as bigint)"))
+      .drop("a_lo", "a_hi", "b_lo", "b_hi", "za", "zb")
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Bucketed managed-table sink — the co-location tool for repeated
     * big⋈big joins at 100 TB: both sides written with `bucketBy(n, key)`
     * (+ per-bucket sort) join with NO exchange on either side — the

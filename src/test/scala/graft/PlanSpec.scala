@@ -340,6 +340,46 @@ class PlanSpec extends GraftSpec {
     } finally deleteRecursively(out)
   }
 
+  test("z-ordered layout tightens per-file bounds on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val zDir = java.nio.file.Files
+      .createTempDirectory("li_zorder").toString
+    val aDir = java.nio.file.Files
+      .createTempDirectory("li_bypart").toString
+    try {
+      // sf0.01: a 2000-part × 100-supplier grid — deep enough that 16
+      // contiguous Z-ranges resolve quadrants on both dimensions
+      // (sf0.001's 200×10 grid is coarser than the file count).
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Tables.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", files = 16)
+      // Baseline: the single-column clustering a plain sort gives.
+      li.repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(aDir)
+      def spans(d: String): (Double, Double) = {
+        val perFile = spark.read.parquet(d)
+          .groupBy(input_file_name().as("f"))
+          .agg((max("l_partkey") - min("l_partkey")).as("pk"),
+            (max("l_suppkey") - min("l_suppkey")).as("sk"))
+          .agg(avg("pk"), avg("sk")).head()
+        (perFile.getDouble(0), perFile.getDouble(1))
+      }
+      val (zPk, zSk) = spans(zDir)
+      val (aPk, aSk) = spans(aDir)
+      val fullPk = li.agg(max("l_partkey") - min("l_partkey"))
+        .head().getLong(0).toDouble
+      // The one-column sort leaves suppkey spanning ~the full domain
+      // per file; the Z-layout must beat it decisively there while
+      // still clustering partkey well below the full domain (count-
+      // balanced Z-ranges straddle quadrant boundaries, so the bound
+      // is a loose 0.7, not the aligned-quadrant 0.25-0.5).
+      assert(zSk < aSk * 0.7, s"z suppkey span $zSk !< 0.7*$aSk")
+      assert(zPk < fullPk * 0.7, s"z partkey span $zPk !< 0.7*$fullPk")
+      assert(aPk <= zPk) // the baseline is optimal on its own column
+    } finally { deleteRecursively(zDir); deleteRecursively(aDir) }
+  }
+
   test("fact-side-first rollup keeps dimension strings off the shuffle") {
     val plan = executedPlan(BatchOps.productRollup(spark, dir))
     // Every hash-partitioned exchange must key on ids only — p_name /
