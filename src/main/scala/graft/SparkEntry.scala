@@ -73,6 +73,8 @@ object SparkEntry {
     "cdc_op_filter" -> ((s, d) => CdcOps.opFilter(s, d)),
     "cdc_upsert_latest" -> ((s, d) => CdcOps.upsertLatest(s, d)),
     "cdc_merge_snapshot" -> ((s, d) => CdcOps.mergeSnapshot(s, d)),
+    "cdc_gap_detection" -> ((s, d) => CdcOps.cdcGapDetection(s, d)),
+    "time_weighted_value" -> ((s, d) => CdcOps.timeWeightedValue(s, d)),
     "cdc_event_type_counters" -> ((s, d) => CdcOps.eventTypeCounters(s, d)),
     "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
@@ -147,6 +149,9 @@ object SparkEntry {
     "mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    "lexical_profile" -> ((s, d) => TextOps.lexicalProfile(s, d)),
+    "source_divergence" -> ((s, d) => TextOps.sourceDivergence(s, d)),
+    "zipf_slope" -> ((s, d) => TextOps.zipfSlope(s, d)),
     "token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
@@ -467,6 +472,8 @@ object SparkEntry {
     // Lakehouse MERGE: feed compaction + FULL OUTER against the base
     // snapshot; all five branch outcomes tagged in `src`.
     "cdc_merge_snapshot" -> CdcOps.mergeSnapshotOracleSql,
+    "cdc_gap_detection" -> CdcOps.cdcGapDetectionOracleSql,
+    "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,
@@ -836,6 +843,9 @@ object SparkEntry {
     // Context-aware LM screen: integer-bit conditional bigram
     // surprisal; low mean bits flags templated text.
     "bigram_surprisal" -> TextOps.bigramSurprisalOracleSql,
+    "lexical_profile" -> TextOps.lexicalProfileOracleSql,
+    "source_divergence" -> TextOps.sourceDivergenceOracleSql,
+    "zipf_slope" -> TextOps.zipfSlopeOracleSql,
     "token_entropy" -> TextOps.tokenEntropyOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,

@@ -1675,4 +1675,136 @@ object CdcOps {
        |    AS rel_err
        |FROM e
        |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Time-weighted state value + CDC offset-gap audit (round 11)
+  // --------------------------------------------------------------------
+
+  /** Time-weighted average of each user's `value` signal: treat the event
+    * stream as a step function (a value holds from its event until the
+    * next event of the same user) and integrate — the standard downsample
+    * for irregularly-sampled gauges, which the reference's fixed
+    * `deque(maxlen=1000)` buffers (`stream_processor.py:26-28`) can only
+    * approximate by unweighted averaging. Exactness: durations are
+    * integer epoch-millis deltas and `value` is quantized to integer
+    * cents up front, so the `cents·Δms` products and their sum are exact
+    * BIGINTs (associative ⇒ identical under any partial-aggregation
+    * order); the single int64→double conversion at the end is
+    * correctly-rounded in both engines. (A first cut summed
+    * DECIMAL(38,6) and cast to double — exact too, but DuckDB's
+    * hugeint-scaled decimal→double cast double-rounds, 1 ULP off
+    * Spark's BigDecimal conversion on 5/150 rows.)
+    *
+    * Scale: one window (hash-partitioned by user, sorted by event time in
+    * partition) + one hash aggregation — the same shape as sessionization,
+    * no shuffle beyond the user_id exchange. The BIGINT integral needs
+    * `cents·Δms·rows_per_key < 2^63` — beyond that (multi-year gaps or
+    * billion-event keys) widen the sum to DECIMAL(38,0), still exact. */
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur_ms",
+        unix_millis(col("next_ts")) - unix_millis(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_ms")).as("total_ms"),
+        sum(col("v_cents") * col("dur_ms")).as("weighted_cents_ms"))
+      .select(col("user_id"), col("n_intervals"), col("total_ms"),
+        col("weighted_cents_ms"),
+        (col("weighted_cents_ms").cast("double") /
+          (col("total_ms").cast("double") * 100.0)).as("twa_value"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[timeWeightedValue]] — same integer integral. */
+  private[graft] def timeWeightedValueOracleSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v_cents,
+      |    lead(ts) OVER (PARTITION BY user_id
+      |                   ORDER BY ts, event_id) AS next_ts
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, v_cents,
+      |    CAST(epoch_ms(next_ts) - epoch_ms(ts) AS BIGINT) AS dur_ms
+      |  FROM s WHERE next_ts IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, count(*) AS n_intervals,
+      |    CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+      |    CAST(sum(v_cents * dur_ms) AS BIGINT) AS weighted_cents_ms
+      |  FROM d GROUP BY user_id)
+      |SELECT user_id, n_intervals, total_ms, weighted_cents_ms,
+      |  CAST(weighted_cents_ms AS DOUBLE) /
+      |    (CAST(total_ms AS DOUBLE) * 100.0) AS twa_value
+      |FROM r ORDER BY user_id""".stripMargin
+
+  /** CDC offset-continuity audit: after [[tableDispatch]] routes the
+    * change stream into per-target topics, each target sees a
+    * SUBSEQUENCE of the global `event_id` offsets — exactly the shape of
+    * a Kafka topic fed by a table-router. This audit reports, per target,
+    * how many offset gaps the subsequence has and their total/max width:
+    * the production check that distinguishes "events legitimately routed
+    * elsewhere" from "a consumer silently skipped offsets" (run it on the
+    * pre-routing stream, where ANY gap is data loss). Pure integer lag
+    * arithmetic; mirrors the offset bookkeeping the reference trusts to
+    * Kafka consumer groups (`python/utils.py:86-100`).
+    *
+    * Scale: one window per target (3 partitions here; at scale the
+    * partition key is (topic, kafka_partition) so each window sees one
+    * partition's offsets) + a tiny final aggregation. */
+  def cdcGapDetection(spark: SparkSession, dir: String): DataFrame = {
+    val routed = Tables.events(spark, dir)
+      .withColumn("target",
+        when(col("event_type") === "signup", "customer_cache")
+          .when(col("event_type") === "purchase", "order_cache")
+          .when(col("event_type").isin("click", "view"), "activity_cache"))
+      .filter(col("target").isNotNull)
+    val w = Window.partitionBy("target").orderBy("event_id")
+    routed
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_id").isNotNull)
+      .withColumn("gap", col("event_id") - col("prev_id") - lit(1L))
+      .groupBy("target")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        sum(col("gap")).as("missing_total"),
+        max(col("gap")).as("max_gap"),
+        min(col("prev_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"))
+      .orderBy("target")
+  }
+
+  /** DuckDB oracle for [[cdcGapDetection]]. */
+  private[graft] def cdcGapDetectionOracleSql: String =
+    """WITH routed AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'signup' THEN 'customer_cache'
+      |         WHEN event_type = 'purchase' THEN 'order_cache'
+      |         WHEN event_type IN ('click', 'view') THEN 'activity_cache'
+      |    END AS target
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase', 'click', 'view')),
+      |l AS (
+      |  SELECT target, event_id,
+      |    lag(event_id) OVER (PARTITION BY target ORDER BY event_id)
+      |      AS prev_id
+      |  FROM routed),
+      |g AS (
+      |  SELECT target, event_id, prev_id, event_id - prev_id - 1 AS gap
+      |  FROM l WHERE prev_id IS NOT NULL)
+      |SELECT target, count(*) AS n_intervals,
+      |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_gaps,
+      |  CAST(sum(gap) AS BIGINT) AS missing_total,
+      |  max(gap) AS max_gap,
+      |  min(prev_id) AS first_offset,
+      |  max(event_id) AS last_offset
+      |FROM g GROUP BY target
+      |ORDER BY target""".stripMargin
 }

@@ -3500,4 +3500,199 @@ object TextOps {
        |       ELSE 'novel' END AS verdict
        |FROM j
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Lexical profile, source divergence, Zipf fit (round 11)
+  // --------------------------------------------------------------------
+
+  /** Per-document lexical profile: token/type/hapax counts, type-token
+    * ratio, average word length and a syllable proxy (vowel-group runs —
+    * the Flesch-style readability input that survives punctuation-free
+    * text). All counts are exact integers; the two ratios are single
+    * divisions of exact integers, so the emitted doubles are bit-identical
+    * across engines. Extends the reference's quality heuristics
+    * (`/root/reference/python/batch_processor.py:108-176` computes only
+    * row-level numeric summaries; it has no lexical statistics).
+    *
+    * Scale: one explode + two hash-partitioned aggregations keyed by
+    * doc_id — the per-(doc,token) intermediate is the same shape the
+    * TF-IDF path already materializes, partial-aggregatable map-side. */
+  def lexicalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens).as("token"))
+    toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        sum(length(col("token")).cast("long") * col("c"))
+          .as("total_chars"),
+        sum(size(regexp_extract_all(col("token"), lit("[aeiou]+"), lit(0)))
+          .cast("long") * col("c")).as("vowel_groups"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_word_len",
+        col("total_chars").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[lexicalProfile]]. */
+  private[graft] def lexicalProfileOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |pt AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hapax_count,
+      |    CAST(sum(length(token) * c) AS BIGINT) AS total_chars,
+      |    CAST(sum(len(regexp_extract_all(token, '[aeiou]+')) * c)
+      |      AS BIGINT) AS vowel_groups
+      |  FROM pt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types, hapax_count, total_chars,
+      |  vowel_groups,
+      |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS type_token_ratio,
+      |  CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS avg_word_len
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Pairwise source-corpus divergence: for every unordered pair of
+    * sources, vocabulary Jaccard overlap and total-variation distance
+    * between their unigram distributions. TV is computed EXACTLY in
+    * integers via the identity `TV = 1 − Σ_w min(p_w, q_w)` (both
+    * distributions sum to 1, and `min(p,q)` is nonzero only on the shared
+    * vocabulary, so an INNER join on token suffices — no full-outer union
+    * of vocabularies): `Σ min(c_a·N_b, c_b·N_a)` is an exact BIGINT and
+    * the final division of exact integers is bit-deterministic. The
+    * mixture-weighting question this answers (which sources are
+    * near-duplicates of each other at the distribution level) is the
+    * corpus-grain sibling of the domain-mixture reweighting family.
+    *
+    * Scale: the pair join is keyed on token (hash-partitioned, no
+    * broadcast of the big side); per-token work is O(sources²) only for
+    * tokens shared by many sources — with thousands of sources you would
+    * add a document-frequency cap exactly like [[nearDupJaccardCapped]].
+    * The scaled-integer products need `c·N < 2^63`; beyond ~10^9 tokens
+    * per source switch the mass sum to DECIMAL(38,0). */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+    val enriched = counts.join(broadcast(totals), "source")
+    val a = enriched.select(
+      col("source").as("source_a"), col("token"),
+      col("c").as("ca"), col("n").as("na"), col("vocab").as("vocab_a"))
+    val b = enriched.select(
+      col("source").as("source_b"), col("token"),
+      col("c").as("cb"), col("n").as("nb"), col("vocab").as("vocab_b"))
+    a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b", "vocab_a", "vocab_b", "na", "nb")
+      .agg(
+        count(lit(1)).as("vocab_common"),
+        sum(least(col("ca") * col("nb"), col("cb") * col("na")))
+          .as("min_mass_scaled"))
+      .select(
+        col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_common"), col("min_mass_scaled"),
+        (lit(1.0) - col("min_mass_scaled").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")))
+          .as("tv_distance"),
+        (col("vocab_common").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("vocab_common"))
+            .cast("double")).as("vocab_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB oracle for [[sourceDivergence]]. */
+  private[graft] def sourceDivergenceOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT source, token, count(*) AS c FROM t GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab
+      |  FROM c GROUP BY source),
+      |j AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    ta.vocab AS vocab_a, tb.vocab AS vocab_b, ta.n AS na,
+      |    tb.n AS nb, count(*) AS vocab_common,
+      |    CAST(sum(least(a.c * tb.n, b.c * ta.n)) AS BIGINT)
+      |      AS min_mass_scaled
+      |  FROM c a
+      |  JOIN c b ON a.token = b.token AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT source_a, source_b, vocab_a, vocab_b, vocab_common,
+      |  min_mass_scaled,
+      |  1.0 - CAST(min_mass_scaled AS DOUBLE) /
+      |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv_distance,
+      |  CAST(vocab_common AS DOUBLE) /
+      |    CAST(vocab_a + vocab_b - vocab_common AS DOUBLE)
+      |    AS vocab_jaccard
+      |FROM j
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** Zipf ranks entering the log-log regression (shared with oracle). */
+  val ZipfTopRanks = 100
+
+  /** Zipf's-law fit per language: regression slope of ln(frequency) on
+    * ln(rank) over the top-[[ZipfTopRanks]] tokens. Natural corpora sit
+    * near −1; templated/synthetic text is much flatter — a corpus-grain
+    * quality screen. `regr_slope` accumulates floating sums whose ORDER
+    * differs between engines, so the slope is rounded to 6 decimals
+    * before emission (the only non-integer-derived double in the text
+    * family; every other emitted double here is a single division of
+    * exact integers).
+    *
+    * Scale: frequency table is one hash aggregation; the rank cut is a
+    * per-lang top-k (WindowGroupLimit pushes the filter into the sort),
+    * and the regression runs over ≤ languages×[[ZipfTopRanks]] rows. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(tokens).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("c").desc, col("token"))
+    freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopRanks)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_ranks"),
+        sum(col("c")).as("top_mass"),
+        round(expr("regr_slope(ln(c), ln(rank))"), 6).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[zipfSlope]]. */
+  private[graft] def zipfSlopeOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT lang, token, count(*) AS c FROM t GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, c,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY c DESC, token) AS rank
+       |  FROM f)
+       |SELECT lang, count(*) AS n_ranks,
+       |  CAST(sum(c) AS BIGINT) AS top_mass,
+       |  round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope
+       |FROM r WHERE rank <= $ZipfTopRanks
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 }

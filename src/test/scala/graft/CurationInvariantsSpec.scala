@@ -172,4 +172,73 @@ class CurationInvariantsSpec extends GraftSpec {
         (avg < TextOps.BigramPredictableBits))
     }
   }
+
+  test("lexical profile: count hierarchy and ratio ranges hold") {
+    val rows = TextOps.lexicalProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nTyp = r.getAs[Long]("n_types")
+      assert(r.getAs[Long]("hapax_count") <= nTyp && nTyp <= nTok)
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(r.getAs[Double]("avg_word_len") >= 1.0)
+      // every token of this corpus contains a vowel, so the syllable
+      // proxy is at least one group per token
+      assert(r.getAs[Long]("vowel_groups") >= nTok)
+    }
+  }
+
+  test("source divergence: full pair spine, TV and Jaccard in range") {
+    val rows = TextOps.sourceDivergence(spark, dir).collect()
+    val nSources = Tables.documents(spark, dir)
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(tv >= 0.0 && tv <= 1.0, s"tv $tv out of range")
+      val j = r.getAs[Double]("vocab_jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("vocab_common") <=
+        math.min(r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b")))
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("zipf slope: negative fit over the full rank window per lang") {
+    val rows = TextOps.zipfSlope(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ranks") <= TextOps.ZipfTopRanks)
+      // frequencies are non-increasing in rank, so the fit cannot rise
+      assert(r.getAs[Double]("zipf_slope") <= 0.0)
+    }
+  }
+
+  test("time-weighted value: integral brackets and exact tie-out") {
+    val rows = CdcOps.timeWeightedValue(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val totalMs = r.getAs[Long]("total_ms")
+      assert(totalMs > 0)
+      val twa = r.getAs[Double]("twa_value")
+      assert(twa >= 0.0 && twa <= 1000.0) // value domain is [0, ~560]
+      assert(math.abs(twa - r.getAs[Long]("weighted_cents_ms").toDouble /
+        (totalMs.toDouble * 100.0)) < 1e-12)
+    }
+  }
+
+  test("cdc gap audit: offset span ties to intervals plus missing") {
+    val rows = CdcOps.cdcGapDetection(spark, dir).collect()
+    assert(rows.length == 3) // three routed targets
+    rows.foreach { r =>
+      val span = r.getAs[Long]("last_offset") - r.getAs[Long]("first_offset")
+      // span = observed intervals + offsets missing from this target
+      assert(span ==
+        r.getAs[Long]("n_intervals") + r.getAs[Long]("missing_total"),
+        s"target ${r.get(0)}: span does not tie out")
+      assert(r.getAs[Long]("n_gaps") <= r.getAs[Long]("n_intervals"))
+      assert(r.getAs[Long]("max_gap") <= r.getAs[Long]("missing_total"))
+    }
+  }
 }
