@@ -74,6 +74,7 @@ object SparkEntry {
     "cdc_upsert_latest" -> ((s, d) => CdcOps.upsertLatest(s, d)),
     "cdc_merge_snapshot" -> ((s, d) => CdcOps.mergeSnapshot(s, d)),
     "cdc_gap_detection" -> ((s, d) => CdcOps.cdcGapDetection(s, d)),
+    "hll_merge_rollup" -> ((s, d) => CdcOps.hllMergeRollup(s, d)),
     "time_weighted_value" -> ((s, d) => CdcOps.timeWeightedValue(s, d)),
     "cdc_event_type_counters" -> ((s, d) => CdcOps.eventTypeCounters(s, d)),
     "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
@@ -180,6 +181,7 @@ object SparkEntry {
     "wav_features" -> ((s, d) => MultiModalOps.wavFeatures(s, d)),
     "bmp_features" -> ((s, d) => MultiModalOps.bmpFeatures(s, d)),
     "image_resize" -> ((s, d) => MultiModalOps.imageResize(s, d)),
+    "image_phash_census" -> ((s, d) => MultiModalOps.imagePhashCensus(s, d)),
     "video_frame_sample" -> ((s, d) => MultiModalOps.videoFrameSampleQuery(s, d)),
     "audio_resample" -> ((s, d) => MultiModalOps.audioResample(s, d)),
     "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
@@ -473,6 +475,7 @@ object SparkEntry {
     // snapshot; all five branch outcomes tagged in `src`.
     "cdc_merge_snapshot" -> CdcOps.mergeSnapshotOracleSql,
     "cdc_gap_detection" -> CdcOps.cdcGapDetectionOracleSql,
+    "hll_merge_rollup" -> CdcOps.hllMergeRollupOracleSql,
     "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
 
     "cdc_event_type_counters" ->
@@ -953,6 +956,7 @@ object SparkEntry {
     "bmp_features" -> MultiModalOps.bmpFeaturesOracleSql,
     // Block-mean downsample + aHash off the real BMP parse.
     "image_resize" -> MultiModalOps.imageResizeOracleSql,
+    "image_phash_census" -> MultiModalOps.imagePhashCensusOracleSql,
     // Multi-frame container walk + stride-2 frame sampling.
     "video_frame_sample" -> MultiModalOps.videoFrameSampleOracleSql,
     // Exact-integer audio decimation off the real WAV parse.

@@ -1676,6 +1676,115 @@ object CdcOps {
        |FROM e
        |ORDER BY event_type""".stripMargin
 
+  /** HLL register MERGEABILITY, demonstrated end-to-end: build
+    * per-(event_type, day) register sets, merge the days per type with a
+    * register-wise max, and show the merged estimate EQUALS the estimate
+    * computed directly over the undivided stream — `max(max(a), max(b))
+    * = max(a ∪ b)`, the algebra that lets 100 TB of daily partitions
+    * roll up to a global distinct count without ever re-scanning raw
+    * data. Both paths are computed independently (element-grain regs vs
+    * day-grain regs re-merged) and the oracle re-derives both, so
+    * `merged_minus_direct` being 0 is a verified property, not a
+    * tautology. Same deterministic 60-bit md5 register derivation as
+    * [[hllDistinct]]; all-integer until the final estimate division.
+    *
+    * Scale: day-grain register sets are the materialization unit (m=256
+    * longs per (type, day) — KBs per partition); the merge is a
+    * partial+final max aggregate over register rows, shuffle-bounded by
+    * m × types, independent of row count. */
+  def hllMergeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+          " 16, 10) as bigint)"))
+      .withColumn("idx", pmod(col("h"), lit(HllM)).cast("int"))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w")))))
+    // path 1: day-grain registers, then merged per type by register max
+    val dayRegs = base.groupBy("event_type", "day", "idx")
+      .agg(max(col("rho")).as("r"))
+    val nDays = dayRegs.select("event_type", "day").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val merged = dayRegs.groupBy("event_type", "idx")
+      .agg(max(col("r")).as("r"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m_hit"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - r as int))"))
+          .as("hit_num"))
+      .withColumn("sum_num_merged",
+        col("hit_num") + (lit(HllM.toLong) - col("m_hit")) * lit(1L << 53))
+      .select(col("event_type"), col("m_hit"), col("sum_num_merged"))
+    // path 2: direct registers over the undivided stream
+    val direct = base.groupBy("event_type", "idx")
+      .agg(max(col("rho")).as("r"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m_hit_d"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - r as int))"))
+          .as("hit_num_d"))
+      .withColumn("sum_num_direct",
+        col("hit_num_d") +
+          (lit(HllM.toLong) - col("m_hit_d")) * lit(1L << 53))
+      .select(col("event_type"), col("sum_num_direct"))
+    merged.join(direct, "event_type").join(nDays, "event_type")
+      .select(col("event_type"), col("n_days"), col("m_hit"),
+        col("sum_num_merged"),
+        (col("sum_num_merged") - col("sum_num_direct"))
+          .as("merged_minus_direct"),
+        (lit(HllEstNum) / col("sum_num_merged").cast("double"))
+          .as("hll_est_merged"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[hllMergeRollup]] — both register paths
+    * re-derived independently, same folded estimator constant. */
+  private[graft] def hllMergeRollupOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, day, CAST(h % $HllM AS INT) AS idx,
+       |    CASE WHEN h // $HllM = 0 THEN 53
+       |         ELSE 53 - length(bin(h // $HllM)) END AS rho
+       |  FROM base),
+       |day_regs AS (
+       |  SELECT event_type, day, idx, max(rho) AS r
+       |  FROM r GROUP BY 1, 2, 3),
+       |nd AS (
+       |  SELECT event_type, count(DISTINCT day) AS n_days
+       |  FROM day_regs GROUP BY event_type),
+       |merged_regs AS (
+       |  SELECT event_type, idx, max(r) AS r
+       |  FROM day_regs GROUP BY 1, 2),
+       |merged AS (
+       |  SELECT event_type, count(*) AS m_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT)
+       |      + ($HllM - count(*)) * (CAST(1 AS BIGINT) << 53)
+       |      AS sum_num_merged
+       |  FROM merged_regs GROUP BY event_type),
+       |direct_regs AS (
+       |  SELECT event_type, idx, max(rho) AS r
+       |  FROM r GROUP BY 1, 2),
+       |direct AS (
+       |  SELECT event_type,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT)
+       |      + ($HllM - count(*)) * (CAST(1 AS BIGINT) << 53)
+       |      AS sum_num_direct
+       |  FROM direct_regs GROUP BY event_type)
+       |SELECT m.event_type, nd.n_days, m.m_hit, m.sum_num_merged,
+       |  m.sum_num_merged - d.sum_num_direct AS merged_minus_direct,
+       |  CAST($HllEstNum AS DOUBLE) / CAST(m.sum_num_merged AS DOUBLE)
+       |    AS hll_est_merged
+       |FROM merged m
+       |JOIN direct d ON m.event_type = d.event_type
+       |JOIN nd ON m.event_type = nd.event_type
+       |ORDER BY m.event_type""".stripMargin
+
   // --------------------------------------------------------------------
   // Time-weighted state value + CDC offset-gap audit (round 11)
   // --------------------------------------------------------------------
@@ -1757,8 +1866,13 @@ object CdcOps {
     * Scale: one window per target (3 partitions here; at scale the
     * partition key is (topic, kafka_partition) so each window sees one
     * partition's offsets) + a tiny final aggregation. */
-  def cdcGapDetection(spark: SparkSession, dir: String): DataFrame = {
-    val routed = Tables.events(spark, dir)
+  def cdcGapDetection(spark: SparkSession, dir: String): DataFrame =
+    cdcGapDetectionOf(Tables.events(spark, dir))
+
+  /** [[cdcGapDetection]] over an injectable event frame (the streaming
+    * twin's spec pins `StreamOps.offsetGapState` totals to this). */
+  def cdcGapDetectionOf(events: DataFrame): DataFrame = {
+    val routed = events
       .withColumn("target",
         when(col("event_type") === "signup", "customer_cache")
           .when(col("event_type") === "purchase", "order_cache")

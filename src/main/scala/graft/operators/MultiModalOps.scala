@@ -1151,4 +1151,98 @@ object MultiModalOps {
        |      * (j + 1))) AS BIGINT) AS bottom_row_checksum
        |FROM g
        |ORDER BY doc_id""".stripMargin
+
+  /** Perceptual-hash dedup census over the decoded image corpus: group
+    * images by their [[imageResize]] aHash (exact perceptual dedup
+    * groups — first-occurrence survivor + copy count), then for each
+    * OBSERVED hash report how many of its 12 Hamming-distance-1 variant
+    * hashes are also present and how many images they hold. This is the
+    * image-side twin of the text exact-dedup + MIH families: the
+    * hash-grain output stays ≤ 2^12 rows no matter how many images went
+    * in (the pair-grain version explodes quadratically on a coarse hash
+    * — 25k pairs already at sf0.01 — which is exactly why production
+    * perceptual dedup aggregates at the hash grain first).
+    *
+    * Scale: the heavy step is the per-image decode/hash (linear,
+    * partition-parallel); everything after runs on the ≤4096-row hash
+    * census, and the Hamming-1 neighbor lookup is a broadcast self-join
+    * of that census against its 12-way variant explode. A 64-bit phash
+    * would swap the explode for the banded MIH bucket join
+    * ([[graft.operators.VectorOps]] `annMihTop1`). */
+  def imagePhashCensus(spark: SparkSession, dir: String): DataFrame = {
+    val groups = imageResize(spark, dir)
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keep_id"))
+    val nbits = ResizeGridW * ResizeGridH
+    val variants = groups.select(col("ahash"),
+      explode(array((0 until nbits).map(k =>
+        col("ahash").bitwiseXOR(lit(1 << k))): _*)).as("variant"))
+    val neigh = variants
+      .join(broadcast(groups.select(col("ahash").as("variant"),
+        col("n_images").as("vn"))), "variant")
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_neighbor_hashes"),
+        sum(col("vn")).as("neighbor_image_mass"))
+    groups.join(neigh, Seq("ahash"), "left")
+      .select(col("ahash"), col("n_images"), col("keep_id"),
+        coalesce(col("n_neighbor_hashes"), lit(0L)).as("n_neighbor_hashes"),
+        coalesce(col("neighbor_image_mass"), lit(0L))
+          .as("neighbor_image_mass"))
+      .orderBy("ahash")
+  }
+
+  /** DuckDB oracle for [[imagePhashCensus]] — aHash from the pixel
+    * FORMULA (same CTEs as [[imageResizeOracleSql]]; the oracle never
+    * sees bytes), then the same hash-grain census and 12-variant
+    * Hamming-1 neighbor join. */
+  private[graft] def imagePhashCensusOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    (coalesce(length(text), 0) % 13) + 4 AS w,
+       |    (doc_id % 11) + 3 AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    i % w AS x, i // w AS y,
+       |    (doc_id * 7 + (i // w) * 13 + (i % w) * 5) % 256
+       |      + (doc_id * 7 + (i // w) * 13 + (i % w) * 5 + 11) % 256
+       |      + (doc_id * 7 + (i // w) * 13 + (i % w) * 5 + 22) % 256
+       |      AS gray
+       |  FROM g, unnest(generate_series(0, w * h - 1)) AS r(i)),
+       |blk AS (
+       |  SELECT doc_id, w, h,
+       |    (y * $ResizeGridH) // h * $ResizeGridW + (x * $ResizeGridW) // w
+       |      AS bi,
+       |    sum(gray) AS bs, count(*) AS bn
+       |  FROM px GROUP BY 1, 2, 3, 4),
+       |tot AS (
+       |  SELECT doc_id, sum(bs) AS ts, w * h AS tn
+       |  FROM blk GROUP BY doc_id, w, h),
+       |ah AS (
+       |  SELECT blk.doc_id,
+       |    CAST(sum(CASE WHEN bs * tot.tn > tot.ts * bn
+       |      THEN 1 << CAST(bi AS INT) ELSE 0 END) AS INT) AS ahash
+       |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+       |  GROUP BY blk.doc_id),
+       |grp AS (
+       |  SELECT ahash, count(*) AS n_images, min(doc_id) AS keep_id
+       |  FROM ah GROUP BY ahash),
+       |v AS (
+       |  SELECT grp.ahash,
+       |    xor(grp.ahash, 1 << CAST(k AS INT)) AS variant
+       |  FROM grp,
+       |    unnest(generate_series(0, ${ResizeGridW * ResizeGridH - 1}))
+       |      AS t(k)),
+       |n AS (
+       |  SELECT v.ahash, count(*) AS n_neighbor_hashes,
+       |    CAST(sum(g2.n_images) AS BIGINT) AS neighbor_image_mass
+       |  FROM v JOIN grp g2 ON g2.ahash = v.variant
+       |  GROUP BY v.ahash)
+       |SELECT grp.ahash, grp.n_images, grp.keep_id,
+       |  CAST(coalesce(n.n_neighbor_hashes, 0) AS BIGINT)
+       |    AS n_neighbor_hashes,
+       |  CAST(coalesce(n.neighbor_image_mass, 0) AS BIGINT)
+       |    AS neighbor_image_mass
+       |FROM grp LEFT JOIN n ON grp.ahash = n.ahash
+       |ORDER BY grp.ahash""".stripMargin
 }

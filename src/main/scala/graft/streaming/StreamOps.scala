@@ -42,6 +42,16 @@ case class Velocity(
   * bucket, keyed by the bucket's epoch-millis start). */
 case class VelBucket(units: Double, n_events: Long)
 
+/** Per-target CDC offset-continuity state/output: cumulative interval,
+  * gap, and missing-offset counters plus the last offset seen (the
+  * streaming twin of `CdcOps.cdcGapDetection`). */
+case class OffsetAudit(
+    target: String,
+    last_offset: Long,
+    n_intervals: Long,
+    n_gaps: Long,
+    missing_total: Long)
+
 /** One emitted change-log transition (streaming twin of
   * `CdcOps.changeLog`'s row shape). */
 case class ChangeRow(user_id: Long, event_id: Long, ts_ms: Long,
@@ -448,6 +458,55 @@ object StreamOps {
     events
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Live CDC offset-continuity auditor — the streaming twin of
+    * `CdcOps.cdcGapDetection`: after table routing, each target keeps
+    * ONE small state row (last offset + cumulative gap counters) and
+    * every trigger folds its batch's offsets in ascending order,
+    * counting jumps. Update mode: each trigger re-emits the target's
+    * cumulative audit row (an upsert consumer always shows the current
+    * totals — the `cdc:stats:*` counter shape of
+    * `cdc_processor.py:50-51`, applied to offset hygiene instead of
+    * event counts). `NoTimeout`: an offset cursor must never expire —
+    * state is O(targets), not O(events). In production the key is
+    * (topic, kafka_partition), where Kafka guarantees per-partition
+    * offset order ACROSS triggers; the spec feeds batches in offset
+    * order to honor that contract, and the final totals are pinned to
+    * the batch query on the same data. */
+  def offsetGapState(events: Dataset[Event]): Dataset[OffsetAudit] = {
+    import events.sparkSession.implicits._
+    events
+      .flatMap { e =>
+        (e.event_type match {
+          case "signup"         => Some("customer_cache")
+          case "purchase"       => Some("order_cache")
+          case "click" | "view" => Some("activity_cache")
+          case _                => None
+        }).map(t => (t, e.event_id))
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[OffsetAudit, OffsetAudit](
+        GroupStateTimeout.NoTimeout) {
+        case (target, batch, state) =>
+          val ids = batch.map(_._2).toArray.sorted
+          val prev = state.getOption
+          var last = prev.map(_.last_offset).getOrElse(ids.head)
+          var nIntervals = prev.map(_.n_intervals).getOrElse(0L)
+          var nGaps = prev.map(_.n_gaps).getOrElse(0L)
+          var missing = prev.map(_.missing_total).getOrElse(0L)
+          // the very first offset seeds the cursor; it is not an interval
+          val toFold = if (prev.isEmpty) ids.drop(1) else ids
+          toFold.foreach { id =>
+            val gap = id - last - 1
+            nIntervals += 1
+            if (gap > 0) { nGaps += 1; missing += gap }
+            last = id
+          }
+          val out = OffsetAudit(target, last, nIntervals, nGaps, missing)
+          state.update(out)
+          out
+      }
+  }
 
   /** T5: CDC upsert-latest cache with tombstones — the per-entity
     * latest-row Redis cache (cdc_processor.py:77-190: c/u set the key, d

@@ -228,6 +228,38 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("image phash census: image mass conserved, neighbor counts bounded") {
+    val rows = graft.operators.MultiModalOps.imagePhashCensus(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == nDocs,
+      "every image must land in exactly one hash group")
+    val nbits = graft.operators.MultiModalOps.ResizeGridW *
+      graft.operators.MultiModalOps.ResizeGridH
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_neighbor_hashes") <= nbits)
+      // neighbor mass counts images, so it is at least one per
+      // neighboring hash present
+      assert(r.getAs[Long]("neighbor_image_mass") >=
+        r.getAs[Long]("n_neighbor_hashes"))
+    }
+    // Hamming-1 adjacency is symmetric: total neighbor-hash edges even
+    assert(rows.map(_.getAs[Long]("n_neighbor_hashes")).sum % 2 == 0)
+  }
+
+  test("hll merge rollup: day-merged registers equal the direct sketch") {
+    val rows = CdcOps.hllMergeRollup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("merged_minus_direct") == 0L,
+        s"${r.get(0)}: merged registers diverge from direct")
+      assert(r.getAs[Long]("m_hit") <= CdcOps.HllM)
+      assert(r.getAs[Long]("n_days") >= 1)
+      assert(r.getAs[Double]("hll_est_merged") > 0.0)
+    }
+  }
+
   test("cdc gap audit: offset span ties to intervals plus missing") {
     val rows = CdcOps.cdcGapDetection(spark, dir).collect()
     assert(rows.length == 3) // three routed targets

@@ -1033,4 +1033,54 @@ class StreamOpsSpec extends GraftSpec {
       assert(streamed.values.map(_._4).toSet == Set("exact", "novel"))
     } finally q.stop()
   }
+
+  test("offset-gap auditor matches the batch audit on an ordered feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.offsetGapState(in.toDS())
+      .writeStream.format("memory").queryName("gap_audit")
+      .outputMode("update").start()
+    // Three targets; activity_cache takes ids 1,2,5 (one gap of width 2
+    // split ACROSS triggers), order_cache takes 3,9 (gap 5), the
+    // customer_cache cursor sees a single offset (no intervals yet), and
+    // the unrouted 'error' id 4 is one of the offsets the activity gap
+    // skips over.
+    val evs = Seq(
+      event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      event(2, "2024-01-01 10:01:00", 2, "view", 1.0),
+      event(3, "2024-01-01 10:02:00", 3, "purchase", 9.0),
+      event(4, "2024-01-01 10:03:00", 4, "error", 0.0),
+      event(5, "2024-01-01 10:04:00", 5, "click", 1.0),
+      event(6, "2024-01-01 10:05:00", 6, "signup", 0.0),
+      event(9, "2024-01-01 10:06:00", 7, "purchase", 3.0))
+    try {
+      in.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(4): _*) // cursor must persist across triggers
+      q.processAllAvailable()
+      // Update mode: latest row per target is the cumulative audit.
+      val got = spark.table("gap_audit").collect()
+        .groupBy(_.getAs[String]("target"))
+        .map { case (t, rows) =>
+          val r = rows.maxBy(_.getAs[Long]("n_intervals"))
+          t -> (r.getAs[Long]("last_offset"), r.getAs[Long]("n_intervals"),
+            r.getAs[Long]("n_gaps"), r.getAs[Long]("missing_total"))
+        }
+      assert(got == Map(
+        "activity_cache" -> ((5L, 2L, 1L, 2L)),
+        "order_cache" -> ((9L, 1L, 1L, 5L)),
+        "customer_cache" -> ((6L, 0L, 0L, 0L))))
+      // The batch audit on the same fixture agrees wherever it has a
+      // row (it emits only targets with at least one interval).
+      graft.operators.CdcOps
+        .cdcGapDetectionOf(spark.createDataset(evs).toDF())
+        .collect().foreach { r =>
+          val t = r.getAs[String]("target")
+          assert(got(t) == ((r.getAs[Long]("last_offset"),
+            r.getAs[Long]("n_intervals"), r.getAs[Long]("n_gaps"),
+            r.getAs[Long]("missing_total"))),
+            s"target $t: stream ${got(t)} disagrees with batch")
+        }
+    } finally q.stop()
+  }
 }
