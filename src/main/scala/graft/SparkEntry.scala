@@ -76,6 +76,7 @@ object SparkEntry {
     "cdc_gap_detection" -> ((s, d) => CdcOps.cdcGapDetection(s, d)),
     "hll_merge_rollup" -> ((s, d) => CdcOps.hllMergeRollup(s, d)),
     "time_weighted_value" -> ((s, d) => CdcOps.timeWeightedValue(s, d)),
+    "gauge_resample" -> ((s, d) => CdcOps.gaugeResample(s, d)),
     "cdc_event_type_counters" -> ((s, d) => CdcOps.eventTypeCounters(s, d)),
     "cdc_user_event_sets" -> ((s, d) => CdcOps.userEventSets(s, d)),
     "cdc_table_dispatch" -> ((s, d) => CdcOps.tableDispatch(s, d)),
@@ -477,6 +478,7 @@ object SparkEntry {
     "cdc_gap_detection" -> CdcOps.cdcGapDetectionOracleSql,
     "hll_merge_rollup" -> CdcOps.hllMergeRollupOracleSql,
     "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
+    "gauge_resample" -> CdcOps.gaugeResampleOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,

@@ -1852,6 +1852,125 @@ object CdcOps {
       |    (CAST(total_ms AS DOUBLE) * 100.0) AS twa_value
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** Resample grid step (6 h in millis; shared with the oracle). */
+  val ResampleGridMs: Long = 6L * 3600 * 1000
+
+  /** Gauge resampling onto a regular grid — the as-of-join + LINEAR
+    * INTERPOLATION operator: each user's irregular `value` signal is
+    * evaluated at every [[ResampleGridMs]] boundary inside that user's
+    * observed span, interpolating between the surrounding events. The
+    * time-series regularization every monitoring store performs, and the
+    * interpolating upgrade of [[timeWeightedValue]]'s step-function
+    * view. Exactness: the interpolation numerator
+    * `v₁·(t₂−t) + v₂·(t−t₁)` is built from integer cents and integer
+    * millis, so it is an exact BIGINT; the one double division at the
+    * end is bit-deterministic. Same-timestamp twins degenerate to
+    * `t₂ = t₁` — guarded by a CASE that holds the left value.
+    *
+    * Mechanics: grid rows (per-user `sequence()` over the span — array
+    * length ≤ span/step, no driver loop) are UNIONed with the events,
+    * one per-user window sorted by (time, grid-after-event) finds the
+    * surrounding events via `last/first(..., ignoreNulls)` — the
+    * standard union-merge as-of pattern, one shuffle on user_id, no
+    * join at all. */
+  def gaugeResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      // integer-floor grid bounds ("/" on longs is double division in
+      // the DataFrame DSL — `div` keeps it exact), and a guard for
+      // spans shorter than one step (Spark's sequence(a, b) DESCENDS
+      // when b < a where DuckDB's generate_series is empty)
+      .select(col("user_id"),
+        expr(s"(lo + ${ResampleGridMs - 1}) div $ResampleGridMs")
+          .as("k_lo"),
+        expr(s"hi div $ResampleGridMs").as("k_hi"))
+      .filter(col("k_hi") >= col("k_lo"))
+      .select(col("user_id"),
+        explode(sequence(col("k_lo"), col("k_hi"))).as("k"))
+      .select(col("user_id"), (col("k") * ResampleGridMs).as("t"),
+        lit(-1L).as("event_id"),
+        lit(null).cast("long").as("v_cents"), lit(1).as("is_grid"))
+    val merged = ev.withColumn("is_grid", lit(0))
+      .select("user_id", "t", "event_id", "v_cents", "is_grid")
+      .unionByName(grid)
+    // event_id tiebreak: same-(user, t) event twins would otherwise make
+    // last()/first() engine-dependent (grid rows are already unique and
+    // ordered after events by is_grid)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("is_grid"), col("event_id"))
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    merged
+      .withColumn("pv", last(col("v_cents"), ignoreNulls = true).over(back))
+      .withColumn("pt",
+        last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
+          .over(back))
+      .withColumn("nv", first(col("v_cents"), ignoreNulls = true).over(fwd))
+      .withColumn("nt",
+        first(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
+          .over(fwd))
+      .filter(col("is_grid") === 1 &&
+        col("pv").isNotNull && col("nv").isNotNull)
+      .select(col("user_id"), col("t").as("grid_ms"),
+        (col("t") - col("pt")).as("ms_since_prev"),
+        (col("nt") - col("t")).as("ms_to_next"),
+        when(col("nt") > col("pt"),
+          (col("pv") * (col("nt") - col("t")) +
+            col("nv") * (col("t") - col("pt"))).cast("double") /
+            ((col("nt") - col("pt")).cast("double") * 100.0))
+          .otherwise(col("pv").cast("double") / 100.0)
+          .as("interp_value"))
+      .orderBy("user_id", "grid_ms")
+  }
+
+  /** DuckDB oracle for [[gaugeResample]] — same union-merge as-of walk,
+    * same exact-integer interpolation numerator. */
+  private[graft] def gaugeResampleOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS t, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS v_cents
+       |  FROM events),
+       |grid AS (
+       |  SELECT user_id, k * $ResampleGridMs AS t,
+       |    CAST(-1 AS BIGINT) AS event_id,
+       |    CAST(NULL AS BIGINT) AS v_cents, 1 AS is_grid
+       |  FROM (SELECT user_id, min(t) AS lo, max(t) AS hi
+       |        FROM ev GROUP BY user_id),
+       |    unnest(generate_series((lo + $ResampleGridMs - 1)
+       |      // $ResampleGridMs, hi // $ResampleGridMs)) AS g(k)),
+       |m AS (
+       |  SELECT user_id, t, event_id, v_cents, 0 AS is_grid FROM ev
+       |  UNION ALL
+       |  SELECT user_id, t, event_id, v_cents, is_grid FROM grid),
+       |x AS (
+       |  SELECT user_id, t, is_grid,
+       |    last_value(v_cents IGNORE NULLS) OVER back AS pv,
+       |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+       |      OVER back AS pt,
+       |    first_value(v_cents IGNORE NULLS) OVER fwd AS nv,
+       |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+       |      OVER fwd AS nt
+       |  FROM m
+       |  WINDOW
+       |    back AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    fwd AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, t AS grid_ms,
+       |  t - pt AS ms_since_prev,
+       |  nt - t AS ms_to_next,
+       |  CASE WHEN nt > pt THEN
+       |    CAST(pv * (nt - t) + nv * (t - pt) AS DOUBLE) /
+       |      (CAST(nt - pt AS DOUBLE) * 100.0)
+       |  ELSE CAST(pv AS DOUBLE) / 100.0 END AS interp_value
+       |FROM x
+       |WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+       |ORDER BY user_id, grid_ms""".stripMargin
+
   /** CDC offset-continuity audit: after [[tableDispatch]] routes the
     * change stream into per-target topics, each target sees a
     * SUBSEQUENCE of the global `event_id` offsets — exactly the shape of

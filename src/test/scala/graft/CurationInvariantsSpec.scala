@@ -260,6 +260,20 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("gauge resample: grid-aligned, bracketed, convex interpolation") {
+    val rows = CdcOps.gaugeResample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("grid_ms") % CdcOps.ResampleGridMs == 0)
+      val sp = r.getAs[Long]("ms_since_prev")
+      val tn = r.getAs[Long]("ms_to_next")
+      assert(sp >= 0 && tn >= 0)
+      // surrounding events bracket the grid point within one user span
+      val v = r.getAs[Double]("interp_value")
+      assert(v >= 0.0 && v <= 1000.0) // convex combo of cents in [0, 560]
+    }
+  }
+
   test("cdc gap audit: offset span ties to intervals plus missing") {
     val rows = CdcOps.cdcGapDetection(spark, dir).collect()
     assert(rows.length == 3) // three routed targets
