@@ -86,6 +86,8 @@ object SparkEntry {
     "hll_distinct" -> ((s, d) => CdcOps.hllDistinct(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
+    "session_window_native" -> ((s, d) => CdcOps.sessionWindowNative(s, d)),
+    "fk_orphan_audit" -> ((s, d) => BatchOps.fkOrphanAudit(s, d)),
     "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
@@ -479,6 +481,8 @@ object SparkEntry {
     "hll_merge_rollup" -> CdcOps.hllMergeRollupOracleSql,
     "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
     "gauge_resample" -> CdcOps.gaugeResampleOracleSql,
+    "session_window_native" -> CdcOps.sessionWindowNativeOracleSql,
+    "fk_orphan_audit" -> BatchOps.fkOrphanAuditOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,

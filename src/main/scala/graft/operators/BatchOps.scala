@@ -1662,4 +1662,84 @@ object BatchOps {
        |    AS on_frontier
        |FROM f JOIN am ON f.p_size = am.p_size
        |ORDER BY f.p_size""".stripMargin
+
+  /** Referential-integrity audit across the star schema's foreign keys:
+    * for each child→parent relationship, total child rows/keys and the
+    * rows/keys whose key has NO parent (LEFT ANTI join at the
+    * key-grain — the child is pre-aggregated per key first, so the anti
+    * join and everything after run on distinct keys, not rows). The
+    * last relationship is a SEEDED-FAULT CONTROL (parents restricted to
+    * even keys), guaranteeing nonzero orphan counts so a broken anti
+    * join cannot pass on an all-clean dataset — the same
+    * injected-ground-truth pattern as `record_linkage` and `pii_scrub`.
+    * Reference analog: the FK relationships its generator maintains by
+    * sampling live ids (`python/data_generator.py:82-94`) and that
+    * `sql/init.sql:21,37,46-47` declares.
+    *
+    * Scale: each relationship is one key-grain hash aggregate + one
+    * anti join keyed on the FK; parent sides ship keys only. The 1-row
+    * per-relationship summaries union into a fixed-size report. */
+  def fkOrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame = {
+      val ck = child.groupBy(col(key).as("fk"))
+        .agg(count(lit(1)).as("c"))
+      val orphan = ck.join(parent.select(col(pkey).as("fk")),
+        Seq("fk"), "left_anti")
+      ck.agg(
+        sum(col("c")).as("n_child_rows"),
+        count(lit(1)).as("n_child_keys"))
+        .crossJoin(broadcast(orphan.agg(
+          coalesce(sum(col("c")), lit(0L)).as("n_orphan_rows"),
+          count(lit(1)).as("n_orphan_keys"))))
+        .select(lit(name).as("relationship"), col("n_child_rows"),
+          col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    rel("lineitem_orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(rel("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(rel("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(rel("orders_customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(rel("events_customer", Tables.events(spark, dir),
+        "user_id", Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(rel("control_orders_evencustomer",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir).filter(col("c_custkey") % 2 === 0),
+        "c_custkey"))
+      .orderBy("relationship")
+  }
+
+  /** DuckDB oracle for [[fkOrphanAudit]]. */
+  private[graft] def fkOrphanAuditOracleSql: String = {
+    def block(name: String, child: String, key: String,
+              parent: String, pkey: String, pred: String = ""): String =
+      s"""SELECT '$name' AS relationship,
+         |  CAST(sum(c) AS BIGINT) AS n_child_rows,
+         |  count(*) AS n_child_keys,
+         |  CAST(coalesce(sum(c) FILTER (WHERE orphan), 0) AS BIGINT)
+         |    AS n_orphan_rows,
+         |  CAST(coalesce(count(*) FILTER (WHERE orphan), 0) AS BIGINT)
+         |    AS n_orphan_keys
+         |FROM (
+         |  SELECT $key AS fk, count(*) AS c,
+         |    $key NOT IN (SELECT $pkey FROM $parent $pred) AS orphan
+         |  FROM $child GROUP BY $key)""".stripMargin
+    Seq(
+      block("lineitem_orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      block("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      block("lineitem_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      block("orders_customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      block("events_customer", "events", "user_id",
+        "customer", "c_custkey"),
+      block("control_orders_evencustomer", "orders", "o_custkey",
+        "customer", "c_custkey", "WHERE c_custkey % 2 = 0"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
 }

@@ -1852,6 +1852,68 @@ object CdcOps {
       |    (CAST(total_ms AS DOUBLE) * 100.0) AS twa_value
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the same [[SessionGapMs]]-gap sessions as [[eventSessions]], but
+    * computed by the engine's dedicated session operator
+    * (UpdatingSessions + merging session aggregation in the physical
+    * plan) instead of the lag/cumsum island construction. Registered as
+    * its own oracle-checked query precisely because the oracle DERIVES
+    * sessions from first principles (the island SQL): a hash match
+    * proves Spark's native operator and the textbook construction agree
+    * on every session boundary, count, and decimal sum — operator
+    * coverage the island twin alone cannot claim. The native form is
+    * also the one that generalizes to streaming (`session_window` +
+    * watermark), where the cumsum construction is inexpressible.
+    *
+    * The emitted `session_end_ms` is the native operator's window end —
+    * LAST EVENT + GAP (the close boundary), not [[eventSessions]]'
+    * last-event time; the oracle mirrors that definition. */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${SessionGapMs / 1000} seconds")
+          .as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_ms")
+
+  /** DuckDB oracle for [[sessionWindowNative]] — sessions derived from
+    * FIRST PRINCIPLES (gap islands via lag + running sum), end boundary
+    * = last event + gap to match the native window's close. */
+  private[graft] def sessionWindowNativeOracleSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, value, epoch_ms(ts) AS ts_ms,
+       |    epoch_us(ts) AS ts_us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |s AS (
+       |  -- the native operator merges on STRICT window overlap in
+       |  -- MICROSECONDS: same session iff diff < gap, new iff >= gap
+       |  SELECT user_id, value, ts_ms,
+       |    sum(CASE WHEN prev_us IS NULL
+       |             OR ts_us - prev_us >= ${SessionGapMs * 1000}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_seq
+       |  FROM o)
+       |SELECT user_id,
+       |  min(ts_ms) AS session_start_ms,
+       |  max(ts_ms) + $SessionGapMs AS session_end_ms,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_value
+       |FROM s
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** Resample grid step (6 h in millis; shared with the oracle). */
   val ResampleGridMs: Long = 6L * 3600 * 1000
 

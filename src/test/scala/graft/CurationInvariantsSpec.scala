@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CdcOps, TextOps}
+import graft.operators.{BatchOps, CdcOps, TextOps}
 
 /** Structural invariants of the round-10 curation/robust-stats ops over
   * REAL testdata (sf0.001) — properties the oracle hash cannot state
@@ -272,6 +272,38 @@ class CurationInvariantsSpec extends GraftSpec {
       val v = r.getAs[Double]("interp_value")
       assert(v >= 0.0 && v <= 1000.0) // convex combo of cents in [0, 560]
     }
+  }
+
+  test("native session windows agree with the island construction") {
+    val native = CdcOps.sessionWindowNative(spark, dir).collect()
+    val islands = CdcOps.eventSessions(spark, dir).collect()
+    assert(native.length == islands.length,
+      "native session_window and lag/cumsum islands disagree on count")
+    assert(native.map(_.getAs[Long]("n_events")).sum ==
+      islands.map(_.getAs[Long]("n_events")).sum)
+    native.foreach { r =>
+      // close boundary = last event + gap, so every session spans >= gap
+      assert(r.getAs[Long]("session_end_ms") -
+        r.getAs[Long]("session_start_ms") >= CdcOps.SessionGapMs)
+    }
+  }
+
+  test("fk orphan audit: clean FKs are clean, the seeded control is not") {
+    val rows = BatchOps.fkOrphanAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("relationship") ->
+        (r.getAs[Long]("n_child_rows"), r.getAs[Long]("n_child_keys"),
+          r.getAs[Long]("n_orphan_rows"), r.getAs[Long]("n_orphan_keys")))
+      .toMap
+    assert(rows.size == 6)
+    // generator-maintained FKs hold
+    Seq("lineitem_orders", "lineitem_part", "lineitem_supplier",
+      "orders_customer").foreach { rel =>
+      assert(rows(rel)._3 == 0L && rows(rel)._4 == 0L, s"$rel has orphans")
+    }
+    // the even-parent control MUST detect orphans (odd-key customers)
+    val ctl = rows("control_orders_evencustomer")
+    assert(ctl._3 > 0L && ctl._4 > 0L, "seeded control found no orphans")
+    assert(ctl._3 <= ctl._1 && ctl._4 <= ctl._2)
   }
 
   test("cdc gap audit: offset span ties to intervals plus missing") {

@@ -391,4 +391,36 @@ class PlanSpec extends GraftSpec {
       l.contains("p_name") || l.contains("p_brand")),
       s"dimension columns in exchange keys:\n${exchanges.mkString("\n")}")
   }
+
+  test("source divergence: the pair build is a token equi-join") {
+    val plan = executedPlan(TextOps.sourceDivergence(spark, dir))
+    // The source<source predicate must ride the token hash join as a
+    // post-condition — a nested-loop pair build is O(sources²·vocab²).
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+      == 0, s"nested-loop pair build:\n$plan")
+  }
+
+  test("gauge resample: one user shuffle feeds both as-of windows") {
+    val plan = executedPlan(CdcOps.gaugeResample(spark, dir))
+    // The backward and forward ignoreNulls windows share the same
+    // (user_id) partitioning + (t, is_grid, event_id) order — a second
+    // user_id exchange between them means the union-merge regressed
+    // into per-window shuffles.
+    val userExchanges = plan.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges.length <= 2, // event branch + grid-bounds branch
+      s"extra user_id shuffles:\n${userExchanges.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("image phash census: neighbor lookup broadcasts the hash census") {
+    val plan = executedPlan(
+      graft.operators.MultiModalOps.imagePhashCensus(spark, dir))
+    // The 12-variant Hamming-1 join must hit the <=2^12-row census via
+    // a broadcast hash join, never a shuffle of the variant explode.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"census join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
