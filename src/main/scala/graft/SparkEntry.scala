@@ -88,6 +88,7 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "session_window_native" -> ((s, d) => CdcOps.sessionWindowNative(s, d)),
     "fk_orphan_audit" -> ((s, d) => BatchOps.fkOrphanAudit(s, d)),
+    "local_supplier_share" -> ((s, d) => BatchOps.localSupplierShare(s, d)),
     "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "neardup_jaccard_capped" -> ((s, d) =>
       TextOps.nearDupJaccard(s, d, Some(TextOps.NearDupDocFreqCap))),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
+    "minhash_calibration" -> ((s, d) => TextOps.minhashCalibration(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "dedup_features" -> ((s, d) => TextOps.dedupFeatures(s, d)),
     "rolling_fingerprints" -> ((s, d) => TextOps.rollingFingerprints(s, d)),
@@ -483,6 +485,7 @@ object SparkEntry {
     "gauge_resample" -> CdcOps.gaugeResampleOracleSql,
     "session_window_native" -> CdcOps.sessionWindowNativeOracleSql,
     "fk_orphan_audit" -> BatchOps.fkOrphanAuditOracleSql,
+    "local_supplier_share" -> BatchOps.localSupplierShareOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,
@@ -918,6 +921,8 @@ object SparkEntry {
 
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),
+    "minhash_calibration" ->
+      TextOps.minhashCalibrationOracleSql(shinglesSql),
     "simhash_pairs" -> TextOps.simhashPairsOracleSql(shinglesSql),
     // All three dedup modalities side by side per candidate pair.
     "dedup_features" -> TextOps.dedupFeaturesOracleSql(shinglesSql),

@@ -1663,6 +1663,72 @@ object BatchOps {
        |FROM f JOIN am ON f.p_size = am.p_size
        |ORDER BY f.p_size""".stripMargin
 
+  /** TPC-H Q5-shaped local-supplier revenue: for one region and one
+    * order-date year, revenue per nation counting only lineitems whose
+    * SUPPLIER sits in the CUSTOMER's own nation — the classic 6-table
+    * join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region)
+    * with a cross-dimension equality (`c_nationkey = s_nationkey`) that
+    * only materializes after both dimension paths have joined in.
+    *
+    * Join strategy is deliberately tiered for 100 TB: nation and region
+    * carry explicit `broadcast()` hints (fixed 25/5-row tables at ANY
+    * scale); customer and supplier get NO hint — they scale with the
+    * corpus, so AQE picks broadcast at this SF and a shuffle join once
+    * they outgrow the threshold. The orders date window is pushed to
+    * the scan (plan-asserted), pruning the fact join's probe side
+    * first. Revenue is the exact-decimal `price·(1−disc)` sum. */
+  def localSupplierShare(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("double")
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** DuckDB oracle for [[localSupplierShare]]. */
+  private[graft] def localSupplierShareOracleSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Referential-integrity audit across the star schema's foreign keys:
     * for each child→parent relationship, total child rows/keys and the
     * rows/keys whose key has NO parent (LEFT ANTI join at the

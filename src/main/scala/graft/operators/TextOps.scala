@@ -3501,6 +3501,88 @@ object TextOps {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  /** MinHash CALIBRATION curve — the sketch-quality measurement every
+    * LSH deployment owes its thresholds to: for each candidate-pair
+    * band-collision count k (from [[minhashCandidates]]), the pairs'
+    * EXACT shingle Jaccard distribution (count / mean / min / max). Each
+    * of the [[MinhashBands]] xor-permuted min-hashes matches with
+    * probability exactly J, so the k-bucket means should track
+    * k/[[MinhashBands]] — the emitted `est_jaccard` column — and the
+    * invariant spec asserts the calibration is monotone. Exactness:
+    * per-pair Jaccard is quantized to integer mille by floor division
+    * (`inter·1000 div union`) so every aggregate is over exact
+    * integers; a band match implies a shared shingle hash (xor is a
+    * bijection), so the intersection join is inner in both engines.
+    *
+    * Scale: rides the capped candidate generator; the exact-Jaccard
+    * verify is two hash joins keyed on (doc, shingle-hash) — the same
+    * per-candidate verification shape as the PPJoin family, never
+    * corpus × corpus. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, dir)
+      .select("doc_a", "doc_b", "n_bands")
+    val hd = shingleHashes(spark, dir).distinct()
+    val sizes = hd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(hd.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(hd.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("mille",
+        expr("(inter * 1000) div (na + nb - inter)"))
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("mille")).as("sum_mille"),
+        min(col("mille")).as("min_mille"),
+        max(col("mille")).as("max_mille"))
+      .select(col("n_bands"), col("n_pairs"),
+        (col("sum_mille").cast("double") / col("n_pairs").cast("double"))
+          .as("avg_jaccard_mille"),
+        col("min_mille"), col("max_mille"),
+        (col("n_bands").cast("double") / lit(MinhashBands.toDouble))
+          .as("est_jaccard"))
+      .orderBy("n_bands")
+  }
+
+  /** DuckDB oracle for [[minhashCalibration]] — embeds the candidate
+    * oracle verbatim, then the same distinct-shingle-hash joins and
+    * integer-mille quantization. */
+  private[graft] def minhashCalibrationOracleSql(
+      shinglesSql: String): String =
+    s"""WITH cand AS (${minhashCandidatesOracleSql(shinglesSql)}),
+       |sd AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest($shinglesSql) AS shingle
+       |        FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+       |iv AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sd a ON a.doc_id = c.doc_a
+       |  JOIN sd b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT iv.n_bands,
+       |    (inter * 1000) // (za.n + zb.n - inter) AS mille
+       |  FROM iv
+       |  JOIN sz za ON za.doc_id = iv.doc_a
+       |  JOIN sz zb ON zb.doc_id = iv.doc_b)
+       |SELECT n_bands, count(*) AS n_pairs,
+       |  CAST(sum(mille) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS avg_jaccard_mille,
+       |  CAST(min(mille) AS BIGINT) AS min_mille,
+       |  CAST(max(mille) AS BIGINT) AS max_mille,
+       |  CAST(n_bands AS DOUBLE) / ${MinhashBands.toDouble} AS est_jaccard
+       |FROM p
+       |GROUP BY n_bands
+       |ORDER BY n_bands""".stripMargin
+
   // --------------------------------------------------------------------
   // Lexical profile, source divergence, Zipf fit (round 11)
   // --------------------------------------------------------------------

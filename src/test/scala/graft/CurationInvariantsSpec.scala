@@ -306,6 +306,25 @@ class CurationInvariantsSpec extends GraftSpec {
     assert(ctl._3 <= ctl._1 && ctl._4 <= ctl._2)
   }
 
+  test("minhash calibration: monotone in band collisions, bands in range") {
+    val cal = TextOps.minhashCalibration(spark, dir).collect()
+    assert(cal.nonEmpty)
+    cal.foreach { r =>
+      val k = r.getAs[Long]("n_bands")
+      assert(k >= 1L && k <= TextOps.MinhashBands.toLong)
+      assert(r.getAs[Long]("min_mille") <= r.getAs[Long]("max_mille"))
+      assert(r.getAs[Double]("avg_jaccard_mille") >= 0.0)
+    }
+    // more band collisions ⇒ higher mean exact Jaccard (the property
+    // every LSH threshold rests on); compared only across buckets with
+    // enough pairs for the mean to be stable at this tiny SF
+    val byK = cal.filter(_.getAs[Long]("n_pairs") >= 5)
+      .sortBy(_.getAs[Long]("n_bands"))
+      .map(_.getAs[Double]("avg_jaccard_mille"))
+    assert(byK.zip(byK.drop(1)).forall { case (a, b) => a <= b },
+      s"calibration not monotone: ${byK.mkString(", ")}")
+  }
+
   test("cdc gap audit: offset span ties to intervals plus missing") {
     val rows = CdcOps.cdcGapDetection(spark, dir).collect()
     assert(rows.length == 3) // three routed targets

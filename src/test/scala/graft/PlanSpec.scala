@@ -392,6 +392,18 @@ class PlanSpec extends GraftSpec {
       s"dimension columns in exchange keys:\n${exchanges.mkString("\n")}")
   }
 
+  test("local supplier share: pushed date window, no cartesian") {
+    val plan = executedPlan(BatchOps.localSupplierShare(spark, dir))
+    // The order-date year must prune the fact join's probe side at the
+    // scan — Q5's selectivity lives or dies there at 100 TB.
+    assert(plan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("o_orderdate")),
+      s"o_orderdate not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the 6-table chain:\n$plan")
+  }
+
   test("source divergence: the pair build is a token equi-join") {
     val plan = executedPlan(TextOps.sourceDivergence(spark, dir))
     // The source<source predicate must ride the token hash join as a
