@@ -28,8 +28,11 @@ object Pipeline {
     // The reference DAG closes with validate_data_quality
     // (cdc_etl_orchestration.py:294-323), which only checks cache-key
     // existence; dq_report is its real implementation (referential
-    // orphans, duplicate PKs, null/domain violations).
-    "quality_validation" -> Seq("dq_report"))
+    // orphans, duplicate PKs, null/domain violations), joined in round
+    // 11 by the full FK-orphan audit and the CDC offset-continuity
+    // audit — the two checks a production run gates deploys on.
+    "quality_validation" -> Seq("dq_report", "fk_orphan_audit",
+      "cdc_gap_detection"))
 
   /** The engine's OWN second DAG — the training-data curation pipeline
     * over the documents/embeddings tables (no reference counterpart;

@@ -790,6 +790,93 @@ object BatchOps {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(CopurchaseTopK)
 
+  /** Association rules emitted from [[partCopurchase]]'s pair counts —
+    * the directional upgrade: for each ordered rule A→B with pair
+    * support ≥ [[BasketRuleMinCount]] baskets, `support`, `confidence`
+    * = n_AB/n_A and `lift` = n_AB·T / (n_A·n_B). Every metric is one
+    * division of exact integer basket counts, so the doubles (and the
+    * lift-ordered top-[[BasketRuleTopK]] cut, tie-broken on the rule
+    * key) are bit-deterministic cross-engine.
+    *
+    * Scale: basket pairs come from the same per-order explode as
+    * [[partCopurchase]] (bounded by per-basket size², never item²);
+    * the item marginals join is keyed on the item id, and the global
+    * basket total rides a 1-row broadcast. */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemN = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val total = lp.agg(countDistinct(col("l_orderkey")).as("t"))
+    val und = lp
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(expr(
+        """flatten(transform(parts, x ->
+             transform(filter(parts, y -> y > x), y ->
+               named_struct('part_a', x, 'part_b', y))))""")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketRuleMinCount)
+    val directed = und.select("part_a", "part_b", "n_ab")
+      .unionByName(und.select(col("part_b").as("part_a"),
+        col("part_a").as("part_b"), col("n_ab")))
+    directed
+      .join(itemN.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a")), Seq("part_a"))
+      .join(itemN.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("t").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab") * col("t")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), col("part_a"), col("part_b"))
+      .limit(BasketRuleTopK)
+  }
+
+  /** Minimum shared-basket count for a rule (shared with the oracle). */
+  val BasketRuleMinCount = 2
+
+  /** Rules kept after the lift-ordered cut (shared with the oracle). */
+  val BasketRuleTopK = 100
+
+  /** DuckDB oracle for [[basketRules]]. */
+  private[graft] def basketRulesOracleSql: String =
+    s"""WITH lp AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |item AS (
+       |  SELECT l_partkey, count(*) AS n_item FROM lp GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM lp),
+       |und AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*) AS n_ab
+       |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $BasketRuleMinCount),
+       |d AS (
+       |  SELECT part_a, part_b, n_ab FROM und
+       |  UNION ALL
+       |  SELECT part_b, part_a, n_ab FROM und)
+       |SELECT d.part_a, d.part_b, d.n_ab,
+       |  ia.n_item AS n_a, ib.n_item AS n_b,
+       |  CAST(d.n_ab AS DOUBLE) / CAST(tot.t AS DOUBLE) AS support,
+       |  CAST(d.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+       |    AS confidence,
+       |  CAST(d.n_ab * tot.t AS DOUBLE) /
+       |    CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+       |FROM d
+       |JOIN item ia ON ia.l_partkey = d.part_a
+       |JOIN item ib ON ib.l_partkey = d.part_b
+       |CROSS JOIN tot
+       |ORDER BY lift DESC, d.part_a, d.part_b
+       |LIMIT $BasketRuleTopK""".stripMargin
+
   /** DuckDB oracle for [[partCopurchase]]. */
   private[graft] def partCopurchaseOracleSql: String =
     s"""WITH lp AS (

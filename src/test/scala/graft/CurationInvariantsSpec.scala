@@ -325,6 +325,29 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("basket rules: metric identities hold on every emitted rule") {
+    val rows = BatchOps.basketRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nAb = r.getAs[Long]("n_ab")
+      val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+      assert(nAb >= BatchOps.BasketRuleMinCount)
+      assert(nAb <= math.min(nA, nB), "pair count exceeds a marginal")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Double]("support") <= conf + 1e-12,
+        "support cannot exceed confidence (support = conf · nA/T)")
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    // lift = confidence · T / n_b ⇒ lift·n_b/confidence recovers the
+    // SAME basket total T from every rule — a cross-row identity a
+    // botched marginals join would break
+    val ts = rows.map(r => r.getAs[Double]("lift") *
+      r.getAs[Long]("n_b") / r.getAs[Double]("confidence"))
+    assert(ts.forall(t => math.abs(t - ts.head) < 1e-6),
+      s"implied basket totals diverge: ${ts.distinct.take(5).mkString(", ")}")
+  }
+
   test("cdc gap audit: offset span ties to intervals plus missing") {
     val rows = CdcOps.cdcGapDetection(spark, dir).collect()
     assert(rows.length == 3) // three routed targets

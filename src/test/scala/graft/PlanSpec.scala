@@ -404,6 +404,38 @@ class PlanSpec extends GraftSpec {
       s"non-equi join in the 6-table chain:\n$plan")
   }
 
+  test("runtime bloom filter injects into a selective shuffled fact join") {
+    // The 100 TB posture for selective dim-filtered fact joins that are
+    // too big to broadcast: Spark's runtime bloom filter builds on the
+    // filtered side and prunes the fact scan's shuffle input. Thresholds
+    // are tuned for real sizes; at sf0.001 we lower them to prove the
+    // injection path is live in THIS session's optimizer.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+          === "1-URGENT")
+        .select("o_orderkey")
+      val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      val df = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(l("l_orderkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val plan = executedPlan(df)
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("source divergence: the pair build is a token equi-join") {
     val plan = executedPlan(TextOps.sourceDivergence(spark, dir))
     // The source<source predicate must ride the token hash join as a
