@@ -197,6 +197,7 @@ object SparkEntry {
     "ann_ivf_trained_top1" -> ((s, d) => VectorOps.annIvfTrainedTop1(s, d)),
     "cluster_profile" -> ((s, d) => VectorOps.clusterProfile(s, d)),
     "cluster_sample" -> ((s, d) => VectorOps.clusterSample(s, d)),
+    "embedding_outliers" -> ((s, d) => VectorOps.embeddingOutliers(s, d)),
     "cluster_separation" -> ((s, d) => VectorOps.clusterSeparation(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -992,6 +993,7 @@ object SparkEntry {
     // Cluster-balanced sampling: rank-only output (the cosine orders,
     // never emits), so the hash is rank-exact.
     "cluster_sample" -> VectorOps.clusterSampleOracleSql,
+    "embedding_outliers" -> VectorOps.embeddingOutliersOracleSql,
     // Between-centroid nearest-neighbor margins off the same chain.
     "cluster_separation" -> VectorOps.clusterSeparationOracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,

@@ -898,6 +898,42 @@ object VectorOps {
       .orderBy("cent_id", "samp_rank")
   }
 
+  /** Vector-grain OUTLIER detection — [[clusterSample]]'s complement:
+    * per trained cluster, the [[SampleQuota]] LEAST-central members
+    * (lowest cosine to their own nearest centroid, vec_id tie-break).
+    * A vector far from every mode of the corpus is the OOD/noise
+    * candidate a curation pass routes to review or down-weights; doing
+    * it per cluster rather than globally keeps sparse modes from
+    * flooding the list. The emitted similarity is the 2^40 fixed-point
+    * floor ([[clusterProfile]]'s quantization — exponent-shift exact on
+    * both engines), so no raw float enters the hash.
+    *
+    * Scale shape: identical to [[clusterSample]] — broadcast
+    * assignment, one cent_id window, rank filter rewritten to
+    * WindowGroupLimit. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("cent_id").orderBy(col("sim"), col("vec_id"))
+    trainedAssignment(spark, dir)
+      .withColumn("out_rank", row_number().over(w))
+      .filter(col("out_rank") <= SampleQuota)
+      .select(col("cent_id"), col("out_rank"), col("vec_id"), col("label"),
+        floor(col("sim") * lit(FxScale)).cast("long").as("sim_fx"))
+      .orderBy("cent_id", "out_rank")
+  }
+
+  /** DuckDB oracle for [[embeddingOutliers]]. */
+  private[graft] def embeddingOutliersOracleSql: String =
+    s"""$trainedAssignSqlPrefix,
+       |rk AS (
+       |  SELECT cent_id, vec_id, label, sim,
+       |    row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY sim ASC, vec_id) AS out_rank
+       |  FROM al)
+       |SELECT cent_id, out_rank, vec_id, label,
+       |  CAST(floor(sim * $FxScale) AS BIGINT) AS sim_fx
+       |FROM rk WHERE out_rank <= $SampleQuota
+       |ORDER BY cent_id, out_rank""".stripMargin
+
   /** Inter-cluster separation — the third panel of the quantizer
     * dashboard ([[clusterProfile]] = within-cluster tightness,
     * [[clusterSample]] = exemplars, this = between-cluster margins):

@@ -325,6 +325,20 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("embedding outliers: contiguous ranks, similarity ascends") {
+    val byCluster = graft.operators.VectorOps.embeddingOutliers(spark, dir)
+      .collect().groupBy(_.getAs[Long]("cent_id"))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (c, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("out_rank"))
+      assert(sorted.map(_.getAs[Int]("out_rank")).toSeq ==
+        (1 to sorted.length), s"cluster $c ranks not contiguous")
+      val sims = sorted.map(_.getAs[Long]("sim_fx"))
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a <= b },
+        s"cluster $c outlier similarity not ascending")
+    }
+  }
+
   test("basket rules: metric identities hold on every emitted rule") {
     val rows = BatchOps.basketRules(spark, dir).collect()
     assert(rows.nonEmpty)
