@@ -90,6 +90,7 @@ object SparkEntry {
     "fk_orphan_audit" -> ((s, d) => BatchOps.fkOrphanAudit(s, d)),
     "local_supplier_share" -> ((s, d) => BatchOps.localSupplierShare(s, d)),
     "basket_rules" -> ((s, d) => BatchOps.basketRules(s, d)),
+    "shipping_latency" -> ((s, d) => BatchOps.shippingLatency(s, d)),
     "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
@@ -489,6 +490,7 @@ object SparkEntry {
     "fk_orphan_audit" -> BatchOps.fkOrphanAuditOracleSql,
     "local_supplier_share" -> BatchOps.localSupplierShareOracleSql,
     "basket_rules" -> BatchOps.basketRulesOracleSql,
+    "shipping_latency" -> BatchOps.shippingLatencyOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,

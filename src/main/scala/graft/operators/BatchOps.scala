@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1749,6 +1750,79 @@ object BatchOps {
        |    AS on_frontier
        |FROM f JOIN am ON f.p_size = am.p_size
        |ORDER BY f.p_size""".stripMargin
+
+  /** Late-shipment SLA threshold in days (shared with the oracle). */
+  val SlaLateDays = 90
+
+  /** Shipping-latency SLA report per order priority: lineitem-grain
+    * order→ship latency in calendar days, with MEDIAN and P90 as
+    * ORDER-STATISTIC picks (the actual value at integer rank
+    * `ceil(q·n)` — the winsorized-stats discipline: never an
+    * interpolated percentile, which would put engine-specific float
+    * averaging into the hash) and the late share against
+    * [[SlaLateDays]]. The ops dashboard every fulfillment pipeline
+    * runs; reference analog: the pandas latency summaries in
+    * `python/batch_processor.py:108-176` stop at means.
+    *
+    * Scale: one fact-fact join keyed on orderkey (both sides huge →
+    * shuffle join is correct), one window per priority (5 partitions
+    * here; at scale latency ranks usually move to the fixed-bin
+    * quantile sketch — `length_quantile_sketch` is that twin). */
+  def shippingLatency(spark: SparkSession, dir: String): DataFrame = {
+    val lat = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("lat_days"))
+    val w = Window.partitionBy("priority").orderBy("lat_days")
+    val wn = Window.partitionBy("priority")
+    lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("priority")
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("lat_days")))
+          .cast("long").as("median_days"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"),
+          col("lat_days"))).cast("long").as("p90_days"),
+        sum(when(col("lat_days") > SlaLateDays, 1L).otherwise(0L))
+          .as("n_late"))
+      .withColumn("late_share",
+        col("n_late").cast("double") / col("n_lineitems").cast("double"))
+      .orderBy("priority")
+  }
+
+  /** DuckDB oracle for [[shippingLatency]] — same rank picks, same SLA
+    * cut. */
+  private[graft] def shippingLatencyOracleSql: String =
+    s"""WITH lat AS (
+       |  SELECT o_orderpriority AS priority,
+       |    date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS lat_days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |r AS (
+       |  SELECT priority, lat_days,
+       |    row_number() OVER (PARTITION BY priority ORDER BY lat_days)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY priority) AS n
+       |  FROM lat)
+       |SELECT priority, count(*) AS n_lineitems,
+       |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN lat_days END) AS BIGINT)
+       |    AS median_days,
+       |  CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_days END)
+       |    AS BIGINT) AS p90_days,
+       |  CAST(sum(CASE WHEN lat_days > $SlaLateDays THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_late,
+       |  CAST(sum(CASE WHEN lat_days > $SlaLateDays THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_share
+       |FROM r
+       |GROUP BY priority
+       |ORDER BY priority""".stripMargin
 
   /** TPC-H Q5-shaped local-supplier revenue: for one region and one
     * order-date year, revenue per nation counting only lineitems whose

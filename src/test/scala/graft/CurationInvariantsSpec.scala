@@ -325,6 +325,17 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("shipping latency: order statistics bracket, shares bounded") {
+    val rows = BatchOps.shippingLatency(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("median_days") <= r.getAs[Long]("p90_days"))
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_lineitems"))
+      val share = r.getAs[Double]("late_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   test("embedding outliers: contiguous ranks, similarity ascends") {
     val byCluster = graft.operators.VectorOps.embeddingOutliers(spark, dir)
       .collect().groupBy(_.getAs[Long]("cent_id"))
