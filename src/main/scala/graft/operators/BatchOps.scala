@@ -1952,8 +1952,14 @@ object BatchOps {
          |  CAST(coalesce(count(*) FILTER (WHERE orphan), 0) AS BIGINT)
          |    AS n_orphan_keys
          |FROM (
+         |  -- NOT EXISTS, not NOT IN: a NULL child key must count as an
+         |  -- orphan (matching Spark's LEFT ANTI), and one NULL parent
+         |  -- key must not nullify the whole NOT IN membership test
          |  SELECT $key AS fk, count(*) AS c,
-         |    $key NOT IN (SELECT $pkey FROM $parent $pred) AS orphan
+         |    NOT EXISTS (SELECT 1 FROM $parent
+         |                WHERE $pkey = $key${
+                            if (pred.isEmpty) "" else s" AND $pred"})
+         |      AS orphan
          |  FROM $child GROUP BY $key)""".stripMargin
     Seq(
       block("lineitem_orders", "lineitem", "l_orderkey",
@@ -1966,7 +1972,7 @@ object BatchOps {
       block("events_customer", "events", "user_id",
         "customer", "c_custkey"),
       block("control_orders_evencustomer", "orders", "o_custkey",
-        "customer", "c_custkey", "WHERE c_custkey % 2 = 0"))
+        "customer", "c_custkey", "c_custkey % 2 = 0"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -246,12 +246,29 @@ object CdcOps {
     * 100 TB is N full fact reads for N handlers. Non-disjoint routing
     * would need the union form (a row can route to several targets);
     * this one doesn't. */
+  /** event_type → routed CDC target (the P6 dispatch rules,
+    * cdc_processor.py:177+) — the ONE copy shared by [[tableDispatch]],
+    * [[cdcGapDetectionOf]], and the streaming auditor
+    * (`StreamOps.offsetGapState`), so a new routing rule cannot
+    * silently desynchronize the gap audit from the dispatch it audits. */
+  val RoutingRules: Seq[(String, String)] = Seq(
+    "signup" -> "customer_cache",
+    "purchase" -> "order_cache",
+    "click" -> "activity_cache",
+    "view" -> "activity_cache")
+
+  /** [[RoutingRules]] as a CASE column (null = unrouted). */
+  private[graft] def routingTarget: Column =
+    RoutingRules.tail.foldLeft(
+      when(col("event_type") === RoutingRules.head._1,
+        RoutingRules.head._2)) {
+      case (acc, (et, target)) =>
+        acc.when(col("event_type") === et, target)
+    }
+
   def tableDispatch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("target",
-        when(col("event_type") === "signup", "customer_cache")
-          .when(col("event_type") === "purchase", "order_cache")
-          .when(col("event_type").isin("click", "view"), "activity_cache"))
+      .withColumn("target", routingTarget)
       .filter(col("target").isNotNull)
       .select("event_id", "user_id", "target", "value")
       .orderBy("event_id", "target")
@@ -1601,10 +1618,13 @@ object CdcOps {
     * per-type rollup — the classic mergeable-sketch plan where every
     * partial max is itself a valid register. The exact count rides the
     * same compaction purely to oracle-check the error. */
-  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val du = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
-      .withColumn("h",
+  /** Append the deterministic HLL register columns (60-bit md5 →
+    * register `idx` + leading-zero rank `rho`) to any frame with a
+    * `user_id` column — the ONE derivation shared by [[hllDistinct]]
+    * and [[hllMergeRollup]], so the mergeability proof provably
+    * compares two rollups of the SAME sketch. */
+  private def withHllRegisters(df: DataFrame): DataFrame =
+    df.withColumn("h",
         expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
           " 16, 10) as bigint)"))
       .withColumn("idx", pmod(col("h"), lit(HllM)).cast("int"))
@@ -1612,6 +1632,11 @@ object CdcOps {
       .withColumn("rho",
         when(col("w") === 0L, lit(53L))
           .otherwise(lit(53L) - length(bin(col("w")))))
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = withHllRegisters(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct())
     val regs = du.groupBy("event_type", "idx")
       .agg(max(col("rho")).as("r"))
     val perType = regs.groupBy("event_type")
@@ -1693,17 +1718,10 @@ object CdcOps {
     * partial+final max aggregate over register rows, shuffle-bounded by
     * m × types, independent of row count. */
   def hllMergeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(spark, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        col("user_id"))
-      .withColumn("h",
-        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
-          " 16, 10) as bigint)"))
-      .withColumn("idx", pmod(col("h"), lit(HllM)).cast("int"))
-      .withColumn("w", expr(s"h div $HllM"))
-      .withColumn("rho",
-        when(col("w") === 0L, lit(53L))
-          .otherwise(lit(53L) - length(bin(col("w")))))
+    val base = withHllRegisters(
+      Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id")))
     // path 1: day-grain registers, then merged per type by register max
     val dayRegs = base.groupBy("event_type", "day", "idx")
       .agg(max(col("rho")).as("r"))
@@ -1888,19 +1906,23 @@ object CdcOps {
     * = last event + gap to match the native window's close. */
   private[graft] def sessionWindowNativeOracleSql: String =
     s"""WITH o AS (
-       |  SELECT user_id, value, epoch_ms(ts) AS ts_ms,
+       |  SELECT user_id, value, event_id, epoch_ms(ts) AS ts_ms,
        |    epoch_us(ts) AS ts_us,
        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
        |      ORDER BY ts, event_id) AS prev_us
        |  FROM events),
        |s AS (
        |  -- the native operator merges on STRICT window overlap in
-       |  -- MICROSECONDS: same session iff diff < gap, new iff >= gap
+       |  -- MICROSECONDS: same session iff diff < gap, new iff >= gap.
+       |  -- The cumsum window carries the SAME (ts, event_id) tiebreak
+       |  -- as the lag above: same-timestamp twins must fold in the
+       |  -- order their island flags were computed, or the running sum
+       |  -- could number them nondeterministically.
        |  SELECT user_id, value, ts_ms,
        |    sum(CASE WHEN prev_us IS NULL
        |             OR ts_us - prev_us >= ${SessionGapMs * 1000}
        |        THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY user_id ORDER BY ts_us
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      AS session_seq
        |  FROM o)
@@ -2053,12 +2075,15 @@ object CdcOps {
   /** [[cdcGapDetection]] over an injectable event frame (the streaming
     * twin's spec pins `StreamOps.offsetGapState` totals to this). */
   def cdcGapDetectionOf(events: DataFrame): DataFrame = {
+    // DISTINCT (target, offset): a replayed/duplicate offset is not a
+    // gap and must not produce a negative lag delta — the same
+    // skip-non-advancing rule the streaming twin
+    // (`StreamOps.offsetGapState`) applies to its cursor, so the two
+    // audits stay pinned on replayed feeds, not just clean ones.
     val routed = events
-      .withColumn("target",
-        when(col("event_type") === "signup", "customer_cache")
-          .when(col("event_type") === "purchase", "order_cache")
-          .when(col("event_type").isin("click", "view"), "activity_cache"))
+      .withColumn("target", routingTarget)
       .filter(col("target").isNotNull)
+      .select("target", "event_id").distinct()
     val w = Window.partitionBy("target").orderBy("event_id")
     routed
       .withColumn("prev_id", lag(col("event_id"), 1).over(w))
@@ -2078,7 +2103,7 @@ object CdcOps {
   /** DuckDB oracle for [[cdcGapDetection]]. */
   private[graft] def cdcGapDetectionOracleSql: String =
     """WITH routed AS (
-      |  SELECT event_id,
+      |  SELECT DISTINCT event_id,
       |    CASE WHEN event_type = 'signup' THEN 'customer_cache'
       |         WHEN event_type = 'purchase' THEN 'order_cache'
       |         WHEN event_type IN ('click', 'view') THEN 'activity_cache'

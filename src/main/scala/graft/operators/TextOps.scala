@@ -3654,8 +3654,10 @@ object TextOps {
     * between their unigram distributions. TV is computed EXACTLY in
     * integers via the identity `TV = 1 − Σ_w min(p_w, q_w)` (both
     * distributions sum to 1, and `min(p,q)` is nonzero only on the shared
-    * vocabulary, so an INNER join on token suffices — no full-outer union
-    * of vocabularies): `Σ min(c_a·N_b, c_b·N_a)` is an exact BIGINT and
+    * vocabulary, so the Σmin needs only an INNER join on token — no
+    * full-outer union of vocabularies; the PAIR SPINE itself comes from
+    * the sources² totals cross so fully-disjoint pairs still emit their
+    * TV = 1 row): `Σ min(c_a·N_b, c_b·N_a)` is an exact BIGINT and
     * the final division of exact integers is bit-deterministic. The
     * mixture-weighting question this answers (which sources are
     * near-duplicates of each other at the distribution level) is the
@@ -3678,17 +3680,32 @@ object TextOps {
     val enriched = counts.join(broadcast(totals), "source")
     val a = enriched.select(
       col("source").as("source_a"), col("token"),
-      col("c").as("ca"), col("n").as("na"), col("vocab").as("vocab_a"))
+      col("c").as("ca"), col("n").as("na"))
     val b = enriched.select(
       col("source").as("source_b"), col("token"),
-      col("c").as("cb"), col("n").as("nb"), col("vocab").as("vocab_b"))
-    a.join(b, Seq("token"))
+      col("c").as("cb"), col("n").as("nb"))
+    val overlap = a.join(b, Seq("token"))
       .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b", "vocab_a", "vocab_b", "na", "nb")
+      .groupBy("source_a", "source_b")
       .agg(
-        count(lit(1)).as("vocab_common"),
+        count(lit(1)).as("ovl_common"),
         sum(least(col("ca") * col("nb"), col("cb") * col("na")))
-          .as("min_mass_scaled"))
+          .as("ovl_min_mass"))
+    // Full pair SPINE from the per-source totals (sources², tiny), so
+    // fully-disjoint source pairs — TV = 1, Jaccard = 0, precisely the
+    // maximally-divergent pairs this operator exists to surface — emit
+    // a row instead of vanishing with the inner token join.
+    val ta = totals.select(col("source").as("source_a"),
+      col("n").as("na"), col("vocab").as("vocab_a"))
+    val tb = totals.select(col("source").as("source_b"),
+      col("n").as("nb"), col("vocab").as("vocab_b"))
+    ta.crossJoin(broadcast(tb))
+      .filter(col("source_a") < col("source_b"))
+      .join(overlap, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("vocab_a"),
+        col("vocab_b"), col("na"), col("nb"),
+        coalesce(col("ovl_common"), lit(0L)).as("vocab_common"),
+        coalesce(col("ovl_min_mass"), lit(0L)).as("min_mass_scaled"))
       .select(
         col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
         col("vocab_common"), col("min_mass_scaled"),
@@ -3710,17 +3727,26 @@ object TextOps {
       |tot AS (
       |  SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab
       |  FROM c GROUP BY source),
-      |j AS (
+      |ovl AS (
       |  SELECT a.source AS source_a, b.source AS source_b,
-      |    ta.vocab AS vocab_a, tb.vocab AS vocab_b, ta.n AS na,
-      |    tb.n AS nb, count(*) AS vocab_common,
+      |    count(*) AS ovl_common,
       |    CAST(sum(least(a.c * tb.n, b.c * ta.n)) AS BIGINT)
-      |      AS min_mass_scaled
+      |      AS ovl_min_mass
       |  FROM c a
       |  JOIN c b ON a.token = b.token AND a.source < b.source
       |  JOIN tot ta ON ta.source = a.source
       |  JOIN tot tb ON tb.source = b.source
-      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT ta.source AS source_a, tb.source AS source_b,
+      |    ta.vocab AS vocab_a, tb.vocab AS vocab_b, ta.n AS na,
+      |    tb.n AS nb,
+      |    CAST(coalesce(ovl_common, 0) AS BIGINT) AS vocab_common,
+      |    CAST(coalesce(ovl_min_mass, 0) AS BIGINT) AS min_mass_scaled
+      |  FROM tot ta
+      |  JOIN tot tb ON ta.source < tb.source
+      |  LEFT JOIN ovl ON ovl.source_a = ta.source
+      |    AND ovl.source_b = tb.source)
       |SELECT source_a, source_b, vocab_a, vocab_b, vocab_common,
       |  min_mass_scaled,
       |  1.0 - CAST(min_mass_scaled AS DOUBLE) /
@@ -3741,7 +3767,11 @@ object TextOps {
     * differs between engines, so the slope is rounded to 6 decimals
     * before emission (the only non-integer-derived double in the text
     * family; every other emitted double here is a single division of
-    * exact integers).
+    * exact integers). The round narrows, not closes, the cross-engine
+    * window: a slope inside the ~1e-12 accumulation drift of a 0.5e-6
+    * rounding boundary could still split — accepted (odds ~1e-6 per
+    * value; no integer-exact formulation exists once ln() enters, and
+    * quantizing the ln inputs moves the same boundary risk upstream).
     *
     * Scale: frequency table is one hash aggregation; the rank cut is a
     * per-lang top-k (WindowGroupLimit pushes the filter into the sort),

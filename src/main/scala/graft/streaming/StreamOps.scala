@@ -475,15 +475,12 @@ object StreamOps {
     * the batch query on the same data. */
   def offsetGapState(events: Dataset[Event]): Dataset[OffsetAudit] = {
     import events.sparkSession.implicits._
+    // ONE routing table shared with the batch dispatch + audit
+    // (CdcOps.RoutingRules) — a new rule there flows here for free.
+    val routeOf: Map[String, String] =
+      graft.operators.CdcOps.RoutingRules.toMap
     events
-      .flatMap { e =>
-        (e.event_type match {
-          case "signup"         => Some("customer_cache")
-          case "purchase"       => Some("order_cache")
-          case "click" | "view" => Some("activity_cache")
-          case _                => None
-        }).map(t => (t, e.event_id))
-      }
+      .flatMap(e => routeOf.get(e.event_type).map(t => (t, e.event_id)))
       .groupByKey(_._1)
       .mapGroupsWithState[OffsetAudit, OffsetAudit](
         GroupStateTimeout.NoTimeout) {
@@ -497,10 +494,17 @@ object StreamOps {
           // the very first offset seeds the cursor; it is not an interval
           val toFold = if (prev.isEmpty) ids.drop(1) else ids
           toFold.foreach { id =>
-            val gap = id - last - 1
-            nIntervals += 1
-            if (gap > 0) { nGaps += 1; missing += gap }
-            last = id
+            // Skip non-advancing offsets: a replayed/duplicate offset
+            // (Kafka redelivery) is not a gap and must not move the
+            // cursor backward and re-audit covered ranges — the same
+            // DISTINCT rule the batch twin applies, keeping the two
+            // audits pinned on replayed feeds.
+            if (id > last) {
+              val gap = id - last - 1
+              nIntervals += 1
+              if (gap > 0) { nGaps += 1; missing += gap }
+              last = id
+            }
           }
           val out = OffsetAudit(target, last, nIntervals, nGaps, missing)
           state.update(out)

@@ -277,8 +277,13 @@ class CurationInvariantsSpec extends GraftSpec {
   test("native session windows agree with the island construction") {
     val native = CdcOps.sessionWindowNative(spark, dir).collect()
     val islands = CdcOps.eventSessions(spark, dir).collect()
-    assert(native.length == islands.length,
-      "native session_window and lag/cumsum islands disagree on count")
+    // The two operators split at slightly different boundaries (native:
+    // µs diff >= gap; islands: ms-truncated diff > gap), so native can
+    // only split MORE, never merge more — equality would be fixture
+    // luck, the inequality is the semantic property.
+    assert(native.length >= islands.length,
+      "native session_window merged sessions the island form split")
+    // Both partition the same event set: totals must conserve exactly.
     assert(native.map(_.getAs[Long]("n_events")).sum ==
       islands.map(_.getAs[Long]("n_events")).sum)
     native.foreach { r =>

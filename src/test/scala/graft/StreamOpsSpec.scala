@@ -1058,6 +1058,11 @@ class StreamOpsSpec extends GraftSpec {
       q.processAllAvailable()
       in.addData(evs.drop(4): _*) // cursor must persist across triggers
       q.processAllAvailable()
+      // Redeliver an already-audited offset (Kafka replay): the cursor
+      // must not regress, no interval/gap may be double-counted — the
+      // batch twin's DISTINCT rule, applied live.
+      in.addData(evs.head)
+      q.processAllAvailable()
       // Update mode: latest row per target is the cumulative audit.
       val got = spark.table("gap_audit").collect()
         .groupBy(_.getAs[String]("target"))
