@@ -1827,9 +1827,13 @@ object CdcOps {
     * no shuffle beyond the user_id exchange. The BIGINT integral needs
     * `cents·Δms·rows_per_key < 2^63` — beyond that (multi-year gaps or
     * billion-event keys) widen the sum to DECIMAL(38,0), still exact. */
-  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame = {
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedValueOf(Tables.events(spark, dir))
+
+  /** [[timeWeightedValue]] over an injectable event frame. */
+  def timeWeightedValueOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("v_cents"))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
@@ -1843,8 +1847,13 @@ object CdcOps {
         sum(col("v_cents") * col("dur_ms")).as("weighted_cents_ms"))
       .select(col("user_id"), col("n_intervals"), col("total_ms"),
         col("weighted_cents_ms"),
-        (col("weighted_cents_ms").cast("double") /
-          (col("total_ms").cast("double") * 100.0)).as("twa_value"))
+        // total_ms = 0 (every event of a key on one timestamp) would
+        // otherwise emit NaN; 0 is the honest integral of a
+        // zero-length span
+        when(col("total_ms") > 0,
+          col("weighted_cents_ms").cast("double") /
+            (col("total_ms").cast("double") * 100.0))
+          .otherwise(lit(0.0)).as("twa_value"))
       .orderBy("user_id")
   }
 
@@ -1866,8 +1875,8 @@ object CdcOps {
       |    CAST(sum(v_cents * dur_ms) AS BIGINT) AS weighted_cents_ms
       |  FROM d GROUP BY user_id)
       |SELECT user_id, n_intervals, total_ms, weighted_cents_ms,
-      |  CAST(weighted_cents_ms AS DOUBLE) /
-      |    (CAST(total_ms AS DOUBLE) * 100.0) AS twa_value
+      |  CASE WHEN total_ms > 0 THEN CAST(weighted_cents_ms AS DOUBLE) /
+      |    (CAST(total_ms AS DOUBLE) * 100.0) ELSE 0.0 END AS twa_value
       |FROM r ORDER BY user_id""".stripMargin
 
   /** Sessionization via Spark's NATIVE `session_window` aggregation —
@@ -1887,7 +1896,11 @@ object CdcOps {
     * LAST EVENT + GAP (the close boundary), not [[eventSessions]]'
     * last-event time; the oracle mirrors that definition. */
   def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    sessionWindowNativeOf(Tables.events(spark, dir))
+
+  /** [[sessionWindowNative]] over an injectable event frame. */
+  def sessionWindowNativeOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"),
         session_window(col("ts"), s"${SessionGapMs / 1000} seconds")
           .as("sw"))
@@ -1957,8 +1970,12 @@ object CdcOps {
     * surrounding events via `last/first(..., ignoreNulls)` — the
     * standard union-merge as-of pattern, one shuffle on user_id, no
     * join at all. */
-  def gaugeResample(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def gaugeResample(spark: SparkSession, dir: String): DataFrame =
+    gaugeResampleOf(Tables.events(spark, dir))
+
+  /** [[gaugeResample]] over an injectable event frame. */
+  def gaugeResampleOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), unix_millis(col("ts")).as("t"),
         col("event_id"),
         round(col("value") * 100).cast("long").as("v_cents"))

@@ -313,4 +313,79 @@ class CdcPropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  test("property: time-weighted average telescopes and stays bounded") {
+    cases(8).foreach { events =>
+      val rows = CdcOps.timeWeightedValueOf(df(events)).collect()
+      val byUser = events.groupBy(_.user_id)
+      rows.foreach { r =>
+        val u = r.getAs[Long]("user_id")
+        val evs = byUser(u).sortBy(e => (e.ts.getTime, e.event_id))
+        // Σ durations telescopes to last - first
+        assert(r.getAs[Long]("total_ms") ==
+          evs.last.ts.getTime - evs.head.ts.getTime)
+        assert(r.getAs[Long]("n_intervals") == evs.length - 1)
+        // a time-weighted mean is a convex combination of held values
+        val cents = evs.map(e => math.round(e.value * 100))
+        val twa = r.getAs[Double]("twa_value")
+        assert(twa >= cents.min / 100.0 - 1e-9 &&
+          twa <= cents.max / 100.0 + 1e-9)
+      }
+      // a key whose events all share one timestamp has total_ms = 0;
+      // the division guard must emit 0.0, never NaN/Inf
+      rows.foreach { r =>
+        val twa = r.getAs[Double]("twa_value")
+        assert(!twa.isNaN && !twa.isInfinite)
+        if (r.getAs[Long]("total_ms") == 0L) assert(twa == 0.0)
+      }
+    }
+  }
+
+  test("property: native session windows equal a first-principles fold") {
+    val gapUs = CdcOps.SessionGapMs * 1000
+    cases(8).foreach { events =>
+      val got = CdcOps.sessionWindowNativeOf(df(events)).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("session_start_ms"),
+          r.getAs[Long]("session_end_ms"),
+          r.getAs[Long]("n_events"))).toSet
+      val want = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        val sessions = sorted.tail.foldLeft(
+          List(List(sorted.head))) { (acc, e) =>
+          // native rule: new session iff µs diff >= gap
+          if ((e.ts.getTime - acc.head.head.ts.getTime) * 1000L >= gapUs)
+            List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+        }
+        sessions.map { s =>
+          val ms = s.map(_.ts.getTime)
+          (u, ms.min, ms.max + CdcOps.SessionGapMs, s.length.toLong)
+        }
+      }.toSet
+      assert(got == want, s"native sessions diverge from the fold")
+    }
+  }
+
+  test("property: offset audit is invariant under full replay") {
+    cases(8).foreach { events =>
+      val base = rows(CdcOps.cdcGapDetectionOf(df(events)))
+      assert(rows(CdcOps.cdcGapDetectionOf(df(events ++ events))) == base)
+    }
+  }
+
+  test("property: resampled gauge values are convex and grid-aligned") {
+    cases(8).foreach { events =>
+      val byUser = events.groupBy(_.user_id)
+      CdcOps.gaugeResampleOf(df(events)).collect().foreach { r =>
+        val u = r.getAs[Long]("user_id")
+        assert(r.getAs[Long]("grid_ms") % CdcOps.ResampleGridMs == 0)
+        val cents = byUser(u).map(e => math.round(e.value * 100))
+        val v = r.getAs[Double]("interp_value")
+        assert(v >= cents.min / 100.0 - 1e-9 &&
+          v <= cents.max / 100.0 + 1e-9,
+          s"user $u interpolated $v outside value hull")
+      }
+    }
+  }
 }
