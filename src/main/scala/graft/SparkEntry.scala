@@ -176,6 +176,7 @@ object SparkEntry {
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "dedup_components_df" -> ((s, d) => TextOps.dedupComponentsDf(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
+    "kcore_neardup" -> ((s, d) => TextOps.kcoreNearDup(s, d)),
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
@@ -893,6 +894,7 @@ object SparkEntry {
     // Damped PageRank over the same capped edge set, one CTE per
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
+    "kcore_neardup" -> TextOps.kcoreNearDupOracleSql(shinglesSql),
     "neardup_triangles" -> TextOps.nearDupTrianglesOracleSql(shinglesSql),
     // Naive-form oracle on purpose: prefix filtering is lossless, so a
     // prefix bug shows up as a missing row, not a mirrored mistake.

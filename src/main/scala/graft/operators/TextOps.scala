@@ -1898,6 +1898,93 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** k-core threshold for [[kcoreNearDup]] (shared with the oracle). */
+  val KCoreK = 2
+
+  /** Fixed peel rounds for [[kcoreNearDup]] — one generated oracle CTE
+    * per round; both engines unroll the SAME rounds, so the hash match
+    * holds even mid-convergence (the CC/PageRank precedent). */
+  val KCorePeelRounds = 4
+
+  /** k-core decomposition of the near-dup graph: iteratively peel
+    * vertices with fewer than [[KCoreK]] surviving neighbors. The
+    * 2-core separates documents embedded in DENSE duplication families
+    * (template farms — every member near-dups several others) from
+    * docs with only pendant/chain duplication (a single re-post), a
+    * sharper keep/drop signal than raw degree: a hub with 50 pendant
+    * copies has degree 50 but its copies all peel. Completes the graph
+    * toolkit next to CC ([[dedupComponents]]), PageRank
+    * ([[pageRankNearDup]]), and triangles ([[nearDupTriangles]]).
+    * All-integer (degrees + flags) — nothing floating anywhere.
+    *
+    * Scale shape: each peel round is one semi-join of the blocked,
+    * capped edge set against the shrinking alive set + one degree
+    * aggregate — never corpus-sized, lineage cut per round
+    * (localCheckpoint) exactly like the CC fixpoint twin. */
+  def kcoreNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val initDeg = edges.groupBy("src").agg(count(lit(1)).as("deg0"))
+    var alive = initDeg.filter(col("deg0") >= KCoreK)
+      .select(col("src").as("id"))
+    for (_ <- 1 to KCorePeelRounds) {
+      alive = edges
+        .join(alive.select(col("id").as("src")), Seq("src"))
+        .join(alive.select(col("id").as("dst")), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK)
+        .select(col("src").as("id"))
+        .localCheckpoint()
+    }
+    val coreDeg = edges
+      .join(alive.select(col("id").as("src")), Seq("src"))
+      .join(alive.select(col("id").as("dst")), Seq("dst"))
+      .groupBy("src").agg(count(lit(1)).as("core_degree"))
+    initDeg.join(coreDeg, Seq("src"), "left")
+      .select(col("src").as("doc_id"), col("deg0").as("n_neighbors"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("core_degree").isNotNull.as("in_core"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[kcoreNearDup]] — the capped-pair CTE chain
+    * plus one generated CTE pair per peel round. */
+  private[graft] def kcoreNearDupOracleSql(shinglesSql: String): String = {
+    val rounds = (1 to KCorePeelRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT e.src, count(*) AS d
+         |  FROM e
+         |  JOIN a${i - 1} s ON e.src = s.id
+         |  JOIN a${i - 1} t ON e.dst = t.id
+         |  GROUP BY e.src),
+         |a$i AS (SELECT src AS id FROM p$i WHERE d >= $KCoreK)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM base
+       |  UNION ALL SELECT doc_b, doc_a FROM base),
+       |d0 AS (SELECT src, count(*) AS deg0 FROM e GROUP BY src),
+       |a0 AS (SELECT src AS id FROM d0 WHERE deg0 >= $KCoreK),
+       |$rounds,
+       |core AS (
+       |  SELECT e.src, count(*) AS core_degree
+       |  FROM e
+       |  JOIN a$KCorePeelRounds s ON e.src = s.id
+       |  JOIN a$KCorePeelRounds t ON e.dst = t.id
+       |  GROUP BY e.src)
+       |SELECT d0.src AS doc_id, d0.deg0 AS n_neighbors,
+       |  CAST(coalesce(core.core_degree, 0) AS BIGINT) AS core_degree,
+       |  core.src IS NOT NULL AS in_core
+       |FROM d0 LEFT JOIN core ON d0.src = core.src
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source corpus profile with exact length percentiles — the
     * source-level quality dashboard (which crawl is long-form, which is
     * boilerplate-short) that gates per-source mixing weights. Exact

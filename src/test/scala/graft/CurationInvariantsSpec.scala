@@ -330,6 +330,21 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("kcore: core degrees bounded by raw degrees, peel is sound") {
+    val rows = TextOps.kcoreNearDup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("n_neighbors")
+      val core = r.getAs[Long]("core_degree")
+      assert(core <= deg)
+      if (r.getAs[Boolean]("in_core")) {
+        // survivors kept >= k neighbors in the final peel round
+        assert(core >= 1)
+        assert(deg >= TextOps.KCoreK)
+      } else assert(core == 0)
+    }
+  }
+
   test("shipping latency: order statistics bracket, shares bounded") {
     val rows = BatchOps.shippingLatency(spark, dir).collect()
     assert(rows.nonEmpty)
