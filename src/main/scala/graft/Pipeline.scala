@@ -45,7 +45,7 @@ object Pipeline {
     "privacy_scrub" -> Seq("pii_scrub"),
     "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
       "neardup_survivors", "semantic_dedup_survivors", "dedup_features",
-      "dup_span_census", "incremental_dedup"),
+      "dup_span_census", "incremental_dedup", "dedup_waterfall"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination", "bloom_decontam"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",

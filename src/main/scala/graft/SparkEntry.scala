@@ -177,6 +177,7 @@ object SparkEntry {
     "dedup_components_df" -> ((s, d) => TextOps.dedupComponentsDf(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
     "kcore_neardup" -> ((s, d) => TextOps.kcoreNearDup(s, d)),
+    "dedup_waterfall" -> ((s, d) => TextOps.dedupWaterfall(s, d)),
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
@@ -895,6 +896,7 @@ object SparkEntry {
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
     "kcore_neardup" -> TextOps.kcoreNearDupOracleSql(shinglesSql),
+    "dedup_waterfall" -> TextOps.dedupWaterfallOracleSql(shinglesSql),
     "neardup_triangles" -> TextOps.nearDupTrianglesOracleSql(shinglesSql),
     // Naive-form oracle on purpose: prefix filtering is lossless, so a
     // prefix bug shows up as a missing row, not a mirrored mistake.

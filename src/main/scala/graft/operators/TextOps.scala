@@ -1898,6 +1898,76 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Dedup WATERFALL — the per-document provenance report every
+    * curation run publishes: which stage of the dedup ladder (exact
+    * text → near-dup text cluster → semantic embedding cluster) claims
+    * each document, with first-stage-wins attribution. This is the
+    * composition query over the survivor passes the pipeline already
+    * runs — the artifact that answers "why did doc X disappear" and
+    * lets per-stage removal rates be monitored release over release.
+    * All flags are integer/set-membership logic; the three stage cores
+    * ride their session memos, so the waterfall adds three id-only
+    * joins, not three recomputations.
+    *
+    * Scale: each flag is a key-grain LEFT join against a removed-id
+    * set no larger than the clustered minority of the corpus. */
+  def dedupWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    val exact = Tables.documents(spark, dir)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
+    val nearDropped = dedupComponentsCore(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"), lit(true).as("near_flag"))
+    val semDropped = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+      .join(graft.operators.VectorOps.semanticDedupSurvivors(spark, dir)
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("sem_flag", lit(true))
+    exact
+      .join(nearDropped, Seq("doc_id"), "left")
+      .join(semDropped.select("doc_id", "sem_flag"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("near_flag"), lit(false)).as("is_near_dup"),
+        coalesce(col("sem_flag"), lit(false)).as("is_semantic_dup"),
+        when(col("is_exact_dup"), "exact")
+          .when(coalesce(col("near_flag"), lit(false)), "near")
+          .when(coalesce(col("sem_flag"), lit(false)), "semantic")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupWaterfall]] — the exact-group window, the
+    * recursive-CTE component labels, and the (nested) semantic-survivor
+    * oracle, composed with the same first-stage-wins CASE. */
+  private[graft] def dedupWaterfallOracleSql(shinglesSql: String): String =
+    s"""WITH exact AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+       |      AS is_exact_dup
+       |  FROM documents),
+       |comp AS (
+       |${dedupComponentsOracleCoreSql(shinglesSql)}),
+       |ndropped AS (
+       |  SELECT doc_id FROM comp WHERE doc_id <> component_id),
+       |sem_surv AS (
+       |${graft.operators.VectorOps.semanticDedupSurvivorsOracleSql
+          .replace("ORDER BY em.vec_id", "")}),
+       |sdropped AS (
+       |  SELECT vec_id AS doc_id FROM embeddings
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM sem_surv))
+       |SELECT e.doc_id, e.is_exact_dup,
+       |  e.doc_id IN (SELECT doc_id FROM ndropped) AS is_near_dup,
+       |  e.doc_id IN (SELECT doc_id FROM sdropped) AS is_semantic_dup,
+       |  CASE WHEN e.is_exact_dup THEN 'exact'
+       |       WHEN e.doc_id IN (SELECT doc_id FROM ndropped) THEN 'near'
+       |       WHEN e.doc_id IN (SELECT doc_id FROM sdropped)
+       |         THEN 'semantic'
+       |       ELSE 'kept' END AS verdict
+       |FROM exact e
+       |ORDER BY e.doc_id""".stripMargin
+
   /** k-core threshold for [[kcoreNearDup]] (shared with the oracle). */
   val KCoreK = 2
 

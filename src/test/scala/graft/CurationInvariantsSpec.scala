@@ -330,6 +330,26 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("dedup waterfall: flags tie out to each stage's survivor query") {
+    val rows = TextOps.dedupWaterfall(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val v = r.getAs[String]("verdict")
+      // first-stage-wins attribution must agree with the flags
+      if (r.getAs[Boolean]("is_exact_dup")) assert(v == "exact")
+      else if (r.getAs[Boolean]("is_near_dup")) assert(v == "near")
+      else if (r.getAs[Boolean]("is_semantic_dup")) assert(v == "semantic")
+      else assert(v == "kept")
+    }
+    assert(rows.count(!_.getAs[Boolean]("is_exact_dup")).toLong ==
+      TextOps.dedupedDocs(spark, dir).count())
+    assert(rows.count(!_.getAs[Boolean]("is_near_dup")).toLong ==
+      TextOps.nearDupSurvivors(spark, dir).count())
+    assert(rows.count(!_.getAs[Boolean]("is_semantic_dup")).toLong ==
+      graft.operators.VectorOps.semanticDedupSurvivors(spark, dir).count())
+  }
+
   test("kcore: core degrees bounded by raw degrees, peel is sound") {
     val rows = TextOps.kcoreNearDup(spark, dir).collect()
     assert(rows.nonEmpty)
