@@ -85,6 +85,7 @@ object SparkEntry {
     "kmv_distinct" -> ((s, d) => CdcOps.kmvDistinct(s, d)),
     "hll_distinct" -> ((s, d) => CdcOps.hllDistinct(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
+    "cumulative_reach" -> ((s, d) => CdcOps.cumulativeReach(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "session_window_native" -> ((s, d) => CdcOps.sessionWindowNative(s, d)),
     "fk_orphan_audit" -> ((s, d) => BatchOps.fkOrphanAudit(s, d)),
@@ -485,6 +486,7 @@ object SparkEntry {
     // snapshot; all five branch outcomes tagged in `src`.
     "cdc_merge_snapshot" -> CdcOps.mergeSnapshotOracleSql,
     "cdc_gap_detection" -> CdcOps.cdcGapDetectionOracleSql,
+    "cumulative_reach" -> CdcOps.cumulativeReachOracleSql,
     "hll_merge_rollup" -> CdcOps.hllMergeRollupOracleSql,
     "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
     "gauge_resample" -> CdcOps.gaugeResampleOracleSql,

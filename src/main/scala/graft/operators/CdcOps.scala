@@ -1879,6 +1879,48 @@ object CdcOps {
       |    (CAST(total_ms AS DOUBLE) * 100.0) ELSE 0.0 END AS twa_value
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** Cumulative audience reach per day: how many distinct users have
+    * been seen up to and including each active day. Computed the
+    * SCALABLE way — each user reduced to a first-touch day (one hash
+    * aggregate), daily new-user counts, then one running sum over the
+    * tiny day spine — NOT as a count-distinct over an expanding window,
+    * which re-buffers every prior user per day and is quadratic at
+    * 100 TB. Days with events but no first-timers still emit (spine
+    * LEFT join), so the curve is dense over active days. All-integer.
+    * Reference analog: the `total_customers`-style monotone counters in
+    * `python/cdc_processor.py:124-131`, here with full daily history. */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstTouch = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val spine = ev.select("day").distinct()
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(firstTouch, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[cumulativeReach]]. */
+  private[graft] def cumulativeReachOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |ft AS (
+      |  SELECT day, count(*) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+      |  GROUP BY day),
+      |spine AS (SELECT DISTINCT day FROM ev)
+      |SELECT spine.day,
+      |  CAST(coalesce(ft.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(ft.new_users, 0))
+      |    OVER (ORDER BY spine.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cumulative_users
+      |FROM spine LEFT JOIN ft ON spine.day = ft.day
+      |ORDER BY spine.day""".stripMargin
+
   /** Sessionization via Spark's NATIVE `session_window` aggregation —
     * the same [[SessionGapMs]]-gap sessions as [[eventSessions]], but
     * computed by the engine's dedicated session operator

@@ -330,6 +330,16 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("cumulative reach: monotone, conserves the distinct-user total") {
+    val rows = CdcOps.cumulativeReach(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cumulative_users"))
+    assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b })
+    assert(cums.last == Tables.events(spark, dir)
+      .select("user_id").distinct().count())
+    assert(rows.map(_.getAs[Long]("new_users")).sum == cums.last)
+  }
+
   test("dedup waterfall: flags tie out to each stage's survivor query") {
     val rows = TextOps.dedupWaterfall(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
