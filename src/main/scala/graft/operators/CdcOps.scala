@@ -1889,8 +1889,13 @@ object CdcOps {
     * LEFT join), so the curve is dense over active days. All-integer.
     * Reference analog: the `total_customers`-style monotone counters in
     * `python/cdc_processor.py:124-131`, here with full daily history. */
-  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame =
+    cumulativeReachOf(Tables.events(spark, dir))
+
+  /** [[cumulativeReach]] over an injectable event frame (the streaming
+    * first-touch twin's spec pins against this). */
+  def cumulativeReachOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val firstTouch = ev.groupBy("user_id").agg(min(col("day")).as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))

@@ -251,6 +251,26 @@ object StreamOps {
       .agg(count(lit(1)).as("n_users"))
       .select(col("day_w.start").as("day_start"), col("n_users"))
 
+  /** Streaming first-touch reach — the live twin of
+    * `CdcOps.cumulativeReach`'s new-user curve: `dropDuplicates` keyed
+    * on user_id ALONE keeps each user's first-ever event (the key
+    * carries no event-time column, so this state is deliberately never
+    * watermark-evicted — reach state is forever by definition, one
+    * small row per user, the same O(users) a production reach counter
+    * holds), then a day-window count of the survivors in update mode.
+    * A returning user in a later day hits the dedup state and counts
+    * zero — the property the spec pins against the batch twin. The
+    * cumulative curve is the consumer's running sum of these per-day
+    * new-user rows (a monotone counter fold, the
+    * `cdc_processor.py:124-131` counter shape). */
+  def newUsersDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("window.start").as("day_start"), col("new_users"))
+
   /** Trailing 7-day rolling metrics over the live stream — the streaming
     * twin of `CdcOps.rolling7dMetrics`, as Spark 4 CHAINED event-time
     * aggregations (multiple stateful operators, append mode): a day-grain

@@ -1034,6 +1034,41 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming first-touch reach never recounts a returning user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.newUsersDaily(in.toDS().toDF())
+      .writeStream.format("memory").queryName("new_users")
+      .outputMode("update").start()
+    val evs = Seq(
+      event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      event(2, "2024-01-01 11:00:00", 2, "view", 1.0),
+      event(3, "2024-01-02 09:00:00", 1, "click", 1.0), // returning
+      event(4, "2024-01-02 10:00:00", 3, "signup", 1.0),
+      event(5, "2024-01-03 08:00:00", 2, "view", 1.0))  // returning
+    try {
+      in.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(2): _*) // dedup state must span triggers
+      q.processAllAvailable()
+      val got = spark.table("new_users").collect()
+        .groupBy(_.getAs[java.sql.Timestamp]("day_start").toString)
+        .map { case (d, rows) =>
+          d -> rows.map(_.getAs[Long]("new_users")).max }
+      assert(got == Map(
+        "2024-01-01 00:00:00.0" -> 2L,
+        "2024-01-02 00:00:00.0" -> 1L)) // day 3 emits NO new users
+      // and the batch twin's new-user curve agrees on the same fixture
+      val batch = graft.operators.CdcOps
+        .cumulativeReachOf(spark.createDataset(evs).toDF())
+        .collect()
+        .map(r => r.getAs[java.sql.Date]("day").toString ->
+          r.getAs[Long]("new_users")).toMap
+      assert(batch == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L,
+        "2024-01-03" -> 0L))
+    } finally q.stop()
+  }
+
   test("offset-gap auditor matches the batch audit on an ordered feed") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
