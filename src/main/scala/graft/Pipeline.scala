@@ -54,7 +54,7 @@ object Pipeline {
     // (tightness / margins) and the cluster-balanced sample feeding
     // assembly.
     "semantic_curation" -> Seq("cluster_profile", "cluster_separation",
-      "cluster_sample", "embedding_outliers"),
+      "cluster_sample", "embedding_outliers", "label_cohesion"),
     // Multimodal ingest: payload stats, the three real codecs, and the
     // decode→resize / frame-sample / decimate stages over them.
     "multimodal" -> Seq("binary_doc_stats", "doc_page_stats",

@@ -202,6 +202,7 @@ object SparkEntry {
     "cluster_profile" -> ((s, d) => VectorOps.clusterProfile(s, d)),
     "cluster_sample" -> ((s, d) => VectorOps.clusterSample(s, d)),
     "embedding_outliers" -> ((s, d) => VectorOps.embeddingOutliers(s, d)),
+    "label_cohesion" -> ((s, d) => VectorOps.labelCohesion(s, d)),
     "cluster_separation" -> ((s, d) => VectorOps.clusterSeparation(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -1002,6 +1003,7 @@ object SparkEntry {
     // never emits), so the hash is rank-exact.
     "cluster_sample" -> VectorOps.clusterSampleOracleSql,
     "embedding_outliers" -> VectorOps.embeddingOutliersOracleSql,
+    "label_cohesion" -> VectorOps.labelCohesionOracleSql,
     // Between-centroid nearest-neighbor margins off the same chain.
     "cluster_separation" -> VectorOps.clusterSeparationOracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,

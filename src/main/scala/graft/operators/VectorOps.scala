@@ -934,6 +934,116 @@ object VectorOps {
        |FROM rk WHERE out_rank <= $SampleQuota
        |ORDER BY cent_id, out_rank""".stripMargin
 
+  /** Per-label pair sample cap for [[labelCohesion]] (shared with the
+    * oracle). */
+  val CohesionCap = 64
+
+  /** Label-cohesion audit of the embedding space: per label, the mean
+    * cosine among SAME-label pairs vs the mean cosine to OTHER-label
+    * vectors, and their margin — the supervised-signal version of the
+    * quantizer dashboard (does the embedding actually separate the
+    * labels a classifier will train on?). Pairs are drawn from a
+    * deterministic per-label sample of [[CohesionCap]] vectors (lowest
+    * vec_ids via a rank window), so the pair square is
+    * CORPUS-SIZE-INDEPENDENT — a constant ≤ (labels·cap)² regardless
+    * of scale, riding one broadcast nested-loop over the capped set.
+    * Means are the 2^40 fixed-point floors ([[clusterProfile]]'s
+    * quantization); the margin subtracts two such exact-derived
+    * doubles, so it is bit-deterministic. */
+  def labelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val capped = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(sq("embedding")).as("norm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CohesionCap)
+      .select("vec_id", "embedding", "label", "norm")
+    val a = capped.select(col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("label").as("la"),
+      col("norm").as("norm_a"))
+    val b = capped.select(col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("label").as("lb"),
+      col("norm").as("norm_b"))
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      .withColumn("sim_fx",
+        floor(dot("ea", "eb") / (col("norm_a") * col("norm_b")) *
+          lit(FxScale)).cast("long"))
+    val intra = pairs.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_intra_pairs"),
+        sum(col("sim_fx")).as("sfx_a"))
+    val interPairs = pairs.filter(col("la") =!= col("lb"))
+    val inter = interPairs
+      .select(col("la").as("label"), col("sim_fx"))
+      .unionByName(interPairs.select(col("lb").as("label"),
+        col("sim_fx")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_inter_pairs"),
+        sum(col("sim_fx")).as("sfx_e"))
+    val members = Tables.embeddings(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+    members.join(intra, "label").join(inter, "label")
+      .select(col("label"), col("n_members"), col("n_intra_pairs"),
+        col("n_inter_pairs"),
+        (col("sfx_a").cast("double") /
+          (col("n_intra_pairs").cast("double") * lit(FxScale)))
+          .as("mean_intra_sim"),
+        (col("sfx_e").cast("double") /
+          (col("n_inter_pairs").cast("double") * lit(FxScale)))
+          .as("mean_inter_sim"))
+      .withColumn("margin",
+        col("mean_intra_sim") - col("mean_inter_sim"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[labelCohesion]] — same capped sample, same
+    * unrolled per-pair cosine, same fixed-point means. */
+  private[graft] def labelCohesionOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${sqSql("embedding")}) AS norm,
+       |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |  FROM embeddings),
+       |capped AS (
+       |  SELECT vec_id, embedding, label, norm FROM e
+       |  WHERE rn <= $CohesionCap),
+       |p AS (
+       |  SELECT a.label AS la, b.label AS lb,
+       |    CAST(floor(${dotSql("a.embedding", "b.embedding")} /
+       |      (a.norm * b.norm) * $FxScale) AS BIGINT) AS sim_fx
+       |  FROM capped a JOIN capped b ON a.vec_id < b.vec_id),
+       |intra AS (
+       |  SELECT la AS label, count(*) AS n_intra_pairs,
+       |    CAST(sum(sim_fx) AS BIGINT) AS sfx_a
+       |  FROM p WHERE la = lb GROUP BY la),
+       |inter AS (
+       |  SELECT label, count(*) AS n_inter_pairs,
+       |    CAST(sum(sim_fx) AS BIGINT) AS sfx_e
+       |  FROM (
+       |    SELECT la AS label, sim_fx FROM p WHERE la <> lb
+       |    UNION ALL
+       |    SELECT lb AS label, sim_fx FROM p WHERE la <> lb)
+       |  GROUP BY label),
+       |m AS (SELECT label, count(*) AS n_members FROM embeddings
+       |      GROUP BY label)
+       |SELECT m.label, m.n_members, intra.n_intra_pairs,
+       |  inter.n_inter_pairs,
+       |  CAST(sfx_a AS DOUBLE) /
+       |    (CAST(n_intra_pairs AS DOUBLE) * $FxScale)
+       |    AS mean_intra_sim,
+       |  CAST(sfx_e AS DOUBLE) /
+       |    (CAST(n_inter_pairs AS DOUBLE) * $FxScale)
+       |    AS mean_inter_sim,
+       |  CAST(sfx_a AS DOUBLE) /
+       |    (CAST(n_intra_pairs AS DOUBLE) * $FxScale) -
+       |  CAST(sfx_e AS DOUBLE) /
+       |    (CAST(n_inter_pairs AS DOUBLE) * $FxScale) AS margin
+       |FROM m
+       |JOIN intra ON intra.label = m.label
+       |JOIN inter ON inter.label = m.label
+       |ORDER BY m.label""".stripMargin
+
   /** Inter-cluster separation — the third panel of the quantizer
     * dashboard ([[clusterProfile]] = within-cluster tightness,
     * [[clusterSample]] = exemplars, this = between-cluster margins):

@@ -330,6 +330,24 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("label cohesion: pair counts bounded by the cap, sims in range") {
+    val cap = graft.operators.VectorOps.CohesionCap.toLong
+    val rows = graft.operators.VectorOps.labelCohesion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nIntra = r.getAs[Long]("n_intra_pairs")
+      assert(nIntra <= cap * (cap - 1) / 2)
+      assert(r.getAs[Long]("n_inter_pairs") >= 1)
+      Seq("mean_intra_sim", "mean_inter_sim").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c = $v")
+      }
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("mean_intra_sim") -
+          r.getAs[Double]("mean_inter_sim"))) < 1e-12)
+    }
+  }
+
   test("cumulative reach: monotone, conserves the distinct-user total") {
     val rows = CdcOps.cumulativeReach(spark, dir).collect()
     assert(rows.nonEmpty)
