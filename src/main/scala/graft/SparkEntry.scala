@@ -88,6 +88,7 @@ object SparkEntry {
     "cumulative_reach" -> ((s, d) => CdcOps.cumulativeReach(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "session_window_native" -> ((s, d) => CdcOps.sessionWindowNative(s, d)),
+    "session_copresence" -> ((s, d) => CdcOps.sessionCopresence(s, d)),
     "fk_orphan_audit" -> ((s, d) => BatchOps.fkOrphanAudit(s, d)),
     "local_supplier_share" -> ((s, d) => BatchOps.localSupplierShare(s, d)),
     "basket_rules" -> ((s, d) => BatchOps.basketRules(s, d)),
@@ -492,6 +493,7 @@ object SparkEntry {
     "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
     "gauge_resample" -> CdcOps.gaugeResampleOracleSql,
     "session_window_native" -> CdcOps.sessionWindowNativeOracleSql,
+    "session_copresence" -> CdcOps.sessionCopresenceOracleSql,
     "fk_orphan_audit" -> BatchOps.fkOrphanAuditOracleSql,
     "local_supplier_share" -> BatchOps.localSupplierShareOracleSql,
     "basket_rules" -> BatchOps.basketRulesOracleSql,

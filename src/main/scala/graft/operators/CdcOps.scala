@@ -623,19 +623,26 @@ object CdcOps {
     * streaming twin is `StreamOps.userSessions` (native
     * `session_window`, which emits `end = last event + gap` rather than
     * the batch form's observed end). */
-  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-island session assignment (`session_seq` per user) — the ONE
+    * copy shared by [[eventSessions]] and [[sessionCopresence]]. Input
+    * needs user_id/event_id/ts columns; keeps every input column. */
+  private def withSessionSeq(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy("ts_ms", "event_id")
     val cum = byUser
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("value"),
-        unix_millis(col("ts")).as("ts_ms"))
+    events
+      .withColumn("ts_ms", unix_millis(col("ts")))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ms").isNull ||
           col("ts_ms") - col("prev_ms") > SessionGapMs, 1).otherwise(0))
       .withColumn("session_seq", sum(col("new_sess")).over(cum))
+  }
+
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    withSessionSeq(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts")))
       .groupBy("user_id", "session_seq")
       .agg(
         min(col("ts_ms")).as("session_start_ms"),
@@ -1878,6 +1885,96 @@ object CdcOps {
       |  CASE WHEN total_ms > 0 THEN CAST(weighted_cents_ms AS DOUBLE) /
       |    (CAST(total_ms AS DOUBLE) * 100.0) ELSE 0.0 END AS twa_value
       |FROM r ORDER BY user_id""".stripMargin
+
+  /** Within-session event-type CO-PRESENCE rules: which event types
+    * occur in the same gap-session, with support / directional
+    * confidence / lift — the session-grain sibling of
+    * [[eventTransitions]] (sequential bigrams) and of the order-grain
+    * `basket_rules`: co-presence catches association regardless of
+    * order or distance inside the session. Rides the shared
+    * [[withSessionSeq]] islands; all metrics are single divisions of
+    * exact session counts.
+    *
+    * Scale: session membership collapses to DISTINCT (session, type)
+    * rows (bounded by sessions × type-cardinality); the pair explode is
+    * per-session over ≤ |types| elements, and marginals/totals are
+    * 1-row-per-type broadcasts. */
+  def sessionCopresence(spark: SparkSession, dir: String): DataFrame = {
+    val types = withSessionSeq(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts")))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val marg = types.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val tot = types.select("user_id", "session_seq").distinct()
+      .agg(count(lit(1)).as("t"))
+    types.groupBy("user_id", "session_seq")
+      .agg(array_sort(collect_set(col("event_type"))).as("tys"))
+      .filter(size(col("tys")) > 1)
+      .select(explode(expr(
+        """flatten(transform(tys, x ->
+             transform(filter(tys, y -> y > x), y ->
+               named_struct('type_a', x, 'type_b', y))))""")).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_together"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_type").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_type").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_together"),
+        col("n_a"), col("n_b"),
+        (col("n_together").cast("double") / col("t").cast("double"))
+          .as("support"),
+        (col("n_together").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_together") * col("t")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB oracle for [[sessionCopresence]] — the island CTEs plus the
+    * same distinct-membership pair counts. */
+  private[graft] def sessionCopresenceOracleSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_type,
+       |    sum(CASE WHEN prev_ms IS NULL
+       |             OR ts_ms - prev_ms > $SessionGapMs
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_seq
+       |  FROM o),
+       |t AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+       |tot AS (SELECT count(*) AS t FROM
+       |        (SELECT DISTINCT user_id, session_seq FROM t)),
+       |marg AS (SELECT event_type, count(*) AS n_type FROM t
+       |         GROUP BY event_type),
+       |pr AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    count(*) AS n_together
+       |  FROM t a
+       |  JOIN t b ON a.user_id = b.user_id
+       |    AND a.session_seq = b.session_seq
+       |    AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT type_a, type_b, n_together,
+       |  ma.n_type AS n_a, mb.n_type AS n_b,
+       |  CAST(n_together AS DOUBLE) / CAST(tot.t AS DOUBLE) AS support,
+       |  CAST(n_together AS DOUBLE) / CAST(ma.n_type AS DOUBLE)
+       |    AS confidence,
+       |  CAST(n_together * tot.t AS DOUBLE) /
+       |    CAST(ma.n_type * mb.n_type AS DOUBLE) AS lift
+       |FROM pr
+       |JOIN marg ma ON ma.event_type = type_a
+       |JOIN marg mb ON mb.event_type = type_b
+       |CROSS JOIN tot
+       |ORDER BY type_a, type_b""".stripMargin
 
   /** Cumulative audience reach per day: how many distinct users have
     * been seen up to and including each active day. Computed the

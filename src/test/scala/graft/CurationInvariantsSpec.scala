@@ -330,6 +330,21 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("session copresence: marginals bound pairs, same T from every row") {
+    val rows = CdcOps.sessionCopresence(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nAb = r.getAs[Long]("n_together")
+      assert(nAb <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Double]("support") <= conf + 1e-12)
+    }
+    val ts = rows.map(r => r.getAs[Double]("lift") *
+      r.getAs[Long]("n_b") / r.getAs[Double]("confidence"))
+    assert(ts.forall(t => math.abs(t - ts.head) < 1e-6))
+  }
+
   test("label cohesion: pair counts bounded by the cap, sims in range") {
     val cap = graft.operators.VectorOps.CohesionCap.toLong
     val rows = graft.operators.VectorOps.labelCohesion(spark, dir).collect()
