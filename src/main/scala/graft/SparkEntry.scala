@@ -204,6 +204,7 @@ object SparkEntry {
     "cluster_sample" -> ((s, d) => VectorOps.clusterSample(s, d)),
     "embedding_outliers" -> ((s, d) => VectorOps.embeddingOutliers(s, d)),
     "label_cohesion" -> ((s, d) => VectorOps.labelCohesion(s, d)),
+    "cluster_label_matrix" -> ((s, d) => VectorOps.clusterLabelMatrix(s, d)),
     "cluster_separation" -> ((s, d) => VectorOps.clusterSeparation(s, d)),
     "label_stats" -> ((s, d) => VectorOps.labelStats(s, d)),
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -1006,6 +1007,7 @@ object SparkEntry {
     "cluster_sample" -> VectorOps.clusterSampleOracleSql,
     "embedding_outliers" -> VectorOps.embeddingOutliersOracleSql,
     "label_cohesion" -> VectorOps.labelCohesionOracleSql,
+    "cluster_label_matrix" -> VectorOps.clusterLabelMatrixOracleSql,
     // Between-centroid nearest-neighbor margins off the same chain.
     "cluster_separation" -> VectorOps.clusterSeparationOracleSql,
     "label_stats" -> VectorOps.labelStatsOracleSql,

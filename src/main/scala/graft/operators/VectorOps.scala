@@ -934,6 +934,55 @@ object VectorOps {
        |FROM rk WHERE out_rank <= $SampleQuota
        |ORDER BY cent_id, out_rank""".stripMargin
 
+  /** Full cluster×label contingency matrix over the trained quantizer's
+    * assignment — the drill-down behind [[clusterProfile]]'s one-line
+    * dominant-label summary: every (cluster, label) cell with its count,
+    * row share (of the cluster) and column share (of the label). The
+    * audit that distinguishes "cluster is 60% label 3" from "label 3 is
+    * spread over 9 clusters" — both matter when the quantizer feeds
+    * cluster-balanced sampling. All-integer counts; shares are single
+    * exact divisions.
+    *
+    * Scale: one hash aggregate over the broadcast-assigned corpus at
+    * (cluster, label) grain — output bounded by clusters×labels. */
+  def clusterLabelMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = trainedAssignment(spark, dir)
+      .groupBy("cent_id", "label").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("cent_id").agg(sum(col("n")).as("n_cluster"))
+    val colTot = cells.groupBy("label").agg(sum(col("n")).as("n_label"))
+    cells
+      .join(broadcast(rowTot), "cent_id")
+      .join(broadcast(colTot), "label")
+      .select(col("cent_id"), col("label"), col("n"), col("n_cluster"),
+        col("n_label"),
+        (col("n").cast("double") / col("n_cluster").cast("double"))
+          .as("cluster_share"),
+        (col("n").cast("double") / col("n_label").cast("double"))
+          .as("label_share"))
+      .orderBy("cent_id", "label")
+  }
+
+  /** DuckDB oracle for [[clusterLabelMatrix]]. */
+  private[graft] def clusterLabelMatrixOracleSql: String =
+    s"""$trainedAssignSqlPrefix,
+       |cells AS (
+       |  SELECT cent_id, label, count(*) AS n
+       |  FROM al GROUP BY cent_id, label),
+       |rt AS (SELECT cent_id, CAST(sum(n) AS BIGINT) AS n_cluster
+       |       FROM cells GROUP BY cent_id),
+       |ct AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label
+       |       FROM cells GROUP BY label)
+       |SELECT cells.cent_id, cells.label, cells.n, rt.n_cluster,
+       |  ct.n_label,
+       |  CAST(cells.n AS DOUBLE) / CAST(rt.n_cluster AS DOUBLE)
+       |    AS cluster_share,
+       |  CAST(cells.n AS DOUBLE) / CAST(ct.n_label AS DOUBLE)
+       |    AS label_share
+       |FROM cells
+       |JOIN rt ON rt.cent_id = cells.cent_id
+       |JOIN ct ON ct.label = cells.label
+       |ORDER BY cells.cent_id, cells.label""".stripMargin
+
   /** Per-label pair sample cap for [[labelCohesion]] (shared with the
     * oracle). */
   val CohesionCap = 64

@@ -330,6 +330,22 @@ class CurationInvariantsSpec extends GraftSpec {
       s"calibration not monotone: ${byK.mkString(", ")}")
   }
 
+  test("cluster-label matrix: both margins sum to 1 exactly") {
+    val rows = graft.operators.VectorOps.clusterLabelMatrix(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cent_id")).foreach { case (_, cells) =>
+      assert(math.abs(
+        cells.map(_.getAs[Double]("cluster_share")).sum - 1.0) < 1e-9)
+      assert(cells.map(_.getAs[Long]("n")).sum ==
+        cells.head.getAs[Long]("n_cluster"))
+    }
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, cells) =>
+      assert(math.abs(
+        cells.map(_.getAs[Double]("label_share")).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("session copresence: marginals bound pairs, same T from every row") {
     val rows = CdcOps.sessionCopresence(spark, dir).collect()
     assert(rows.nonEmpty)
