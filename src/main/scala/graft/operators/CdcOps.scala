@@ -611,21 +611,15 @@ object CdcOps {
        |FROM j
        |ORDER BY purchase_id, click_id""".stripMargin
 
-  /** Sessionization: split each user's event stream into activity
-    * sessions separated by > `SessionGapMs` of event-time silence — the
-    * classic gaps-and-islands operator a behavioral pipeline runs over a
-    * CDC feed. One shuffle on user_id, then a per-user sort window: the
-    * lag flags session starts, a running sum numbers the islands, and a
-    * per-(user, session) aggregate rolls them up. Ordering (and the gap
-    * itself) uses millisecond-truncated timestamps with the event_id
-    * tiebreak so both engines fold ties identically regardless of their
-    * native timestamp precision (ns in DuckDB, µs in Spark). The
-    * streaming twin is `StreamOps.userSessions` (native
-    * `session_window`, which emits `end = last event + gap` rather than
-    * the batch form's observed end). */
   /** Gap-island session assignment (`session_seq` per user) — the ONE
-    * copy shared by [[eventSessions]] and [[sessionCopresence]]. Input
-    * needs user_id/event_id/ts columns; keeps every input column. */
+    * copy shared by [[eventSessions]] and [[sessionCopresence]]: one
+    * shuffle on user_id, then a per-user sort window where the lag
+    * flags session starts (silence > [[SessionGapMs]]) and a running
+    * sum numbers the islands. Ordering (and the gap itself) uses
+    * millisecond-truncated timestamps with the event_id tiebreak so
+    * both engines fold ties identically regardless of their native
+    * timestamp precision (ns in DuckDB, µs in Spark). Input needs
+    * user_id/event_id/ts columns; keeps every input column. */
   private def withSessionSeq(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy("ts_ms", "event_id")
@@ -640,6 +634,15 @@ object CdcOps {
       .withColumn("session_seq", sum(col("new_sess")).over(cum))
   }
 
+  /** Sessionization: split each user's event stream into activity
+    * sessions separated by > [[SessionGapMs]] of event-time silence —
+    * the classic gaps-and-islands operator a behavioral pipeline runs
+    * over a CDC feed ([[withSessionSeq]] assigns the islands; this
+    * rolls them up per (user, session)). The streaming twin is
+    * `StreamOps.userSessions` (native `session_window`, which emits
+    * `end = last event + gap` rather than the batch form's observed
+    * end); the batch query on the NATIVE operator is
+    * [[sessionWindowNative]]. */
   def eventSessions(spark: SparkSession, dir: String): DataFrame = {
     withSessionSeq(Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("value"), col("ts")))
@@ -1900,11 +1903,17 @@ object CdcOps {
     * per-session over ≤ |types| elements, and marginals/totals are
     * 1-row-per-type broadcasts. */
   def sessionCopresence(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: three plan branches (marginals, total, pair
+    // explode) read `types` — without the cut the scan + session
+    // windows + distinct would execute three times (the
+    // nearDupPairsCore precedent); the frame is (session, type)-grain,
+    // tiny.
     val types = withSessionSeq(Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts")))
       .select(col("user_id"), col("session_seq"), col("event_type"))
       .distinct()
+      .localCheckpoint()
     val marg = types.groupBy("event_type").agg(count(lit(1)).as("n_type"))
     val tot = types.select("user_id", "session_seq").distinct()
       .agg(count(lit(1)).as("t"))

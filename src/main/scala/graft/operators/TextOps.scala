@@ -40,17 +40,22 @@ object TextOps {
         count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Exact-dedup keep rule (min doc_id per exact-text md5 group,
+    * first-wins) — the ONE copy shared by [[dedupedDocs]] and
+    * [[dedupWaterfall]], so the survivor rule (incl. its tie-break)
+    * cannot drift between the stage and its provenance report. */
+  private def withExactKeepId(docs: DataFrame): DataFrame =
+    docs.withColumn("keep_id",
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+
   /** Exact dedup survivors: documents whose doc_id is the minimum of their
     * exact-text group (first-wins), via a key-partitioned window — the
     * standard distributed dedup-keep plan (one shuffle on the text hash). */
-  def dedupedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text")))
-    Tables.documents(spark, dir)
-      .withColumn("keep_id", min(col("doc_id")).over(w))
+  def dedupedDocs(spark: SparkSession, dir: String): DataFrame =
+    withExactKeepId(Tables.documents(spark, dir))
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
-  }
 
   /** Per-document quality stats: token counts, distinct ratio, stopword
     * ratio, average token length — the length/stopword quality-scoring
@@ -1912,19 +1917,16 @@ object TextOps {
     * Scale: each flag is a key-grain LEFT join against a removed-id
     * set no larger than the clustered minority of the corpus. */
   def dedupWaterfall(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text")))
-    val exact = Tables.documents(spark, dir)
-      .withColumn("keep_id", min(col("doc_id")).over(w))
+    val exact = withExactKeepId(Tables.documents(spark, dir))
       .select(col("doc_id"),
         (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
     val nearDropped = dedupComponentsCore(spark, dir)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id"), lit(true).as("near_flag"))
-    val semDropped = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("doc_id"))
-      .join(graft.operators.VectorOps.semanticDedupSurvivors(spark, dir)
-        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
-      .withColumn("sem_flag", lit(true))
+    val semDropped = graft.operators.VectorOps
+      .semanticCcLabels(spark, dir)
+      .filter(col("vec_id") =!= col("component_id"))
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_flag"))
     exact
       .join(nearDropped, Seq("doc_id"), "left")
       .join(semDropped.select("doc_id", "sem_flag"), Seq("doc_id"), "left")
@@ -1952,8 +1954,7 @@ object TextOps {
        |ndropped AS (
        |  SELECT doc_id FROM comp WHERE doc_id <> component_id),
        |sem_surv AS (
-       |${graft.operators.VectorOps.semanticDedupSurvivorsOracleSql
-          .replace("ORDER BY em.vec_id", "")}),
+       |${graft.operators.VectorOps.semanticDedupSurvivorsOracleCoreSql}),
        |sdropped AS (
        |  SELECT vec_id AS doc_id FROM embeddings
        |  WHERE vec_id NOT IN (SELECT vec_id FROM sem_surv))

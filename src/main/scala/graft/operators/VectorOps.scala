@@ -946,8 +946,12 @@ object VectorOps {
     * Scale: one hash aggregate over the broadcast-assigned corpus at
     * (cluster, label) grain — output bounded by clusters×labels. */
   def clusterLabelMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: rowTot, colTot, and the output chain all read
+    // `cells` — without the cut the corpus-wide assignment pass would
+    // run three times; the cells frame is clusters×labels-grain, tiny.
     val cells = trainedAssignment(spark, dir)
       .groupBy("cent_id", "label").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("cent_id").agg(sum(col("n")).as("n_cluster"))
     val colTot = cells.groupBy("label").agg(sum(col("n")).as("n_label"))
     cells
@@ -1032,15 +1036,25 @@ object VectorOps {
         sum(col("sim_fx")).as("sfx_e"))
     val members = Tables.embeddings(spark, dir)
       .groupBy("label").agg(count(lit(1)).as("n_members"))
-    members.join(intra, "label").join(inter, "label")
-      .select(col("label"), col("n_members"), col("n_intra_pairs"),
-        col("n_inter_pairs"),
-        (col("sfx_a").cast("double") /
-          (col("n_intra_pairs").cast("double") * lit(FxScale)))
-          .as("mean_intra_sim"),
-        (col("sfx_e").cast("double") /
-          (col("n_inter_pairs").cast("double") * lit(FxScale)))
-          .as("mean_inter_sim"))
+    // LEFT joins from the member spine: a label with a single vector
+    // (zero intra pairs) — or a single-label corpus (zero inter pairs)
+    // — is precisely what this audit must SURFACE, not drop; its means
+    // report 0.0 with the pair counts telling the truth (0), keeping
+    // every emitted double non-null for the cross-engine hash.
+    members
+      .join(intra, Seq("label"), "left")
+      .join(inter, Seq("label"), "left")
+      .select(col("label"), col("n_members"),
+        coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"),
+        coalesce(col("n_inter_pairs"), lit(0L)).as("n_inter_pairs"),
+        when(col("n_intra_pairs") > 0,
+          col("sfx_a").cast("double") /
+            (col("n_intra_pairs").cast("double") * lit(FxScale)))
+          .otherwise(lit(0.0)).as("mean_intra_sim"),
+        when(col("n_inter_pairs") > 0,
+          col("sfx_e").cast("double") /
+            (col("n_inter_pairs").cast("double") * lit(FxScale)))
+          .otherwise(lit(0.0)).as("mean_inter_sim"))
       .withColumn("margin",
         col("mean_intra_sim") - col("mean_inter_sim"))
       .orderBy("label")
@@ -1075,23 +1089,27 @@ object VectorOps {
        |    SELECT lb AS label, sim_fx FROM p WHERE la <> lb)
        |  GROUP BY label),
        |m AS (SELECT label, count(*) AS n_members FROM embeddings
-       |      GROUP BY label)
-       |SELECT m.label, m.n_members, intra.n_intra_pairs,
-       |  inter.n_inter_pairs,
-       |  CAST(sfx_a AS DOUBLE) /
-       |    (CAST(n_intra_pairs AS DOUBLE) * $FxScale)
-       |    AS mean_intra_sim,
-       |  CAST(sfx_e AS DOUBLE) /
-       |    (CAST(n_inter_pairs AS DOUBLE) * $FxScale)
-       |    AS mean_inter_sim,
-       |  CAST(sfx_a AS DOUBLE) /
-       |    (CAST(n_intra_pairs AS DOUBLE) * $FxScale) -
-       |  CAST(sfx_e AS DOUBLE) /
-       |    (CAST(n_inter_pairs AS DOUBLE) * $FxScale) AS margin
-       |FROM m
-       |JOIN intra ON intra.label = m.label
-       |JOIN inter ON inter.label = m.label
-       |ORDER BY m.label""".stripMargin
+       |      GROUP BY label),
+       |j AS (
+       |  SELECT m.label, m.n_members,
+       |    CAST(coalesce(n_intra_pairs, 0) AS BIGINT) AS n_intra_pairs,
+       |    CAST(coalesce(n_inter_pairs, 0) AS BIGINT) AS n_inter_pairs,
+       |    CASE WHEN coalesce(n_intra_pairs, 0) > 0 THEN
+       |      CAST(sfx_a AS DOUBLE) /
+       |        (CAST(n_intra_pairs AS DOUBLE) * $FxScale)
+       |    ELSE 0.0 END AS mean_intra_sim,
+       |    CASE WHEN coalesce(n_inter_pairs, 0) > 0 THEN
+       |      CAST(sfx_e AS DOUBLE) /
+       |        (CAST(n_inter_pairs AS DOUBLE) * $FxScale)
+       |    ELSE 0.0 END AS mean_inter_sim
+       |  FROM m
+       |  LEFT JOIN intra ON intra.label = m.label
+       |  LEFT JOIN inter ON inter.label = m.label)
+       |SELECT label, n_members, n_intra_pairs, n_inter_pairs,
+       |  mean_intra_sim, mean_inter_sim,
+       |  mean_intra_sim - mean_inter_sim AS margin
+       |FROM j
+       |ORDER BY label""".stripMargin
 
   /** Inter-cluster separation — the third panel of the quantizer
     * dashboard ([[clusterProfile]] = within-cluster tightness,
@@ -1789,21 +1807,41 @@ object VectorOps {
     * every unclustered vector. Completes the semantic-dedup path
     * candidates → threshold → cluster → survivors; same graph-cache
     * release discipline as the text-side components. */
+  /** Session-scoped memo of the semantic CC labels — same
+    * immutable-dir contract as the text side's `ccLabelMemo`; the
+    * checkpointed frame is component-member-sized (KBs). Added when
+    * `dedup_waterfall` became a second consumer: without it each caller
+    * re-ran the LSH scoring + a fresh GraphX Pregel job (the r9
+    * accretion anti-pattern the text memos exist to prevent). */
+  private val semLabelMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+
+  /** Semantic CC labels (vec_id, component_id), memoized per
+    * (session, dir) — shared by [[semanticDedupSurvivors]] and the
+    * dedup-waterfall provenance report. */
+  private[graft] def semanticCcLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    semLabelMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("semantic_cc_labels") {
+        import org.apache.spark.graphx.{Edge, Graph}
+        val pairs = lshScoredPairs(spark, dir)
+          .filter(col("cosine") >= NearDupMinCosine)
+          .select(col("a"), col("b"))
+        val g = Graph.fromEdges(
+          pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())), ())
+        val cc = g.connectedComponents()
+        val labels = spark.createDataFrame(cc.vertices)
+          .toDF("vec_id", "component_id").localCheckpoint()
+        cc.unpersistVertices(blocking = false)
+        cc.edges.unpersist(blocking = false)
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+        labels
+      })
+
   def semanticDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val pairs = lshScoredPairs(spark, dir)
-      .filter(col("cosine") >= NearDupMinCosine)
-      .select(col("a"), col("b"))
-    val g = Graph.fromEdges(
-      pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())), ())
-    val cc = g.connectedComponents()
-    val labels = spark.createDataFrame(cc.vertices)
-      .toDF("vec_id", "component_id").localCheckpoint()
-    cc.unpersistVertices(blocking = false)
-    cc.edges.unpersist(blocking = false)
-    g.unpersistVertices(blocking = false)
-    g.edges.unpersist(blocking = false)
-    val dropped = labels.filter(col("vec_id") =!= col("component_id"))
+    val dropped = semanticCcLabels(spark, dir)
+      .filter(col("vec_id") =!= col("component_id"))
       .select("vec_id")
     Tables.embeddings(spark, dir)
       .join(dropped, Seq("vec_id"), "left_anti")
@@ -1811,9 +1849,17 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
-  /** DuckDB oracle for [[semanticDedupSurvivors]] — recursive-CTE
-    * reachability over the cosine edge set, drop non-minimum members. */
+  /** DuckDB oracle for [[semanticDedupSurvivors]] — the UNSORTED core
+    * plus a trailing presentation sort (the components-oracle
+    * convention: consumers that embed this as a CTE — the
+    * dedup-waterfall oracle — reuse the core rather than
+    * string-stripping the ORDER BY). */
   private[graft] def semanticDedupSurvivorsOracleSql: String =
+    semanticDedupSurvivorsOracleCoreSql + "\nORDER BY vec_id"
+
+  /** [[semanticDedupSurvivorsOracleSql]] without the presentation
+    * sort. */
+  private[graft] def semanticDedupSurvivorsOracleCoreSql: String =
     s"""WITH RECURSIVE base AS (
        |$lshScoredPairsSqlPrefix
        |SELECT a, b FROM s WHERE cosine >= $NearDupMinCosine),
@@ -1828,8 +1874,7 @@ object VectorOps {
        |dropped AS (SELECT vec_id FROM comp WHERE vec_id <> component_id)
        |SELECT em.vec_id, em.label
        |FROM embeddings em
-       |WHERE em.vec_id NOT IN (SELECT vec_id FROM dropped)
-       |ORDER BY em.vec_id""".stripMargin
+       |WHERE em.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
   /** DuckDB oracle for [[cosineTopK]] (same unrolled arithmetic). */
   private[graft] def cosineTopKOracleSql: String =

@@ -262,7 +262,19 @@ object StreamOps {
     * zero — the property the spec pins against the batch twin. The
     * cumulative curve is the consumer's running sum of these per-day
     * new-user rows (a monotone counter fold, the
-    * `cdc_processor.py:124-131` counter shape). */
+    * `cdc_processor.py:124-131` counter shape).
+    *
+    * HONEST CONTRACT vs the batch twin: the dedup keeps the first row
+    * PROCESSED, so first-touch attribution is ARRIVAL-order — a user
+    * whose day-2 event arrives before their day-1 event is credited to
+    * day 2 where the batch `min(day)` credits day 1, and a user whose
+    * only event arrives beyond the watermark tolerance is dropped
+    * before the dedup and never counted. Both are inherent to
+    * single-pass streaming first-touch (an event-time-exact twin needs
+    * retractions); the TOTAL reach still converges to the batch total
+    * for every user with any in-tolerance event, and the spec pins
+    * curve equality on the ordered-feed contract Kafka partitions
+    * provide per key. */
   def newUsersDaily(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")

@@ -368,7 +368,10 @@ class CurationInvariantsSpec extends GraftSpec {
     rows.foreach { r =>
       val nIntra = r.getAs[Long]("n_intra_pairs")
       assert(nIntra <= cap * (cap - 1) / 2)
-      assert(r.getAs[Long]("n_inter_pairs") >= 1)
+      // degenerate labels stay in the report with zeroed means
+      if (r.getAs[Long]("n_inter_pairs") == 0)
+        assert(r.getAs[Double]("mean_inter_sim") == 0.0)
+      if (nIntra == 0) assert(r.getAs[Double]("mean_intra_sim") == 0.0)
       Seq("mean_intra_sim", "mean_inter_sim").foreach { c =>
         val v = r.getAs[Double](c)
         assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c = $v")
