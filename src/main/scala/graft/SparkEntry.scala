@@ -93,6 +93,7 @@ object SparkEntry {
     "local_supplier_share" -> ((s, d) => BatchOps.localSupplierShare(s, d)),
     "basket_rules" -> ((s, d) => BatchOps.basketRules(s, d)),
     "shipping_latency" -> ((s, d) => BatchOps.shippingLatency(s, d)),
+    "weighted_median_price" -> ((s, d) => BatchOps.weightedMedianPrice(s, d)),
     "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
@@ -499,6 +500,7 @@ object SparkEntry {
     "local_supplier_share" -> BatchOps.localSupplierShareOracleSql,
     "basket_rules" -> BatchOps.basketRulesOracleSql,
     "shipping_latency" -> BatchOps.shippingLatencyOracleSql,
+    "weighted_median_price" -> BatchOps.weightedMedianPriceOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,

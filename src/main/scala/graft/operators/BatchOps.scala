@@ -1751,6 +1751,73 @@ object BatchOps {
        |FROM f JOIN am ON f.p_size = am.p_size
        |ORDER BY f.p_size""".stripMargin
 
+  /** WEIGHTED order statistics per return flag: the quantity-weighted
+    * median and P90 of extended price — "the price at which half the
+    * UNITS (not half the line items) sold at or below". Weighted
+    * quantiles are the pricing/inventory form of the order-statistic
+    * discipline: quantize price to cents and weight to centi-units
+    * (exact integers), one per-flag cumulative-weight window, and the
+    * quantile is the FIRST row whose running weight crosses the
+    * threshold (`q·W ≤ 100·cumw` in cross-multiplied integers — no
+    * division, no interpolation, no float until the final /100
+    * display). Unweighted percentile ops ([[shippingLatency]],
+    * `length_boxplot`) cannot express this without exploding each row
+    * `weight` times.
+    *
+    * Scale: one shuffle on the flag key + one sort window per flag;
+    * at very high cardinality per key the fixed-bin sketch
+    * (`length_quantile_sketch`) is the documented bounded-state twin. */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_quantity") * 100).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.partitionBy("flag")
+      .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy("flag")
+    base
+      .withColumn("cumw", sum(col("w")).over(ord))
+      .withColumn("totw", sum(col("w")).over(all))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        max(col("totw")).as("total_weight"),
+        (min(when(col("cumw") * 2 >= col("totw"), col("price_c")))
+          .cast("double") / 100.0).as("weighted_median_price"),
+        (min(when(col("cumw") * 10 >= col("totw") * 9, col("price_c")))
+          .cast("double") / 100.0).as("weighted_p90_price"))
+      .orderBy("flag")
+  }
+
+  /** DuckDB oracle for [[weightedMedianPrice]] — same integer
+    * cumulative-weight crossing rule. */
+  private[graft] def weightedMedianPriceOracleSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, price_c, w,
+      |    CAST(sum(w) OVER (PARTITION BY flag
+      |      ORDER BY price_c, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cumw,
+      |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+      |  FROM b)
+      |SELECT flag, count(*) AS n_lines,
+      |  CAST(max(totw) AS BIGINT) AS total_weight,
+      |  CAST(min(CASE WHEN cumw * 2 >= totw THEN price_c END)
+      |    AS DOUBLE) / 100.0 AS weighted_median_price,
+      |  CAST(min(CASE WHEN cumw * 10 >= totw * 9 THEN price_c END)
+      |    AS DOUBLE) / 100.0 AS weighted_p90_price
+      |FROM r
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin
+
   /** Late-shipment SLA threshold in days (shared with the oracle). */
   val SlaLateDays = 90
 

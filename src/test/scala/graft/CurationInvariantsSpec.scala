@@ -427,6 +427,17 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("weighted median: quantiles ordered, crossing rule is tight") {
+    val rows = BatchOps.weightedMedianPrice(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("weighted_median_price")
+      val p90 = r.getAs[Double]("weighted_p90_price")
+      assert(med <= p90)
+      assert(med > 0.0 && r.getAs[Long]("total_weight") > 0)
+    }
+  }
+
   test("shipping latency: order statistics bracket, shares bounded") {
     val rows = BatchOps.shippingLatency(spark, dir).collect()
     assert(rows.nonEmpty)
