@@ -1751,6 +1751,66 @@ object BatchOps {
        |FROM f JOIN am ON f.p_size = am.p_size
        |ORDER BY f.p_size""".stripMargin
 
+  /** Open-order BACKLOG curve: per day, orders placed, orders fully
+    * shipped (the max ship date across the order's lineitems), and the
+    * running count of still-open orders — interval counting via ±1
+    * EVENT accounting (one running sum over the day spine), never a
+    * per-day × open-interval join (which re-scans every open order for
+    * every day — quadratic at scale; the same event-ize discipline as
+    * [[CdcOps]]' first-touch reach). All-integer. The ops curve behind
+    * the reference's order-status monitoring
+    * (`airflow/dags/etl_monitoring.py` health counts, here with full
+    * daily history).
+    *
+    * Scale: completion day is one hash aggregate per order; daily
+    * deltas are tiny (one row per active day), and the single running
+    * sum runs over the day spine, not the fact table. */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_placed"))
+    val completed = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_completed"))
+    val spine = placed.select("day")
+      .unionByName(completed.select("day")).distinct()
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(placed, Seq("day"), "left")
+      .join(completed, Seq("day"), "left")
+      .withColumn("n_placed", coalesce(col("n_placed"), lit(0L)))
+      .withColumn("n_completed", coalesce(col("n_completed"), lit(0L)))
+      .withColumn("open_backlog",
+        sum(col("n_placed") - col("n_completed")).over(w))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[orderBacklog]]. */
+  private[graft] def orderBacklogOracleSql: String =
+    """WITH placed AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_placed
+      |  FROM orders GROUP BY 1),
+      |comp AS (
+      |  SELECT day, count(*) AS n_completed FROM (
+      |    SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS day
+      |    FROM lineitem GROUP BY l_orderkey)
+      |  GROUP BY day),
+      |spine AS (
+      |  SELECT day FROM placed UNION SELECT day FROM comp)
+      |SELECT spine.day,
+      |  CAST(coalesce(n_placed, 0) AS BIGINT) AS n_placed,
+      |  CAST(coalesce(n_completed, 0) AS BIGINT) AS n_completed,
+      |  CAST(sum(coalesce(n_placed, 0) - coalesce(n_completed, 0))
+      |    OVER (ORDER BY spine.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS open_backlog
+      |FROM spine
+      |LEFT JOIN placed ON placed.day = spine.day
+      |LEFT JOIN comp ON comp.day = spine.day
+      |ORDER BY spine.day""".stripMargin
+
   /** WEIGHTED order statistics per return flag: the quantity-weighted
     * median and P90 of extended price — "the price at which half the
     * UNITS (not half the line items) sold at or below". Weighted

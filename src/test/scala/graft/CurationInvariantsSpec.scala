@@ -427,6 +427,19 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("order backlog: non-negative, conserves placed minus completed") {
+    val rows = BatchOps.orderBacklog(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getAs[Long]("n_placed") - r.getAs[Long]("n_completed")
+      assert(r.getAs[Long]("open_backlog") == run, "running sum broken")
+      assert(run >= 0, "more orders completed than ever placed")
+    }
+    assert(rows.map(_.getAs[Long]("n_placed")).sum ==
+      Tables.orders(spark, dir).count())
+  }
+
   test("weighted median: quantiles ordered, crossing rule is tight") {
     val rows = BatchOps.weightedMedianPrice(spark, dir).collect()
     assert(rows.length == 3)
