@@ -181,6 +181,7 @@ object SparkEntry {
     "dedup_components_df" -> ((s, d) => TextOps.dedupComponentsDf(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
     "kcore_neardup" -> ((s, d) => TextOps.kcoreNearDup(s, d)),
+    "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
     "dedup_waterfall" -> ((s, d) => TextOps.dedupWaterfall(s, d)),
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
@@ -906,6 +907,7 @@ object SparkEntry {
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
     "kcore_neardup" -> TextOps.kcoreNearDupOracleSql(shinglesSql),
+    "langid_confusion" -> TextOps.langidConfusionOracleSql,
     "dedup_waterfall" -> TextOps.dedupWaterfallOracleSql(shinglesSql),
     "neardup_triangles" -> TextOps.nearDupTrianglesOracleSql(shinglesSql),
     // Naive-form oracle on purpose: prefix filtering is lossless, so a

@@ -179,6 +179,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION MATRIX — the classifier-evaluation closure
+    * over [[languageId]]: every (labeled, predicted) cell with its
+    * count, recall share (of the true label's row) and precision share
+    * (of the prediction's column). The eval artifact that turns the
+    * per-doc `agrees` flag into the per-class error structure a
+    * threshold tune needs (which true langs leak into 'other', what
+    * 'en' precision actually is). All-integer counts; shares are
+    * single exact divisions. Same contingency shape as the embedding
+    * side's `cluster_label_matrix`.
+    *
+    * Scale: one hash aggregate to the langs×langs cell grain;
+    * marginals ride the checkpointed tiny cell frame. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = languageId(spark, dir)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy("labeled_lang")
+      .agg(sum(col("n")).as("n_labeled"))
+    val colTot = cells.groupBy("predicted_lang")
+      .agg(sum(col("n")).as("n_predicted"))
+    cells
+      .join(broadcast(rowTot), "labeled_lang")
+      .join(broadcast(colTot), "predicted_lang")
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        col("n_labeled"), col("n_predicted"),
+        (col("n").cast("double") / col("n_labeled").cast("double"))
+          .as("recall_share"),
+        (col("n").cast("double") / col("n_predicted").cast("double"))
+          .as("precision_share"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
+  /** DuckDB oracle for [[langidConfusion]] — same stop-ratio rule, same
+    * contingency margins. */
+  private[graft] def langidConfusionOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT lang AS labeled_lang,
+       |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ${stopwords.map(s => s"'$s'")
+                  .mkString("(", ",", ")")})) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.08
+       |    THEN 'en' ELSE 'other' END AS predicted_lang
+       |  FROM documents),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, count(*) AS n
+       |  FROM p GROUP BY 1, 2),
+       |rt AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_labeled
+       |       FROM cells GROUP BY 1),
+       |ct AS (SELECT predicted_lang,
+       |         CAST(sum(n) AS BIGINT) AS n_predicted
+       |       FROM cells GROUP BY 1)
+       |SELECT cells.labeled_lang, cells.predicted_lang, cells.n,
+       |  rt.n_labeled, ct.n_predicted,
+       |  CAST(cells.n AS DOUBLE) / CAST(rt.n_labeled AS DOUBLE)
+       |    AS recall_share,
+       |  CAST(cells.n AS DOUBLE) / CAST(ct.n_predicted AS DOUBLE)
+       |    AS precision_share
+       |FROM cells
+       |JOIN rt ON rt.labeled_lang = cells.labeled_lang
+       |JOIN ct ON ct.predicted_lang = cells.predicted_lang
+       |ORDER BY cells.labeled_lang, cells.predicted_lang""".stripMargin
+
   /** Content fingerprint: md5 of the raw text plus an order-insensitive
     * bag-of-words fingerprint (md5 of the sorted distinct token list) —
     * the document-fingerprinting primitive for shingle-free near-dup

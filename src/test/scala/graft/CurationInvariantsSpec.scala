@@ -427,6 +427,22 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("langid confusion: both margins sum to 1, mass equals corpus") {
+    val rows = TextOps.langidConfusion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.documents(spark, dir).count())
+    rows.groupBy(_.getAs[String]("labeled_lang")).foreach { case (_, cs) =>
+      assert(math.abs(cs.map(_.getAs[Double]("recall_share")).sum - 1.0)
+        < 1e-9)
+    }
+    rows.groupBy(_.getAs[String]("predicted_lang")).foreach {
+      case (_, cs) =>
+        assert(math.abs(
+          cs.map(_.getAs[Double]("precision_share")).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("order backlog: non-negative, conserves placed minus completed") {
     val rows = BatchOps.orderBacklog(spark, dir).collect()
     assert(rows.nonEmpty)
