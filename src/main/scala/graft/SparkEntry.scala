@@ -95,6 +95,7 @@ object SparkEntry {
     "shipping_latency" -> ((s, d) => BatchOps.shippingLatency(s, d)),
     "weighted_median_price" -> ((s, d) => BatchOps.weightedMedianPrice(s, d)),
     "order_backlog" -> ((s, d) => BatchOps.orderBacklog(s, d)),
+    "supplier_hhi" -> ((s, d) => BatchOps.supplierHhi(s, d)),
     "activity_streaks" -> ((s, d) => CdcOps.activityStreaks(s, d)),
     "cdc_change_log" -> ((s, d) => CdcOps.changeLog(s, d)),
     "scd2_history" -> ((s, d) => CdcOps.scd2History(s, d)),
@@ -504,6 +505,7 @@ object SparkEntry {
     "shipping_latency" -> BatchOps.shippingLatencyOracleSql,
     "weighted_median_price" -> BatchOps.weightedMedianPriceOracleSql,
     "order_backlog" -> BatchOps.orderBacklogOracleSql,
+    "supplier_hhi" -> BatchOps.supplierHhiOracleSql,
 
     "cdc_event_type_counters" ->
       s"""SELECT event_type, $opCaseSql AS op,

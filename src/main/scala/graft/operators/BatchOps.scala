@@ -1751,6 +1751,68 @@ object BatchOps {
        |FROM f JOIN am ON f.p_size = am.p_size
        |ORDER BY f.p_size""".stripMargin
 
+  /** Supplier CONCENTRATION (Herfindahl–Hirschman index) per nation:
+    * how concentrated each nation's lineitem revenue is across its
+    * suppliers — the market-structure metric behind sourcing-risk
+    * dashboards (HHI → 1 means one supplier owns the nation's flow).
+    * Determinism: per-supplier revenue is exact integer cents; shares
+    * are quantized to integer MILLE by floor division before squaring,
+    * so `hhi_scaled = Σ share_mille²` is an exact BIGINT under any
+    * aggregation order (a double Σsᵢ² would be order-dependent).
+    * Quantization bias is ≤ 2·suppliers·10⁻³ on a [0,1] metric and
+    * identical in both engines.
+    *
+    * Scale: fact rolled up to (nation, supplier) grain first — the
+    * share/HHI math runs on the supplier-count-sized frame; the
+    * supplier dim joins in before the rollup on the supplier key. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+    val tot = rev.groupBy("nationkey")
+      .agg(sum(col("rev_c")).as("tot_c"),
+        count(lit(1)).as("n_suppliers"))
+    rev.join(broadcast(tot), "nationkey")
+      .withColumn("share_mille", expr("(rev_c * 1000) div tot_c"))
+      .groupBy("nationkey", "n_suppliers")
+      .agg(sum(col("share_mille") * col("share_mille"))
+        .as("hhi_scaled"),
+        max(col("share_mille")).as("top_share_mille"))
+      .select(col("nationkey"), col("n_suppliers"), col("hhi_scaled"),
+        col("top_share_mille"),
+        (col("hhi_scaled").cast("double") / 1000000.0).as("hhi"))
+      .orderBy("nationkey")
+  }
+
+  /** DuckDB oracle for [[supplierHhi]]. */
+  private[graft] def supplierHhiOracleSql: String =
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nationkey, s_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT nationkey, CAST(sum(rev_c) AS BIGINT) AS tot_c,
+      |    count(*) AS n_suppliers
+      |  FROM rev GROUP BY nationkey),
+      |s AS (
+      |  SELECT rev.nationkey, tot.n_suppliers,
+      |    (rev_c * 1000) // tot_c AS share_mille
+      |  FROM rev JOIN tot ON rev.nationkey = tot.nationkey)
+      |SELECT nationkey, n_suppliers,
+      |  CAST(sum(share_mille * share_mille) AS BIGINT) AS hhi_scaled,
+      |  CAST(max(share_mille) AS BIGINT) AS top_share_mille,
+      |  CAST(sum(share_mille * share_mille) AS DOUBLE) / 1000000.0
+      |    AS hhi
+      |FROM s
+      |GROUP BY nationkey, n_suppliers
+      |ORDER BY nationkey""".stripMargin
+
   /** Open-order BACKLOG curve: per day, orders placed, orders fully
     * shipped (the max ship date across the order's lineitems), and the
     * running count of still-open orders — interval counting via ±1

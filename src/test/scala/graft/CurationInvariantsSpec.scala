@@ -443,6 +443,19 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("supplier hhi: bounded by 1/n and the top-share square") {
+    BatchOps.supplierHhi(spark, dir).collect().foreach { r =>
+      val hhi = r.getAs[Double]("hhi")
+      val n = r.getAs[Long]("n_suppliers")
+      val top = r.getAs[Long]("top_share_mille")
+      // HHI >= 1/n (equal split) up to mille-quantization slack, and
+      // at least the largest share's square
+      assert(hhi >= 1.0 / n - 0.002 * 2, s"hhi $hhi below 1/$n")
+      assert(hhi <= 1.0 + 1e-9)
+      assert(hhi * 1e6 >= (top.toDouble * top) - 1e-6)
+    }
+  }
+
   test("order backlog: non-negative, conserves placed minus completed") {
     val rows = BatchOps.orderBacklog(spark, dir).collect()
     assert(rows.nonEmpty)
