@@ -86,6 +86,7 @@ object SparkEntry {
     "hll_distinct" -> ((s, d) => CdcOps.hllDistinct(s, d)),
     "daily_active_users" -> ((s, d) => CdcOps.dailyActiveUsersBatch(s, d)),
     "cumulative_reach" -> ((s, d) => CdcOps.cumulativeReach(s, d)),
+    "hourly_seasonality" -> ((s, d) => CdcOps.hourlySeasonality(s, d)),
     "event_sessions" -> ((s, d) => CdcOps.eventSessions(s, d)),
     "session_window_native" -> ((s, d) => CdcOps.sessionWindowNative(s, d)),
     "session_copresence" -> ((s, d) => CdcOps.sessionCopresence(s, d)),
@@ -494,6 +495,7 @@ object SparkEntry {
     "cdc_merge_snapshot" -> CdcOps.mergeSnapshotOracleSql,
     "cdc_gap_detection" -> CdcOps.cdcGapDetectionOracleSql,
     "cumulative_reach" -> CdcOps.cumulativeReachOracleSql,
+    "hourly_seasonality" -> CdcOps.hourlySeasonalityOracleSql,
     "hll_merge_rollup" -> CdcOps.hllMergeRollupOracleSql,
     "time_weighted_value" -> CdcOps.timeWeightedValueOracleSql,
     "gauge_resample" -> CdcOps.gaugeResampleOracleSql,

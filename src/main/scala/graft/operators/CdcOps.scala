@@ -1889,6 +1889,49 @@ object CdcOps {
       |    (CAST(total_ms AS DOUBLE) * 100.0) ELSE 0.0 END AS twa_value
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** Hour-of-day seasonality profile: events folded ACROSS days onto
+    * the 24-hour clock — counts, distinct users, exact-decimal value,
+    * and each hour's share of the day — the diurnal-load profile behind
+    * capacity planning and anomaly baselines (the z-score and rolling
+    * ops treat days as the unit; this folds the within-day shape they
+    * marginalize out). One partial+final hash aggregate on a 24-key
+    * domain; the share division is exact-integer over the broadcast
+    * total.
+    *
+    * Reference analog: the per-minute live metrics
+    * (`stream_processor.py:216-244`) capture the instantaneous rate;
+    * this is its long-run calendar fold. */
+  def hourlySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        BatchOps.moneySum(col("value")).as("total_value"))
+    val tot = base.agg(sum(col("n_events")).as("t"))
+    base.crossJoin(broadcast(tot))
+      .select(col("hour_of_day"), col("n_events"), col("n_users"),
+        col("total_value"),
+        (col("n_events").cast("double") / col("t").cast("double"))
+          .as("event_share"))
+      .orderBy("hour_of_day")
+  }
+
+  /** DuckDB oracle for [[hourlySeasonality]]. */
+  private[graft] def hourlySeasonalityOracleSql: String =
+    """WITH b AS (
+      |  SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+      |    count(*) AS n_events,
+      |    count(DISTINCT user_id) AS n_users,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_value
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM b)
+      |SELECT hour_of_day, n_events, n_users, total_value,
+      |  CAST(n_events AS DOUBLE) / CAST(t.t AS DOUBLE) AS event_share
+      |FROM b CROSS JOIN t
+      |ORDER BY hour_of_day""".stripMargin
+
   /** Within-session event-type CO-PRESENCE rules: which event types
     * occur in the same gap-session, with support / directional
     * confidence / lift — the session-grain sibling of

@@ -382,6 +382,16 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("hourly seasonality: 24-hour spine, shares form a distribution") {
+    val rows = CdcOps.hourlySeasonality(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("hour_of_day")).sorted.toSeq ==
+      (0 until 24))
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0)
+      < 1e-9)
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, dir).count())
+  }
+
   test("cumulative reach: monotone, conserves the distinct-user total") {
     val rows = CdcOps.cumulativeReach(spark, dir).collect()
     assert(rows.nonEmpty)
