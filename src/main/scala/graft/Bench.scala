@@ -43,6 +43,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // r12 context-accretion levers (the r11 verdict's ann_ivf_top1
+      // 4.92 s full-run vs 1.55 s isolated order). Both are STATIC confs
+      // — they must be set before the session exists:
+      // - codegen.cache.maxEntries default 100: a 177-query suite
+      //   generates far more than 100 codegen units, so the Janino class
+      //   cache thrashes ACROSS queries and every generated class is
+      //   recompiled when its query re-runs after eviction.
+      // - ui.retainedExecutions default 1000: the SQLAppStatusListener
+      //   retains metrics for ~1200 executions per full bench even with
+      //   the UI off; bounding it keeps the listener bus and status
+      //   store from growing with suite position.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.ui.retainedExecutions", "8")
       // Broadcast blocks, shuffle files, and non-returned localCheckpoint
       // RDDs are reclaimed by the ContextCleaner only when their driver
       // references are GC'd — and a 96-query bench in a 24 GiB heap may
@@ -65,10 +78,27 @@ object Bench {
     val perRun = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // JVM-accretion observables, recorded AFTER each query (bench_line
+    // .json only): run position, JIT code-cache occupancy, cumulative
+    // HotSpot compilation time, loaded-class count. These make the
+    // full-run-vs-isolated inflation directly attributable — a query
+    // whose median inflates with position while ccache_mb plateaus at
+    // the reserve or jit_cum_s keeps climbing names its own cause.
+    import java.lang.management.ManagementFactory
+    val pos = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ccacheMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val jitCumS = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val classesK = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def codeCacheUsedMb(): Double = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / 1e6
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    selected.foreach { case (name, fn) =>
+    selected.toSeq.zipWithIndex.foreach { case ((name, fn), qIdx) =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       try {
         // One untimed warmup execution: the first run of a heavy-codegen
@@ -156,6 +186,45 @@ object Bench {
         System.gc()
         val rt = Runtime.getRuntime
         heapMb(name) = (rt.totalMemory() - rt.freeMemory()) / 1e6
+        pos(name) = qIdx.toDouble
+        ccacheMb(name) = codeCacheUsedMb()
+        jitCumS(name) =
+          ManagementFactory.getCompilationMXBean.getTotalCompilationTime / 1e3
+        classesK(name) =
+          ManagementFactory.getClassLoadingMXBean.getLoadedClassCount / 1e3
+      }
+    }
+    // End-of-suite SENTINEL re-runs: the direct discriminator between
+    // position-transient slowness and monotone JVM accretion. Each
+    // sentinel already ran at its natural suite position (that number
+    // stays the graded one); re-measuring it again AFTER all 177
+    // queries separates the hypotheses — sentinel_end ≈ isolated time
+    // means the mid-run inflation was transient (steal burst, cleaner
+    // backlog), sentinel_end ≈ the inflated number means the JVM
+    // context itself degrades queries monotonically (and the ccache/
+    // jit/classes columns above say which resource). Skipped when an
+    // explicit query subset was requested.
+    val sentinelEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (args.isEmpty) {
+      val sentinels = sys.env.getOrElse("SPARK_GRAFT_SENTINELS",
+          "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      sentinels.foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try {
+            val runs = scala.collection.mutable.ArrayBuffer[Double]()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            System.gc(); Thread.sleep(500)
+            (1 to RUNS).foreach { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              runs += (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache(); System.gc()
+            }
+            sentinelEnd(n) = runs.sorted.apply(runs.length / 2)
+          } catch { case _: Throwable => () }
+        }
       }
     }
     def jmap(m: scala.collection.Map[String, Double],
@@ -187,7 +256,7 @@ object Bench {
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"heap_mb":${short(heapMb)},"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // Compact trailer, printed LAST: every round so far recorded
     // `parsed: null` because the driver keeps only the final ~2000
@@ -197,7 +266,7 @@ object Bench {
     // always ends with one complete, parseable JSON object. Per-query
     // medians live in bench_line.json (committed) either way.
     println(
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"sentinel_end":${short(sentinelEnd)},"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")
     catch { case _: Throwable => () }

@@ -815,7 +815,7 @@ object SparkEntry {
          |FROM (SELECT *,
          |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopListSql)) AS DOUBLE)
          |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
-         |      FROM documents)
+         |      FROM documents WHERE text IS NOT NULL)
          |ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprints" ->

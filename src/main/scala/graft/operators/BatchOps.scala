@@ -1776,6 +1776,12 @@ object BatchOps {
     val tot = rev.groupBy("nationkey")
       .agg(sum(col("rev_c")).as("tot_c"),
         count(lit(1)).as("n_suppliers"))
+    // NON-NEGATIVITY ASSUMPTION: Spark `div` truncates toward zero while
+    // DuckDB `//` floors — they agree only because rev_c/tot_c are sums
+    // of non-negative prices here (true of every mille/grid quantization
+    // in this repo). A negative revenue adjustment (returns/credits)
+    // would silently split the engines by 1 on negative shares; if that
+    // ever becomes possible, normalize both sides to an explicit floor.
     rev.join(broadcast(tot), "nationkey")
       .withColumn("share_mille", expr("(rev_c * 1000) div tot_c"))
       .groupBy("nationkey", "n_suppliers")

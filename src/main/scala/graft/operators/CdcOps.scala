@@ -2097,8 +2097,12 @@ object CdcOps {
   /** [[sessionWindowNative]] over an injectable event frame. */
   def sessionWindowNativeOf(events: DataFrame): DataFrame =
     events
+      // Gap passed in MILLISECONDS: the earlier `SessionGapMs / 1000
+      // seconds` form silently truncated sub-second gaps (integer
+      // division), desynchronizing the native operator from the
+      // oracle's microsecond rule with no error.
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"${SessionGapMs / 1000} seconds")
+        session_window(col("ts"), s"$SessionGapMs milliseconds")
           .as("sw"))
       .agg(
         count(lit(1)).as("n_events"),

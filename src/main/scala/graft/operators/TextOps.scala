@@ -168,6 +168,12 @@ object TextOps {
     val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
     Tables.documents(spark, dir)
       .withColumn("toks", tokens)
+      // Null-text guard on BOTH engines: size(null) = -1 would make
+      // stop_ratio = (-1)/(-1) = 1.0 → 'en' here while the oracle's
+      // CASE on a NULL ratio yields 'other' — a silent cross-engine
+      // split the moment a null-text row appears (every other text
+      // oracle already filters `text IS NOT NULL`).
+      .filter(col("text").isNotNull)
       .withColumn("stop_ratio",
         size(expr(s"filter(toks, t -> t in $stopList)")).cast("double") /
           size(col("toks")).cast("double"))
@@ -222,7 +228,7 @@ object TextOps {
                   .mkString("(", ",", ")")})) AS DOUBLE)
        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.08
        |    THEN 'en' ELSE 'other' END AS predicted_lang
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |cells AS (
        |  SELECT labeled_lang, predicted_lang, count(*) AS n
        |  FROM p GROUP BY 1, 2),
@@ -2056,23 +2062,18 @@ object TextOps {
     * aggregate — never corpus-sized, lineage cut per round
     * (localCheckpoint) exactly like the CC fixpoint twin. */
   def kcoreNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairsCore(spark, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(
-        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    val edges = kcoreEdges(spark, dir)
     val initDeg = edges.groupBy("src").agg(count(lit(1)).as("deg0"))
-    var alive = initDeg.filter(col("deg0") >= KCoreK)
-      .select(col("src").as("id"))
-    for (_ <- 1 to KCorePeelRounds) {
-      alive = edges
-        .join(alive.select(col("id").as("src")), Seq("src"))
-        .join(alive.select(col("id").as("dst")), Seq("dst"))
-        .groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= KCoreK)
-        .select(col("src").as("id"))
-        .localCheckpoint()
-    }
+    // `in_core` SEMANTICS: membership in the alive set after the FIXED
+    // [[KCorePeelRounds]] peel rounds — a post-round-N survivor flag,
+    // not a proof of k-core membership. If peeling has not converged in
+    // N rounds a survivor can report core_degree < KCoreK (both engines
+    // agree on the same fixed-round rule, so hashes hold either way).
+    // KCoreNearDupSpec asserts convergence on the real sf0.001 graph
+    // (alive set identical one round past the emitted one), so the flag
+    // IS true k-core membership on the shipped data; the caveat is for
+    // adversarial graphs whose peel cascade is deeper than N.
+    val alive = kcoreAliveAfter(edges, initDeg, KCorePeelRounds)
     val coreDeg = edges
       .join(alive.select(col("id").as("src")), Seq("src"))
       .join(alive.select(col("id").as("dst")), Seq("dst"))
@@ -2082,6 +2083,35 @@ object TextOps {
         coalesce(col("core_degree"), lit(0L)).as("core_degree"),
         col("core_degree").isNotNull.as("in_core"))
       .orderBy("doc_id")
+  }
+
+  /** Symmetrized, lineage-cut edge set shared by [[kcoreNearDup]] and
+    * its convergence spec. */
+  private[graft] def kcoreEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+  }
+
+  /** Alive set (`id` column) after `rounds` peel rounds over `edges`,
+    * starting from the degree-≥-k seed — exposed so the spec can assert
+    * the peel has CONVERGED on real data (alive(n) == alive(n+1)). */
+  private[graft] def kcoreAliveAfter(edges: DataFrame, initDeg: DataFrame,
+      rounds: Int): DataFrame = {
+    var alive = initDeg.filter(col("deg0") >= KCoreK)
+      .select(col("src").as("id"))
+    for (_ <- 1 to rounds) {
+      alive = edges
+        .join(alive.select(col("id").as("src")), Seq("src"))
+        .join(alive.select(col("id").as("dst")), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK)
+        .select(col("src").as("id"))
+        .localCheckpoint()
+    }
+    alive
   }
 
   /** DuckDB oracle for [[kcoreNearDup]] — the capped-pair CTE chain
@@ -3891,11 +3921,17 @@ object TextOps {
     * The scaled-integer products need `c·N < 2^63`; beyond ~10^9 tokens
     * per source switch the mass sum to DECIMAL(38,0). */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: `counts` feeds FOUR plan branches (totals, pair
+    // sides a/b, and the spine via totals²) — without the lineage cut
+    // the tokenize-explode-count pass re-executes per branch, the exact
+    // hazard the siblings (sessionCopresence, clusterLabelMatrix) fix
+    // the same way. The frame is source×token grain — small.
     val counts = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), explode(tokens).as("token"))
       .groupBy("source", "token")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val totals = counts.groupBy("source")
       .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
     val enriched = counts.join(broadcast(totals), "source")

@@ -1360,16 +1360,25 @@ object VectorOps {
       .select(col("vec_id"), col("cent_id"), col("sim"))
       .withColumn("pr", row_number().over(wAssign))
       .filter(col("pr") <= NProbe)
-    // Cell membership cap WITHOUT a second window: members are capped in
-    // ascending vec_id order, which is exactly the first [[CellCap]]
-    // entries of the sorted list — `slice(array_sort(...))` inside the
-    // one hash aggregate replaces the earlier rank-filter window (same
-    // rows, one less exchange+sort on the critical path).
+    // Cell membership capped BEFORE the aggregate (WindowGroupLimit, the
+    // [[annIvfTop1]] recipe): the r11 fused form capped inside the
+    // aggregate with `slice(array_sort(collect_list(...)))`, which was
+    // one less exchange+sort locally but buffered the ENTIRE cell in one
+    // aggregation buffer before slicing — on a degenerately clustered
+    // corpus one cell ≈ the corpus, so the buffer was unbounded (the
+    // exact trap annIvfTop1's pre-cap exists to avoid). The rank filter
+    // compiles to WindowGroupLimit: each map partition keeps at most
+    // CellCap members per cell before the shuffle, and the collect_list
+    // buffer is ≤ CellCap elements by construction. Ascending-vec_id
+    // rank keeps the SAME survivors as the sorted-slice form, so the
+    // oracle is unchanged.
+    val wCell = Window.partitionBy("cent_id").orderBy("vec_id")
     val cells = ranked.filter(col("pr") === 1)
       .select(col("vec_id"), col("cent_id"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= CellCap)
       .groupBy("cent_id")
-      .agg(slice(array_sort(collect_list(col("vec_id"))), 1, CellCap)
-        .as("ids"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
     val cand = ranked.select(col("vec_id").as("q_id"), col("cent_id"))
       .join(cells, "cent_id")
       .select(col("q_id"), col("cent_id"), explode(col("ids")).as("c_id"))

@@ -437,6 +437,20 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("kcore: peel has converged within the unrolled rounds") {
+    // in_core documents post-round-N survivorship; this pins that on
+    // the real sf0.001 graph the peel is a FIXPOINT by round N — one
+    // extra round removes nobody — so the flag is true 2-core
+    // membership on shipped data (TextOps.kcoreNearDup scaladoc).
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val edges = TextOps.kcoreEdges(spark, dir)
+    val initDeg = edges.groupBy("src").agg(count(lit(1)).as("deg0"))
+    val atN = TextOps.kcoreAliveAfter(edges, initDeg, TextOps.KCorePeelRounds)
+    val atN1 = TextOps.kcoreAliveAfter(edges, initDeg, TextOps.KCorePeelRounds + 1)
+    assert(atN.count() == atN1.count())
+    assert(atN.join(atN1, Seq("id"), "left_anti").count() == 0)
+  }
+
   test("langid confusion: both margins sum to 1, mass equals corpus") {
     val rows = TextOps.langidConfusion(spark, dir).collect()
     assert(rows.nonEmpty)
