@@ -132,6 +132,25 @@ object RecallSweep {
     println(f"mih_rerank true_in_cand=${candTrue / total}%.3f " +
       f"shortlist_retention=${retained / rrN}%.3f " +
       f"(cap=${VectorOps.MihRerankCap}%d, n=${total.toLong}%d)")
+    // RP-256 + rerank (round 12): the longer-codes answer to the 64-bit
+    // ceiling — same decomposition as the MIH rerank (coverage,
+    // recall@1, true-in-candidates) so the two families read
+    // side-by-side.
+    val rp = VectorOps.annRpRerankTop1(spark, dir)
+      .select(col("q_id"), col("c_id")).cache()
+    val rpN = rp.count().toDouble
+    val rpHits = rp.join(exact, "q_id")
+      .filter(col("c_id") === col("exact_c")).count()
+    val rpCandTrue = VectorOps.rpScoredPairs(spark, dir)
+      .select(col("q_id"), col("c_id"))
+      .join(exact, "q_id")
+      .filter(col("c_id") === col("exact_c"))
+      .select("q_id").distinct().count()
+    println(f"rp_rerank coverage=${rpN / total}%.3f " +
+      f"recall@1(cosine)=${rpHits / total}%.3f " +
+      f"true_in_cand=${rpCandTrue / total}%.3f " +
+      f"(bands=${VectorOps.RpBands}%dx${VectorOps.RpBandBits}%d bits, " +
+      f"cap=${VectorOps.MihRerankCap}%d, n=${total.toLong}%d)")
     spark.stop()
   }
 }

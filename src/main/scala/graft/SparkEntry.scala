@@ -216,6 +216,8 @@ object SparkEntry {
     "ann_lsh_top1" -> ((s, d) => VectorOps.annLshTop1(s, d)),
     "ann_mih_top1" -> ((s, d) => VectorOps.annMihTop1(s, d)),
     "ann_mih_rerank_top1" -> ((s, d) => VectorOps.annMihRerankTop1(s, d)),
+    "ann_rp_rerank_top1" -> ((s, d) => VectorOps.annRpRerankTop1(s, d)),
+    "ann_quality_report" -> ((s, d) => VectorOps.annQualityReport(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
     "pq_distortion" -> ((s, d) => VectorOps.pqDistortion(s, d)),
@@ -1026,6 +1028,8 @@ object SparkEntry {
     // Binary-quantized Hamming ANN: exact-by-pigeonhole MIH candidates.
     "ann_mih_top1" -> VectorOps.annMihTop1OracleSql,
     "ann_mih_rerank_top1" -> VectorOps.annMihRerankTop1OracleSql,
+    "ann_rp_rerank_top1" -> VectorOps.annRpRerankTop1OracleSql,
+    "ann_quality_report" -> VectorOps.annQualityReportOracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     // IVF-PQ: coarse candidates scored by asymmetric distance over
     // product-quantization codes — the compressed-index ANN scale path.

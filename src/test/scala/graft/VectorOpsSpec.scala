@@ -163,4 +163,38 @@ class VectorOpsSpec extends GraftSpec {
     writeTable("embeddings", many.toDF("vec_id", "embedding", "label"), dir2)
     assert(VectorOps.annMihTop1(spark, dir2).count() == 0L)
   }
+
+  test("RP-256 pairs duplicates at Hamming 0 and ranks negations last") {
+    val dir = freshScratch()
+    // Distinct irrational-ish magnitudes so no projection sums to
+    // exactly 0 (the masks are fixed, so this is deterministic once
+    // green). A vector and its exact DUPLICATE share all 256 bits;
+    // its NEGATION flips every strictly-signed projection, so the
+    // duplicate must win the rerank with cosine 1 at hamming 0.
+    val base = Array.tabulate(VectorOps.Dim)(j =>
+      (math.sqrt(j + 2.0) * (if (j % 3 == 0) -1 else 1)).toFloat)
+    val neg = base.map(-_)
+    writeTable("embeddings", Seq(
+      (1L, base, 0), (2L, base.clone(), 0), (3L, neg, 0)
+    ).toDF("vec_id", "embedding", "label"), dir)
+    val out = VectorOps.annRpRerankTop1(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("c_id"), r.getAs[Int]("hamming"),
+          r.getAs[Double]("cosine")))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0)
+    assert(math.abs(out(1L)._3 - 1.0) <= 1e-9)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0)
+    // The negation's only candidates are the two (identical) opposites;
+    // if any band of ±base agrees the pair surfaces and reranks to
+    // cosine −1 — either way vec 3 must never report a positive cosine.
+    out.get(3L).foreach { case (_, _, cos) => assert(cos <= 0.0) }
+
+    // Stop-bucket guard, RP flavor: identical vectors overflow every
+    // (band, value) bucket past RpBucketCap → dropped whole, no pairs.
+    val dir2 = freshScratch()
+    val many = (0 until VectorOps.RpBucketCap + 2).map(i =>
+      (i.toLong, base, 0))
+    writeTable("embeddings", many.toDF("vec_id", "embedding", "label"), dir2)
+    assert(VectorOps.annRpRerankTop1(spark, dir2).count() == 0L)
+  }
 }
