@@ -60,6 +60,16 @@ case class ChangeRow(user_id: Long, event_id: Long, ts_ms: Long,
 /** Per-key change-log state: the chain's current tail version. */
 case class ChainState(ts_ms: Long, event_id: Long, value: Double)
 
+/** One OPEN session in [[UserSessionsProcessor]]'s per-key ListState:
+  * [start, last+gap) with its running count and exact cent sum. */
+case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long,
+    cents: Long)
+
+/** [[StreamOps.userSessionsTws]] output: a CLOSED session, end =
+  * last event + gap (the native `session_window` close boundary). */
+case class SessionRow(user_id: Long, session_start_ms: Long,
+    session_end_ms: Long, n_events: Long, total_value: Double)
+
 /** Structured Streaming runtime — the streaming twin of
   * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
   *
@@ -343,6 +353,34 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** [[userSessions]] on the Spark-4 arbitrary-state API
+    * (`transformWithState` + [[UserSessionsProcessor]]) — the THIRD
+    * `*Tws` twin (after [[upsertLatestTws]] and [[velocityStateTws]]),
+    * and the first to carry MERGEABLE state: where the native
+    * `session_window` operator owns interval merging internally, the
+    * processor holds each key's open sessions as a typed `ListState`
+    * and replays the same merge rule (an event extends a session iff
+    * `ts < last + gap`, strict — new session iff the silence reaches
+    * the gap), closing a session through ONE per-key event-time timer
+    * once the watermark passes `last + gap`. Emitted rows carry the
+    * identical boundary contract (start = first event, end = last +
+    * gap) and the identical decimal(18,2) value sum (exact cents in
+    * state), so the spec pins both implementations to equal output on
+    * a shared fixture. Millisecond-grain timestamps are assumed (the
+    * `java.sql.Timestamp` feed); the native operator merges at
+    * microsecond grain, so sub-ms-distinct boundary events could split
+    * the twins — none exist in any feed this engine reads. */
+  def userSessionsTws(events: Dataset[Event]): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserSessionsProcessor(graft.operators.CdcOps.SessionGapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 
   /** Stream-static enrichment: each live event joined to its entity's
     * dimension row — the everyday CDC pattern (enrich the change feed
@@ -974,5 +1012,80 @@ class VelocityProcessor(threshold: Double)
     // silently — the classic twin's hasTimedOut branch.
     buckets.clear()
     Iterator.empty
+  }
+}
+
+/** The [[StreamOps.userSessionsTws]] processor: gap-merged
+  * sessionization as explicit state. Per key, a typed `ListState` of
+  * disjoint OPEN sessions; every batch folds its (ts-sorted) events in
+  * as single-event sessions and re-merges the sorted list with the
+  * native operator's strict rule (merge iff `start < prev.last + gap`
+  * — a bridging event can collapse two formerly-separate sessions,
+  * which is exactly why the state must stay a LIST until the watermark
+  * freezes it). One event-time timer per key sits at the EARLIEST open
+  * close boundary; on fire, sessions whose `last + gap ≤ watermark`
+  * are emitted closed (append semantics — each session exactly once)
+  * and the timer re-arms for the survivors. Values accumulate as exact
+  * cents (the decimal(18,2) HALF_UP rule of the native twin's cast) so
+  * the emitted double is the same value the native sum produces. */
+class UserSessionsProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, SessionRow] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var sessions: ListState[OpenSession] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: TimeMode): Unit =
+    sessions = getHandle.getListState[OpenSession]("sessions",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def cents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  private def merge(all: Seq[OpenSession]): List[OpenSession] =
+    all.sortBy(s => (s.start_ms, s.last_ms))
+      .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start_ms < h.last_ms + gapMs =>
+            OpenSession(h.start_ms, math.max(h.last_ms, s.last_ms),
+              h.n_events + s.n_events, h.cents + s.cents) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
+  private def armTimer(open: Seq[OpenSession], wm: Long): Unit = {
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (open.nonEmpty) {
+      // Earliest close boundary; must exceed the current watermark
+      // (engine requirement — an admissible late event can trail it).
+      val next = open.map(_.last_ms + gapMs).min
+      getHandle.registerTimer(math.max(next, wm + 1))
+    }
+  }
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[SessionRow] = {
+    val incoming = rows.toSeq.map(e =>
+      OpenSession(e.ts.getTime, e.ts.getTime, 1L, cents(e.value)))
+    val merged = merge(sessions.get().toSeq ++ incoming)
+    sessions.clear()
+    merged.foreach(sessions.appendValue)
+    armTimer(merged, timerValues.getCurrentWatermarkInMs())
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val (closed, open) = sessions.get().toSeq.sortBy(_.start_ms)
+      .partition(_.last_ms + gapMs <= wm)
+    sessions.clear()
+    open.foreach(sessions.appendValue)
+    armTimer(open, wm)
+    closed.iterator.map(s => SessionRow(userId, s.start_ms,
+      s.last_ms + gapMs, s.n_events, s.cents / 100.0))
   }
 }

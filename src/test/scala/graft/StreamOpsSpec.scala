@@ -397,6 +397,75 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("sessions: transformWithState twin emits identical rows to the " +
+      "native session_window (RocksDB, list-state merge)") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batches = Seq(
+      // User 7: the native test's shape — 5-min pair, then a 3-h jump.
+      // User 3: OUT-OF-ORDER bridge inside one batch — 10:00 and 13:30
+      // arrive first (two sessions), then 11:45 lands between and
+      // chains all three into ONE session (11:45 < 10:00's close at
+      // 12:00, and 13:30 < 11:45's close at 13:45) — the case that
+      // forces the processor to keep a LIST and re-merge, not a
+      // single open-session scalar.
+      Seq(event(1, "2024-01-01 10:00:00", 7, "click", 10.0),
+        event(2, "2024-01-01 10:05:00", 7, "view", 5.0),
+        event(3, "2024-01-01 13:10:00", 7, "purchase", 20.0),
+        event(4, "2024-01-01 10:00:00", 3, "click", 1.25),
+        event(5, "2024-01-01 13:30:00", 3, "view", 2.5),
+        event(6, "2024-01-01 11:45:00", 3, "click", 4.0)),
+      // Two watermark-advancing flush batches: the first finalizes every
+      // session close (max close 15:30 < wm 1/2 11:50), the second gives
+      // the timer path a batch to fire in if the no-data batch after a
+      // watermark advance ever stops being scheduled.
+      Seq(event(7, "2024-01-02 12:00:00", 8, "click", 1.0)),
+      Seq(event(8, "2024-01-02 12:30:00", 8, "click", 1.0)))
+    def collect(name: String, out: org.apache.spark.sql.DataFrame,
+        in: MemoryStream[Event],
+        q: org.apache.spark.sql.streaming.StreamingQuery):
+        Set[(Long, Long, Long, Long, Double)] = {
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect().toSet[org.apache.spark.sql.Row]
+        .map { r =>
+          (r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").getTime,
+            r.getAs[java.sql.Timestamp]("session_end").getTime,
+            r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+        }.filter(_._1 != 8L) // the flush user's sessions stay open
+    }
+    try {
+      val inN = MemoryStream[Event]
+      val native = collect("sess_native", null, inN,
+        StreamOps.userSessions(inN.toDF()).writeStream.format("memory")
+          .queryName("sess_native").outputMode("append").start())
+      val inT = MemoryStream[Event]
+      val tws = collect("sess_tws", null, inT,
+        StreamOps.userSessionsTws(inT.toDS())
+          .select(col("user_id"),
+            timestamp_millis(col("session_start_ms")).as("session_start"),
+            timestamp_millis(col("session_end_ms")).as("session_end"),
+            col("n_events"), col("total_value"))
+          .writeStream.format("memory")
+          .queryName("sess_tws").outputMode("append").start())
+      // The fixture's load-bearing rows actually happened: user 3's
+      // bridge collapsed to one 10:00→15:30 session of 3 events, and
+      // user 7 split in two.
+      assert(tws.contains((3L, ts("2024-01-01 10:00:00").getTime,
+        ts("2024-01-01 15:30:00").getTime, 3L, 7.75)))
+      assert(tws.count(_._1 == 7L) == 2)
+      assert(tws == native)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T4: an admissible late event re-emits its bucket with FULL counts") {
     // Eviction is watermark-driven: a bucket must survive as long as the
     // 10-min lateness allowance can still deliver an event for it, even
