@@ -55,6 +55,7 @@ object SparkEntry {
     "shipment_overlaps" -> ((s, d) => BatchOps.shipmentOverlaps(s, d)),
     "record_linkage" -> ((s, d) => BatchOps.recordLinkage(s, d)),
     "shipping_priority" -> ((s, d) => BatchOps.shippingPriority(s, d)),
+    "returned_item_revenue" -> ((s, d) => BatchOps.returnedItemRevenue(s, d)),
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
@@ -163,6 +164,7 @@ object SparkEntry {
     "mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    "boilerplate_prefixes" -> ((s, d) => TextOps.boilerplatePrefixes(s, d)),
     "lexical_profile" -> ((s, d) => TextOps.lexicalProfile(s, d)),
     "source_divergence" -> ((s, d) => TextOps.sourceDivergence(s, d)),
     "zipf_slope" -> ((s, d) => TextOps.zipfSlope(s, d)),
@@ -218,6 +220,8 @@ object SparkEntry {
     "ann_mih_rerank_top1" -> ((s, d) => VectorOps.annMihRerankTop1(s, d)),
     "ann_rp_rerank_top1" -> ((s, d) => VectorOps.annRpRerankTop1(s, d)),
     "ann_quality_report" -> ((s, d) => VectorOps.annQualityReport(s, d)),
+    "knn_label_agreement" -> ((s, d) => VectorOps.knnLabelAgreement(s, d)),
+    "embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
     "pq_distortion" -> ((s, d) => VectorOps.pqDistortion(s, d)),
@@ -388,6 +392,7 @@ object SparkEntry {
     "record_linkage" -> BatchOps.recordLinkageOracleSql,
     // TPC-H Q3 shape: broadcast dim, scan-pruned dates, top-10 heap.
     "shipping_priority" -> BatchOps.shippingPriorityOracleSql,
+    "returned_item_revenue" -> BatchOps.returnedItemRevenueOracleSql,
     // TPC-H Q18 shape: decimal HAVING cut, then tiny-frame join-back.
     "large_volume_customers" -> BatchOps.largeVolumeCustomersOracleSql,
     // Metronomic-cadence abuse filter: integer-exact verdict.
@@ -879,6 +884,7 @@ object SparkEntry {
     // Context-aware LM screen: integer-bit conditional bigram
     // surprisal; low mean bits flags templated text.
     "bigram_surprisal" -> TextOps.bigramSurprisalOracleSql,
+    "boilerplate_prefixes" -> TextOps.boilerplatePrefixesOracleSql,
     "lexical_profile" -> TextOps.lexicalProfileOracleSql,
     "source_divergence" -> TextOps.sourceDivergenceOracleSql,
     "zipf_slope" -> TextOps.zipfSlopeOracleSql,
@@ -1030,6 +1036,8 @@ object SparkEntry {
     "ann_mih_rerank_top1" -> VectorOps.annMihRerankTop1OracleSql,
     "ann_rp_rerank_top1" -> VectorOps.annRpRerankTop1OracleSql,
     "ann_quality_report" -> VectorOps.annQualityReportOracleSql,
+    "knn_label_agreement" -> VectorOps.knnLabelAgreementOracleSql,
+    "embedding_drift" -> VectorOps.embeddingDriftOracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     // IVF-PQ: coarse candidates scored by asymmetric distance over
     // product-quantization codes — the compressed-index ANN scale path.

@@ -1497,6 +1497,76 @@ object BatchOps {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
+  /** TPC-H Q10 date anchor: returns filed in the quarter starting
+    * here. */
+  val ReturnedRevStart = "1995-10-01"
+
+  /** Exclusive end of the [[ReturnedRevStart]] quarter. */
+  val ReturnedRevEnd = "1996-01-01"
+
+  /** TPC-H Q10-shaped returned-item revenue: the top-20 customers by
+    * revenue LOST to returned items (`l_returnflag = 'R'`) for orders
+    * placed in one quarter, with their account balance and nation —
+    * the customer-escalation report behind a returns spike.
+    *
+    * Scale shape: both fact predicates are scan-pushed (returnflag on
+    * lineitem, the date window on orders); the lineitem⋈orders join is
+    * a hash join at orderkey fact grain; revenue then reduces to
+    * CUSTKEY GRAIN **before** any dimension joins — at 100 TB the
+    * customer dim is itself fact-sized, so the dim join must see the
+    * aggregated frame (≤ customers-with-returns rows), never the raw
+    * line items; only the 25-row nation dim broadcasts. Revenue is the
+    * exact decimal(18,2) product/sum of [[shippingPriority]]; top-20
+    * rides a (revenue desc, c_custkey) TakeOrderedAndProject. */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ReturnedRevStart).cast("timestamp") &&
+        col("o_orderdate") < lit(ReturnedRevEnd).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("double")
+        .as("revenue"))
+    rev
+      .join(Tables.customer(spark, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** DuckDB oracle for [[returnedItemRevenue]] — same anchors, same
+    * exact decimal arithmetic, same tiebreak; aggregation mirrored at
+    * custkey grain before the dim joins. */
+  private[graft] def returnedItemRevenueOracleSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |      AS DOUBLE) AS revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '$ReturnedRevStart 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$ReturnedRevEnd 00:00:00'
+       |  GROUP BY o_custkey)
+       |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+       |FROM rev
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
   /** Two-dimensional Pareto frontier (skyline) over parts: minimize
     * price, maximize size — the "best value at every capacity" query
     * (SKYLINE OF in the research literature; no SQL engine ships the

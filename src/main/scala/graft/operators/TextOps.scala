@@ -2085,6 +2085,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Opening-prefix length for [[boilerplatePrefixes]] (tokens). */
+  val BoilerplatePrefixTokens = 8
+
+  /** Boilerplate share threshold (mille of the source's docs). */
+  val BoilerplateFlagMille = 10L
+
+  /** Boilerplate / template-opening census: per source, every repeated
+    * document OPENING (first [[BoilerplatePrefixTokens]] tokens) with
+    * its document count and per-source share — the screen that surfaces
+    * scraped template families ("click here to accept cookies …") a
+    * crawl injects, the removal target of every boilerplate-stripping
+    * pass (and the prefix-grain sibling of [[bigramSurprisal]]'s
+    * low-surprisal template flag). A prefix is flagged once it opens ≥
+    * [[BoilerplateFlagMille]]‰ of its source. Singleton prefixes are
+    * dropped from the OUTPUT (not the totals) — the report is the
+    * repeated-template census, and at corpus scale the singleton tail
+    * IS the corpus.
+    *
+    * Scale shape: one projection to (source, prefix) grain, one
+    * partial+final hash aggregate, totals re-aggregated from the cell
+    * frame (never a second corpus pass), broadcast join-back of the
+    * per-source totals; share is the standing non-negative
+    * floor-division mille. */
+  def boilerplatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        array_join(slice(tokens, 1, BoilerplatePrefixTokens), " ")
+          .as("prefix"))
+      .groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy("source")
+      .agg(sum(col("n_docs")).as("n_total"))
+    counts.filter(col("n_docs") >= 2)
+      .join(broadcast(totals), "source")
+      .withColumn("share_mille", expr("(n_docs * 1000) div n_total"))
+      .select(col("source"), col("prefix"), col("n_docs"), col("n_total"),
+        col("share_mille"),
+        (col("share_mille") >= BoilerplateFlagMille).as("flagged"))
+      .orderBy("source", "prefix")
+  }
+
+  /** DuckDB oracle for [[boilerplatePrefixes]]. */
+  private[graft] def boilerplatePrefixesOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT source,
+       |    array_to_string(string_split(text, ' ')[1:$BoilerplatePrefixTokens], ' ')
+       |      AS prefix
+       |  FROM documents WHERE text IS NOT NULL),
+       |cells AS (
+       |  SELECT source, prefix, count(*) AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_total
+       |  FROM cells GROUP BY 1)
+       |SELECT cells.source, cells.prefix, cells.n_docs, tot.n_total,
+       |  (cells.n_docs * 1000) // tot.n_total AS share_mille,
+       |  (cells.n_docs * 1000) // tot.n_total >= $BoilerplateFlagMille
+       |    AS flagged
+       |FROM cells JOIN tot ON cells.source = tot.source
+       |WHERE cells.n_docs >= 2
+       |ORDER BY cells.source, cells.prefix""".stripMargin
+
   /** Symmetrized, lineage-cut edge set shared by [[kcoreNearDup]] and
     * its convergence spec. */
   private[graft] def kcoreEdges(spark: SparkSession, dir: String): DataFrame = {

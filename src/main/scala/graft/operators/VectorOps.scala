@@ -435,6 +435,85 @@ object VectorOps {
        |FROM r WHERE rk = 1
        |ORDER BY q_id""".stripMargin
 
+  /** Leave-one-out 1-NN label agreement — the embedding-quality eval a
+    * labeled corpus gets before its labels are trusted for curation:
+    * per label, how many vectors' nearest LSH-candidate neighbor (ANY
+    * label, the honest classifier — [[hardNegatives]] restricts to
+    * different-label) carries the SAME label. High agreement means the
+    * embedding space respects the labeling (kNN probes work); a label
+    * whose agreement collapses is either noisy or not linearly
+    * separated — the per-class actionable form of [[labelCohesion]]'s
+    * pairwise-cosine view, and the retrieval-side sibling of
+    * [[clusterLabelMatrix]]'s cluster-grain contingency.
+    *
+    * Coverage is reported per label (LSH recall is not 1.0 — vectors
+    * sharing no bucket with anyone have no neighbor), and agreement is
+    * the standing non-negative floor-division mille over COVERED
+    * vectors. All counts integer ⇒ hash-exact.
+    *
+    * Scale shape: rides the one memoized LSH candidate core; labels
+    * join AFTER the id-only pick (ids, never embeddings, cross the
+    * argmax shuffle); per-label totals re-aggregate the tiny label
+    * dimension. */
+  def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val scored = lshScoredPairs(spark, dir)
+    val oriented = scored
+      .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
+    val pick = oriented
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c"))).as("best"))
+      .select(col("q_id"), (-col("best.neg_c")).as("c_id"))
+    val totals = labels.groupBy("label").agg(count(lit(1)).as("n_vectors"))
+    pick
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("label")), "q_id")
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("c_label")), "c_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_covered"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .join(broadcast(totals), "label")
+      .select(col("label"), col("n_vectors"), col("n_covered"),
+        col("n_same"),
+        expr("(n_same * 1000) div n_covered").as("agree_mille"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[knnLabelAgreement]] — the shared LSH candidate
+    * CTEs, the same (cosine desc, c_id) pick, the same integer
+    * margins. */
+  private[graft] def knnLabelAgreementOracleSql: String =
+    s"""$lshScoredPairsSqlPrefix,
+       |o AS (
+       |  SELECT a AS q_id, b AS c_id, cosine FROM s
+       |  UNION ALL SELECT b AS q_id, a AS c_id, cosine FROM s),
+       |r AS (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rk
+       |  FROM o),
+       |pick AS (SELECT q_id, c_id FROM r WHERE rk = 1),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |tot AS (
+       |  SELECT label, count(*) AS n_vectors FROM l GROUP BY 1),
+       |agg AS (
+       |  SELECT lq.label, count(*) AS n_covered,
+       |    CAST(sum(CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_same
+       |  FROM pick
+       |  JOIN l lq ON pick.q_id = lq.vec_id
+       |  JOIN l lc ON pick.c_id = lc.vec_id
+       |  GROUP BY 1)
+       |SELECT agg.label, tot.n_vectors, agg.n_covered, agg.n_same,
+       |  (agg.n_same * 1000) // agg.n_covered AS agree_mille
+       |FROM agg JOIN tot ON agg.label = tot.label
+       |ORDER BY agg.label""".stripMargin
+
   /** IVF coarse-quantizer sizing: C ≈ √N centroids, sampled as every
     * stride-th vec_id with stride = ⌈N / ⌈√N⌉⌉. √N balances the two
     * cost terms of IVF — assignment is N×C and in-cell probing is
@@ -945,6 +1024,65 @@ object VectorOps {
     *
     * Scale: one hash aggregate over the broadcast-assigned corpus at
     * (cluster, label) grain — output bounded by clusters×labels. */
+  /** Embedding-distribution DRIFT between two corpus snapshots, at
+    * trained-cluster grain: assign every vector to its memoized trained
+    * centroid, split the corpus into snapshots A/B (vec_id parity here
+    * — the deterministic stand-in for yesterday's-crawl vs today's; in
+    * production the snapshot id is a real column), and report each
+    * cluster's per-snapshot population share plus the absolute share
+    * delta in mille. A cluster whose share jumps between snapshots is
+    * where the new data concentrates (domain shift, a crawler change,
+    * an injected template family) — the embedding-space sibling of the
+    * token-histogram [[graft.operators.TextOps.splitDrift]], and the
+    * monitoring signal a production curation pipeline alerts on.
+    * All-integer (counts + floor-division milles) ⇒ hash-exact.
+    *
+    * Scale shape: one assignment pass off the memoized quantizer, one
+    * partial+final count aggregate to cluster grain, totals
+    * re-aggregated from the tiny cell frame, 1-row broadcast anchor
+    * join-back. Counts are mergeable across partitions AND snapshots —
+    * the incremental form just adds the new snapshot's cell counts. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = trainedAssignment(spark, dir)
+      .withColumn("half", pmod(col("vec_id"), lit(2)))
+      .groupBy("cent_id")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_a_mille", expr("(n_a * 1000) div tot_a"))
+      .withColumn("share_b_mille", expr("(n_b * 1000) div tot_b"))
+      .select(col("cent_id"), col("n_a"), col("n_b"),
+        col("share_a_mille"), col("share_b_mille"),
+        abs(col("share_a_mille") - col("share_b_mille")).as("drift_mille"))
+      .orderBy("cent_id")
+  }
+
+  /** DuckDB oracle for [[embeddingDrift]] — the shared trained
+    * assignment, the same parity split and integer milles. */
+  private[graft] def embeddingDriftOracleSql: String =
+    s"""$trainedAssignSqlPrefix,
+       |cells AS (
+       |  SELECT cent_id,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_b
+       |  FROM al GROUP BY cent_id),
+       |tot AS (
+       |  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+       |    CAST(sum(n_b) AS BIGINT) AS tot_b
+       |  FROM cells)
+       |SELECT cells.cent_id, cells.n_a, cells.n_b,
+       |  (cells.n_a * 1000) // tot.tot_a AS share_a_mille,
+       |  (cells.n_b * 1000) // tot.tot_b AS share_b_mille,
+       |  abs((cells.n_a * 1000) // tot.tot_a -
+       |      (cells.n_b * 1000) // tot.tot_b) AS drift_mille
+       |FROM cells CROSS JOIN tot
+       |ORDER BY cells.cent_id""".stripMargin
+
   def clusterLabelMatrix(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint: rowTot, colTot, and the output chain all read
     // `cells` — without the cut the corpus-wide assignment pass would
