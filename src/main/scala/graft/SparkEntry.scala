@@ -58,8 +58,10 @@ object SparkEntry {
     "returned_item_revenue" -> ((s, d) => BatchOps.returnedItemRevenue(s, d)),
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
+    "arrival_disorder" -> ((s, d) => CdcOps.arrivalDisorder(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
+    "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -397,10 +399,12 @@ object SparkEntry {
     "large_volume_customers" -> BatchOps.largeVolumeCustomersOracleSql,
     // Metronomic-cadence abuse filter: integer-exact verdict.
     "bot_screen" -> CdcOps.botScreenOracleSql,
+    "arrival_disorder" -> CdcOps.arrivalDisorderOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
     // FULL OUTER cross-derivation audit at the aggregate grain.
     "revenue_reconciliation" -> BatchOps.revenueReconciliationOracleSql,
+    "revenue_cusum" -> BatchOps.revenueCusumOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 

@@ -1344,6 +1344,70 @@ object BatchOps {
     * day-grain FULL OUTER merge of two calendar-sized frames. The fact
     * tables are never joined row-to-row: reconciliation happens at the
     * AGGREGATE grain, which is what makes it run at 100 TB. */
+  /** CUSUM change-point screen over daily order revenue — the
+    * level-shift detector behind "did something change on day X?"
+    * (a price change, an outage, a demand regime): per day, the
+    * cumulative sum of deviations from the whole-period mean; the
+    * CUSUM's extreme |value| marks the most likely change point (Page
+    * 1954's cumulative-sum chart, offline form). A float mean would
+    * poison every row, so deviations are EXACT SCALED integers:
+    * `dev_scaled = rev_c · n_days − total_c` (the mean times n_days,
+    * cleared of the division), and the running sum of BIGINTs is
+    * order-independent-exact. Bounds: cents ≈ 2^40 at 10^9 $/day and
+    * n_days ≈ 2^12 for a decade keep the product far inside int64 —
+    * beyond that, widen to DECIMAL(38,0).
+    *
+    * Scale shape: one partial+final hash aggregate to DAY grain; the
+    * running-sum window and the peak pick run on that ≤ few-thousand-row
+    * frame (the [[paretoFrontier]] single-partition-by-design rule);
+    * the peak is a 1-row broadcast anchor join-back. */
+  def revenueCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val tot = daily.agg(sum(col("rev_c")).as("total_c"),
+      count(lit(1)).as("n_days"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.crossJoin(broadcast(tot))
+      .withColumn("dev_scaled",
+        col("rev_c") * col("n_days") - col("total_c"))
+      .withColumn("cusum_scaled", sum(col("dev_scaled")).over(w))
+      .localCheckpoint()
+    val peak = cusum.agg(max(abs(col("cusum_scaled"))).as("peak_abs"))
+    cusum.crossJoin(broadcast(peak))
+      .select(col("day"), col("rev_c"), col("n_days"), col("dev_scaled"),
+        col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak_abs"))
+          .as("is_change_point"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[revenueCusum]] — same scaled-integer
+    * deviations, same running frame, same peak rule. */
+  private[graft] def revenueCusumOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(rev_c) AS BIGINT) AS total_c,
+       |    CAST(count(*) AS BIGINT) AS n_days
+       |  FROM daily),
+       |cs AS (
+       |  SELECT day, rev_c, n_days,
+       |    rev_c * n_days - total_c AS dev_scaled,
+       |    CAST(sum(rev_c * n_days - total_c) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cusum_scaled
+       |  FROM daily CROSS JOIN tot),
+       |pk AS (SELECT max(abs(cusum_scaled)) AS peak_abs FROM cs)
+       |SELECT day, rev_c, n_days, dev_scaled, cusum_scaled,
+       |  abs(cusum_scaled) = pk.peak_abs AS is_change_point
+       |FROM cs CROSS JOIN pk
+       |ORDER BY day""".stripMargin
+
   def revenueReconciliation(spark: SparkSession, dir: String): DataFrame = {
     val fromOrders = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))

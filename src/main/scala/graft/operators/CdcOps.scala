@@ -22,6 +22,63 @@ import graft.Tables
   */
 object CdcOps {
 
+  /** Out-of-order-arrival audit — the metric that SIZES a streaming
+    * pipeline's watermark: per user, how many events arrived (by
+    * `event_id`, the feed's arrival sequence) with an EVENT TIME behind
+    * the previous arrival, and the worst regression in ms. The observed
+    * `max_regress_ms` distribution is exactly what
+    * `withWatermark("ts", X)` must dominate — an allowance below the
+    * p99 regression silently drops those events at every stateful
+    * operator ([[graft.streaming.StreamOps]]' 10-minute choice is
+    * auditable against this). All-integer (counts, mille, ms) ⇒
+    * hash-exact.
+    *
+    * Scale shape: one user-partitioned lag window (the [[botScreen]]
+    * shape) then a partial+final count aggregate — no corpus-sized
+    * state. */
+  def arrivalDisorder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("regress_ms",
+        when(col("prev_ms").isNotNull && col("ts_ms") < col("prev_ms"),
+          col("prev_ms") - col("ts_ms")).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("regress_ms") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("regress_ms")).as("max_regress_ms"))
+      .withColumn("late_mille", expr("(n_late * 1000) div n_events"))
+      .select(col("user_id"), col("n_events"), col("n_late"),
+        col("late_mille"), col("max_regress_ms"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[arrivalDisorder]]. */
+  private[graft] def arrivalDisorderOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |    lag(CAST(epoch_ms(ts) AS BIGINT)) OVER (
+       |      PARTITION BY user_id ORDER BY event_id) AS prev_ms
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id,
+       |    CASE WHEN prev_ms IS NOT NULL AND ts_ms < prev_ms
+       |      THEN prev_ms - ts_ms ELSE 0 END AS regress_ms
+       |  FROM e),
+       |agg AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(CASE WHEN regress_ms > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_late,
+       |    CAST(max(regress_ms) AS BIGINT) AS max_regress_ms
+       |  FROM r GROUP BY 1)
+       |SELECT user_id, n_events, n_late,
+       |  (n_late * 1000) // n_events AS late_mille, max_regress_ms
+       |FROM agg
+       |ORDER BY user_id""".stripMargin
+
   /** S3: envelope parse + field extraction — the analog of unpacking the
     * Debezium `payload.op / source.table / ts_ms / after` envelope
     * (cdc_processor.py:23-47). JSON payload field `k` is extracted with a
