@@ -62,6 +62,9 @@ object SparkEntry {
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
     "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
+    "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
+    "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
+    "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -405,6 +408,9 @@ object SparkEntry {
     // FULL OUTER cross-derivation audit at the aggregate grain.
     "revenue_reconciliation" -> BatchOps.revenueReconciliationOracleSql,
     "revenue_cusum" -> BatchOps.revenueCusumOracleSql,
+    "segment_pivot" -> BatchOps.segmentPivotOracleSql,
+    "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
+    "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 

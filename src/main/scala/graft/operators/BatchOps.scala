@@ -1344,6 +1344,173 @@ object BatchOps {
     * day-grain FULL OUTER merge of two calendar-sized frames. The fact
     * tables are never joined row-to-row: reconciliation happens at the
     * AGGREGATE grain, which is what makes it run at 100 TB. */
+  /** The five TPC-H market segments, pinned as PIVOT columns (a pivot
+    * with an explicit value list stays a single-pass conditional
+    * aggregation; an implicit list costs a distinct-scan first). */
+  val MktSegments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** PIVOT surface: per-nation order revenue spread across one column
+    * per market segment — the cross-tab report shape (nation rows ×
+    * segment columns) every BI layer asks of an engine. Uses Spark's
+    * native `pivot` WITH the explicit segment list so the plan is ONE
+    * hash aggregate of conditional sums (no distinct pre-scan, no
+    * second shuffle); the oracle mirrors it as CASE-filtered sums —
+    * which is also this query's own 100 TB contract: a pivot over a
+    * bounded, KNOWN column domain is a projection trick, and a pivot
+    * over an unbounded domain is a design error, not a query.
+    * Revenue is integer cents ⇒ hash-exact. */
+  def segmentPivot(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    base.groupBy("n_name")
+      .pivot("c_mktsegment", MktSegments)
+      .agg(coalesce(sum(col("cents")), lit(0L)))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[segmentPivot]] — the explicit conditional
+    * aggregation the pivot compiles to. */
+  private[graft] def segmentPivotOracleSql: String = {
+    val arms = MktSegments.map(s =>
+      s"""  CAST(coalesce(sum(CASE WHEN c_mktsegment = '$s'
+         | THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+         | AS BIGINT) AS "$s"""".stripMargin.replace("\n", ""))
+      .mkString(",\n")
+    s"""SELECT n_name,
+       |$arms
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+  }
+
+  /** Trailing-7-day revenue via an integer RANGE window frame — the
+    * moving-total surface (`RANGE BETWEEN 6 PRECEDING AND CURRENT
+    * ROW`) whose semantics differ from a ROWS frame exactly when days
+    * are MISSING: a rows frame would reach back seven PRESENT days,
+    * the range frame reaches back seven CALENDAR days and counts the
+    * holes (n_days_present ≤ 7 says how many actually traded). The
+    * frame key is the exact epoch-day integer, so frame membership is
+    * pure integer arithmetic in both engines; the trailing average is
+    * the standing non-negative floor division (cents).
+    *
+    * Scale: day-grain frame after one partial+final hash aggregate
+    * (the [[paretoFrontier]] single-partition-by-design rule). */
+  def revenueTrailing7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d_c", sum(col("rev_c")).over(w))
+      .withColumn("n_days_present", count(lit(1)).over(w))
+      .select(col("day"), col("rev_c"), col("rev_7d_c"),
+        col("n_days_present"),
+        expr("rev_7d_c div n_days_present").as("avg_present_day_c"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[revenueTrailing7d]] — same epoch-day RANGE
+    * frame, same floor division. */
+  private[graft] def revenueTrailing7dOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1),
+       |d AS (
+       |  SELECT day, rev_c,
+       |    datediff('day', DATE '1970-01-01', day) AS day_idx
+       |  FROM daily),
+       |wf AS (
+       |  SELECT day, rev_c,
+       |    CAST(sum(rev_c) OVER (ORDER BY day_idx
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS rev_7d_c,
+       |    CAST(count(*) OVER (ORDER BY day_idx
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_days_present
+       |  FROM d)
+       |SELECT day, rev_c, rev_7d_c, n_days_present,
+       |  rev_7d_c // n_days_present AS avg_present_day_c
+       |FROM wf
+       |ORDER BY day""".stripMargin
+
+  /** Relational DIVISION — "which suppliers ship to customers in EVERY
+    * region": the classic universal-quantifier query (Codd's ÷), for
+    * which no SQL engine ships an operator; the scalable decomposition
+    * is counting distinct reached groups against the group total. Per
+    * supplier: distinct customer REGIONS reached through its shipped
+    * line items, flagged `full_coverage` when that count equals the
+    * region census (a 1-row broadcast anchor). At 100 TB the distinct
+    * reduces at (supplier, region) grain FIRST (a partial+final
+    * aggregate on a 5-value secondary key — near-free) so the
+    * count-distinct never holds per-supplier sets.
+    * All-integer output. */
+  def fullCoverageSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val reach = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("n_regionkey"))
+      .distinct()
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_regions_reached"))
+    val totalRegions = Tables.region(spark, dir)
+      .agg(count(lit(1)).as("n_regions_total"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(reach, Seq("s_suppkey"), "left")
+      .crossJoin(broadcast(totalRegions))
+      .select(col("s_suppkey"), col("s_name"),
+        coalesce(col("n_regions_reached"), lit(0L))
+          .as("n_regions_reached"),
+        col("n_regions_total"),
+        (coalesce(col("n_regions_reached"), lit(0L)) ===
+          col("n_regions_total")).as("full_coverage"))
+      .orderBy("s_suppkey")
+  }
+
+  /** DuckDB oracle for [[fullCoverageSuppliers]]. */
+  private[graft] def fullCoverageSuppliersOracleSql: String =
+    s"""WITH reach AS (
+       |  SELECT l_suppkey AS s_suppkey,
+       |    CAST(count(DISTINCT n_regionkey) AS BIGINT)
+       |      AS n_regions_reached
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_regions_total
+       |        FROM region)
+       |SELECT s.s_suppkey, s.s_name,
+       |  CAST(coalesce(reach.n_regions_reached, 0) AS BIGINT)
+       |    AS n_regions_reached,
+       |  tot.n_regions_total,
+       |  coalesce(reach.n_regions_reached, 0) = tot.n_regions_total
+       |    AS full_coverage
+       |FROM supplier s
+       |LEFT JOIN reach ON s.s_suppkey = reach.s_suppkey
+       |CROSS JOIN tot
+       |ORDER BY s.s_suppkey""".stripMargin
+
   /** CUSUM change-point screen over daily order revenue — the
     * level-shift detector behind "did something change on day X?"
     * (a price change, an outage, a demand regime): per day, the
