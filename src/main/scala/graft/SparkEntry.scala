@@ -59,12 +59,15 @@ object SparkEntry {
     "large_volume_customers" -> ((s, d) => BatchOps.largeVolumeCustomers(s, d)),
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
     "arrival_disorder" -> ((s, d) => CdcOps.arrivalDisorder(s, d)),
+    "replay_dedup" -> ((s, d) => CdcOps.replayDedup(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
     "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
+    "quantity_deciles" -> ((s, d) => BatchOps.quantityDeciles(s, d)),
+    "above_avg_orders" -> ((s, d) => BatchOps.aboveAvgOrders(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
     "mktsegment_value_counts" -> ((s, d) =>
@@ -170,6 +173,7 @@ object SparkEntry {
     "doc_surprisal" -> ((s, d) => TextOps.docSurprisal(s, d)),
     "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "boilerplate_prefixes" -> ((s, d) => TextOps.boilerplatePrefixes(s, d)),
+    "tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
     "lexical_profile" -> ((s, d) => TextOps.lexicalProfile(s, d)),
     "source_divergence" -> ((s, d) => TextOps.sourceDivergence(s, d)),
     "zipf_slope" -> ((s, d) => TextOps.zipfSlope(s, d)),
@@ -403,6 +407,7 @@ object SparkEntry {
     // Metronomic-cadence abuse filter: integer-exact verdict.
     "bot_screen" -> CdcOps.botScreenOracleSql,
     "arrival_disorder" -> CdcOps.arrivalDisorderOracleSql,
+    "replay_dedup" -> CdcOps.replayDedupOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
     // FULL OUTER cross-derivation audit at the aggregate grain.
@@ -411,6 +416,8 @@ object SparkEntry {
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
+    "quantity_deciles" -> BatchOps.quantityDecilesOracleSql,
+    "above_avg_orders" -> BatchOps.aboveAvgOrdersOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,
 
@@ -895,6 +902,7 @@ object SparkEntry {
     // surprisal; low mean bits flags templated text.
     "bigram_surprisal" -> TextOps.bigramSurprisalOracleSql,
     "boilerplate_prefixes" -> TextOps.boilerplatePrefixesOracleSql,
+    "tokenizer_fertility" -> TextOps.tokenizerFertilityOracleSql,
     "lexical_profile" -> TextOps.lexicalProfileOracleSql,
     "source_divergence" -> TextOps.sourceDivergenceOracleSql,
     "zipf_slope" -> TextOps.zipfSlopeOracleSql,

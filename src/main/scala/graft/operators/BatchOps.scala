@@ -1447,6 +1447,92 @@ object BatchOps {
        |FROM wf
        |ORDER BY day""".stripMargin
 
+  /** Equi-depth decile boundaries over line-item quantities — the
+    * NTILE surface: ten equal-population buckets with their observed
+    * [min, max] envelope and mass, the equi-DEPTH histogram an
+    * optimizer's statistics collector builds (contrast the equi-WIDTH
+    * bins of `TextOps.splitDrift`). NTILE needs a TOTAL order to be
+    * deterministic — quantity alone has massive ties, so the sort key
+    * is (quantity, orderkey, linenumber), the standing tie-break rule.
+    * Quantities are integral by data contract (asserted by the round
+    * cast), so every output is an exact integer.
+    *
+    * Scale: the global sort is the operator's real cost (one range
+    * exchange — the same shape as any ORDER BY); the decile read-out
+    * is a 10-row aggregate. At 100 TB the approximate twin is
+    * `length_quantile_sketch`'s fixed-bin covering rule; this is the
+    * exact form. */
+  def quantityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(round(col("l_quantity")).cast("long").as("q"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"), sum(col("q")).as("sum_q"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for [[quantityDeciles]] — same total order, same
+    * bucket read-out. */
+  private[graft] def quantityDecilesOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+       |    ntile(10) OVER (ORDER BY round(l_quantity), l_orderkey,
+       |      l_linenumber) AS decile
+       |  FROM lineitem)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       |  min(q) AS min_q, max(q) AS max_q,
+       |  CAST(sum(q) AS BIGINT) AS sum_q
+       |FROM t GROUP BY decile
+       |ORDER BY decile""".stripMargin
+
+  /** Orders above their OWN customer's average — the correlated-
+    * subquery shape (`WHERE o.price > (SELECT avg(...) WHERE custkey =
+    * o.custkey)`) DECORRELATED into one window pass, which is exactly
+    * what a modern optimizer does with it; written directly in the
+    * decorrelated form so the plan is one shuffle, not N subquery
+    * scans. The float-free trick: `price > avg` is `price·n > total`
+    * in exact integer cents — the [[revenueCusum]] clear-the-division
+    * rule — so no row's verdict rides a double. Per-customer output:
+    * order count, above-average count, above-share mille. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .withColumn("total_c", sum(col("cents")).over(w))
+      .withColumn("above",
+        when(col("cents") * col("n_orders") > col("total_c"), 1L)
+          .otherwise(0L))
+      .groupBy("o_custkey")
+      .agg(max(col("n_orders")).as("n_orders"),
+        sum(col("above")).as("n_above"))
+      .withColumn("above_mille", expr("(n_above * 1000) div n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** DuckDB oracle for [[aboveAvgOrders]]. */
+  private[graft] def aboveAvgOrdersOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT o_custkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+       |      AS n_orders,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      OVER (PARTITION BY o_custkey) AS BIGINT) AS total_c
+       |  FROM orders)
+       |SELECT o_custkey, CAST(max(n_orders) AS BIGINT) AS n_orders,
+       |  CAST(sum(CASE WHEN cents * n_orders > total_c THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_above,
+       |  CAST(sum(CASE WHEN cents * n_orders > total_c THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000 // CAST(max(n_orders) AS BIGINT)
+       |    AS above_mille
+       |FROM t GROUP BY o_custkey
+       |ORDER BY o_custkey""".stripMargin
+
   /** Relational DIVISION — "which suppliers ship to customers in EVERY
     * region": the classic universal-quantifier query (Codd's ÷), for
     * which no SQL engine ships an operator; the scalable decomposition

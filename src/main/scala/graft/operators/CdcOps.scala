@@ -22,6 +22,61 @@ import graft.Tables
   */
 object CdcOps {
 
+  /** Replay-selection modulus for [[replayDedup]]'s seeded duplicates. */
+  val ReplayEveryNth = 17L
+
+  /** At-least-once REPLAY reconciliation — the idempotency audit every
+    * Kafka-consuming pipeline owes its sinks: a delivery layer that
+    * redelivers on rebalance/retry hands downstream the same event id
+    * twice, and an exactly-once materialization must collapse them.
+    * The feed here is the event stream plus a SEEDED replay (every
+    * [[ReplayEveryNth]]-th event redelivered — the
+    * `fkOrphanAudit`-style fault-injection control, so the expected
+    * figures are known by construction); dedup is id-grain
+    * first-arrival-wins. Per event type: raw deliveries, unique
+    * events, replayed count, replay mille — at-least-once overhead a
+    * capacity plan charges for.
+    *
+    * Scale: the dedup is one id-grain partial+final aggregate (count
+    * per id, never a window over the feed), then a type-grain
+    * re-aggregation of the tiny (id, type) frame — the exactly-once
+    * sibling of the streaming `upsertLatest` (which dedups by KEY to
+    * latest; this dedups by DELIVERY to first). */
+  def replayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+    val feed = base.unionByName(
+      base.filter(col("event_id") % ReplayEveryNth === 0))
+    feed
+      .groupBy("event_id", "event_type")
+      .agg(count(lit(1)).as("n_deliveries"))
+      .groupBy("event_type")
+      .agg(sum(col("n_deliveries")).as("n_raw"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n_deliveries") - 1).as("n_replayed"))
+      .withColumn("replay_mille", expr("(n_replayed * 1000) div n_raw"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[replayDedup]]. */
+  private[graft] def replayDedupOracleSql: String =
+    s"""WITH feed AS (
+       |  SELECT event_id, event_type FROM events
+       |  UNION ALL
+       |  SELECT event_id, event_type FROM events
+       |  WHERE event_id % $ReplayEveryNth = 0),
+       |ids AS (
+       |  SELECT event_id, event_type, count(*) AS n_deliveries
+       |  FROM feed GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(sum(n_deliveries) AS BIGINT) AS n_raw,
+       |  CAST(count(*) AS BIGINT) AS n_unique,
+       |  CAST(sum(n_deliveries - 1) AS BIGINT) AS n_replayed,
+       |  CAST(sum(n_deliveries - 1) AS BIGINT) * 1000
+       |    // CAST(sum(n_deliveries) AS BIGINT) AS replay_mille
+       |FROM ids GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** Out-of-order-arrival audit — the metric that SIZES a streaming
     * pipeline's watermark: per user, how many events arrived (by
     * `event_id`, the feed's arrival sequence) with an EVENT TIME behind

@@ -2085,6 +2085,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY profile per source — the budgeting statistic
+    * behind "how many model tokens does this corpus cost": whitespace
+    * words vs BPE-ish regex segments vs raw chars, aggregated per
+    * source with exact integer sums and floor-division milles
+    * (bpe-per-word fertility, chars-per-bpe-token). A source whose
+    * fertility spikes (code, non-Latin scripts, URL soup) costs
+    * disproportionate context budget — the per-source aggregate of
+    * [[tokenCounts]]' per-doc view, and the source-mixing input next
+    * to [[sourceQualityProfile]].
+    *
+    * Scale: one regex projection pass, one partial+final hash
+    * aggregate to source grain. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("n_chars"),
+        size(tokens).cast("long").as("ws"),
+        size(expr(s"regexp_extract_all(text, '$BpeTokenPattern', 0)"))
+          .cast("long").as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("ws")).as("ws_tokens_total"),
+        sum(col("bpe")).as("bpe_tokens_total"))
+      .withColumn("bpe_per_ws_mille",
+        expr("(bpe_tokens_total * 1000) div ws_tokens_total"))
+      .withColumn("chars_per_bpe_mille",
+        expr("(chars_total * 1000) div bpe_tokens_total"))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[tokenizerFertility]]. */
+  private[graft] def tokenizerFertilityOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT source, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '$BpeTokenPattern'))
+       |      AS BIGINT) AS bpe
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens_total,
+       |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens_total,
+       |  CAST(sum(bpe) AS BIGINT) * 1000 // CAST(sum(ws) AS BIGINT)
+       |    AS bpe_per_ws_mille,
+       |  CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(sum(bpe) AS BIGINT)
+       |    AS chars_per_bpe_mille
+       |FROM t GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Opening-prefix length for [[boilerplatePrefixes]] (tokens). */
   val BoilerplatePrefixTokens = 8
 
