@@ -60,6 +60,7 @@ object SparkEntry {
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
     "arrival_disorder" -> ((s, d) => CdcOps.arrivalDisorder(s, d)),
     "replay_dedup" -> ((s, d) => CdcOps.replayDedup(s, d)),
+    "bounce_rate" -> ((s, d) => CdcOps.bounceRate(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
     "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "audience_overlap" -> ((s, d) => CdcOps.audienceOverlap(s, d)),
     // --- alert rules (SURVEY §2.2 P7, §2.6 C7/C8, §2.4 A13) ---
     "alerts_high_value" -> ((s, d) => AlertOps.highValueAlerts(s, d)),
+    "alert_suppression" -> ((s, d) => AlertOps.alertSuppression(s, d)),
     "alerts_bulk_activity" -> ((s, d) => AlertOps.bulkActivityAlerts(s, d)),
     "alerts_velocity" -> ((s, d) => AlertOps.velocityAlerts(s, d)),
     "alerts_dominant_group" -> ((s, d) =>
@@ -408,6 +410,7 @@ object SparkEntry {
     "bot_screen" -> CdcOps.botScreenOracleSql,
     "arrival_disorder" -> CdcOps.arrivalDisorderOracleSql,
     "replay_dedup" -> CdcOps.replayDedupOracleSql,
+    "bounce_rate" -> CdcOps.bounceRateOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
     // FULL OUTER cross-derivation audit at the aggregate grain.
@@ -720,6 +723,10 @@ object SparkEntry {
         |FROM events
         |WHERE value > 200.0
         |ORDER BY event_id""".stripMargin,
+
+    // Alert-storm rate limit: first high-value alert per (user, hour)
+    // pages, the rest are counted suppressed.
+    "alert_suppression" -> AlertOps.alertSuppressionOracleSql,
 
     "alerts_bulk_activity" ->
       """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,

@@ -40,6 +40,52 @@ object AlertOps {
         severity(col("value")).as("severity"))
       .orderBy("event_id")
 
+  /** Alert-storm SUPPRESSION — the rate-limit every paging pipeline
+    * puts between a rule and a human: within each (user, hour), only
+    * the FIRST high-value alert pages; the rest are suppressed and
+    * counted. Emits the per-(user, hour) suppression ledger — first
+    * alert id/value, raw count, suppressed count — which is both the
+    * dedup audit and the input to an escalate-on-N rule. First is the
+    * (ts_ms, event_id) lexicographic min, the standing arrival
+    * tie-break.
+    *
+    * Scale: one partial+final aggregate at (user, hour) grain — the
+    * min(struct) pick and the counts ride the same buffer; no window,
+    * no per-alert state. */
+  def alertSuppression(spark: SparkSession, dir: String): DataFrame =
+    highValueAlerts(spark, dir)
+      .withColumn("hour_ms",
+        expr("(ts_ms div 3600000) * 3600000"))
+      .groupBy("user_id", "hour_ms")
+      .agg(min(struct(col("ts_ms"), col("event_id"), col("value")))
+        .as("first"),
+        count(lit(1)).as("n_raw"))
+      .select(col("user_id"), col("hour_ms"),
+        col("first.event_id").as("first_event_id"),
+        col("first.value").as("first_value"),
+        col("n_raw"), (col("n_raw") - 1).as("n_suppressed"))
+      .orderBy("user_id", "hour_ms")
+
+  /** DuckDB oracle for [[alertSuppression]]. */
+  private[graft] def alertSuppressionOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT event_id, user_id,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+       |  FROM events WHERE value > 200.0),
+       |h AS (
+       |  SELECT *, (ts_ms // 3600000) * 3600000 AS hour_ms FROM a),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, hour_ms
+       |    ORDER BY ts_ms, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, hour_ms) AS n_raw
+       |  FROM h)
+       |SELECT user_id, CAST(hour_ms AS BIGINT) AS hour_ms,
+       |  event_id AS first_event_id, value AS first_value,
+       |  CAST(n_raw AS BIGINT) AS n_raw,
+       |  CAST(n_raw - 1 AS BIGINT) AS n_suppressed
+       |FROM r WHERE rn = 1
+       |ORDER BY user_id, hour_ms""".stripMargin
+
   /** P7: bulk-activity rule — the `orders/min > 10` analog
     * (stream_processor.py:255-262) at per-(user, day) granularity. */
   def bulkActivityAlerts(spark: SparkSession, dir: String): DataFrame =

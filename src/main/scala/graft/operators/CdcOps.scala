@@ -22,6 +22,66 @@ import graft.Tables
   */
 object CdcOps {
 
+  /** Daily BOUNCE RATE — sessions that never got a second event, the
+    * engagement-quality headline of every product-analytics dashboard:
+    * per session-start day, total sessions, single-event sessions, and
+    * the bounce share in mille. Rides the one shared
+    * [[withSessionSeq]] gap-island assignment ([[eventSessions]]'
+    * core), re-aggregated to day grain — integers end to end.
+    *
+    * Scale: the session aggregate is (user, session) grain
+    * partial+final; the day roll-up re-aggregates that frame. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = withSessionSeq(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts")))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_ms")).as("start_ms"),
+        count(lit(1)).as("n_events"))
+    sessions
+      .withColumn("day",
+        to_date(timestamp_millis(col("start_ms"))))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .withColumn("bounce_mille",
+        expr("(n_bounces * 1000) div n_sessions"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[bounceRate]] — the shared gap-island session
+    * CTE chain re-aggregated to day grain. */
+  private[graft] def bounceRateOracleSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_ms IS NULL
+       |      OR ts_ms - prev_ms > $SessionGapMs THEN 1 ELSE 0
+       |    END AS new_sess
+       |  FROM o),
+       |s AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+       |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS session_seq
+       |  FROM f),
+       |sess AS (
+       |  SELECT user_id, session_seq,
+       |    CAST(min(ts_ms) AS BIGINT) AS start_ms,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM s GROUP BY 1, 2)
+       |SELECT CAST(epoch_ms(start_ms) AS DATE) AS day,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounces,
+       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000 // CAST(count(*) AS BIGINT) AS bounce_mille
+       |FROM sess
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Replay-selection modulus for [[replayDedup]]'s seeded duplicates. */
   val ReplayEveryNth = 17L
 
