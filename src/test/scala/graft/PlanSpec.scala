@@ -47,6 +47,42 @@ class PlanSpec extends GraftSpec {
       s"non-equi candidate join:\n$plan")
   }
 
+  test("RP-256 candidate generation is a bucket equi-join, never all-pairs") {
+    val plan = executedPlan(VectorOps.annRpRerankTop1(spark, dir))
+    // Same pigeonhole contract as MIH at 4× the code length: candidates
+    // through the (band, value) equi-join; the rerank joins embeddings
+    // by hash on vec_id. Nothing here may fall back to all-pairs.
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi candidate join:\n$plan")
+  }
+
+  test("returned-item revenue: pushed flags, custkey-grain agg before dims") {
+    val plan = executedPlan(BatchOps.returnedItemRevenue(spark, dir))
+    // The returnflag predicate must reach the lineitem scan and the
+    // date window the orders scan — at 100 TB they prune ~3/4 and
+    // ~24/25 of the two fact reads respectively.
+    assert(plan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("l_returnflag")),
+      s"l_returnflag not pushed:\n$plan")
+    assert(plan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("o_orderdate")),
+      s"o_orderdate not pushed:\n$plan")
+    // Top-20 must be a TakeOrderedAndProject heap, not a global sort.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is a global sort:\n$plan")
+  }
+
+  test("segment pivot compiles to one aggregate, no expand/distinct scan") {
+    val plan = executedPlan(BatchOps.segmentPivot(spark, dir))
+    // The explicit value list keeps the pivot a single conditional
+    // aggregation; an implicit pivot inserts a distinct pre-scan and
+    // an Expand node — both regressions here.
+    assert(!plan.contains("Expand"), s"pivot expanded:\n$plan")
+    val aggs = plan.split("\n").count(_.contains("HashAggregate"))
+    assert(aggs <= 4, s"more than partial+final aggregates ($aggs):\n$plan")
+  }
+
   test("shipping priority: pushed dates, broadcast dim, top-k heap") {
     val plan = executedPlan(BatchOps.shippingPriority(spark, dir))
     // Both date predicates must reach their scans (the selective path
