@@ -382,6 +382,23 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Streaming exactly-once replay screen — the LIVE twin of
+    * `CdcOps.replayDedup`: an at-least-once delivery layer redelivers
+    * event ids on rebalance/retry, and this collapses them with state
+    * BOUNDED by the watermark horizon. `dropDuplicatesWithinWatermark`
+    * is the load-bearing choice over plain `dropDuplicates`: the plain
+    * form keeps every id seen FOREVER (the classic unbounded-state
+    * leak on an infinite stream — its uses in [[newUsersDaily]] are
+    * deliberate whole-history semantics), while the within-watermark
+    * form drops an id's state as soon as no admissible replay can
+    * still arrive, which is exactly the at-least-once contract: a
+    * delivery layer redelivers within its retry horizon, not days
+    * later. Append mode; each id emits exactly once. */
+  def replayScreen(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment: each live event joined to its entity's
     * dimension row — the everyday CDC pattern (enrich the change feed
     * with the customer segment before alerting/routing). The static

@@ -466,6 +466,34 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("replay screen: within-watermark redeliveries collapse, each id " +
+      "emits exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.replayScreen(in.toDS())
+      .writeStream.format("memory").queryName("replay_screen")
+      .outputMode("append").start()
+    try {
+      // Batch 1: ids 1-3, with id 1 delivered twice in the same batch.
+      in.addData(
+        event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        event(2, "2024-01-01 10:00:30", 2, "view", 2.0),
+        event(3, "2024-01-01 10:01:00", 1, "purchase", 3.0))
+      q.processAllAvailable()
+      // Batch 2: id 2 REDELIVERED within the 10-min horizon (must be
+      // suppressed by state), plus a fresh id 4.
+      in.addData(
+        event(2, "2024-01-01 10:00:30", 2, "view", 2.0),
+        event(4, "2024-01-01 10:02:00", 2, "view", 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("replay_screen").collect()
+        .map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L, 4L),
+        s"each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("T4: an admissible late event re-emits its bucket with FULL counts") {
     // Eviction is watermark-driven: a bucket must survive as long as the
     // 10-min lateness allowance can still deliver an event for it, even
