@@ -132,6 +132,16 @@ object RecallSweep {
     println(f"mih_rerank true_in_cand=${candTrue / total}%.3f " +
       f"shortlist_retention=${retained / rrN}%.3f " +
       f"(cap=${VectorOps.MihRerankCap}%d, n=${total.toLong}%d)")
+    // PQ + exact-L2 rerank (round 12): stage-2 losslessness makes
+    // recall@1 equal the coarse candidate stage's true-neighbor
+    // coverage — measured against the same exact-L2 pick as the bare
+    // ADC argmin for a direct before/after.
+    val pqr = VectorOps.annPqRerankTop1(spark, dir)
+      .select(col("q_id"), col("c_id")).cache()
+    val pqrHits = pqr.join(exactL2, "q_id")
+      .filter(col("c_id") === col("exact_l2_c")).count()
+    println(f"pq_rerank recall@1(L2)=${pqrHits / total}%.3f " +
+      f"(cap=${VectorOps.PqRerankCap}%d, n=${total.toLong}%d)")
     // RP-256 + rerank (round 12): the longer-codes answer to the 64-bit
     // ceiling — same decomposition as the MIH rerank (coverage,
     // recall@1, true-in-candidates) so the two families read

@@ -201,6 +201,7 @@ object SparkEntry {
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
+    "dedup_best_survivors" -> ((s, d) => TextOps.dedupBestSurvivors(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -235,6 +236,7 @@ object SparkEntry {
     "embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
+    "ann_pq_rerank_top1" -> ((s, d) => VectorOps.annPqRerankTop1(s, d)),
     "pq_distortion" -> ((s, d) => VectorOps.pqDistortion(s, d)),
     "cosine_neardup" -> ((s, d) => VectorOps.cosineNearDup(s, d)),
     "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
@@ -952,6 +954,7 @@ object SparkEntry {
     "neardup_jaccard_prefix" ->
       TextOps.nearDupJaccardPrefixOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
+    "dedup_best_survivors" -> TextOps.dedupBestSurvivorsOracleSql(shinglesSql),
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->
@@ -1067,6 +1070,7 @@ object SparkEntry {
     // IVF-PQ: coarse candidates scored by asymmetric distance over
     // product-quantization codes — the compressed-index ANN scale path.
     "ann_pq_top1" -> VectorOps.annPqTop1OracleSql,
+    "ann_pq_rerank_top1" -> VectorOps.annPqRerankTop1OracleSql,
     // Per-subspace quantization error off the shared PQ index chain.
     "pq_distortion" -> VectorOps.pqDistortionOracleSql,
     "cosine_neardup" -> VectorOps.cosineNearDupOracleSql,

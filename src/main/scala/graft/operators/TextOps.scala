@@ -1835,6 +1835,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-AWARE near-dup survivors — [[nearDupSurvivors]] with the
+    * production keep-policy upgrade: instead of the min-doc_id
+    * representative, each cluster keeps its RICHEST member (most
+    * distinct tokens — the doc that preserves the most content when
+    * its near-copies are truncated or boilerplate-padded), tie-broken
+    * min doc_id. Exactly the policy question real dedup pipelines
+    * tune (keep-longest / keep-highest-quality / keep-canonical-URL);
+    * the richness key is an exact integer so the pick is hash-stable.
+    *
+    * Scale: rides the one memoized CC labeling; richness is computed
+    * for MEMBER docs only (the clustered minority), the argmax is a
+    * component-grain max(struct), and the final anti join is id-only. */
+  def dedupBestSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupComponentsCore(spark, dir)
+    val best = labels
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(array_distinct(tokens)).cast("long").as("n_distinct")),
+        "doc_id")
+      .groupBy("component_id")
+      .agg(max(struct(col("n_distinct"), (-col("doc_id")).as("neg_id")))
+        .as("b"))
+      .select(col("component_id"), (-col("b.neg_id")).as("keep_id"))
+    val dropped = labels.join(best, "component_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupBestSurvivors]] — the component core plus
+    * the (n_distinct desc, doc_id) representative rank. */
+  private[graft] def dedupBestSurvivorsOracleSql(shinglesSql: String): String =
+    s"""WITH comp AS (
+       |${dedupComponentsOracleCoreSql(shinglesSql)}),
+       |rich AS (
+       |  SELECT comp.doc_id, comp.component_id,
+       |    CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+       |      AS n_distinct
+       |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY component_id
+       |    ORDER BY n_distinct DESC, doc_id) AS rn
+       |  FROM rich),
+       |dropped AS (SELECT doc_id FROM rk WHERE rn > 1)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB oracle for [[nearDupSurvivors]] — the recursive-CTE
     * component labels, dropping every non-minimum member. */
   private[graft] def nearDupSurvivorsOracleSql(shinglesSql: String): String =
