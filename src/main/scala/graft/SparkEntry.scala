@@ -60,10 +60,12 @@ object SparkEntry {
     "bot_screen" -> ((s, d) => CdcOps.botScreen(s, d)),
     "arrival_disorder" -> ((s, d) => CdcOps.arrivalDisorder(s, d)),
     "replay_dedup" -> ((s, d) => CdcOps.replayDedup(s, d)),
+    "kmv_overlap" -> ((s, d) => CdcOps.kmvOverlap(s, d)),
     "bounce_rate" -> ((s, d) => CdcOps.bounceRate(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
     "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
+    "revenue_mad_outliers" -> ((s, d) => BatchOps.revenueMadOutliers(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -202,6 +204,7 @@ object SparkEntry {
     "neardup_jaccard_prefix" -> ((s, d) => TextOps.nearDupJaccardPrefix(s, d)),
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "dedup_best_survivors" -> ((s, d) => TextOps.dedupBestSurvivors(s, d)),
+    "snm_neardup" -> ((s, d) => TextOps.snmNearDup(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -412,12 +415,14 @@ object SparkEntry {
     "bot_screen" -> CdcOps.botScreenOracleSql,
     "arrival_disorder" -> CdcOps.arrivalDisorderOracleSql,
     "replay_dedup" -> CdcOps.replayDedupOracleSql,
+    "kmv_overlap" -> CdcOps.kmvOverlapOracleSql,
     "bounce_rate" -> CdcOps.bounceRateOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
     // FULL OUTER cross-derivation audit at the aggregate grain.
     "revenue_reconciliation" -> BatchOps.revenueReconciliationOracleSql,
     "revenue_cusum" -> BatchOps.revenueCusumOracleSql,
+    "revenue_mad_outliers" -> BatchOps.revenueMadOutliersOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
@@ -955,6 +960,7 @@ object SparkEntry {
       TextOps.nearDupJaccardPrefixOracleSql(shinglesSql),
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "dedup_best_survivors" -> TextOps.dedupBestSurvivorsOracleSql(shinglesSql),
+    "snm_neardup" -> TextOps.snmNearDupOracleSql,
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->

@@ -1597,6 +1597,75 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** MAD outlier multiplier ("k·MAD" rule). */
+  val MadK = 3L
+
+  /** Robust outlier days via MEDIAN ABSOLUTE DEVIATION — the
+    * heavy-tail-safe sibling of [[revenueCusum]] (a mean/σ rule is
+    * poisoned by the very outliers it hunts; the median/MAD pair has a
+    * 50% breakdown point). Median and MAD are ORDER-STATISTIC picks of
+    * actual cent values by integer rank ([[winsorizedStats]]' rule —
+    * never interpolated, so everything stays exact BIGINT), and a day
+    * is flagged when `|rev − med| > MadK · MAD`, a pure integer
+    * predicate.
+    *
+    * Scale: one hash aggregate to day grain; both rank picks and the
+    * flags run on that small frame via 1-row broadcast anchors. */
+  def revenueMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    def rankPick(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c), col("day"))
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col(c).as(s"${c}_med"))
+    }
+    val med = rankPick(daily, "rev_c")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev_c", abs(col("rev_c") - col("rev_c_med")))
+    val mad = rankPick(dev.select(col("day"), col("dev_c")), "dev_c")
+      .withColumnRenamed("dev_c_med", "mad_c")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("rev_c"), col("rev_c_med").as("median_c"),
+        col("dev_c"), col("mad_c"),
+        (col("dev_c") > lit(MadK) * col("mad_c")).as("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[revenueMadOutliers]] — same rank picks, same
+    * integer flag. */
+  private[graft] def revenueMadOutliersOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1),
+       |md AS (
+       |  SELECT rev_c AS median_c FROM (
+       |    SELECT rev_c, row_number() OVER (ORDER BY rev_c, day) AS rk,
+       |      count(*) OVER () AS n
+       |    FROM daily)
+       |  WHERE rk = (n + 1) // 2),
+       |dev AS (
+       |  SELECT day, rev_c, md.median_c,
+       |    abs(rev_c - md.median_c) AS dev_c
+       |  FROM daily CROSS JOIN md),
+       |mad AS (
+       |  SELECT dev_c AS mad_c FROM (
+       |    SELECT dev_c, day, row_number() OVER (ORDER BY dev_c, day)
+       |      AS rk, count(*) OVER () AS n
+       |    FROM dev)
+       |  WHERE rk = (n + 1) // 2)
+       |SELECT day, rev_c, median_c, dev_c, mad.mad_c,
+       |  dev_c > $MadK * mad.mad_c AS is_outlier
+       |FROM dev CROSS JOIN mad
+       |ORDER BY day""".stripMargin
+
   /** CUSUM change-point screen over daily order revenue — the
     * level-shift detector behind "did something change on day X?"
     * (a price change, an outage, a demand regime): per day, the

@@ -552,6 +552,136 @@ object CdcOps {
       .orderBy("event_type")
   }
 
+  /** KMV set-INTERSECTION estimate between event-type audiences — the
+    * mergeable-sketch answer to "how much do these segments overlap"
+    * when the sets are too big to intersect exactly: each type keeps
+    * its [[KmvK]] minimum 60-bit hashes; a pair's union sketch is the
+    * k smallest of the two sketches' union, the Jaccard estimate is
+    * the share of those present in BOTH, and the intersection estimate
+    * is Jaccard × the (k−1)/h_k union estimate (Beyer et al. 2007).
+    * The exact intersection rides along for the standing rel-err
+    * audit. Every arithmetic step is a single IEEE division/product of
+    * exact integers ⇒ hash-deterministic.
+    *
+    * Scale: sketches are k rows per type (partial+final rank-capped,
+    * the [[kmvDistinct]] shape); all pair work runs at sketch grain —
+    * types² × k rows, corpus-size-independent — while the exact
+    * control is the only corpus-sized join (drop it at true scale,
+    * that being the sketch's whole point). */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashed = du.withColumn("h",
+      expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+        " 16, 10) as bigint)"))
+    val wT = Window.partitionBy("event_type").orderBy("h")
+    val sk = hashed
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= KmvK)
+      .select(col("event_type"), col("h"))
+      .localCheckpoint()
+    val types = sk.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+      .filter(col("type_a") < col("type_b"))
+    val comb = pairs
+      .join(sk.select(col("event_type").as("type_a"), col("h")), "type_a")
+      .withColumn("side", lit("a"))
+      .unionByName(pairs
+        .join(sk.select(col("event_type").as("type_b"), col("h")),
+          "type_b")
+        .withColumn("side", lit("b")))
+      .groupBy("type_a", "type_b", "h")
+      .agg(max(when(col("side") === "a", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("side") === "b", 1L).otherwise(0L)).as("in_b"))
+    val wP = Window.partitionBy("type_a", "type_b").orderBy("h")
+    val est = comb
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= KmvK)
+      .groupBy("type_a", "type_b")
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("k_union"),
+        sum(col("in_a") * col("in_b")).as("inter_sketch"))
+    val exact = du.select(col("event_type").as("type_a"),
+        col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_inter_exact"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("n_inter_exact",
+        coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("jaccard_est",
+        col("inter_sketch").cast("double") / col("k_union").cast("double"))
+      .withColumn("union_est",
+        (lit((KmvK - 1).toDouble) /
+          (col("hk").cast("double") /
+            lit(1152921504606846976L).cast("double"))))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .select(col("type_a"), col("type_b"), col("k_union"),
+        col("inter_sketch"), col("n_inter_exact"), col("jaccard_est"),
+        col("inter_est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB oracle for [[kmvOverlap]] — same sketches, same union rank
+    * cut, same estimator arithmetic. */
+  private[graft] def kmvOverlapOracleSql: String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM du),
+       |sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY h) AS rk
+       |    FROM h)
+       |  WHERE rk <= $KmvK),
+       |t AS (SELECT DISTINCT event_type FROM sk),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM t a JOIN t b ON a.event_type < b.event_type),
+       |comb AS (
+       |  SELECT type_a, type_b, h,
+       |    max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+       |  FROM (
+       |    SELECT p.type_a, p.type_b, sk.h, 'a' AS side
+       |    FROM p JOIN sk ON sk.event_type = p.type_a
+       |    UNION ALL
+       |    SELECT p.type_a, p.type_b, sk.h, 'b' AS side
+       |    FROM p JOIN sk ON sk.event_type = p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT type_a, type_b, CAST(max(h) AS BIGINT) AS hk,
+       |    CAST(count(*) AS BIGINT) AS k_union,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS inter_sketch
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+       |      ORDER BY h) AS rk
+       |    FROM comb)
+       |  WHERE rk <= $KmvK
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter_exact
+       |  FROM du a JOIN du b ON a.user_id = b.user_id
+       |    AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT est.type_a, est.type_b, est.k_union, est.inter_sketch,
+       |  CAST(coalesce(ex.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
+       |  CAST(est.inter_sketch AS DOUBLE) / CAST(est.k_union AS DOUBLE)
+       |    AS jaccard_est,
+       |  (CAST(est.inter_sketch AS DOUBLE) / CAST(est.k_union AS DOUBLE))
+       |    * (CAST(${KmvK - 1} AS DOUBLE) /
+       |       (CAST(est.hk AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)))
+       |    AS inter_est
+       |FROM est LEFT JOIN ex ON est.type_a = ex.type_a
+       |  AND est.type_b = ex.type_b
+       |ORDER BY est.type_a, est.type_b""".stripMargin
+
   /** DuckDB oracle for [[kmvDistinct]] — same 60-bit hash (the
     * `'0x…'::BIGINT` twin of Spark's `conv`), same order statistic,
     * same two-division estimator. */

@@ -2186,6 +2186,79 @@ object TextOps {
        |FROM t GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Sort-key prefix length for [[snmNearDup]] (tokens). */
+  val SnmKeyTokens = 4
+
+  /** Near-dup flag threshold for [[snmNearDup]] (Jaccard mille). */
+  val SnmFlagMille = 500L
+
+  /** SORTED-NEIGHBORHOOD near-dup blocking (Hernández & Stolfo 1995) —
+    * the third blocking strategy next to the shingle inverted index
+    * ([[nearDupJaccard]]) and MinHash LSH: sort the corpus by a
+    * discriminating key (the opening-token prefix — near-copies share
+    * openings) and compare each document ONLY with its successor in
+    * sort order, giving exactly N−1 candidate pairs. Each consecutive
+    * pair carries its exact distinct-token Jaccard (scaled integer
+    * mille, the standing rule) and a flag at [[SnmFlagMille]]. The
+    * sort key is plain ASCII tokens, so byte order agrees across
+    * engines (never sort raw free text cross-engine — collation).
+    *
+    * Scale: ONE range exchange (the sort) + a lag window — no pair
+    * explosion at all; the trade is recall (near-dups with different
+    * openings land apart — production runs multiple passes with
+    * different keys, which here is this op next to the other two
+    * blocking families). */
+  def snmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(slice(tokens, 1, SnmKeyTokens), " ").as("sort_key"),
+        array_distinct(tokens).as("toks"))
+    val w = Window.orderBy("sort_key", "doc_id")
+    keyed
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("next_toks", lead(col("toks"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .withColumn("n_inter",
+        size(array_intersect(col("toks"), col("next_toks"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("toks")) + size(col("next_toks"))).cast("long") -
+          col("n_inter"))
+      .withColumn("jaccard_mille", expr("(n_inter * 1000) div n_union"))
+      .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"),
+        col("n_inter"), col("n_union"), col("jaccard_mille"),
+        (col("jaccard_mille") >= SnmFlagMille).as("flagged"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[snmNearDup]] — same sort key, same successor
+    * pairing, same integer Jaccard. */
+  private[graft] def snmNearDupOracleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    array_to_string(string_split(text, ' ')[1:$SnmKeyTokens], ' ')
+       |      AS sort_key,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       |  SELECT doc_id, toks,
+       |    lead(doc_id) OVER (ORDER BY sort_key, doc_id) AS next_id,
+       |    lead(toks) OVER (ORDER BY sort_key, doc_id) AS next_toks
+       |  FROM k),
+       |j AS (
+       |  SELECT doc_id AS doc_a, next_id AS doc_b,
+       |    CAST(len(list_intersect(toks, next_toks)) AS BIGINT)
+       |      AS n_inter,
+       |    CAST(len(toks) + len(next_toks) AS BIGINT)
+       |      - CAST(len(list_intersect(toks, next_toks)) AS BIGINT)
+       |      AS n_union
+       |  FROM p WHERE next_id IS NOT NULL)
+       |SELECT doc_a, doc_b, n_inter, n_union,
+       |  (n_inter * 1000) // n_union AS jaccard_mille,
+       |  (n_inter * 1000) // n_union >= $SnmFlagMille AS flagged
+       |FROM j
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Opening-prefix length for [[boilerplatePrefixes]] (tokens). */
   val BoilerplatePrefixTokens = 8
 
