@@ -61,11 +61,13 @@ object SparkEntry {
     "arrival_disorder" -> ((s, d) => CdcOps.arrivalDisorder(s, d)),
     "replay_dedup" -> ((s, d) => CdcOps.replayDedup(s, d)),
     "kmv_overlap" -> ((s, d) => CdcOps.kmvOverlap(s, d)),
+    "interarrival_histogram" -> ((s, d) => CdcOps.interarrivalHistogram(s, d)),
     "bounce_rate" -> ((s, d) => CdcOps.bounceRate(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
     "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
     "revenue_mad_outliers" -> ((s, d) => BatchOps.revenueMadOutliers(s, d)),
+    "key_skew_report" -> ((s, d) => BatchOps.keySkewReport(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -205,6 +207,7 @@ object SparkEntry {
     "neardup_survivors" -> ((s, d) => TextOps.nearDupSurvivors(s, d)),
     "dedup_best_survivors" -> ((s, d) => TextOps.dedupBestSurvivors(s, d)),
     "snm_neardup" -> ((s, d) => TextOps.snmNearDup(s, d)),
+    "token_novelty" -> ((s, d) => TextOps.tokenNovelty(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -416,6 +419,7 @@ object SparkEntry {
     "arrival_disorder" -> CdcOps.arrivalDisorderOracleSql,
     "replay_dedup" -> CdcOps.replayDedupOracleSql,
     "kmv_overlap" -> CdcOps.kmvOverlapOracleSql,
+    "interarrival_histogram" -> CdcOps.interarrivalHistogramOracleSql,
     "bounce_rate" -> CdcOps.bounceRateOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
@@ -423,6 +427,7 @@ object SparkEntry {
     "revenue_reconciliation" -> BatchOps.revenueReconciliationOracleSql,
     "revenue_cusum" -> BatchOps.revenueCusumOracleSql,
     "revenue_mad_outliers" -> BatchOps.revenueMadOutliersOracleSql,
+    "key_skew_report" -> BatchOps.keySkewReportOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
@@ -961,6 +966,7 @@ object SparkEntry {
     "neardup_survivors" -> TextOps.nearDupSurvivorsOracleSql(shinglesSql),
     "dedup_best_survivors" -> TextOps.dedupBestSurvivorsOracleSql(shinglesSql),
     "snm_neardup" -> TextOps.snmNearDupOracleSql,
+    "token_novelty" -> TextOps.tokenNoveltyOracleSql,
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->

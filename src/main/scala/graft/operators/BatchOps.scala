@@ -1597,6 +1597,68 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Key-SKEW report over the fact table's join keys — the measurement
+    * that DECIDES salting (SURVEY's skew posture is only actionable if
+    * skew is measured, not guessed): per candidate key column, the key
+    * count, total rows, the heaviest key's rows and share, and the
+    * GINI coefficient of the per-key row distribution in exact scaled
+    * integers — `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over the
+    * ascending-sorted counts, floor-quantized to mille. Gini ≈ 0 means
+    * uniform keys (hash joins balance); a high Gini plus a high
+    * max-share names the key that needs salting or a skew-join hint.
+    * Integer bounds: n·Σx here is ≪ 2^63; at true 100 TB widen the
+    * products to DECIMAL(38,0).
+    *
+    * Scale: one partial+final count aggregate per key column; the rank
+    * window and Gini sums run at KEY grain (the small frame). */
+  def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def forKey(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("x"), col("k"))
+      counts
+        .withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
+          max(col("x")).as("max_rows"),
+          sum(col("i") * col("x")).as("s1"))
+        .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_rows"),
+          expr("(max_rows * 1000) div n_rows").as("max_share_mille"),
+          expr("(1000 * (2 * s1 - (n_keys + 1) * n_rows))" +
+            " div (n_keys * n_rows)").as("gini_mille"))
+    }
+    forKey("l_suppkey")
+      .unionByName(forKey("l_partkey"))
+      .unionByName(forKey("l_orderkey"))
+      .orderBy("key_col")
+  }
+
+  /** DuckDB oracle for [[keySkewReport]]. */
+  private[graft] def keySkewReportOracleSql: String = {
+    def arm(keyCol: String): String =
+      s"""SELECT '$keyCol' AS key_col,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(x) AS BIGINT) AS n_rows,
+         |  CAST(max(x) AS BIGINT) AS max_rows,
+         |  CAST(max(x) AS BIGINT) * 1000 // CAST(sum(x) AS BIGINT)
+         |    AS max_share_mille,
+         |  (1000 * (2 * CAST(sum(i * x) AS BIGINT)
+         |    - (CAST(count(*) AS BIGINT) + 1) * CAST(sum(x) AS BIGINT)))
+         |    // (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT))
+         |    AS gini_mille
+         |FROM (
+         |  SELECT k, x, row_number() OVER (ORDER BY x, k) AS i
+         |  FROM (SELECT $keyCol AS k, count(*) AS x
+         |        FROM lineitem GROUP BY 1))""".stripMargin
+    s"""${arm("l_suppkey")}
+       |UNION ALL
+       |${arm("l_partkey")}
+       |UNION ALL
+       |${arm("l_orderkey")}
+       |ORDER BY key_col""".stripMargin
+  }
+
   /** MAD outlier multiplier ("k·MAD" rule). */
   val MadK = 3L
 

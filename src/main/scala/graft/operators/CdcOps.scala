@@ -137,6 +137,50 @@ object CdcOps {
        |FROM ids GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Inter-arrival-time HISTOGRAM per event type, log₂-bucketed — the
+    * burstiness profile that sizes stream capacity (a Poisson feed
+    * puts mass in one band; a bursty one is bimodal — tight bursts
+    * plus long silences): per user-chain gap in ms, bucket =
+    * `floor(log₂ gap)+1` computed EXACTLY as the binary-string length
+    * (`conv(gap,10,2)` / `bin(gap)` — no float log anywhere), with
+    * per-bucket count and observed [min, max] envelope.
+    *
+    * Scale: one user-keyed lag window (the [[arrivalDisorder]]
+    * exchange), then a partial+final aggregate on the ≤ types×~40
+    * bucket grain. */
+  def interarrivalHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .withColumn("bucket",
+        length(expr("conv(gap_ms, 10, 2)")).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("gap_ms")).as("min_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** DuckDB oracle for [[interarrivalHistogram]]. */
+  private[graft] def interarrivalHistogramOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(epoch_ms(ts) AS BIGINT)
+       |      - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER (
+       |          PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |      AS gap_ms
+       |  FROM events)
+       |SELECT event_type,
+       |  CAST(length(bin(gap_ms)) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+       |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+       |FROM e WHERE gap_ms IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Out-of-order-arrival audit — the metric that SIZES a streaming
     * pipeline's watermark: per user, how many events arrived (by
     * `event_id`, the feed's arrival sequence) with an EVENT TIME behind

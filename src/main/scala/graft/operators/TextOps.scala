@@ -2186,6 +2186,73 @@ object TextOps {
        |FROM t GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Token NOVELTY curve — the diminishing-returns measurement behind
+    * "is more of this data still worth ingesting": processing documents
+    * in doc_id order, how many of each document's distinct tokens are
+    * NEW to the corpus so far (their first occurrence), plus the
+    * running vocabulary size. A flattening curve says the source is
+    * exhausted (new docs only repeat the vocabulary); the curve's shape
+    * is Heaps' law read directly off exact integers instead of a float
+    * fit. First-occurrence is `min(doc_id)` per token — ORDER-FREE
+    * (partial+final aggregable), which is what makes the "cumulative
+    * distinct" well-defined at any parallelism.
+    *
+    * Scale: one token-grain hash aggregate (min doc), one join-back
+    * count at doc grain, one day-grain... running sum over the
+    * doc-grain frame (single-partition by design at report grain). */
+  def tokenNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
+      .groupBy("token")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(array_distinct(tokens)).cast("long").as("n_distinct"))
+      .join(firstSeen.groupBy("first_doc")
+          .agg(count(lit(1)).as("n_new"))
+          .withColumnRenamed("first_doc", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("vocab_so_far", sum(col("n_new")).over(w))
+      .select(col("doc_id"), col("n_distinct"), col("n_new"),
+        col("vocab_so_far"),
+        expr("(n_new * 1000) div n_distinct").as("novelty_mille"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenNovelty]]. */
+  private[graft] def tokenNoveltyOracleSql: String =
+    s"""WITH fs AS (
+       |  SELECT token, min(doc_id) AS first_doc
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+       |          AS token
+       |        FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY token),
+       |nn AS (
+       |  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+       |  FROM fs GROUP BY 1),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_distinct
+       |  FROM documents WHERE text IS NOT NULL),
+       |j AS (
+       |  SELECT d.doc_id, d.n_distinct,
+       |    CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new
+       |  FROM d LEFT JOIN nn ON d.doc_id = nn.doc_id)
+       |SELECT doc_id, n_distinct, n_new,
+       |  CAST(sum(n_new) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS vocab_so_far,
+       |  (n_new * 1000) // n_distinct AS novelty_mille
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
   /** Sort-key prefix length for [[snmNearDup]] (tokens). */
   val SnmKeyTokens = 4
 
