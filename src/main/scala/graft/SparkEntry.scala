@@ -68,6 +68,7 @@ object SparkEntry {
     "revenue_cusum" -> ((s, d) => BatchOps.revenueCusum(s, d)),
     "revenue_mad_outliers" -> ((s, d) => BatchOps.revenueMadOutliers(s, d)),
     "key_skew_report" -> ((s, d) => BatchOps.keySkewReport(s, d)),
+    "supplier_scorecard" -> ((s, d) => BatchOps.supplierScorecard(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -220,6 +221,7 @@ object SparkEntry {
     "image_phash_census" -> ((s, d) => MultiModalOps.imagePhashCensus(s, d)),
     "video_frame_sample" -> ((s, d) => MultiModalOps.videoFrameSampleQuery(s, d)),
     "audio_resample" -> ((s, d) => MultiModalOps.audioResample(s, d)),
+    "audio_clipping" -> ((s, d) => MultiModalOps.audioClipping(s, d)),
     "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
@@ -428,6 +430,7 @@ object SparkEntry {
     "revenue_cusum" -> BatchOps.revenueCusumOracleSql,
     "revenue_mad_outliers" -> BatchOps.revenueMadOutliersOracleSql,
     "key_skew_report" -> BatchOps.keySkewReportOracleSql,
+    "supplier_scorecard" -> BatchOps.supplierScorecardOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
@@ -1045,6 +1048,7 @@ object SparkEntry {
     "video_frame_sample" -> MultiModalOps.videoFrameSampleOracleSql,
     // Exact-integer audio decimation off the real WAV parse.
     "audio_resample" -> MultiModalOps.audioResampleOracleSql,
+    "audio_clipping" -> MultiModalOps.audioClippingOracleSql,
     // PNG completes the codec triad with the compressed-container
     // hazards: big-endian fields, per-chunk CRC-32, zlib inflate, and
     // per-row defiltering (None/Sub/Up) verified via the bottom-row

@@ -1597,6 +1597,47 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Supplier revenue scorecard — the RANKING-FUNCTION surface in one
+    * query: `rank` (gaps on ties), `dense_rank` (no gaps),
+    * `percent_rank` ((rank−1)/(n−1)) and `cume_dist` over per-supplier
+    * revenue cents. Ties are REAL here (integer cents can collide), so
+    * the four functions' tie semantics are what the hash pins —
+    * both engines implement the same SQL-standard definitions and the
+    * two float columns are single exact divisions of integers.
+    *
+    * Scale: one partial+final revenue aggregate to supplier grain;
+    * the ranking window runs on that frame (global order — at true
+    * scale rank within a partition key or accept the range exchange,
+    * the same trade as any ORDER BY). */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+    val w = Window.orderBy(col("rev_c").desc)
+    rev
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("rev_c").desc, col("s_suppkey"))
+  }
+
+  /** DuckDB oracle for [[supplierScorecard]]. */
+  private[graft] def supplierScorecardOracleSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS s_suppkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1)
+       |SELECT s_suppkey, rev_c,
+       |  CAST(rank() OVER (ORDER BY rev_c DESC) AS BIGINT) AS rnk,
+       |  CAST(dense_rank() OVER (ORDER BY rev_c DESC) AS BIGINT) AS dense_rnk,
+       |  percent_rank() OVER (ORDER BY rev_c DESC) AS pct_rank,
+       |  cume_dist() OVER (ORDER BY rev_c DESC) AS cume
+       |FROM rev
+       |ORDER BY rev_c DESC, s_suppkey""".stripMargin
+
   /** Key-SKEW report over the fact table's join keys — the measurement
     * that DECIDES salting (SURVEY's skew posture is only actionable if
     * skew is measured, not guessed): per candidate key column, the key

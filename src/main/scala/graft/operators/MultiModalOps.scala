@@ -324,6 +324,115 @@ object MultiModalOps {
     * oracle): keep every [[WavDecim]]-th sample — 8 kHz → 4 kHz. */
   val WavDecim = 2
 
+  /** Clipping threshold (abs PCM16 amplitude) for [[audioClipping]]. */
+  val ClipAbs = 32000
+
+  /** Silence threshold (abs PCM16 amplitude) for [[audioClipping]]. */
+  val SilenceAbs = 256
+
+  /** Audio QUALITY census off the real WAV chunk walk — the two
+    * defects an audio-ingest gate screens for: CLIPPING (samples at
+    * the rail, |s| ≥ [[ClipAbs]] — recorded too hot, distortion) and
+    * SILENCE RUNS (maximal stretches of |s| ≤ [[SilenceAbs]] — dead
+    * air that wastes training tokens; their count and longest length
+    * drive a trim/split decision). One pass over the PCM frames per
+    * container, all-integer, run accounting by the same ±1-boundary
+    * rule as every gap-island op. Same parse rigor as [[wavDecode]]
+    * (magics, declared sizes, pad bytes; malformed throws). */
+  def audioClipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(greatest(coalesce(length(col("text")), lit(0)), lit(1)),
+          lit(WavMaxSamples)).cast("int").as("n"))
+      .as[(Long, Int)]
+    wavEncode(in).mapPartitions { it =>
+      it.map { p =>
+        val b = p.payload
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+        require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+          s"audio_clipping: not a RIFF/WAVE container (doc ${p.doc_id})")
+        var off = 12
+        var dataOff = -1; var dataLen = -1L
+        while (off + 8 <= b.length) {
+          val id = tag(off)
+          val sz = ((b(off + 4) & 0xffL) | ((b(off + 5) & 0xffL) << 8) |
+            ((b(off + 6) & 0xffL) << 16) | ((b(off + 7) & 0xffL) << 24))
+          if (id == "data") { dataOff = off + 8; dataLen = sz }
+          off += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        require(dataOff >= 0,
+          s"audio_clipping: missing data chunk (doc ${p.doc_id})")
+        val n = (dataLen / 2).toInt
+        var i = 0
+        var nClipped = 0L; var nSilent = 0L
+        var nRuns = 0L; var longest = 0L; var cur = 0L
+        while (i < n) {
+          val s = u16(dataOff + 2 * i).toShort.toInt
+          val a = math.abs(s)
+          if (a >= ClipAbs) nClipped += 1
+          if (a <= SilenceAbs) {
+            nSilent += 1
+            if (cur == 0) nRuns += 1
+            cur += 1
+            if (cur > longest) longest = cur
+          } else cur = 0
+          i += 1
+        }
+        (p.doc_id, n.toLong, nClipped, (nClipped * 1000) / n,
+          nSilent, nRuns, longest)
+      }
+    }.toDF("doc_id", "n_samples", "n_clipped", "clip_mille",
+        "n_silent", "n_silence_runs", "longest_silence_run")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[audioClipping]] — the sample FORMULA (the
+    * oracle never sees bytes), run ids via the index-minus-rank
+    * island trick. */
+  private[graft] def audioClippingOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    least(greatest(coalesce(length(text), 0), 1), $WavMaxSamples)
+       |      AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    abs((doc_id * 31 + i * 17) % 65536 - 32768) AS a
+       |  FROM g, unnest(generate_series(0, n - 1)) AS t(i)),
+       |f AS (
+       |  SELECT doc_id, i, a <= $SilenceAbs AS silent,
+       |    a >= $ClipAbs AS clipped
+       |  FROM s),
+       |r AS (
+       |  SELECT doc_id,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rid
+       |  FROM f WHERE silent),
+       |rl AS (SELECT doc_id, rid, count(*) AS len FROM r GROUP BY 1, 2),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_clipped,
+       |    CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_silent
+       |  FROM f GROUP BY 1),
+       |runs AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_silence_runs,
+       |    CAST(max(len) AS BIGINT) AS longest_silence_run
+       |  FROM rl GROUP BY 1)
+       |SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_samples,
+       |  per.n_clipped, per.n_clipped * 1000 // g.n AS clip_mille,
+       |  per.n_silent,
+       |  CAST(coalesce(runs.n_silence_runs, 0) AS BIGINT)
+       |    AS n_silence_runs,
+       |  CAST(coalesce(runs.longest_silence_run, 0) AS BIGINT)
+       |    AS longest_silence_run
+       |FROM g
+       |JOIN per ON g.doc_id = per.doc_id
+       |LEFT JOIN runs ON g.doc_id = runs.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   /** The RESAMPLE stage of an audio pipeline: parse the genuine WAV
     * container (same chunk walk as [[wavDecode]] — magics, declared
     * sizes, odd-chunk pad bytes), then DECIMATE the PCM stream by
