@@ -62,6 +62,7 @@ object SparkEntry {
     "replay_dedup" -> ((s, d) => CdcOps.replayDedup(s, d)),
     "kmv_overlap" -> ((s, d) => CdcOps.kmvOverlap(s, d)),
     "interarrival_histogram" -> ((s, d) => CdcOps.interarrivalHistogram(s, d)),
+    "bitmap_membership" -> ((s, d) => CdcOps.bitmapMembership(s, d)),
     "bounce_rate" -> ((s, d) => CdcOps.bounceRate(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
@@ -69,6 +70,8 @@ object SparkEntry {
     "revenue_mad_outliers" -> ((s, d) => BatchOps.revenueMadOutliers(s, d)),
     "key_skew_report" -> ((s, d) => BatchOps.keySkewReport(s, d)),
     "supplier_scorecard" -> ((s, d) => BatchOps.supplierScorecard(s, d)),
+    "rfm_segments" -> ((s, d) => BatchOps.rfmSegments(s, d)),
+    "merge_partials" -> ((s, d) => BatchOps.mergePartials(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -422,6 +425,7 @@ object SparkEntry {
     "replay_dedup" -> CdcOps.replayDedupOracleSql,
     "kmv_overlap" -> CdcOps.kmvOverlapOracleSql,
     "interarrival_histogram" -> CdcOps.interarrivalHistogramOracleSql,
+    "bitmap_membership" -> CdcOps.bitmapMembershipOracleSql,
     "bounce_rate" -> CdcOps.bounceRateOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
@@ -431,6 +435,8 @@ object SparkEntry {
     "revenue_mad_outliers" -> BatchOps.revenueMadOutliersOracleSql,
     "key_skew_report" -> BatchOps.keySkewReportOracleSql,
     "supplier_scorecard" -> BatchOps.supplierScorecardOracleSql,
+    "rfm_segments" -> BatchOps.rfmSegmentsOracleSql,
+    "merge_partials" -> BatchOps.mergePartialsOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,

@@ -1597,6 +1597,131 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Partial-aggregate MERGE, made observable — the property the whole
+    * 100 TB posture leans on (map-side combine, AQE coalescing,
+    * incremental backfill all assume partial states merge
+    * associatively), pinned as DATA instead of asserted in prose: the
+    * daily order rollup computed on two disjoint halves (orderkey
+    * parity — any partitioning), MERGED by re-aggregation (sum of
+    * counts, sum of cent sums — the exact combine step of a partial
+    * aggregate), and reconciled against the direct single-pass rollup.
+    * `merged_equal` must be TRUE on every row; the query emits both
+    * sides so a violation (a non-mergeable accumulator sneaking into
+    * the rollup) is visible at day grain, not as a silent wrong total.
+    * This is also the INCREMENTAL-ETL shape: yesterday's state + one
+    * new partition's partial = today's state, no recompute. */
+  def mergePartials(spark: SparkSession, dir: String): DataFrame = {
+    def half(parity: Int): DataFrame = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 2 === parity)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val merged = half(0).unionByName(half(1))
+      .groupBy("day")
+      .agg(sum(col("n")).as("n_merged"), sum(col("rev_c")).as("rev_merged"))
+    val direct = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_direct"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_direct"))
+    merged.join(direct, "day")
+      .select(col("day"), col("n_merged"), col("n_direct"),
+        col("rev_merged"), col("rev_direct"),
+        (col("n_merged") === col("n_direct") &&
+          col("rev_merged") === col("rev_direct")).as("merged_equal"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[mergePartials]]. */
+  private[graft] def mergePartialsOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1, o_orderkey % 2),
+       |m AS (
+       |  SELECT day, CAST(sum(n) AS BIGINT) AS n_merged,
+       |    CAST(sum(rev_c) AS BIGINT) AS rev_merged
+       |  FROM h GROUP BY 1),
+       |d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n_direct,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_direct
+       |  FROM orders GROUP BY 1)
+       |SELECT m.day, m.n_merged, d.n_direct, m.rev_merged, d.rev_direct,
+       |  m.n_merged = d.n_direct AND m.rev_merged = d.rev_direct
+       |    AS merged_equal
+       |FROM m JOIN d ON m.day = d.day
+       |ORDER BY m.day""".stripMargin
+
+  /** RFM quintile segmentation — THE canonical marketing segmentation
+    * (Recency of last order, Frequency of orders, Monetary total),
+    * each scored 1-5 by NTILE over a deterministic total order and
+    * fused into the classic 3-digit code (555 = best). Recency ranks
+    * DESCENDING days-since (most recent = 5); all three sort keys are
+    * exact integers tie-broken on custkey, so quintile boundaries are
+    * hash-stable. The peer of [[customer]] segments' rule-based tiers:
+    * RFM is distribution-relative where CLV tiers are absolute.
+    *
+    * Scale: one partial+final aggregate to customer grain; three
+    * ntile windows on that frame. The recency anchor is the dataset's
+    * max order date (1-row broadcast — no wall clock). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("anchor_day"))
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor_day"), col("last_day")).cast("long"))
+    val rW = Window.orderBy(col("recency_days").desc, col("c_custkey"))
+    val fW = Window.orderBy(col("frequency"), col("c_custkey"))
+    val mW = Window.orderBy(col("monetary_c"), col("c_custkey"))
+    cust
+      .withColumn("r_score", ntile(5).over(rW).cast("long"))
+      .withColumn("f_score", ntile(5).over(fW).cast("long"))
+      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_code"))
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB oracle for [[rfmSegments]]. */
+  private[graft] def rfmSegmentsOracleSql: String =
+    s"""WITH anchor AS (
+       |  SELECT max(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
+       |cust AS (
+       |  SELECT o_custkey AS c_custkey,
+       |    max(CAST(o_orderdate AS DATE)) AS last_day,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS monetary_c
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT cust.*, CAST(datediff('day', last_day, anchor.anchor_day)
+       |      AS BIGINT) AS recency_days
+       |  FROM cust CROSS JOIN anchor),
+       |sc AS (
+       |  SELECT *,
+       |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+       |      AS BIGINT) AS r_score,
+       |    CAST(ntile(5) OVER (ORDER BY frequency, c_custkey) AS BIGINT)
+       |      AS f_score,
+       |    CAST(ntile(5) OVER (ORDER BY monetary_c, c_custkey) AS BIGINT)
+       |      AS m_score
+       |  FROM r)
+       |SELECT c_custkey, recency_days, frequency, monetary_c,
+       |  r_score, f_score, m_score,
+       |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+       |FROM sc
+       |ORDER BY c_custkey""".stripMargin
+
   /** Supplier revenue scorecard — the RANKING-FUNCTION surface in one
     * query: `rank` (gaps on ties), `dense_rank` (no gaps),
     * `percent_rank` ((rank−1)/(n−1)) and `cume_dist` over per-supplier

@@ -137,6 +137,104 @@ object CdcOps {
        |FROM ids GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Bits per bitmap word in [[bitmapMembership]]: 63, not 64 — the
+    * sign bit stays clear so `1 << k` never overflows and shift/
+    * compare semantics agree across engines without two's-complement
+    * reasoning. */
+  val BitmapWordBits = 63L
+
+  /** Packed-BITMAP set operations over event-type audiences — the
+    * roaring-bitmap technique OLAP engines use for segment membership,
+    * expressed relationally: each type's user set packs into
+    * (word_idx → 63-bit word) rows via a `bit_or` aggregate, and pair
+    * intersection/union counts are `bit_count` sums over a word-index
+    * join (AND inner, OR full-outer) — set algebra at WORD grain, 63×
+    * denser than id rows, EXACT (the precise counterpart of
+    * [[kmvOverlap]]'s estimates; run both, reconcile). Jaccard is the
+    * standing non-negative floor mille.
+    *
+    * Scale: bitmaps build in one partial+final `bit_or` aggregate
+    * (words merge associatively — the mergeable-index property);
+    * pair work joins on (word_idx) at word grain. Dense-id domains
+    * pack well; a sparse 64-bit id domain would first densify through
+    * a dictionary, exactly as roaring does with its container split. */
+  def bitmapMembership(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val bm = du
+      .select(col("event_type"),
+        expr(s"user_id div $BitmapWordBits").as("w"),
+        expr(s"shiftleft(1L, cast(user_id % $BitmapWordBits as int))")
+          .as("bit"))
+      .groupBy("event_type", "w")
+      .agg(expr("bit_or(bit)").as("word"))
+      .localCheckpoint()
+    val types = bm.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+      .filter(col("type_a") < col("type_b"))
+    // Side-tagged union (the [[kmvOverlap]] shape) rather than a
+    // full-outer word join: an outer join keyed through the pair frame
+    // silently drops words present only on the right side.
+    val comb = pairs
+      .join(bm.select(col("event_type").as("type_a"), col("w"),
+        col("word")), "type_a")
+      .withColumn("side", lit("a"))
+      .unionByName(pairs
+        .join(bm.select(col("event_type").as("type_b"), col("w"),
+          col("word")), "type_b")
+        .withColumn("side", lit("b")))
+    comb
+      .groupBy("type_a", "type_b", "w")
+      .agg(
+        expr("bit_or(CASE WHEN side = 'a' THEN word ELSE 0L END)")
+          .as("wa"),
+        expr("bit_or(CASE WHEN side = 'b' THEN word ELSE 0L END)")
+          .as("wb"))
+      .groupBy("type_a", "type_b")
+      .agg(
+        sum(expr("bit_count(wa & wb)")).as("n_inter"),
+        sum(expr("bit_count(wa | wb)")).as("n_union"),
+        count(lit(1)).as("n_words"))
+      .withColumn("jaccard_mille", expr("(n_inter * 1000) div n_union"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB oracle for [[bitmapMembership]]. */
+  private[graft] def bitmapMembershipOracleSql: String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |bm AS (
+       |  SELECT event_type, user_id // $BitmapWordBits AS w,
+       |    CAST(bit_or(CAST(1 AS BIGINT)
+       |      << CAST(user_id % $BitmapWordBits AS INT)) AS BIGINT)
+       |      AS word
+       |  FROM du GROUP BY 1, 2),
+       |t AS (SELECT DISTINCT event_type FROM bm),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM t a JOIN t b ON a.event_type < b.event_type),
+       |comb AS (
+       |  SELECT p.type_a, p.type_b, bm.w, bm.word, 'a' AS side
+       |  FROM p JOIN bm ON bm.event_type = p.type_a
+       |  UNION ALL
+       |  SELECT p.type_a, p.type_b, bm.w, bm.word, 'b' AS side
+       |  FROM p JOIN bm ON bm.event_type = p.type_b),
+       |words AS (
+       |  SELECT type_a, type_b, w,
+       |    CAST(bit_or(CASE WHEN side = 'a' THEN word ELSE 0 END)
+       |      AS BIGINT) AS wa,
+       |    CAST(bit_or(CASE WHEN side = 'b' THEN word ELSE 0 END)
+       |      AS BIGINT) AS wb
+       |  FROM comb GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b,
+       |  CAST(sum(bit_count(wa & wb)) AS BIGINT) AS n_inter,
+       |  CAST(sum(bit_count(wa | wb)) AS BIGINT) AS n_union,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(bit_count(wa & wb)) AS BIGINT) * 1000
+       |    // CAST(sum(bit_count(wa | wb)) AS BIGINT) AS jaccard_mille
+       |FROM words GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Inter-arrival-time HISTOGRAM per event type, log₂-bucketed — the
     * burstiness profile that sizes stream capacity (a Poisson feed
     * puts mass in one band; a bursty one is bimodal — tight bursts
