@@ -63,6 +63,7 @@ object SparkEntry {
     "kmv_overlap" -> ((s, d) => CdcOps.kmvOverlap(s, d)),
     "interarrival_histogram" -> ((s, d) => CdcOps.interarrivalHistogram(s, d)),
     "bitmap_membership" -> ((s, d) => CdcOps.bitmapMembership(s, d)),
+    "deadletter_audit" -> ((s, d) => CdcOps.deadletterAudit(s, d)),
     "bounce_rate" -> ((s, d) => CdcOps.bounceRate(s, d)),
     "winsorized_stats" -> ((s, d) => CdcOps.winsorizedStats(s, d)),
     "revenue_reconciliation" -> ((s, d) => BatchOps.revenueReconciliation(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "supplier_scorecard" -> ((s, d) => BatchOps.supplierScorecard(s, d)),
     "rfm_segments" -> ((s, d) => BatchOps.rfmSegments(s, d)),
     "merge_partials" -> ((s, d) => BatchOps.mergePartials(s, d)),
+    "order_window_profile" -> ((s, d) => BatchOps.orderWindowProfile(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -426,6 +428,7 @@ object SparkEntry {
     "kmv_overlap" -> CdcOps.kmvOverlapOracleSql,
     "interarrival_histogram" -> CdcOps.interarrivalHistogramOracleSql,
     "bitmap_membership" -> CdcOps.bitmapMembershipOracleSql,
+    "deadletter_audit" -> CdcOps.deadletterAuditOracleSql,
     "bounce_rate" -> CdcOps.bounceRateOracleSql,
     // Robust mean via ORDER-STATISTIC clipping (never interpolated).
     "winsorized_stats" -> CdcOps.winsorizedStatsOracleSql,
@@ -437,6 +440,7 @@ object SparkEntry {
     "supplier_scorecard" -> BatchOps.supplierScorecardOracleSql,
     "rfm_segments" -> BatchOps.rfmSegmentsOracleSql,
     "merge_partials" -> BatchOps.mergePartialsOracleSql,
+    "order_window_profile" -> BatchOps.orderWindowProfileOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,

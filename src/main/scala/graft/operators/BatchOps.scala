@@ -1597,6 +1597,64 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Per-order WINDOW-FRAME profile — the remaining window-function
+    * surface in one query: over each customer's order chain
+    * (o_orderdate, o_orderkey order), the running total (UNBOUNDED
+    * PRECEDING), the chain's first and LAST value (the last needs an
+    * explicit UNBOUNDED FOLLOWING frame — the default frame stops at
+    * CURRENT ROW and silently yields the running last; the classic
+    * window bug, pinned here cross-engine), the second order's value
+    * (`nth_value`), and the delta to the previous order (`lag`). All
+    * cents, all exact.
+    *
+    * Scale: one customer-keyed exchange carries every frame. */
+  def orderWindowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    base
+      .withColumn("running_c", sum(col("cents")).over(wRun))
+      .withColumn("first_c", first(col("cents")).over(wAll))
+      .withColumn("last_c", last(col("cents")).over(wAll))
+      .withColumn("second_c", nth_value(col("cents"), 2).over(wAll))
+      .withColumn("delta_prev_c",
+        col("cents") - lag(col("cents"), 1).over(w))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  /** DuckDB oracle for [[orderWindowProfile]]. */
+  private[graft] def orderWindowProfileOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT o_custkey, o_orderkey, day, cents,
+       |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+       |    ORDER BY day, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS running_c,
+       |  first_value(cents) OVER (PARTITION BY o_custkey
+       |    ORDER BY day, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS first_c,
+       |  last_value(cents) OVER (PARTITION BY o_custkey
+       |    ORDER BY day, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS last_c,
+       |  nth_value(cents, 2) OVER (PARTITION BY o_custkey
+       |    ORDER BY day, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS second_c,
+       |  cents - lag(cents) OVER (PARTITION BY o_custkey
+       |    ORDER BY day, o_orderkey) AS delta_prev_c
+       |FROM b
+       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   /** Partial-aggregate MERGE, made observable — the property the whole
     * 100 TB posture leans on (map-side combine, AQE coalescing,
     * incremental backfill all assume partial states merge

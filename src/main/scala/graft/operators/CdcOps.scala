@@ -137,6 +137,56 @@ object CdcOps {
        |FROM ids GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Dead-letter classification audit — the triage report behind every
+    * CDC dead-letter queue: envelopes that fail payload extraction,
+    * CLASSIFIED (truncated/invalid JSON vs valid-but-missing-field vs
+    * ok) so the fix lands on the producer, schema, or consumer
+    * respectively. Faults are SEEDED deterministically (the
+    * `fkOrphanAudit` control pattern — expected counts known by
+    * construction): every 13th event's props is truncated mid-value
+    * (invalid JSON), every 17th replaced by a valid envelope missing
+    * the `k` field; 13∧17 collisions truncate (CASE order, mirrored).
+    * Validity probes are pure JSON-path calls (`get_json_object '$'` /
+    * `json_valid`) — no UDF, no exception control flow.
+    *
+    * Scale: one projection + one partial+final aggregate at
+    * (type, class) grain. */
+  def deadletterAudit(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.events(spark, dir)
+      .withColumn("p",
+        when(col("event_id") % 13 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .when(col("event_id") % 17 === 0, lit("""{"other": 1}"""))
+          .otherwise(col("props")))
+    seeded
+      .withColumn("dl_class",
+        when(get_json_object(col("p"), "$.k").isNotNull, "ok")
+          .when(get_json_object(col("p"), "$").isNotNull, "missing_key")
+          .otherwise("malformed"))
+      .groupBy("event_type", "dl_class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "dl_class")
+  }
+
+  /** DuckDB oracle for [[deadletterAudit]]. */
+  private[graft] def deadletterAuditOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    CASE WHEN event_id % 13 = 0
+       |      THEN substring(props, 1, length(props) - 2)
+       |      WHEN event_id % 17 = 0 THEN '{"other": 1}'
+       |      ELSE props END AS p
+       |  FROM events)
+       |SELECT event_type,
+       |  CASE WHEN json_valid(p)
+       |         AND json_extract(p, '$$.k') IS NOT NULL THEN 'ok'
+       |       WHEN json_valid(p) THEN 'missing_key'
+       |       ELSE 'malformed' END AS dl_class,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM s
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Bits per bitmap word in [[bitmapMembership]]: 63, not 64 — the
     * sign bit stays clear so `1 << k` never overflows and shift/
     * compare semantics agree across engines without two's-complement
