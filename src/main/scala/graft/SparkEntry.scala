@@ -74,6 +74,7 @@ object SparkEntry {
     "rfm_segments" -> ((s, d) => BatchOps.rfmSegments(s, d)),
     "merge_partials" -> ((s, d) => BatchOps.mergePartials(s, d)),
     "order_window_profile" -> ((s, d) => BatchOps.orderWindowProfile(s, d)),
+    "benford_screen" -> ((s, d) => BatchOps.benfordScreen(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "dedup_best_survivors" -> ((s, d) => TextOps.dedupBestSurvivors(s, d)),
     "snm_neardup" -> ((s, d) => TextOps.snmNearDup(s, d)),
     "token_novelty" -> ((s, d) => TextOps.tokenNovelty(s, d)),
+    "length_quality_spearman" -> ((s, d) => TextOps.lengthQualitySpearman(s, d)),
     "source_quality_profile" -> ((s, d) => TextOps.sourceQualityProfile(s, d)),
     "cross_source_contamination" -> ((s, d) =>
       TextOps.crossSourceContamination(s, d)),
@@ -441,6 +443,7 @@ object SparkEntry {
     "rfm_segments" -> BatchOps.rfmSegmentsOracleSql,
     "merge_partials" -> BatchOps.mergePartialsOracleSql,
     "order_window_profile" -> BatchOps.orderWindowProfileOracleSql,
+    "benford_screen" -> BatchOps.benfordScreenOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
@@ -980,6 +983,7 @@ object SparkEntry {
     "dedup_best_survivors" -> TextOps.dedupBestSurvivorsOracleSql(shinglesSql),
     "snm_neardup" -> TextOps.snmNearDupOracleSql,
     "token_novelty" -> TextOps.tokenNoveltyOracleSql,
+    "length_quality_spearman" -> TextOps.lengthQualitySpearmanOracleSql,
     "source_quality_profile" -> TextOps.sourceQualityProfileOracleSql,
 
     "doc_repetition" ->

@@ -1597,6 +1597,74 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Benford expected first-digit shares in mille — ⌊1000·log₁₀(1+1/d)⌋
+    * computed ONCE here (Scala's correctly-rounded log10) and embedded
+    * as literals in BOTH engines, so no transcendental is ever
+    * evaluated per-row or cross-engine. */
+  val BenfordMille: Map[Int, Long] =
+    (1 to 9).map(d =>
+      d -> math.floor(1000.0 * math.log10(1.0 + 1.0 / d)).toLong).toMap
+
+  /** BENFORD first-digit screen over order totals — the classic
+    * anomaly/fraud heuristic (organically-grown monetary values follow
+    * log₁₀(1+1/d); fabricated or capped values don't): observed
+    * first-digit counts and mille shares against the Benford
+    * expectation, with the absolute deviation per digit. The
+    * expectation constants are [[BenfordMille]] LITERALS — the only
+    * transcendental is evaluated at compile-side constant generation,
+    * never in either engine. A large total-variation-style deviation
+    * flags a synthetic or clamped amount distribution (this corpus's
+    * generator is uniform-ish — the screen duly reports the misfit,
+    * which is the point: the measurement, not a pass).
+    *
+    * Scale: one projection (first digit = substring of the cent
+    * string) + one 9-row aggregate. */
+  def benfordScreen(spark: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordMille.toSeq.sortBy(_._1)
+      .map { case (d, m) => s"$d, ${m}L" }
+      .mkString("stack(9, ", ", ", ") as (digit, expected_mille)")
+    val obs = Tables.orders(spark, dir)
+      .select(expr("cast(substring(cast(cast(round(o_totalprice * 100)" +
+        " as long) as string), 1, 1) as int)").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("n_total"))
+    val exp = Tables.orders(spark, dir).sparkSession.range(1)
+      .selectExpr(expected)
+    obs.join(exp, Seq("digit"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("observed_mille", expr("(n * 1000) div n_total"))
+      .select(col("digit"), col("n"), col("n_total"),
+        col("observed_mille"), col("expected_mille"),
+        abs(col("observed_mille") - col("expected_mille"))
+          .as("deviation_mille"))
+      .orderBy("digit")
+  }
+
+  /** DuckDB oracle for [[benfordScreen]] — identical literal
+    * expectations. */
+  private[graft] def benfordScreenOracleSql: String = {
+    val expRows = BenfordMille.toSeq.sortBy(_._1)
+      .map { case (d, m) => s"($d, $m)" }.mkString(", ")
+    s"""WITH e(digit, expected_mille) AS (VALUES $expRows),
+       |o AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM o)
+       |SELECT e.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n, t.n_total,
+       |  CAST(coalesce(o.n, 0) AS BIGINT) * 1000 // t.n_total
+       |    AS observed_mille,
+       |  CAST(e.expected_mille AS BIGINT) AS expected_mille,
+       |  abs(CAST(coalesce(o.n, 0) AS BIGINT) * 1000 // t.n_total
+       |    - e.expected_mille) AS deviation_mille
+       |FROM e LEFT JOIN o ON e.digit = o.digit
+       |CROSS JOIN t
+       |ORDER BY e.digit""".stripMargin
+  }
+
   /** Per-order WINDOW-FRAME profile — the remaining window-function
     * surface in one query: over each customer's order chain
     * (o_orderdate, o_orderkey order), the running total (UNBOUNDED

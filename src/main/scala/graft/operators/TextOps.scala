@@ -2253,6 +2253,72 @@ object TextOps {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  /** SPEARMAN rank correlation, exactly — "does document length track
+    * lexical richness per source": rank n_chars and rank distinct-token
+    * count within each source (both orders made total by the standing
+    * (value, doc_id) tie-break, so ranks are permutations and the
+    * classic `ρ = 1 − 6Σd²/(n(n²−1))` closed form is exact), and emit
+    * the INTEGER pieces (n, Σd²) plus the floor-quantized (1+ρ) in
+    * mille — a correlation surface with zero float accumulation, where
+    * a Pearson on raw values would be fold-order-dependent. 2000 says
+    * longer docs are richer (length is a quality proxy for this
+    * source); 1000 says length gates and richness gates are
+    * independent signals; 0 is full anti-correlation.
+    *
+    * Scale: two rank windows per source key + one aggregate — all at
+    * doc grain within source partitions. */
+  def lengthQualitySpearman(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(array_distinct(tokens)).cast("long").as("n_distinct"))
+    val wLen = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wRich = Window.partitionBy("source")
+      .orderBy(col("n_distinct"), col("doc_id"))
+    base
+      .withColumn("r_len", row_number().over(wLen).cast("long"))
+      .withColumn("r_rich", row_number().over(wRich).cast("long"))
+      .withColumn("d", col("r_len") - col("r_rich"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      // Emitted as (1+ρ)·1000 ∈ [0, 2000]: the raw ρ numerator goes
+      // NEGATIVE for anti-correlated ranks, where Spark `div`
+      // (truncate-toward-zero) and DuckDB `//` (floor) differ by 1 —
+      // the shift keeps the standing non-negative floor-division
+      // contract. 1000 = ρ 0, 2000 = ρ +1.
+      .withColumn("rho_plus1_mille",
+        expr("(1000 * (2 * n * (n * n - 1) - 6 * sum_d2))" +
+          " div (n * (n * n - 1))"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[lengthQualitySpearman]]. */
+  private[graft] def lengthQualitySpearmanOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_distinct
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars, doc_id) AS BIGINT)
+       |    - CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_distinct, doc_id) AS BIGINT) AS d
+       |  FROM b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(d * d) AS BIGINT) AS sum_d2,
+       |  (1000 * (2 * CAST(count(*) AS BIGINT)
+       |      * (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) - 1)
+       |    - 6 * CAST(sum(d * d) AS BIGINT)))
+       |   // (CAST(count(*) AS BIGINT)
+       |      * (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) - 1))
+       |   AS rho_plus1_mille
+       |FROM r GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Sort-key prefix length for [[snmNearDup]] (tokens). */
   val SnmKeyTokens = 4
 
