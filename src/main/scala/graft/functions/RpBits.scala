@@ -113,39 +113,49 @@ case class RpBits(first: Expression, second: Expression, third: Expression)
     val get =
       if (isFloat) (arr: String, i: String) => s"(double) $arr.getFloat($i)"
       else (arr: String, i: String) => s"$arr.getDouble($i)"
+    // The packer body is emitted as its OWN private method, not inlined
+    // at the call site: a 32-band projection inlines 32 of these loop
+    // blocks into one whole-stage method, whose bytecode then exceeds
+    // HotSpot's DontCompileHugeMethods limit — the WHOLE projection
+    // drops to the bytecode interpreter and the per-row cost inflates
+    // ~20× (measured: 3.2 s vs 0.16 s over sf0.1). As separate
+    // methods, each compiles independently and the call sites stay a
+    // few bytecodes.
     nullSafeCodeGen(ctx, ev, (a, b, l) => {
-      val bits = ctx.freshName("bits")
-      val k = ctx.freshName("k")
-      val j = ctx.freshName("j")
-      val mask = ctx.freshName("mask")
-      val acc = ctx.freshName("acc")
-      val x = ctx.freshName("x")
-      s"""
-         |if ($a.numElements() != ${RandProj.Dims}) {
-         |  throw new IllegalArgumentException(
-         |    "rp_bits: expected ${RandProj.Dims}-element array, got " +
-         |      $a.numElements());
-         |}
-         |int $bits = 0;
-         |for (int $k = 0; $k < $l; $k++) {
-         |  final long $mask = $masksRef[$b * $l + $k];
-         |  if ($a.isNullAt(0)) {
-         |    throw new IllegalArgumentException("rp_bits: null element at index 0");
-         |  }
-         |  double $acc = (($mask & 1L) == 1L)
-         |    ? ${get(a, "0")} : -${get(a, "0")};
-         |  for (int $j = 1; $j < ${RandProj.Dims}; $j++) {
-         |    if ($a.isNullAt($j)) {
-         |      throw new IllegalArgumentException(
-         |        "rp_bits: null element at index " + $j);
-         |    }
-         |    final double $x = ${get(a, j)};
-         |    if ((($mask >>> $j) & 1L) == 1L) $acc += $x; else $acc -= $x;
-         |  }
-         |  if ($acc > 0d) $bits |= 1 << $k;
-         |}
-         |${ev.value} = $bits;
-       """.stripMargin
+      val name = ctx.freshName("rpBitsPack")
+      val fn = ctx.addNewFunction(name,
+        s"""
+           |private int $name(
+           |    org.apache.spark.sql.catalyst.util.ArrayData a,
+           |    int band, int len) {
+           |  if (a.numElements() != ${RandProj.Dims}) {
+           |    throw new IllegalArgumentException(
+           |      "rp_bits: expected ${RandProj.Dims}-element array, got " +
+           |        a.numElements());
+           |  }
+           |  int bits = 0;
+           |  for (int k = 0; k < len; k++) {
+           |    final long mask = $masksRef[band * len + k];
+           |    if (a.isNullAt(0)) {
+           |      throw new IllegalArgumentException(
+           |        "rp_bits: null element at index 0");
+           |    }
+           |    double acc = ((mask & 1L) == 1L)
+           |      ? ${get("a", "0")} : -${get("a", "0")};
+           |    for (int j = 1; j < ${RandProj.Dims}; j++) {
+           |      if (a.isNullAt(j)) {
+           |        throw new IllegalArgumentException(
+           |          "rp_bits: null element at index " + j);
+           |      }
+           |      final double x = ${get("a", "j")};
+           |      if (((mask >>> j) & 1L) == 1L) acc += x; else acc -= x;
+           |    }
+           |    if (acc > 0d) bits |= 1 << k;
+           |  }
+           |  return bits;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fn($a, $b, $l);"
     })
   }
 
