@@ -176,14 +176,19 @@ object CdcOps {
        |      THEN substring(props, 1, length(props) - 2)
        |      WHEN event_id % 17 = 0 THEN '{"other": 1}'
        |      ELSE props END AS p
-       |  FROM events)
+       |  FROM events),
+       |-- TRY_CAST, not json_valid + json_extract on the raw string:
+       |-- DuckDB evaluates CASE branches vectorized-eagerly, so
+       |-- json_extract on a string column THROWS on malformed rows even
+       |-- in a branch json_valid guards (surfaced at sf0.1). The cast
+       |-- maps invalid to NULL and NULL propagates through extraction.
+       |j AS (SELECT event_type, TRY_CAST(p AS JSON) AS jp FROM s)
        |SELECT event_type,
-       |  CASE WHEN json_valid(p)
-       |         AND json_extract(p, '$$.k') IS NOT NULL THEN 'ok'
-       |       WHEN json_valid(p) THEN 'missing_key'
-       |       ELSE 'malformed' END AS dl_class,
+       |  CASE WHEN jp IS NULL THEN 'malformed'
+       |       WHEN json_extract(jp, '$$.k') IS NULL THEN 'missing_key'
+       |       ELSE 'ok' END AS dl_class,
        |  CAST(count(*) AS BIGINT) AS n
-       |FROM s
+       |FROM j
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
