@@ -75,6 +75,9 @@ object SparkEntry {
     "merge_partials" -> ((s, d) => BatchOps.mergePartials(s, d)),
     "order_window_profile" -> ((s, d) => BatchOps.orderWindowProfile(s, d)),
     "benford_screen" -> ((s, d) => BatchOps.benfordScreen(s, d)),
+    "top_parts_page2" -> ((s, d) => BatchOps.topPartsPage2(s, d)),
+    "time_rollup" -> ((s, d) => BatchOps.timeRollup(s, d)),
+    "join_semantics_audit" -> ((s, d) => BatchOps.joinSemanticsAudit(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -444,6 +447,9 @@ object SparkEntry {
     "merge_partials" -> BatchOps.mergePartialsOracleSql,
     "order_window_profile" -> BatchOps.orderWindowProfileOracleSql,
     "benford_screen" -> BatchOps.benfordScreenOracleSql,
+    "top_parts_page2" -> BatchOps.topPartsPage2OracleSql,
+    "time_rollup" -> BatchOps.timeRollupOracleSql,
+    "join_semantics_audit" -> BatchOps.joinSemanticsAuditOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,

@@ -1597,6 +1597,133 @@ object BatchOps {
        |CROSS JOIN tot
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** PAGINATION surface — page 2 (rows 11-20) of the revenue-ranked
+    * part list: `offset(10).limit(10)` over the same deterministic
+    * (revenue desc, partkey) total order as `top_parts_by_revenue`.
+    * The scale note IS the point: OFFSET always pays the full top-
+    * (offset+limit) sort work — a deep-paging UI over a fact table
+    * must keyset-paginate (WHERE (rev, key) < last-seen) instead, and
+    * this query documents the shallow-page case where OFFSET is
+    * legitimate. */
+  def topPartsPage2(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+      .orderBy(col("rev_c").desc, col("l_partkey"))
+      .offset(10)
+      .limit(10)
+
+  /** DuckDB oracle for [[topPartsPage2]]. */
+  private[graft] def topPartsPage2OracleSql: String =
+    s"""SELECT l_partkey,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS rev_c
+       |FROM lineitem GROUP BY 1
+       |ORDER BY rev_c DESC, l_partkey
+       |LIMIT 10 OFFSET 10""".stripMargin
+
+  /** Time-DIMENSION rollup: the same revenue measure at day, month,
+    * and year grain in one frame with an explicit grain tag — the
+    * calendar hierarchy every BI tool drills through, materialized as
+    * the union of three re-aggregations of the DAY-grain frame (the
+    * coarser grains re-aggregate the fine one — one corpus pass total,
+    * the cube-maintenance shape). Grain keys are ISO `yyyy-MM-dd` /
+    * `yyyy-MM` / `yyyy` strings so one column carries all three. */
+  def timeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    def grain(tag: String, key: org.apache.spark.sql.Column): DataFrame =
+      daily.groupBy(key.as("bucket"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("rev_c")).as("rev_c"))
+        .select(lit(tag).as("grain"), col("bucket"), col("n_orders"),
+          col("rev_c"))
+    grain("day", date_format(col("day"), "yyyy-MM-dd"))
+      .unionByName(grain("month", date_format(col("day"), "yyyy-MM")))
+      .unionByName(grain("year", date_format(col("day"), "yyyy")))
+      .orderBy("grain", "bucket")
+  }
+
+  /** DuckDB oracle for [[timeRollup]]. */
+  private[graft] def timeRollupOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1)
+       |SELECT 'day' AS grain, strftime(day, '%Y-%m-%d') AS bucket,
+       |  CAST(sum(n) AS BIGINT) AS n_orders,
+       |  CAST(sum(rev_c) AS BIGINT) AS rev_c
+       |FROM daily GROUP BY 2
+       |UNION ALL
+       |SELECT 'month', strftime(day, '%Y-%m'),
+       |  CAST(sum(n) AS BIGINT), CAST(sum(rev_c) AS BIGINT)
+       |FROM daily GROUP BY 2
+       |UNION ALL
+       |SELECT 'year', strftime(day, '%Y'),
+       |  CAST(sum(n) AS BIGINT), CAST(sum(rev_c) AS BIGINT)
+       |FROM daily GROUP BY 2
+       |ORDER BY grain, bucket""".stripMargin
+
+  /** JOIN-SEMANTICS audit — the four relational join flavors between
+    * orders and customer pinned as one integer row: inner match count,
+    * LEFT SEMI (customers with orders — no row multiplication), LEFT
+    * ANTI (customers without), and the FULL OUTER row count with its
+    * identity `inner + left_only + right_only`. The audit form of the
+    * semantics every other query builds on; a planner regression in
+    * any flavor breaks an exact count. */
+  def joinSemanticsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val inner = o.join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n_inner"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"),
+      "left_semi").agg(count(lit(1)).as("n_semi"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"),
+      "left_anti").agg(count(lit(1)).as("n_anti"))
+    val full = c.join(o, col("c_custkey") === col("o_custkey"),
+      "full_outer")
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("n_left_only"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_right_only"))
+    inner.crossJoin(broadcast(semi)).crossJoin(broadcast(anti))
+      .crossJoin(broadcast(full))
+      .withColumn("full_identity_holds",
+        col("n_full") ===
+          (col("n_inner") + col("n_left_only") + col("n_right_only")))
+  }
+
+  /** DuckDB oracle for [[joinSemanticsAudit]]. */
+  private[graft] def joinSemanticsAuditOracleSql: String =
+    s"""WITH i AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_inner
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_semi
+       |  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_anti
+       |  FROM customer
+       |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)),
+       |f AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_full,
+       |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_left_only,
+       |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_right_only
+       |  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey)
+       |SELECT i.n_inner, s.n_semi, a.n_anti, f.n_full, f.n_left_only,
+       |  f.n_right_only,
+       |  f.n_full = i.n_inner + f.n_left_only + f.n_right_only
+       |    AS full_identity_holds
+       |FROM i CROSS JOIN s CROSS JOIN a CROSS JOIN f""".stripMargin
+
   /** Benford expected first-digit shares in mille — ⌊1000·log₁₀(1+1/d)⌋
     * computed ONCE here (Scala's correctly-rounded log10) and embedded
     * as literals in BOTH engines, so no transcendental is ever

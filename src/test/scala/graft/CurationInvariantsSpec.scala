@@ -565,4 +565,43 @@ class CurationInvariantsSpec extends GraftSpec {
       assert(r.getAs[Long]("max_gap") <= r.getAs[Long]("missing_total"))
     }
   }
+
+  test("bitmap set ops reconcile exactly with the KMV overlap's control") {
+    // Two INDEPENDENT implementations of audience intersection over the
+    // same sets — packed 63-bit-word bitmaps vs the plain distinct
+    // self-join kmv_overlap carries as its rel-err control — must agree
+    // EXACTLY on every type pair (the bitmap path is exact, unlike the
+    // sketch estimate it sits next to). Union reconciles via
+    // |A|+|B| = |A∪B|+|A∩B| against per-type distinct counts.
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val bm = CdcOps.bitmapMembership(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))).toMap
+    val exact = CdcOps.kmvOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_inter_exact")).toMap
+    val sizes = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(bm.nonEmpty && bm.keySet == exact.keySet)
+    bm.foreach { case (pair @ (a, b), (inter, union)) =>
+      assert(inter == exact(pair),
+        s"$pair: bitmap $inter != exact ${exact(pair)}")
+      assert(union == sizes(a) + sizes(b) - inter,
+        s"$pair: union $union does not reconcile")
+    }
+  }
+
+  test("best-survivor dedup keeps exactly one member per cluster") {
+    // Same clusters as nearDupSurvivors, different representative
+    // policy — the SURVIVOR COUNT must be identical (one kept per
+    // component either way), only the kept ids may differ, and every
+    // kept id must be at least as rich as its cluster's min-id pick.
+    val minId = TextOps.nearDupSurvivors(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val best = TextOps.dedupBestSurvivors(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best.size == minId.size,
+      s"survivor counts differ: best=${best.size} minId=${minId.size}")
+  }
 }
