@@ -78,6 +78,8 @@ object SparkEntry {
     "top_parts_page2" -> ((s, d) => BatchOps.topPartsPage2(s, d)),
     "time_rollup" -> ((s, d) => BatchOps.timeRollup(s, d)),
     "join_semantics_audit" -> ((s, d) => BatchOps.joinSemanticsAudit(s, d)),
+    "abc_classification" -> ((s, d) => BatchOps.abcClassification(s, d)),
+    "mann_kendall_trend" -> ((s, d) => BatchOps.mannKendallTrend(s, d)),
     "segment_pivot" -> ((s, d) => BatchOps.segmentPivot(s, d)),
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
@@ -210,6 +212,9 @@ object SparkEntry {
     "dedup_components_df" -> ((s, d) => TextOps.dedupComponentsDf(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
     "kcore_neardup" -> ((s, d) => TextOps.kcoreNearDup(s, d)),
+    "lpa_communities" -> ((s, d) => TextOps.lpaCommunities(s, d)),
+    "quality_calibration" -> ((s, d) => TextOps.qualityCalibration(s, d)),
+    "props_key_census" -> ((s, d) => CdcOps.propsKeyCensus(s, d)),
     "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
     "dedup_waterfall" -> ((s, d) => TextOps.dedupWaterfall(s, d)),
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
@@ -450,6 +455,8 @@ object SparkEntry {
     "top_parts_page2" -> BatchOps.topPartsPage2OracleSql,
     "time_rollup" -> BatchOps.timeRollupOracleSql,
     "join_semantics_audit" -> BatchOps.joinSemanticsAuditOracleSql,
+    "abc_classification" -> BatchOps.abcClassificationOracleSql,
+    "mann_kendall_trend" -> BatchOps.mannKendallTrendOracleSql,
     "segment_pivot" -> BatchOps.segmentPivotOracleSql,
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
@@ -978,6 +985,9 @@ object SparkEntry {
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),
     "kcore_neardup" -> TextOps.kcoreNearDupOracleSql(shinglesSql),
+    "lpa_communities" -> TextOps.lpaCommunitiesOracleSql(shinglesSql),
+    "quality_calibration" -> TextOps.qualityCalibrationOracleSql,
+    "props_key_census" -> CdcOps.propsKeyCensusOracleSql,
     "langid_confusion" -> TextOps.langidConfusionOracleSql,
     "dedup_waterfall" -> TextOps.dedupWaterfallOracleSql(shinglesSql),
     "neardup_triangles" -> TextOps.nearDupTrianglesOracleSql(shinglesSql),

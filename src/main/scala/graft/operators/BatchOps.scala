@@ -3107,4 +3107,166 @@ object BatchOps {
         "customer", "c_custkey", "c_custkey % 2 = 0"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
   }
+
+  /** ABC cumulative-share boundaries (mille): class A covers the head
+    * of the revenue-ranked part list up to 80% cumulative share, B to
+    * 95%, C the tail. The part whose cumulative share CROSSES a
+    * boundary lands in the next class (strict `<=` on the floor-mille
+    * share) — pinned here so both engines make the same call. */
+  val AbcAMille = 800L
+  val AbcBMille = 950L
+
+  /** ABC / Pareto inventory classification — every part ranked by
+    * revenue, walked by CUMULATIVE share, and bucketed A (head 80%),
+    * B (to 95%), C (tail); emitted at class grain (3 rows: part count,
+    * class revenue, share, cumulative-share span). The classic
+    * inventory-prioritization rollup (and the 80/20 statement
+    * [[paretoFrontier]] does NOT make — that one is a skyline).
+    *
+    * Scale: the fact table collapses to part grain FIRST (partial+
+    * final agg), so the unpartitioned cumulative window rides the
+    * dimension-cardinality frame — ~0.005% of fact rows. That single-
+    * partition window over part cardinality is the documented trade at
+    * 100 TB (parts are millions, not billions); past that the same
+    * cumulative walk runs as a two-pass range-partitioned prefix sum.
+    * All integer cents / floor-mille — hash-exact. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+    val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("cum_c", sum(col("rev_c")).over(wCum))
+      .crossJoin(broadcast(
+        perPart.agg(sum(col("rev_c")).as("total_c"))))
+      .withColumn("cum_mille", expr("cum_c * 1000 div total_c"))
+      .withColumn("abc_class",
+        when(col("cum_mille") <= AbcAMille, "A")
+          .when(col("cum_mille") <= AbcBMille, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("rev_c")).as("class_rev_c"),
+        max(col("total_c")).as("total_c"),
+        min(col("cum_mille")).as("min_cum_mille"),
+        max(col("cum_mille")).as("max_cum_mille"))
+      .withColumn("share_mille", expr("class_rev_c * 1000 div total_c"))
+      .select("abc_class", "n_parts", "class_rev_c", "share_mille",
+        "min_cum_mille", "max_cum_mille")
+      .orderBy("abc_class")
+  }
+
+  /** DuckDB oracle for [[abcClassification]]. */
+  private[graft] def abcClassificationOracleSql: String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM pp),
+       |c AS (
+       |  SELECT l_partkey, rev_c,
+       |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_c
+       |  FROM pp),
+       |k AS (
+       |  SELECT c.*, t.total_c, c.cum_c * 1000 // t.total_c AS cum_mille
+       |  FROM c CROSS JOIN t),
+       |cl AS (
+       |  SELECT *,
+       |    CASE WHEN cum_mille <= $AbcAMille THEN 'A'
+       |         WHEN cum_mille <= $AbcBMille THEN 'B'
+       |         ELSE 'C' END AS abc_class
+       |  FROM k)
+       |SELECT abc_class, count(*) AS n_parts,
+       |  CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
+       |  CAST(sum(rev_c) AS BIGINT) * 1000 // CAST(max(total_c) AS BIGINT)
+       |    AS share_mille,
+       |  CAST(min(cum_mille) AS BIGINT) AS min_cum_mille,
+       |  CAST(max(cum_mille) AS BIGINT) AS max_cum_mille
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mann-Kendall trend test over MONTHLY revenue per region — the
+    * distribution-free "is this series trending?" screen that
+    * complements [[revenueCusum]] (changepoint) and [[ewmaDaily]]
+    * (smoothing): S = Σ sign(rev_j − rev_i) over all month pairs
+    * i<j, plus the concordant/discordant/tie decomposition and
+    * Kendall's tau = S / n_pairs. Signs are integer CASE (not
+    * float signum) and tau is ONE int64→int64 double division —
+    * both deterministic cross-engine.
+    *
+    * Scale: the only corpus pass is the month-grain aggregation
+    * (partial+final, dims broadcast); the pair self-join is bounded
+    * by CALENDAR months² per region (~84² here), corpus-size-
+    * INDEPENDENT — the same explode at 100 TB is the same few
+    * thousand rows. */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val monthly = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"),
+        (year(to_date(o("o_orderdate"))) * 12 +
+          month(to_date(o("o_orderdate")))).as("midx"))
+      .agg(sum(round(o("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    val a = monthly.select(col("r_name"), col("midx").as("mi"),
+      col("rev_c").as("rev_i"))
+    val b = monthly.select(col("r_name"), col("midx").as("mj"),
+      col("rev_c").as("rev_j"))
+    a.join(b, Seq("r_name")).filter(col("mi") < col("mj"))
+      .withColumn("sgn",
+        when(col("rev_j") > col("rev_i"), 1L)
+          .when(col("rev_j") < col("rev_i"), -1L)
+          .otherwise(0L))
+      .groupBy("r_name")
+      .agg(
+        (countDistinct(col("mi")) + lit(1)).as("n_months"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("sgn")).as("s_stat"),
+        count(when(col("sgn") === 1L, true)).as("n_pos"),
+        count(when(col("sgn") === -1L, true)).as("n_neg"),
+        count(when(col("sgn") === 0L, true)).as("n_tie"))
+      .withColumn("tau",
+        col("s_stat").cast("double") / col("n_pairs").cast("double"))
+      .orderBy("r_name")
+  }
+
+  /** DuckDB oracle for [[mannKendallTrend]]. */
+  private[graft] def mannKendallTrendOracleSql: String =
+    s"""WITH monthly AS (
+       |  SELECT r.r_name,
+       |    year(CAST(o.o_orderdate AS DATE)) * 12 +
+       |      month(CAST(o.o_orderdate AS DATE)) AS midx,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.r_name, a.midx AS mi,
+       |    CASE WHEN b.rev_c > a.rev_c THEN 1
+       |         WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sgn
+       |  FROM monthly a JOIN monthly b
+       |    ON a.r_name = b.r_name AND a.midx < b.midx)
+       |SELECT r_name,
+       |  CAST(count(DISTINCT mi) + 1 AS BIGINT) AS n_months,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(sgn) AS BIGINT) AS s_stat,
+       |  CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n_pos,
+       |  CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT) AS n_neg,
+       |  CAST(count(*) FILTER (WHERE sgn = 0) AS BIGINT) AS n_tie,
+       |  CAST(CAST(sum(sgn) AS BIGINT) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS tau
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -2843,4 +2843,69 @@ object CdcOps {
       |  max(event_id) AS last_offset
       |FROM g GROUP BY target
       |ORDER BY target""".stripMargin
+
+  /** Semi-structured SCHEMA census over the event `props` JSON — the
+    * key-frequency inventory a pipeline maintains to detect payload
+    * drift (a producer adding/renaming a field shows up as a new
+    * (event_type, key) row or a share collapse long before anything
+    * downstream breaks). Rides the same seeded corruption as
+    * [[deadletterAudit]] so the malformed class is exercised:
+    * unparseable payloads census as the `__invalid__` pseudo-key
+    * rather than vanishing. Top-level keys via `json_object_keys`
+    * (codegen'd, no UDF); share is the standing non-negative floor
+    * mille against the type's EVENT count (multi-key events count
+    * once per key row, once in the denominator).
+    *
+    * Scale: one projection + explode (bounded by keys-per-payload,
+    * a schema constant) + one (type, key) partial+final aggregate;
+    * the per-type totals frame is type-cardinality and broadcasts. */
+  def propsKeyCensus(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.events(spark, dir)
+      .withColumn("p",
+        when(col("event_id") % 13 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .when(col("event_id") % 17 === 0, lit("""{"other": 1}"""))
+          .otherwise(col("props")))
+      .localCheckpoint()
+    val totals = seeded.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+    seeded
+      .select(col("event_type"),
+        explode(coalesce(expr("json_object_keys(p)"),
+          array(lit("__invalid__")))).as("key"))
+      .groupBy("event_type", "key")
+      .agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("share_mille", expr("n_rows * 1000 div n_events"))
+      .select("event_type", "key", "n_rows", "n_events", "share_mille")
+      .orderBy("event_type", "key")
+  }
+
+  /** DuckDB oracle for [[propsKeyCensus]] — TRY_CAST to JSON maps
+    * malformed payloads to NULL (the [[deadletterAuditOracleSql]]
+    * lesson: json_keys on a raw string THROWS on malformed rows even
+    * under a guard, because CASE branches evaluate vectorized-
+    * eagerly). */
+  private[graft] def propsKeyCensusOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    CASE WHEN event_id % 13 = 0
+       |      THEN substring(props, 1, length(props) - 2)
+       |      WHEN event_id % 17 = 0 THEN '{"other": 1}'
+       |      ELSE props END AS p
+       |  FROM events),
+       |x AS (
+       |  SELECT event_type,
+       |    unnest(coalesce(json_keys(TRY_CAST(p AS JSON)),
+       |      ['__invalid__'])) AS key
+       |  FROM s),
+       |tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM s GROUP BY 1)
+       |SELECT x.event_type, x.key,
+       |  CAST(count(*) AS BIGINT) AS n_rows, tot.n_events,
+       |  CAST(count(*) AS BIGINT) * 1000 // tot.n_events AS share_mille
+       |FROM x JOIN tot ON x.event_type = tot.event_type
+       |GROUP BY 1, 2, tot.n_events
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -4438,4 +4438,200 @@ object TextOps {
        |FROM r WHERE rank <= $ZipfTopRanks
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
+
+  /** Synchronous label-propagation rounds for [[lpaCommunities]] —
+    * fixed like [[KCorePeelRounds]], for the same reason: both engines
+    * apply the identical round count, so the result is well-defined
+    * even where synchronous LPA would oscillate (bipartite subgraphs
+    * two-color forever; a fixpoint loop would never terminate on
+    * them). */
+  val LpaRounds = 4
+
+  /** Label-propagation communities over the near-dup graph — the
+    * fourth graph lens next to connected components (reachability),
+    * k-core (density), and PageRank (centrality): each node starts as
+    * its own label and SYNCHRONOUSLY adopts its neighborhood's
+    * majority label each round, ties broken by smallest label — the
+    * classic near-linear community detector (Raghavan et al. 2007).
+    * Unlike CC, LPA splits bridge-connected clusters into dense
+    * communities — the right grain for "which template family is this
+    * doc a variant of".
+    *
+    * Deterministic by construction: majority pick is a (count DESC,
+    * label ASC) row_number over the neighbor-label aggregate, and
+    * rounds are fixed ([[LpaRounds]]) — no async scheduling, no
+    * randomized tie-break, so DuckDB's unrolled-CTE mirror hash-
+    * matches exactly.
+    *
+    * Scale: each round is one equi-join (edges ⋈ labels on dst) plus
+    * one (src,lbl) partial+final aggregate plus one per-src
+    * WindowGroupLimit — all key-partitioned, state bounded by edge
+    * count; rounds are lineage-cut so the plan never compounds. The
+    * same per-round shape GraphX's Pregel LPA runs, expressed
+    * Catalyst-visibly. */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = kcoreEdges(spark, dir)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      val nbr = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("c").desc, col("lbl").asc)
+      labels = nbr.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl")
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[lpaCommunities]] — the capped-pair CTE chain
+    * plus one neighbor-majority CTE pair per propagation round
+    * (mirrors [[kcoreNearDupOracleSql]]'s unrolling). */
+  private[graft] def lpaCommunitiesOracleSql(shinglesSql: String): String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""n$i AS (
+         |  SELECT e.src, l.lbl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM n$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM base
+       |  UNION ALL SELECT doc_b, doc_a FROM base),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds,
+       |sz AS (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l$LpaRounds GROUP BY 1)
+       |SELECT l.node AS doc_id, l.lbl AS community, sz.community_size
+       |FROM l$LpaRounds l JOIN sz ON l.lbl = sz.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** QUANTILE NORMALIZATION of per-source document lengths against the
+    * global distribution — the distribution-alignment step a curation
+    * pipeline runs before cross-source thresholding: a score cut that
+    * means "p90" on one crawl means "p40" on another, so each doc's
+    * source-relative rank is remapped to the global value at the same
+    * quantile. Exact and all-integer: within-source rank rn_s ∈ [1,n_s]
+    * maps to global rank 1 + ⌊(rn_s−1)(N−1)/(n_s−1)⌋ and the lookup is
+    * an EQUI-join against an exploded rank→value map (never a range
+    * join — the BNLJ trap) built by `sequence(cum_start, cum_end)`
+    * over the value-grain cumulative counts.
+    *
+    * Scale: every window is bounded — the global cumulative walk rides
+    * VALUE grain (distinct lengths, not docs), the per-source walk is
+    * source-partitioned value grain, and the doc-level tie-break
+    * window partitions by (source, value). The rank→value map has
+    * exactly N rows and joins by hash on rank. The (rn−1)(N−1)
+    * product needs N² < 2⁶³ — fine to ~3e9 docs; past that the same
+    * formula ships in DECIMAL(38,0). */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val g = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val wg = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rnMap = g.withColumn("cum_end", sum(col("cnt")).over(wg))
+      .withColumn("cum_start", col("cum_end") - col("cnt") + 1)
+      .select(explode(expr("sequence(cum_start, cum_end)")).as("g_rn"),
+        col("v").as("calibrated_chars"))
+    val sg = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt_s"))
+      .localCheckpoint()
+    val ws = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sgc = sg.withColumn("cum_end_s", sum(col("cnt_s")).over(ws))
+      .withColumn("cum_start_s", col("cum_end_s") - col("cnt_s") + 1)
+      .select(col("source"), col("v").as("n_chars"), col("cum_start_s"))
+    val stot = sg.groupBy("source").agg(sum(col("cnt_s")).as("n_s"))
+    val wdoc = Window.partitionBy(col("source"), col("n_chars"))
+      .orderBy("doc_id")
+    docs.withColumn("idx", row_number().over(wdoc))
+      .join(sgc, Seq("source", "n_chars"))
+      .join(broadcast(stot), Seq("source"))
+      .crossJoin(broadcast(g.agg(sum(col("cnt")).as("n_total"))))
+      .withColumn("rank_in_source", col("cum_start_s") + col("idx") - 1)
+      .withColumn("g_rn",
+        when(col("n_s") > 1,
+          expr("1 + ((rank_in_source - 1) * (n_total - 1)) div (n_s - 1)"))
+          .otherwise(expr("(n_total + 1) div 2")))
+      .join(rnMap, Seq("g_rn"))
+      .select("doc_id", "source", "n_chars", "rank_in_source", "n_s",
+        "calibrated_chars")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qualityCalibration]]. */
+  private[graft] def qualityCalibrationOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |g AS (
+       |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM d GROUP BY 1),
+       |gs AS (
+       |  SELECT v, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM g),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM g),
+       |m AS (
+       |  SELECT unnest(generate_series(cum_end - cnt + 1, cum_end))
+       |    AS g_rn, v AS calibrated_chars
+       |  FROM gs),
+       |sg AS (
+       |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt_s
+       |  FROM d GROUP BY 1, 2),
+       |sgs AS (
+       |  SELECT source, v,
+       |    CAST(sum(cnt_s) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) - cnt_s + 1 AS cum_start_s
+       |  FROM sg),
+       |st AS (
+       |  SELECT source, CAST(sum(cnt_s) AS BIGINT) AS n_s
+       |  FROM sg GROUP BY 1),
+       |dd AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source, n_chars
+       |      ORDER BY doc_id) AS idx
+       |  FROM d),
+       |r AS (
+       |  SELECT dd.doc_id, dd.source, dd.n_chars,
+       |    sgs.cum_start_s + dd.idx - 1 AS rank_in_source,
+       |    st.n_s, t.n_total
+       |  FROM dd
+       |  JOIN sgs ON dd.source = sgs.source AND dd.n_chars = sgs.v
+       |  JOIN st ON dd.source = st.source
+       |  CROSS JOIN t),
+       |k AS (
+       |  SELECT *,
+       |    CASE WHEN n_s > 1
+       |      THEN 1 + ((rank_in_source - 1) * (n_total - 1)) // (n_s - 1)
+       |      ELSE (n_total + 1) // 2 END AS g_rn
+       |  FROM r)
+       |SELECT k.doc_id, k.source, k.n_chars, k.rank_in_source, k.n_s,
+       |  m.calibrated_chars
+       |FROM k JOIN m ON k.g_rn = m.g_rn
+       |ORDER BY k.doc_id""".stripMargin
 }
