@@ -214,6 +214,11 @@ object SparkEntry {
     "kcore_neardup" -> ((s, d) => TextOps.kcoreNearDup(s, d)),
     "lpa_communities" -> ((s, d) => TextOps.lpaCommunities(s, d)),
     "quality_calibration" -> ((s, d) => TextOps.qualityCalibration(s, d)),
+    "bfs_levels" -> ((s, d) => TextOps.bfsLevels(s, d)),
+    "snapshot_diff" -> ((s, d) => BatchOps.snapshotDiff(s, d)),
+    "national_market_share" -> ((s, d) =>
+      BatchOps.nationalMarketShare(s, d)),
+    "gdpr_erasure_audit" -> ((s, d) => CdcOps.gdprErasureAudit(s, d)),
     "props_key_census" -> ((s, d) => CdcOps.propsKeyCensus(s, d)),
     "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
     "dedup_waterfall" -> ((s, d) => TextOps.dedupWaterfall(s, d)),
@@ -987,6 +992,10 @@ object SparkEntry {
     "kcore_neardup" -> TextOps.kcoreNearDupOracleSql(shinglesSql),
     "lpa_communities" -> TextOps.lpaCommunitiesOracleSql(shinglesSql),
     "quality_calibration" -> TextOps.qualityCalibrationOracleSql,
+    "bfs_levels" -> TextOps.bfsLevelsOracleSql(shinglesSql),
+    "snapshot_diff" -> BatchOps.snapshotDiffOracleSql,
+    "national_market_share" -> BatchOps.nationalMarketShareOracleSql,
+    "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,
     "props_key_census" -> CdcOps.propsKeyCensusOracleSql,
     "langid_confusion" -> TextOps.langidConfusionOracleSql,
     "dedup_waterfall" -> TextOps.dedupWaterfallOracleSql(shinglesSql),

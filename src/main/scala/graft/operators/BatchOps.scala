@@ -3269,4 +3269,172 @@ object BatchOps {
        |  CAST(CAST(sum(sgn) AS BIGINT) AS DOUBLE) /
        |    CAST(count(*) AS DOUBLE) AS tau
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Seeded mutation moduli for [[snapshotDiff]] — chosen pairwise
+    * coprime so every change class is exercised and expected counts
+    * are known by construction: keys ≡0 (mod 37) exist only in v2
+    * (added), ≡0 (mod 31) only in v1 (deleted), ≡0 (mod 7) get a
+    * +10.00 balance bump, ≡0 (mod 11) a mutated segment. */
+  val SnapInsMod = 37L
+  val SnapDelMod = 31L
+  val SnapBalMod = 7L
+  val SnapSegMod = 11L
+
+  /** Table-level DATA-DIFF between two snapshot versions — the
+    * reconciliation report a CDC pipeline runs to validate a replica
+    * (the "data-diff" every migration signs off on): v1/v2 are the
+    * customer table under deterministic seeded divergence, FULL OUTER
+    * joined on the key, and the report is ONE integer row — row
+    * deltas (added/deleted/common) plus a per-column modified count,
+    * with an untouched control column that must report 0. Column
+    * compares run in cents (exact); expected counts are known by
+    * construction, so the audit audits itself.
+    *
+    * Scale: one key-partitioned FULL OUTER hash join (both sides
+    * shuffle once on the key) + one global partial+final aggregate;
+    * no window, no explode. The per-column CASE counts are map-side
+    * combinable. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"))
+    val v1 = base.filter(col("key") % SnapInsMod =!= 0)
+      .select(col("key"), col("bal_c").as("bal1"), col("seg").as("seg1"),
+        col("nat").as("nat1"))
+    val v2 = base.filter(col("key") % SnapDelMod =!= 0)
+      .select(col("key"),
+        (col("bal_c") + when(col("key") % SnapBalMod === 0, 1000L)
+          .otherwise(0L)).as("bal2"),
+        when(col("key") % SnapSegMod === 0, "MUTATED")
+          .otherwise(col("seg")).as("seg2"),
+        col("nat").as("nat2"))
+    v1.join(v2, Seq("key"), "full_outer")
+      .agg(
+        count(when(col("bal1").isNotNull, true)).as("n_v1"),
+        count(when(col("bal2").isNotNull, true)).as("n_v2"),
+        count(when(col("bal1").isNull, true)).as("n_added"),
+        count(when(col("bal2").isNull, true)).as("n_deleted"),
+        count(when(col("bal1").isNotNull && col("bal2").isNotNull, true))
+          .as("n_common"),
+        count(when(col("bal1") =!= col("bal2"), true))
+          .as("n_bal_modified"),
+        count(when(col("seg1") =!= col("seg2"), true))
+          .as("n_seg_modified"),
+        count(when(col("nat1") =!= col("nat2"), true))
+          .as("n_control_modified"),
+        count(when(col("bal1") === col("bal2") &&
+          col("seg1") === col("seg2") && col("nat1") === col("nat2"),
+          true)).as("n_unchanged"))
+  }
+
+  /** DuckDB oracle for [[snapshotDiff]]. */
+  private[graft] def snapshotDiffOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS key,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+       |    c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat
+       |  FROM customer),
+       |v1 AS (
+       |  SELECT key, bal_c AS bal1, seg AS seg1, nat AS nat1
+       |  FROM base WHERE key % $SnapInsMod <> 0),
+       |v2 AS (
+       |  SELECT key,
+       |    bal_c + CASE WHEN key % $SnapBalMod = 0 THEN 1000 ELSE 0 END
+       |      AS bal2,
+       |    CASE WHEN key % $SnapSegMod = 0 THEN 'MUTATED' ELSE seg END
+       |      AS seg2,
+       |    nat AS nat2
+       |  FROM base WHERE key % $SnapDelMod <> 0),
+       |j AS (
+       |  SELECT v1.bal1, v1.seg1, v1.nat1, v2.bal2, v2.seg2, v2.nat2
+       |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+       |SELECT
+       |  CAST(count(*) FILTER (WHERE bal1 IS NOT NULL) AS BIGINT)
+       |    AS n_v1,
+       |  CAST(count(*) FILTER (WHERE bal2 IS NOT NULL) AS BIGINT)
+       |    AS n_v2,
+       |  CAST(count(*) FILTER (WHERE bal1 IS NULL) AS BIGINT) AS n_added,
+       |  CAST(count(*) FILTER (WHERE bal2 IS NULL) AS BIGINT)
+       |    AS n_deleted,
+       |  CAST(count(*) FILTER (WHERE bal1 IS NOT NULL AND bal2 IS NOT
+       |    NULL) AS BIGINT) AS n_common,
+       |  CAST(count(*) FILTER (WHERE bal1 <> bal2) AS BIGINT)
+       |    AS n_bal_modified,
+       |  CAST(count(*) FILTER (WHERE seg1 <> seg2) AS BIGINT)
+       |    AS n_seg_modified,
+       |  CAST(count(*) FILTER (WHERE nat1 <> nat2) AS BIGINT)
+       |    AS n_control_modified,
+       |  CAST(count(*) FILTER (WHERE bal1 = bal2 AND seg1 = seg2
+       |    AND nat1 = nat2) AS BIGINT) AS n_unchanged
+       |FROM j""".stripMargin
+
+  /** The (nation, region) focus pair for [[nationalMarketShare]] —
+    * TPC-H Q8's canonical parameters. */
+  val MarketShareNation = "BRAZIL"
+  val MarketShareRegion = "AMERICA"
+
+  /** NATIONAL MARKET SHARE (TPC-H Q8 shape): within one region's
+    * customer demand, the yearly revenue share supplied by one
+    * nation's suppliers — the deepest join chain in the registry
+    * (lineitem ⋈ orders ⋈ customer ⋈ nation_c ⋈ region, supplier ⋈
+    * nation_s) feeding a conditional-aggregate share. The share is a
+    * `sum(CASE WHEN supplier-nation …)` over the SAME aggregate pass
+    * as the total — one corpus pass, not two branches (the
+    * conditional-aggregation idiom Q8 exists to teach).
+    *
+    * Scale: the two fact-side joins shuffle on their keys once; all
+    * four dimension joins broadcast. Cents + floor-mille — exact. */
+  def nationalMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val nc = Tables.nation(spark, dir)
+    val ns = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nc), c("c_nationkey") === nc("n_nationkey"))
+      .join(broadcast(r), nc("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === MarketShareRegion)
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(ns), s("s_nationkey") === col("sn_key"))
+      .withColumn("rev_c",
+        round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)
+          .cast("long"))
+      .groupBy(year(to_date(o("o_orderdate"))).as("o_year"))
+      .agg(
+        sum(col("rev_c")).as("total_rev_c"),
+        sum(when(col("sn_name") === MarketShareNation, col("rev_c"))
+          .otherwise(0L)).as("nation_rev_c"))
+      .withColumn("share_mille",
+        expr("nation_rev_c * 1000 div total_rev_c"))
+      .orderBy("o_year")
+  }
+
+  /** DuckDB oracle for [[nationalMarketShare]]. */
+  private[graft] def nationalMarketShareOracleSql: String =
+    s"""SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+       |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+       |    * 100) AS BIGINT)) AS BIGINT) AS total_rev_c,
+       |  CAST(sum(CASE WHEN sn.n_name = '$MarketShareNation'
+       |    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+       |      * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_rev_c,
+       |  CAST(sum(CASE WHEN sn.n_name = '$MarketShareNation'
+       |    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+       |      * 100) AS BIGINT) ELSE 0 END) AS BIGINT) * 1000 //
+       |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+       |      * 100) AS BIGINT)) AS BIGINT) AS share_mille
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+       |JOIN region r ON nc.n_regionkey = r.r_regionkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |WHERE r.r_name = '$MarketShareRegion'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

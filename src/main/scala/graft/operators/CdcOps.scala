@@ -2908,4 +2908,65 @@ object CdcOps {
        |FROM x JOIN tot ON x.event_type = tot.event_type
        |GROUP BY 1, 2, tot.n_events
        |ORDER BY 1, 2""".stripMargin
+
+  /** ERASURE (right-to-be-forgotten) completeness audit — the
+    * compliance check a CDC pipeline runs after compaction: for every
+    * key whose LATEST op is a tombstone, the compacted state must hold
+    * zero rows. Audits [[upsertLatest]]'s contract from the outside:
+    * `n_violations` joins the survivor state against the erased-key
+    * set (must be 0), and `n_control_violations` runs the SAME probe
+    * against a state that ignored tombstones — it re-surfaces every
+    * erased key, proving the probe detects what it claims to detect
+    * (the [[fkOrphanAudit]] seeded-control discipline).
+    *
+    * Scale: one key-partitioned compaction window (shared shape with
+    * upsertLatest), then erased keys — a small fraction — broadcast
+    * into two semi-join counts; the five 1-row aggregates cross-join
+    * broadcast into the report row. */
+  def gdprErasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("op", opCol)
+      .select("user_id", "op")
+      .localCheckpoint()
+    val erased = latest.filter(col("op") === "d").select("user_id")
+    val survivors = latest.filter(col("op") =!= "d").select("user_id")
+    latest.agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(erased.agg(count(lit(1)).as("n_erased"))))
+      .crossJoin(broadcast(
+        survivors.agg(count(lit(1)).as("n_state_rows"))))
+      .crossJoin(broadcast(survivors.join(erased, Seq("user_id"))
+        .agg(count(lit(1)).as("n_violations"))))
+      .crossJoin(broadcast(latest.select("user_id")
+        .join(erased, Seq("user_id"))
+        .agg(count(lit(1)).as("n_control_violations"))))
+  }
+
+  /** DuckDB oracle for [[gdprErasureAudit]]. */
+  private[graft] def gdprErasureAuditOracleSql: String =
+    s"""WITH l AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events),
+       |top AS (
+       |  SELECT user_id,
+       |    CASE WHEN event_type = 'signup' THEN 'c'
+       |         WHEN event_type = 'error' THEN 'd'
+       |         ELSE 'u' END AS op
+       |  FROM l WHERE rn = 1),
+       |e AS (SELECT user_id FROM top WHERE op = 'd'),
+       |s AS (SELECT user_id FROM top WHERE op <> 'd')
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM top) AS n_users,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_erased,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_state_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s
+       |     JOIN e ON s.user_id = e.user_id) AS n_violations,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM top
+       |     JOIN e ON top.user_id = e.user_id)
+       |    AS n_control_violations""".stripMargin
 }

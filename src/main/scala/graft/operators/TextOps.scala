@@ -4634,4 +4634,77 @@ object TextOps {
        |  m.calibrated_chars
        |FROM k JOIN m ON k.g_rn = m.g_rn
        |ORDER BY k.doc_id""".stripMargin
+
+  /** Seed selection and round count for [[bfsLevels]]: every node
+    * whose id ≡0 (mod [[BfsSeedMod]]) is a level-0 seed, and the
+    * frontier expands [[BfsRounds]] synchronous rounds — fixed like
+    * [[LpaRounds]] so both engines stop at the same horizon. */
+  val BfsSeedMod = 10L
+  val BfsRounds = 4
+
+  /** Multi-source BFS hop distance over the near-dup graph — the
+    * "distance from trusted seeds" primitive (propagating a trust/
+    * spam/provenance label N hops out): every node's MINIMUM hop count
+    * to the deterministic seed set, −1 when unreachable within
+    * [[BfsRounds]] hops. Completes the graph-lens family: CC answers
+    * reachability, k-core density, PageRank centrality, LPA community
+    * — BFS answers "how far".
+    *
+    * Each round relaxes the frontier by one equi-join (edges ⋈ dist on
+    * src) and folds with `min(dist)` — a partial+final-aggregable
+    * relaxation identical at any parallelism (min is idempotent/
+    * commutative, so re-visiting a node is harmless), lineage-cut per
+    * round. The same round shape Pregel SSSP runs, Catalyst-visible. */
+  def bfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    val edges = kcoreEdges(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var dist = nodes.filter(col("node") % BfsSeedMod === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      dist = dist.unionByName(
+          edges.join(dist.select(col("node").as("src"), col("dist")),
+            Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("dist"), lit(-1L)).as("hop_distance"),
+        col("dist").isNotNull.as("reachable"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bfsLevels]] — one frontier-relaxation CTE per
+    * round over the capped-pair edge set. */
+  private[graft] def bfsLevelsOracleSql(shinglesSql: String): String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.node)
+         |  GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM base
+       |  UNION ALL SELECT doc_b, doc_a FROM base),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist
+       |  FROM nd WHERE node % $BfsSeedMod = 0),
+       |$rounds
+       |SELECT nd.node AS doc_id,
+       |  CAST(coalesce(d.dist, -1) AS BIGINT) AS hop_distance,
+       |  d.dist IS NOT NULL AS reachable
+       |FROM nd LEFT JOIN d$BfsRounds d ON nd.node = d.node
+       |ORDER BY doc_id""".stripMargin
+  }
 }
