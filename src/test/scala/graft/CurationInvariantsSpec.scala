@@ -604,4 +604,133 @@ class CurationInvariantsSpec extends GraftSpec {
     assert(best.size == minId.size,
       s"survivor counts differ: best=${best.size} minId=${minId.size}")
   }
+
+  test("bfs levels: seeds at 0, edge endpoints within one hop") {
+    val rows = TextOps.bfsLevels(spark, dir).collect()
+    val dist = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("hop_distance")).toMap
+    rows.foreach { r =>
+      val (id, d) = (r.getAs[Long]("doc_id"), r.getAs[Long]("hop_distance"))
+      if (id % TextOps.BfsSeedMod == 0) assert(d == 0L, s"seed $id at $d")
+      assert(d == -1L || d <= TextOps.BfsRounds)
+      assert(r.getAs[Boolean]("reachable") == (d >= 0L))
+    }
+    // BFS property on the undirected graph: adjacent reachable nodes
+    // differ by at most one level, and a node strictly inside the
+    // horizon forces its neighbors to be reachable.
+    import org.apache.spark.sql.functions.col
+    TextOps.kcoreEdges(spark, dir).select(col("src"), col("dst"))
+      .collect().foreach { e =>
+        val (du, dv) = (dist(e.getLong(0)), dist(e.getLong(1)))
+        if (du >= 0 && dv >= 0) assert(math.abs(du - dv) <= 1)
+        if (du >= 0 && du < TextOps.BfsRounds)
+          assert(dv >= 0 && dv <= du + 1)
+      }
+  }
+
+  test("lpa communities: labels partition the node set and are nodes") {
+    val rows = TextOps.lpaCommunities(spark, dir).collect()
+    val nodes = rows.map(_.getAs[Long]("doc_id")).toSet
+    val byLbl = rows.groupBy(_.getAs[Long]("community"))
+    byLbl.foreach { case (lbl, members) =>
+      assert(nodes.contains(lbl), s"community label $lbl is not a node")
+      members.foreach(m =>
+        assert(m.getAs[Long]("community_size") == members.length))
+    }
+    assert(byLbl.values.map(_.length).sum == nodes.size)
+  }
+
+  test("snapshot diff: row identities and seeded expectations hold") {
+    val r = BatchOps.snapshotDiff(spark, dir).collect()(0)
+    def g(c: String) = r.getAs[Long](c)
+    assert(g("n_v1") == g("n_common") + g("n_deleted"))
+    assert(g("n_v2") == g("n_common") + g("n_added"))
+    assert(g("n_control_modified") == 0L)
+    // Expected counts from the seeded moduli, recomputed independently.
+    val keys = Tables.customer(spark, dir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    import BatchOps.{SnapBalMod, SnapDelMod, SnapInsMod, SnapSegMod}
+    assert(g("n_added") ==
+      keys.count(k => k % SnapInsMod == 0 && k % SnapDelMod != 0))
+    assert(g("n_deleted") ==
+      keys.count(k => k % SnapDelMod == 0 && k % SnapInsMod != 0))
+    val common = keys.filter(k =>
+      k % SnapInsMod != 0 && k % SnapDelMod != 0)
+    assert(g("n_common") == common.length)
+    assert(g("n_bal_modified") == common.count(_ % SnapBalMod == 0))
+    assert(g("n_seg_modified") == common.count(_ % SnapSegMod == 0))
+  }
+
+  test("gdpr erasure: zero violations, control re-surfaces every key") {
+    val r = CdcOps.gdprErasureAudit(spark, dir).collect()(0)
+    def g(c: String) = r.getAs[Long](c)
+    assert(g("n_violations") == 0L)
+    assert(g("n_control_violations") == g("n_erased"))
+    assert(g("n_state_rows") + g("n_erased") == g("n_users"))
+  }
+
+  test("abc classification: classes partition parts, shares reconcile") {
+    val rows = BatchOps.abcClassification(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSet
+      .subsetOf(Set("A", "B", "C")))
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    assert(nParts == Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct().count())
+    val share = rows.map(_.getAs[Long]("share_mille")).sum
+    assert(share >= 1000 - rows.length && share <= 1000,
+      s"floor-mille shares sum to $share")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cum_mille") <=
+        r.getAs[Long]("max_cum_mille"))
+    }
+  }
+
+  test("mann-kendall: pair accounting closes and tau is bounded") {
+    BatchOps.mannKendallTrend(spark, dir).collect().foreach { r =>
+      def g(c: String) = r.getAs[Long](c)
+      val m = g("n_months")
+      assert(g("n_pairs") == m * (m - 1) / 2)
+      assert(g("n_pos") + g("n_neg") + g("n_tie") == g("n_pairs"))
+      assert(g("s_stat") == g("n_pos") - g("n_neg"))
+      val tau = r.getAs[Double]("tau")
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
+  test("quality calibration: rank-monotone, endpoints hit global extremes") {
+    val rows = TextOps.qualityCalibration(spark, dir).collect()
+    val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
+      rows.map(_.getAs[Long]("n_chars")).max)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
+      val byRank = docs.sortBy(_.getAs[Long]("rank_in_source"))
+      val cal = byRank.map(_.getAs[Long]("calibrated_chars"))
+      assert(cal.zip(cal.tail).forall { case (a, b) => a <= b },
+        "calibrated values not monotone in source rank")
+      if (docs.head.getAs[Long]("n_s") > 1) {
+        assert(cal.head == gMin, s"first rank maps to ${cal.head}")
+        assert(cal.last == gMax, s"last rank maps to ${cal.last}")
+      }
+    }
+  }
+
+  test("national market share: nation slice bounded by the total") {
+    val rows = BatchOps.nationalMarketShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, nat) = (r.getAs[Long]("total_rev_c"),
+        r.getAs[Long]("nation_rev_c"))
+      assert(nat >= 0 && nat <= tot)
+      val mille = r.getAs[Long]("share_mille")
+      assert(mille == nat * 1000 / tot)
+    }
+  }
+
+  test("props key census: shares bounded, invalid class present") {
+    val rows = CdcOps.propsKeyCensus(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("key")).contains("__invalid__"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("share_mille") <= 1000L)
+    }
+  }
 }

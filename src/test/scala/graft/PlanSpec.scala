@@ -506,4 +506,30 @@ class PlanSpec extends GraftSpec {
       s"census join not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("quantile normalization: rank lookup is an equi-join, not a range " +
+      "scan") {
+    val plan = executedPlan(TextOps.qualityCalibration(spark, dir))
+    // The rank→value map join must stay a hash equi-join on g_rn; a
+    // BETWEEN cum_start AND cum_end formulation would plan the
+    // nested-loop range join this operator is built to avoid. The one
+    // allowed nested loop is the 1-row n_total broadcast cross join.
+    assert(
+      plan.split("\n").count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"range-join fallback in rank lookup:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in rank lookup:\n$plan")
+  }
+
+  test("market share: dims broadcast, only fact joins shuffle") {
+    val plan = executedPlan(BatchOps.nationalMarketShare(spark, dir))
+    // Four dimension joins (nation ×2, region, supplier) must ride
+    // broadcast hash joins; only lineitem⋈orders and ⋈customer may
+    // shuffle. A dimension falling back to a shuffle join re-keys the
+    // whole fact table per dim at 100 TB.
+    assert(plan.split("\n").count(_.contains("BroadcastHashJoin")) >= 4,
+      s"dimension join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
