@@ -218,6 +218,10 @@ object SparkEntry {
     "snapshot_diff" -> ((s, d) => BatchOps.snapshotDiff(s, d)),
     "national_market_share" -> ((s, d) =>
       BatchOps.nationalMarketShare(s, d)),
+    "acf_profile" -> ((s, d) => BatchOps.acfProfile(s, d)),
+    "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
+    "embedding_covariance" -> ((s, d) =>
+      VectorOps.embeddingCovariance(s, d)),
     "gdpr_erasure_audit" -> ((s, d) => CdcOps.gdprErasureAudit(s, d)),
     "props_key_census" -> ((s, d) => CdcOps.propsKeyCensus(s, d)),
     "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
@@ -995,6 +999,9 @@ object SparkEntry {
     "bfs_levels" -> TextOps.bfsLevelsOracleSql(shinglesSql),
     "snapshot_diff" -> BatchOps.snapshotDiffOracleSql,
     "national_market_share" -> BatchOps.nationalMarketShareOracleSql,
+    "acf_profile" -> BatchOps.acfProfileOracleSql,
+    "readability_scores" -> TextOps.readabilityScoresOracleSql,
+    "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,
     "props_key_census" -> CdcOps.propsKeyCensusOracleSql,
     "langid_confusion" -> TextOps.langidConfusionOracleSql,

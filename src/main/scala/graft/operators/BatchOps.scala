@@ -3437,4 +3437,92 @@ object BatchOps {
        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
        |WHERE r.r_name = '$MarketShareRegion'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Autocorrelation lags for [[acfProfile]]: next-day, weekly,
+    * lunar-monthly. */
+  val AcfLags = Seq(1, 7, 28)
+
+  /** AUTOCORRELATION profile of daily revenue — Pearson r between the
+    * series and itself at lags 1/7/28, the ACF points a forecaster
+    * reads for persistence and weekly/monthly seasonality (the
+    * function-estimation sibling of [[hourlySeasonality]]'s seasonal
+    * means and [[ewmaDaily]]'s smoothing). Follows the
+    * [[priceQuantityCorr]] determinism discipline exactly: exact
+    * DECIMAL sums per component, ONE double conversion per sum, the
+    * same closed-form arithmetic order on both engines.
+    *
+    * Scale: the corpus pass collapses to day grain first; the lag
+    * pairing is a calendar-bounded equi-join (day = day+lag — never a
+    * range/window over the fact table), and the explode is
+    * |[[AcfLags]]| per day row. */
+  def acfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .localCheckpoint()
+    val x = col("x")
+    val y = col("y")
+    daily.select(col("day"), col("rev").as("x"))
+      .withColumn("lag",
+        explode(array(AcfLags.map(l => lit(l)): _*)))
+      .withColumn("day_y", expr("date_add(day, lag)"))
+      .join(daily.select(col("day").as("day_y"), col("rev").as("y")),
+        Seq("day_y"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(x).cast("double").as("sum_x"),
+        sum(y).cast("double").as("sum_y"),
+        sum((x * y).cast("decimal(38,6)")).cast("double").as("sum_xy"),
+        sum((x * x).cast("decimal(38,6)")).cast("double").as("sum_xx"),
+        sum((y * y).cast("decimal(38,6)")).cast("double").as("sum_yy"))
+      .withColumn("nn", col("n_pairs").cast("double"))
+      .select(
+        col("lag"), col("n_pairs"),
+        ((col("nn") * col("sum_xy") - col("sum_x") * col("sum_y")) /
+          (sqrt(col("nn") * col("sum_xx") - col("sum_x") * col("sum_x")) *
+            sqrt(col("nn") * col("sum_yy") - col("sum_y") * col("sum_y"))))
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB oracle for [[acfProfile]] — decimal sums surfaced to
+    * double through VARCHAR (the [[priceQuantityCorr]] ULP rule).
+    * Product operands widen to DECIMAL(19,2) first: DuckDB executes a
+    * DECIMAL(18)×DECIMAL(18) product in int64 and OVERFLOWS at daily-
+    * revenue magnitudes (surfaced at sf0.1); 19+19 = 38 stays within
+    * the width cap and runs in int128. Spark's decimal product is
+    * BigDecimal-backed and needs no widening — values are identical. */
+  private[graft] def acfProfileOracleSql: String = {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    def w(e: String) = s"CAST($e AS DECIMAL(19,2))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       |      AS DECIMAL(18,2)) AS rev
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT l.lag, a.rev AS x, b.rev AS y
+       |  FROM daily a
+       |  CROSS JOIN (SELECT unnest([${AcfLags.mkString(", ")}]) AS lag) l
+       |  JOIN daily b ON b.day = a.day + l.lag),
+       |a2 AS (
+       |  SELECT lag, count(*) AS n_pairs,
+       |    ${d("sum(x)")} AS sum_x,
+       |    ${d("sum(y)")} AS sum_y,
+       |    ${d(s"sum(CAST(${w("x")} * ${w("y")} AS DECIMAL(38,6)))")}
+       |      AS sum_xy,
+       |    ${d(s"sum(CAST(${w("x")} * ${w("x")} AS DECIMAL(38,6)))")}
+       |      AS sum_xx,
+       |    ${d(s"sum(CAST(${w("y")} * ${w("y")} AS DECIMAL(38,6)))")}
+       |      AS sum_yy
+       |  FROM p GROUP BY lag)
+       |SELECT CAST(lag AS INT) AS lag, n_pairs,
+       |  (CAST(n_pairs AS DOUBLE) * sum_xy - sum_x * sum_y) /
+       |    (sqrt(CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x) *
+       |     sqrt(CAST(n_pairs AS DOUBLE) * sum_yy - sum_y * sum_y))
+       |    AS acf
+       |FROM a2 ORDER BY lag""".stripMargin
+  }
 }

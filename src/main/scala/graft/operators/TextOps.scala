@@ -4707,4 +4707,57 @@ object TextOps {
        |FROM nd LEFT JOIN d$BfsRounds d ON nd.node = d.node
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Flesch-style READABILITY per document — the classic reading-ease
+    * screen a text-quality pipeline runs next to the length/stopword
+    * gates: sentence count (terminal punctuation runs, floored at 1 —
+    * the synthetic corpus may carry none), word count, and the
+    * standard vowel-run syllable APPROXIMATION, folded through the
+    * published Flesch formula 206.835 − 1.015·(w/s) − 84.6·(syl/w).
+    * The three counts are exact integers; the score is two int64→
+    * double divisions and fixed-order double arithmetic — identical
+    * cross-engine (the [[priceQuantityCorr]] discipline).
+    *
+    * Scale: one regex projection pass, no shuffle before the output
+    * sort. */
+  def readabilityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("n_words", size(tokens).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+          .cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double"))).as("flesch"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[readabilityScores]]. */
+  private[graft] def readabilityScoresOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  greatest(CAST(1 AS BIGINT),
+       |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+       |    AS n_sentences,
+       |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+       |    AS BIGINT) AS n_syllables,
+       |  206.835
+       |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+       |        CAST(greatest(CAST(1 AS BIGINT),
+       |          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+       |          AS DOUBLE))
+       |    - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+       |        AS DOUBLE) /
+       |        CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |    AS flesch
+       |FROM documents
+       |WHERE text IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
 }

@@ -2703,4 +2703,70 @@ object VectorOps {
        |FROM best WHERE rk = 1
        |ORDER BY q_id""".stripMargin
   }
+
+  /** Quantization scale for [[embeddingCovariance]]: components land
+    * in ±1-ish, so ×1000 keeps three decimals and every product and
+    * sum far inside int64. */
+  val CovQuantScale = 1000
+
+  /** Upper-triangle COVARIANCE matrix of the embedding corpus — the
+    * Gram-statistics pre-pass of PCA/whitening (which dimensions are
+    * redundant, where the energy concentrates) and the matrix a
+    * dimensionality-reduction stage eigendecomposes offline. Each
+    * component quantizes to an int (×[[CovQuantScale]], exact
+    * everywhere after), so the per-cell covariance NUMERATOR
+    * n·Σab − Σa·Σb is pure int64 — the output is all-integer and the
+    * aggregation order-independent at any parallelism.
+    *
+    * Scale: the (i,j) pair build self-joins the exploded components
+    * on vec_id — a dim²-bounded blowup per vector (dim is a model
+    * constant, not data-dependent), followed by ONE partial+final
+    * aggregate at (i,j) grain (dim² cells). At 100 TB the same shape
+    * holds: the join is key-local (vec_id), and dim²·8 bytes of
+    * aggregate state per task is nothing. */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dpos", "dval")))
+      .select(col("vec_id"), (col("dpos") + 1).as("i"),
+        expr(s"CAST(round(CAST(dval AS DOUBLE) * $CovQuantScale) AS BIGINT)")
+          .as("qv"))
+      .localCheckpoint()
+    q.select(col("vec_id"), col("i"), col("qv").as("qa"))
+      .join(q.select(col("vec_id"), col("i").as("j"), col("qv").as("qb")),
+        Seq("vec_id"))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("qa") * col("qb")).as("sum_ab"),
+        sum(col("qa")).as("sum_a"),
+        sum(col("qb")).as("sum_b"))
+      .withColumn("cov_num",
+        col("n_vecs") * col("sum_ab") - col("sum_a") * col("sum_b"))
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB oracle for [[embeddingCovariance]] — parallel unnests zip
+    * positionally, mirroring posexplode. */
+  private[graft] def embeddingCovarianceOracleSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    unnest(generate_series(1, len(embedding))) AS i,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $CovQuantScale)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j, a.qv AS qa, b.qv AS qb
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i),
+       |c AS (
+       |  SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(qa * qb) AS BIGINT) AS sum_ab,
+       |    CAST(sum(qa) AS BIGINT) AS sum_a,
+       |    CAST(sum(qb) AS BIGINT) AS sum_b
+       |  FROM p GROUP BY 1, 2)
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n_vecs, sum_ab,
+       |  sum_a, sum_b,
+       |  n_vecs * sum_ab - sum_a * sum_b AS cov_num
+       |FROM c ORDER BY i, j""".stripMargin
 }
