@@ -219,6 +219,8 @@ object SparkEntry {
     "national_market_share" -> ((s, d) =>
       BatchOps.nationalMarketShare(s, d)),
     "acf_profile" -> ((s, d) => BatchOps.acfProfile(s, d)),
+    "trending_parts_7d" -> ((s, d) => BatchOps.trendingParts7d(s, d)),
+    "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
       VectorOps.embeddingCovariance(s, d)),
@@ -1000,6 +1002,8 @@ object SparkEntry {
     "snapshot_diff" -> BatchOps.snapshotDiffOracleSql,
     "national_market_share" -> BatchOps.nationalMarketShareOracleSql,
     "acf_profile" -> BatchOps.acfProfileOracleSql,
+    "trending_parts_7d" -> BatchOps.trendingParts7dOracleSql,
+    "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,

@@ -3525,4 +3525,73 @@ object BatchOps {
        |    AS acf
        |FROM a2 ORDER BY lag""".stripMargin
   }
+
+  /** Trailing window length and per-window list size for
+    * [[trendingParts7d]]. */
+  val TrendWindowDays = 7
+  val TrendTopK = 3
+
+  /** TRENDING parts — each ship-day's top-[[TrendTopK]] parts by
+    * TRAILING-[[TrendWindowDays]]-day revenue, the "what's hot this
+    * week" leaderboard every commerce dashboard serves. Built the
+    * sliding-window-over-partials way: the fact collapses to
+    * (day, part) grain ONCE, each partial row contributes itself to
+    * the [[TrendWindowDays]] window-ends it belongs to via a bounded
+    * calendar explode (never a RANGE-frame window over the fact), the
+    * window re-aggregates partials, and the per-day list is a
+    * WindowGroupLimit rank cap with the standing (revenue DESC, key)
+    * tie-break.
+    *
+    * Scale: explode factor is the window length (a constant); both
+    * aggregates are partial+final; the rank never sees more than one
+    * day's part census. */
+  def trendingParts7d(spark: SparkSession, dir: String): DataFrame = {
+    val dayPart = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"), col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+      .localCheckpoint()
+    val realDays = dayPart.select(col("day").as("wend")).distinct()
+    val windowed = dayPart
+      .withColumn("off",
+        explode(sequence(lit(0), lit(TrendWindowDays - 1))))
+      .withColumn("wend", expr("date_add(day, off)"))
+      .join(realDays, Seq("wend"))
+      .groupBy(col("wend"), col("l_partkey"))
+      .agg(sum(col("rev_c")).as("rev_7d_c"))
+    val w = Window.partitionBy("wend")
+      .orderBy(col("rev_7d_c").desc, col("l_partkey"))
+    windowed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendTopK)
+      .select(col("wend").as("day"), col("rank"), col("l_partkey"),
+        col("rev_7d_c"))
+      .orderBy("day", "rank")
+  }
+
+  /** DuckDB oracle for [[trendingParts7d]]. */
+  private[graft] def trendingParts7dOracleSql: String =
+    s"""WITH dp AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS day, l_partkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1, 2),
+       |rd AS (SELECT DISTINCT day AS wend FROM dp),
+       |w AS (
+       |  SELECT dp.day + CAST(o.off AS INTEGER) AS wend, dp.l_partkey, dp.rev_c
+       |  FROM dp CROSS JOIN (
+       |    SELECT unnest(generate_series(0, ${TrendWindowDays - 1}))
+       |      AS off) o),
+       |agg AS (
+       |  SELECT w.wend, w.l_partkey,
+       |    CAST(sum(w.rev_c) AS BIGINT) AS rev_7d_c
+       |  FROM w JOIN rd ON w.wend = rd.wend
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT wend AS day, l_partkey, rev_7d_c,
+       |    CAST(row_number() OVER (PARTITION BY wend
+       |      ORDER BY rev_7d_c DESC, l_partkey) AS INT) AS rank
+       |  FROM agg)
+       |SELECT day, rank, l_partkey, rev_7d_c
+       |FROM r WHERE rank <= $TrendTopK
+       |ORDER BY day, rank""".stripMargin
 }

@@ -2969,4 +2969,64 @@ object CdcOps {
        |  (SELECT CAST(count(*) AS BIGINT) FROM top
        |     JOIN e ON top.user_id = e.user_id)
        |    AS n_control_violations""".stripMargin
+
+  /** Trailing window length for [[trailingDau]]. */
+  val DauWindowDays = 7
+
+  /** TRAILING 7-DAY ACTIVE USERS next to the daily count — the
+    * WAU-beside-DAU engagement pair every product dashboard leads
+    * with. Exact sliding DISTINCT is the interesting part: distinct
+    * is NOT mergeable across window frames, so each (user, day)
+    * activity row contributes itself to the [[DauWindowDays]]
+    * window-ends it belongs to (bounded calendar explode), and ONE
+    * distinct aggregate per window-end does the rest — never a
+    * RANGE-frame `count(distinct)` window (which engines either
+    * reject or buffer unboundedly).
+    *
+    * Scale: the corpus collapses to (user, day) grain first; the
+    * explode factor is the constant window length. At 100 TB the
+    * exact distinct swaps for per-day HLL registers merged across the
+    * same exploded frame (register-max IS mergeable —
+    * [[hllMergeRollup]] proves it) at the cost of the bit-exact
+    * oracle; the documented exact-vs-sketch trade. */
+  def trailingDau(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint()
+    val daily = userDays.groupBy("day")
+      .agg(count(lit(1)).as("dau_1d"))
+    val trailing = userDays
+      .withColumn("off",
+        explode(sequence(lit(0), lit(DauWindowDays - 1))))
+      .withColumn("day2", expr("date_add(day, off)"))
+      .select(col("user_id"), col("day2").as("day"))
+      .join(daily.select("day"), Seq("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau_7d"))
+    daily.join(trailing, Seq("day"))
+      .select("day", "dau_1d", "dau_7d")
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[trailingDau]]. */
+  private[graft] def trailingDauOracleSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |daily AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau_1d
+       |  FROM ud GROUP BY 1),
+       |w AS (
+       |  SELECT ud.user_id, ud.day + CAST(o.off AS INTEGER) AS day
+       |  FROM ud CROSS JOIN (
+       |    SELECT unnest(generate_series(0, ${DauWindowDays - 1}))
+       |      AS off) o),
+       |t AS (
+       |  SELECT w.day, CAST(count(DISTINCT w.user_id) AS BIGINT)
+       |    AS dau_7d
+       |  FROM w JOIN daily ON w.day = daily.day
+       |  GROUP BY 1)
+       |SELECT daily.day AS day, daily.dau_1d, t.dau_7d
+       |FROM daily JOIN t ON daily.day = t.day
+       |ORDER BY daily.day""".stripMargin
 }
