@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BatchOps, CdcOps, TextOps}
+import graft.operators.{BatchOps, CdcOps, TextOps, VectorOps}
 
 /** Structural invariants of the round-10 curation/robust-stats ops over
   * REAL testdata (sf0.001) — properties the oracle hash cannot state
@@ -722,6 +722,72 @@ class CurationInvariantsSpec extends GraftSpec {
       assert(nat >= 0 && nat <= tot)
       val mille = r.getAs[Long]("share_mille")
       assert(mille == nat * 1000 / tot)
+    }
+  }
+
+  test("acf profile: correlations bounded, every lag present") {
+    val rows = BatchOps.acfProfile(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSet == BatchOps.AcfLags.toSet)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, s"acf $a")
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  test("readability: components exact, score recomputes from them") {
+    TextOps.readabilityScores(spark, dir).collect().foreach { r =>
+      val (w, s, sy) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))
+      assert(w >= 1 && s >= 1 && sy >= 0)
+      val expected = 206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (sy.toDouble / w.toDouble)
+      assert(r.getAs[Double]("flesch") == expected)
+    }
+  }
+
+  test("embedding covariance: full upper triangle, PSD-consistent cells") {
+    val rows = VectorOps.embeddingCovariance(spark, dir).collect()
+    val dims = rows.map(_.getAs[Int]("i")).max
+    assert(rows.length == dims * (dims + 1) / 2)
+    val n = rows.map(_.getAs[Long]("n_vecs")).distinct
+    assert(n.length == 1, "n_vecs must be constant across cells")
+    val diag = rows.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+      .map(r => r.getAs[Int]("i") -> r.getAs[Long]("cov_num")).toMap
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val c = r.getAs[Long]("cov_num")
+      if (i == j) assert(c >= 0, s"negative variance at $i")
+      // Cauchy-Schwarz on the scaled covariances.
+      else assert(c.toDouble * c.toDouble <=
+        diag(i).toDouble * diag(j).toDouble * (1 + 1e-9), s"CS fails $i,$j")
+    }
+  }
+
+  test("trailing dau: dominates daily, bounded by window sum, seeds equal") {
+    val rows = CdcOps.trailingDau(spark, dir).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    val daily = rows.map(r =>
+      r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("dau_1d"))
+      .toMap
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val (d1, d7) = (r.getAs[Long]("dau_1d"), r.getAs[Long]("dau_7d"))
+      assert(d7 >= d1, "7d window must dominate its last day")
+      if (idx == 0) assert(d7 == d1, "first day has no history")
+    }
+    assert(daily.values.sum >= rows.map(_.getAs[Long]("dau_7d")).max)
+  }
+
+  test("trending parts: ranks dense, revenue monotone within a day") {
+    val byDay = BatchOps.trendingParts7d(spark, dir).collect()
+      .groupBy(_.getAs[java.sql.Date]("day").toString)
+    byDay.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= BatchOps.TrendTopK)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val revs = sorted.map(_.getAs[Long]("rev_7d_c"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
     }
   }
 
