@@ -220,6 +220,9 @@ object SparkEntry {
       BatchOps.nationalMarketShare(s, d)),
     "acf_profile" -> ((s, d) => BatchOps.acfProfile(s, d)),
     "trending_parts_7d" -> ((s, d) => BatchOps.trendingParts7d(s, d)),
+    "customer_migration_matrix" -> ((s, d) =>
+      BatchOps.customerMigrationMatrix(s, d)),
+    "revenue_bridge" -> ((s, d) => BatchOps.revenueBridge(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
@@ -1003,6 +1006,9 @@ object SparkEntry {
     "national_market_share" -> BatchOps.nationalMarketShareOracleSql,
     "acf_profile" -> BatchOps.acfProfileOracleSql,
     "trending_parts_7d" -> BatchOps.trendingParts7dOracleSql,
+    "customer_migration_matrix" ->
+      BatchOps.customerMigrationMatrixOracleSql,
+    "revenue_bridge" -> BatchOps.revenueBridgeOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,

@@ -3568,6 +3568,151 @@ object BatchOps {
       .orderBy("day", "rank")
   }
 
+  /** The calendar MIDPOINT of the order history, as an ISO literal —
+    * the period boundary for the two-period comparisons
+    * ([[customerMigrationMatrix]], [[revenueBridge]]). Two-phase like
+    * [[scopedOrders]]: the 1-row min/max collects to a literal so the
+    * period predicate constant-folds and pushes into the scan; the
+    * oracle derives the identical boundary in SQL. */
+  private def orderDateMidpoint(spark: SparkSession, dir: String): String = {
+    val r = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(date_add(col("lo"),
+        (datediff(col("hi"), col("lo")) / 2).cast("int")).as("mid"))
+      .collect()(0)
+    r.getDate(0).toString
+  }
+
+  /** The same boundary as a DuckDB scalar subquery. */
+  private def midpointSql: String =
+    """(SELECT CAST(min(o_orderdate) AS DATE) +
+      |   CAST(datediff('day', CAST(min(o_orderdate) AS DATE),
+      |     CAST(max(o_orderdate) AS DATE)) // 2 AS INTEGER)
+      | FROM orders)""".stripMargin.replace("\n", "")
+
+  /** SEGMENT MIGRATION MATRIX — each customer tercile-bucketed by
+    * spend in the first and second half of the order history, counted
+    * at (from, to) grain: the cohort-flow table behind "are my high-
+    * value customers churning or upgrading". Terciles are `ntile(3)`
+    * over the deterministic (spend cents, custkey) total order — both
+    * engines define ntile identically (extra rows to the leading
+    * buckets), so the bucketing is exact; customers active in only
+    * one half enter as `absent`.
+    *
+    * Scale: spend collapses to customer grain first (partial+final);
+    * the two ntile windows ride customer cardinality (the documented
+    * dimension-grain single-partition trade, as [[abcClassification]];
+    * range-partitioned two-pass past that); the matrix is ≤16 rows. */
+  def customerMigrationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val mid = orderDateMidpoint(spark, dir)
+    def half(p: Int, pred: org.apache.spark.sql.Column) =
+      Tables.orders(spark, dir)
+        .filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as(s"spend_c"))
+        .withColumn("seg",
+          when(ntile(3).over(Window.orderBy(col("spend_c"),
+            col("o_custkey"))) === 1, "L")
+            .when(ntile(3).over(Window.orderBy(col("spend_c"),
+              col("o_custkey"))) === 2, "M")
+            .otherwise("H"))
+        .select(col("o_custkey"), col("seg").as(s"seg_h$p"))
+    val h1 = half(1, to_date(col("o_orderdate")) <= lit(mid))
+    val h2 = half(2, to_date(col("o_orderdate")) > lit(mid))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .groupBy(
+        coalesce(col("seg_h1"), lit("absent")).as("seg_from"),
+        coalesce(col("seg_h2"), lit("absent")).as("seg_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("seg_from", "seg_to")
+  }
+
+  /** DuckDB oracle for [[customerMigrationMatrix]]. */
+  private[graft] def customerMigrationMatrixOracleSql: String = {
+    def half(pred: String) =
+      s"""SELECT o_custkey,
+         |    CASE ntile(3) OVER (ORDER BY
+         |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |        AS BIGINT), o_custkey)
+         |      WHEN 1 THEN 'L' WHEN 2 THEN 'M' ELSE 'H' END AS seg
+         |  FROM orders WHERE $pred GROUP BY o_custkey""".stripMargin
+    s"""WITH h1 AS (${half(s"CAST(o_orderdate AS DATE) <= $midpointSql")}),
+       |h2 AS (${half(s"CAST(o_orderdate AS DATE) > $midpointSql")})
+       |SELECT coalesce(h1.seg, 'absent') AS seg_from,
+       |  coalesce(h2.seg, 'absent') AS seg_to,
+       |  CAST(count(*) AS BIGINT) AS n_customers
+       |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** REVENUE BRIDGE (price/volume/mix decomposition) — for every part
+    * sold in BOTH halves of the order history, the classic waterfall
+    * split of its revenue delta: price effect (Δunit-price × old
+    * volume), volume effect (old unit-price × Δvolume), and the cross
+    * term — the "why did revenue move" decomposition every finance
+    * review runs. Quantities and cents are exact integers; unit
+    * prices and effects are fixed-order double arithmetic from int64s
+    * (the [[priceQuantityCorr]] discipline), emitted per part — never
+    * summed across parts (float sum order would differ cross-engine).
+    *
+    * Scale: one fact pass per half collapsed to (part) grain, one
+    * part-keyed hash join; no windows. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val mid = orderDateMidpoint(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def half(p: Int, pred: org.apache.spark.sql.Column) =
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(pred)
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as(s"rev${p}_c"),
+          sum(round(col("l_quantity")).cast("long")).as(s"qty$p"))
+    val b = half(1, to_date(o("o_orderdate")) <= lit(mid))
+      .join(half(2, to_date(o("o_orderdate")) > lit(mid)),
+        Seq("l_partkey"))
+    val p1 = col("rev1_c").cast("double") / col("qty1").cast("double")
+    val p2 = col("rev2_c").cast("double") / col("qty2").cast("double")
+    b.select(col("l_partkey"), col("rev1_c"), col("rev2_c"),
+        col("qty1"), col("qty2"),
+        ((p2 - p1) * col("qty1").cast("double")).as("price_effect_c"),
+        (p1 * (col("qty2") - col("qty1")).cast("double"))
+          .as("volume_effect_c"),
+        ((p2 - p1) * (col("qty2") - col("qty1")).cast("double"))
+          .as("cross_effect_c"))
+      .orderBy("l_partkey")
+  }
+
+  /** DuckDB oracle for [[revenueBridge]]. */
+  private[graft] def revenueBridgeOracleSql: String = {
+    def half(n: Int, pred: String) =
+      s"""SELECT l_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |      AS BIGINT) AS rev${n}_c,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         |      AS qty$n
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE $pred GROUP BY 1""".stripMargin
+    s"""WITH h1 AS (${half(1, s"CAST(o_orderdate AS DATE) <= $midpointSql")}),
+       |h2 AS (${half(2, s"CAST(o_orderdate AS DATE) > $midpointSql")}),
+       |b AS (
+       |  SELECT h1.l_partkey, rev1_c, rev2_c, qty1, qty2
+       |  FROM h1 JOIN h2 ON h1.l_partkey = h2.l_partkey)
+       |SELECT l_partkey, rev1_c, rev2_c, qty1, qty2,
+       |  (CAST(rev2_c AS DOUBLE) / CAST(qty2 AS DOUBLE)
+       |    - CAST(rev1_c AS DOUBLE) / CAST(qty1 AS DOUBLE))
+       |    * CAST(qty1 AS DOUBLE) AS price_effect_c,
+       |  CAST(rev1_c AS DOUBLE) / CAST(qty1 AS DOUBLE)
+       |    * CAST(qty2 - qty1 AS DOUBLE) AS volume_effect_c,
+       |  (CAST(rev2_c AS DOUBLE) / CAST(qty2 AS DOUBLE)
+       |    - CAST(rev1_c AS DOUBLE) / CAST(qty1 AS DOUBLE))
+       |    * CAST(qty2 - qty1 AS DOUBLE) AS cross_effect_c
+       |FROM b ORDER BY l_partkey""".stripMargin
+  }
+
   /** DuckDB oracle for [[trendingParts7d]]. */
   private[graft] def trendingParts7dOracleSql: String =
     s"""WITH dp AS (
