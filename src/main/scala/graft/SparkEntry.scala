@@ -223,6 +223,9 @@ object SparkEntry {
     "customer_migration_matrix" -> ((s, d) =>
       BatchOps.customerMigrationMatrix(s, d)),
     "revenue_bridge" -> ((s, d) => BatchOps.revenueBridge(s, d)),
+    "revenue_forecast_q6" -> ((s, d) => BatchOps.revenueForecastQ6(s, d)),
+    "discount_band_profile" -> ((s, d) =>
+      BatchOps.discountBandProfile(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
@@ -1009,6 +1012,8 @@ object SparkEntry {
     "customer_migration_matrix" ->
       BatchOps.customerMigrationMatrixOracleSql,
     "revenue_bridge" -> BatchOps.revenueBridgeOracleSql,
+    "revenue_forecast_q6" -> BatchOps.revenueForecastQ6OracleSql,
+    "discount_band_profile" -> BatchOps.discountBandProfileOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,

@@ -3713,6 +3713,97 @@ object BatchOps {
        |FROM b ORDER BY l_partkey""".stripMargin
   }
 
+  /** Q6 parameters: ship-year window, discount band (permille), and
+    * quantity cap. */
+  val Q6YearStart = "1995-01-01"
+  val Q6YearEnd = "1996-01-01"
+  val Q6DiscLoPm = 50L
+  val Q6DiscHiPm = 70L
+  val Q6QtyCap = 24
+
+  /** FORECAST REVENUE CHANGE (TPC-H Q6 shape) — "how much revenue
+    * would we keep by eliminating small-quantity discounts in a band,
+    * for one ship-year": one scalar row, `sum(price × discount)` under
+    * three scan-pushable predicates. Q6 exists to exercise PREDICATE
+    * PUSHDOWN — the date range and quantity cap reach the parquet scan
+    * (plan-asserted in PlanSpec); the discount-band test runs on the
+    * ROUNDED permille so no float boundary can split the engines.
+    * The gain accumulates as cents×permille int64 (exact, mergeable);
+    * the dollar figure is one int64→double division pair.
+    *
+    * Scale: a single projection+filter+partial/final aggregate — the
+    * cheapest possible full-scan shape, and the query whose runtime IS
+    * the scan-pruning story at 100 TB (date-partitioned layout prunes
+    * to one year). */
+  def revenueForecastQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit(Q6YearStart) &&
+        to_date(col("l_shipdate")) < lit(Q6YearEnd) &&
+        col("l_quantity") < Q6QtyCap)
+      .withColumn("disc_pm", round(col("l_discount") * 1000).cast("long"))
+      .filter(col("disc_pm") >= Q6DiscLoPm && col("disc_pm") <= Q6DiscHiPm)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          col("disc_pm")).as("gain_c_pm"))
+      .withColumn("gain_dollars",
+        col("gain_c_pm").cast("double") / lit(100000.0))
+
+  /** DuckDB oracle for [[revenueForecastQ6]]. */
+  private[graft] def revenueForecastQ6OracleSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+       |    CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT)
+       |    AS gain_c_pm,
+       |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+       |    CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT)
+       |    AS DOUBLE) / 100000.0 AS gain_dollars
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '$Q6YearStart'
+       |  AND CAST(l_shipdate AS DATE) < DATE '$Q6YearEnd'
+       |  AND l_quantity < $Q6QtyCap
+       |  AND CAST(round(l_discount * 1000) AS BIGINT)
+       |    BETWEEN $Q6DiscLoPm AND $Q6DiscHiPm""".stripMargin
+
+  /** Discount-band width (permille) for [[discountBandProfile]]. */
+  val DiscBandPm = 20L
+
+  /** DISCOUNT-BAND pricing profile — items, volume, gross revenue and
+    * discount give-back per 2-percentage-point discount band: the
+    * elasticity table a pricing review reads next to [[revenueForecastQ6]]'s
+    * single what-if scalar. All integer (cents, permille, floor-div
+    * bands); give-back stays in exact cents×permille.
+    *
+    * Scale: one projection + one partial+final aggregate at band grain
+    * (≤ 6 cells). */
+  def discountBandProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("disc_pm", round(col("l_discount") * 1000).cast("long"))
+      .withColumn("band", expr(s"disc_pm div $DiscBandPm"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("long")).as("qty_total"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("gross_c"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          col("disc_pm")).as("giveback_c_pm"))
+      .orderBy("band")
+
+  /** DuckDB oracle for [[discountBandProfile]]. */
+  private[graft] def discountBandProfileOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(round(l_discount * 1000) AS BIGINT) AS disc_pm,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+       |    CAST(round(l_quantity) AS BIGINT) AS qty
+       |  FROM lineitem)
+       |SELECT disc_pm // $DiscBandPm AS band,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(qty) AS BIGINT) AS qty_total,
+       |  CAST(sum(price_c) AS BIGINT) AS gross_c,
+       |  CAST(sum(price_c * disc_pm) AS BIGINT) AS giveback_c_pm
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[trendingParts7d]]. */
   private[graft] def trendingParts7dOracleSql: String =
     s"""WITH dp AS (

@@ -2989,8 +2989,13 @@ object CdcOps {
     * same exploded frame (register-max IS mergeable —
     * [[hllMergeRollup]] proves it) at the cost of the bit-exact
     * oracle; the documented exact-vs-sketch trade. */
-  def trailingDau(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.events(spark, dir)
+  def trailingDau(spark: SparkSession, dir: String): DataFrame =
+    trailingDauOf(Tables.events(spark, dir))
+
+  /** [[trailingDau]] over an injectable event frame (the streaming
+    * parity spec's fixture hook). */
+  def trailingDauOf(events: DataFrame): DataFrame = {
+    val userDays = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
       .localCheckpoint()

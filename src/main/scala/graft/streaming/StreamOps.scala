@@ -474,6 +474,31 @@ object StreamOps {
           .otherwise("novel"))
   }
 
+  /** Streaming trailing-7-day ACTIVE USERS — the streaming twin of
+    * `CdcOps.trailingDau`, as CHAINED stateful operators: each event
+    * lands in the 7 sliding spans it belongs to, a watermarked
+    * `dropDuplicates` holds (user, span) membership — the EXACT
+    * sliding distinct a sliding `count(distinct)` window cannot
+    * express — and a second stateful stage counts survivors per span
+    * in append mode. Span end E anchors calendar day E−1 (the batch
+    * twin's trailing [D−6, D]).
+    *
+    * Documented delta vs the batch twin: spans whose anchor day saw
+    * no events but whose window still covers earlier activity emit
+    * here (they ARE that calendar day's correct trailing count); the
+    * batch twin only emits days present in the feed. The spec pins
+    * equality on the shared days. State: one dedup row per live
+    * (user, span) — watermark-evicted, window-bounded. */
+  def trailingDauStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), window(col("ts"), "7 days", "1 day").as("span"))
+      .dropDuplicates("user_id", "span")
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("dau_7d"))
+      .select(expr("date_sub(cast(span.end as date), 1)").as("day"),
+        col("dau_7d"))
+
   /** Stream-stream interval join: purchases attributed to the same
     * user's clicks within the lookback window, live — the streaming
     * twin of `CdcOps.purchaseAttribution`. Both sides carry watermarks

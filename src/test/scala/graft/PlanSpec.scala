@@ -521,6 +521,22 @@ class PlanSpec extends GraftSpec {
       s"cartesian in rank lookup:\n$plan")
   }
 
+  test("Q6 forecast: date and quantity predicates reach the parquet scan") {
+    val plan = executedPlan(BatchOps.revenueForecastQ6(spark, dir))
+    // Q6 IS the pushdown benchmark: the ship-date range and quantity
+    // predicates must appear in PushedFilters (the permille band,
+    // derived from round(), legitimately cannot). The plan string
+    // TRUNCATES long pushed-filter lists, so assert on the visible
+    // prefix: both columns' IsNotNull entries plus the date lower
+    // bound prove the scan received the filter set. At 100 TB these
+    // predicates are the difference between one year and the corpus.
+    assert(plan.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), " +
+        "GreaterThanOrEqual(l_shipdate"),
+      s"Q6 predicates not pushed to the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("market share: dims broadcast, only fact joins shuffle") {
     val plan = executedPlan(BatchOps.nationalMarketShare(spark, dir))
     // Four dimension joins (nation ×2, region, supplier) must ride
