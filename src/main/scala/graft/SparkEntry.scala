@@ -226,6 +226,10 @@ object SparkEntry {
     "revenue_forecast_q6" -> ((s, d) => BatchOps.revenueForecastQ6(s, d)),
     "discount_band_profile" -> ((s, d) =>
       BatchOps.discountBandProfile(s, d)),
+    "nation_share_of_region" -> ((s, d) =>
+      BatchOps.nationShareOfRegion(s, d)),
+    "fk_fanout_histogram" -> ((s, d) => BatchOps.fkFanoutHistogram(s, d)),
+    "normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
@@ -1014,6 +1018,9 @@ object SparkEntry {
     "revenue_bridge" -> BatchOps.revenueBridgeOracleSql,
     "revenue_forecast_q6" -> BatchOps.revenueForecastQ6OracleSql,
     "discount_band_profile" -> BatchOps.discountBandProfileOracleSql,
+    "nation_share_of_region" -> BatchOps.nationShareOfRegionOracleSql,
+    "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,
+    "normalized_dedup" -> TextOps.normalizedDedupOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,

@@ -3804,6 +3804,89 @@ object BatchOps {
        |  CAST(sum(price_c * disc_pm) AS BIGINT) AS giveback_c_pm
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RATIO-TO-PARENT rollup — each nation's revenue share inside its
+    * region, the drill-down normalization every BI hierarchy renders
+    * (child % of parent). Nation grain comes from one fact pass with
+    * broadcast dims; the parent total re-aggregates the CHILD frame
+    * (never a second corpus pass) and joins back at region grain.
+    * Cents + floor-mille, exact. */
+  def nationShareOfRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val nationRev = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(sum(round(o("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    val regionRev = nationRev.groupBy("r_name")
+      .agg(sum(col("rev_c")).as("region_rev_c"))
+    nationRev.join(broadcast(regionRev), Seq("r_name"))
+      .withColumn("share_mille", expr("rev_c * 1000 div region_rev_c"))
+      .select("r_name", "n_name", "rev_c", "region_rev_c", "share_mille")
+      .orderBy("r_name", "n_name")
+  }
+
+  /** DuckDB oracle for [[nationShareOfRegion]]. */
+  private[graft] def nationShareOfRegionOracleSql: String =
+    s"""WITH nr AS (
+       |  SELECT r.r_name, n.n_name,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT r_name, CAST(sum(rev_c) AS BIGINT) AS region_rev_c
+       |  FROM nr GROUP BY 1)
+       |SELECT nr.r_name, nr.n_name, nr.rev_c, rr.region_rev_c,
+       |  nr.rev_c * 1000 // rr.region_rev_c AS share_mille
+       |FROM nr JOIN rr ON nr.r_name = rr.r_name
+       |ORDER BY nr.r_name, nr.n_name""".stripMargin
+
+  /** FANOUT HISTOGRAM of the two core FK relationships — how many
+    * children each parent key has, counted at fanout-value grain: the
+    * join-cardinality statistic a planner (or a capacity review)
+    * reads before choosing join strategy and skew handling — the
+    * distributional upgrade of [[keySkewReport]]'s scalar skew
+    * indices and [[fkOrphanAudit]]'s presence checks.
+    *
+    * Scale: one partial+final aggregate per relationship to parent
+    * grain, then a second to fanout-value grain (value cardinality —
+    * tiny); union of two fixed-schema frames. */
+  def fkFanoutHistogram(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, key: String): DataFrame =
+      child.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("fanout"))
+        .groupBy("fanout")
+        .agg(count(lit(1)).as("n_parent_keys"))
+        .select(lit(name).as("relationship"), col("fanout"),
+          col("n_parent_keys"))
+    rel("orders_per_customer", Tables.orders(spark, dir), "o_custkey")
+      .unionByName(rel("lineitems_per_order",
+        Tables.lineitem(spark, dir), "l_orderkey"))
+      .orderBy("relationship", "fanout")
+  }
+
+  /** DuckDB oracle for [[fkFanoutHistogram]]. */
+  private[graft] def fkFanoutHistogramOracleSql: String = {
+    def rel(name: String, child: String, key: String) =
+      s"""SELECT '$name' AS relationship,
+         |  CAST(fanout AS BIGINT) AS fanout,
+         |  CAST(count(*) AS BIGINT) AS n_parent_keys
+         |FROM (SELECT $key, count(*) AS fanout FROM $child GROUP BY 1)
+         |GROUP BY 2""".stripMargin
+    s"""${rel("orders_per_customer", "orders", "o_custkey")}
+       |UNION ALL
+       |${rel("lineitems_per_order", "lineitem", "l_orderkey")}
+       |ORDER BY relationship, fanout""".stripMargin
+  }
+
   /** DuckDB oracle for [[trendingParts7d]]. */
   private[graft] def trendingParts7dOracleSql: String =
     s"""WITH dp AS (

@@ -4708,6 +4708,46 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** NORMALIZATION-SENSITIVE dedup report — exact dedup run twice,
+    * on raw text and on casefolded/punctuation-stripped/whitespace-
+    * collapsed text, as one integer row: how many distinct documents
+    * MERGE once trivial formatting differences are erased. This is
+    * the cheap tier between [[exactDedupGroups]] (byte-identical) and
+    * the MinHash/SimHash near-dup families — most real "duplicates"
+    * differ only in case/punctuation, and this row prices that before
+    * anyone pays for shingling. The character classes are plain
+    * ASCII sets (`[^a-z0-9 ]`, `' +'`) so Java and RE2 regex
+    * semantics cannot diverge.
+    *
+    * Scale: one projection + two distinct-counts over md5 keys —
+    * partial+final, no joins. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(
+        md5(col("text")).as("raw_h"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("norm_h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_distinct"),
+        countDistinct(col("norm_h")).as("n_norm_distinct"))
+      .withColumn("n_merged_by_normalization",
+        col("n_raw_distinct") - col("n_norm_distinct"))
+
+  /** DuckDB oracle for [[normalizedDedup]]. */
+  private[graft] def normalizedDedupOracleSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
+       |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+       |    AS BIGINT) AS n_norm_distinct,
+       |  CAST(count(DISTINCT md5(text)) AS BIGINT) -
+       |    CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+       |    AS BIGINT) AS n_merged_by_normalization
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   /** Flesch-style READABILITY per document — the classic reading-ease
     * screen a text-quality pipeline runs next to the length/stopword
     * gates: sentence count (terminal punctuation runs, floored at 1 —
