@@ -33,7 +33,13 @@ object Pipeline {
     // 11 by the full FK-orphan audit and the CDC offset-continuity
     // audit — the two checks a production run gates deploys on.
     "quality_validation" -> Seq("dq_report", "fk_orphan_audit",
-      "cdc_gap_detection"))
+      "cdc_gap_detection"),
+    // Round-12 extension phase (no reference counterpart): the
+    // governance checks a production CDC platform gates on — dead
+    // letters triaged, payload schema drift censused, replica diffs
+    // reconciled, and erasure completeness proven.
+    "governance_audit" -> Seq("deadletter_audit", "props_key_census",
+      "snapshot_diff", "gdpr_erasure_audit"))
 
   /** The engine's OWN second DAG — the training-data curation pipeline
     * over the documents/embeddings tables (no reference counterpart;
@@ -44,18 +50,20 @@ object Pipeline {
     "corpus_profile" -> Seq("text_stats", "lang_stats",
       "source_quality_profile", "length_boxplot"),
     "privacy_scrub" -> Seq("pii_scrub"),
-    "dedup" -> Seq("docs_exact_dedup", "paragraph_dedup",
-      "neardup_survivors", "semantic_dedup_survivors", "dedup_features",
-      "dup_span_census", "incremental_dedup", "dedup_waterfall"),
+    "dedup" -> Seq("normalized_dedup", "docs_exact_dedup",
+      "paragraph_dedup", "neardup_survivors", "semantic_dedup_survivors",
+      "dedup_features", "dup_span_census", "incremental_dedup",
+      "dedup_waterfall", "lpa_communities"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination", "bloom_decontam"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
-      "oov_rate", "token_entropy"),
+      "oov_rate", "token_entropy", "readability_scores"),
     // Embedding-space curation: the trained-quantizer dashboard
     // (tightness / margins) and the cluster-balanced sample feeding
     // assembly.
     "semantic_curation" -> Seq("cluster_profile", "cluster_separation",
-      "cluster_sample", "embedding_outliers", "label_cohesion"),
+      "cluster_sample", "embedding_outliers", "label_cohesion",
+      "embedding_covariance"),
     // Multimodal ingest: payload stats, the three real codecs, and the
     // decode→resize / frame-sample / decimate stages over them.
     "multimodal" -> Seq("binary_doc_stats", "doc_page_stats",
@@ -64,7 +72,7 @@ object Pipeline {
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",
-      "token_budget_sample", "pmi_collocations"))
+      "token_budget_sample", "pmi_collocations", "quality_calibration"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,
