@@ -228,6 +228,10 @@ object SparkEntry {
       BatchOps.discountBandProfile(s, d)),
     "nation_share_of_region" -> ((s, d) =>
       BatchOps.nationShareOfRegion(s, d)),
+    "seasonal_index" -> ((s, d) => BatchOps.seasonalIndex(s, d)),
+    "revenue_concentration" -> ((s, d) =>
+      BatchOps.revenueConcentration(s, d)),
+    "wow_growth" -> ((s, d) => BatchOps.wowGrowth(s, d)),
     "fk_fanout_histogram" -> ((s, d) => BatchOps.fkFanoutHistogram(s, d)),
     "normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
@@ -1019,6 +1023,9 @@ object SparkEntry {
     "revenue_forecast_q6" -> BatchOps.revenueForecastQ6OracleSql,
     "discount_band_profile" -> BatchOps.discountBandProfileOracleSql,
     "nation_share_of_region" -> BatchOps.nationShareOfRegionOracleSql,
+    "seasonal_index" -> BatchOps.seasonalIndexOracleSql,
+    "revenue_concentration" -> BatchOps.revenueConcentrationOracleSql,
+    "wow_growth" -> BatchOps.wowGrowthOracleSql,
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,
     "normalized_dedup" -> TextOps.normalizedDedupOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,

@@ -3887,6 +3887,176 @@ object BatchOps {
        |ORDER BY relationship, fanout""".stripMargin
   }
 
+  /** SEASONAL INDEX by calendar month — each month-of-year's average
+    * daily revenue as a mille index against the overall daily average
+    * (100 0 = flat): the classic multiplicative seasonality table a
+    * forecaster divides out before trending, the calendar complement
+    * of [[acfProfile]]'s lag view and `hourly_seasonality`'s
+    * hour-of-day view. All cents and floor-milles; the "average" is
+    * carried as exact (sum, count) pairs and the index is ONE
+    * integer-ratio floor — no float averaging.
+    *
+    * Scale: one fact pass to day grain, re-aggregated to the 12-row
+    * month-of-year frame; the overall average is a re-aggregation of
+    * the same day frame, broadcast back. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    val monthly = daily
+      .groupBy(month(col("day")).as("month_of_year"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev_c")).as("rev_c"))
+    monthly
+      .crossJoin(broadcast(daily.agg(
+        count(lit(1)).as("n_days_total"),
+        sum(col("rev_c")).as("rev_c_total"))))
+      // index = (month_avg / overall_avg) in mille, as one integer
+      // ratio: (rev_c * n_days_total * 1000) div (n_days * rev_c_total)
+      .withColumn("index_mille",
+        expr("(rev_c * n_days_total * 1000) div (n_days * rev_c_total)"))
+      .select("month_of_year", "n_days", "rev_c", "index_mille")
+      .orderBy("month_of_year")
+  }
+
+  /** DuckDB oracle for [[seasonalIndex]]. */
+  private[graft] def seasonalIndexOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT month(day) AS month_of_year,
+       |    CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(rev_c) AS BIGINT) AS rev_c
+       |  FROM daily GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days_total,
+       |    CAST(sum(rev_c) AS BIGINT) AS rev_c_total
+       |  FROM daily)
+       |SELECT CAST(m.month_of_year AS INT) AS month_of_year, m.n_days,
+       |  m.rev_c,
+       |  (m.rev_c * t.n_days_total * 1000) // (m.n_days * t.rev_c_total)
+       |    AS index_mille
+       |FROM m CROSS JOIN t
+       |ORDER BY 1""".stripMargin
+
+  /** REVENUE CONCENTRATION — the one-row inequality dashboard over
+    * customer spend: top-decile revenue share and the exact GINI
+    * coefficient, both as floor-milles from the closed-form rank
+    * formula G = (2·Σ rank·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over the
+    * ascending (spend, custkey) order — every term an int64, no
+    * float Lorenz integration. The customer-grain sibling of
+    * [[keySkewReport]]'s key-skew Gini and [[abcClassification]]'s
+    * part-side Pareto walk.
+    *
+    * Scale: fact collapses to customer grain, then one dimension-
+    * cardinality rank window (the [[abcClassification]] trade) and a
+    * single global aggregate. Top-decile cut is rank > n − n div 10 —
+    * pure integers. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("spend_c"), col("o_custkey"))
+    val ranked = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("spend_c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    val top = ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .filter(col("rank") > col("n") - expr("n div 10"))
+      .agg(sum(col("spend_c")).as("top_decile_c"))
+    ranked
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend_c")).as("total_c"),
+        sum(col("rank") * col("spend_c")).as("s1"))
+      .crossJoin(broadcast(top))
+      // The Gini numerator ×1000 tops int64 once Σ rank·spend reaches
+      // ~1e16 (surfaced at sf0.1) — the closed form runs in
+      // DECIMAL(38,0) (HUGEINT on the oracle side); `div` on decimals
+      // still yields the exact integral quotient as a long.
+      .withColumn("gini_mille",
+        expr("((2 * CAST(s1 AS DECIMAL(38,0)) - (n_customers + 1) * " +
+          "CAST(total_c AS DECIMAL(38,0))) * 1000) div " +
+          "(n_customers * CAST(total_c AS DECIMAL(38,0)))"))
+      .withColumn("top_decile_share_mille",
+        expr("top_decile_c * 1000 div total_c"))
+      .select("n_customers", "total_c", "top_decile_c",
+        "top_decile_share_mille", "gini_mille")
+  }
+
+  /** DuckDB oracle for [[revenueConcentration]]. */
+  private[graft] def revenueConcentrationOracleSql: String =
+    s"""WITH sp AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS spend_c
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT spend_c,
+       |    CAST(row_number() OVER (ORDER BY spend_c, o_custkey)
+       |      AS BIGINT) AS rank,
+       |    CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM sp),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       |    CAST(sum(spend_c) AS BIGINT) AS total_c,
+       |    CAST(sum(rank * spend_c) AS BIGINT) AS s1
+       |  FROM r),
+       |d AS (
+       |  SELECT CAST(sum(spend_c) AS BIGINT) AS top_decile_c
+       |  FROM r WHERE rank > n - n // 10)
+       |SELECT a.n_customers, a.total_c, d.top_decile_c,
+       |  d.top_decile_c * 1000 // a.total_c AS top_decile_share_mille,
+       |  CAST(((2 * CAST(a.s1 AS HUGEINT) - (a.n_customers + 1) *
+       |    CAST(a.total_c AS HUGEINT)) * 1000) //
+       |    (a.n_customers * CAST(a.total_c AS HUGEINT)) AS BIGINT)
+       |    AS gini_mille
+       |FROM a CROSS JOIN d""".stripMargin
+
+  /** WEEK-OVER-WEEK growth — weekly revenue with the previous week's
+    * figure and a FLOOR-SAFE growth mille: `(cur·1000) div prev − 1000`
+    * keeps the division non-negative (the standing div/floor rule —
+    * a direct `(cur−prev) div prev` would silently split the engines
+    * on negative weeks: Spark `div` truncates toward zero, DuckDB `//`
+    * floors). Weeks key on ISO (yearofweek, week) — calendar `year()`
+    * would misfile the Jan-1 days of spillover ISO weeks. The first
+    * week emits a NULL growth (no prior), pinned cross-engine.
+    *
+    * Scale: day-grain pass, week re-aggregation, one lag window over
+    * the week-cardinality frame. */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .withColumn("day", to_date(col("o_orderdate")))
+      .groupBy((expr("extract(YEAROFWEEK FROM day)") * 100 +
+        weekofyear(col("day"))).cast("int").as("yearweek"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val w = Window.orderBy("yearweek")
+    weekly
+      .withColumn("prev_rev_c", lag(col("rev_c"), 1).over(w))
+      .withColumn("growth_mille",
+        expr("(rev_c * 1000) div prev_rev_c") - lit(1000L))
+      .orderBy("yearweek")
+  }
+
+  /** DuckDB oracle for [[wowGrowth]]. */
+  private[graft] def wowGrowthOracleSql: String =
+    s"""WITH wk AS (
+       |  SELECT isoyear(CAST(o_orderdate AS DATE)) * 100 +
+       |      weekofyear(CAST(o_orderdate AS DATE)) AS yearweek,
+       |    CAST(count(*) AS BIGINT) AS n_orders,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1)
+       |SELECT CAST(yearweek AS INT) AS yearweek, n_orders, rev_c,
+       |  lag(rev_c) OVER (ORDER BY yearweek) AS prev_rev_c,
+       |  (rev_c * 1000) // lag(rev_c) OVER (ORDER BY yearweek) - 1000
+       |    AS growth_mille
+       |FROM wk ORDER BY yearweek""".stripMargin
+
   /** DuckDB oracle for [[trendingParts7d]]. */
   private[graft] def trendingParts7dOracleSql: String =
     s"""WITH dp AS (
