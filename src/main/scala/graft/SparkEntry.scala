@@ -235,6 +235,11 @@ object SparkEntry {
     "fk_fanout_histogram" -> ((s, d) => BatchOps.fkFanoutHistogram(s, d)),
     "normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
+    "attribution_models_compare" -> ((s, d) =>
+      CdcOps.attributionModelsCompare(s, d)),
+    "conversion_lag_histogram" -> ((s, d) =>
+      CdcOps.conversionLagHistogram(s, d)),
+    "session_entry_exit" -> ((s, d) => CdcOps.sessionEntryExit(s, d)),
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
       VectorOps.embeddingCovariance(s, d)),
@@ -1029,6 +1034,10 @@ object SparkEntry {
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,
     "normalized_dedup" -> TextOps.normalizedDedupOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
+    "attribution_models_compare" ->
+      CdcOps.attributionModelsCompareOracleSql,
+    "conversion_lag_histogram" -> CdcOps.conversionLagHistogramOracleSql,
+    "session_entry_exit" -> CdcOps.sessionEntryExitOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,

@@ -2970,6 +2970,253 @@ object CdcOps {
        |     JOIN e ON top.user_id = e.user_id)
        |    AS n_control_violations""".stripMargin
 
+  /** MULTI-TOUCH MODEL COMPARISON — first-touch, last-touch, linear,
+    * and organic, as four summary rows over the SAME attributed-pair
+    * frame: purchases attributed, distinct clicks credited, and total
+    * credited cents. The single-touch models credit one click per
+    * purchase; linear credits every in-window click; every
+    * non-organic model credits the SAME total (credit conservation —
+    * visible in the frame as an invariant, the point of running the
+    * comparison). The A/B table a marketing review reads before
+    * switching models — built beside [[purchaseAttribution]]
+    * (last-click detail) and [[attributionLinear]] (linear detail).
+    *
+    * Scale: the pair frame builds once (user-key join, lookback-
+    * bounded) and is lineage-cut; each model is one aggregate over
+    * it. */
+  def attributionModelsCompare(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("value_c"),
+        col("ts_ms").as("purchase_ms"))
+      .localCheckpoint()
+    val pairs = purchases.join(clicks, "user_id")
+      .filter(col("click_ms") <= col("purchase_ms") &&
+        col("purchase_ms") - col("click_ms") <= AttributionWindowMs)
+      .localCheckpoint()
+    val wLast = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ms").desc, col("click_id").desc)
+    val wFirst = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ms").asc, col("click_id").asc)
+    def touch(model: String, w: org.apache.spark.sql.expressions
+        .WindowSpec): DataFrame =
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+          countDistinct(col("click_id")).as("n_credited_clicks"),
+          sum(col("value_c")).as("credited_c"))
+        .select(lit(model).as("model"), col("n_purchases"),
+          col("n_credited_clicks"), col("credited_c"))
+    val linear = pairs
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        countDistinct(col("click_id")).as("n_credited_clicks"))
+      .crossJoin(broadcast(pairs.select("purchase_id", "value_c")
+        .distinct().agg(sum(col("value_c")).as("credited_c"))))
+      .select(lit("linear").as("model"), col("n_purchases"),
+        col("n_credited_clicks"), col("credited_c"))
+    val organic = purchases
+      .join(pairs.select("purchase_id").distinct(),
+        Seq("purchase_id"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"),
+        lit(0L).as("n_credited_clicks"),
+        coalesce(sum(col("value_c")), lit(0L)).as("credited_c"))
+      .select(lit("organic").as("model"), col("n_purchases"),
+        col("n_credited_clicks"), col("credited_c"))
+    touch("first_touch", wFirst)
+      .unionByName(touch("last_touch", wLast))
+      .unionByName(linear)
+      .unionByName(organic)
+      .orderBy("model")
+  }
+
+  /** DuckDB oracle for [[attributionModelsCompare]]. */
+  private[graft] def attributionModelsCompareOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS value_c,
+       |    epoch_ms(ts) AS ts_ms
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, event_id AS click_id, ts_ms AS click_ms
+       |  FROM ev WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT user_id, event_id AS purchase_id, value_c,
+       |    ts_ms AS purchase_ms
+       |  FROM ev WHERE event_type = 'purchase'),
+       |pr AS (
+       |  SELECT p.purchase_id, p.value_c, c.click_id, c.click_ms,
+       |    p.purchase_ms
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |  WHERE c.click_ms <= p.purchase_ms
+       |    AND p.purchase_ms - c.click_ms <= $AttributionWindowMs),
+       |lastt AS (
+       |  SELECT * FROM (
+       |    SELECT purchase_id, value_c, click_id,
+       |      row_number() OVER (PARTITION BY purchase_id
+       |        ORDER BY click_ms DESC, click_id DESC) AS rk
+       |    FROM pr) WHERE rk = 1),
+       |firstt AS (
+       |  SELECT * FROM (
+       |    SELECT purchase_id, value_c, click_id,
+       |      row_number() OVER (PARTITION BY purchase_id
+       |        ORDER BY click_ms ASC, click_id ASC) AS rk
+       |    FROM pr) WHERE rk = 1),
+       |pv AS (SELECT DISTINCT purchase_id, value_c FROM pr)
+       |SELECT 'first_touch' AS model,
+       |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       |  CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+       |  CAST(sum(value_c) AS BIGINT) AS credited_c
+       |FROM firstt
+       |UNION ALL
+       |SELECT 'last_touch',
+       |  CAST(count(DISTINCT purchase_id) AS BIGINT),
+       |  CAST(count(DISTINCT click_id) AS BIGINT),
+       |  CAST(sum(value_c) AS BIGINT)
+       |FROM lastt
+       |UNION ALL
+       |SELECT 'linear',
+       |  CAST(count(DISTINCT purchase_id) AS BIGINT),
+       |  CAST(count(DISTINCT click_id) AS BIGINT),
+       |  (SELECT CAST(sum(value_c) AS BIGINT) FROM pv)
+       |FROM pr
+       |UNION ALL
+       |SELECT 'organic',
+       |  CAST(count(*) AS BIGINT),
+       |  CAST(0 AS BIGINT),
+       |  CAST(coalesce(sum(value_c), 0) AS BIGINT)
+       |FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM pr)
+       |ORDER BY model""".stripMargin
+
+  /** CONVERSION-LAG histogram — minutes between the last-touch click
+    * and its purchase, counted per minute bucket: the latency
+    * distribution that justifies (or indicts) the attribution
+    * lookback window. Buckets are floor-div minutes of a non-negative
+    * lag — pure integers.
+    *
+    * Scale: rides the same user-key join; one bucket-grain partial+
+    * final aggregate. */
+  def conversionLagHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ms").desc, col("click_id").desc)
+    purchases.join(clicks, "user_id")
+      .filter(col("click_ms") <= col("purchase_ms") &&
+        col("purchase_ms") - col("click_ms") <= AttributionWindowMs)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .withColumn("lag_min",
+        expr("(purchase_ms - click_ms) div 60000"))
+      .groupBy("lag_min")
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("lag_min")
+  }
+
+  /** DuckDB oracle for [[conversionLagHistogram]]. */
+  private[graft] def conversionLagHistogramOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, event_id AS click_id, ts_ms AS click_ms
+       |  FROM ev WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT user_id, event_id AS purchase_id, ts_ms AS purchase_ms
+       |  FROM ev WHERE event_type = 'purchase'),
+       |last1 AS (
+       |  SELECT * FROM (
+       |    SELECT p.purchase_id, p.purchase_ms, c.click_ms,
+       |      row_number() OVER (PARTITION BY p.purchase_id
+       |        ORDER BY c.click_ms DESC, c.click_id DESC) AS rk
+       |    FROM p JOIN c ON p.user_id = c.user_id
+       |    WHERE c.click_ms <= p.purchase_ms
+       |      AND p.purchase_ms - c.click_ms <= $AttributionWindowMs)
+       |  WHERE rk = 1)
+       |SELECT (purchase_ms - click_ms) // 60000 AS lag_min,
+       |  CAST(count(*) AS BIGINT) AS n_conversions
+       |FROM last1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SESSION ENTRY→EXIT matrix — which event type OPENS each gap-
+    * island session against which type CLOSES it, counted over the
+    * corpus: the landing/parting behavior table next to
+    * [[eventTransitions]]' within-session Markov counts and
+    * `bounce_rate`'s single-event share (the diagonal of this matrix
+    * restricted to 1-event sessions). Rides [[withSessionSeq]] — the
+    * ONE shared island assignment — plus two rank picks per session.
+    *
+    * Scale: one user shuffle (shared with every session op), two
+    * per-session WindowGroupLimit picks, one matrix-grain aggregate
+    * (≤ types²). */
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val sess = withSessionSeq(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts")))
+    val wAsc = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    sess
+      .withColumn("rk_first", row_number().over(wAsc))
+      .withColumn("rk_last", row_number().over(wDesc))
+      .withColumn("entry_type",
+        when(col("rk_first") === 1, col("event_type")))
+      .withColumn("exit_type",
+        when(col("rk_last") === 1, col("event_type")))
+      .groupBy("user_id", "session_seq")
+      .agg(max(col("entry_type")).as("entry_type"),
+        max(col("exit_type")).as("exit_type"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("entry_type", "exit_type")
+  }
+
+  /** DuckDB oracle for [[sessionEntryExit]] — the shared gap-island
+    * CTE plus two rank picks. */
+  private[graft] def sessionEntryExitOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+       |  FROM events),
+       |s AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts_ms) OVER w IS NULL
+       |      OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+       |      THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |g AS (
+       |  SELECT *,
+       |    sum(new_sess) OVER (PARTITION BY user_id
+       |      ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_seq
+       |  FROM s),
+       |r AS (
+       |  SELECT user_id, session_seq, event_type,
+       |    row_number() OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY ts_ms ASC, event_id ASC) AS rk_first,
+       |    row_number() OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY ts_ms DESC, event_id DESC) AS rk_last
+       |  FROM g),
+       |m AS (
+       |  SELECT user_id, session_seq,
+       |    max(CASE WHEN rk_first = 1 THEN event_type END) AS entry_type,
+       |    max(CASE WHEN rk_last = 1 THEN event_type END) AS exit_type
+       |  FROM r GROUP BY 1, 2)
+       |SELECT entry_type, exit_type,
+       |  CAST(count(*) AS BIGINT) AS n_sessions
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Trailing window length for [[trailingDau]]. */
   val DauWindowDays = 7
 
