@@ -791,6 +791,90 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("attribution models: credit conservation, purchase accounting") {
+    val rows = CdcOps.attributionModelsCompare(spark, dir).collect()
+      .map(r => r.getAs[String]("model") -> r).toMap
+    val credited = Set("first_touch", "last_touch", "linear")
+      .map(m => rows(m).getAs[Long]("credited_c"))
+    assert(credited.size == 1,
+      s"non-organic models must credit identical cents, got $credited")
+    val attributed = Set("first_touch", "last_touch", "linear")
+      .map(m => rows(m).getAs[Long]("n_purchases"))
+    assert(attributed.size == 1)
+    // Linear credits at least as many distinct clicks as either
+    // single-touch model.
+    assert(rows("linear").getAs[Long]("n_credited_clicks") >=
+      rows("last_touch").getAs[Long]("n_credited_clicks"))
+    // Attributed + organic purchases = every purchase in the feed.
+    val total = Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase").count()
+    assert(attributed.head + rows("organic").getAs[Long]("n_purchases")
+      == total)
+  }
+
+  test("conversion lags: bounded by the lookback, totals close") {
+    val rows = CdcOps.conversionLagHistogram(spark, dir).collect()
+    val maxMin = CdcOps.AttributionWindowMs / 60000
+    rows.foreach { r =>
+      val m = r.getAs[Long]("lag_min")
+      assert(m >= 0 && m <= maxMin, s"lag bucket $m outside window")
+    }
+    val total = rows.map(_.getAs[Long]("n_conversions")).sum
+    val attributed = CdcOps.purchaseAttribution(spark, dir).count()
+    assert(total == attributed,
+      s"histogram mass $total != attributed purchases $attributed")
+  }
+
+  test("session entry/exit: matrix mass equals the session count") {
+    val rows = CdcOps.sessionEntryExit(spark, dir).collect()
+    val mass = rows.map(_.getAs[Long]("n_sessions")).sum
+    assert(mass == CdcOps.eventSessions(spark, dir).count())
+    // Single-event sessions land on the diagonal, so every observed
+    // entry type also appears as an exit type somewhere.
+    val entries = rows.map(_.getAs[String]("entry_type")).toSet
+    val exits = rows.map(_.getAs[String]("exit_type")).toSet
+    assert(entries.nonEmpty && exits.nonEmpty)
+  }
+
+  test("wow growth: identity recomputes, lag chain is consistent") {
+    val rows = BatchOps.wowGrowth(spark, dir).collect()
+      .sortBy(_.getAs[Int]("yearweek"))
+    rows.zip(rows.tail).foreach { case (prev, cur) =>
+      assert(cur.getAs[Long]("prev_rev_c") == prev.getAs[Long]("rev_c"))
+    }
+    assert(rows.head.isNullAt(rows.head.fieldIndex("growth_mille")))
+    rows.tail.foreach { r =>
+      val g = r.getAs[Long]("growth_mille")
+      val expect = r.getAs[Long]("rev_c") * 1000 /
+        r.getAs[Long]("prev_rev_c") - 1000
+      assert(g == expect)
+    }
+  }
+
+  test("seasonal index: day accounting closes, weighted mean ~ 1000") {
+    val rows = BatchOps.seasonalIndex(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("month_of_year")).toSet ==
+      (1 to 12).toSet)
+    // Revenue-weighted reconstruction: sum(month rev) = total rev, and
+    // the n_days-weighted index mean sits at 1000 up to floor slack.
+    val nDays = rows.map(_.getAs[Long]("n_days")).sum
+    val weighted = rows.map(r =>
+      r.getAs[Long]("index_mille") * r.getAs[Long]("n_days")).sum
+    assert(math.abs(weighted.toDouble / nDays - 1000.0) < 2.0,
+      s"weighted index mean ${weighted.toDouble / nDays}")
+  }
+
+  test("revenue concentration: gini and share inside their bounds") {
+    val r = BatchOps.revenueConcentration(spark, dir).collect()(0)
+    val gini = r.getAs[Long]("gini_mille")
+    assert(gini >= 0 && gini < 1000, s"gini $gini")
+    val share = r.getAs[Long]("top_decile_share_mille")
+    // The TOP decile must hold at least its population share.
+    val n = r.getAs[Long]("n_customers")
+    assert(share >= (n / 10) * 1000 / n && share <= 1000, s"share $share")
+  }
+
   test("props key census: shares bounded, invalid class present") {
     val rows = CdcOps.propsKeyCensus(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key")).contains("__invalid__"))
