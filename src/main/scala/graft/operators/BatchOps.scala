@@ -3912,9 +3912,12 @@ object BatchOps {
         count(lit(1)).as("n_days_total"),
         sum(col("rev_c")).as("rev_c_total"))))
       // index = (month_avg / overall_avg) in mille, as one integer
-      // ratio: (rev_c * n_days_total * 1000) div (n_days * rev_c_total)
+      // ratio — in DECIMAL(38,0): the rev_c·n_days·1000 numerator
+      // brushes int64 at sf1 (~9e18), the same headroom trap
+      // [[revenueConcentration]]'s Gini hit at sf0.1.
       .withColumn("index_mille",
-        expr("(rev_c * n_days_total * 1000) div (n_days * rev_c_total)"))
+        expr("(CAST(rev_c AS DECIMAL(38,0)) * n_days_total * 1000) div " +
+          "(n_days * CAST(rev_c_total AS DECIMAL(38,0)))"))
       .select("month_of_year", "n_days", "rev_c", "index_mille")
       .orderBy("month_of_year")
   }
@@ -3937,7 +3940,8 @@ object BatchOps {
        |  FROM daily)
        |SELECT CAST(m.month_of_year AS INT) AS month_of_year, m.n_days,
        |  m.rev_c,
-       |  (m.rev_c * t.n_days_total * 1000) // (m.n_days * t.rev_c_total)
+       |  CAST((CAST(m.rev_c AS HUGEINT) * t.n_days_total * 1000) //
+       |    (m.n_days * CAST(t.rev_c_total AS HUGEINT)) AS BIGINT)
        |    AS index_mille
        |FROM m CROSS JOIN t
        |ORDER BY 1""".stripMargin
