@@ -151,6 +151,20 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Entry smoke with `observe()` — production metric collection
+    // WITHOUT a second pass: the Observation rides the same action
+    // that materializes the frame (at 100 TB a separate metrics
+    // .count() is a second full scan), and the require pins the
+    // observed figure to the action's own count.
+    val obs = new org.apache.spark.sql.Observation("entry_metrics")
+    val entryRows = SparkEntry.entry(spark)
+      .observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .count()
+    val observed = obs.get("rows").asInstanceOf[Long]
+    require(observed == entryRows && observed > 0,
+      s"observe() metrics must match the action ($observed vs $entryRows)")
+    println(f"== entry smoke: $observed rows (observe == action) ==")
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     (phases ++ curationPhases).foreach { case (phase, names) =>
       println(s"== phase $phase ==")
