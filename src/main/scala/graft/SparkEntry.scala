@@ -240,6 +240,7 @@ object SparkEntry {
     "conversion_lag_histogram" -> ((s, d) =>
       CdcOps.conversionLagHistogram(s, d)),
     "session_entry_exit" -> ((s, d) => CdcOps.sessionEntryExit(s, d)),
+    "temporal_dim_join" -> ((s, d) => CdcOps.temporalDimJoin(s, d)),
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
       VectorOps.embeddingCovariance(s, d)),
@@ -1038,6 +1039,7 @@ object SparkEntry {
       CdcOps.attributionModelsCompareOracleSql,
     "conversion_lag_histogram" -> CdcOps.conversionLagHistogramOracleSql,
     "session_entry_exit" -> CdcOps.sessionEntryExitOracleSql,
+    "temporal_dim_join" -> CdcOps.temporalDimJoinOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,

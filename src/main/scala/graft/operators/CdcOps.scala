@@ -2970,6 +2970,87 @@ object CdcOps {
        |     JOIN e ON top.user_id = e.user_id)
        |    AS n_control_violations""".stripMargin
 
+  /** TEMPORAL DIMENSION JOIN — every event enriched with the SCD2
+    * version of its OWN entity in force STRICTLY BEFORE the event (the
+    * pre-image): the per-fact-row as-of join a warehouse runs between
+    * a fact table and a versioned dimension, where [[scd2Asof]] answers
+    * only the fixed-instant snapshot. Built as the union-merge as-of
+    * walk ([[gaugeResample]]'s one-pass shape, re-keyed): version-open
+    * rows carry their version number, tombstones carry a −1 RESET
+    * sentinel (a running `last(ignoreNulls)` cannot un-see a value —
+    * the sentinel is how a delete clears state inside one window
+    * pass), fact rows carry null, and at equal (ts, event) the fact
+    * sorts FIRST so it cannot see its own version row — that one sort
+    * key IS the strictly-before semantics.
+    *
+    * Scale: two user-keyed windows (version numbering, merge walk) —
+    * the same exchange key, no joins, no explode; at 100 TB this is
+    * one shuffle + sorts, the cheapest temporal-join shape there is
+    * (the naive interval join is the BNLJ trap). */
+  def temporalDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), opCol.as("op"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versions = e
+      .withColumn("version_no",
+        sum(when(col("op") =!= "d", 1L).otherwise(0L)).over(wRun))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("op") === "d", -1L).otherwise(col("version_no")).as("v"),
+        lit(0).as("is_fact"), col("op"))
+    val facts = e.select(col("user_id"), col("ts_ms"), col("event_id"),
+      lit(null).cast("long").as("v"), lit(1).as("is_fact"), col("op"))
+    val wm = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"), col("is_fact").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(facts)
+      .withColumn("run_v", last(col("v"), ignoreNulls = true).over(wm))
+      .filter(col("is_fact") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("op"),
+        expr("CASE WHEN run_v = -1 THEN NULL ELSE run_v END")
+          .as("prev_version_no"))
+      .withColumn("had_prior_state", col("prev_version_no").isNotNull)
+      .orderBy("event_id")
+  }
+
+  /** DuckDB oracle for [[temporalDimJoin]] — the same two-window walk
+    * (`last_value … IGNORE NULLS` with the fact-first sort key). */
+  private[graft] def temporalDimJoinOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |    CASE WHEN event_type = 'signup' THEN 'c'
+       |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+       |  FROM events),
+       |vn AS (
+       |  SELECT user_id, ts_ms, event_id, op,
+       |    CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS version_no
+       |  FROM e),
+       |m AS (
+       |  SELECT user_id, ts_ms, event_id,
+       |    CASE WHEN op = 'd' THEN -1 ELSE version_no END AS v,
+       |    0 AS is_fact, op
+       |  FROM vn
+       |  UNION ALL
+       |  SELECT user_id, ts_ms, event_id, NULL, 1, op FROM e),
+       |r AS (
+       |  SELECT *,
+       |    last_value(v IGNORE NULLS) OVER (
+       |      PARTITION BY user_id
+       |      ORDER BY ts_ms, event_id, is_fact DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_v
+       |  FROM m)
+       |SELECT event_id, user_id, ts_ms, op,
+       |  CASE WHEN run_v = -1 THEN NULL ELSE run_v END
+       |    AS prev_version_no,
+       |  CASE WHEN run_v = -1 THEN FALSE ELSE run_v IS NOT NULL END
+       |    AS had_prior_state
+       |FROM r WHERE is_fact = 1
+       |ORDER BY event_id""".stripMargin
+
   /** MULTI-TOUCH MODEL COMPARISON — first-touch, last-touch, linear,
     * and organic, as four summary rows over the SAME attributed-pair
     * frame: purchases attributed, distinct clicks credited, and total

@@ -875,6 +875,31 @@ class CurationInvariantsSpec extends GraftSpec {
     assert(share >= (n / 10) * 1000 / n && share <= 1000, s"share $share")
   }
 
+  test("temporal dim join: pre-image semantics hold event by event") {
+    // Replay each user's chain in order: the enriched prev_version_no
+    // must equal the version counter BEFORE the event, cleared by
+    // tombstones — an independent sequential re-derivation of the
+    // window walk.
+    val rows = CdcOps.temporalDimJoin(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { case (_, evs) =>
+      var counter = 0L
+      var inForce: Option[Long] = None
+      evs.sortBy(r => (r.getAs[Long]("ts_ms"), r.getAs[Long]("event_id")))
+        .foreach { r =>
+          val got = Option(r.getAs[java.lang.Long]("prev_version_no"))
+            .map(_.longValue)
+          assert(got == inForce,
+            s"event ${r.getAs[Long]("event_id")}: $got != $inForce")
+          assert(r.getAs[Boolean]("had_prior_state") == inForce.isDefined)
+          r.getAs[String]("op") match {
+            case "d" => inForce = None
+            case _ => counter += 1; inForce = Some(counter)
+          }
+        }
+    }
+  }
+
   test("props key census: shares bounded, invalid class present") {
     val rows = CdcOps.propsKeyCensus(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key")).contains("__invalid__"))
