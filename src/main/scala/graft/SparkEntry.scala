@@ -229,6 +229,7 @@ object SparkEntry {
     "nation_share_of_region" -> ((s, d) =>
       BatchOps.nationShareOfRegion(s, d)),
     "seasonal_index" -> ((s, d) => BatchOps.seasonalIndex(s, d)),
+    "regional_rollup" -> ((s, d) => BatchOps.regionalRollup(s, d)),
     "revenue_concentration" -> ((s, d) =>
       BatchOps.revenueConcentration(s, d)),
     "wow_growth" -> ((s, d) => BatchOps.wowGrowth(s, d)),
@@ -1030,6 +1031,7 @@ object SparkEntry {
     "discount_band_profile" -> BatchOps.discountBandProfileOracleSql,
     "nation_share_of_region" -> BatchOps.nationShareOfRegionOracleSql,
     "seasonal_index" -> BatchOps.seasonalIndexOracleSql,
+    "regional_rollup" -> BatchOps.regionalRollupOracleSql,
     "revenue_concentration" -> BatchOps.revenueConcentrationOracleSql,
     "wow_growth" -> BatchOps.wowGrowthOracleSql,
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,

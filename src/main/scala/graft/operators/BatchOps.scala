@@ -651,6 +651,46 @@ object BatchOps {
        |ORDER BY grain NULLS FIRST, o_orderstatus NULLS FIRST,
        |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Native ROLLUP down the region→nation hierarchy — grand total,
+    * per-region subtotals, and (region, nation) leaves with
+    * `grouping_id` grain tags in ONE aggregate: the hierarchy-subtotal
+    * operator that completes the grouping-sets surface next to
+    * [[orderStatusCube]] (CUBE) and `time_rollup` (manual union).
+    * Unlike the union form, ROLLUP's Expand feeds a single partial+
+    * final aggregate — one corpus pass however deep the hierarchy.
+    * Cents only; dims broadcast. */
+  def regionalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name").as("r_name"), n("n_name").as("n_name"),
+        round(o("o_totalprice") * 100).cast("long").as("cents"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_c"),
+        grouping_id().as("grain"))
+      .orderBy(col("grain").asc_nulls_first,
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** DuckDB oracle for [[regionalRollup]]. */
+  private[graft] def regionalRollupOracleSql: String =
+    s"""SELECT r.r_name, n.n_name, count(*) AS n_orders,
+       |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+       |    AS BIGINT) AS rev_c,
+       |  GROUPING(r.r_name, n.n_name) AS grain
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY ROLLUP (r.r_name, n.n_name)
+       |ORDER BY grain NULLS FIRST, r.r_name NULLS FIRST,
+       |  n.n_name NULLS FIRST""".stripMargin
+
   /** Histogram bin width for [[priceHistogram]] (shared with the
     * oracle). */
   val PriceBinWidth = 10000
