@@ -286,6 +286,8 @@ object SparkEntry {
     "ann_mih_top1" -> ((s, d) => VectorOps.annMihTop1(s, d)),
     "ann_mih_rerank_top1" -> ((s, d) => VectorOps.annMihRerankTop1(s, d)),
     "ann_rp_rerank_top1" -> ((s, d) => VectorOps.annRpRerankTop1(s, d)),
+    "ann_rp_multiprobe_top1" -> ((s, d) =>
+      VectorOps.annRpMultiprobeTop1(s, d)),
     "ann_quality_report" -> ((s, d) => VectorOps.annQualityReport(s, d)),
     "knn_label_agreement" -> ((s, d) => VectorOps.knnLabelAgreement(s, d)),
     "embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
@@ -1167,6 +1169,7 @@ object SparkEntry {
     "ann_mih_top1" -> VectorOps.annMihTop1OracleSql,
     "ann_mih_rerank_top1" -> VectorOps.annMihRerankTop1OracleSql,
     "ann_rp_rerank_top1" -> VectorOps.annRpRerankTop1OracleSql,
+    "ann_rp_multiprobe_top1" -> VectorOps.annRpMultiprobeTop1OracleSql,
     "ann_quality_report" -> VectorOps.annQualityReportOracleSql,
     "knn_label_agreement" -> VectorOps.knnLabelAgreementOracleSql,
     "embedding_drift" -> VectorOps.embeddingDriftOracleSql,
