@@ -900,6 +900,20 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("ann quality: multiprobe dominates single-probe, coverage full") {
+    // Multi-probe's candidate set is a SUPERSET of single-probe's
+    // (probe 0 is the exact bucket), and the rerank is deterministic,
+    // so its recall can never be lower — pinned as data.
+    val rows = VectorOps.annQualityReport(spark, dir).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows("rp_multiprobe").getAs[Long]("n_correct") >=
+      rows("rp_rerank").getAs[Long]("n_correct"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_covered"))
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_queries"))
+    }
+  }
+
   test("props key census: shares bounded, invalid class present") {
     val rows = CdcOps.propsKeyCensus(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key")).contains("__invalid__"))
