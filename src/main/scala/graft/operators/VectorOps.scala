@@ -2533,7 +2533,21 @@ object VectorOps {
     * corpus scale (sample upstream; the report logic is
     * sample-size-agnostic). The per-family joins and counts are
     * id-only single-row aggregates. */
-  def annQualityReport(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact brute-force top-1 ground truth (q_id → exact_c), memoized
+    * per (session, dir) like the other build-once eval artifacts: the
+    * N² pass is paid one visible `memo_populate` time instead of once
+    * per report evaluation. */
+  private val exactTop1Memo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      DataFrame]())
+
+  private[graft] def exactTop1(spark: SparkSession, dir: String): DataFrame =
+    exactTop1Memo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("exact_top1")(exactTop1Uncached(spark, dir)))
+
+  private def exactTop1Uncached(spark: SparkSession,
+      dir: String): DataFrame = {
     prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -2546,7 +2560,7 @@ object VectorOps {
     // Exact pick: same non-foldable constant-key BroadcastHashJoin as
     // cosineTopK (a BNLJ would evaluate the dot interpreted), same
     // (cosine desc, c_id asc) tiebreak as every ANN family.
-    val exact = c.withColumn("jk", pmod(col("c_id"), lit(1)))
+    c.withColumn("jk", pmod(col("c_id"), lit(1)))
       .join(broadcast(q.withColumn("jk", pmod(col("q_id"), lit(1)))), "jk")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
@@ -2555,6 +2569,11 @@ object VectorOps {
       .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c"))).as("b"))
       .select(col("q_id"), (-col("b.neg_c")).as("exact_c"))
       .localCheckpoint()
+  }
+
+  def annQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val exact = exactTop1(spark, dir)
     val tot = exact.agg(count(lit(1)).as("n_queries"))
     def familyRow(name: String, picks: DataFrame): DataFrame =
       picks.select(col("q_id"), col("c_id"))
