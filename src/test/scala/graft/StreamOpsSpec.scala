@@ -1104,6 +1104,74 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("trailing-DAU stream: sliding dedup state survives stop/restart") {
+    // Same recovery contract as T5 but across CHAINED stateful
+    // operators (sliding-span dropDuplicates → windowed count): after
+    // the restart, a span must still count members it saw only BEFORE
+    // the stop — membership lives in the recovered dedup state.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dau-ckpt-").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    def start(buf: scala.collection.mutable.Buffer[(String, Long)]) =
+      StreamOps.trailingDauStream(
+          spark.readStream
+            .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+            .parquet(inDir))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r =>
+            (r.getAs[java.sql.Date]("day").toString,
+              r.getAs[Long]("dau_7d")))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // Phase 1: two users on Jan 1, one again on Jan 2; a Feb 1
+    // sentinel closes every January span. Its OWN spans stay open —
+    // their membership is exactly what the restart must recover.
+    Seq(
+      event(1, "2024-01-01 08:00:00", 1, "click", 1.0),
+      event(2, "2024-01-01 09:00:00", 2, "click", 1.0),
+      event(3, "2024-01-02 10:00:00", 1, "view", 1.0),
+      event(4, "2024-02-01 00:00:00", 9, "click", 1.0))
+      .toDS().write.mode("append").parquet(inDir)
+    val phase1 = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q1 = start(phase1)
+    try {
+      q1.processAllAvailable()
+      val p1 = phase1.toMap
+      assert(p1("2024-01-01") == 2L && p1("2024-01-07") == 2L)
+      assert(p1("2024-01-08") == 1L) // span [Jan 2, Jan 8]: user 1 only
+    } finally q1.stop()
+
+    // Phase 2, after the stop: user 3 joins on Feb 2, a March sentinel
+    // closes the February spans.
+    Seq(
+      event(5, "2024-02-02 12:00:00", 3, "click", 1.0),
+      event(6, "2024-03-01 00:00:00", 10, "click", 1.0))
+      .toDS().write.mode("append").parquet(inDir)
+    val phase2 = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q2 = start(phase2)
+    try {
+      q2.processAllAvailable()
+      val p2 = phase2.toMap
+      // No reprocessing: January spans were emitted before the stop
+      // and must not re-emit.
+      assert(!phase2.exists(_._1 < "2024-02-01"),
+        s"phase-1 spans re-emitted: $phase2")
+      // State continuity: the Feb 2 span counts the pre-stop user 9
+      // AND the post-restart user 3 — a fresh query without the
+      // recovered dedup state would count 1.
+      assert(p2("2024-02-02") == 2L, s"recovered membership lost: $p2")
+      assert(p2("2024-02-01") == 1L)
+      assert(p2("2024-02-08") == 1L) // [Feb 2, Feb 8]: user 3 only
+    } finally {
+      q2.stop()
+      deleteRecursively(base)
+    }
+  }
+
   test("S3: kafka-shaped value decodes through the envelope schema") {
     // No Kafka in this container — decodeKafka is exercised on a static
     // frame shaped like the Kafka source (binary key/value columns).
