@@ -235,6 +235,7 @@ object SparkEntry {
     "wow_growth" -> ((s, d) => BatchOps.wowGrowth(s, d)),
     "fk_fanout_histogram" -> ((s, d) => BatchOps.fkFanoutHistogram(s, d)),
     "normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(s, d)),
+    "psi_drift" -> ((s, d) => TextOps.psiDrift(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "attribution_models_compare" -> ((s, d) =>
       CdcOps.attributionModelsCompare(s, d)),
@@ -1038,6 +1039,7 @@ object SparkEntry {
     "wow_growth" -> BatchOps.wowGrowthOracleSql,
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,
     "normalized_dedup" -> TextOps.normalizedDedupOracleSql,
+    "psi_drift" -> TextOps.psiDriftOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "attribution_models_compare" ->
       CdcOps.attributionModelsCompareOracleSql,

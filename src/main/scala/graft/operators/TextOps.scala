@@ -4748,6 +4748,92 @@ object TextOps {
        |    AS BIGINT) AS n_merged_by_normalization
        |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** POPULATION STABILITY INDEX per source — each source's document-
+    * length distribution against the CORPUS profile, at bin grain:
+    * the canonical production drift metric (PSI term
+    * (p−q)·ln(p/q) per bin; > 0.2 summed = investigate), monitoring's
+    * counterpart to [[splitDrift]]'s share deltas (split integrity)
+    * and [[sourceDivergence]]'s token-level TV distance. Laplace
+    * smoothing (n+1)/(N+bins) keeps empty bins finite AND exact —
+    * both shares are single int64 ratios, so the only float steps are
+    * the fixed-order (p−q)·ln(p/q), rounded 6 dp (the [[zipfSlope]]
+    * libm rule).
+    *
+    * Scale: one corpus pass to (source, bin) grain (≤ sources ×
+    * [[DriftBins]] cells), corpus profile re-aggregated from the same
+    * cells, broadcast spine join — output size is schema-constant. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .select(col("source"),
+        least(expr(s"n_chars div $DriftBinWidth"),
+          lit((DriftBins - 1).toLong)).cast("int").as("bin"))
+    val srcBin = binned.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_src"))
+      .localCheckpoint()
+    val corpusBin = srcBin.groupBy("bin")
+      .agg(sum(col("n_src")).as("n_all"))
+    val srcTot = srcBin.groupBy("source")
+      .agg(sum(col("n_src")).as("src_total"))
+    val allTot = corpusBin.agg(sum(col("n_all")).as("all_total"))
+    val spine = srcTot.select(col("source"), col("src_total"))
+      .crossJoin(spark.range(DriftBins)
+        .select(col("id").cast("int").as("bin")))
+    spine
+      .join(srcBin, Seq("source", "bin"), "left")
+      .join(broadcast(corpusBin), Seq("bin"), "left")
+      .crossJoin(broadcast(allTot))
+      .withColumn("n_src", coalesce(col("n_src"), lit(0L)))
+      .withColumn("n_all", coalesce(col("n_all"), lit(0L)))
+      .withColumn("p",
+        (col("n_src") + 1).cast("double") /
+          (col("src_total") + DriftBins).cast("double"))
+      .withColumn("q",
+        (col("n_all") + 1).cast("double") /
+          (col("all_total") + DriftBins).cast("double"))
+      .withColumn("psi_term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .select("source", "bin", "n_src", "n_all", "psi_term")
+      .orderBy("source", "bin")
+  }
+
+  /** DuckDB oracle for [[psiDrift]]. */
+  private[graft] def psiDriftOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    CAST(least(n_chars // $DriftBinWidth, ${DriftBins - 1})
+       |      AS INT) AS bin
+       |  FROM documents),
+       |sb AS (
+       |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM b GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT bin, CAST(sum(n_src) AS BIGINT) AS n_all
+       |  FROM sb GROUP BY 1),
+       |st AS (
+       |  SELECT source, CAST(sum(n_src) AS BIGINT) AS src_total
+       |  FROM sb GROUP BY 1),
+       |at AS (SELECT CAST(sum(n_all) AS BIGINT) AS all_total FROM cb),
+       |spine AS (
+       |  SELECT st.source, st.src_total, CAST(g.bin AS INT) AS bin
+       |  FROM st CROSS JOIN (
+       |    SELECT unnest(generate_series(0, ${DriftBins - 1})) AS bin) g),
+       |j AS (
+       |  SELECT s.source, s.bin,
+       |    CAST(coalesce(sb.n_src, 0) AS BIGINT) AS n_src,
+       |    CAST(coalesce(cb.n_all, 0) AS BIGINT) AS n_all,
+       |    CAST(coalesce(sb.n_src, 0) + 1 AS DOUBLE) /
+       |      CAST(s.src_total + $DriftBins AS DOUBLE) AS p,
+       |    CAST(coalesce(cb.n_all, 0) + 1 AS DOUBLE) /
+       |      CAST(at.all_total + $DriftBins AS DOUBLE) AS q
+       |  FROM spine s
+       |  LEFT JOIN sb ON s.source = sb.source AND s.bin = sb.bin
+       |  LEFT JOIN cb ON s.bin = cb.bin
+       |  CROSS JOIN at)
+       |SELECT source, bin, n_src, n_all,
+       |  round((p - q) * ln(p / q), 6) AS psi_term
+       |FROM j
+       |ORDER BY source, bin""".stripMargin
+
   /** Flesch-style READABILITY per document — the classic reading-ease
     * screen a text-quality pipeline runs next to the length/stopword
     * gates: sentence count (terminal punctuation runs, floored at 1 —
