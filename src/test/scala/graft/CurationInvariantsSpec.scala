@@ -914,6 +914,21 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("psi drift: terms non-negative, bin mass closes per source") {
+    val rows = TextOps.psiDrift(spark, dir).collect()
+    // (p−q) and ln(p/q) always share sign, so every PSI term is ≥ 0
+    // (up to the 6-dp rounding floor).
+    rows.foreach(r =>
+      assert(r.getAs[Double]("psi_term") >= -1e-6,
+        s"negative PSI term: $r"))
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    val docs = Tables.documents(spark, dir).count()
+    assert(perSource.values.map(_.map(_.getAs[Long]("n_src")).sum).sum
+      == docs)
+    perSource.values.foreach(rs =>
+      assert(rs.length == TextOps.DriftBins))
+  }
+
   test("props key census: shares bounded, invalid class present") {
     val rows = CdcOps.propsKeyCensus(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key")).contains("__invalid__"))
