@@ -474,6 +474,24 @@ object StreamOps {
           .otherwise("novel"))
   }
 
+  /** LIVE payload-schema census — the streaming twin of
+    * `CdcOps.propsKeyCensus`: top-level `json_object_keys` of every
+    * incoming payload counted per (event_type, key) as an update-mode
+    * running aggregate, with unparseable payloads surfaced as the
+    * `__invalid__` pseudo-key. This is the drift alarm a CDC platform
+    * watches LIVE — a producer deploy that renames a field moves these
+    * counters within one trigger, hours before a batch census would
+    * see it. Stateless projection + one global-agg state keyed by
+    * (type, key): state size is the schema vocabulary, not the
+    * stream. */
+  def propsKeyCensusStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        explode(coalesce(expr("json_object_keys(props)"),
+          array(lit("__invalid__")))).as("key"))
+      .groupBy("event_type", "key")
+      .agg(count(lit(1)).as("n_rows"))
+
   /** Streaming trailing-7-day ACTIVE USERS — the streaming twin of
     * `CdcOps.trailingDau`, as CHAINED stateful operators: each event
     * lands in the 7 sliding spans it belongs to, a watermarked

@@ -1172,6 +1172,39 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("live schema census: key counters accumulate, malformed surfaces") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.propsKeyCensusStream(in.toDF())
+      .writeStream.format("memory").queryName("census")
+      .outputMode("update").start()
+    def ev(id: Long, typ: String, props: String) =
+      Event(id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        1L, typ, 1.0, props)
+    try {
+      in.addData(
+        ev(1, "click", """{"k": 1}"""),
+        ev(2, "click", """{"k": 2, "extra": true}"""),
+        ev(3, "view", """{"k": """)) // malformed
+      q.processAllAvailable()
+      // Second trigger: the running counters must CHAIN (update mode),
+      // and a renamed field shows up as a fresh key within one trigger.
+      in.addData(
+        ev(4, "click", """{"k_renamed": 3}"""),
+        ev(5, "view", """not json"""))
+      q.processAllAvailable()
+      val got = spark.table("census").collect()
+        .groupBy(r => (r.getAs[String]("event_type"),
+          r.getAs[String]("key")))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_rows")).max }
+      assert(got(("click", "k")) == 2L)
+      assert(got(("click", "extra")) == 1L)
+      assert(got(("click", "k_renamed")) == 1L)
+      assert(got(("view", "__invalid__")) == 2L,
+        "malformed payloads must accumulate across triggers")
+    } finally q.stop()
+  }
+
   test("S3: kafka-shaped value decodes through the envelope schema") {
     // No Kafka in this container — decodeKafka is exercised on a static
     // frame shaped like the Kafka source (binary key/value columns).
