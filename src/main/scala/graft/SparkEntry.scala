@@ -236,6 +236,9 @@ object SparkEntry {
     "fk_fanout_histogram" -> ((s, d) => BatchOps.fkFanoutHistogram(s, d)),
     "normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(s, d)),
     "psi_drift" -> ((s, d) => TextOps.psiDrift(s, d)),
+    "dedup_rate_by_source" -> ((s, d) => TextOps.dedupRateBySource(s, d)),
+    "rank_semantics_audit" -> ((s, d) =>
+      BatchOps.rankSemanticsAudit(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "attribution_models_compare" -> ((s, d) =>
       CdcOps.attributionModelsCompare(s, d)),
@@ -1040,6 +1043,8 @@ object SparkEntry {
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,
     "normalized_dedup" -> TextOps.normalizedDedupOracleSql,
     "psi_drift" -> TextOps.psiDriftOracleSql,
+    "dedup_rate_by_source" -> TextOps.dedupRateBySourceOracleSql,
+    "rank_semantics_audit" -> BatchOps.rankSemanticsAuditOracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "attribution_models_compare" ->
       CdcOps.attributionModelsCompareOracleSql,

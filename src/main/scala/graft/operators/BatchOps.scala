@@ -691,6 +691,62 @@ object BatchOps {
        |ORDER BY grain NULLS FIRST, r.r_name NULLS FIRST,
        |  n.n_name NULLS FIRST""".stripMargin
 
+  /** RANK-SEMANTICS audit — the three ranking functions' tie behavior
+    * pinned as ONE integer row over a deliberately tie-heavy order
+    * (l_quantity is a small-integer domain): how many rows survive
+    * `rank() <= K` (ties inflate past K), `dense_rank() <= K` (every
+    * row in the top K VALUE classes), and `row_number() <= K`
+    * (exactly K), plus the distinct-value count inside the row_number
+    * cut. The [[joinSemanticsAudit]] discipline applied to window
+    * ranking — a planner or refactor that swaps one for another
+    * breaks an exact count.
+    *
+    * Scale: one unpartitioned window over the part-grain quantity
+    * rollup (dimension cardinality — the [[abcClassification]]
+    * trade), one global aggregate. */
+  val RankAuditK = 10
+
+  def rankSemanticsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+    val w = Window.orderBy(col("qty").desc, col("l_partkey"))
+    val wVal = Window.orderBy(col("qty").desc)
+    perPart
+      .withColumn("rnk", rank().over(wVal))
+      .withColumn("drnk", dense_rank().over(wVal))
+      .withColumn("rn", row_number().over(w))
+      .agg(
+        count(when(col("rnk") <= RankAuditK, true)).as("n_rank"),
+        count(when(col("drnk") <= RankAuditK, true)).as("n_dense_rank"),
+        count(when(col("rn") <= RankAuditK, true)).as("n_row_number"),
+        countDistinct(when(col("rn") <= RankAuditK, col("qty")))
+          .as("n_values_in_rn_cut"))
+  }
+
+  /** DuckDB oracle for [[rankSemanticsAudit]]. */
+  private[graft] def rankSemanticsAuditOracleSql: String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+       |  FROM lineitem GROUP BY 1),
+       |r AS (
+       |  SELECT qty,
+       |    rank() OVER (ORDER BY qty DESC) AS rnk,
+       |    dense_rank() OVER (ORDER BY qty DESC) AS drnk,
+       |    row_number() OVER (ORDER BY qty DESC, l_partkey) AS rn
+       |  FROM pp)
+       |SELECT
+       |  CAST(count(*) FILTER (WHERE rnk <= $RankAuditK) AS BIGINT)
+       |    AS n_rank,
+       |  CAST(count(*) FILTER (WHERE drnk <= $RankAuditK) AS BIGINT)
+       |    AS n_dense_rank,
+       |  CAST(count(*) FILTER (WHERE rn <= $RankAuditK) AS BIGINT)
+       |    AS n_row_number,
+       |  CAST(count(DISTINCT qty) FILTER (WHERE rn <= $RankAuditK)
+       |    AS BIGINT) AS n_values_in_rn_cut
+       |FROM r""".stripMargin
+
   /** Histogram bin width for [[priceHistogram]] (shared with the
     * oracle). */
   val PriceBinWidth = 10000

@@ -4748,6 +4748,51 @@ object TextOps {
        |    AS BIGINT) AS n_merged_by_normalization
        |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** Per-SOURCE dedup-rate breakdown — [[normalizedDedup]]'s corpus
+    * row at the grain curation decisions are made: for each source,
+    * raw-distinct and normalized-distinct counts with floor-mille dup
+    * rates, answering "which crawl is dirtiest and how much of it is
+    * formatting noise" before any cross-source near-dup pass runs.
+    *
+    * Scale: one projection + one (source)-grain aggregate with two
+    * distinct-counts — partial+final; source cardinality output. */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        md5(col("text")).as("raw_h"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("norm_h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_distinct"),
+        countDistinct(col("norm_h")).as("n_norm_distinct"))
+      .withColumn("exact_dup_mille",
+        expr("(n_docs - n_raw_distinct) * 1000 div n_docs"))
+      .withColumn("format_dup_mille",
+        expr("(n_raw_distinct - n_norm_distinct) * 1000 div n_docs"))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[dedupRateBySource]]. */
+  private[graft] def dedupRateBySourceOracleSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
+       |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+       |    AS BIGINT) AS n_norm_distinct,
+       |  (CAST(count(*) AS BIGINT) -
+       |    CAST(count(DISTINCT md5(text)) AS BIGINT)) * 1000 //
+       |    CAST(count(*) AS BIGINT) AS exact_dup_mille,
+       |  (CAST(count(DISTINCT md5(text)) AS BIGINT) -
+       |    CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+       |      AS BIGINT)) * 1000 //
+       |    CAST(count(*) AS BIGINT) AS format_dup_mille
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** POPULATION STABILITY INDEX per source — each source's document-
     * length distribution against the CORPUS profile, at bin grain:
     * the canonical production drift metric (PSI term
