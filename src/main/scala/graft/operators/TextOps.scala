@@ -4544,7 +4544,16 @@ object TextOps {
     * window partitions by (source, value). The rank→value map has
     * exactly N rows and joins by hash on rank. The (rn−1)(N−1)
     * product needs N² < 2⁶³ — fine to ~3e9 docs; past that the same
-    * formula ships in DECIMAL(38,0). */
+    * formula ships in DECIMAL(38,0).
+    *
+    * Caveat the above glosses: a (source, value) tie-break partition
+    * is only bounded while values spread. Real corpora CONCENTRATE
+    * lengths at clip boundaries (a truncation cap puts a large
+    * fraction of one source at exactly max-length), and that partition
+    * then degenerates toward source size. The production remedy is the
+    * standard salted two-pass rank (salt the partition, offset by the
+    * per-salt prefix counts); kept out here because the oracle needs
+    * the unsalted form and the shipped corpus has no such atom. */
   def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
