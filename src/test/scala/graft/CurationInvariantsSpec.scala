@@ -929,6 +929,36 @@ class CurationInvariantsSpec extends GraftSpec {
       assert(rs.length == TextOps.DriftBins))
   }
 
+  test("rank semantics: the three cuts nest exactly as defined") {
+    val r = BatchOps.rankSemanticsAudit(spark, dir).collect()(0)
+    def g(c: String) = r.getAs[Long](c)
+    assert(g("n_row_number") == BatchOps.RankAuditK)
+    // rank()<=K stops at the first value class crossing K; dense_rank
+    // admits every row of the top K value classes — always a superset.
+    assert(g("n_rank") >= g("n_row_number"))
+    assert(g("n_dense_rank") >= g("n_rank"))
+    assert(g("n_values_in_rn_cut") <= BatchOps.RankAuditK)
+  }
+
+  test("dedup rate by source: distinct chains and milles reconcile") {
+    val global = TextOps.normalizedDedup(spark, dir).collect()(0)
+    val rows = TextOps.dedupRateBySource(spark, dir).collect()
+    rows.foreach { r =>
+      def g(c: String) = r.getAs[Long](c)
+      assert(g("n_norm_distinct") <= g("n_raw_distinct"))
+      assert(g("n_raw_distinct") <= g("n_docs"))
+      assert(g("exact_dup_mille") ==
+        (g("n_docs") - g("n_raw_distinct")) * 1000 / g("n_docs"))
+    }
+    // Source-level docs close to the corpus row; distincts may only
+    // EXCEED the global figure in sum (cross-source duplicates
+    // collapse globally).
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      global.getAs[Long]("n_docs"))
+    assert(rows.map(_.getAs[Long]("n_raw_distinct")).sum >=
+      global.getAs[Long]("n_raw_distinct"))
+  }
+
   test("props key census: shares bounded, invalid class present") {
     val rows = CdcOps.propsKeyCensus(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key")).contains("__invalid__"))
