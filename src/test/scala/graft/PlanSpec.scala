@@ -537,6 +537,29 @@ class PlanSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("multiprobe RP: probe expansion stays a bucket equi-join") {
+    val plan = executedPlan(VectorOps.annRpMultiprobeTop1(spark, dir))
+    // The 9× probe explode must reach candidates through the same
+    // (band, value) hash join as single-probe — a fallback to
+    // nested-loop would turn the recall knob into an all-pairs scan.
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi probe join:\n$plan")
+  }
+
+  test("temporal dim join: the as-of walk runs without any join") {
+    val plan = executedPlan(CdcOps.temporalDimJoin(spark, dir))
+    // The whole point of the union-merge shape: version lookup happens
+    // inside user-keyed windows over a union, never as a fact×version
+    // interval join. ANY join operator in this plan is a regression
+    // into the shape the operator exists to avoid.
+    assert(!plan.contains("Join"), s"join crept into the as-of walk:\n$plan")
+    val userExchanges = plan.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges.length <= 2,
+      s"extra user_id shuffles:\n${userExchanges.mkString("\n")}")
+  }
+
   test("market share: dims broadcast, only fact joins shuffle") {
     val plan = executedPlan(BatchOps.nationalMarketShare(spark, dir))
     // Four dimension joins (nation ×2, region, supplier) must ride
