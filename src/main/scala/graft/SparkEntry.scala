@@ -239,6 +239,8 @@ object SparkEntry {
     "dedup_rate_by_source" -> ((s, d) => TextOps.dedupRateBySource(s, d)),
     "rank_semantics_audit" -> ((s, d) =>
       BatchOps.rankSemanticsAudit(s, d)),
+    "segment_priority_chi2" -> ((s, d) =>
+      BatchOps.segmentPriorityChi2(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "attribution_models_compare" -> ((s, d) =>
       CdcOps.attributionModelsCompare(s, d)),
@@ -1045,6 +1047,7 @@ object SparkEntry {
     "psi_drift" -> TextOps.psiDriftOracleSql,
     "dedup_rate_by_source" -> TextOps.dedupRateBySourceOracleSql,
     "rank_semantics_audit" -> BatchOps.rankSemanticsAuditOracleSql,
+    "segment_priority_chi2" -> BatchOps.segmentPriorityChi2OracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "attribution_models_compare" ->
       CdcOps.attributionModelsCompareOracleSql,

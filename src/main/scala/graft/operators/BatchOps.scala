@@ -747,6 +747,84 @@ object BatchOps {
        |    AS BIGINT) AS n_values_in_rn_cut
        |FROM r""".stripMargin
 
+  /** CHI-SQUARE independence screen — market segment × order priority
+    * as a contingency table with EXACT integer cell statistics: the
+    * categorical counterpart of [[mannKendallTrend]] (ordinal trend)
+    * and `length_quality_spearman` (rank correlation), completing the
+    * distribution-test toolkit. Per cell: observed count, expected
+    * count in micro units (row·col·10⁶ ÷ N), and the χ² contribution
+    * in micro units via the cross-multiplied closed form
+    * (o·N − row·col)²·10⁶ ÷ (N·row·col) — algebraically (o−e)²/e with
+    * every division deferred to ONE exact floor div. The squared
+    * numerator tops int64 immediately, so the whole form runs in
+    * DECIMAL(38,0)/HUGEINT (the standing headroom rule). Consumers
+    * sum contrib_micro (exact integers — order-free) and compare to
+    * the χ² critical value for (r−1)(c−1) dof.
+    *
+    * Scale: one fact-side key shuffle (orders⋈customer), one cell-
+    * grain partial+final aggregate; margins re-aggregate the ≤ r·c
+    * cell frame. */
+  def segmentPriorityChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("observed"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy("segment")
+      .agg(sum(col("observed")).as("row_tot"))
+    val colTot = cells.groupBy("priority")
+      .agg(sum(col("observed")).as("col_tot"))
+    val grand = cells.agg(sum(col("observed")).as("n_total"))
+    cells
+      .join(broadcast(rowTot), Seq("segment"))
+      .join(broadcast(colTot), Seq("priority"))
+      .crossJoin(broadcast(grand))
+      .withColumn("expected_micro",
+        expr("(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000) div " +
+          "CAST(n_total AS DECIMAL(38,0))"))
+      .withColumn("contrib_micro",
+        expr("((CAST(observed AS DECIMAL(38,0)) * n_total - " +
+          "CAST(row_tot AS DECIMAL(38,0)) * col_tot) * " +
+          "(CAST(observed AS DECIMAL(38,0)) * n_total - " +
+          "CAST(row_tot AS DECIMAL(38,0)) * col_tot) * 1000000) div " +
+          "(CAST(n_total AS DECIMAL(38,0)) * row_tot * col_tot)"))
+      .select("segment", "priority", "observed", "row_tot", "col_tot",
+        "n_total", "expected_micro", "contrib_micro")
+      .orderBy("segment", "priority")
+  }
+
+  /** DuckDB oracle for [[segmentPriorityChi2]]. */
+  private[graft] def segmentPriorityChi2OracleSql: String =
+    s"""WITH cells AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+       |    CAST(count(*) AS BIGINT) AS observed
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT segment, CAST(sum(observed) AS BIGINT) AS row_tot
+       |  FROM cells GROUP BY 1),
+       |ct AS (
+       |  SELECT priority, CAST(sum(observed) AS BIGINT) AS col_tot
+       |  FROM cells GROUP BY 1),
+       |g AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells)
+       |SELECT cells.segment, cells.priority, cells.observed,
+       |  rt.row_tot, ct.col_tot, g.n_total,
+       |  CAST((CAST(rt.row_tot AS HUGEINT) * ct.col_tot * 1000000) //
+       |    CAST(g.n_total AS HUGEINT) AS BIGINT) AS expected_micro,
+       |  CAST(((CAST(cells.observed AS HUGEINT) * g.n_total -
+       |    CAST(rt.row_tot AS HUGEINT) * ct.col_tot) *
+       |    (CAST(cells.observed AS HUGEINT) * g.n_total -
+       |    CAST(rt.row_tot AS HUGEINT) * ct.col_tot) * 1000000) //
+       |    (CAST(g.n_total AS HUGEINT) * rt.row_tot * ct.col_tot)
+       |    AS BIGINT) AS contrib_micro
+       |FROM cells
+       |JOIN rt ON cells.segment = rt.segment
+       |JOIN ct ON cells.priority = ct.priority
+       |CROSS JOIN g
+       |ORDER BY 1, 2""".stripMargin
+
   /** Histogram bin width for [[priceHistogram]] (shared with the
     * oracle). */
   val PriceBinWidth = 10000

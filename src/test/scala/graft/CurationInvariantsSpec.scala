@@ -697,6 +697,34 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("segment×priority chi2: margins close, contribs match exact form") {
+    val rows = BatchOps.segmentPriorityChi2(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("observed")).sum == n)
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (_, cs) =>
+      assert(cs.map(_.getAs[Long]("observed")).sum ==
+        cs.head.getAs[Long]("row_tot"))
+    }
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (_, cs) =>
+      assert(cs.map(_.getAs[Long]("observed")).sum ==
+        cs.head.getAs[Long]("col_tot"))
+    }
+    // expected_micro floors: the margin mass re-closes within one
+    // micro-unit per cell.
+    val expSum = rows.map(r => BigInt(r.getAs[Long]("expected_micro"))).sum
+    assert(expSum <= BigInt(n) * 1000000 &&
+      expSum > BigInt(n) * 1000000 - rows.length,
+      s"expected_micro sums to $expSum for n=$n")
+    rows.foreach { r =>
+      def g(c: String) = BigInt(r.getAs[Long](c))
+      val d = g("observed") * g("n_total") - g("row_tot") * g("col_tot")
+      assert(g("contrib_micro") ==
+        d * d * 1000000 / (g("n_total") * g("row_tot") * g("col_tot")))
+      assert(g("contrib_micro") >= 0)
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
