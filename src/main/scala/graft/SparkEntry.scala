@@ -230,6 +230,12 @@ object SparkEntry {
       BatchOps.nationShareOfRegion(s, d)),
     "seasonal_index" -> ((s, d) => BatchOps.seasonalIndex(s, d)),
     "regional_rollup" -> ((s, d) => BatchOps.regionalRollup(s, d)),
+    "margins_grouping_sets" -> ((s, d) =>
+      BatchOps.marginsGroupingSets(s, d)),
+    "promo_share_q14" -> ((s, d) => BatchOps.promoShareQ14(s, d)),
+    "set_ops_audit" -> ((s, d) => BatchOps.setOpsAudit(s, d)),
+    "segment_metrics_unpivot" -> ((s, d) =>
+      BatchOps.segmentMetricsUnpivot(s, d)),
     "revenue_concentration" -> ((s, d) =>
       BatchOps.revenueConcentration(s, d)),
     "wow_growth" -> ((s, d) => BatchOps.wowGrowth(s, d)),
@@ -1040,6 +1046,10 @@ object SparkEntry {
     "nation_share_of_region" -> BatchOps.nationShareOfRegionOracleSql,
     "seasonal_index" -> BatchOps.seasonalIndexOracleSql,
     "regional_rollup" -> BatchOps.regionalRollupOracleSql,
+    "margins_grouping_sets" -> BatchOps.marginsGroupingSetsOracleSql,
+    "promo_share_q14" -> BatchOps.promoShareQ14OracleSql,
+    "set_ops_audit" -> BatchOps.setOpsAuditOracleSql,
+    "segment_metrics_unpivot" -> BatchOps.segmentMetricsUnpivotOracleSql,
     "revenue_concentration" -> BatchOps.revenueConcentrationOracleSql,
     "wow_growth" -> BatchOps.wowGrowthOracleSql,
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,

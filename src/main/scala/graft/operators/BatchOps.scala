@@ -825,6 +825,182 @@ object BatchOps {
        |CROSS JOIN g
        |ORDER BY 1, 2""".stripMargin
 
+  /** TPC-H Q14 adaptation — monthly promo revenue share. Line revenue
+    * `l_extendedprice·(1−l_discount)` has exactly four decimal digits,
+    * so `round(rev·10⁴)` is an EXACT integer (the cents convention,
+    * one digit-pair wider); both engines evaluate the identical IEEE
+    * double chain, so the rounding is bit-identical. The share is the
+    * standing non-negative floor-div mille over DECIMAL(38,0)/HUGEINT
+    * (monthly e4 sums already brush int64² territory at high SF).
+    *
+    * Scale: part is the broadcast dim (never shuffles the fact); one
+    * partial+final aggregate at month grain — the conditional promo
+    * sum folds into the same pass, no second scan. */
+  def promoShareQ14(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"),
+        expr("CAST(round(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)" +
+          " * 10000) AS BIGINT)").as("rev_e4"),
+        (col("p_type") === lit("PROMO")).as("is_promo"))
+      .groupBy("ship_month")
+      .agg(
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(0L))
+          .as("promo_rev_e4"),
+        sum(col("rev_e4")).as("total_rev_e4"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_mille",
+        expr("(CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000) div " +
+          "CAST(total_rev_e4 AS DECIMAL(38,0))"))
+      .orderBy("ship_month")
+
+  /** DuckDB oracle for [[promoShareQ14]] — identical IEEE rev_e4 chain,
+    * HUGEINT share. */
+  private[graft] def promoShareQ14OracleSql: String =
+    s"""WITH l AS (
+       |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       |    CAST(round(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+       |      * 10000) AS BIGINT) AS rev_e4,
+       |    p_type = 'PROMO' AS is_promo
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |g AS (
+       |  SELECT ship_month,
+       |    CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS BIGINT)
+       |      AS promo_rev_e4,
+       |    CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       |    count(*) AS n_lines
+       |  FROM l GROUP BY 1)
+       |SELECT ship_month, promo_rev_e4, total_rev_e4, n_lines,
+       |  CAST((CAST(promo_rev_e4 AS HUGEINT) * 1000) //
+       |    CAST(total_rev_e4 AS HUGEINT) AS BIGINT) AS promo_mille
+       |FROM g ORDER BY 1""".stripMargin
+
+  /** SET-OPERATION semantics audit — INTERSECT / EXCEPT / UNION
+    * DISTINCT pinned as five labeled counts over the 1996 vs 1997
+    * active-customer key sets (the [[joinSemanticsAudit]] /
+    * [[rankSemanticsAudit]] discipline applied to the relational set
+    * operators, which no other query exercises). The spec asserts
+    * inclusion–exclusion (|A∪B| = |A|+|B|−|A∩B|) and the EXCEPT
+    * complement (|A∖B| = |A|−|A∩B|) over the emitted rows.
+    *
+    * Scale: each leg is one distinct-aggregate on the pre-filtered key
+    * column; Spark plans INTERSECT/EXCEPT as left-semi/left-anti hash
+    * joins on already-distinct inputs — key-partitioned, no row
+    * explosion, same shape at any SF. */
+  def setOpsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(yr: Int) = o
+      .filter(expr(s"year(o_orderdate) = $yr"))
+      .select(col("o_custkey"))
+    val a = keys(1996)
+    val b = keys(1997)
+    def tag(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_keys"))
+        .select(lit(name).as("set_op"), col("n_keys"))
+    tag("a_1996", a.distinct())
+      .unionByName(tag("b_1997", b.distinct()))
+      .unionByName(tag("intersect", a.intersect(b)))
+      .unionByName(tag("except_a_minus_b", a.except(b)))
+      .unionByName(tag("union_distinct", a.union(b).distinct()))
+      .orderBy("set_op")
+  }
+
+  /** DuckDB oracle for [[setOpsAudit]] — the same five set legs (both
+    * engines implement SQL DISTINCT set semantics). */
+  private[graft] def setOpsAuditOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+       |b AS (
+       |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+       |SELECT 'a_1996' AS set_op,
+       |  count(*) AS n_keys FROM (SELECT DISTINCT o_custkey FROM a)
+       |UNION ALL SELECT 'b_1997',
+       |  count(*) FROM (SELECT DISTINCT o_custkey FROM b)
+       |UNION ALL SELECT 'intersect',
+       |  count(*) FROM (SELECT o_custkey FROM a INTERSECT
+       |    SELECT o_custkey FROM b)
+       |UNION ALL SELECT 'except_a_minus_b',
+       |  count(*) FROM (SELECT o_custkey FROM a EXCEPT
+       |    SELECT o_custkey FROM b)
+       |UNION ALL SELECT 'union_distinct',
+       |  count(*) FROM (SELECT o_custkey FROM a UNION
+       |    SELECT o_custkey FROM b)
+       |ORDER BY set_op""".stripMargin
+
+  /** Custom GROUPING SETS — the margins-only shape ((status),
+    * (priority)) that neither [[orderStatusCube]] (CUBE) nor
+    * [[regionalRollup]] (ROLLUP) can express, via the native Spark 4
+    * `Dataset.groupingSets` API: both one-dimension margins in ONE
+    * Expand+aggregate corpus pass, no detail grain, no grand total,
+    * grouping_id-matched to DuckDB GROUPING. Completes the
+    * grouping-sets surface: CUBE, ROLLUP, manual union
+    * (`time_rollup`), and now arbitrary set lists. */
+  def marginsGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_c"),
+        grouping_id().as("grain"))
+      .orderBy(col("grain").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** DuckDB oracle for [[marginsGroupingSets]]. */
+  private[graft] def marginsGroupingSetsOracleSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS rev_c,
+       |  GROUPING(o_orderstatus, o_orderpriority) AS grain
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+       |ORDER BY grain NULLS FIRST, o_orderstatus NULLS FIRST,
+       |  o_orderpriority NULLS FIRST""".stripMargin
+
+  /** WIDE→LONG unpivot — per-segment metrics melted to (segment,
+    * metric, value) rows via the `stack` generator, the missing
+    * inverse of the pivot surface ([[segment_pivot]] / `lang_pivot`).
+    * All three metrics share one BIGINT domain (counts + exact cents)
+    * so the long `value` column stays hash-exact; negative account
+    * balances are fine (no division anywhere).
+    *
+    * Scale: one aggregate at segment grain (tiny), then a 3× row
+    * generator over the aggregate — the explode happens AFTER the
+    * reduction, never on the fact. */
+  def segmentMetricsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"),
+        max(round(col("c_acctbal") * 100).cast("long")).as("max_acctbal_c"))
+      .selectExpr("segment",
+        "stack(3, 'acctbal_cents', acctbal_c, " +
+          "'max_acctbal_cents', max_acctbal_c, " +
+          "'n_customers', n_customers) AS (metric, value)")
+      .orderBy("segment", "metric")
+
+  /** DuckDB oracle for [[segmentMetricsUnpivot]] — UNION ALL melt of
+    * the same wide aggregate. */
+  private[graft] def segmentMetricsUnpivotOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       |      AS acctbal_c,
+       |    CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       |      AS max_acctbal_c
+       |  FROM customer GROUP BY 1)
+       |SELECT segment, 'acctbal_cents' AS metric, acctbal_c AS value FROM w
+       |UNION ALL
+       |SELECT segment, 'max_acctbal_cents', max_acctbal_c FROM w
+       |UNION ALL
+       |SELECT segment, 'n_customers', n_customers FROM w
+       |ORDER BY segment, metric""".stripMargin
+
   /** Histogram bin width for [[priceHistogram]] (shared with the
     * oracle). */
   val PriceBinWidth = 10000

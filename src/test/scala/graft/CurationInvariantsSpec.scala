@@ -725,6 +725,59 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("set-ops audit: inclusion-exclusion and except-complement close") {
+    val m = BatchOps.setOpsAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("set_op") -> r.getAs[Long]("n_keys")).toMap
+    assert(m.keySet == Set("a_1996", "b_1997", "intersect",
+      "except_a_minus_b", "union_distinct"))
+    assert(m("union_distinct") ==
+      m("a_1996") + m("b_1997") - m("intersect"))
+    assert(m("except_a_minus_b") == m("a_1996") - m("intersect"))
+  }
+
+  test("margins grouping sets: both margins re-total identically") {
+    val rows = BatchOps.marginsGroupingSets(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("grain")).toSet == Set(1L, 2L))
+    val byGrain = rows.groupBy(_.getAs[Long]("grain"))
+    val totals = byGrain.view.mapValues(rs =>
+      (rs.map(_.getAs[Long]("n_orders")).sum,
+        rs.map(_.getAs[Long]("rev_c")).sum)).toMap
+    assert(totals(1L) == totals(2L),
+      s"status margin ${totals(1L)} != priority margin ${totals(2L)}")
+    rows.foreach { r =>
+      val statusNull = r.isNullAt(r.fieldIndex("o_orderstatus"))
+      val prioNull = r.isNullAt(r.fieldIndex("o_orderpriority"))
+      assert(statusNull != prioNull, "margins-only: exactly one dim set")
+    }
+  }
+
+  test("promo share q14: promo bounded by total, mille in range") {
+    val rows = BatchOps.promoShareQ14(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, t) = (r.getAs[Long]("promo_rev_e4"),
+        r.getAs[Long]("total_rev_e4"))
+      assert(p >= 0 && p <= t)
+      val mille = r.getAs[Long]("promo_mille")
+      assert(mille >= 0 && mille <= 1000)
+      assert(mille == p * 1000 / t)
+    }
+  }
+
+  test("segment unpivot: three metrics per segment, long form consistent") {
+    val rows = BatchOps.segmentMetricsUnpivot(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("metric")).sorted.toSeq ==
+        Seq("acctbal_cents", "max_acctbal_cents", "n_customers"))
+      def v(m: String) =
+        rs.find(_.getAs[String]("metric") == m).get.getAs[Long]("value")
+      assert(v("n_customers") > 0)
+      assert(v("max_acctbal_c".replace("_c", "_cents")) * v("n_customers")
+        >= v("acctbal_cents"),
+        "max×n bounds the sum from above")
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
