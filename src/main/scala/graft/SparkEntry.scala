@@ -302,6 +302,7 @@ object SparkEntry {
       VectorOps.annRpMultiprobeTop1(s, d)),
     "ann_quality_report" -> ((s, d) => VectorOps.annQualityReport(s, d)),
     "knn_label_agreement" -> ((s, d) => VectorOps.knnLabelAgreement(s, d)),
+    "knn_confusion" -> ((s, d) => VectorOps.knnConfusion(s, d)),
     "embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
@@ -1192,6 +1193,7 @@ object SparkEntry {
     "ann_rp_multiprobe_top1" -> VectorOps.annRpMultiprobeTop1OracleSql,
     "ann_quality_report" -> VectorOps.annQualityReportOracleSql,
     "knn_label_agreement" -> VectorOps.knnLabelAgreementOracleSql,
+    "knn_confusion" -> VectorOps.knnConfusionOracleSql,
     "embedding_drift" -> VectorOps.embeddingDriftOracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     // IVF-PQ: coarse candidates scored by asymmetric distance over

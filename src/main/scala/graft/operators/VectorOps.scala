@@ -514,6 +514,75 @@ object VectorOps {
        |FROM agg JOIN tot ON agg.label = tot.label
        |ORDER BY agg.label""".stripMargin
 
+  /** 1-NN CONFUSION MATRIX — the full (true label × predicted label)
+    * contingency behind [[knnLabelAgreement]]'s diagonal: where the
+    * leave-one-out 1-NN classifier's errors GO, not just how many there
+    * are. The eval artifact a labeling pipeline ships next to its
+    * recall number — an off-diagonal hot cell means two classes overlap
+    * in embedding space (merge candidates / label-noise suspects),
+    * which the per-label agreement mille cannot localize. Same
+    * (cosine DESC, c_id) pick as the agreement query, share is the
+    * standing non-negative floor-div mille over the covered row total.
+    *
+    * Scale shape: rides the one memoized LSH candidate core; labels
+    * join AFTER the id-only argmax; the confusion frame is ≤ labels²
+    * rows, and its row-margin re-aggregate is over that tiny frame. */
+  def knnConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val scored = lshScoredPairs(spark, dir)
+    val oriented = scored
+      .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
+    val pick = oriented
+      .groupBy("q_id")
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("neg_c"))).as("best"))
+      .select(col("q_id"), (-col("best.neg_c")).as("c_id"))
+    val cells = pick
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("label")), "q_id")
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("pred_label")), "c_id")
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n_pairs"))
+    val rowTot = cells.groupBy("label").agg(sum("n_pairs").as("n_covered"))
+    cells
+      .join(broadcast(rowTot), "label")
+      .select(col("label"), col("pred_label"), col("n_pairs"),
+        col("n_covered"),
+        expr("(n_pairs * 1000) div n_covered").as("share_mille"))
+      .orderBy("label", "pred_label")
+  }
+
+  /** DuckDB oracle for [[knnConfusion]] — the shared LSH candidate
+    * CTEs, the same pick, the same integer margins. */
+  private[graft] def knnConfusionOracleSql: String =
+    s"""$lshScoredPairsSqlPrefix,
+       |o AS (
+       |  SELECT a AS q_id, b AS c_id, cosine FROM s
+       |  UNION ALL SELECT b AS q_id, a AS c_id, cosine FROM s),
+       |r AS (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rk
+       |  FROM o),
+       |pick AS (SELECT q_id, c_id FROM r WHERE rk = 1),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |cells AS (
+       |  SELECT lq.label, lc.label AS pred_label, count(*) AS n_pairs
+       |  FROM pick
+       |  JOIN l lq ON pick.q_id = lq.vec_id
+       |  JOIN l lc ON pick.c_id = lc.vec_id
+       |  GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT label, CAST(sum(n_pairs) AS BIGINT) AS n_covered
+       |  FROM cells GROUP BY 1)
+       |SELECT cells.label, cells.pred_label, cells.n_pairs, rt.n_covered,
+       |  (cells.n_pairs * 1000) // rt.n_covered AS share_mille
+       |FROM cells JOIN rt ON cells.label = rt.label
+       |ORDER BY 1, 2""".stripMargin
+
   /** IVF coarse-quantizer sizing: C ≈ √N centroids, sampled as every
     * stride-th vec_id with stride = ⌈N / ⌈√N⌉⌉. √N balances the two
     * cost terms of IVF — assignment is N×C and in-cell probing is

@@ -778,6 +778,23 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("knn confusion: diagonal and margins reconcile with the agreement") {
+    val conf = VectorOps.knnConfusion(spark, dir).collect()
+    val agree = VectorOps.knnLabelAgreement(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_covered"), r.getAs[Long]("n_same"))).toMap
+    conf.groupBy(_.getAs[Int]("label")).foreach { case (label, cells) =>
+      val (nCov, nSame) = agree(label)
+      assert(cells.head.getAs[Long]("n_covered") == nCov)
+      assert(cells.map(_.getAs[Long]("n_pairs")).sum == nCov,
+        "confusion row mass must equal the covered count")
+      val diag = cells.find(_.getAs[Int]("pred_label") == label)
+        .map(_.getAs[Long]("n_pairs")).getOrElse(0L)
+      assert(diag == nSame,
+        s"label $label: confusion diagonal $diag != agreement $nSame")
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
