@@ -236,6 +236,8 @@ object SparkEntry {
     "set_ops_audit" -> ((s, d) => BatchOps.setOpsAudit(s, d)),
     "segment_metrics_unpivot" -> ((s, d) =>
       BatchOps.segmentMetricsUnpivot(s, d)),
+    "reorder_hazard" -> ((s, d) => BatchOps.reorderHazard(s, d)),
+    "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "revenue_concentration" -> ((s, d) =>
       BatchOps.revenueConcentration(s, d)),
     "wow_growth" -> ((s, d) => BatchOps.wowGrowth(s, d)),
@@ -1051,6 +1053,8 @@ object SparkEntry {
     "promo_share_q14" -> BatchOps.promoShareQ14OracleSql,
     "set_ops_audit" -> BatchOps.setOpsAuditOracleSql,
     "segment_metrics_unpivot" -> BatchOps.segmentMetricsUnpivotOracleSql,
+    "reorder_hazard" -> BatchOps.reorderHazardOracleSql,
+    "column_profile" -> BatchOps.columnProfileOracleSql,
     "revenue_concentration" -> BatchOps.revenueConcentrationOracleSql,
     "wow_growth" -> BatchOps.wowGrowthOracleSql,
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,

@@ -1001,6 +1001,124 @@ object BatchOps {
        |SELECT segment, 'n_customers', n_customers FROM w
        |ORDER BY segment, metric""".stripMargin
 
+  /** DISCRETE-TIME SURVIVAL over customer reorder gaps — the
+    * life-table every retention model starts from, in EXACT integers
+    * (no censoring in a closed dataset, so the Kaplan–Meier estimator
+    * degenerates to the empirical survival function — no FP product
+    * chains). Per distinct gap length g (days between a customer's
+    * consecutive orders): events n(g), risk set R(g) = Σ_{g'≥g} n(g'),
+    * discrete hazard h(g) = n(g)/R(g) and survival S(g) = P(gap > g),
+    * both as the standing non-negative floor-div mille.
+    *
+    * Scale: the lag window is key-partitioned on o_custkey (fact-size
+    * but shuffle-aligned); everything after runs at distinct-gap grain
+    * — a few-hundred-row frame, so the single-partition risk-set
+    * window is the documented tiny-frame pattern ([[acfProfile]]),
+    * never a fact-size sort. */
+  def reorderHazard(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("od"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("prev_od", lag(col("od"), 1).over(w))
+      .filter(col("prev_od").isNotNull)
+      .select(datediff(col("od"), col("prev_od")).as("gap_days"))
+    val wRisk = Window.orderBy("gap_days")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    gaps.groupBy("gap_days")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_at_risk", sum(col("n_events")).over(wRisk))
+      .withColumn("n_total", sum(col("n_events")).over(wAll))
+      .withColumn("hazard_mille",
+        expr("(n_events * 1000) div n_at_risk"))
+      .withColumn("survival_mille",
+        expr("((n_at_risk - n_events) * 1000) div n_total"))
+      .orderBy("gap_days")
+  }
+
+  /** DuckDB oracle for [[reorderHazard]] — same (od, orderkey) lag
+    * walk, same windowed risk set (HUGEINT window sums cast back). */
+  private[graft] def reorderHazardOracleSql: String =
+    s"""WITH o2 AS (
+       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+       |  FROM orders),
+       |g AS (
+       |  SELECT CAST(date_diff('day',
+       |    lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+       |    od) AS INTEGER) AS gap_days
+       |  FROM o2),
+       |e AS (
+       |  SELECT gap_days, count(*) AS n_events
+       |  FROM g WHERE gap_days IS NOT NULL GROUP BY 1),
+       |r AS (
+       |  SELECT gap_days, n_events,
+       |    CAST(sum(n_events) OVER (ORDER BY gap_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_at_risk,
+       |    CAST(sum(n_events) OVER () AS BIGINT) AS n_total
+       |  FROM e)
+       |SELECT gap_days, n_events, n_at_risk, n_total,
+       |  (n_events * 1000) // n_at_risk AS hazard_mille,
+       |  ((n_at_risk - n_events) * 1000) // n_total AS survival_mille
+       |FROM r ORDER BY gap_days""".stripMargin
+
+  /** COLUMN PROFILER — the per-column census (row/null/exact-distinct
+    * counts, typed min/max rendered as strings) a dataset gets before
+    * anyone trusts it; the statistical complement of [[dqReport]]'s
+    * pass/fail integrity checks. min/max are computed on the TYPED
+    * value and cast to string only for the unified output column
+    * (string min would be lexicographic — wrong for numerics); the
+    * double price column is profiled as exact cents since a raw
+    * double→string rendering is not portable across engines.
+    *
+    * Scale: one column-pruned scan per profiled column (each UNION leg
+    * reads ONLY its column's parquet pages) — deliberately NOT the
+    * single-pass multi-countDistinct form, whose Expand would
+    * replicate the whole fact ×columns through the shuffle. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def prof(name: String, c: Column): DataFrame =
+      o.select(c.as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    prof("o_custkey", col("o_custkey"))
+      .unionByName(prof("o_orderdate", to_date(col("o_orderdate"))))
+      .unionByName(prof("o_orderkey", col("o_orderkey")))
+      .unionByName(prof("o_orderpriority", col("o_orderpriority")))
+      .unionByName(prof("o_orderstatus", col("o_orderstatus")))
+      .unionByName(prof("o_totalprice_cents",
+        round(col("o_totalprice") * 100).cast("long")))
+      .orderBy("col_name")
+  }
+
+  /** DuckDB oracle for [[columnProfile]] — same typed min/max then
+    * VARCHAR render, same exact distincts. */
+  private[graft] def columnProfileOracleSql: String = {
+    def leg(name: String, v: String): String =
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  count(DISTINCT $v) AS n_distinct,
+         |  CAST(min($v) AS VARCHAR) AS min_s,
+         |  CAST(max($v) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    Seq(
+      leg("o_custkey", "o_custkey"),
+      leg("o_orderdate", "CAST(o_orderdate AS DATE)"),
+      leg("o_orderkey", "o_orderkey"),
+      leg("o_orderpriority", "o_orderpriority"),
+      leg("o_orderstatus", "o_orderstatus"),
+      leg("o_totalprice_cents", "CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Histogram bin width for [[priceHistogram]] (shared with the
     * oracle). */
   val PriceBinWidth = 10000

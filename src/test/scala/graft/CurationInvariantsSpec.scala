@@ -795,6 +795,47 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("reorder hazard: life-table accounting closes, survival monotone") {
+    val rows = BatchOps.reorderHazard(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n)
+    assert(rows.head.getAs[Long]("n_at_risk") == n,
+      "risk set at the smallest gap is the whole population")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_at_risk") > b.getAs[Long]("n_at_risk"))
+        assert(a.getAs[Long]("n_at_risk") - a.getAs[Long]("n_events") ==
+          b.getAs[Long]("n_at_risk"),
+          "risk set shrinks by exactly the events at each gap")
+        assert(a.getAs[Long]("survival_mille") >=
+          b.getAs[Long]("survival_mille"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hazard_mille")
+      assert(h >= 0 && h <= 1000)
+    }
+    assert(rows.last.getAs[Long]("survival_mille") == 0,
+      "survival hits zero past the largest observed gap")
+  }
+
+  test("column profile: census bounds hold, order key is a PK") {
+    val rows = BatchOps.columnProfile(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq == Seq(
+      "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+      "o_orderstatus", "o_totalprice_cents"))
+    val nRows = rows.head.getAs[Long]("n_rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_null") + r.getAs[Long]("n_distinct") <=
+        nRows)
+      assert(r.getAs[Long]("n_distinct") > 0)
+    }
+    val pk = rows.find(_.getAs[String]("col_name") == "o_orderkey").get
+    assert(pk.getAs[Long]("n_distinct") == nRows && pk.getAs[Long]("n_null") == 0)
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
