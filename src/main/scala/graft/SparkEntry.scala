@@ -245,6 +245,8 @@ object SparkEntry {
     "normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(s, d)),
     "psi_drift" -> ((s, d) => TextOps.psiDrift(s, d)),
     "dedup_rate_by_source" -> ((s, d) => TextOps.dedupRateBySource(s, d)),
+    "dedup_weights" -> ((s, d) => TextOps.dedupWeights(s, d)),
+    "vocab_coverage_curve" -> ((s, d) => TextOps.vocabCoverageCurve(s, d)),
     "rank_semantics_audit" -> ((s, d) =>
       BatchOps.rankSemanticsAudit(s, d)),
     "segment_priority_chi2" -> ((s, d) =>
@@ -1061,6 +1063,8 @@ object SparkEntry {
     "normalized_dedup" -> TextOps.normalizedDedupOracleSql,
     "psi_drift" -> TextOps.psiDriftOracleSql,
     "dedup_rate_by_source" -> TextOps.dedupRateBySourceOracleSql,
+    "dedup_weights" -> TextOps.dedupWeightsOracleSql(shinglesSql),
+    "vocab_coverage_curve" -> TextOps.vocabCoverageCurveOracleSql,
     "rank_semantics_audit" -> BatchOps.rankSemanticsAuditOracleSql,
     "segment_priority_chi2" -> BatchOps.segmentPriorityChi2OracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,

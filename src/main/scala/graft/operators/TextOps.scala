@@ -1313,6 +1313,70 @@ object TextOps {
   /** Vocabulary size for the OOV screen (shared with the oracle). */
   val OovVocabK = 20
 
+  /** Coverage checkpoints for [[vocabCoverageCurve]] (shared with the
+    * oracle). */
+  val CoverageKs: Seq[Int] =
+    Seq(1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)
+
+  /** VOCABULARY COVERAGE CURVE — cumulative share of total token mass
+    * covered by the top-k vocabulary, sampled at the [[CoverageKs]]
+    * checkpoints: the sizing curve behind every "how big must the
+    * tokenizer vocab be" decision (a steep curve means a small vocab
+    * suffices; a flat tail predicts the [[oovRate]] cost of truncating
+    * it). Rank order is the deterministic (count DESC, token) total
+    * order; coverage is the standing non-negative floor-div mille, so
+    * every emitted value is an exact integer.
+    *
+    * Scale: explode → one map-side-combinable hash aggregate at token
+    * grain; the rank/cumsum windows run on the VOCAB frame (cardinality
+    * ≪ corpus, the documented tiny-frame single-partition pattern), and
+    * the checkpoint filter prunes before emission. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.orderBy(col("n").desc, col("token"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    freq
+      .withColumn("k", row_number().over(wRank))
+      .withColumn("cum_tokens", sum(col("n")).over(wCum))
+      .withColumn("total_tokens", sum(col("n")).over(wAll))
+      .filter(col("k").isin(CoverageKs.map(Integer.valueOf): _*))
+      .select(col("k"), col("token").as("token_at_k"), col("cum_tokens"),
+        col("total_tokens"),
+        expr("(cum_tokens * 1000) div total_tokens").as("coverage_mille"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[vocabCoverageCurve]] — same total order, same
+    * HUGEINT-cast window sums, same checkpoint list. */
+  private[graft] def vocabCoverageCurveOracleSql: String =
+    s"""WITH f AS (
+       |  SELECT token, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT token, n,
+       |    row_number() OVER (ORDER BY n DESC, token) AS k,
+       |    CAST(sum(n) OVER (ORDER BY n DESC, token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens,
+       |    CAST(sum(n) OVER () AS BIGINT) AS total_tokens
+       |  FROM f)
+       |SELECT CAST(k AS INTEGER) AS k, token AS token_at_k, cum_tokens,
+       |  total_tokens,
+       |  (cum_tokens * 1000) // total_tokens AS coverage_mille
+       |FROM r
+       |WHERE k IN (${CoverageKs.mkString(", ")})
+       |ORDER BY k""".stripMargin
+
   /** Out-of-vocabulary rate — tokenizer health per document: what share
     * of a document's tokens fall outside the corpus's
     * top-[[OovVocabK]] vocabulary. High-OOV documents are the ones a
@@ -1886,6 +1950,45 @@ object TextOps {
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** DEDUP SURVIVOR WEIGHTS — each near-dup component collapses to its
+    * min-id representative carrying `weight` = component size, and
+    * every unclustered document survives with weight 1. The re-weighted
+    * corpus preserves total sampling mass (Σ weight = corpus size), so
+    * a training pipeline can dedup WITHOUT shifting the source/topic
+    * mixture — the loss-weighting alternative to [[nearDupSurvivors]]'s
+    * hard drop (dropping N−1 copies silently down-weights whatever got
+    * duplicated most, which is often the highest-quality boilerplate).
+    *
+    * Scale: rides the memoized CC label core (pair-count-sized); the
+    * singleton leg is one left-anti join of the corpus against that
+    * tiny frame — no new fact-size shuffles. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupComponentsCore(spark, dir)
+    val reps = labels.groupBy("component_id")
+      .agg(count(lit(1)).as("weight"))
+      .select(col("component_id").as("doc_id"), col("weight"))
+    val singletons = Tables.documents(spark, dir)
+      .select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("weight", lit(1L))
+    reps.unionByName(singletons).orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupWeights]] — component sizes at the min-id
+    * representative plus weight-1 singletons. */
+  private[graft] def dedupWeightsOracleSql(shinglesSql: String): String =
+    s"""WITH comp AS (
+       |${dedupComponentsOracleCoreSql(shinglesSql)}),
+       |reps AS (
+       |  SELECT component_id AS doc_id, count(*) AS weight
+       |  FROM comp GROUP BY 1)
+       |SELECT doc_id, weight FROM reps
+       |UNION ALL
+       |SELECT d.doc_id, CAST(1 AS BIGINT) AS weight
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for [[nearDupSurvivors]] — the recursive-CTE
     * component labels, dropping every non-minimum member. */

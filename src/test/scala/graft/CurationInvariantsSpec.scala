@@ -836,6 +836,38 @@ class CurationInvariantsSpec extends GraftSpec {
     assert(pk.getAs[Long]("n_distinct") == nRows && pk.getAs[Long]("n_null") == 0)
   }
 
+  test("dedup weights: mass preserved, one row per surviving doc") {
+    val rows = TextOps.dedupWeights(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("weight")).sum == nDocs,
+      "re-weighting must preserve total sampling mass")
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    assert(rows.forall(_.getAs[Long]("weight") >= 1L))
+    assert(rows.exists(_.getAs[Long]("weight") > 1L),
+      "the corpus is known to contain near-dup clusters")
+    // survivor set matches the hard-drop query's survivors
+    val hardDrop = TextOps.nearDupSurvivors(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == hardDrop,
+      "weight carriers must be exactly the hard-drop survivors")
+  }
+
+  test("vocab coverage curve: monotone, bounded, checkpoints only") {
+    val rows = TextOps.vocabCoverageCurve(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => TextOps.CoverageKs.contains(r.getAs[Int]("k"))))
+    val total = rows.head.getAs[Long]("total_tokens")
+    var prevCum = 0L
+    rows.foreach { r =>
+      val cum = r.getAs[Long]("cum_tokens")
+      assert(cum > prevCum && cum <= total)
+      prevCum = cum
+      val cov = r.getAs[Long]("coverage_mille")
+      assert(cov >= 0 && cov <= 1000 && cov == cum * 1000 / total)
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
