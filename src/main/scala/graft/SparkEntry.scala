@@ -237,6 +237,8 @@ object SparkEntry {
     "segment_metrics_unpivot" -> ((s, d) =>
       BatchOps.segmentMetricsUnpivot(s, d)),
     "reorder_hazard" -> ((s, d) => BatchOps.reorderHazard(s, d)),
+    "late_fulfilment_q4" -> ((s, d) => BatchOps.lateFulfilmentQ4(s, d)),
+    "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "revenue_concentration" -> ((s, d) =>
       BatchOps.revenueConcentration(s, d)),
@@ -1056,6 +1058,8 @@ object SparkEntry {
     "set_ops_audit" -> BatchOps.setOpsAuditOracleSql,
     "segment_metrics_unpivot" -> BatchOps.segmentMetricsUnpivotOracleSql,
     "reorder_hazard" -> BatchOps.reorderHazardOracleSql,
+    "late_fulfilment_q4" -> BatchOps.lateFulfilmentQ4OracleSql,
+    "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "revenue_concentration" -> BatchOps.revenueConcentrationOracleSql,
     "wow_growth" -> BatchOps.wowGrowthOracleSql,

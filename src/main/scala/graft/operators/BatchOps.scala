@@ -1119,6 +1119,141 @@ object BatchOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Late-fulfilment grace period for [[lateFulfilmentQ4]] (shared
+    * with the oracle). */
+  val LateFulfilmentGraceDays = 90
+
+  /** TPC-H Q4 adaptation — per-priority count of orders with AT LEAST
+    * ONE late line (shipped more than [[LateFulfilmentGraceDays]] days
+    * after the order date; the generator has no commit/receipt dates,
+    * SURVEY §2.3). The EXISTS shape matters: an inner-join count would
+    * double-count multi-late-line orders, so the probe is a LEFT SEMI
+    * join — each order contributes at most once however many lines are
+    * late. Share is the standing floor-div mille.
+    *
+    * Scale: the semi join shuffles both sides on the order key (no
+    * broadcast — lineitem and orders are both facts) and short-circuits
+    * per key; totals come from a separate orders-only aggregate and the
+    * two priority-grain frames merge with a broadcast join. */
+  def lateFulfilmentQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    val lateLines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val lateOrders = o.join(lateLines,
+      o("o_orderkey") === lateLines("l_orderkey") &&
+        lateLines("sd") > date_add(o("od"), LateFulfilmentGraceDays),
+      "left_semi")
+    val totals = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    lateOrders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .join(broadcast(totals), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("n_late_orders"),
+        expr("(n_late_orders * 1000) div n_orders").as("late_mille"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** DuckDB oracle for [[lateFulfilmentQ4]] — correlated EXISTS, same
+    * grace arithmetic. */
+  private[graft] def lateFulfilmentQ4OracleSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(o_orderdate AS DATE) AS od
+       |  FROM orders),
+       |lt AS (
+       |  SELECT o_orderpriority, count(*) AS n_late_orders
+       |  FROM o
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND CAST(l.l_shipdate AS DATE) >
+       |        o.od + INTERVAL $LateFulfilmentGraceDays DAY)
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT o_orderpriority, count(*) AS n_orders FROM o GROUP BY 1)
+       |SELECT t.o_orderpriority, t.n_orders, lt.n_late_orders,
+       |  (lt.n_late_orders * 1000) // t.n_orders AS late_mille
+       |FROM lt JOIN t USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** WINDOW-FRAME semantics audit — ROWS vs RANGE cumulative frames
+    * pinned against each other on a deliberately tie-heavy ordering
+    * (order DATE within priority): a RANGE frame includes ALL peers of
+    * the current row's sort key, a ROWS frame cuts mid-peer-group, and
+    * the difference (`peer_mass_c` = Σ cum_range − cum_rows, exact
+    * cents) is precisely the mass of same-day orders that sit AFTER
+    * each row in the tiebroken physical order. The
+    * [[rankSemanticsAudit]] discipline applied to frame specification
+    * — the classic silent bug when a running total "randomly" differs
+    * between engines is exactly this ROWS/RANGE confusion. The ROWS
+    * leg is tiebroken on o_orderkey so both engines walk the identical
+    * physical order (the peer-position sum is NOT permutation
+    * invariant).
+    *
+    * Scale: two window passes over the SAME (priority, date) sort —
+    * Catalyst collapses them into one Sort + two Window operators, one
+    * shuffle on the partition key; the audit re-aggregates to priority
+    * grain. */
+  def windowFrameAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val wRows = Window.partitionBy("o_orderpriority")
+      .orderBy(col("od"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRange = Window.partitionBy("o_orderpriority")
+      .orderBy(col("od"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeers = Window.partitionBy("o_orderpriority", "od")
+    base
+      .withColumn("cum_rows", sum(col("cents")).over(wRows))
+      .withColumn("cum_range", sum(col("cents")).over(wRange))
+      .withColumn("n_peers", count(lit(1)).over(wPeers))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_peers") > 1, 1L).otherwise(0L)).as("n_tied_rows"),
+        sum(col("cum_rows")).as("rows_cum_total_c"),
+        sum(col("cum_range")).as("range_cum_total_c"),
+        sum(col("cum_range") - col("cum_rows")).as("peer_mass_c"),
+        max(col("cum_range") - col("cum_rows")).as("max_peer_gap_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** DuckDB oracle for [[windowFrameAudit]] — identical frames,
+    * identical tiebreak, HUGEINT sums cast back. */
+  private[graft] def windowFrameAuditOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(o_orderdate AS DATE) AS od,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |w AS (
+       |  SELECT o_orderpriority,
+       |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY od, o_orderkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_rows,
+       |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY od
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_range,
+       |    count(*) OVER (PARTITION BY o_orderpriority, od) AS n_peers
+       |  FROM b)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(CASE WHEN n_peers > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tied_rows,
+       |  CAST(sum(cum_rows) AS BIGINT) AS rows_cum_total_c,
+       |  CAST(sum(cum_range) AS BIGINT) AS range_cum_total_c,
+       |  CAST(sum(cum_range - cum_rows) AS BIGINT) AS peer_mass_c,
+       |  CAST(max(cum_range - cum_rows) AS BIGINT) AS max_peer_gap_c
+       |FROM w
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Histogram bin width for [[priceHistogram]] (shared with the
     * oracle). */
   val PriceBinWidth = 10000

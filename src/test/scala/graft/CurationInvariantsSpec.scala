@@ -868,6 +868,53 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("late fulfilment q4: semi-join counts each order at most once") {
+    import org.apache.spark.sql.functions._
+    val rows = BatchOps.lateFulfilmentQ4(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recount: distinct late order keys per priority
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    val l = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val expected = o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("sd") > date_add(o("od"), BatchOps.LateFulfilmentGraceDays))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val late = r.getAs[Long]("n_late_orders")
+      assert(late <= r.getAs[Long]("n_orders"))
+      assert(late == expected(p),
+        s"priority $p: semi-join count $late != distinct recount")
+      assert(r.getAs[Long]("late_mille") ==
+        late * 1000 / r.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("window frame audit: RANGE dominates ROWS exactly by peer mass") {
+    val rows = BatchOps.windowFrameAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def g(c: String) = r.getAs[Long](c)
+      assert(g("range_cum_total_c") ==
+        g("rows_cum_total_c") + g("peer_mass_c"))
+      assert(g("peer_mass_c") >= 0 && g("max_peer_gap_c") >= 0)
+      assert(g("max_peer_gap_c") <= g("peer_mass_c"))
+      assert(g("n_tied_rows") <= g("n_orders"))
+      if (g("n_tied_rows") == 0)
+        assert(g("peer_mass_c") == 0,
+          "no date ties means the frames must agree")
+      if (g("peer_mass_c") > 0)
+        assert(g("n_tied_rows") >= 2,
+          "divergent frames require at least one peer group")
+    }
+    assert(rows.exists(_.getAs[Long]("peer_mass_c") > 0),
+      "order dates are known tie-heavy; the audit must catch divergence")
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
