@@ -309,6 +309,7 @@ object SparkEntry {
     "ann_quality_report" -> ((s, d) => VectorOps.annQualityReport(s, d)),
     "knn_label_agreement" -> ((s, d) => VectorOps.knnLabelAgreement(s, d)),
     "knn_confusion" -> ((s, d) => VectorOps.knnConfusion(s, d)),
+    "lsh_recall_at_k" -> ((s, d) => VectorOps.lshRecallAtK(s, d)),
     "embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
@@ -1206,6 +1207,7 @@ object SparkEntry {
     "ann_quality_report" -> VectorOps.annQualityReportOracleSql,
     "knn_label_agreement" -> VectorOps.knnLabelAgreementOracleSql,
     "knn_confusion" -> VectorOps.knnConfusionOracleSql,
+    "lsh_recall_at_k" -> VectorOps.lshRecallAtKOracleSql,
     "embedding_drift" -> VectorOps.embeddingDriftOracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     // IVF-PQ: coarse candidates scored by asymmetric distance over

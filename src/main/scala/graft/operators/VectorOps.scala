@@ -2703,6 +2703,100 @@ object VectorOps {
        |ORDER BY method""".stripMargin
   }
 
+  /** Shortlist depths for [[lshRecallAtK]] (shared with the oracle). */
+  val RecallKs: Seq[Int] = Seq(1, 5, 10, 20)
+
+  /** RECALL@K CURVE for the sign-LSH candidate core — how deep a
+    * shortlist must go before the exact top-1 neighbor appears:
+    * recall@1 is what [[annQualityReport]] pins per family; the curve
+    * answers the TUNING question (is a rerank cap of 5 enough, or does
+    * the true neighbor hide at rank 15?). A flat curve means the
+    * candidate generator itself misses (raise tables/probes); a steep
+    * one means rank-1 precision is the only problem (rerank harder).
+    * Candidates rank by the standard (cosine DESC, c_id) order; a
+    * query contributes a hit at every k ≥ its hit rank.
+    *
+    * MEASURED (sf0.1): 199/2000 at EVERY k in 1..20 — the 64-bit
+    * sign-LSH core is coverage-bound exactly like the MIH family
+    * (when the true neighbor is bucketed at all it already ranks
+    * first), which is why the production path is the 256-bit
+    * multiprobe family ([[annRpMultiprobeTop1]], recall@1 0.780
+    * sf0.1), not a deeper rerank of this core.
+    *
+    * Scale: rides the memoized LSH pair core and the memoized exact
+    * ground truth; the per-query rank window runs on the capped
+    * candidate lists, and the curve itself is a single 1-row aggregate
+    * unpivoted to [[RecallKs]] grain. */
+  def lshRecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val exact = exactTop1(spark, dir)
+    val scored = lshScoredPairs(spark, dir)
+    val oriented = scored
+      .select(col("a").as("q_id"), col("b").as("c_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id"))
+    val hitRank = oriented
+      .withColumn("rk", row_number().over(wq))
+      .join(exact.select(col("q_id"), col("exact_c")), "q_id")
+      .filter(col("c_id") === col("exact_c"))
+      .select(col("q_id"), col("rk"))
+    val tot = exact.agg(count(lit(1)).as("n_queries"))
+    val hitCols = RecallKs.map(k =>
+      coalesce(sum(when(col("rk") <= k, 1L).otherwise(0L)), lit(0L))
+        .as(s"h$k"))
+    val stackArms = RecallKs.map(k => s"$k, h$k").mkString(", ")
+    hitRank
+      .agg(hitCols.head, hitCols.tail: _*)
+      .selectExpr(s"stack(${RecallKs.size}, $stackArms) AS (k, n_hits)")
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_queries"), col("n_hits"),
+        expr("(n_hits * 1000) div n_queries").as("recall_mille"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[lshRecallAtK]] — the LSH pair CTEs, the N²
+    * exact pick (as in [[annQualityReportOracleSql]]), and a
+    * depth-join count per k. */
+  private[graft] def lshRecallAtKOracleSql: String =
+    s"""$lshScoredPairsSqlPrefix,
+       |o AS (
+       |  SELECT a AS q_id, b AS c_id, cosine FROM s
+       |  UNION ALL SELECT b AS q_id, a AS c_id, cosine FROM s),
+       |r AS (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rk
+       |  FROM o),
+       |en AS (
+       |  SELECT vec_id, embedding, sqrt(${sqSql("embedding")}) AS norm
+       |  FROM embeddings),
+       |ap AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+       |      AS cosine
+       |  FROM en a JOIN en b ON a.vec_id <> b.vec_id),
+       |er AS (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rk
+       |  FROM ap),
+       |exact AS (SELECT q_id, c_id AS exact_c FROM er WHERE rk = 1),
+       |hit AS (
+       |  SELECT r.q_id, r.rk FROM r
+       |  JOIN exact ON r.q_id = exact.q_id AND r.c_id = exact.exact_c),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM exact),
+       |ks AS (SELECT unnest([${RecallKs.mkString(", ")}]) AS k),
+       |cnt AS (
+       |  SELECT ks.k, CAST(count(hit.q_id) AS BIGINT) AS n_hits
+       |  FROM ks LEFT JOIN hit ON hit.rk <= ks.k
+       |  GROUP BY ks.k)
+       |SELECT cnt.k, tot.n_queries, cnt.n_hits,
+       |  (cnt.n_hits * 1000) // tot.n_queries AS recall_mille
+       |FROM cnt CROSS JOIN tot
+       |ORDER BY k""".stripMargin
+
   /** Shared CTE prefix of the two MIH oracles — same sign packing
     * (strict `> 0`, zero goes to 0), same stop-bucket cap, same
     * xor/popcount verify as [[mihScoredPairs]]; ends with the `scored`

@@ -915,6 +915,20 @@ class CurationInvariantsSpec extends GraftSpec {
       "order dates are known tie-heavy; the audit must catch divergence")
   }
 
+  test("lsh recall@k: monotone in depth, bounded by coverage") {
+    val rows = VectorOps.lshRecallAtK(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == VectorOps.RecallKs)
+    val nq = rows.head.getAs[Long]("n_queries")
+    var prev = -1L
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= prev, "recall must be non-decreasing in k")
+      prev = h
+      assert(h <= nq)
+      assert(r.getAs[Long]("recall_mille") == h * 1000 / nq)
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
