@@ -287,6 +287,8 @@ object SparkEntry {
     "video_frame_sample" -> ((s, d) => MultiModalOps.videoFrameSampleQuery(s, d)),
     "audio_resample" -> ((s, d) => MultiModalOps.audioResample(s, d)),
     "audio_clipping" -> ((s, d) => MultiModalOps.audioClipping(s, d)),
+    "codec_integrity_screen" -> ((s, d) =>
+      MultiModalOps.codecIntegrityScreen(s, d)),
     "png_features" -> ((s, d) => MultiModalOps.pngFeatures(s, d)),
     // --- similarity search over embeddings (M4) ---
     "embedding_norms" -> ((s, d) => VectorOps.embeddingNorms(s, d)),
@@ -1173,6 +1175,8 @@ object SparkEntry {
     // Exact-integer audio decimation off the real WAV parse.
     "audio_resample" -> MultiModalOps.audioResampleOracleSql,
     "audio_clipping" -> MultiModalOps.audioClippingOracleSql,
+    "codec_integrity_screen" ->
+      MultiModalOps.codecIntegrityScreenOracleSql,
     // PNG completes the codec triad with the compressed-container
     // hazards: big-endian fields, per-chunk CRC-32, zlib inflate, and
     // per-row defiltering (None/Sub/Up) verified via the bottom-row

@@ -433,6 +433,83 @@ object MultiModalOps {
        |LEFT JOIN runs ON g.doc_id = runs.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  /** Fault-injection moduli for [[codecIntegrityScreen]] (shared with
+    * the oracle): doc_id ≡ 0 (mod [[CorruptMagicMod]]) gets its RIFF
+    * magic flipped (magic wins on overlap), else ≡ 0 (mod
+    * [[CorruptTruncMod]]) is truncated to [[CorruptTruncLen]] bytes. */
+  val CorruptMagicMod = 7
+  val CorruptTruncMod = 11
+  val CorruptTruncLen = 20
+
+  /** CODEC-INTEGRITY SCREEN — the corrupt-sample gate of a multimodal
+    * ingest: every container is VALIDATED (length, RIFF/WAVE magics,
+    * declared-vs-actual RIFF size) before any decoder touches it, and
+    * classified ok / truncated / bad_magic / size_mismatch so failures
+    * route to a deadletter instead of crashing the decode stage.
+    * Faults are injected deterministically by the doc_id moduli above
+    * — the oracle recomputes the expected class census purely from the
+    * ARITHMETIC rule, so a validator that misclassifies (wrong offset,
+    * wrong endianness, length check after magic check) splits the
+    * hash even though it "detected something". The screen is the
+    * integrity sibling of [[audioClipping]]'s quality census.
+    *
+    * Scale: one partition-parallel byte walk per container (validation
+    * reads 12 header bytes + one u32 — no full-payload scan), one
+    * status-grain aggregate, a broadcast 1-row total. */
+  def codecIntegrityScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(greatest(coalesce(length(col("text")), lit(0)), lit(1)),
+          lit(WavMaxSamples)).cast("int").as("n"))
+      .as[(Long, Int)]
+    val statuses = wavEncode(in).mapPartitions { it =>
+      it.map { p =>
+        val orig = p.payload
+        val b =
+          if (p.doc_id % CorruptMagicMod == 0) {
+            val c = orig.clone(); c(0) = 'X'.toByte; c
+          } else if (p.doc_id % CorruptTruncMod == 0)
+            java.util.Arrays.copyOf(orig, CorruptTruncLen)
+          else orig
+        def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+        def u32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        val status =
+          if (b.length < 44) "truncated"
+          else if (tag(0) != "RIFF" || tag(8) != "WAVE") "bad_magic"
+          else if (u32(4) != b.length - 8L) "size_mismatch"
+          else "ok"
+        (p.doc_id, status)
+      }
+    }.toDF("doc_id", "status")
+    val tot = statuses.agg(count(lit(1)).as("n_docs"))
+    statuses.groupBy("status")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("status"), col("n"), col("n_docs"),
+        expr("(n * 1000) div n_docs").as("share_mille"))
+      .orderBy("status")
+  }
+
+  /** DuckDB oracle for [[codecIntegrityScreen]] — the fault-injection
+    * arithmetic alone; the Spark side must re-derive each class from
+    * the BYTES. */
+  private[graft] def codecIntegrityScreenOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $CorruptMagicMod = 0 THEN 'bad_magic'
+       |         WHEN doc_id % $CorruptTruncMod = 0 THEN 'truncated'
+       |         ELSE 'ok' END AS status
+       |  FROM documents),
+       |g AS (SELECT status, count(*) AS n FROM s GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM s)
+       |SELECT g.status, g.n, t.n_docs,
+       |  (g.n * 1000) // t.n_docs AS share_mille
+       |FROM g CROSS JOIN t
+       |ORDER BY g.status""".stripMargin
+
   /** The RESAMPLE stage of an audio pipeline: parse the genuine WAV
     * container (same chunk walk as [[wavDecode]] — magics, declared
     * sizes, odd-chunk pad bytes), then DECIMATE the PCM stream by

@@ -929,6 +929,21 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("codec integrity screen: classes partition the corpus") {
+    val rows = graft.operators.MultiModalOps
+      .codecIntegrityScreen(spark, dir).collect()
+    val m = rows.map(r =>
+      r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    assert(m.keySet == Set("ok", "bad_magic", "truncated"),
+      s"unexpected status census: $m")
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    assert(m.values.sum == nDocs, "statuses must partition the corpus")
+    assert(m("ok") > m("bad_magic") + m("truncated"),
+      "fault injection touches a strict minority")
+    assert(!m.contains("size_mismatch"),
+      "the encoder is self-consistent; only injected faults classify")
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
