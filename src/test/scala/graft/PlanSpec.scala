@@ -560,6 +560,46 @@ class PlanSpec extends GraftSpec {
       s"extra user_id shuffles:\n${userExchanges.mkString("\n")}")
   }
 
+  test("promo share q14: part dim broadcasts; no nested loop") {
+    val plan = executedPlan(BatchOps.promoShareQ14(spark, dir))
+    // part is the classic broadcast dim: the fact (lineitem) must never
+    // re-key on l_partkey. The month aggregate may shuffle; the join
+    // may not.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part join not broadcast:\n$plan")
+    assert(!plan.split("\n").exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey")),
+      s"fact re-keyed on l_partkey:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("late fulfilment q4: the EXISTS probe is a hash semi join") {
+    val plan = executedPlan(BatchOps.lateFulfilmentQ4(spark, dir))
+    // The at-most-once contract must come from a LeftSemi join operator
+    // (never a distinct-after-inner-join rewrite, and never a
+    // nested-loop probe) — the non-equi ship-date bound rides the semi
+    // join's residual condition on the o_orderkey equi key.
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS degraded to a nested loop:\n$plan")
+  }
+
+  test("window frame audit: cum frames share one priority exchange") {
+    val plan = executedPlan(BatchOps.windowFrameAudit(spark, dir))
+    // ROWS and RANGE cum sums both partition by priority — they and the
+    // final priority-grain aggregate must reuse ONE
+    // hashpartitioning(o_orderpriority) exchange; the peer-count window
+    // adds the single (priority, od) exchange. More means a frame spec
+    // drifted and the fact shuffles redundantly.
+    val prio = plan.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("o_orderpriority"))
+    assert(prio.length <= 2,
+      s"extra priority exchanges:\n${prio.mkString("\n")}\n$plan")
+  }
+
   test("market share: dims broadcast, only fact joins shuffle") {
     val plan = executedPlan(BatchOps.nationalMarketShare(spark, dir))
     // Four dimension joins (nation ×2, region, supplier) must ride
