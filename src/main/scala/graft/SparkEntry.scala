@@ -240,6 +240,7 @@ object SparkEntry {
     "late_fulfilment_q4" -> ((s, d) => BatchOps.lateFulfilmentQ4(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
+    "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
     "revenue_concentration" -> ((s, d) =>
       BatchOps.revenueConcentration(s, d)),
     "wow_growth" -> ((s, d) => BatchOps.wowGrowth(s, d)),
@@ -1064,6 +1065,7 @@ object SparkEntry {
     "late_fulfilment_q4" -> BatchOps.lateFulfilmentQ4OracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
+    "user_value_trend" -> BatchOps.userValueTrendOracleSql,
     "revenue_concentration" -> BatchOps.revenueConcentrationOracleSql,
     "wow_growth" -> BatchOps.wowGrowthOracleSql,
     "fk_fanout_histogram" -> BatchOps.fkFanoutHistogramOracleSql,

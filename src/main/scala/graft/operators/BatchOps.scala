@@ -3873,6 +3873,96 @@ object BatchOps {
        |    CAST(count(*) AS DOUBLE) AS tau
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PER-ENTITY Mann-Kendall census — [[mannKendallTrend]] run at
+    * CUSTOMER grain and aggregated to a (segment, trend) table: how
+    * many customers' monthly spend is trending up / down / flat (sign
+    * of the per-customer S statistic over ≥3 active months). The
+    * fleet-scale version of the single-series test: instead of one
+    * S per region, millions of small tests run entity-parallel and
+    * only the census crosses the wire. Shares are the standing
+    * floor-div mille within segment.
+    *
+    * Scale: the pair self-join is per-customer-blocked — block size is
+    * ACTIVE MONTHS per customer (calendar-bounded ≤ ~84, typically a
+    * handful), so the explode is corpus-size-independent per entity
+    * and embarrassingly parallel across entities; the census
+    * re-aggregates a ≤ segments×3 frame. */
+  def userValueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("midx"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    val a = monthly.select(col("o_custkey"), col("midx").as("mi"),
+      col("rev_c").as("rev_i"))
+    val b = monthly.select(col("o_custkey"), col("midx").as("mj"),
+      col("rev_c").as("rev_j"))
+    val perUser = a.join(b, Seq("o_custkey"))
+      .filter(col("mi") < col("mj"))
+      .withColumn("sgn",
+        when(col("rev_j") > col("rev_i"), 1L)
+          .when(col("rev_j") < col("rev_i"), -1L)
+          .otherwise(0L))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"))
+      // m(m−1)/2 ≥ 3 ⇔ m ≥ 3 active months: below that the test is
+      // vacuous (a single pair always "trends").
+      .filter(col("n_pairs") >= 3)
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val w = Window.partitionBy("segment")
+    perUser
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .withColumn("trend",
+        when(col("s_stat") > 0, "up")
+          .when(col("s_stat") < 0, "down")
+          .otherwise("flat"))
+      .groupBy("segment", "trend")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("segment_total", sum(col("n_customers")).over(w))
+      .withColumn("share_mille",
+        expr("(n_customers * 1000) div segment_total"))
+      .orderBy("segment", "trend")
+  }
+
+  /** DuckDB oracle for [[userValueTrend]] — same month grain, same
+    * pair signs, same census. */
+  private[graft] def userValueTrendOracleSql: String =
+    s"""WITH monthly AS (
+       |  SELECT o_custkey,
+       |    year(CAST(o_orderdate AS DATE)) * 12 +
+       |      month(CAST(o_orderdate AS DATE)) AS midx,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1, 2),
+       |pu AS (
+       |  SELECT a.o_custkey, count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN b.rev_c > a.rev_c THEN 1
+       |      WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END) AS BIGINT)
+       |      AS s_stat
+       |  FROM monthly a JOIN monthly b
+       |    ON a.o_custkey = b.o_custkey AND a.midx < b.midx
+       |  GROUP BY 1
+       |  HAVING count(*) >= 3),
+       |cl AS (
+       |  SELECT c.c_mktsegment AS segment,
+       |    CASE WHEN pu.s_stat > 0 THEN 'up'
+       |         WHEN pu.s_stat < 0 THEN 'down'
+       |         ELSE 'flat' END AS trend
+       |  FROM pu JOIN customer c ON pu.o_custkey = c.c_custkey),
+       |g AS (
+       |  SELECT segment, trend, count(*) AS n_customers
+       |  FROM cl GROUP BY 1, 2)
+       |SELECT segment, trend, n_customers,
+       |  CAST(sum(n_customers) OVER (PARTITION BY segment) AS BIGINT)
+       |    AS segment_total,
+       |  (n_customers * 1000) //
+       |    CAST(sum(n_customers) OVER (PARTITION BY segment) AS BIGINT)
+       |    AS share_mille
+       |FROM g
+       |ORDER BY segment, trend""".stripMargin
+
   /** Seeded mutation moduli for [[snapshotDiff]] — chosen pairwise
     * coprime so every change class is exercised and expected counts
     * are known by construction: keys ≡0 (mod 37) exist only in v2

@@ -944,6 +944,22 @@ class CurationInvariantsSpec extends GraftSpec {
       "the encoder is self-consistent; only injected faults classify")
   }
 
+  test("user value trend: census closes within segment, shares bounded") {
+    val rows = BatchOps.userValueTrend(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      Set("up", "down", "flat").contains(r.getAs[String]("trend"))))
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (_, rs) =>
+      val tot = rs.head.getAs[Long]("segment_total")
+      assert(rs.map(_.getAs[Long]("n_customers")).sum == tot)
+      val shares = rs.map(_.getAs[Long]("share_mille"))
+      assert(shares.forall(s => s >= 0 && s <= 1000))
+      val sum = shares.sum
+      assert(sum <= 1000 && sum > 1000 - rs.length,
+        s"floor-mille shares sum to $sum")
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
