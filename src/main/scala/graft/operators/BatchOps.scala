@@ -891,16 +891,23 @@ object BatchOps {
     * explosion, same shape at any SF. */
   def setOpsAudit(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+    // Dedup each year's key set ONCE and cut lineage: the five legs
+    // below would otherwise each re-run the scan+filter+distinct
+    // shuffle (the sourceDivergence multi-branch hazard). Set ops are
+    // DISTINCT-semantics anyway, so pre-distinct inputs change nothing;
+    // the checkpointed frames are active-customer-key-sized.
     def keys(yr: Int) = o
       .filter(expr(s"year(o_orderdate) = $yr"))
       .select(col("o_custkey"))
+      .distinct()
+      .localCheckpoint()
     val a = keys(1996)
     val b = keys(1997)
     def tag(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_keys"))
         .select(lit(name).as("set_op"), col("n_keys"))
-    tag("a_1996", a.distinct())
-      .unionByName(tag("b_1997", b.distinct()))
+    tag("a_1996", a)
+      .unionByName(tag("b_1997", b))
       .unionByName(tag("intersect", a.intersect(b)))
       .unionByName(tag("except_a_minus_b", a.except(b)))
       .unionByName(tag("union_distinct", a.union(b).distinct()))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -484,10 +485,15 @@ object MultiModalOps {
         (p.doc_id, status)
       }
     }.toDF("doc_id", "status")
-    val tot = statuses.agg(count(lit(1)).as("n_docs"))
+    // Total from the census itself (tiny full-frame window), NOT a
+    // second aggregate over `statuses` — that would re-run the whole
+    // encode+validate byte walk, and checkpointing the corpus-sized
+    // status frame is not a 100 TB option.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     statuses.groupBy("status")
       .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_docs", sum(col("n")).over(wAll))
       .select(col("status"), col("n"), col("n_docs"),
         expr("(n * 1000) div n_docs").as("share_mille"))
       .orderBy("status")
