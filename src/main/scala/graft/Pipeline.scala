@@ -33,13 +33,19 @@ object Pipeline {
     // 11 by the full FK-orphan audit and the CDC offset-continuity
     // audit — the two checks a production run gates deploys on.
     "quality_validation" -> Seq("dq_report", "fk_orphan_audit",
-      "cdc_gap_detection"),
+      "cdc_gap_detection", "column_profile"),
     // Round-12 extension phase (no reference counterpart): the
     // governance checks a production CDC platform gates on — dead
     // letters triaged, payload schema drift censused, replica diffs
     // reconciled, and erasure completeness proven.
     "governance_audit" -> Seq("deadletter_audit", "props_key_census",
-      "snapshot_diff", "gdpr_erasure_audit"))
+      "snapshot_diff", "gdpr_erasure_audit"),
+    // Round-12 statistics phase: the exact-integer monitoring tests a
+    // warehouse runs on a schedule — independence drift between two
+    // categorical dims, the reorder life table, and the per-customer
+    // trend census.
+    "statistical_monitors" -> Seq("segment_priority_chi2",
+      "reorder_hazard", "user_value_trend"))
 
   /** The engine's OWN second DAG — the training-data curation pipeline
     * over the documents/embeddings tables (no reference counterpart;
@@ -48,12 +54,13 @@ object Pipeline {
     * near-dup survivors) → decontaminate → quality-gate → assemble. */
   val curationPhases: Seq[(String, Seq[String])] = Seq(
     "corpus_profile" -> Seq("text_stats", "lang_stats",
-      "source_quality_profile", "length_boxplot"),
+      "source_quality_profile", "length_boxplot",
+      "vocab_coverage_curve"),
     "privacy_scrub" -> Seq("pii_scrub"),
     "dedup" -> Seq("normalized_dedup", "docs_exact_dedup",
       "paragraph_dedup", "neardup_survivors", "semantic_dedup_survivors",
       "dedup_features", "dup_span_census", "incremental_dedup",
-      "dedup_waterfall", "lpa_communities"),
+      "dedup_waterfall", "lpa_communities", "dedup_weights"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination", "bloom_decontam"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
@@ -67,8 +74,12 @@ object Pipeline {
     // Multimodal ingest: payload stats, the three real codecs, and the
     // decode→resize / frame-sample / decimate stages over them.
     "multimodal" -> Seq("binary_doc_stats", "doc_page_stats",
-      "wav_features", "audio_resample", "bmp_features", "image_resize",
-      "png_features", "video_frame_sample", "doc_embedding_stats"),
+      "codec_integrity_screen", "wav_features", "audio_resample",
+      "bmp_features", "image_resize", "png_features",
+      "video_frame_sample", "doc_embedding_stats"),
+    // Retrieval eval: label-space and shortlist-depth quality gates
+    // off the memoized LSH core and exact ground truth.
+    "retrieval_eval" -> Seq("knn_confusion", "lsh_recall_at_k"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",
