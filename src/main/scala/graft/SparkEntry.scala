@@ -266,6 +266,7 @@ object SparkEntry {
       VectorOps.embeddingCovariance(s, d)),
     "gdpr_erasure_audit" -> ((s, d) => CdcOps.gdprErasureAudit(s, d)),
     "props_key_census" -> ((s, d) => CdcOps.propsKeyCensus(s, d)),
+    "props_key_timeline" -> ((s, d) => CdcOps.propsKeyTimeline(s, d)),
     "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
     "dedup_waterfall" -> ((s, d) => TextOps.dedupWaterfall(s, d)),
     "neardup_triangles" -> ((s, d) => TextOps.nearDupTriangles(s, d)),
@@ -1086,6 +1087,7 @@ object SparkEntry {
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,
     "props_key_census" -> CdcOps.propsKeyCensusOracleSql,
+    "props_key_timeline" -> CdcOps.propsKeyTimelineOracleSql,
     "langid_confusion" -> TextOps.langidConfusionOracleSql,
     "dedup_waterfall" -> TextOps.dedupWaterfallOracleSql(shinglesSql),
     "neardup_triangles" -> TextOps.nearDupTrianglesOracleSql(shinglesSql),

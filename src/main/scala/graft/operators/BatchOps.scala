@@ -1203,7 +1203,11 @@ object BatchOps {
     * Scale: two window passes over the SAME (priority, date) sort —
     * Catalyst collapses them into one Sort + two Window operators, one
     * shuffle on the partition key; the audit re-aggregates to priority
-    * grain. */
+    * grain. DOMAIN BOUND: `rows_cum_total_c` sums running totals, so
+    * it grows ~n²·avg_cents per partition — int64-safe to ~10⁸ rows
+    * per priority; this is a SEMANTICS AUDIT to run on a bounded slice
+    * (as here), not a production rollup to point at an unbounded
+    * fact. */
   def windowFrameAudit(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),

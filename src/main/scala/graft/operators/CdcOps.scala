@@ -2909,6 +2909,71 @@ object CdcOps {
        |GROUP BY 1, 2, tot.n_events
        |ORDER BY 1, 2""".stripMargin
 
+  /** Payload-key LIFECYCLE timeline — [[propsKeyCensus]]'s drift
+    * detector extended with WHEN: per (event_type, key), first/last
+    * day observed, distinct active days, and a coverage mille
+    * (active days ÷ calendar span). The lifecycle answers the schema-
+    * forensics questions the census can't: a key with last_day in the
+    * past was RENAMED AWAY (its replacement shows a late first_day);
+    * coverage ≪ 1000 over a long span means an intermittent producer,
+    * not a schema change. Rides the same seeded corruption, so
+    * `__invalid__` gets a timeline too (when did the producer break?).
+    *
+    * Scale: same bounded key explode as the census, one (type, key)
+    * partial+final aggregate — the distinct-day count is the only
+    * extra state and is calendar-bounded per group. */
+  def propsKeyTimeline(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("p",
+        when(col("event_id") % 13 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .when(col("event_id") % 17 === 0, lit("""{"other": 1}"""))
+          .otherwise(col("props")))
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        explode(coalesce(expr("json_object_keys(p)"),
+          array(lit("__invalid__")))).as("key"))
+      .groupBy("event_type", "key")
+      .agg(min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"),
+        countDistinct(col("day")).as("n_days_active"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("span_days",
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+      .withColumn("coverage_mille",
+        expr("(n_days_active * 1000) div span_days"))
+      .orderBy("event_type", "key")
+
+  /** DuckDB oracle for [[propsKeyTimeline]] — same TRY_CAST guard,
+    * same calendar arithmetic. */
+  private[graft] def propsKeyTimelineOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CASE WHEN event_id % 13 = 0
+       |      THEN substring(props, 1, length(props) - 2)
+       |      WHEN event_id % 17 = 0 THEN '{"other": 1}'
+       |      ELSE props END AS p
+       |  FROM events),
+       |x AS (
+       |  SELECT event_type, day,
+       |    unnest(coalesce(json_keys(TRY_CAST(p AS JSON)),
+       |      ['__invalid__'])) AS key
+       |  FROM s),
+       |g AS (
+       |  SELECT event_type, key,
+       |    min(day) AS first_day, max(day) AS last_day,
+       |    CAST(count(DISTINCT day) AS BIGINT) AS n_days_active,
+       |    count(*) AS n_rows
+       |  FROM x GROUP BY 1, 2)
+       |SELECT event_type, key, first_day, last_day, n_days_active,
+       |  n_rows,
+       |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+       |    AS span_days,
+       |  (n_days_active * 1000) //
+       |    CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+       |    AS coverage_mille
+       |FROM g
+       |ORDER BY event_type, key""".stripMargin
+
   /** ERASURE (right-to-be-forgotten) completeness audit — the
     * compliance check a CDC pipeline runs after compaction: for every
     * key whose LATEST op is a tombstone, the compacted state must hold

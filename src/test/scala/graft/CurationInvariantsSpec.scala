@@ -960,6 +960,30 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("props key timeline: spans bound activity, reconciles with census") {
+    val rows = CdcOps.propsKeyTimeline(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val span = r.getAs[Long]("span_days")
+      val active = r.getAs[Long]("n_days_active")
+      assert(span >= 1 && active >= 1 && active <= span)
+      assert(active <= r.getAs[Long]("n_rows"))
+      val cov = r.getAs[Long]("coverage_mille")
+      assert(cov >= 1 && cov <= 1000 && cov == active * 1000 / span)
+      assert(!r.getAs[java.sql.Date]("first_day")
+        .after(r.getAs[java.sql.Date]("last_day")))
+    }
+    // same seeded frame as the census: per-(type, key) row mass agrees
+    val census = CdcOps.propsKeyCensus(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("key")) ->
+        r.getAs[Long]("n_rows")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[String]("key"))
+      assert(census(k) == r.getAs[Long]("n_rows"),
+        s"timeline/census row-mass split at $k")
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
