@@ -764,12 +764,19 @@ object BatchOps {
     * Scale: one fact-side key shuffle (orders⋈customer), one cell-
     * grain partial+final aggregate; margins re-aggregate the ≤ r·c
     * cell frame. */
-  def segmentPriorityChi2(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.orders(spark, dir)
+  def segmentPriorityChi2(spark: SparkSession, dir: String): DataFrame =
+    segmentPriorityChi2Of(Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment").as("segment"),
-        col("o_orderpriority").as("priority"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority")))
+
+  /** [[segmentPriorityChi2]]'s math core over an injectable
+    * (segment, priority) pair frame — property-tested against a
+    * plain-Scala BigInt reference in StatPropertiesSpec. */
+  private[graft] def segmentPriorityChi2Of(pairs: DataFrame): DataFrame = {
+    val cells = pairs
+      .groupBy(col("segment"), col("priority"))
       .agg(count(lit(1)).as("observed"))
       .localCheckpoint()
     val rowTot = cells.groupBy("segment")
@@ -1022,9 +1029,16 @@ object BatchOps {
     * — a few-hundred-row frame, so the single-partition risk-set
     * window is the documented tiny-frame pattern ([[acfProfile]]),
     * never a fact-size sort. */
-  def reorderHazard(spark: SparkSession, dir: String): DataFrame = {
+  def reorderHazard(spark: SparkSession, dir: String): DataFrame =
+    reorderHazardOf(Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")))
+
+  /** [[reorderHazard]]'s life-table core over an injectable orders
+    * frame (o_custkey, o_orderkey, o_orderdate) — property-tested
+    * against a plain-Scala reference in StatPropertiesSpec. */
+  private[graft] def reorderHazardOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("od"), col("o_orderkey"))
-    val gaps = Tables.orders(spark, dir)
+    val gaps = orders
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("od"))
       .withColumn("prev_od", lag(col("od"), 1).over(w))
