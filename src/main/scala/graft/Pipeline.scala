@@ -79,7 +79,8 @@ object Pipeline {
       "video_frame_sample", "doc_embedding_stats"),
     // Retrieval eval: label-space and shortlist-depth quality gates
     // off the memoized LSH core and exact ground truth.
-    "retrieval_eval" -> Seq("knn_confusion", "lsh_recall_at_k"),
+    "retrieval_eval" -> Seq("knn_confusion", "lsh_recall_at_k",
+      "rp_multiprobe_recall_at_k"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",

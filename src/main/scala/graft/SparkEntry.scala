@@ -314,6 +314,8 @@ object SparkEntry {
     "knn_label_agreement" -> ((s, d) => VectorOps.knnLabelAgreement(s, d)),
     "knn_confusion" -> ((s, d) => VectorOps.knnConfusion(s, d)),
     "lsh_recall_at_k" -> ((s, d) => VectorOps.lshRecallAtK(s, d)),
+    "rp_multiprobe_recall_at_k" -> ((s, d) =>
+      VectorOps.rpMultiprobeRecallAtK(s, d)),
     "embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
     "ann_ivf_top1" -> ((s, d) => VectorOps.annIvfTop1(s, d)),
     "ann_pq_top1" -> ((s, d) => VectorOps.annPqTop1(s, d)),
@@ -1216,6 +1218,8 @@ object SparkEntry {
     "knn_label_agreement" -> VectorOps.knnLabelAgreementOracleSql,
     "knn_confusion" -> VectorOps.knnConfusionOracleSql,
     "lsh_recall_at_k" -> VectorOps.lshRecallAtKOracleSql,
+    "rp_multiprobe_recall_at_k" ->
+      VectorOps.rpMultiprobeRecallAtKOracleSql,
     "embedding_drift" -> VectorOps.embeddingDriftOracleSql,
     "ann_ivf_top1" -> VectorOps.annIvfTop1OracleSql,
     // IVF-PQ: coarse candidates scored by asymmetric distance over

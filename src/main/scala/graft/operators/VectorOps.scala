@@ -546,6 +546,10 @@ object VectorOps {
         col("label").as("pred_label")), "c_id")
       .groupBy("label", "pred_label")
       .agg(count(lit(1)).as("n_pairs"))
+      // cells feeds TWO branches (row margin + final join): cut the
+      // lineage so the pick/join walk runs once — the frame is
+      // ≤ labels² rows, corpus-size-independent.
+      .localCheckpoint()
     val rowTot = cells.groupBy("label").agg(sum("n_pairs").as("n_covered"))
     cells
       .join(broadcast(rowTot), "label")
@@ -2737,8 +2741,17 @@ object VectorOps {
         .select(col("b").as("q_id"), col("a").as("c_id"), col("cosine")))
     val wq = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id"))
-    val hitRank = oriented
-      .withColumn("rk", row_number().over(wq))
+    recallCurveFrom(oriented.withColumn("rk", row_number().over(wq)),
+      exact)
+  }
+
+  /** Shared recall-curve tail: a ranked candidate frame
+    * (q_id, c_id, rk) joins the exact pick, each query's hit rank
+    * widens into per-[[RecallKs]] hit counts in ONE aggregate, and the
+    * 1-row frame unpivots to curve grain. */
+  private def recallCurveFrom(ranked: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val hitRank = ranked
       .join(exact.select(col("q_id"), col("exact_c")), "q_id")
       .filter(col("c_id") === col("exact_c"))
       .select(col("q_id"), col("rk"))
@@ -2755,6 +2768,67 @@ object VectorOps {
         expr("(n_hits * 1000) div n_queries").as("recall_mille"))
       .orderBy("k")
   }
+
+  /** RERANK-CAP TUNING CURVE for the PRODUCTION retrieval path — the
+    * 256-bit multiprobe candidates ranked by their STAGE-1 order
+    * (hamming, c_id), scored against the memoized exact ground truth:
+    * recall@k here means "a rerank cap of k would hand the true
+    * neighbor to stage 2" (after which the EXACT-cosine rerank
+    * promotes it to the top with certainty — which is also why
+    * ranking this curve by the rerank's own cosine would be
+    * tautologically flat at recall@1: the ground-truth metric and the
+    * rerank metric coincide). The curve's knee IS the right
+    * [[MihRerankCap]]; mass beyond the knee is wasted rerank work.
+    *
+    * Scale: rides the memoized multiprobe pair core and exact memo —
+    * no embedding ever joins; the rank window runs on the capped
+    * candidate lists. */
+  def rpMultiprobeRecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val exact = exactTop1(spark, dir)
+    val scored = rpMultiprobeScoredPairs(spark, dir)
+    val ranked = scored
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("hamming"), col("c_id"))))
+      .filter(col("rk") <= MihRerankCap)
+      .select("q_id", "c_id", "rk")
+    recallCurveFrom(ranked, exact)
+  }
+
+  /** DuckDB oracle for [[rpMultiprobeRecallAtK]] — the multiprobe
+    * shortlist CTEs, the stage-1 (hamming, c_id) rank, the N² exact
+    * pick (reusing the prefix's `e` norms), and the depth-join count
+    * per k. */
+  private[graft] def rpMultiprobeRecallAtKOracleSql: String =
+    s"""${rpShortlistSqlPrefix(multiprobe = true)},
+       |rnk AS (
+       |  SELECT q_id, c_id, rn AS rk FROM short
+       |  WHERE rn <= $MihRerankCap),
+       |ap AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+       |      AS cosine
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |er AS (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rk
+       |  FROM ap),
+       |exact AS (SELECT q_id, c_id AS exact_c FROM er WHERE rk = 1),
+       |hit AS (
+       |  SELECT rnk.q_id, rnk.rk FROM rnk
+       |  JOIN exact ON rnk.q_id = exact.q_id
+       |    AND rnk.c_id = exact.exact_c),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM exact),
+       |ks AS (SELECT unnest([${RecallKs.mkString(", ")}]) AS k),
+       |cnt AS (
+       |  SELECT ks.k, CAST(count(hit.q_id) AS BIGINT) AS n_hits
+       |  FROM ks LEFT JOIN hit ON hit.rk <= ks.k
+       |  GROUP BY ks.k)
+       |SELECT cnt.k, tot.n_queries, cnt.n_hits,
+       |  (cnt.n_hits * 1000) // tot.n_queries AS recall_mille
+       |FROM cnt CROSS JOIN tot
+       |ORDER BY k""".stripMargin
 
   /** DuckDB oracle for [[lshRecallAtK]] — the LSH pair CTEs, the N²
     * exact pick (as in [[annQualityReportOracleSql]]), and a
@@ -2897,7 +2971,10 @@ object VectorOps {
   private[graft] def annRpMultiprobeTop1OracleSql: String =
     rpRerankOracleSql(multiprobe = true)
 
-  private def rpRerankOracleSql(multiprobe: Boolean): String = {
+  /** The RP rerank oracles' shared CTE chain through `rr` (the
+    * exact-cosine-rescored shortlist) — composed by the two top-1
+    * oracles and the multiprobe recall@k curve. */
+  private def rpShortlistSqlPrefix(multiprobe: Boolean): String = {
     val hpRows = (0 until RpBands * RpBandBits).map { h =>
       s"($h, ${h / RpBandBits}, ${1 << (h % RpBandBits)}, " +
         s"CAST(${graft.functions.RandProj.Masks(h)} AS BIGINT))"
@@ -2964,7 +3041,11 @@ object VectorOps {
        |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cosine
        |  FROM sl s
        |  JOIN e q ON s.q_id = q.vec_id
-       |  JOIN e c ON s.c_id = c.vec_id),
+       |  JOIN e c ON s.c_id = c.vec_id)""".stripMargin
+  }
+
+  private def rpRerankOracleSql(multiprobe: Boolean): String =
+    s"""${rpShortlistSqlPrefix(multiprobe)},
        |best AS (
        |  SELECT q_id, c_id, hamming, cosine,
        |    row_number() OVER (PARTITION BY q_id
@@ -2973,7 +3054,6 @@ object VectorOps {
        |SELECT q_id, c_id, hamming, round(cosine, 9) AS cosine
        |FROM best WHERE rk = 1
        |ORDER BY q_id""".stripMargin
-  }
 
   /** Quantization scale for [[embeddingCovariance]]: components land
     * in ±1-ish, so ×1000 keeps three decimals and every product and

@@ -984,6 +984,27 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("multiprobe recall@k: monotone cap-tuning curve, bounded by the family") {
+    val rows = VectorOps.rpMultiprobeRecallAtK(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == VectorOps.RecallKs)
+    val nq = rows.head.getAs[Long]("n_queries")
+    var prev = 0L
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= prev && h <= nq)
+      prev = h
+      assert(r.getAs[Long]("recall_mille") == h * 1000 / nq)
+    }
+    // at the full cap the exact rerank promotes every shortlisted true
+    // neighbor to the top, so the family's recall@1 (quality report)
+    // bounds every curve point from above
+    val famCorrect = VectorOps.annQualityReport(spark, dir).collect()
+      .find(_.getAs[String]("method") == "rp_multiprobe").get
+      .getAs[Long]("n_correct")
+    assert(rows.last.getAs[Long]("n_hits") <= famCorrect,
+      s"curve at k=20 exceeds the family's full-cap hits $famCorrect")
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
