@@ -3912,8 +3912,20 @@ object BatchOps {
     * handful), so the explode is corpus-size-independent per entity
     * and embarrassingly parallel across entities; the census
     * re-aggregates a ≤ segments×3 frame. */
-  def userValueTrend(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(spark, dir)
+  def userValueTrend(spark: SparkSession, dir: String): DataFrame =
+    userValueTrendOf(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+
+  /** [[userValueTrend]]'s census core over injectable orders
+    * (o_custkey, o_orderdate, o_totalprice) and customer
+    * (c_custkey, c_mktsegment) frames — property-tested against a
+    * plain-Scala Mann-Kendall reference in StatPropertiesSpec. */
+  private[graft] def userValueTrendOf(orders: DataFrame,
+      customers: DataFrame): DataFrame = {
+    val monthly = orders
       .groupBy(col("o_custkey"),
         (year(to_date(col("o_orderdate"))) * 12 +
           month(to_date(col("o_orderdate")))).as("midx"))
@@ -3934,7 +3946,7 @@ object BatchOps {
       // m(m−1)/2 ≥ 3 ⇔ m ≥ 3 active months: below that the test is
       // vacuous (a single pair always "trends").
       .filter(col("n_pairs") >= 3)
-    val seg = Tables.customer(spark, dir)
+    val seg = customers
       .select(col("c_custkey"), col("c_mktsegment").as("segment"))
     val w = Window.partitionBy("segment")
     perUser

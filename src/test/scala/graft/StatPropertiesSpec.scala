@@ -64,6 +64,47 @@ class StatPropertiesSpec extends GraftSpec {
     day <- Gen.choose(0, 120)
   } yield (cust, 0L, day) // orderkey reassigned unique below
 
+  test("property: user value trend census matches scala Mann-Kendall") {
+    (0 until 6).foreach { i =>
+      val raw = gen(Gen.chooseNum(5, 60).flatMap(n => Gen.listOfN(n, for {
+        cust <- Gen.choose(1L, 6L)
+        day <- Gen.choose(0, 360)
+        cents <- Gen.choose(100L, 900000L)
+      } yield (cust, day, cents))), 20260816L + i)
+      val orders = raw.map { case (c, d, cents) =>
+        (c, Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).atStartOfDay()), cents / 100.0)
+      }
+      val segs = (1L to 6L).map(c => (c, if (c % 2 == 0) "AUTO" else "HOUSE"))
+      val got = BatchOps.userValueTrendOf(
+        orders.toDF("o_custkey", "o_orderdate", "o_totalprice"),
+        segs.toDF("c_custkey", "c_mktsegment")).collect()
+      // reference: per-customer monthly cents → pairwise sign S → class
+      val trends = orders.groupBy(_._1).view.mapValues { os =>
+        val byMonth = os.groupBy { o =>
+          val d = o._2.toLocalDateTime.toLocalDate
+          d.getYear * 12 + d.getMonthValue
+        }.view.mapValues(_.map(o => math.round(o._3 * 100)).sum)
+          .toSeq.sortBy(_._1).map(_._2)
+        val pairs = for {
+          i <- byMonth.indices; j <- byMonth.indices if i < j
+        } yield java.lang.Long.signum(byMonth(j) - byMonth(i)).toLong
+        (pairs.size, pairs.sum)
+      }.toMap.collect { case (c, (np, s)) if np >= 3 =>
+        c -> (if (s > 0) "up" else if (s < 0) "down" else "flat")
+      }
+      val expected = trends.groupBy { case (c, t) =>
+        (segs.find(_._1 == c).get._2, t)
+      }.view.mapValues(_.size.toLong).toMap
+      assert(got.length == expected.size)
+      got.foreach { r =>
+        val k = (r.getAs[String]("segment"), r.getAs[String]("trend"))
+        assert(r.getAs[Long]("n_customers") == expected(k),
+          s"census mismatch at $k")
+      }
+    }
+  }
+
   test("property: reorder hazard matches the scala life table") {
     (0 until 8).foreach { i =>
       val raw = gen(Gen.chooseNum(1, 60)
