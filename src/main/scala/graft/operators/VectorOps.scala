@@ -293,7 +293,22 @@ object VectorOps {
     *
     * Vectors sharing no cell with anyone produce no row (the documented
     * recall/coverage trade-off of LSH; more tables → more recall). */
-  private def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+  private val lshPairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      DataFrame]())
+
+  private def lshScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("lsh_scored_pairs")(
+        lshScoredPairsUncached(spark, dir).localCheckpoint()))
+
+  /** The actual candidate pipeline behind [[lshPairsMemo]] — SIX
+    * consumers (LSH top-1, cosine near-dup, label agreement/confusion,
+    * hard negatives, recall@k) share the checkpointed pair frame
+    * instead of re-running the explode/dedup/score stages each. */
+  private def lshScoredPairsUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
@@ -2511,7 +2526,22 @@ object VectorOps {
     * (candidates never come from a flooded bucket), while probing is
     * never capped (it is O(bands·bits) per query regardless of data).
     * The verify stays the full-code XOR popcount. */
+  private val rpMultiprobePairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      DataFrame]())
+
   private[graft] def rpMultiprobeScoredPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    rpMultiprobePairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("rp_multiprobe_pairs")(
+        rpMultiprobeScoredPairsUncached(spark, dir).localCheckpoint()))
+
+  /** The actual probe pipeline behind [[rpMultiprobePairsMemo]] —
+    * THREE consumers (multiprobe top-1, the quality report, the
+    * rerank-cap curve) share the checkpointed scored-pair frame
+    * instead of re-running the 9× probe join each. */
+  private def rpMultiprobeScoredPairsUncached(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.RpBits.register(spark)
     val bandCols = (0 until RpBands).map { j =>
