@@ -255,6 +255,7 @@ object SparkEntry {
     "segment_priority_chi2" -> ((s, d) =>
       BatchOps.segmentPriorityChi2(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
+    "stickiness_ratio" -> ((s, d) => CdcOps.stickinessRatio(s, d)),
     "attribution_models_compare" -> ((s, d) =>
       CdcOps.attributionModelsCompare(s, d)),
     "conversion_lag_histogram" -> ((s, d) =>
@@ -1080,6 +1081,7 @@ object SparkEntry {
     "rank_semantics_audit" -> BatchOps.rankSemanticsAuditOracleSql,
     "segment_priority_chi2" -> BatchOps.segmentPriorityChi2OracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
+    "stickiness_ratio" -> CdcOps.stickinessRatioOracleSql,
     "attribution_models_compare" ->
       CdcOps.attributionModelsCompareOracleSql,
     "conversion_lag_histogram" -> CdcOps.conversionLagHistogramOracleSql,

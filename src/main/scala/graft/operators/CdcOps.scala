@@ -3407,6 +3407,68 @@ object CdcOps {
       .orderBy("day")
   }
 
+  /** Trailing window length for [[stickinessRatio]]'s MAU leg. */
+  val MauWindowDays = 28
+
+  /** DAU/MAU STICKINESS — the engagement ratio every product
+    * dashboard tracks: per day, the 1-day distinct actives over the
+    * trailing-[[MauWindowDays]]-day distinct actives as the standing
+    * floor-div mille (1000 = everyone active monthly was active
+    * today). Same sliding-distinct-over-partials shape as
+    * [[trailingDau]]: a sliding COUNT DISTINCT has no window-frame
+    * form, so each (user, day) contributes itself to the window-ends
+    * it belongs to via a bounded calendar explode — the explode factor
+    * is the window length, a constant.
+    *
+    * Scale: the distinct (user, day) frame collapses the fact once
+    * and is checkpointed; both aggregates are partial+final; nothing
+    * downstream of the explode carries more than ids and days. */
+  def stickinessRatio(spark: SparkSession, dir: String): DataFrame =
+    stickinessRatioOf(Tables.events(spark, dir))
+
+  /** [[stickinessRatio]] over an injectable event frame. */
+  def stickinessRatioOf(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint()
+    val daily = userDays.groupBy("day")
+      .agg(count(lit(1)).as("dau"))
+    val trailing = userDays
+      .withColumn("off",
+        explode(sequence(lit(0), lit(MauWindowDays - 1))))
+      .withColumn("day2", expr("date_add(day, off)"))
+      .select(col("user_id"), col("day2").as("day"))
+      .join(daily.select("day"), Seq("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(trailing, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("(dau * 1000) div mau").as("stickiness_mille"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[stickinessRatio]]. */
+  private[graft] def stickinessRatioOracleSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |daily AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+       |  FROM ud GROUP BY 1),
+       |w AS (
+       |  SELECT ud.user_id, ud.day + CAST(o.off AS INTEGER) AS day
+       |  FROM ud CROSS JOIN (
+       |    SELECT unnest(generate_series(0, ${MauWindowDays - 1}))
+       |      AS off) o),
+       |t AS (
+       |  SELECT w.day, CAST(count(DISTINCT w.user_id) AS BIGINT) AS mau
+       |  FROM w JOIN daily ON w.day = daily.day
+       |  GROUP BY 1)
+       |SELECT daily.day AS day, daily.dau, t.mau,
+       |  (daily.dau * 1000) // t.mau AS stickiness_mille
+       |FROM daily JOIN t ON daily.day = t.day
+       |ORDER BY daily.day""".stripMargin
+
   /** DuckDB oracle for [[trailingDau]]. */
   private[graft] def trailingDauOracleSql: String =
     s"""WITH ud AS (

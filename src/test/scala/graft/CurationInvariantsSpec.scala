@@ -1005,6 +1005,27 @@ class CurationInvariantsSpec extends GraftSpec {
       s"curve at k=20 exceeds the family's full-cap hits $famCorrect")
   }
 
+  test("stickiness: DAU bounded by MAU, reconciles with trailing DAU") {
+    val rows = CdcOps.stickinessRatio(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("mau"))
+      assert(dau >= 1 && dau <= mau)
+      val s = r.getAs[Long]("stickiness_mille")
+      assert(s >= 1 && s <= 1000 && s == dau * 1000 / mau)
+    }
+    // the 7d trailing distinct sits between DAU and the 28d MAU
+    val t7 = CdcOps.trailingDau(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day") ->
+        (r.getAs[Long]("dau_1d"), r.getAs[Long]("dau_7d"))).toMap
+    rows.foreach { r =>
+      val (d1, d7) = t7(r.getAs[java.sql.Date]("day"))
+      assert(r.getAs[Long]("dau") == d1)
+      assert(d7 <= r.getAs[Long]("mau"),
+        "7-day actives cannot exceed 28-day actives")
+    }
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
