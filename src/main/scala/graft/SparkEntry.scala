@@ -256,6 +256,9 @@ object SparkEntry {
       BatchOps.segmentPriorityChi2(s, d)),
     "trailing_dau" -> ((s, d) => CdcOps.trailingDau(s, d)),
     "stickiness_ratio" -> ((s, d) => CdcOps.stickinessRatio(s, d)),
+    "new_vs_returning" -> ((s, d) => CdcOps.newVsReturning(s, d)),
+    "weekday_seasonality" -> ((s, d) =>
+      BatchOps.weekdaySeasonality(s, d)),
     "attribution_models_compare" -> ((s, d) =>
       CdcOps.attributionModelsCompare(s, d)),
     "conversion_lag_histogram" -> ((s, d) =>
@@ -1082,6 +1085,8 @@ object SparkEntry {
     "segment_priority_chi2" -> BatchOps.segmentPriorityChi2OracleSql,
     "trailing_dau" -> CdcOps.trailingDauOracleSql,
     "stickiness_ratio" -> CdcOps.stickinessRatioOracleSql,
+    "new_vs_returning" -> CdcOps.newVsReturningOracleSql,
+    "weekday_seasonality" -> BatchOps.weekdaySeasonalityOracleSql,
     "attribution_models_compare" ->
       CdcOps.attributionModelsCompareOracleSql,
     "conversion_lag_histogram" -> CdcOps.conversionLagHistogramOracleSql,

@@ -4652,6 +4652,60 @@ object BatchOps {
       .orderBy("month_of_year")
   }
 
+  /** SEASONAL INDEX by ISO weekday — [[seasonalIndex]]'s formula at
+    * day-of-week grain, completing the calendar-seasonality set
+    * (hour-of-day in `hourly_seasonality`, month-of-year above):
+    * which weekdays over/under-index on revenue, as the same exact
+    * (sum, count)-pair mille ratio. Weekday is pinned to ISO
+    * (1 = Monday … 7 = Sunday) on BOTH engines — Spark's `dayofweek`
+    * is 1 = Sunday while DuckDB's is 0 = Sunday, the classic silent
+    * off-by-one; `weekday()+1` ↔ `isodow()` is the portable pair.
+    *
+    * Scale: identical to the monthly index — one fact pass to day
+    * grain, a 7-row re-aggregate, a broadcast 1-row total. */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .localCheckpoint()
+    val byDow = daily
+      .groupBy((weekday(col("day")) + 1).as("iso_weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev_c")).as("rev_c"))
+    byDow
+      .crossJoin(broadcast(daily.agg(
+        count(lit(1)).as("n_days_total"),
+        sum(col("rev_c")).as("rev_c_total"))))
+      .withColumn("index_mille",
+        expr("(CAST(rev_c AS DECIMAL(38,0)) * n_days_total * 1000) div " +
+          "(n_days * CAST(rev_c_total AS DECIMAL(38,0)))"))
+      .select("iso_weekday", "n_days", "rev_c", "index_mille")
+      .orderBy("iso_weekday")
+  }
+
+  /** DuckDB oracle for [[weekdaySeasonality]]. */
+  private[graft] def weekdaySeasonalityOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT isodow(day) AS iso_weekday,
+       |    CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(rev_c) AS BIGINT) AS rev_c
+       |  FROM daily GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days_total,
+       |    CAST(sum(rev_c) AS BIGINT) AS rev_c_total
+       |  FROM daily)
+       |SELECT CAST(m.iso_weekday AS INT) AS iso_weekday, m.n_days,
+       |  m.rev_c,
+       |  CAST((CAST(m.rev_c AS HUGEINT) * t.n_days_total * 1000) //
+       |    (m.n_days * CAST(t.rev_c_total AS HUGEINT)) AS BIGINT)
+       |    AS index_mille
+       |FROM m CROSS JOIN t
+       |ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[seasonalIndex]]. */
   private[graft] def seasonalIndexOracleSql: String =
     s"""WITH daily AS (

@@ -3407,6 +3407,54 @@ object CdcOps {
       .orderBy("day")
   }
 
+  /** NEW vs RETURNING daily split — each day's actives partitioned by
+    * whether it is the user's FIRST-EVER active day: the acquisition-
+    * vs-retention decomposition under every growth dashboard, and the
+    * batch twin of the `newUsersDaily` stream (which keeps first-seen
+    * state; here the first day is a plain min re-aggregate). New +
+    * returning = DAU by construction (spec-pinned), share as the
+    * standing floor mille.
+    *
+    * Scale: the distinct (user, day) frame collapses the fact once;
+    * first days are a user-grain min; the flag join is user-keyed —
+    * two partial+final aggregates and one co-keyed join. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint()
+    val firstDay = userDays.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"))
+    userDays
+      .join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("dau"), col("n_new"),
+        (col("dau") - col("n_new")).as("n_returning"),
+        expr("(n_new * 1000) div dau").as("new_share_mille"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[newVsReturning]]. */
+  private[graft] def newVsReturningOracleSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |fd AS (
+       |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+       |SELECT ud.day, CAST(count(*) AS BIGINT) AS dau,
+       |  CAST(sum(CASE WHEN ud.day = fd.first_day THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_new,
+       |  CAST(count(*) - sum(CASE WHEN ud.day = fd.first_day
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       |  (CAST(sum(CASE WHEN ud.day = fd.first_day THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+       |    AS new_share_mille
+       |FROM ud JOIN fd ON ud.user_id = fd.user_id
+       |GROUP BY ud.day
+       |ORDER BY ud.day""".stripMargin
+
   /** Trailing window length for [[stickinessRatio]]'s MAU leg. */
   val MauWindowDays = 28
 

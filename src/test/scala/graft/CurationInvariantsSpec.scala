@@ -1026,6 +1026,37 @@ class CurationInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("new vs returning: partition closes, first day is all-new") {
+    val rows = CdcOps.newVsReturning(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("dau"))
+      assert(r.getAs[Long]("new_share_mille") ==
+        r.getAs[Long]("n_new") * 1000 / r.getAs[Long]("dau"))
+    }
+    val first = rows.head
+    assert(first.getAs[Long]("n_returning") == 0 &&
+      first.getAs[Long]("new_share_mille") == 1000,
+      "on the earliest day every active user is new")
+    assert(rows.map(_.getAs[Long]("n_new")).sum ==
+      graft.Tables.events(spark, dir)
+        .select("user_id").distinct().count(),
+      "each user is new exactly once")
+  }
+
+  test("weekday seasonality: ISO domain, weighted indices recompose flat") {
+    val rows = BatchOps.weekdaySeasonality(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("iso_weekday")).toSet == (1 to 7).toSet)
+    val nTotal = rows.map(_.getAs[Long]("n_days")).sum
+    // Σ n_days·index ≈ 1000·n_total (floor loss < 1 per weekday row)
+    val weighted = rows.map(r =>
+      r.getAs[Long]("n_days") * r.getAs[Long]("index_mille")).sum
+    assert(weighted <= 1000L * nTotal &&
+      weighted > 1000L * nTotal - rows.map(_.getAs[Long]("n_days")).max * rows.length,
+      s"weighted index mass $weighted vs ${1000L * nTotal}")
+  }
+
   test("quality calibration: rank-monotone, endpoints hit global extremes") {
     val rows = TextOps.qualityCalibration(spark, dir).collect()
     val (gMin, gMax) = (rows.map(_.getAs[Long]("n_chars")).min,
