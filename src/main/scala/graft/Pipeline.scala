@@ -44,8 +44,17 @@ object Pipeline {
     // warehouse runs on a schedule — independence drift between two
     // categorical dims, the reorder life table, and the per-customer
     // trend census.
-    "statistical_monitors" -> Seq("segment_priority_chi2",
-      "reorder_hazard", "user_value_trend"))
+    "statistical_monitors" -> Seq("segment_priority_chi2", "cramers_v",
+      "reorder_hazard", "user_value_trend", "ks_drift"),
+    // Round-12 relational-surface phase: the adapted TPC-H classics —
+    // the ad-hoc analyst workload a warehouse serves between the
+    // scheduled DAGs above (join-shape coverage: two-dim-chain Q7,
+    // zero-bucket LEFT Q13, tie-argmax Q15, decorrelated-scalar Q17,
+    // OR-pushdown Q19, double-correlation Q21, anti-join Q22).
+    "adhoc_analytics" -> Seq("trade_volume_q7", "profit_by_nation_q9",
+      "customer_order_dist_q13", "top_supplier_q15",
+      "small_qty_revenue_q17", "discounted_revenue_q19",
+      "waiting_suppliers_q21", "global_sales_opp_q22"))
 
   /** The engine's OWN second DAG — the training-data curation pipeline
     * over the documents/embeddings tables (no reference counterpart;
@@ -95,7 +104,10 @@ object Pipeline {
     "alerts_dominant_group", "alerts_low_stock",
     // Decontamination reports shared content (cross-source, or across
     // the train/eval split) — a clean corpus legitimately reports none.
-    "cross_source_contamination", "split_contamination")
+    "cross_source_contamination", "split_contamination",
+    // The Q7 focus-nation pair sample is legitimately empty at tiny SF
+    // (2/25ths of suppliers × 2/25ths of customers × 2 ship-years).
+    "trade_volume_q7")
 
   /** Layout-maintenance phase (round 12: the r11 verdict's "exercise
     * the layouts end-to-end" order): the `Tables` layout WRITERS had

@@ -238,6 +238,18 @@ object SparkEntry {
       BatchOps.segmentMetricsUnpivot(s, d)),
     "reorder_hazard" -> ((s, d) => BatchOps.reorderHazard(s, d)),
     "late_fulfilment_q4" -> ((s, d) => BatchOps.lateFulfilmentQ4(s, d)),
+    "trade_volume_q7" -> ((s, d) => TpchOps.tradeVolumeQ7(s, d)),
+    "profit_by_nation_q9" -> ((s, d) => TpchOps.profitByNationQ9(s, d)),
+    "customer_order_dist_q13" -> ((s, d) =>
+      TpchOps.customerOrderDistQ13(s, d)),
+    "top_supplier_q15" -> ((s, d) => TpchOps.topSupplierQ15(s, d)),
+    "small_qty_revenue_q17" -> ((s, d) => TpchOps.smallQtyRevenueQ17(s, d)),
+    "discounted_revenue_q19" -> ((s, d) =>
+      TpchOps.discountedRevenueQ19(s, d)),
+    "waiting_suppliers_q21" -> ((s, d) => TpchOps.waitingSuppliersQ21(s, d)),
+    "global_sales_opp_q22" -> ((s, d) => TpchOps.globalSalesOppQ22(s, d)),
+    "cramers_v" -> ((s, d) => BatchOps.cramersV(s, d)),
+    "ks_drift" -> ((s, d) => TextOps.ksDrift(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1070,6 +1082,16 @@ object SparkEntry {
     "segment_metrics_unpivot" -> BatchOps.segmentMetricsUnpivotOracleSql,
     "reorder_hazard" -> BatchOps.reorderHazardOracleSql,
     "late_fulfilment_q4" -> BatchOps.lateFulfilmentQ4OracleSql,
+    "trade_volume_q7" -> TpchOps.tradeVolumeQ7OracleSql,
+    "profit_by_nation_q9" -> TpchOps.profitByNationQ9OracleSql,
+    "customer_order_dist_q13" -> TpchOps.customerOrderDistQ13OracleSql,
+    "top_supplier_q15" -> TpchOps.topSupplierQ15OracleSql,
+    "small_qty_revenue_q17" -> TpchOps.smallQtyRevenueQ17OracleSql,
+    "discounted_revenue_q19" -> TpchOps.discountedRevenueQ19OracleSql,
+    "waiting_suppliers_q21" -> TpchOps.waitingSuppliersQ21OracleSql,
+    "global_sales_opp_q22" -> TpchOps.globalSalesOppQ22OracleSql,
+    "cramers_v" -> BatchOps.cramersVOracleSql,
+    "ks_drift" -> TextOps.ksDriftOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

@@ -832,6 +832,56 @@ object BatchOps {
        |CROSS JOIN g
        |ORDER BY 1, 2""".stripMargin
 
+  /** CRAMÉR'S V effect size for the [[segmentPriorityChi2]] screen —
+    * the number the chi-square is missing: χ² grows with n, V² =
+    * χ²/(n·min(r−1, c−1)) is the scale-free association strength
+    * (0 = independent, 1 = deterministic), so a drift monitor can
+    * alarm on effect size rather than sample size. Emitted as V² in
+    * micro units (the square root is the one step that has no exact
+    * integer form, and monotone transforms don't change thresholds) —
+    * every input is the chi2 query's own exact integer cells, totaled
+    * here; the only new division is one DECIMAL(38) floor div.
+    *
+    * Scale: rides [[segmentPriorityChi2Of]] (cells localCheckpointed
+    * at (segment, priority) grain), then aggregates the tiny cell
+    * frame to one row — nothing new touches the fact. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVOf(segmentPriorityChi2(spark, dir))
+
+  /** [[cramersV]]'s aggregate over an injectable chi2 cell frame
+    * (the [[segmentPriorityChi2Of]] output shape) — property-tested
+    * in StatPropertiesSpec. */
+  private[graft] def cramersVOf(cells: DataFrame): DataFrame =
+    cells
+      .agg(
+        sum(col("contrib_micro")).as("chi2_micro"),
+        max(col("n_total")).as("n_total"),
+        countDistinct(col("segment")).as("n_rows"),
+        countDistinct(col("priority")).as("n_cols"))
+      .withColumn("dof",
+        expr("(n_rows - 1) * (n_cols - 1)"))
+      .withColumn("v2_micro",
+        // nullif: a degenerate 1×N table has min dof 0 — V is
+        // undefined there, and ANSI mode would throw on the div.
+        expr("CAST(chi2_micro AS DECIMAL(38,0)) div nullif(" +
+          "CAST(n_total * least(n_rows - 1, n_cols - 1) AS DECIMAL(38,0))" +
+          ", CAST(0 AS DECIMAL(38,0)))"))
+
+  /** DuckDB oracle for [[cramersV]] — wraps the chi2 oracle verbatim,
+    * so the two queries can never drift apart. */
+  private[graft] def cramersVOracleSql: String =
+    s"""SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro,
+       |  max(n_total) AS n_total,
+       |  count(DISTINCT segment) AS n_rows,
+       |  count(DISTINCT priority) AS n_cols,
+       |  (count(DISTINCT segment) - 1) * (count(DISTINCT priority) - 1)
+       |    AS dof,
+       |  CAST(CAST(sum(contrib_micro) AS HUGEINT) //
+       |    nullif(CAST(max(n_total) * least(count(DISTINCT segment) - 1,
+       |      count(DISTINCT priority) - 1) AS HUGEINT), 0) AS BIGINT)
+       |    AS v2_micro
+       |FROM ($segmentPriorityChi2OracleSql)""".stripMargin
+
   /** TPC-H Q14 adaptation — monthly promo revenue share. Line revenue
     * `l_extendedprice·(1−l_discount)` has exactly four decimal digits,
     * so `round(rev·10⁴)` is an EXACT integer (the cents convention,

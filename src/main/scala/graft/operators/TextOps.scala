@@ -4991,6 +4991,108 @@ object TextOps {
        |FROM j
        |ORDER BY source, bin""".stripMargin
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift per source — each source's
+    * document-length distribution against the REST of the corpus, as
+    * the exact sup-norm CDF distance. Complements [[psiDrift]]: PSI is
+    * binned and smoothing-dependent; KS is binless and distribution-
+    * free, the test a monitor reaches for when the binning itself is
+    * in question. EXACT by construction: with n_s source docs and m_s
+    * rest docs, D = max over the merged length grid of
+    * |cum_s·m_s − cum_rest·n_s| / (n_s·m_s) — products and the max run
+    * in DECIMAL(38)/HUGEINT, one floor division to micro units at the
+    * end, so both engines emit identical integers (no FP sup-norms).
+    *
+    * Scale: one corpus pass to (source, length) grain; the dense
+    * source×grid spine and both cumulative windows run on that reduced
+    * frame (sources × distinct lengths — thousands of rows at any SF,
+    * since n_chars is bounded), never the corpus. The global-grid
+    * window is a single-partition sort of the tiny grid, not the
+    * fact. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Tables.documents(spark, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").as("len")))
+
+  /** [[ksDrift]]'s math core over an injectable (source, len) frame —
+    * property-tested against a plain-Scala BigInt sup-norm reference
+    * in StatPropertiesSpec. */
+  private[graft] def ksDriftOf(obs: DataFrame): DataFrame = {
+    val counts = obs
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds grid, per-source totals, AND the spine
+    val grid = counts.groupBy("len")
+      .agg(sum(col("cnt")).as("len_cnt"))
+      .withColumn("cum_all",
+        sum(col("len_cnt")).over(
+          Window.orderBy("len")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("len", "cum_all")
+    val srcTotals = counts.groupBy("source")
+      .agg(sum(col("cnt")).as("n_s"))
+    val total = counts.agg(sum(col("cnt")).as("n_all"))
+    srcTotals
+      .crossJoin(grid)
+      .join(counts, Seq("source", "len"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_s",
+        sum(col("cnt")).over(
+          Window.partitionBy("source").orderBy("len")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("m_s", col("n_all") - col("n_s"))
+      .withColumn("num", abs(
+        expr("CAST(cum_s AS DECIMAL(38,0)) * m_s - " +
+          "CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s")))
+      .groupBy(col("source"), col("n_s"), col("m_s"))
+      .agg(max(col("num")).as("max_num"))
+      .withColumn("d_micro",
+        expr("CAST(max_num * 1000000 div " +
+          "(CAST(n_s AS DECIMAL(38,0)) * m_s) AS BIGINT)"))
+      .select("source", "n_s", "m_s", "d_micro")
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[ksDrift]] — same dense spine, HUGEINT
+    * products (windowed BIGINT sums cast back per the standing
+    * HUGEINT rule). */
+  private[graft] def ksDriftOracleSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT len,
+       |    CAST(sum(sum(cnt)) OVER (ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_all
+       |  FROM counts GROUP BY len),
+       |st AS (
+       |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+       |  FROM counts GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM counts),
+       |dense AS (
+       |  SELECT st.source, st.n_s, g.len, g.cum_all,
+       |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       |  FROM st CROSS JOIN grid g
+       |  LEFT JOIN counts c ON c.source = st.source AND c.len = g.len),
+       |cum AS (
+       |  SELECT source, n_s, len, cum_all,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_s
+       |  FROM dense),
+       |scored AS (
+       |  SELECT source, n_s, (SELECT n_all FROM tot) - n_s AS m_s,
+       |    abs(CAST(cum_s AS HUGEINT) *
+       |        ((SELECT n_all FROM tot) - n_s) -
+       |      CAST(cum_all - cum_s AS HUGEINT) * n_s) AS num
+       |  FROM cum)
+       |SELECT source, n_s, m_s,
+       |  CAST(max(num) * 1000000 //
+       |    (CAST(n_s AS HUGEINT) * m_s) AS BIGINT) AS d_micro
+       |FROM scored GROUP BY source, n_s, m_s
+       |ORDER BY source""".stripMargin
+
   /** Flesch-style READABILITY per document — the classic reading-ease
     * screen a text-quality pipeline runs next to the length/stopword
     * gates: sentence count (terminal punctuation runs, floored at 1 —

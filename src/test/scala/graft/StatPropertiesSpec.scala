@@ -144,4 +144,75 @@ class StatPropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Cramér's V: the aggregate over chi2 cells vs a BigInt reference
+  // ------------------------------------------------------------------
+
+  test("property: cramers V matches the BigInt chi2 total") {
+    (0 until 6).foreach { i =>
+      val pairs = gen(Gen.chooseNum(2, 80)
+        .flatMap(n => Gen.listOfN(n, pairGen)), 20260901L + i)
+      val r = BatchOps
+        .cramersVOf(BatchOps.segmentPriorityChi2Of(
+          pairs.toDF("segment", "priority")))
+        .head()
+      val o = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val row = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val colT = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = BigInt(pairs.size)
+      val chi2 = o.map { case ((s, p), obs) =>
+        val (rt, ct) = (BigInt(row(s)), BigInt(colT(p)))
+        val d = BigInt(obs) * n - rt * ct
+        d * d * 1000000 / (n * rt * ct)
+      }.sum
+      assert(BigInt(r.getAs[Long]("chi2_micro")) == chi2)
+      assert(r.getAs[Long]("n_rows") == row.size.toLong)
+      assert(r.getAs[Long]("n_cols") == colT.size.toLong)
+      assert(r.getAs[Long]("dof") ==
+        (row.size - 1).toLong * (colT.size - 1))
+      val dofMin = BigInt(math.min(row.size, colT.size) - 1)
+      if (dofMin > 0)
+        assert(BigInt(r.getAs[Long]("v2_micro")) == chi2 / (n * dofMin))
+      else assert(r.isNullAt(r.fieldIndex("v2_micro")))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // two-sample KS: Spark sup-norm vs a plain-Scala BigInt reference
+  // ------------------------------------------------------------------
+
+  test("property: KS drift matches the BigInt sup-norm reference") {
+    (0 until 6).foreach { i =>
+      val obs = gen(Gen.chooseNum(4, 120).flatMap(n => Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c")
+        len <- Gen.choose(1L, 40L)
+      } yield (src, len))), 20260910L + i)
+      // need at least two sources, else m_s = 0 divides by zero
+      val all = if (obs.map(_._1).distinct.size < 2)
+        obs ++ Seq(("a", 1L), ("b", 2L)) else obs
+      val got = graft.operators.TextOps
+        .ksDriftOf(all.toDF("source", "len"))
+        .collect()
+      val bySrc = all.groupBy(_._1)
+      val nAll = BigInt(all.size)
+      val gridLens = all.map(_._2).distinct.sorted
+      assert(got.map(_.getAs[String]("source")).toSeq ==
+        bySrc.keys.toSeq.sorted)
+      got.foreach { r =>
+        val src = r.getAs[String]("source")
+        val ns = BigInt(bySrc(src).size)
+        val ms = nAll - ns
+        assert(BigInt(r.getAs[Long]("n_s")) == ns)
+        assert(BigInt(r.getAs[Long]("m_s")) == ms)
+        val dNum = gridLens.map { v =>
+          val cumS = BigInt(bySrc(src).count(_._2 <= v))
+          val cumRest = BigInt(all.count(o => o._1 != src && o._2 <= v))
+          (cumS * ms - cumRest * ns).abs
+        }.max
+        assert(BigInt(r.getAs[Long]("d_micro")) ==
+          dNum * 1000000 / (ns * ms))
+      }
+    }
+  }
 }
