@@ -54,7 +54,9 @@ object Pipeline {
     "adhoc_analytics" -> Seq("trade_volume_q7", "profit_by_nation_q9",
       "customer_order_dist_q13", "top_supplier_q15",
       "small_qty_revenue_q17", "discounted_revenue_q19",
-      "waiting_suppliers_q21", "global_sales_opp_q22"))
+      "waiting_suppliers_q21", "global_sales_opp_q22",
+      "nation_top_customers", "supplier_transit_coverage",
+      "key_hierarchy_rollup"))
 
   /** The engine's OWN second DAG — the training-data curation pipeline
     * over the documents/embeddings tables (no reference counterpart;

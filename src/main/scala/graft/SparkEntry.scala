@@ -250,6 +250,10 @@ object SparkEntry {
     "global_sales_opp_q22" -> ((s, d) => TpchOps.globalSalesOppQ22(s, d)),
     "cramers_v" -> ((s, d) => BatchOps.cramersV(s, d)),
     "ks_drift" -> ((s, d) => TextOps.ksDrift(s, d)),
+    "supplier_transit_coverage" -> ((s, d) =>
+      BatchOps.supplierTransitCoverage(s, d)),
+    "nation_top_customers" -> ((s, d) => BatchOps.nationTopCustomers(s, d)),
+    "key_hierarchy_rollup" -> ((s, d) => BatchOps.keyHierarchyRollup(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1092,6 +1096,10 @@ object SparkEntry {
     "global_sales_opp_q22" -> TpchOps.globalSalesOppQ22OracleSql,
     "cramers_v" -> BatchOps.cramersVOracleSql,
     "ks_drift" -> TextOps.ksDriftOracleSql,
+    "supplier_transit_coverage" ->
+      BatchOps.supplierTransitCoverageOracleSql,
+    "nation_top_customers" -> BatchOps.nationTopCustomersOracleSql,
+    "key_hierarchy_rollup" -> BatchOps.keyHierarchyRollupOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

@@ -1952,6 +1952,67 @@ object BatchOps {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Fan-out of the synthetic key hierarchy in [[keyHierarchyRollup]]:
+    * parent(c) = c div [[HierarchyFanout]]; keys below the fanout are
+    * roots. Derived arithmetically from the dense custkey space, so
+    * both engines construct the identical tree from the raw table. */
+  val HierarchyFanout = 8
+
+  /** RECURSIVE-CTE hierarchy rollup (`WITH RECURSIVE`, new in Spark 4)
+    * — the iterative relational surface none of the other 280 queries
+    * touch: a parent tree over the customer key space walked to a
+    * fixpoint, then a census at depth grain (row count, distinct
+    * roots, balance cents). The recursion's work per level is ONE hash
+    * join keyed on the parent key, and the level count is
+    * log_fanout(N) — ~13 levels at 100 TB key cardinality, each a
+    * bounded self-contained job (this is exactly the shape the
+    * GraphX/DataFrame fixpoints in the dedup family hand-roll;
+    * `WITH RECURSIVE` is its declarative form, and the spec pins it to
+    * the closed-form depth floor(log_fanout k)).
+    *
+    * Oracle: the identical recursion text in DuckDB (`div` ↔ `//`). */
+  def keyHierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val view = "graft_customer_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.customer(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH RECURSIVE h(c_custkey, root_key, depth, bal_c) AS (
+         |  SELECT c_custkey, c_custkey, 0,
+         |    CAST(round(c_acctbal * 100) AS BIGINT)
+         |  FROM $view WHERE c_custkey < $HierarchyFanout
+         |  UNION ALL
+         |  SELECT c.c_custkey, h.root_key, h.depth + 1,
+         |    CAST(round(c.c_acctbal * 100) AS BIGINT)
+         |  FROM $view c JOIN h
+         |    ON c.c_custkey div $HierarchyFanout = h.c_custkey
+         |  WHERE c.c_custkey >= $HierarchyFanout)
+         |SELECT depth, count(*) AS n_customers,
+         |  count(DISTINCT root_key) AS n_roots,
+         |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  /** DuckDB oracle for [[keyHierarchyRollup]] — same recursion,
+    * `//` floor div (keys non-negative, standing rule). */
+  private[graft] def keyHierarchyRollupOracleSql: String =
+    s"""WITH RECURSIVE h(c_custkey, root_key, depth, bal_c) AS (
+       |  SELECT c_custkey, c_custkey, 0,
+       |    CAST(round(c_acctbal * 100) AS BIGINT)
+       |  FROM customer WHERE c_custkey < $HierarchyFanout
+       |  UNION ALL
+       |  SELECT c.c_custkey, h.root_key, h.depth + 1,
+       |    CAST(round(c.c_acctbal * 100) AS BIGINT)
+       |  FROM customer c JOIN h
+       |    ON c.c_custkey // $HierarchyFanout = h.c_custkey
+       |  WHERE c.c_custkey >= $HierarchyFanout)
+       |SELECT depth, count(*) AS n_customers,
+       |  count(DISTINCT root_key) AS n_roots,
+       |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+       |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+       |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+
   /** Data-quality report: one row per integrity check with its violation
     * count — referential orphans (LEFT ANTI joins: the dimension side
     * broadcasts when small, otherwise a null-safe hash shuffle on the
@@ -3276,9 +3337,11 @@ object BatchOps {
     * final rollup is a partial+final hash aggregate at supplier grain.
     * Bucket population is bounded by shipments-per-supplier-per-16-days,
     * not corpus size, so the in-bucket pair work scales linearly. */
-  def shipmentOverlaps(spark: SparkSession, dir: String): DataFrame = {
-    val bin = OverlapBinDays
-    val base = Tables.lineitem(spark, dir)
+  /** Shared in-transit interval base for [[shipmentOverlaps]] and
+    * [[supplierTransitCoverage]]: one row per line with integer
+    * day-offsets `[d0, d1]` (ship day, derived receipt day). */
+  private def transitSpans(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_suppkey"),
         (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
         datediff(col("l_shipdate").cast("date"),
@@ -3287,6 +3350,10 @@ object BatchOps {
         col("d0") + pmod(expr("cast(conv(substring(md5(" +
           "cast(lid as string)), 1, 15), 16, 10) as bigint)"),
           lit(MaxTransitDays.toLong)) + lit(1L))
+
+  def shipmentOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    val bin = OverlapBinDays
+    val base = transitSpans(spark, dir)
     val spans = base.withColumn("bin",
       explode(sequence(expr(s"d0 div $bin"), expr(s"d1 div $bin"))))
     val lhs = spans.select(col("l_suppkey"), col("bin"),
@@ -3337,6 +3404,149 @@ object BatchOps {
        |  AND a.d0 <= b.d1 AND b.d0 <= a.d1
        |GROUP BY a.l_suppkey
        |ORDER BY a.l_suppkey""".stripMargin
+
+  /** INTERVAL COVERAGE (union-of-intervals sweep) — per supplier, the
+    * exact union of its in-transit day intervals: busy days, busy
+    * islands, calendar span, and the busy/span utilization mille. The
+    * ANALYTIC complement of [[shipmentOverlaps]]'s pairwise range
+    * join: overlaps counts concurrency, coverage measures the merged
+    * timeline (the two answers a capacity planner needs side by
+    * side). Classic sweep, windowed: running max of interval ends per
+    * supplier; an interval whose start clears prev_max+1 opens a new
+    * island (adjacent intervals merge — union over integer day SETS,
+    * so covered_days is exactly the union cardinality); islands are
+    * the running sum of those flags. All integer day arithmetic.
+    *
+    * Scale: one shuffle to (supplier)-partitioned order, two window
+    * passes over it (max, cumulative sum) in the same sort, then
+    * partial+final aggregates at (supplier, island) and supplier
+    * grain. No self-join, no explode — O(n log n) per supplier where
+    * overlaps' pair count is quadratic in per-bucket density. */
+  def supplierTransitCoverage(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy("d0", "d1", "lid")
+    val prevMax = max(col("d1"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = transitSpans(spark, dir)
+      .withColumn("newi",
+        when(prevMax.isNull || col("d0") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("newi")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(min(col("d0")).as("s"), max(col("d1")).as("e"),
+        count(lit(1)).as("n"))
+    islands
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("n")).as("n_shipments"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s") + 1).as("covered_days"),
+        (max(col("e")) - min(col("s")) + 1).as("span_days"))
+      .withColumn("busy_mille",
+        expr("covered_days * 1000 div span_days"))
+      .orderBy("l_suppkey")
+  }
+
+  /** DuckDB oracle for [[supplierTransitCoverage]] — same sweep in
+    * window SQL (windowed/grouped BIGINT sums cast back per the
+    * standing HUGEINT rule). */
+  private[graft] def supplierTransitCoverageOracleSql: String =
+    s"""WITH li AS (
+       |  SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS lid,
+       |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       |      AS d0
+       |  FROM lineitem),
+       |t AS (
+       |  SELECT l_suppkey, lid, d0,
+       |    d0 + CAST('0x' || substr(md5(CAST(lid AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % $MaxTransitDays + 1 AS d1
+       |  FROM li),
+       |w AS (
+       |  SELECT l_suppkey, lid, d0, d1,
+       |    max(d1) OVER (PARTITION BY l_suppkey ORDER BY d0, d1, lid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_max
+       |  FROM t),
+       |i AS (
+       |  SELECT l_suppkey, d0, d1,
+       |    CAST(sum(CASE WHEN prev_max IS NULL OR d0 > prev_max + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY l_suppkey
+       |      ORDER BY d0, d1, lid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS island
+       |  FROM w),
+       |isl AS (
+       |  SELECT l_suppkey, island, min(d0) AS s, max(d1) AS e,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM i GROUP BY 1, 2)
+       |SELECT l_suppkey,
+       |  CAST(sum(n) AS BIGINT) AS n_shipments,
+       |  count(*) AS n_islands,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS covered_days,
+       |  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_days,
+       |  CAST(CAST(sum(e - s + 1) AS HUGEINT) * 1000 //
+       |    CAST(max(e) - min(s) + 1 AS HUGEINT) AS BIGINT)
+       |    AS busy_mille
+       |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-group result width for [[nationTopCustomers]]. */
+  val TopCustomersK = 3
+
+  /** PER-GROUP TOP-K as a typed bounded-heap AGGREGATE
+    * ([[graft.functions.TopKAggregator]]) — top spenders per nation
+    * WITHOUT the window-rank shuffle: each map task reduces its slice
+    * to ≤ k pairs before the exchange, so shuffle volume is
+    * O(nations × k × tasks) instead of every customer row. The spec
+    * proves result-equality against the window-rank formulation and
+    * asserts the ObjectHashAggregate partial-merge plan; the oracle is
+    * the row_number() form — the two phrasings referee each other.
+    *
+    * Scale: spend reduces at custkey grain first (partial+final);
+    * the nation dim broadcasts; the top-k aggregate's state is k pairs
+    * per nation per task. The final explode is nations × k rows. */
+  def nationTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("spend_c"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("spend_c"), col("c_custkey"))
+      .as[(String, Long, Long)]
+    spend
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(TopCustomersK).toColumn
+        .name("top"))
+      .toDF("n_name", "top")
+      .select(col("n_name"), posexplode(col("top")))
+      .select(col("n_name"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("c_custkey"), col("col._1").as("spend_c"))
+      .orderBy("n_name", "rank")
+  }
+
+  /** DuckDB oracle for [[nationTopCustomers]] — the window-rank
+    * formulation of the same report. */
+  private[graft] def nationTopCustomersOracleSql: String =
+    s"""WITH sp AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS spend_c
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT n.n_name, c.c_custkey, sp.spend_c,
+       |    row_number() OVER (PARTITION BY n.n_name
+       |      ORDER BY sp.spend_c DESC, c.c_custkey) AS rank
+       |  FROM sp
+       |  JOIN customer c ON sp.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+       |SELECT n_name, rank, c_custkey, spend_c
+       |FROM r WHERE rank <= $TopCustomersK
+       |ORDER BY n_name, rank""".stripMargin
 
   /** DuckDB oracle for [[paretoFrontier]] — same cents rounding, same
     * strictly-following RANGE frame, same champion join-back. */
