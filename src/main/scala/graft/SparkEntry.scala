@@ -254,6 +254,9 @@ object SparkEntry {
       BatchOps.supplierTransitCoverage(s, d)),
     "nation_top_customers" -> ((s, d) => BatchOps.nationTopCustomers(s, d)),
     "key_hierarchy_rollup" -> ((s, d) => BatchOps.keyHierarchyRollup(s, d)),
+    "penny_allocation_audit" -> ((s, d) =>
+      BatchOps.pennyAllocationAudit(s, d)),
+    "props_variant_stats" -> ((s, d) => CdcOps.propsVariantStats(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1100,6 +1103,8 @@ object SparkEntry {
       BatchOps.supplierTransitCoverageOracleSql,
     "nation_top_customers" -> BatchOps.nationTopCustomersOracleSql,
     "key_hierarchy_rollup" -> BatchOps.keyHierarchyRollupOracleSql,
+    "penny_allocation_audit" -> BatchOps.pennyAllocationAuditOracleSql,
+    "props_variant_stats" -> CdcOps.propsVariantStatsOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

@@ -2013,6 +2013,101 @@ object BatchOps {
        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
        |FROM h GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** PENNY ALLOCATION (largest-remainder prorating) — distribute each
+    * order's header total across its lines proportional to line price,
+    * in cents, so the allocations SUM BACK EXACTLY: floor division
+    * gives the base cents, and the leftover r = total − Σfloor pennies
+    * go to the r lines with the largest division remainders
+    * (linenumber tie-break). This is the financial-engineering
+    * operator every billing/revenue-recognition pipeline needs and
+    * floating-point prorating silently gets wrong — here every step is
+    * integer (products in DECIMAL(38)/HUGEINT), and the emitted audit
+    * proves conservation per order: alloc_sum_c ≡ total_c, n_bumped ≡
+    * the remainder. Per-line values are pinned without emitting lines
+    * by a linenumber-weighted checksum.
+    *
+    * Scale: line-grain work rides ONE orderkey-partitioned shuffle —
+    * the per-order sum, the remainder rank, and the audit re-aggregate
+    * all share it (co-partitioned window + aggs); output is order
+    * grain. */
+  def pennyAllocationAudit(spark: SparkSession, dir: String): DataFrame =
+    pennyAllocationAuditOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("total_c")),
+        col("l_orderkey") === col("o_orderkey")))
+
+  /** [[pennyAllocationAudit]]'s math core over an injectable
+    * (l_orderkey, ln, price_c, total_c) line frame — property-tested
+    * against a plain-Scala BigInt largest-remainder reference in
+    * StatPropertiesSpec. */
+  private[graft] def pennyAllocationAuditOf(lines: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    val scored = lines
+      .withColumn("sum_c", sum(col("price_c")).over(w))
+      .withColumn("base_c",
+        expr("CAST(total_c AS DECIMAL(38,0)) * price_c div sum_c"))
+      .withColumn("frac",
+        expr("CAST(CAST(total_c AS DECIMAL(38,0)) * price_c % sum_c" +
+          " AS BIGINT)"))
+      .withColumn("r", col("total_c") - sum(col("base_c")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("frac").desc, col("ln"))).cast("long"))
+      .withColumn("alloc_c",
+        col("base_c") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+    scored
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        max(col("total_c")).as("total_c"),
+        sum(col("alloc_c")).as("alloc_sum_c"),
+        sum(when(col("rk") <= col("r"), 1L).otherwise(0L)).as("n_bumped"),
+        sum(col("alloc_c") * col("ln")).as("alloc_checksum"))
+      .orderBy("l_orderkey")
+  }
+
+  /** DuckDB oracle for [[pennyAllocationAudit]] — same floor/mod
+    * arithmetic over HUGEINT products. */
+  private[graft] def pennyAllocationAuditOracleSql: String =
+    s"""WITH l AS (
+       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c
+       |  FROM lineitem JOIN orders o ON l_orderkey = o.o_orderkey),
+       |s AS (
+       |  SELECT *,
+       |    CAST(sum(price_c) OVER (PARTITION BY l_orderkey) AS BIGINT)
+       |      AS sum_c
+       |  FROM l),
+       |b AS (
+       |  SELECT *,
+       |    CAST(CAST(total_c AS HUGEINT) * price_c // sum_c AS BIGINT)
+       |      AS base_c,
+       |    CAST(CAST(total_c AS HUGEINT) * price_c % sum_c AS BIGINT)
+       |      AS frac
+       |  FROM s),
+       |r AS (
+       |  SELECT *,
+       |    total_c - CAST(sum(base_c) OVER (PARTITION BY l_orderkey)
+       |      AS BIGINT) AS rem,
+       |    CAST(row_number() OVER (PARTITION BY l_orderkey
+       |      ORDER BY frac DESC, ln) AS BIGINT) AS rk
+       |  FROM b),
+       |a AS (
+       |  SELECT *, base_c + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+       |    AS alloc_c
+       |  FROM r)
+       |SELECT l_orderkey,
+       |  count(*) AS n_lines,
+       |  max(total_c) AS total_c,
+       |  CAST(sum(alloc_c) AS BIGINT) AS alloc_sum_c,
+       |  CAST(sum(CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bumped,
+       |  CAST(sum(alloc_c * ln) AS BIGINT) AS alloc_checksum
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Data-quality report: one row per integrity check with its violation
     * count — referential orphans (LEFT ANTI joins: the dimension side
     * broadcasts when small, otherwise a null-safe hash shuffle on the

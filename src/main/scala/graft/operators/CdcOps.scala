@@ -2909,6 +2909,66 @@ object CdcOps {
        |GROUP BY 1, 2, tot.n_events
        |ORDER BY 1, 2""".stripMargin
 
+  /** VARIANT-typed payload analytics (`parse_json` → `variant_get`,
+    * new in Spark 4) — the engine-surface answer to "stop re-parsing
+    * JSON strings": the payload parses ONCE into the binary VARIANT
+    * encoding, and every field extraction is an offset lookup on that
+    * buffer, where the classic `get_json_object` chain re-parses the
+    * string per path per row. Same seeded corruption as
+    * [[propsKeyCensus]] (event_id moduli), so the three-way outcome
+    * census is pinned: invalid payloads (`try_parse_json` → NULL),
+    * valid-but-missing key, and typed extraction with exact integer
+    * stats per event_type.
+    *
+    * Scale: one projection pass (parse + two extractions in the same
+    * codegen stage), one (type) partial+final aggregate. At fact
+    * scale the variant parse is the whole cost of the column — paths
+    * beyond the first are free, which is the reason this surface
+    * exists. */
+  def propsVariantStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("p",
+        when(col("event_id") % 13 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .when(col("event_id") % 17 === 0, lit("""{"other": 1}"""))
+          .otherwise(col("props")))
+      .withColumn("v", expr("try_parse_json(p)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_invalid"),
+        sum(when(col("v").isNotNull && col("k").isNull, 1L)
+          .otherwise(0L)).as("n_missing_k"),
+        sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** DuckDB oracle for [[propsVariantStats]] — TRY_CAST-to-JSON
+    * stands in for try_parse_json, json_extract for variant_get. */
+  private[graft] def propsVariantStatsOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    CASE WHEN event_id % 13 = 0
+       |      THEN substring(props, 1, length(props) - 2)
+       |      WHEN event_id % 17 = 0 THEN '{"other": 1}'
+       |      ELSE props END AS p
+       |  FROM events),
+       |x AS (
+       |  SELECT event_type, TRY_CAST(p AS JSON) AS v,
+       |    TRY_CAST(json_extract(TRY_CAST(p AS JSON), '$$.k')
+       |      AS BIGINT) AS k
+       |  FROM s)
+       |SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_invalid,
+       |  CAST(count(*) FILTER (WHERE v IS NOT NULL AND k IS NULL)
+       |    AS BIGINT) AS n_missing_k,
+       |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+       |  min(k) AS min_k, max(k) AS max_k
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Payload-key LIFECYCLE timeline — [[propsKeyCensus]]'s drift
     * detector extended with WHEN: per (event_type, key), first/last
     * day observed, distinct active days, and a coverage mille

@@ -179,6 +179,49 @@ class StatPropertiesSpec extends GraftSpec {
   }
 
   // ------------------------------------------------------------------
+  // penny allocation: conservation + per-line values vs BigInt reference
+  // ------------------------------------------------------------------
+
+  test("property: penny allocation conserves totals and matches the " +
+    "largest-remainder reference") {
+    (0 until 6).foreach { i =>
+      // a handful of orders, 1..6 positive-price lines each
+      val orders = gen(Gen.chooseNum(1, 10).flatMap(n =>
+        Gen.listOfN(n, for {
+          nl <- Gen.choose(1, 6)
+          prices <- Gen.listOfN(nl, Gen.choose(1L, 99999L))
+          total <- Gen.choose(1L, 500000L)
+        } yield (prices, total))), 20261001L + i)
+        .zipWithIndex.map { case ((ps, t), k) => (k.toLong + 1, ps, t) }
+      val lines = orders.flatMap { case (ok, ps, t) =>
+        ps.zipWithIndex.map { case (p, j) => (ok, j.toLong + 1, p, t) }
+      }
+      val got = BatchOps.pennyAllocationAuditOf(
+          lines.toDF("l_orderkey", "ln", "price_c", "total_c"))
+        .collect()
+        .map(r => r.getAs[Long]("l_orderkey") ->
+          (r.getAs[Long]("alloc_sum_c"), r.getAs[Long]("n_bumped"),
+            r.getAs[Long]("alloc_checksum"))).toMap
+      orders.foreach { case (ok, ps, t) =>
+        val sumC = BigInt(ps.sum)
+        val base = ps.map(p => (BigInt(t) * p / sumC))
+        val frac = ps.map(p => (BigInt(t) * p % sumC))
+        val r = BigInt(t) - base.sum
+        val bump = frac.zipWithIndex
+          .sortBy { case (f, j) => (-f, j) }.take(r.toInt)
+          .map(_._2).toSet
+        val alloc = base.zipWithIndex.map { case (b, j) =>
+          b + (if (bump(j)) 1 else 0) }
+        val (gotSum, gotBumped, gotCk) = got(ok)
+        assert(BigInt(gotSum) == alloc.sum && alloc.sum == BigInt(t))
+        assert(gotBumped == r.toLong)
+        assert(BigInt(gotCk) ==
+          alloc.zipWithIndex.map { case (a, j) => a * (j + 1) }.sum)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // two-sample KS: Spark sup-norm vs a plain-Scala BigInt reference
   // ------------------------------------------------------------------
 

@@ -101,6 +101,26 @@ class TopKCoverageSpec extends GraftSpec {
       BatchOps.HierarchyFanout))
   }
 
+  test("variant payload census reconciles with the fault-injection rule") {
+    val rows = graft.operators.CdcOps.propsVariantStats(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")))
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val ids = byType(r.getAs[String]("event_type")).map(_._2)
+      assert(r.getAs[Long]("n_events") == ids.length.toLong)
+      // %13 corruption truncates the JSON → invalid; %17 (and not %13)
+      // swaps in a k-less object → valid but missing
+      assert(r.getAs[Long]("n_invalid") == ids.count(_ % 13 == 0).toLong)
+      assert(r.getAs[Long]("n_missing_k") ==
+        ids.count(id => id % 13 != 0 && id % 17 == 0).toLong)
+      assert(r.getAs[Long]("min_k") >= 0 &&
+        r.getAs[Long]("max_k") <= 100)
+    }
+  }
+
   test("transit coverage matches a brute-force day-set union") {
     val got = BatchOps.supplierTransitCoverage(spark, dir).collect()
     // reference: materialize each supplier's covered day SET
