@@ -24,7 +24,8 @@ object Pipeline {
       "customer_rollup", "customer_segments", "customer_rollup_windowed",
       "product_rollup", "product_performance", "product_rollup_windowed",
       "daily_order_analytics", "status_distribution", "revenue_analytics",
-      "segment_counts", "mktsegment_value_counts", "batch_summary"),
+      "segment_counts", "mktsegment_value_counts", "batch_summary",
+      "salted_join_rollup", "status_path_listagg"),
     "geo_analytics" -> Seq("geo_region_mask"),
     // The reference DAG closes with validate_data_quality
     // (cdc_etl_orchestration.py:294-323), which only checks cache-key
@@ -74,7 +75,7 @@ object Pipeline {
       "dedup_features", "dup_span_census", "incremental_dedup",
       "dedup_waterfall", "lpa_communities", "dedup_weights"),
     "decontamination" -> Seq("cross_source_contamination",
-      "split_contamination", "bloom_decontam"),
+      "split_contamination", "bloom_decontam", "semantic_decontam"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
       "oov_rate", "token_entropy", "readability_scores"),
     // Embedding-space curation: the trained-quantizer dashboard
@@ -92,7 +93,7 @@ object Pipeline {
     // Retrieval eval: label-space and shortlist-depth quality gates
     // off the memoized LSH core and exact ground truth.
     "retrieval_eval" -> Seq("knn_confusion", "lsh_recall_at_k",
-      "rp_multiprobe_recall_at_k"),
+      "rp_multiprobe_recall_at_k", "matryoshka_recall"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",

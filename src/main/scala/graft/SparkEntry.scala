@@ -257,6 +257,10 @@ object SparkEntry {
     "penny_allocation_audit" -> ((s, d) =>
       BatchOps.pennyAllocationAudit(s, d)),
     "props_variant_stats" -> ((s, d) => CdcOps.propsVariantStats(s, d)),
+    "salted_join_rollup" -> ((s, d) => BatchOps.saltedJoinRollup(s, d)),
+    "status_path_listagg" -> ((s, d) => BatchOps.statusPathListagg(s, d)),
+    "semantic_decontam" -> ((s, d) => VectorOps.semanticDecontam(s, d)),
+    "matryoshka_recall" -> ((s, d) => VectorOps.matryoshkaRecall(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1105,6 +1109,10 @@ object SparkEntry {
     "key_hierarchy_rollup" -> BatchOps.keyHierarchyRollupOracleSql,
     "penny_allocation_audit" -> BatchOps.pennyAllocationAuditOracleSql,
     "props_variant_stats" -> CdcOps.propsVariantStatsOracleSql,
+    "salted_join_rollup" -> BatchOps.saltedJoinRollupOracleSql,
+    "status_path_listagg" -> BatchOps.statusPathListaggOracleSql,
+    "semantic_decontam" -> VectorOps.semanticDecontamOracleSql,
+    "matryoshka_recall" -> VectorOps.matryoshkaRecallOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

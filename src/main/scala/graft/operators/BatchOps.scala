@@ -5226,4 +5226,110 @@ object BatchOps {
        |SELECT day, rank, l_partkey, rev_7d_c
        |FROM r WHERE rank <= $TrendTopK
        |ORDER BY day, rank""".stripMargin
+
+  /** Salt fan-out for the skew-salted join demo (shared with the spec;
+    * the oracle is salt-free by design — see
+    * [[saltedJoinRollup]]). */
+  val SaltShards = 8
+
+  /** SKEW-SALTED JOIN — the second half of the skew toolkit
+    * ([[skewSafeDistinct]] shards a hot AGGREGATION key; this shards a
+    * hot JOIN key). A shuffle hash join on a skewed fact key sends the
+    * hot key's entire row mass to ONE reducer; salting splits it
+    * `SaltShards` ways: the fact side gets a deterministic per-row
+    * salt (`pmod(event_id, S)` — any row-uniform function works), the
+    * dimension side replicates each row against ALL `S` salts
+    * (`explode(sequence)`), and the join keys on (key, salt). Every
+    * fact row still meets its dimension row exactly once, so the join
+    * is LOSSLESS — which is precisely what the oracle proves: it runs
+    * the PLAIN unsalted join, and the hashes must agree. The dim-side
+    * cost is a bounded ×S blow-up of the SMALL side (here 1500 rows ×
+    * 8), the classic trade for unbounding the hot reducer.
+    *
+    * The rollup then also reuses [[skewSafeDistinct]] for the
+    * per-segment distinct-user count, so one query exercises both
+    * skew shards. `hint("shuffle_hash")` pins the join shape the
+    * pattern exists for (at test SF the optimizer would broadcast the
+    * dim and hide the salt's point; PlanSpec asserts no broadcast on
+    * this path).
+    *
+    * Scale: fact rows ride ONE (user_id, salt) shuffle; the dim
+    * explode is map-side; both aggregates are partial+final. */
+  def saltedJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        pmod(col("event_id"), lit(SaltShards)).cast("int").as("salt"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(SaltShards - 1))))
+    val joined = fact
+      .join(dim.hint("shuffle_hash"),
+        fact("user_id") === dim("c_custkey") &&
+          fact("salt") === dim("salt"))
+      .select(col("c_mktsegment"), col("user_id"), col("cents"))
+    val rollup = joined
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("amount_cents"))
+    rollup
+      .join(skewSafeDistinct(joined, Seq("c_mktsegment"), "user_id",
+        "n_users"), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_events"), col("amount_cents"),
+        col("n_users"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** DuckDB oracle for [[saltedJoinRollup]] — deliberately the PLAIN
+    * unsalted join + a direct `count(DISTINCT)`: a salting bug (lost
+    * or doubled fact rows, shard overlap in the distinct
+    * decomposition) cannot mirror itself here. */
+  private[graft] def saltedJoinRollupOracleSql: String =
+    s"""SELECT c.c_mktsegment,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+       |    AS amount_cents,
+       |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ORDERED STRING AGGREGATION (`listagg ... WITHIN GROUP`, new in
+    * Spark 4): each customer's chronological order-status path as one
+    * string — the compact per-entity event-sequence encoding
+    * session-path and funnel analyses consume (the CDC side builds
+    * the same shape by hand with `array_join(array_sort(...))`; this
+    * is the engine-native form). Deterministic because the WITHIN
+    * GROUP order key (o_orderdate, o_orderkey) is unique per
+    * customer.
+    *
+    * Scale: one o_custkey-partitioned partial+final aggregate; path
+    * length is bounded by orders-per-customer (TPC-H ≤ ~40), so the
+    * aggregation buffer is bounded — this is NOT for unbounded-fanout
+    * keys (the same caveat as any collect_list). */
+  def statusPathListagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("listagg(o_orderstatus) WITHIN GROUP " +
+          "(ORDER BY o_orderdate, o_orderkey)").as("status_path"),
+        expr("listagg(cast(o_orderpriority as string), '>') WITHIN GROUP " +
+          "(ORDER BY o_orderdate, o_orderkey)").as("priority_path"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy("o_custkey")
+
+  /** DuckDB oracle for [[statusPathListagg]] — `string_agg` with the
+    * same ORDER BY. */
+  private[graft] def statusPathListaggOracleSql: String =
+    s"""SELECT o_custkey,
+       |  count(*) AS n_orders,
+       |  string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey)
+       |    AS status_path,
+       |  string_agg(o_orderpriority, '>' ORDER BY o_orderdate, o_orderkey)
+       |    AS priority_path,
+       |  min(o_orderdate) AS first_order,
+       |  max(o_orderdate) AS last_order
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

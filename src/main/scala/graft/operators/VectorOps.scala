@@ -3150,4 +3150,199 @@ object VectorOps {
        |  sum_a, sum_b,
        |  n_vecs * sum_ab - sum_a * sum_b AS cov_num
        |FROM c ORDER BY i, j""".stripMargin
+
+  // ===========================================================================
+  // Semantic (embedding-space) train/val decontamination
+  // ===========================================================================
+
+  /** Val-split share in percent for [[semanticDecontam]] (hash-band
+    * split over vec_id, the vector-side twin of
+    * `TextOps.trainValSplit`'s document rule; shared with the
+    * oracle). */
+  val DecontamValPct = 20
+
+  /** Deterministic val-membership flag: md5-band over the id, the same
+    * engine-portable rule as the text-side split (15 hex chars stay
+    * positive in a signed 64-bit long in both engines). */
+  private def isVal(idCol: String): Column =
+    expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), " +
+      s"16, 10) as bigint) % 100") < lit(DecontamValPct)
+
+  /** SEMANTIC DECONTAMINATION — the embedding-space member of the
+    * decontamination family (exact / n-gram / bloom / cross-source
+    * screen on text; this one catches PARAPHRASED leakage those
+    * token-level screens miss): for each val-split vector, its
+    * highest-cosine train-split neighbor among the LSH candidates,
+    * flagged contaminated at the standing [[NearDupMinCosine]]
+    * threshold. Split membership is a pure hash of vec_id (no stored
+    * split table), candidates come from the shared multi-table
+    * sign-LSH core ([[lshScoredPairs]] — seventh consumer), and the
+    * train neighbor is the same max(struct) pick as every ANN family.
+    * As with any LSH screen, recall concentrates on high-cosine pairs
+    * — exactly the ones that constitute leakage.
+    *
+    * Scale: the split flag is a per-row projection on the id-only
+    * pair frame (embeddings never re-shuffle), the pick is a
+    * partial+final hash aggregate at val-vector grain. */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val cross = lshScoredPairs(spark, dir)
+      .withColumn("a_val", isVal("a"))
+      .withColumn("b_val", isVal("b"))
+      .filter(col("a_val") =!= col("b_val"))
+      .select(
+        when(col("a_val"), col("a")).otherwise(col("b")).as("val_id"),
+        when(col("a_val"), col("b")).otherwise(col("a")).as("train_id"),
+        col("cosine"))
+    cross
+      .groupBy("val_id")
+      .agg(max(struct(col("cosine"), (-col("train_id")).as("neg_t")))
+        .as("best"))
+      .select(col("val_id"), (-col("best.neg_t")).as("train_id"),
+        round(col("best.cosine"), 9).as("cosine"),
+        (col("best.cosine") >= NearDupMinCosine).as("contaminated"))
+      .orderBy("val_id")
+  }
+
+  /** DuckDB oracle for [[semanticDecontam]] — same LSH candidate
+    * mirror, same md5-band split, row_number pick. */
+  private[graft] def semanticDecontamOracleSql: String = {
+    def valFlag(c: String): String =
+      s"(CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT)" +
+        s" % 100 < $DecontamValPct)"
+    s"""$lshScoredPairsSqlPrefix,
+       |sp AS (
+       |  SELECT a, b, cosine, ${valFlag("a")} AS a_val,
+       |    ${valFlag("b")} AS b_val
+       |  FROM s),
+       |cp AS (
+       |  SELECT CASE WHEN a_val THEN a ELSE b END AS val_id,
+       |    CASE WHEN a_val THEN b ELSE a END AS train_id, cosine
+       |  FROM sp WHERE a_val <> b_val),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY val_id
+       |    ORDER BY cosine DESC, train_id) AS rk
+       |  FROM cp)
+       |SELECT val_id, train_id, round(cosine, 9) AS cosine,
+       |  cosine >= $NearDupMinCosine AS contaminated
+       |FROM r WHERE rk = 1
+       |ORDER BY val_id""".stripMargin
+  }
+
+  // ===========================================================================
+  // Matryoshka (prefix-dimension) retrieval-quality audit
+  // ===========================================================================
+
+  /** Prefix lengths audited by [[matryoshkaRecall]] (last entry must
+    * be [[Dim]] — it doubles as the exact reference; shared with the
+    * oracle). */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA-TRUNCATION AUDIT — the measurement behind
+    * dimension-truncated retrieval (MRL-style embeddings, Kusupati et
+    * al. 2022): per prefix length k, run exact top-1 retrieval using
+    * only the first k dimensions and score it against the full-[[Dim]]
+    * exact pick — recall@1 (`n_match`) plus the retained full-dim
+    * cosine mass of the picked neighbors (`sum_pick_full_mille`,
+    * integer mille so the quality claim rides the row hash). Answers
+    * "how many dims can the index drop before retrieval degrades",
+    * the sizing decision for a truncated ANN tier.
+    *
+    * Scale contract: ground truth is an exact N×N brute force (query
+    * side broadcast through the same constant-key join as
+    * [[exactTop1]]) — an OFFLINE EVAL op to run on a sampled query
+    * set at corpus scale. All four prefix cosines are computed in ONE
+    * pass over the pair stream and reduced by four max(struct)
+    * partial aggregates — no pair-row explode, no window. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    def pnorm(c: String, k: Int): Column =
+      sqrt(expr(s"vec_dot(slice($c, 1, $k), slice($c, 1, $k))"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: col("embedding") +:
+        MatryoshkaDims.map(k => pnorm("embedding", k).as(s"n$k")): _*)
+    val c = e.select(col("vec_id").as("c_id") +:
+      col("embedding").as("c_emb") +:
+      MatryoshkaDims.map(k => col(s"n$k").as(s"cn$k")): _*)
+      .repartition(spark.sparkContext.defaultParallelism, col("c_id"))
+    val q = e.select(col("vec_id").as("q_id") +:
+      col("embedding").as("q_emb") +:
+      MatryoshkaDims.map(k => col(s"n$k").as(s"qn$k")): _*)
+    def cosK(k: Int): Column =
+      (if (k == Dim) expr("vec_dot(q_emb, c_emb)")
+       else expr(s"vec_dot(slice(q_emb, 1, $k), slice(c_emb, 1, $k))")) /
+        (col(s"qn$k") * col(s"cn$k"))
+    val perQ = c
+      .withColumn("jk", pmod(col("c_id"), lit(1)))
+      .join(broadcast(q.withColumn("jk", pmod(col("q_id"), lit(1)))), "jk")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("full_cos", cosK(Dim))
+      .groupBy("q_id")
+      .agg(max(struct(cosK(MatryoshkaDims.head), (-col("c_id")).as("neg_c"),
+          col("full_cos"))).as(s"b${MatryoshkaDims.head}"),
+        MatryoshkaDims.tail.map(k =>
+          max(struct(cosK(k), (-col("c_id")).as("neg_c"), col("full_cos")))
+            .as(s"b$k")): _*)
+    val picks = perQ
+      .select(col("q_id"), explode(array(MatryoshkaDims.map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("best"))): _*)).as("x"))
+      .select(col("q_id"), col("x.k").as("k_dims"),
+        (-col("x.best.neg_c")).as("pick_c"),
+        col("x.best.full_cos").as("pick_full"))
+    val exact = picks.filter(col("k_dims") === Dim)
+      .select(col("q_id"), col("pick_c").as("exact_c"))
+    picks
+      .join(exact, "q_id")
+      .groupBy("k_dims")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pick_c") === col("exact_c"), 1L).otherwise(0L))
+          .as("n_match"),
+        sum(floor(col("pick_full") * 1000)).as("sum_pick_full_mille"))
+      .orderBy("k_dims")
+  }
+
+  /** DuckDB oracle for [[matryoshkaRecall]] — the same truncated
+    * left-associated dot chains (prefix-k mirror of [[dotSql]]), a
+    * row_number pick per (query, k), and the same integer scoring. */
+  private[graft] def matryoshkaRecallOracleSql: String = {
+    def elemSql(c: String, j: Int): String = s"CAST($c[$j] AS DOUBLE)"
+    def dotK(a: String, b: String, k: Int): String =
+      (1 to k).map(j => s"(${elemSql(a, j)} * ${elemSql(b, j)})")
+        .mkString("(", " + ", ")")
+    val norms = MatryoshkaDims
+      .map(k => s"    sqrt(${dotK("embedding", "embedding", k)}) AS n$k")
+      .mkString(",\n")
+    val coss = MatryoshkaDims
+      .map(k => s"    ${dotK("a.embedding", "b.embedding", k)}" +
+        s" / (a.n$k * b.n$k) AS c$k")
+      .mkString(",\n")
+    val unions = MatryoshkaDims
+      .map(k => s"  SELECT q_id, c_id, $k AS k_dims, c$k AS cos," +
+        s" c$Dim AS full_cos FROM ap")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH en AS (
+       |  SELECT vec_id, embedding,
+       |$norms
+       |  FROM embeddings),
+       |ap AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |$coss
+       |  FROM en a JOIN en b ON a.vec_id <> b.vec_id),
+       |u AS (
+       |$unions),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id, k_dims
+       |    ORDER BY cos DESC, c_id) AS rk
+       |  FROM u),
+       |w AS (SELECT q_id, k_dims, c_id, full_cos FROM r WHERE rk = 1),
+       |ex AS (SELECT q_id, c_id AS exact_c FROM w WHERE k_dims = $Dim)
+       |SELECT w.k_dims,
+       |  CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN w.c_id = ex.exact_c THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match,
+       |  CAST(sum(CAST(floor(w.full_cos * 1000) AS BIGINT)) AS BIGINT)
+       |    AS sum_pick_full_mille
+       |FROM w JOIN ex ON w.q_id = ex.q_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

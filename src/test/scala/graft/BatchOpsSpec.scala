@@ -226,4 +226,46 @@ class BatchOpsSpec extends GraftSpec {
     assert(math.abs(approxP50 - exactP50) / math.abs(exactP50) <= 0.05,
       s"percentile drift: $approxP50 vs $exactP50")
   }
+
+  test("salted join rollup equals the plain unsalted join, in-engine") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, round, sum}
+    val dir = "/root/testdata/sf0.001"
+    // Twin computed WITHOUT salt or shard decomposition — losslessness
+    // of both skew tricks (join salt fan-out, distinct sharding)
+    // asserted inside the engine, independent of the DuckDB oracle.
+    val plain = graft.Tables.events(spark, dir)
+      .join(graft.Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("amount_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("amount_cents"),
+          r.getAs[Long]("n_users"))).toMap
+    val salted = BatchOps.saltedJoinRollup(spark, dir).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("amount_cents"),
+          r.getAs[Long]("n_users"))).toMap
+    assert(salted == plain)
+  }
+
+  test("status path listagg: one char per order, chronological bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.statusPathListagg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      // o_orderstatus is a single char, so the undelimited WITHIN GROUP
+      // concatenation must be exactly one char per order — a dropped or
+      // doubled element (the classic non-deterministic-agg bug) shows
+      // up as a length mismatch.
+      assert(r.getAs[String]("status_path").length.toLong == n)
+      assert(r.getAs[String]("priority_path").split(">").length.toLong == n)
+      assert(!r.getAs[java.sql.Date]("first_order")
+        .after(r.getAs[java.sql.Date]("last_order")))
+    }
+  }
 }

@@ -348,6 +348,19 @@ class PlanSpec extends GraftSpec {
       s"span set broadcast:\n$plan")
   }
 
+  test("skew-salted join runs as a shuffled hash join, never broadcast " +
+      "or nested-loop") {
+    val plan = executedPlan(BatchOps.saltedJoinRollup(spark, dir))
+    // The salt exists to spread ONE hot fact key over SaltShards
+    // reducers of a SHUFFLED join; a broadcast of the fan-out dim (what
+    // local byte stats would pick) hides the pattern, and a nested loop
+    // re-derives fact×dim.
+    assert(plan.contains("ShuffledHashJoin"), s"not shuffled-hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("date-partitioned layout prunes a date-RANGE predicate at planning") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files

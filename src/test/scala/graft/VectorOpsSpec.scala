@@ -197,4 +197,52 @@ class VectorOpsSpec extends GraftSpec {
     writeTable("embeddings", many.toDF("vec_id", "embedding", "label"), dir2)
     assert(VectorOps.annRpRerankTop1(spark, dir2).count() == 0L)
   }
+
+  test("matryoshka audit: every prefix covers all queries and the " +
+      "full-dim row is exact by construction") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val rows = VectorOps.matryoshkaRecall(spark, dir).collect()
+      .map(r => r.getAs[Int]("k_dims") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_match")))
+      .toMap
+    assert(rows.keySet == VectorOps.MatryoshkaDims.toSet)
+    rows.foreach { case (k, (q, m)) =>
+      assert(q == n, s"k=$k must cover all $n queries, saw $q")
+      assert(m >= 0 && m <= q, s"k=$k recall count out of range: $m/$q")
+    }
+    // The k=Dim pick IS the reference pick, so its recall is 1 by
+    // construction — a refactor that forks the two pick paths (e.g.
+    // different tie-breaks) fails here before it fails cross-engine.
+    assert(rows(VectorOps.Dim)._2 == n)
+  }
+
+  test("semantic decontam rows respect the hash split and the " +
+      "threshold flag") {
+    val dir = "/root/testdata/sf0.001"
+    // The spec recomputes the split band independently (plain JDK md5,
+    // not Spark), so a drifted hash expression cannot hide.
+    def band(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val rows = VectorOps.semanticDecontam(spark, dir).collect()
+    assert(rows.nonEmpty, "sf0.001 must surface cross-split candidates")
+    rows.foreach { r =>
+      val (v, t) = (r.getAs[Long]("val_id"), r.getAs[Long]("train_id"))
+      assert(band(v) < VectorOps.DecontamValPct, s"val_id $v not in val")
+      assert(band(t) >= VectorOps.DecontamValPct, s"train_id $t in val")
+      val cos = r.getAs[Double]("cosine")
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+      // Flag vs emitted (9 dp-rounded) cosine: only assert away from
+      // the threshold, where rounding cannot flip the comparison.
+      if (math.abs(cos - VectorOps.NearDupMinCosine) > 1e-6)
+        assert(r.getAs[Boolean]("contaminated") ==
+          (cos >= VectorOps.NearDupMinCosine))
+    }
+    // Each val vector reports at most one (its best) train neighbor.
+    assert(rows.map(_.getAs[Long]("val_id")).distinct.length == rows.length)
+  }
 }
