@@ -41,7 +41,8 @@ object Pipeline {
     // reconciled, and erasure completeness proven.
     "governance_audit" -> Seq("deadletter_audit", "props_key_census",
       "props_key_timeline", "props_variant_stats", "snapshot_diff",
-      "gdpr_erasure_audit", "penny_allocation_audit"),
+      "gdpr_erasure_audit", "penny_allocation_audit",
+      "k_anonymity_audit"),
     // Round-12 statistics phase: the exact-integer monitoring tests a
     // warehouse runs on a schedule — independence drift between two
     // categorical dims, the reorder life table, and the per-customer
@@ -95,7 +96,8 @@ object Pipeline {
     "retrieval_eval" -> Seq("knn_confusion", "lsh_recall_at_k",
       "rp_multiprobe_recall_at_k", "matryoshka_recall"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
-      "domain_mixture", "mixture_resample", "doc_chunks",
+      "domain_mixture", "mixture_resample", "dsir_weights",
+      "bpe_merge_census", "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",
       "token_budget_sample", "pmi_collocations", "quality_calibration"))
 

@@ -261,6 +261,9 @@ object SparkEntry {
     "status_path_listagg" -> ((s, d) => BatchOps.statusPathListagg(s, d)),
     "semantic_decontam" -> ((s, d) => VectorOps.semanticDecontam(s, d)),
     "matryoshka_recall" -> ((s, d) => VectorOps.matryoshkaRecall(s, d)),
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
+    "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1113,6 +1116,9 @@ object SparkEntry {
     "status_path_listagg" -> BatchOps.statusPathListaggOracleSql,
     "semantic_decontam" -> VectorOps.semanticDecontamOracleSql,
     "matryoshka_recall" -> VectorOps.matryoshkaRecallOracleSql,
+    "dsir_weights" -> TextOps.dsirWeightsOracleSql,
+    "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
+    "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

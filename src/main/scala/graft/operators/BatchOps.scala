@@ -5320,6 +5320,53 @@ object BatchOps {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_custkey")
 
+  /** The k in k-anonymity for [[kAnonymityAudit]] (shared with the
+    * oracle): equivalence classes smaller than this must be suppressed
+    * or generalized before release. */
+  val KAnonK = 5
+
+  /** K-ANONYMITY AUDIT — the privacy-governance census a release gate
+    * runs before publishing quasi-identified data (companion to the
+    * GDPR erasure audit): group the dimension by its quasi-identifier
+    * tuple (segment × nation × account-balance band — the attributes a
+    * linkage attacker joins on), and report each equivalence class's
+    * size, its re-identification risk (1000/n mille, the probability a
+    * random member is re-identified by someone who knows the QI
+    * tuple), and whether the class fails the [[KAnonK]] bar. The
+    * release's k-anonymity level is the min class size — readable off
+    * the first rows (sorted by size ascending).
+    *
+    * Scale: one QI-grain partial+final hash aggregate over the
+    * dimension scan; banding is a projection. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("acctbal_band"))
+      .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("risk_mille", expr(s"1000 div n_members"))
+      .withColumn("suppress", col("n_members") < KAnonK)
+      .orderBy(col("n_members"), col("c_mktsegment"), col("c_nationkey"),
+        col("acctbal_band"))
+
+  /** DuckDB oracle for [[kAnonymityAudit]] — same banding (double
+    * floor on identical inputs, safe for the negative balances a
+    * truncating integer div would split on). */
+  private[graft] def kAnonymityAuditOracleSql: String =
+    s"""WITH q AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS INT) AS acctbal_band
+       |  FROM customer),
+       |g AS (
+       |  SELECT c_mktsegment, c_nationkey, acctbal_band,
+       |    count(*) AS n_members
+       |  FROM q GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment, c_nationkey, acctbal_band, n_members,
+       |  CAST(1000 // n_members AS BIGINT) AS risk_mille,
+       |  n_members < $KAnonK AS suppress
+       |FROM g
+       |ORDER BY n_members, c_mktsegment, c_nationkey, acctbal_band""".stripMargin
+
   /** DuckDB oracle for [[statusPathListagg]] — `string_agg` with the
     * same ORDER BY. */
   private[graft] def statusPathListaggOracleSql: String =

@@ -5145,4 +5145,178 @@ object TextOps {
        |FROM documents
        |WHERE text IS NOT NULL
        |ORDER BY doc_id""".stripMargin
+
+  // ===========================================================================
+  // DSIR-style importance weights (hashed-n-gram importance resampling)
+  // ===========================================================================
+
+  /** Hashed-bigram feature buckets for [[dsirWeights]] (shared with the
+    * oracle). Production DSIR uses ~10k buckets; the bucket count only
+    * changes resolution, not the plan shape. */
+  val DsirBuckets = 256
+
+  /** The target-distribution source for [[dsirWeights]] — the corpus
+    * slice whose distribution documents are scored AGAINST (in a real
+    * pipeline: the high-quality reference corpus). */
+  val DsirTargetSource = "src0"
+
+  /** DSIR-style IMPORTANCE WEIGHTS (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * more likely its hashed-bigram features are under the TARGET
+    * distribution (the [[DsirTargetSource]] slice) than under the raw
+    * corpus — the data-selection op that upsamples "looks like the
+    * reference corpus" text without a trained classifier. Features are
+    * word bigrams hashed into [[DsirBuckets]] md5-band buckets; both
+    * unigram models are Laplace-smoothed exact rationals, and the
+    * per-bucket log-likelihood ratio uses the engine's standing
+    * integer-log trick (`length(bin(x))` = floor(log2 x)+1 on the
+    * BIGINT-exact cross-multiplied ratio — same device as
+    * `bigramSurprisal`), so the per-document sum is an ALL-INTEGER
+    * log2-weight proxy: order-free, hash-exact cross-engine, within
+    * ±1 bit/feature of the float formulation.
+    *
+    * Scale: one token explode (the corpus's token mass) into a
+    * (bucket)-grain partial+final count — the model is B rows,
+    * BROADCAST back to the doc-grain feature counts; the two corpus
+    * totals ride 1-row broadcasts. No N², no driver loop; the model
+    * build is a second pass over the same token stream a real run
+    * would share with the other token ops. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      posexplode(tokens).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val feats = toks
+      .withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("source"),
+        (expr("cast(conv(substring(md5(concat(prev, ' ', token)), 1, 15)," +
+          " 16, 10) as bigint)") % DsirBuckets).as("b"))
+    val docFeats = feats.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val rawCounts = feats.groupBy("b").agg(count(lit(1)).as("r_cnt"))
+    val tgtCounts = feats.filter(col("source") === DsirTargetSource)
+      .groupBy("b").agg(count(lit(1)).as("t_cnt"))
+    val totals = feats.agg(count(lit(1)).as("n_raw"),
+      sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L))
+        .as("n_tgt"))
+    // Per-bucket integer log2 score of the smoothed ratio
+    //   (t+1)/(N_t+B) ÷ (r+1)/(N_r+B), cross-multiplied so both sides
+    // are exact BIGINTs; bitlen(num) − bitlen(den) ∈ [log2−1, log2+1].
+    val scores = rawCounts
+      .join(tgtCounts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (length(bin((coalesce(col("t_cnt"), lit(0L)) + 1L) *
+            (col("n_raw") + DsirBuckets))) -
+          length(bin((col("r_cnt") + 1L) *
+            (col("n_tgt") + DsirBuckets)))).cast("long").as("score"))
+    docFeats
+      .join(broadcast(scores), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("score")).as("logw2"))
+      .withColumn("upsample", col("logw2") > 0L)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] — same md5-band buckets, same
+    * cross-multiplied bin-length scores. */
+  private[graft] def dsirWeightsOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CAST('0x' || substr(md5(tk[s] || ' ' || tk[s + 1]), 1, 15)
+       |      AS BIGINT) % $DsirBuckets AS b
+       |  FROM d, unnest(generate_series(1, n - 1)) AS g(s)),
+       |df AS (SELECT doc_id, source, b, count(*) AS cnt
+       |       FROM f GROUP BY 1, 2, 3),
+       |rc AS (SELECT b, count(*) AS r_cnt FROM f GROUP BY 1),
+       |tc AS (SELECT b, count(*) AS t_cnt FROM f
+       |       WHERE source = '$DsirTargetSource' GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_raw,
+       |    CAST(count(*) FILTER (WHERE source = '$DsirTargetSource')
+       |      AS BIGINT) AS n_tgt
+       |  FROM f),
+       |sc AS (
+       |  SELECT rc.b,
+       |    CAST(length(bin(CAST((coalesce(tc.t_cnt, 0) + 1) *
+       |        (tot.n_raw + $DsirBuckets) AS BIGINT))) AS BIGINT) -
+       |      CAST(length(bin(CAST((rc.r_cnt + 1) *
+       |        (tot.n_tgt + $DsirBuckets) AS BIGINT))) AS BIGINT)
+       |      AS score
+       |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot)
+       |SELECT df.doc_id, df.source,
+       |  CAST(sum(df.cnt) AS BIGINT) AS n_feats,
+       |  CAST(sum(df.cnt * sc.score) AS BIGINT) AS logw2,
+       |  CAST(sum(df.cnt * sc.score) AS BIGINT) > 0 AS upsample
+       |FROM df JOIN sc ON df.b = sc.b
+       |GROUP BY 1, 2
+       |ORDER BY doc_id""".stripMargin
+
+  // ===========================================================================
+  // BPE first-merge census
+  // ===========================================================================
+
+  /** Top-K merges reported by [[bpeMergeCensus]] (shared with the
+    * oracle). */
+  val BpeTopK = 50
+
+  /** BPE FIRST-MERGE CENSUS — the first step of byte-pair-encoding
+    * tokenizer training: count every ADJACENT CHARACTER PAIR inside
+    * every word of the corpus and rank the merge candidates (the pair
+    * a BPE trainer would fuse first is rank 1). A full trainer
+    * iterates this census after each merge; the census itself — the
+    * distributed, expensive part — is one explode + one count, which
+    * is exactly what this op pins. Pairs are counted with multiplicity
+    * (every occurrence is a vote, the BPE rule).
+    *
+    * Scale: the explode is the corpus's character mass riding a
+    * (pair)-grain partial+final count; the ranked read-out is top-K
+    * over ≤ |alphabet|² distinct pairs — a TakeOrderedAndProject,
+    * never a global sort of the corpus. */
+  def bpeMergeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens).as("word"))
+      .filter(length(col("word")) >= 2)
+    val pairs = words
+      .select(explode(expr(
+        """transform(sequence(1, length(word) - 1),
+             j -> substring(word, j, 2))""")).as("pair"))
+    pairs
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(BpeTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("n_occurrences"))
+  }
+
+  /** DuckDB oracle for [[bpeMergeCensus]] — same in-word adjacent pair
+    * explode, same (count desc, pair asc) rank. */
+  private[graft] def bpeMergeCensusOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       |  SELECT substring(word, s, 2) AS pair
+       |  FROM (SELECT word, length(word) AS n FROM w WHERE length(word) >= 2)
+       |    , unnest(generate_series(1, n - 1)) AS g(s)),
+       |c AS (SELECT pair, count(*) AS n_occurrences FROM p GROUP BY 1),
+       |r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+       |    AS INT) AS rank, pair, n_occurrences
+       |  FROM c)
+       |SELECT rank, pair, n_occurrences
+       |FROM r WHERE rank <= $BpeTopK
+       |ORDER BY rank""".stripMargin
 }

@@ -252,6 +252,24 @@ class BatchOpsSpec extends GraftSpec {
     assert(salted == plain)
   }
 
+  test("k-anonymity audit: classes partition the dimension, risk exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.kAnonymityAudit(spark, dir).collect()
+    val total = graft.Tables.customer(spark, dir).count()
+    // Equivalence classes are a partition: sizes sum to the table.
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(n >= 1)
+      assert(r.getAs[Long]("risk_mille") == 1000L / n)
+      assert(r.getAs[Boolean]("suppress") == (n < BatchOps.KAnonK))
+    }
+    // Sorted ascending by class size → row 1 carries the release's
+    // k-anonymity level.
+    val sizes = rows.map(_.getAs[Long]("n_members")).toSeq
+    assert(sizes == sizes.sorted)
+  }
+
   test("status path listagg: one char per order, chronological bounds") {
     val dir = "/root/testdata/sf0.001"
     val rows = BatchOps.statusPathListagg(spark, dir).collect()

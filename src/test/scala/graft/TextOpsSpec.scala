@@ -436,4 +436,38 @@ class TextOpsSpec extends GraftSpec {
     // in its language block).
     assert(rows.keySet == Set(1L, 2L, 3L, 6L, 7L))
   }
+
+  test("dsir weights separate the target source from the rest") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.dsirWeights(spark, dir).collect()
+    val (tgt, rest) = rows.partition(
+      _.getAs[String]("source") == graft.operators.TextOps.DsirTargetSource)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(_.getAs[Long]("logw2").toDouble).sum / rs.length
+    // Target docs' own features are overrepresented in the target
+    // model, so their mean log-weight must sit clearly above the
+    // rest's — the property importance RESAMPLING relies on. Measured
+    // at sf0.001: +7.0 vs −4.8; the margin guards the direction, not
+    // the exact figure.
+    assert(mean(tgt) > mean(rest) + 5.0,
+      s"no separation: tgt=${mean(tgt)} rest=${mean(rest)}")
+    // Scores are per-feature-bounded: |logw2| ≤ n_feats · 64 bits.
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("logw2")) <=
+        r.getAs[Long]("n_feats") * 64)
+      assert(r.getAs[Boolean]("upsample") == (r.getAs[Long]("logw2") > 0))
+    }
+  }
+
+  test("bpe merge census: dense ranks, monotone counts, 2-char pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.bpeMergeCensus(spark, dir).collect()
+    assert(rows.length == graft.operators.TextOps.BpeTopK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq ==
+      (1 to graft.operators.TextOps.BpeTopK))
+    val counts = rows.map(_.getAs[Long]("n_occurrences")).toSeq
+    assert(counts == counts.sorted.reverse, "counts must be non-increasing")
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+  }
 }
