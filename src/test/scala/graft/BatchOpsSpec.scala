@@ -252,6 +252,31 @@ class BatchOpsSpec extends GraftSpec {
     assert(salted == plain)
   }
 
+  test("hilbert walk is a bijection on the full grid with perfectly " +
+      "balanced buckets") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, min}
+    val n = 1 << BatchOps.ZorderBits
+    // Every cell of the 256×256 grid exactly once: the curve index must
+    // be a permutation of [0, n²) — any transcription slip in any of
+    // the 8 unrolled rotation levels collapses distinct cells and
+    // fails the distinct count.
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).cast("long").as("hx"),
+        (col("id") / n).cast("long").as("hy"))
+    val enc = BatchOps.hilbertBucketed(grid)
+    val row = enc.agg(countDistinct(col("h")).as("d"),
+      min(col("h")).as("lo"), max(col("h")).as("hi")).collect()(0)
+    assert(row.getAs[Long]("d") == n.toLong * n)
+    assert(row.getAs[Long]("lo") == 0L && row.getAs[Long]("hi") ==
+      n.toLong * n - 1)
+    // A space-filling curve fills: equal-width cuts of curve space hold
+    // exactly equal cell counts on the full grid.
+    val buckets = enc.groupBy("h_bucket").count().collect()
+    assert(buckets.length == (1 << BatchOps.ZorderBucketLog))
+    assert(buckets.forall(_.getAs[Long]("count") ==
+      n.toLong * n / (1 << BatchOps.ZorderBucketLog)))
+  }
+
   test("k-anonymity audit: classes partition the dimension, risk exact") {
     val dir = "/root/testdata/sf0.001"
     val rows = BatchOps.kAnonymityAudit(spark, dir).collect()

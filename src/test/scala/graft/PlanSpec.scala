@@ -348,6 +348,47 @@ class PlanSpec extends GraftSpec {
       s"span set broadcast:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // The OTHER half of the skew story next to the salted join: when
+    // the skew is discovered only at runtime, AQE's OptimizeSkewedJoin
+    // must split the hot partition instead of serializing it onto one
+    // task. Thresholds are lowered to make a test-sized hot key
+    // qualify; the mechanism is identical at 100 TB defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32kb")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16kb")
+      val fact = spark.range(40000L)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id"))
+            .as("k"),
+          concat(lit("x" * 64), col("id")).as("payload"))
+      val dim = spark.range(1000L).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      // No aggregate downstream of the join: splitting the hot
+      // partition breaks hash-partitioning, so OptimizeSkewedJoin
+      // (correctly) declines when a co-partitioned consumer follows —
+      // the spec pins the pure-join case where the split is legal.
+      val joined = fact.join(dim, "k")
+        .select(col("k"), col("payload"), col("name"))
+      val plan = executedPlan(joined)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("skew-salted join runs as a shuffled hash join, never broadcast " +
       "or nested-loop") {
     val plan = executedPlan(BatchOps.saltedJoinRollup(spark, dir))
