@@ -265,6 +265,7 @@ object SparkEntry {
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
     "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
+    "decile_rank_audit" -> ((s, d) => BatchOps.decileRankAudit(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
     "column_profile" -> ((s, d) => BatchOps.columnProfile(s, d)),
     "user_value_trend" -> ((s, d) => BatchOps.userValueTrend(s, d)),
@@ -1121,6 +1122,7 @@ object SparkEntry {
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
     "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
+    "decile_rank_audit" -> BatchOps.decileRankAuditOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,
     "column_profile" -> BatchOps.columnProfileOracleSql,
     "user_value_trend" -> BatchOps.userValueTrendOracleSql,

@@ -747,6 +747,62 @@ object BatchOps {
        |    AS BIGINT) AS n_values_in_rn_cut
        |FROM r""".stripMargin
 
+  /** Deciles used by [[decileRankAudit]] (shared with the oracle). */
+  val DecileN = 10
+
+  /** DISTRIBUTION-RANK audit — [[rankSemanticsAudit]]'s complement on
+    * the VALUE-DISTRIBUTION window family: `ntile` (equal-count
+    * banding, larger groups first per the SQL standard), and per band
+    * the boundary `percent_rank` ((r−1)/(n−1)) and `cume_dist` (≤-peer
+    * mass / n) — the three functions a reporting layer uses to place an
+    * entity inside its peer distribution. Both ratios are one
+    * int64→double division on identical operands, so they hash exactly
+    * cross-engine with no quantization. One priority-grain exchange
+    * carries all three windows plus the band aggregate (same
+    * exchange-reuse shape `window_frame_audit` pins).
+    *
+    * Scale: the windows are per-priority — at fact scale the partition
+    * key keeps state bounded per task; the read-out is band grain
+    * (priorities × [[DecileN]] rows). */
+  def decileRankAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(DecileN).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("band_cents"),
+        min(col("pr")).as("pr_lo"),
+        max(col("cd")).as("cd_hi"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
+  /** DuckDB oracle for [[decileRankAudit]] — identical window family
+    * over the identical unique order key. */
+  private[graft] def decileRankAuditOracleSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderpriority, cents,
+       |    ntile($DecileN) OVER w AS decile,
+       |    percent_rank() OVER w AS pr,
+       |    cume_dist() OVER w AS cd
+       |  FROM o
+       |  WINDOW w AS (PARTITION BY o_orderpriority
+       |    ORDER BY cents DESC, o_orderkey))
+       |SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+       |  count(*) AS n_orders,
+       |  CAST(sum(cents) AS BIGINT) AS band_cents,
+       |  min(pr) AS pr_lo,
+       |  max(cd) AS cd_hi
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CHI-SQUARE independence screen — market segment × order priority
     * as a contingency table with EXACT integer cell statistics: the
     * categorical counterpart of [[mannKendallTrend]] (ordinal trend)
