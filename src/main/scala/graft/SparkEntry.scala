@@ -263,6 +263,7 @@ object SparkEntry {
     "matryoshka_recall" -> ((s, d) => VectorOps.matryoshkaRecall(s, d)),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
+    "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
     "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
     "decile_rank_audit" -> ((s, d) => BatchOps.decileRankAudit(s, d)),
@@ -1120,6 +1121,7 @@ object SparkEntry {
     "matryoshka_recall" -> VectorOps.matryoshkaRecallOracleSql,
     "dsir_weights" -> TextOps.dsirWeightsOracleSql,
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
+    "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
     "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
     "decile_rank_audit" -> BatchOps.decileRankAuditOracleSql,

@@ -5301,6 +5301,68 @@ object TextOps {
       .select(col("rank"), col("pair"), col("n_occurrences"))
   }
 
+  /** Epochs audited by [[epochShuffleAudit]] (shared with the
+    * oracle). */
+  val EpochCount = 3
+
+  /** EPOCH-SHUFFLE AUDIT — multi-epoch training needs a DIFFERENT
+    * data order each epoch that is nonetheless REPRODUCIBLE on any
+    * cluster (resume mid-epoch, re-run a failed shard): order epoch e
+    * by the salted hash md5("ep<e>:" || doc_id) — a fixed pseudo-random
+    * permutation per epoch, no stored shuffle table, no RNG state. The
+    * audit pins three properties per epoch: it is a PERMUTATION
+    * (n_docs, min/max rank), WHICH permutation (an order-sensitive
+    * integer checksum Σ rank·doc_id — any swap changes it), and that
+    * epochs are DECORRELATED from epoch 0 (Σ|rank_e − rank_0|, ≈ n²/3
+    * for independent permutations, 0 for an accidentally-reused
+    * order).
+    *
+    * Scale: ranks are one window per epoch over an id+hash-only frame
+    * (the ×[[EpochCount]] explode carries no text); the epoch-0 join
+    * is id-keyed. A real trainer materializes the rank as the shard
+    * sort key; the audit is the cheap invariant check on top. */
+  def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(EpochCount - 1))).as("epoch"))
+      .withColumn("h",
+        h60("concat('ep', cast(epoch as string), ':', " +
+          "cast(doc_id as string))"))
+      .withColumn("rk", row_number().over(Window.partitionBy("epoch")
+        .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("rk"))
+    val base = ranks.filter(col("epoch") === 0)
+      .select(col("doc_id"), col("rk").as("rk0"))
+    ranks
+      .join(base, "doc_id")
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rk")).as("rk_min"), max(col("rk")).as("rk_max"),
+        sum(col("rk") * col("doc_id")).as("order_checksum"),
+        sum(abs(col("rk") - col("rk0"))).as("displacement_vs_e0"))
+      .orderBy("epoch")
+  }
+
+  /** DuckDB oracle for [[epochShuffleAudit]] — same salted-md5 ranks,
+    * same integer checksums. */
+  private[graft] def epochShuffleAuditOracleSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, epoch,
+       |    CAST(row_number() OVER (PARTITION BY epoch ORDER BY
+       |      CAST('0x' || substr(md5('ep' || CAST(epoch AS VARCHAR) ||
+       |        ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |      doc_id) AS BIGINT) AS rk
+       |  FROM documents, unnest(generate_series(0, ${EpochCount - 1}))
+       |    AS g(epoch)),
+       |b AS (SELECT doc_id, rk AS rk0 FROM r WHERE epoch = 0)
+       |SELECT CAST(r.epoch AS INT) AS epoch,
+       |  count(*) AS n_docs,
+       |  min(r.rk) AS rk_min, max(r.rk) AS rk_max,
+       |  CAST(sum(r.rk * r.doc_id) AS BIGINT) AS order_checksum,
+       |  CAST(sum(abs(r.rk - b.rk0)) AS BIGINT) AS displacement_vs_e0
+       |FROM r JOIN b ON r.doc_id = b.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[bpeMergeCensus]] — same in-word adjacent pair
     * explode, same (count desc, pair asc) rank. */
   private[graft] def bpeMergeCensusOracleSql: String =
