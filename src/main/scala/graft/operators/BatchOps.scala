@@ -5428,9 +5428,10 @@ object BatchOps {
     * cost is a bounded ×S blow-up of the SMALL side (here 1500 rows ×
     * 8), the classic trade for unbounding the hot reducer.
     *
-    * The rollup then also reuses [[skewSafeDistinct]] for the
-    * per-segment distinct-user count, so one query exercises both
-    * skew shards. `hint("shuffle_hash")` pins the join shape the
+    * The rollup applies [[skewSafeDistinct]]'s shard decomposition
+    * INLINE for the per-segment distinct-user count (partials carry
+    * the algebraic aggs along — one pass over the join), so one query
+    * exercises both skew shards. `hint("shuffle_hash")` pins the join shape the
     * pattern exists for (at test SF the optimizer would broadcast the
     * dim and hide the salt's point; PlanSpec asserts no broadcast on
     * this path).
@@ -5451,15 +5452,20 @@ object BatchOps {
         fact("user_id") === dim("c_custkey") &&
           fact("salt") === dim("salt"))
       .select(col("c_mktsegment"), col("user_id"), col("cents"))
-    val rollup = joined
+    // ONE pass over the join: the [[skewSafeDistinct]] shard
+    // decomposition carries the algebraic aggregates along — per
+    // (segment, user-shard) partials, then an exact re-aggregate
+    // (shards slice the USER space disjointly, so partial distincts
+    // sum). Running the rollup and the distinct as two consumers of
+    // `joined` would re-execute the fact join per consumer at scale.
+    joined
+      .groupBy(col("c_mktsegment"),
+        pmod(xxhash64(col("user_id")), lit(64)).as("__shard"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"),
+        countDistinct(col("user_id")).as("pu"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("cents")).as("amount_cents"))
-    rollup
-      .join(skewSafeDistinct(joined, Seq("c_mktsegment"), "user_id",
-        "n_users"), Seq("c_mktsegment"))
-      .select(col("c_mktsegment"), col("n_events"), col("amount_cents"),
-        col("n_users"))
+      .agg(sum(col("pn")).as("n_events"), sum(col("pc")).as("amount_cents"),
+        sum(col("pu")).as("n_users"))
       .orderBy("c_mktsegment")
   }
 

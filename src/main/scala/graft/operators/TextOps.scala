@@ -5195,14 +5195,21 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         (expr("cast(conv(substring(md5(concat(prev, ' ', token)), 1, 15)," +
           " 16, 10) as bigint)") % DsirBuckets).as("b"))
+    // The model counts (raw, target, totals) all DERIVE from the
+    // (doc, bucket) feature counts, so the expensive token explode
+    // runs ONCE and is cut from the three model consumers' lineage —
+    // the localCheckpoint-the-shared-grain pattern (sourceDivergence,
+    // sessionCopresence); the checkpointed frame is ≤ docs × B rows of
+    // ids, corpus-mass-independent per doc.
     val docFeats = feats.groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("cnt"))
-    val rawCounts = feats.groupBy("b").agg(count(lit(1)).as("r_cnt"))
-    val tgtCounts = feats.filter(col("source") === DsirTargetSource)
-      .groupBy("b").agg(count(lit(1)).as("t_cnt"))
-    val totals = feats.agg(count(lit(1)).as("n_raw"),
-      sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L))
-        .as("n_tgt"))
+      .localCheckpoint()
+    val rawCounts = docFeats.groupBy("b").agg(sum(col("cnt")).as("r_cnt"))
+    val tgtCounts = docFeats.filter(col("source") === DsirTargetSource)
+      .groupBy("b").agg(sum(col("cnt")).as("t_cnt"))
+    val totals = docFeats.agg(sum(col("cnt")).as("n_raw"),
+      sum(when(col("source") === DsirTargetSource, col("cnt"))
+        .otherwise(0L)).as("n_tgt"))
     // Per-bucket integer log2 score of the smoothed ratio
     //   (t+1)/(N_t+B) ÷ (r+1)/(N_r+B), cross-multiplied so both sides
     // are exact BIGINTs; bitlen(num) − bitlen(den) ∈ [log2−1, log2+1].
@@ -5331,6 +5338,10 @@ object TextOps {
       .withColumn("rk", row_number().over(Window.partitionBy("epoch")
         .orderBy(col("h"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("epoch"), col("rk"))
+      // Two consumers (the per-epoch aggregate + the epoch-0 baseline
+      // join) — checkpoint the ids-only rank frame so the rank windows
+      // run once.
+      .localCheckpoint()
     val base = ranks.filter(col("epoch") === 0)
       .select(col("doc_id"), col("rk").as("rk0"))
     ranks

@@ -3283,6 +3283,10 @@ object VectorOps {
         MatryoshkaDims.tail.map(k =>
           max(struct(cosK(k), (-col("c_id")).as("neg_c"), col("full_cos")))
             .as(s"b$k")): _*)
+      // Two consumers below (per-k picks + the k=Dim reference) — the
+      // checkpoint cuts the N² pass from both lineages; the frame is
+      // one row per query vector.
+      .localCheckpoint()
     val picks = perQ
       .select(col("q_id"), explode(array(MatryoshkaDims.map(k =>
         struct(lit(k).as("k"), col(s"b$k").as("best"))): _*)).as("x"))
