@@ -129,8 +129,10 @@ object VectorOps {
 
   /** Every public entry point registers the expression first (idempotent,
     * per session). */
-  private def prepare(spark: SparkSession): Unit =
+  private def prepare(spark: SparkSession): Unit = {
     graft.functions.DotProduct.register(spark)
+    graft.functions.DotPrefixes.register(spark)
+  }
 
   /** Signed projection onto a sparse hyperplane, unrolled. */
   private def proj(c: String, h: Array[(Int, Int)]): Column =
@@ -3256,11 +3258,17 @@ object VectorOps {
     * partial aggregates — no pair-row explode, no window. */
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
-    def pnorm(c: String, k: Int): Column =
-      sqrt(expr(s"vec_dot(slice($c, 1, $k), slice($c, 1, $k))"))
+    // All prefix dots ride ONE fused native loop per pair
+    // (`vec_dot_prefixes`, functions/DotPrefixes.scala) — the
+    // compositional slice-per-k form allocated two array copies per
+    // checkpoint per pair and was the bench's slowest query (4.08 s).
+    val ksStr = MatryoshkaDims.mkString(",")
     val e = Tables.embeddings(spark, dir)
+      .withColumn("pn",
+        expr(s"vec_dot_prefixes(embedding, embedding, '$ksStr')"))
       .select(col("vec_id") +: col("embedding") +:
-        MatryoshkaDims.map(k => pnorm("embedding", k).as(s"n$k")): _*)
+        MatryoshkaDims.zipWithIndex.map { case (k, i) =>
+          sqrt(element_at(col("pn"), i + 1)).as(s"n$k") }: _*)
     val c = e.select(col("vec_id").as("c_id") +:
       col("embedding").as("c_emb") +:
       MatryoshkaDims.map(k => col(s"n$k").as(s"cn$k")): _*)
@@ -3269,13 +3277,14 @@ object VectorOps {
       col("embedding").as("q_emb") +:
       MatryoshkaDims.map(k => col(s"n$k").as(s"qn$k")): _*)
     def cosK(k: Int): Column =
-      (if (k == Dim) expr("vec_dot(q_emb, c_emb)")
-       else expr(s"vec_dot(slice(q_emb, 1, $k), slice(c_emb, 1, $k))")) /
+      element_at(col("pd"), MatryoshkaDims.indexOf(k) + 1) /
         (col(s"qn$k") * col(s"cn$k"))
     val perQ = c
       .withColumn("jk", pmod(col("c_id"), lit(1)))
       .join(broadcast(q.withColumn("jk", pmod(col("q_id"), lit(1)))), "jk")
       .filter(col("q_id") =!= col("c_id"))
+      .withColumn("pd",
+        expr(s"vec_dot_prefixes(q_emb, c_emb, '$ksStr')"))
       .withColumn("full_cos", cosK(Dim))
       .groupBy("q_id")
       .agg(max(struct(cosK(MatryoshkaDims.head), (-col("c_id")).as("neg_c"),

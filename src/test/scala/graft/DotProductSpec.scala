@@ -215,4 +215,51 @@ class DotProductSpec extends GraftSpec {
     assert(e.getMessage.toLowerCase.contains("vec_dot") ||
       e.getMessage.toLowerCase.contains("datatype"))
   }
+
+  test("vec_dot_prefixes checkpoints equal vec_dot over each prefix, " +
+      "bit-exactly, on both paths") {
+    graft.functions.DotPrefixes.register(spark)
+    DotProduct.register(spark)
+    val ks = Seq(8, 16, 32, 64)
+    val a = Array.tabulate(64)(j => (j * 0.29f - 3.7f) * (if (j % 5 == 2) -1 else 1))
+    val b = Array.tabulate(64)(j => (j * 0.91f + 0.03f))
+    val df = Seq((a, b)).toDF("a", "b")
+    val fused = df.select(expr(
+      s"vec_dot_prefixes(a, b, '${ks.mkString(",")}')").as("pd"))
+      .head.getSeq[Double](0)
+    ks.zipWithIndex.foreach { case (k, i) =>
+      val want = df.select(
+        expr(s"vec_dot(slice(a, 1, $k), slice(b, 1, $k))"))
+        .head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(fused(i)) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"checkpoint $k: ${fused(i)} != $want")
+    }
+    // Interpreted path: same bits as codegen.
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.functions.DotPrefixes(
+      lit.create(a), lit.create(b), ks).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    interp.zip(fused).foreach { case (x, y) =>
+      assert(java.lang.Double.doubleToLongBits(x) ==
+        java.lang.Double.doubleToLongBits(y))
+    }
+  }
+
+  test("vec_dot_prefixes fails loudly short of the last checkpoint") {
+    graft.functions.DotPrefixes.register(spark)
+    val rows = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val boom = intercept[Exception] {
+      rows.select(expr("vec_dot_prefixes(a, b, '2,4')")).head
+    }
+    assert(boom.getMessage.contains("vec_dot_prefixes"))
+    // Null ARRAY → null result; in-range checkpoints still work.
+    val ok = rows.select(expr("vec_dot_prefixes(a, b, '1,2')"))
+      .head.getSeq[Double](0)
+    assert(ok == Seq(3.0, 11.0))
+    assert(rows
+      .select(expr("vec_dot_prefixes(a, cast(null as array<float>), '1')"))
+      .head.isNullAt(0))
+  }
 }
