@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * gives a pure-SQL user (`spark-sql`, Thrift server, a notebook with no
   * graft import) `vec_dot`, `simhash60`, `poly_roll`, `quant_stats`,
-  * and `sign_bits` in every session, resolved to the same codegen'd
+  * `sign_bits`, and `vec_dot_prefixes` in every session, resolved to the same codegen'd
   * expressions the library API uses. The operators in `graft.operators`
   * do not REQUIRE the extension to be installed — they self-register
   * through the session registry on first use ([[DotProduct.register]] /
@@ -52,5 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sign_bits"),
       new ExpressionInfo(classOf[SignBits].getName, "sign_bits"),
       SignBits.fromChildren _))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_prefixes"),
+      new ExpressionInfo(classOf[DotPrefixes].getName, "vec_dot_prefixes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"vec_dot_prefixes takes 3 arguments, got ${children.length}")
+        require(children(2).foldable,
+          "vec_dot_prefixes checkpoints must be a literal string")
+        DotPrefixes(children.head, children(1),
+          children(2).eval().toString.split(",").map(_.trim.toInt).toSeq)
+      }))
   }
 }

@@ -143,7 +143,8 @@ class DotProductSpec extends GraftSpec {
       // The injected set must equal the registered-native set: every
       // native the library self-registers resolves via the injector too.
       val injected =
-        Seq("vec_dot", "simhash60", "poly_roll", "quant_stats", "sign_bits")
+        Seq("vec_dot", "simhash60", "poly_roll", "quant_stats",
+          "sign_bits", "vec_dot_prefixes")
       injected.foreach { f =>
         assert(s2.catalog.functionExists(f), s"$f not injected")
       }
