@@ -42,7 +42,7 @@ object Pipeline {
     "governance_audit" -> Seq("deadletter_audit", "props_key_census",
       "props_key_timeline", "props_variant_stats", "snapshot_diff",
       "gdpr_erasure_audit", "penny_allocation_audit",
-      "k_anonymity_audit"),
+      "k_anonymity_audit", "l_diversity_audit"),
     // Round-12 statistics phase: the exact-integer monitoring tests a
     // warehouse runs on a schedule — independence drift between two
     // categorical dims, the reorder life table, and the per-customer

@@ -265,6 +265,7 @@ object SparkEntry {
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
+    "l_diversity_audit" -> ((s, d) => BatchOps.lDiversityAudit(s, d)),
     "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
     "decile_rank_audit" -> ((s, d) => BatchOps.decileRankAudit(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
@@ -1123,6 +1124,7 @@ object SparkEntry {
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
+    "l_diversity_audit" -> BatchOps.lDiversityAuditOracleSql,
     "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
     "decile_rank_audit" -> BatchOps.decileRankAuditOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,

@@ -5555,6 +5555,67 @@ object BatchOps {
        |FROM g
        |ORDER BY n_members, c_mktsegment, c_nationkey, acctbal_band""".stripMargin
 
+  /** The l in l-diversity for [[lDiversityAudit]] (shared with the
+    * oracle). */
+  val LDiversityL = 2
+
+  /** L-DIVERSITY AUDIT — k-anonymity's necessary companion
+    * ([[kAnonymityAudit]]): a class of 50 identical quasi-identifiers
+    * is useless to a linkage attacker ONLY if the sensitive attribute
+    * varies inside it — if all 50 share one market segment, the QI
+    * tuple still discloses it (the homogeneity attack k-anonymity
+    * alone misses). Per QI class (nation × balance band): size,
+    * distinct sensitive values (l), the modal sensitive value's share
+    * in mille (1000 = fully homogeneous), and the failure flag
+    * l < [[LDiversityL]].
+    *
+    * Scale: one (QI, sensitive) pre-aggregate, one QI-grain final —
+    * both partial+final; the modal pick is the max(struct) pattern. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("acctbal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "acctbal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("sn"))
+      .groupBy("c_nationkey", "acctbal_band")
+      .agg(sum(col("sn")).as("n_members"),
+        count(lit(1)).as("l_distinct"),
+        max(struct(col("sn"), col("c_mktsegment"))).as("modal"))
+      .select(col("c_nationkey"), col("acctbal_band"), col("n_members"),
+        col("l_distinct"),
+        col("modal.c_mktsegment").as("modal_segment"),
+        expr("modal.sn * 1000 div n_members").as("modal_mille"),
+        (col("l_distinct") < LDiversityL).as("homogeneous"))
+      .orderBy("c_nationkey", "acctbal_band")
+
+  /** DuckDB oracle for [[lDiversityAudit]] — same two-level aggregate;
+    * the modal pick mirrors max(struct) as (count, segment) DESC
+    * row_number. */
+  private[graft] def lDiversityAuditOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS INT) AS acctbal_band,
+       |    c_mktsegment, count(*) AS sn
+       |  FROM customer GROUP BY 1, 2, 3),
+       |g AS (
+       |  SELECT c_nationkey, acctbal_band,
+       |    CAST(sum(sn) AS BIGINT) AS n_members,
+       |    count(*) AS l_distinct
+       |  FROM s GROUP BY 1, 2),
+       |m AS (
+       |  SELECT c_nationkey, acctbal_band, c_mktsegment, sn,
+       |    row_number() OVER (PARTITION BY c_nationkey, acctbal_band
+       |      ORDER BY sn DESC, c_mktsegment DESC) AS rk
+       |  FROM s)
+       |SELECT g.c_nationkey, g.acctbal_band, g.n_members, g.l_distinct,
+       |  m.c_mktsegment AS modal_segment,
+       |  CAST(m.sn * 1000 // g.n_members AS BIGINT) AS modal_mille,
+       |  g.l_distinct < $LDiversityL AS homogeneous
+       |FROM g JOIN m ON g.c_nationkey = m.c_nationkey
+       |  AND g.acctbal_band = m.acctbal_band AND m.rk = 1
+       |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[statusPathListagg]] — `string_agg` with the
     * same ORDER BY. */
   private[graft] def statusPathListaggOracleSql: String =

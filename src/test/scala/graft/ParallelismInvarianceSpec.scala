@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{BatchOps, CdcOps, TextOps}
+
+/** Determinism under parallelism — the distributed-correctness property
+  * behind every "order-independent / exact at any partition count"
+  * claim in the operator scaladocs: the SAME query must produce the
+  * SAME rows whether its exchanges run over 1 partition or 17. A
+  * violation means some step depends on aggregation order (a raw
+  * double sum), on partition boundaries (a window missing a total
+  * order), or on a nondeterministic pick (an un-tie-broken first/last)
+  * — bugs that stay invisible at a fixed test parallelism and surface
+  * only on the cluster. 17 is deliberately prime and larger than the
+  * suite's 4 cores, so partition assignment differs from both the
+  * default run and the single-partition run. */
+class ParallelismInvarianceSpec extends GraftSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Representative exemplars, one per determinism device: exact
+    * DECIMAL money (rollup), integer largest-remainder windows (penny
+    * allocation), salted join + shard-decomposed distinct, md5-model
+    * integer scores (DSIR), unrolled bit arithmetic (hilbert), window
+    * order statistics (decile bands). */
+  private val exemplars = Seq(
+    "customer_rollup", "penny_allocation_audit", "salted_join_rollup",
+    "dsir_weights", "hilbert_stats", "decile_rank_audit")
+
+  private def fingerprint(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // Row-order-free fingerprint: render every row, sort the rendering.
+    df.collect().map(_.toString).sorted.toSeq
+  }
+
+  test("results are identical at shuffle.partitions = 1, 4 and 17") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val runs = Seq("1", "4", "17").map { p =>
+        spark.conf.set(key, p)
+        p -> exemplars.map(n => n -> fingerprint(n)).toMap
+      }
+      val (_, base) = runs.head
+      runs.tail.foreach { case (p, got) =>
+        exemplars.foreach { n =>
+          assert(got(n) == base(n),
+            s"$n differs between shuffle.partitions=1 and =$p")
+        }
+      }
+      // Not vacuous: every exemplar produced rows.
+      exemplars.foreach(n => assert(base(n).nonEmpty, s"$n empty"))
+    } finally spark.conf.set(key, saved)
+  }
+}
