@@ -167,6 +167,26 @@ object Pipeline {
     require(zCount == liCount && zCount > 0,
       s"z-ordered single-dimension read must match ($zCount vs $liCount)")
     println(f"   lineitem_z${""}%-18s $zCount%8d rows (dim filter)")
+    // 3. SMALL-FILE COMPACTION — the third OPTIMIZE pillar (partition
+    //    layout, clustering, then compaction): a streaming/CDC sink
+    //    leaves many small files whose per-file open/footer cost
+    //    dominates a 100 TB scan. Simulate the degenerate state (64
+    //    shards of one small table), compact to a target file count,
+    //    and gate on file count AND row parity.
+    val frag = s"$scratch/events_fragmented"
+    Tables.events(spark, sfDir).repartition(64).write.parquet(frag)
+    def parquetFiles(p: String): Long = new java.io.File(p)
+      .listFiles().count(f => f.getName.endsWith(".parquet")).toLong
+    require(parquetFiles(frag) == 64, "fragmentation setup must shard")
+    val compacted = s"$scratch/events_compacted"
+    spark.read.parquet(frag).coalesce(2).write.parquet(compacted)
+    val (nf, nc) = (parquetFiles(frag), parquetFiles(compacted))
+    val (rf, rc) = (spark.read.parquet(frag).count(),
+      spark.read.parquet(compacted).count())
+    require(nc <= 2 && rc == rf && rc > 0,
+      s"compaction must cut $nf files to <=2 preserving $rf rows " +
+        s"(got $nc files, $rc rows)")
+    println(f"   events_compacted${""}%-12s $rc%8d rows ($nf -> $nc files)")
   }
 
   def main(args: Array[String]): Unit = {
