@@ -266,6 +266,8 @@ object SparkEntry {
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
     "l_diversity_audit" -> ((s, d) => BatchOps.lDiversityAudit(s, d)),
+    "join_cardinality_estimate" -> ((s, d) =>
+      BatchOps.joinCardinalityEstimate(s, d)),
     "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
     "decile_rank_audit" -> ((s, d) => BatchOps.decileRankAudit(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
@@ -1125,6 +1127,8 @@ object SparkEntry {
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
     "l_diversity_audit" -> BatchOps.lDiversityAuditOracleSql,
+    "join_cardinality_estimate" ->
+      BatchOps.joinCardinalityEstimateOracleSql,
     "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
     "decile_rank_audit" -> BatchOps.decileRankAuditOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,

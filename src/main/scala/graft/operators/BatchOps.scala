@@ -5508,6 +5508,80 @@ object BatchOps {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_custkey")
 
+  /** Histogram resolutions audited by [[joinCardinalityEstimate]]
+    * (shared with the oracle). */
+  val JoinEstBuckets: Seq[Int] = Seq(256, 4096)
+
+  /** JOIN-CARDINALITY ESTIMATE — the statistic a cost-based optimizer
+    * lives on: |A ⋈ B| estimated from per-side equi-width HASH
+    * histograms as Σ_b n_A(b)·n_B(b). With one bucket per key the sum
+    * is exact; at coarser resolutions hash collisions only ADD cross
+    * terms, so the estimate is a deterministic UPPER bound whose error
+    * mille quantifies what histogram resolution buys (the reason
+    * engines keep ~10³ buckets of column stats, not 10). One row per
+    * resolution: estimate, exact join count, and the signed error.
+    *
+    * Scale: each histogram is a bucket-grain partial+final count over
+    * its own scan (B rows out); the estimate joins two B-row frames.
+    * The exact count — the expensive truth the estimate exists to
+    * avoid — is one key-shuffle count, included here as the audit's
+    * referee. */
+  def joinCardinalityEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, key: String, b: Int): DataFrame = df
+      .groupBy(pmod(expr(
+        s"cast(conv(substring(md5(cast($key as string)), 1, 15), 16, 10)" +
+          s" as bigint)"), lit(b.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val lines = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val exact = orders.join(lines,
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    val perRes = JoinEstBuckets.map { b =>
+      hist(orders, "o_orderkey", b).as("ho")
+        .join(hist(lines, "l_orderkey", b).as("hl"), "bucket")
+        .agg(sum(col("ho.n") * col("hl.n")).as("est_rows"))
+        .select(lit(b).as("n_buckets"), col("est_rows"))
+    }.reduce(_ unionByName _)
+    perRes
+      .crossJoin(broadcast(exact))
+      .select(col("n_buckets"), col("est_rows"), col("exact_rows"),
+        expr("(est_rows - exact_rows) * 1000 div exact_rows")
+          .as("overest_mille"))
+      .orderBy("n_buckets")
+  }
+
+  /** DuckDB oracle for [[joinCardinalityEstimate]] — same md5-band
+    * histograms per resolution, same exact-join referee. */
+  private[graft] def joinCardinalityEstimateOracleSql: String = {
+    def hist(table: String, key: String, b: Int, alias: String): String =
+      s"""$alias AS (
+         |  SELECT CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % $b AS bucket,
+         |    count(*) AS n
+         |  FROM $table GROUP BY 1)""".stripMargin
+    val resCtes = JoinEstBuckets.map { b =>
+      s"""${hist("orders", "o_orderkey", b, s"ho$b")},
+         |${hist("lineitem", "l_orderkey", b, s"hl$b")}""".stripMargin
+    }.mkString(",\n")
+    val resSelects = JoinEstBuckets.map { b =>
+      s"""  SELECT $b AS n_buckets,
+         |    CAST(sum(ho$b.n * hl$b.n) AS BIGINT) AS est_rows
+         |  FROM ho$b JOIN hl$b ON ho$b.bucket = hl$b.bucket""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH x AS (
+       |  SELECT count(*) AS exact_rows
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |$resCtes,
+       |e AS (
+       |$resSelects)
+       |SELECT e.n_buckets, e.est_rows, x.exact_rows,
+       |  CAST((e.est_rows - x.exact_rows) * 1000 // x.exact_rows
+       |    AS BIGINT) AS overest_mille
+       |FROM e CROSS JOIN x
+       |ORDER BY 1""".stripMargin
+  }
+
   /** The k in k-anonymity for [[kAnonymityAudit]] (shared with the
     * oracle): equivalence classes smaller than this must be suppressed
     * or generalized before release. */
