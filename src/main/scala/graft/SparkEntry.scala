@@ -268,6 +268,7 @@ object SparkEntry {
     "l_diversity_audit" -> ((s, d) => BatchOps.lDiversityAudit(s, d)),
     "join_cardinality_estimate" -> ((s, d) =>
       BatchOps.joinCardinalityEstimate(s, d)),
+    "table_checksums" -> ((s, d) => BatchOps.tableChecksums(s, d)),
     "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
     "decile_rank_audit" -> ((s, d) => BatchOps.decileRankAudit(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
@@ -1129,6 +1130,7 @@ object SparkEntry {
     "l_diversity_audit" -> BatchOps.lDiversityAuditOracleSql,
     "join_cardinality_estimate" ->
       BatchOps.joinCardinalityEstimateOracleSql,
+    "table_checksums" -> BatchOps.tableChecksumsOracleSql,
     "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
     "decile_rank_audit" -> BatchOps.decileRankAuditOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,

@@ -5508,6 +5508,66 @@ object BatchOps {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_custkey")
 
+  /** Per-table stable identity columns for [[tableChecksums]] — keys,
+    * enums and exact integers only: floats and timestamps RENDER
+    * differently across engines, so they stay out of the canonical
+    * string (shared with the oracle). */
+  private[graft] val ChecksumCols: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"),
+    "part" -> Seq("p_partkey", "p_name", "p_size"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey"),
+    "events" -> Seq("event_id", "user_id", "event_type"),
+    "documents" -> Seq("doc_id", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "label"))
+
+  /** Modulus keeping the per-row hash term small enough that a 64-bit
+    * sum cannot overflow at any realistic row count (shared with the
+    * oracle). */
+  val ChecksumMod = 1000000007L
+
+  /** TABLE CONTENT CHECKSUMS — the migration/backup validation
+    * utility: one row per table with its row count and an ORDER-FREE
+    * content checksum (Σ md5-band of the canonical identity string,
+    * mod [[ChecksumMod]] per row so the sum stays in 64 bits). Copy a
+    * lake to new storage, run this on both sides, diff 10 rows — a
+    * lost, duplicated, or corrupted row moves the checksum; row order,
+    * file layout and partitioning don't (addition commutes). The
+    * canonical string uses keys/enums/exact ints only — floats and
+    * timestamps render engine-specifically and belong in typed
+    * reconciliations (`revenue_reconciliation`), not identity strings.
+    *
+    * Scale: one projection + one 1-row aggregate per table, all
+    * independent (a scheduler runs them in parallel); nothing
+    * shuffles but 10 partial rows. */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame =
+    ChecksumCols.map { case (tbl, cols) =>
+      Tables.table(spark, dir, tbl)
+        .select(expr(
+          s"cast(conv(substring(md5(concat_ws('|', " +
+            s"${cols.mkString(", ")})), 1, 15), 16, 10) as bigint)" +
+            s" % $ChecksumMod").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("tbl")
+
+  /** DuckDB oracle for [[tableChecksums]]. */
+  private[graft] def tableChecksumsOracleSql: String =
+    ChecksumCols.map { case (tbl, cols) =>
+      s"""  SELECT '$tbl' AS tbl, count(*) AS n_rows,
+         |    CAST(sum(CAST('0x' || substr(md5(concat_ws('|',
+         |      ${cols.mkString(", ")})), 1, 15) AS BIGINT)
+         |      % $ChecksumMod) AS BIGINT) AS checksum
+         |  FROM $tbl""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\n  UNION ALL\n",
+      "\n) ORDER BY tbl")
+
   /** Histogram resolutions audited by [[joinCardinalityEstimate]]
     * (shared with the oracle). */
   val JoinEstBuckets: Seq[Int] = Seq(256, 4096)
