@@ -269,6 +269,8 @@ object SparkEntry {
     "join_cardinality_estimate" -> ((s, d) =>
       BatchOps.joinCardinalityEstimate(s, d)),
     "table_checksums" -> ((s, d) => BatchOps.tableChecksums(s, d)),
+    "image_dup_clusters" -> ((s, d) =>
+      MultiModalOps.imageDupClusters(s, d)),
     "hilbert_stats" -> ((s, d) => BatchOps.hilbertStats(s, d)),
     "decile_rank_audit" -> ((s, d) => BatchOps.decileRankAudit(s, d)),
     "window_frame_audit" -> ((s, d) => BatchOps.windowFrameAudit(s, d)),
@@ -1131,6 +1133,7 @@ object SparkEntry {
     "join_cardinality_estimate" ->
       BatchOps.joinCardinalityEstimateOracleSql,
     "table_checksums" -> BatchOps.tableChecksumsOracleSql,
+    "image_dup_clusters" -> MultiModalOps.imageDupClustersOracleSql,
     "hilbert_stats" -> BatchOps.hilbertStatsOracleSql,
     "decile_rank_audit" -> BatchOps.decileRankAuditOracleSql,
     "window_frame_audit" -> BatchOps.windowFrameAuditOracleSql,

@@ -1387,8 +1387,12 @@ object MultiModalOps {
     * FORMULA (same CTEs as [[imageResizeOracleSql]]; the oracle never
     * sees bytes), then the same hash-grain census and 12-variant
     * Hamming-1 neighbor join. */
-  private[graft] def imagePhashCensusOracleSql: String =
-    s"""WITH g AS (
+  /** Shared oracle CTE chain ending at the hash-grain census `grp`
+    * (ahash, n_images, keep_id) — the aHash from the pixel formula,
+    * reused by [[imagePhashCensusOracleSql]] and
+    * [[imageDupClustersOracleSql]]. */
+  private def imageGroupsOracleCte: String =
+    s"""g AS (
        |  SELECT doc_id,
        |    (coalesce(length(text), 0) % 13) + 4 AS w,
        |    (doc_id % 11) + 3 AS h
@@ -1418,7 +1422,10 @@ object MultiModalOps {
        |  GROUP BY blk.doc_id),
        |grp AS (
        |  SELECT ahash, count(*) AS n_images, min(doc_id) AS keep_id
-       |  FROM ah GROUP BY ahash),
+       |  FROM ah GROUP BY ahash)""".stripMargin
+
+  private[graft] def imagePhashCensusOracleSql: String =
+    s"""WITH $imageGroupsOracleCte,
        |v AS (
        |  SELECT grp.ahash,
        |    xor(grp.ahash, 1 << CAST(k AS INT)) AS variant
@@ -1437,4 +1444,105 @@ object MultiModalOps {
        |    AS neighbor_image_mass
        |FROM grp LEFT JOIN n ON grp.ahash = n.ahash
        |ORDER BY grp.ahash""".stripMargin
+
+  /** IMAGE NEAR-DUP CLUSTERS — the multimodal member of the dedup
+    * family's cluster step (text has exact/minhash/simhash → CC;
+    * images had only the Hamming-1 census): connected components over
+    * the hash-grain neighbor graph (present aHashes at Hamming
+    * distance 1), then per cluster the image mass and the kept
+    * representative. The decisive scale property is the GRAIN: the
+    * graph's node set is bounded by the CODE SPACE (2^{grid bits} =
+    * 4096 here, 2^64 capped by distinct-present for real pHashes),
+    * NOT the corpus — a billion images collapse to the same ≤4096
+    * nodes before the min-label fixpoint runs, and per-image mass
+    * joins the labels afterwards. Fixpoint is the
+    * `dedupComponentsDf` loop (min-label propagation, one
+    * localCheckpoint per round, convergence-probed); the oracle is
+    * DuckDB's exact WITH RECURSIVE reachability closure, so an
+    * unconverged loop cannot hash-match.
+    *
+    * Measured honesty note: on this synthetic corpus the 12-bit space
+    * is so dense (69 present hashes at sf0.01, every one with ≥1
+    * Hamming-1 neighbor) that the transitive closure chains ALL of
+    * them into ONE cluster — the textbook over-merge caution for CC
+    * over near-dup edges as density grows. A real 64-bit pHash space
+    * is ~10¹⁶× sparser at the same corpus size; the operator's value
+    * there is the bounded-grain shape, and its value HERE is
+    * demonstrating (cross-engine-exactly) why tight-radius closures
+    * need density guards. The spec pins the partition conservation
+    * laws (Σ n_images = corpus, Σ n_hashes = census size). */
+  def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val groups = imageResize(spark, dir)
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keep_id"))
+      // Three consumers (variant explode, edge presence join, final
+      // label join) over a ≤ 2^12-row frame: checkpoint once.
+      .localCheckpoint()
+    val nbits = ResizeGridW * ResizeGridH
+    val edges = groups.select(col("ahash"),
+        explode(array((0 until nbits).map(k =>
+          col("ahash").bitwiseXOR(lit(1 << k))): _*)).as("variant"))
+      .filter(col("variant") > col("ahash"))
+      .join(groups.select(col("ahash").as("variant")), "variant")
+      .select(col("ahash").as("a"), col("variant").as("b"))
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    var labels = adj.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("l"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = adj
+        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
+        .groupBy("u").agg(min(col("lv")).as("ln"))
+        .join(labels, "u")
+        .select(col("u"), least(col("l"), col("ln")).as("l"),
+          (col("ln") < col("l")).as("moved"))
+        .localCheckpoint()
+      converged = next.filter(col("moved")).isEmpty
+      labels = next.select("u", "l")
+    }
+    groups
+      .join(labels.select(col("u").as("ahash"), col("l")), Seq("ahash"),
+        "left")
+      .select(coalesce(col("l"), col("ahash")).as("cluster_id"),
+        col("n_images"), col("keep_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_hashes"), sum(col("n_images")).as("n_images"),
+        min(col("keep_id")).as("keep_id"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB oracle for [[imageDupClusters]] — same hash formula and
+    * edge set, exact recursive reachability closure for the
+    * components. */
+  private[graft] def imageDupClustersOracleSql: String =
+    s"""WITH RECURSIVE $imageGroupsOracleCte,
+       |vv AS (
+       |  SELECT grp.ahash,
+       |    xor(grp.ahash, 1 << CAST(k AS INT)) AS variant
+       |  FROM grp,
+       |    unnest(generate_series(0, ${ResizeGridW * ResizeGridH - 1}))
+       |      AS t(k)),
+       |e0 AS (
+       |  SELECT vv.ahash AS a, vv.variant AS b
+       |  FROM vv JOIN grp g2 ON g2.ahash = vv.variant
+       |  WHERE vv.variant > vv.ahash),
+       |e AS (SELECT a AS u, b AS v FROM e0
+       |      UNION ALL SELECT b, a FROM e0),
+       |r AS (
+       |  SELECT u AS x, u AS y FROM e
+       |  UNION
+       |  SELECT r.x, e.v AS y FROM r JOIN e ON r.y = e.u),
+       |lbl AS (SELECT x AS ahash, min(y) AS l FROM r GROUP BY x),
+       |cl AS (
+       |  SELECT coalesce(lbl.l, grp.ahash) AS cluster_id,
+       |    grp.n_images, grp.keep_id
+       |  FROM grp LEFT JOIN lbl ON grp.ahash = lbl.ahash)
+       |SELECT cluster_id, count(*) AS n_hashes,
+       |  CAST(sum(n_images) AS BIGINT) AS n_images,
+       |  min(keep_id) AS keep_id
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -303,4 +303,26 @@ class MultiModalOpsSpec extends GraftSpec {
       assert(r.ahash == expHash, s"ahash doc $d")
     }
   }
+
+  test("image dup clusters partition the census exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.operators.MultiModalOps
+      .imageDupClusters(spark, dir).collect()
+    val census = graft.operators.MultiModalOps
+      .imagePhashCensus(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    // Conservation laws: clusters partition the hash census, image
+    // mass sums to the corpus, and each cluster's representative is
+    // the min doc of its members (here provable globally via min).
+    assert(clusters.map(_.getAs[Long]("n_hashes")).sum == census.length)
+    assert(clusters.map(_.getAs[Long]("n_images")).sum == nDocs)
+    assert(clusters.map(_.getAs[Long]("keep_id")).min ==
+      census.map(_.getAs[Long]("keep_id")).min)
+    // Every cluster label is one of its member hashes (min-label CC),
+    // so labels are a subset of the census's hash set.
+    val hashes = census.map(_.getAs[Int]("ahash")).toSet
+    clusters.foreach(c =>
+      assert(hashes.contains(c.getAs[Int]("cluster_id"))))
+  }
 }
