@@ -348,6 +348,21 @@ class PlanSpec extends GraftSpec {
       s"span set broadcast:\n$plan")
   }
 
+  test("penny allocation: windows, rank and audit share one orderkey " +
+      "exchange per side") {
+    val plan = executedPlan(BatchOps.pennyAllocationAudit(spark, dir))
+    // The whole line-grain pipeline (per-order sum window, remainder
+    // rank, audit re-aggregate) is keyed on l_orderkey, so everything
+    // after the scan+join must ride ONE orderkey exchange — windows
+    // re-partitioning per step would show up as extra exchanges.
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 3,
+      s"expected <=3 exchanges (join sides + one orderkey), got " +
+        s"$exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join:\n$plan")
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true)") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     // The OTHER half of the skew story next to the salted join: when
