@@ -97,7 +97,8 @@ object Pipeline {
       "rp_multiprobe_recall_at_k", "matryoshka_recall"),
     "assembly" -> Seq("train_val_split", "stratified_sample",
       "domain_mixture", "mixture_resample", "dsir_weights",
-      "bpe_merge_census", "epoch_shuffle_audit", "doc_chunks",
+      "bpe_merge_census", "epoch_shuffle_audit", "vocab_growth_heaps",
+      "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",
       "token_budget_sample", "pmi_collocations", "quality_calibration"))
 

@@ -264,6 +264,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
+    "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
     "l_diversity_audit" -> ((s, d) => BatchOps.lDiversityAudit(s, d)),
     "join_cardinality_estimate" -> ((s, d) =>
@@ -1128,6 +1129,7 @@ object SparkEntry {
     "dsir_weights" -> TextOps.dsirWeightsOracleSql,
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
+    "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,
     "l_diversity_audit" -> BatchOps.lDiversityAuditOracleSql,
     "join_cardinality_estimate" ->

@@ -5308,6 +5308,75 @@ object TextOps {
       .select(col("rank"), col("pair"), col("n_occurrences"))
   }
 
+  /** Corpus-prefix checkpoints for [[vocabGrowthHeaps]] (shared with
+    * the oracle). */
+  val HeapsDeciles = 10
+
+  /** VOCABULARY GROWTH (Heaps'-law) curve — how fast the corpus keeps
+    * yielding NEW word types as it grows: the scaling-law measurement
+    * (V ≈ K·nᵝ) a tokenizer-vocabulary sizing or dedup-saturation
+    * analysis reads. The naive form (distinct-count each prefix) scans
+    * the corpus once PER checkpoint; this one is ONE pass: a type is
+    * new exactly at its FIRST document (min doc_id per type), so the
+    * curve is the histogram of first-occurrence deciles, cumulated
+    * over [[HeapsDeciles]] rows. All integers; the decile cut is a
+    * floor-div of doc_id against the corpus max (broadcast 1-row
+    * anchor).
+    *
+    * Scale: one token explode into a type-grain min() partial+final
+    * aggregate (the same shuffle vocabulary building pays anyway) +
+    * a doc-grain token count; the cumulation is a window over 10
+    * rows. */
+  def vocabGrowthHeaps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val anchor = docs.agg(max(col("doc_id")).as("max_id"))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("decile", least(lit(HeapsDeciles - 1),
+        expr(s"doc_id * $HeapsDeciles div (max_id + 1)")).cast("int"))
+    val occ = toks.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val news = toks.groupBy("token")
+      .agg(min(col("decile")).as("first_decile"))
+      .groupBy(col("first_decile").as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    occ.join(news, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for [[vocabGrowthHeaps]] — same decile cut, same
+    * first-occurrence histogram and running sums. */
+  private[graft] def vocabGrowthHeapsOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT max(doc_id) AS max_id FROM documents
+       |  WHERE text IS NOT NULL),
+       |t AS (
+       |  SELECT CAST(least(${HeapsDeciles - 1},
+       |      doc_id * $HeapsDeciles // (a.max_id + 1)) AS INT)
+       |      AS decile,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents CROSS JOIN a
+       |  WHERE text IS NOT NULL),
+       |occ AS (SELECT decile, count(*) AS n_tokens FROM t GROUP BY 1),
+       |fo AS (SELECT token, min(decile) AS decile FROM t GROUP BY 1),
+       |news AS (SELECT decile, count(*) AS new_types FROM fo GROUP BY 1)
+       |SELECT occ.decile, occ.n_tokens,
+       |  CAST(coalesce(news.new_types, 0) AS BIGINT) AS new_types,
+       |  CAST(sum(occ.n_tokens) OVER (ORDER BY occ.decile
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(coalesce(news.new_types, 0)) OVER (ORDER BY occ.decile
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+       |FROM occ LEFT JOIN news ON occ.decile = news.decile
+       |ORDER BY occ.decile""".stripMargin
+
   /** Epochs audited by [[epochShuffleAudit]] (shared with the
     * oracle). */
   val EpochCount = 3
