@@ -701,27 +701,36 @@ object BatchOps {
     * ranking — a planner or refactor that swaps one for another
     * breaks an exact count.
     *
-    * Scale: one unpartitioned window over the part-grain quantity
-    * rollup (dimension cardinality — the [[abcClassification]]
-    * trade), one global aggregate. */
+    * Scale: no per-part ranking at all — all four counts are exact
+    * functions of the DISTINCT-QTY grain (per tie class: its member
+    * count, dense index, and cumulative member count in descending
+    * order, from one [[GlobalRank.withRowNumberAndRunningSum]]
+    * two-phase pass): rank ≤ K ⟺ rows-strictly-above < K,
+    * dense_rank ≤ K ⟺ dense index ≤ K, and the row_number cut takes
+    * min(cum, K) − rows-above members of each class. A naive
+    * part-grain window would be `Exchange SinglePartition` over
+    * part cardinality (data-scaled); this form never ranks below the
+    * tie-class grain. */
   val RankAuditK = 10
 
   def rankSemanticsAudit(spark: SparkSession, dir: String): DataFrame = {
-    val perPart = Tables.lineitem(spark, dir)
+    val byQty = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
-    val w = Window.orderBy(col("qty").desc, col("l_partkey"))
-    val wVal = Window.orderBy(col("qty").desc)
-    perPart
-      .withColumn("rnk", rank().over(wVal))
-      .withColumn("drnk", dense_rank().over(wVal))
-      .withColumn("rn", row_number().over(w))
+      .groupBy(col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val k = lit(RankAuditK.toLong)
+    GlobalRank.withRowNumberAndRunningSum(
+        byQty, "grp", "cnt", "cum", Seq(col("qty").desc))
+      .withColumn("above", col("cum") - col("cnt"))
       .agg(
-        count(when(col("rnk") <= RankAuditK, true)).as("n_rank"),
-        count(when(col("drnk") <= RankAuditK, true)).as("n_dense_rank"),
-        count(when(col("rn") <= RankAuditK, true)).as("n_row_number"),
-        countDistinct(when(col("rn") <= RankAuditK, col("qty")))
-          .as("n_values_in_rn_cut"))
+        sum(when(col("above") < k, col("cnt")).otherwise(0L))
+          .as("n_rank"),
+        sum(when(col("grp") <= k, col("cnt")).otherwise(0L))
+          .as("n_dense_rank"),
+        sum(greatest(lit(0L), least(col("cum"), k) - col("above")))
+          .as("n_row_number"),
+        count(when(col("above") < k, true)).as("n_values_in_rn_cut"))
   }
 
   /** DuckDB oracle for [[rankSemanticsAudit]]. */
@@ -1437,12 +1446,13 @@ object BatchOps {
     * orders DESC (most recent last ⇒ highest score), frequency and
     * monetary ASC (biggest last ⇒ highest score).
     *
-    * Scale shape: one orders aggregate, then three ntile windows over
-    * the same unpartitioned customer-sized frame — customer cardinality
-    * is the small side at any corpus size (the window is over the
-    * AGGREGATE, never the fact table); at true scale the quintile cuts
-    * become percentile thresholds broadcast back, trading the global
-    * sort for two passes. */
+    * Scale shape: one orders aggregate to customer grain, then THREE
+    * [[GlobalRank.withNtile]] two-phase passes chained over that frame
+    * (one range exchange each, full parallelism) — customer cardinality
+    * is data-scaled, so the naive form (three unpartitioned ntile
+    * windows = three `Exchange SinglePartition`s, each holding every
+    * customer in one task) is not acceptable; the two-phase ntile is
+    * bit-identical to `ntile(5)` per the GlobalRankSpec proof. */
   def rfmScores(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, dir)
@@ -1456,13 +1466,12 @@ object BatchOps {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("max_day"), col("last_day")).cast("long"))
-    base
-      .withColumn("r_score", ntile(5).over(Window.orderBy(
-        col("recency_days").desc, col("custkey"))))
-      .withColumn("f_score", ntile(5).over(Window.orderBy(
-        col("frequency"), col("custkey"))))
-      .withColumn("m_score", ntile(5).over(Window.orderBy(
-        col("monetary"), col("custkey"))))
+    val r = GlobalRank.withNtile(base, "r_score", 5,
+      Seq(col("recency_days").desc, col("custkey")))
+    val rf = GlobalRank.withNtile(r, "f_score", 5,
+      Seq(col("frequency"), col("custkey")))
+    GlobalRank.withNtile(rf, "m_score", 5,
+        Seq(col("monetary"), col("custkey")))
       .withColumn("rfm_cell",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .select("custkey", "recency_days", "frequency", "monetary",
@@ -2055,19 +2064,33 @@ object BatchOps {
     * spend, tie-broken by key so every rank is deterministic in both
     * engines. percent_rank/cume_dist are rational values of row
     * positions ((rank−1)/(n−1), peers/n) — identical IEEE doubles under
-    * the same ordering. One global window over the |customers|-row
-    * aggregate (not the fact table) — the honest cost of a global
-    * ranking, same posture as the running-revenue window. */
+    * the same ordering.
+    *
+    * Scale: customer cardinality is data-scaled, so the ranking rides
+    * [[GlobalRank.withRowNumber]]'s two-phase pass (a naive
+    * unpartitioned window = `Exchange SinglePartition` over every
+    * customer). The order is TIE-BROKEN (custkey), so rank = row
+    * number and all three functions are pure arithmetic on (rn, n):
+    * ntile by the SQL bucket formula, percent_rank = (rn−1)/(n−1),
+    * cume_dist = rn/n — each a single int64→double division, identical
+    * IEEE both engines. n is a 1-row broadcast anchor. */
   def customerSpendRank(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spent"))
-    val w = Window.orderBy(col("total_spent").desc, col("o_custkey"))
-    spend
-      .withColumn("spend_quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    GlobalRank.withRowNumber(spend, "rn",
+        Seq(col("total_spent").desc, col("o_custkey")))
+      .crossJoin(broadcast(spend.agg(count(lit(1)).as("n"))))
+      .withColumn("spend_quartile", expr(
+        "CAST(CASE WHEN rn <= (n % 4) * (n div 4 + 1) " +
+        "THEN (rn - 1) div (n div 4 + 1) + 1 " +
+        "ELSE (n % 4) + (rn - (n % 4) * (n div 4 + 1) - 1) " +
+        "div greatest(n div 4, 1) + 1 END AS INT)"))
+      .withColumn("pct_rank", expr(
+        "CASE WHEN n = 1 THEN 0.0 " +
+        "ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"))
+      .withColumn("cume", expr(
+        "CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)"))
       .select(col("o_custkey"), col("total_spent"),
         col("spend_quartile"), col("pct_rank"), col("cume"))
       .orderBy("o_custkey")
@@ -2938,8 +2961,11 @@ object BatchOps {
     * RFM is distribution-relative where CLV tiers are absolute.
     *
     * Scale: one partial+final aggregate to customer grain; three
-    * ntile windows on that frame. The recency anchor is the dataset's
-    * max order date (1-row broadcast — no wall clock). */
+    * chained [[GlobalRank.withNtile]] two-phase passes on that frame
+    * (customer cardinality is data-scaled — the naive unpartitioned
+    * ntile windows would each be an `Exchange SinglePartition`). The
+    * recency anchor is the dataset's max order date (1-row broadcast —
+    * no wall clock). */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val anchor = Tables.orders(spark, dir)
       .agg(max(to_date(col("o_orderdate"))).as("anchor_day"))
@@ -2951,13 +2977,15 @@ object BatchOps {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("anchor_day"), col("last_day")).cast("long"))
-    val rW = Window.orderBy(col("recency_days").desc, col("c_custkey"))
-    val fW = Window.orderBy(col("frequency"), col("c_custkey"))
-    val mW = Window.orderBy(col("monetary_c"), col("c_custkey"))
-    cust
-      .withColumn("r_score", ntile(5).over(rW).cast("long"))
-      .withColumn("f_score", ntile(5).over(fW).cast("long"))
-      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+    val r = GlobalRank.withNtile(cust, "r_i", 5,
+      Seq(col("recency_days").desc, col("c_custkey")))
+    val rf = GlobalRank.withNtile(r, "f_i", 5,
+      Seq(col("frequency"), col("c_custkey")))
+    GlobalRank.withNtile(rf, "m_i", 5,
+        Seq(col("monetary_c"), col("c_custkey")))
+      .withColumn("r_score", col("r_i").cast("long"))
+      .withColumn("f_score", col("f_i").cast("long"))
+      .withColumn("m_score", col("m_i").cast("long"))
       .select(col("c_custkey"), col("recency_days"), col("frequency"),
         col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
@@ -3003,21 +3031,38 @@ object BatchOps {
     * both engines implement the same SQL-standard definitions and the
     * two float columns are single exact divisions of integers.
     *
-    * Scale: one partial+final revenue aggregate to supplier grain;
-    * the ranking window runs on that frame (global order — at true
-    * scale rank within a partition key or accept the range exchange,
-    * the same trade as any ORDER BY). */
+    * Scale: one partial+final revenue aggregate to supplier grain.
+    * Supplier cardinality is data-scaled, so instead of a naive
+    * unpartitioned window (`Exchange SinglePartition` over every
+    * supplier) the four functions decompose at the DISTINCT-REVENUE
+    * grain: per distinct rev_c, its supplier count, its dense index,
+    * and the cumulative supplier count in descending order — one
+    * [[GlobalRank.withRowNumberAndRunningSum]] two-phase pass. Then,
+    * exactly per the SQL-standard definitions, rank = cum − cnt + 1
+    * (first position of the tie class), dense_rank = the dense index,
+    * cume_dist = cum/n (peers INCLUDED), percent_rank = (rank−1)/(n−1)
+    * — joined back to suppliers by rev_c (hash join) with n a 1-row
+    * broadcast anchor. Bit-identical tie semantics, no global sort of
+    * the supplier frame. */
   def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .as("rev_c"))
-    val w = Window.orderBy(col("rev_c").desc)
+    val byValue = rev.groupBy(col("rev_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = GlobalRank.withRowNumberAndRunningSum(
+      byValue, "dense_rnk", "cnt", "cum", Seq(col("rev_c").desc))
     rev
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+      .join(ranked, Seq("rev_c"))
+      .crossJoin(broadcast(rev.agg(count(lit(1)).as("n"))))
+      .withColumn("rnk", col("cum") - col("cnt") + 1L)
+      .withColumn("pct_rank", expr(
+        "CASE WHEN n = 1 THEN 0.0 " +
+        "ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"))
+      .withColumn("cume", expr("CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .select(col("s_suppkey"), col("rev_c"), col("rnk"),
+        col("dense_rnk"), col("pct_rank"), col("cume"))
       .orderBy(col("rev_c").desc, col("s_suppkey"))
   }
 
@@ -3048,16 +3093,17 @@ object BatchOps {
     * Integer bounds: n·Σx here is ≪ 2^63; at true 100 TB widen the
     * products to DECIMAL(38,0).
     *
-    * Scale: one partial+final count aggregate per key column; the rank
-    * window and Gini sums run at KEY grain (the small frame). */
+    * Scale: one partial+final count aggregate per key column; the Gini
+    * rank then rides [[GlobalRank.withRowNumber]]'s two-phase pass —
+    * KEY grain is data-scaled for l_orderkey (order cardinality ≈ fact
+    * cardinality / 4), so a naive unpartitioned rank window would be
+    * `Exchange SinglePartition` over what is nearly the fact table. */
   def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def forKey(keyCol: String): DataFrame = {
       val counts = li.groupBy(col(keyCol).as("k"))
         .agg(count(lit(1)).as("x"))
-      val w = Window.orderBy(col("x"), col("k"))
-      counts
-        .withColumn("i", row_number().over(w))
+      GlobalRank.withRowNumber(counts, "i", Seq(col("x"), col("k")))
         .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
           max(col("x")).as("max_rows"),
           sum(col("i") * col("x")).as("s1"))
@@ -4293,21 +4339,21 @@ object BatchOps {
     * [[paretoFrontier]] does NOT make — that one is a skyline).
     *
     * Scale: the fact table collapses to part grain FIRST (partial+
-    * final agg), so the unpartitioned cumulative window rides the
-    * dimension-cardinality frame — ~0.005% of fact rows. That single-
-    * partition window over part cardinality is the documented trade at
-    * 100 TB (parts are millions, not billions); past that the same
-    * cumulative walk runs as a two-pass range-partitioned prefix sum.
-    * All integer cents / floor-mille — hash-exact. */
+    * final agg); the cumulative walk then rides
+    * [[GlobalRank.withRunningSum]]'s exact two-phase prefix sum over
+    * the part-grain frame — part cardinality is data-scaled (millions
+    * to billions), so a naive unpartitioned window (= `Exchange
+    * SinglePartition`, one task holding every part) is not acceptable
+    * here; the two-phase form is one range exchange at full
+    * parallelism and bit-identical. All integer cents / floor-mille —
+    * hash-exact. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .as("rev_c"))
-    val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perPart
-      .withColumn("cum_c", sum(col("rev_c")).over(wCum))
+    GlobalRank.withRunningSum(perPart, "rev_c", "cum_c",
+        Seq(col("rev_c").desc, col("l_partkey")))
       .crossJoin(broadcast(
         perPart.agg(sum(col("rev_c")).as("total_c"))))
       .withColumn("cum_mille", expr("cum_c * 1000 div total_c"))
@@ -4872,22 +4918,23 @@ object BatchOps {
     * one half enter as `absent`.
     *
     * Scale: spend collapses to customer grain first (partial+final);
-    * the two ntile windows ride customer cardinality (the documented
-    * dimension-grain single-partition trade, as [[abcClassification]];
-    * range-partitioned two-pass past that); the matrix is ≤16 rows. */
+    * each half's terciles then ride one [[GlobalRank.withNtile]]
+    * two-phase pass (customer cardinality is data-scaled — the naive
+    * unpartitioned ntile window would be `Exchange SinglePartition`);
+    * the matrix is ≤16 rows. */
   def customerMigrationMatrix(spark: SparkSession, dir: String): DataFrame = {
     val mid = orderDateMidpoint(spark, dir)
     def half(p: Int, pred: org.apache.spark.sql.Column) =
-      Tables.orders(spark, dir)
-        .filter(pred)
-        .groupBy(col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-          .as(s"spend_c"))
+      GlobalRank.withNtile(
+          Tables.orders(spark, dir)
+            .filter(pred)
+            .groupBy(col("o_custkey"))
+            .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+              .as(s"spend_c")),
+          "tercile", 3, Seq(col("spend_c"), col("o_custkey")))
         .withColumn("seg",
-          when(ntile(3).over(Window.orderBy(col("spend_c"),
-            col("o_custkey"))) === 1, "L")
-            .when(ntile(3).over(Window.orderBy(col("spend_c"),
-              col("o_custkey"))) === 2, "M")
+          when(col("tercile") === 1, "L")
+            .when(col("tercile") === 2, "M")
             .otherwise("H"))
         .select(col("o_custkey"), col("seg").as(s"seg_h$p"))
     val h1 = half(1, to_date(col("o_orderdate")) <= lit(mid))
@@ -5280,18 +5327,19 @@ object BatchOps {
     * [[keySkewReport]]'s key-skew Gini and [[abcClassification]]'s
     * part-side Pareto walk.
     *
-    * Scale: fact collapses to customer grain, then one dimension-
-    * cardinality rank window (the [[abcClassification]] trade) and a
-    * single global aggregate. Top-decile cut is rank > n − n div 10 —
-    * pure integers. */
+    * Scale: fact collapses to customer grain, then the rank comes from
+    * [[GlobalRank.withRowNumber]]'s exact two-phase pass (customer
+    * cardinality is data-scaled — a naive unpartitioned rank window
+    * would be `Exchange SinglePartition`) and a single global
+    * aggregate. Top-decile cut is rank > n − n div 10 — pure
+    * integers. */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("spend_c"), col("o_custkey"))
-    val ranked = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-        .as("spend_c"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .localCheckpoint()
+    val ranked = GlobalRank.withRowNumber(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("spend_c")),
+      "rank", Seq(col("spend_c"), col("o_custkey")))
     val top = ranked
       .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
       .filter(col("rank") > col("n") - expr("n div 10"))

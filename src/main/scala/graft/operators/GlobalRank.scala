@@ -156,4 +156,18 @@ object GlobalRank {
       .withColumn(outCol, col(LcsCol) + col("__gr_cs_off"))
       .drop(PidCol, LrnCol, LcsCol, "__gr_rn_off", "__gr_cs_off")
   }
+
+  /** Both order statistics from ONE two-phase pass: the global row
+    * number as `rnCol` AND the running sum of `valueCol` as `csCol` —
+    * the rank/cumulative decomposition several rank-semantics operators
+    * need together (rank = cumsum − count + 1 at a coarser grain). */
+  def withRowNumberAndRunningSum(df: DataFrame, rnCol: String,
+      valueCol: String, csCol: String, sortCols: Seq[Column]): DataFrame = {
+    val attached = attach(df, sortCols, Some(valueCol))
+    val (off, _) = offsets(attached)
+    attached.join(broadcast(off), Seq(PidCol))
+      .withColumn(rnCol, col(LrnCol) + col("__gr_rn_off"))
+      .withColumn(csCol, col(LcsCol) + col("__gr_cs_off"))
+      .drop(PidCol, LrnCol, LcsCol, "__gr_rn_off", "__gr_cs_off")
+  }
 }

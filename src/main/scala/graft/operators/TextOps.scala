@@ -1328,9 +1328,14 @@ object TextOps {
     * every emitted value is an exact integer.
     *
     * Scale: explode → one map-side-combinable hash aggregate at token
-    * grain; the rank/cumsum windows run on the VOCAB frame (cardinality
-    * ≪ corpus, the documented tiny-frame single-partition pattern), and
-    * the checkpoint filter prunes before emission. */
+    * grain; the rank+cumsum then ride ONE
+    * [[GlobalRank.withRowNumberAndRunningSum]] two-phase pass — vocab
+    * cardinality is ≪ corpus but still DATA-scaled (Heaps' law: tens
+    * of millions of types at real corpus sizes), so a naive
+    * unpartitioned window (`Exchange SinglePartition` holding the
+    * whole vocabulary in one task) is not acceptable; the total is a
+    * 1-row broadcast anchor and the checkpoint filter prunes before
+    * emission. */
   def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
     val freq = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
@@ -1338,15 +1343,10 @@ object TextOps {
       .select(explode(tokens).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
-    val wRank = Window.orderBy(col("n").desc, col("token"))
-    val wCum = wRank.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    freq
-      .withColumn("k", row_number().over(wRank))
-      .withColumn("cum_tokens", sum(col("n")).over(wCum))
-      .withColumn("total_tokens", sum(col("n")).over(wAll))
+    GlobalRank.withRowNumberAndRunningSum(freq, "k_rn", "n",
+        "cum_tokens", Seq(col("n").desc, col("token")))
+      .withColumn("k", col("k_rn").cast("int"))
+      .crossJoin(broadcast(freq.agg(sum(col("n")).as("total_tokens"))))
       .filter(col("k").isin(CoverageKs.map(Integer.valueOf): _*))
       .select(col("k"), col("token").as("token_at_k"), col("cum_tokens"),
         col("total_tokens"),
