@@ -620,7 +620,32 @@ object TextOps {
     * (boilerplate-heavy corpora hashing thousands of docs to one
     * signature) contributes at most cap² pairs instead of m². Output:
     * candidate pairs with the number of colliding bands. */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatesCore(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** Session-scoped memo of the capped minhash candidate PAIR set —
+    * the [[nearDupPairsMemo]] contract applied to the minhash family:
+    * the checkpointed frame is pair-count-sized (bucket-capped — KBs),
+    * and both consumers ([[minhashCandidates]]' own query and
+    * [[minhashCalibration]]'s verify) read one materialization instead
+    * of re-running the explode→signature→bucket pipeline each. */
+  private val minhashPairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+
+  /** [[minhashCandidates]] without the presentation sort (the CoreSql
+    * convention), memoized per (session, dir). */
+  private def minhashCandidatesCore(spark: SparkSession,
+      dir: String): DataFrame =
+    minhashPairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("minhash_pairs")(
+        minhashCandidatesUncached(spark, dir).localCheckpoint()))
+
+  /** The explode→xor-minhash→capped-bucket pipeline behind the memo;
+    * PlanSpec asserts the WindowGroupLimit cap against THIS builder
+    * (the memoized frame's plan is just a checkpoint scan). */
+  private[graft] def minhashCandidatesUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     // Explode shingles ONCE (shingleHashes); everything after is integer
     // arithmetic in a single hash aggregate.
     val h = shingleHashes(spark, dir)
@@ -651,7 +676,6 @@ object TextOps {
                named_struct('doc_a', x, 'doc_b', y))))""")).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** DuckDB oracle for [[minhashCandidates]], generated from the same
@@ -4248,26 +4272,31 @@ object TextOps {
     * bijection), so the intersection join is inner in both engines.
     *
     * Scale: rides the capped candidate generator; the exact-Jaccard
-    * verify joins each pair to per-doc DISTINCT shingle-hash arrays
-    * (broadcast — KBs per thousand docs) and intersects in one codegen
-    * expression, so the candidate frame never explodes to the
-    * pair×shingle grain (the posting-join form of the same verify paid
-    * a 13M-row shuffle at sf0.1: 5.5 s → 2.4 s). In a regime where the
-    * doc-array frame outgrows broadcast, swap the two broadcast joins
-    * for the (doc, shingle-hash)-keyed posting joins the PPJoin family
-    * uses — same result, pair-grain shuffles. */
+    * verify joins each pair to per-doc DISTINCT shingle-hash arrays by
+    * two doc-keyed HASH joins and intersects in one codegen
+    * expression. Nothing here broadcasts anything corpus-scaled: the
+    * array frame is computed ONCE (checkpointed — it feeds both join
+    * sides; without the pin each broadcast build re-ran the whole
+    * shingle explode+aggregate, the r12 2.4→5.6 s drift) and each join
+    * moves each doc's array exactly once, which strictly undercuts the
+    * posting-join form (pair×shingle grain re-ships a doc's shingles
+    * once PER PAIR — 13 M rows at sf0.1 when measured in r11). AQE may
+    * still elect a runtime broadcast when the built side is actually
+    * small — that is a size-measured decision, not a plan-forced
+    * corpus broadcast. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashCandidates(spark, dir)
+    val pairs = minhashCandidatesCore(spark, dir)
       .select("doc_a", "doc_b", "n_bands")
     val docSh = shingleHashes(spark, dir).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("n"))
+      .localCheckpoint()
     pairs
-      .join(broadcast(docSh.select(col("doc_id").as("doc_a"),
-        col("hs").as("ha"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(docSh.select(col("doc_id").as("doc_b"),
-        col("hs").as("hb"), col("n").as("nb"))), Seq("doc_b"))
+      .join(docSh.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("n").as("na")), Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("inter",
         size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("mille",

@@ -152,7 +152,7 @@ class PlanSpec extends GraftSpec {
     // (≤ cap rows per bucket kept on the MAP side, before the shuffle) —
     // reverting to slice(collect_list(...)) would re-materialize a
     // degenerate bucket's full membership in one aggregation buffer.
-    for (df <- Seq(graft.operators.TextOps.minhashCandidates(spark, dir),
+    for (df <- Seq(graft.operators.TextOps.minhashCandidatesUncached(spark, dir),
                    graft.operators.TextOps.stratifiedSample(spark, dir),
                    graft.operators.VectorOps.annIvfTop1(spark, dir))) {
       val plan = executedPlan(df)
