@@ -764,14 +764,21 @@ object TextOps {
       .agg(array_sort(collect_list(
         struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, x ->
-             transform(filter(ds, y -> y.doc_id > x.doc_id), y ->
-               named_struct('doc_a', x.doc_id, 'sim_a', x.simhash,
-                            'doc_b', y.doc_id, 'sim_b', y.simhash))))"""))
-        .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        expr("cast(bit_count(p.sim_a ^ p.sim_b) as int)").as("hamming"))
+      // In-bucket ordered-pair emission as TWO chained generators —
+      // posexplode picks the left member, explode over the slice past
+      // it picks every right member — instead of the former nested
+      // transform/filter lambda, whose higher-order functions are
+      // INTERPRETED per element (the last interpreted stage on this
+      // hot path; the same gap vec_dot_prefixes closed for prefix
+      // dots). posexplode/slice/explode are all codegen'd, the pair
+      // count is identical (i < j by the sorted-struct order), and the
+      // work stays bounded at cap²/2 pairs per bucket.
+      .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          greatest(lit(0), size(col("ds")) - col("i") - lit(1)))).as("y"))
+      .select(col("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("cast(bit_count(sim_a ^ y.simhash) as int)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimhashHammingMax)
       .orderBy("doc_a", "doc_b")
