@@ -1445,6 +1445,12 @@ object MultiModalOps {
        |FROM grp LEFT JOIN n ON grp.ahash = n.ahash
        |ORDER BY grp.ahash""".stripMargin
 
+  /** Hamming-1 degree above which a hash is a HUB — excluded from the
+    * [[imageDupClusters]] closure as a density guard (shared with the
+    * oracle). Max possible degree is the code width (12 here); real
+    * sparse 64-bit spaces rarely exceed 1. */
+  val DupDegreeCap = 3
+
   /** IMAGE NEAR-DUP CLUSTERS — the multimodal member of the dedup
     * family's cluster step (text has exact/minhash/simhash → CC;
     * images had only the Hamming-1 census): connected components over
@@ -1461,23 +1467,30 @@ object MultiModalOps {
     * DuckDB's exact WITH RECURSIVE reachability closure, so an
     * unconverged loop cannot hash-match.
     *
-    * Measured honesty note: on this synthetic corpus the 12-bit space
-    * is so dense (69 present hashes at sf0.01, every one with ≥1
-    * Hamming-1 neighbor) that the transitive closure chains ALL of
-    * them into ONE cluster — the textbook over-merge caution for CC
-    * over near-dup edges as density grows. A real 64-bit pHash space
-    * is ~10¹⁶× sparser at the same corpus size; the operator's value
-    * there is the bounded-grain shape, and its value HERE is
-    * demonstrating (cross-engine-exactly) why tight-radius closures
-    * need density guards. The spec pins the partition conservation
-    * laws (Σ n_images = corpus, Σ n_hashes = census size). */
+    * DENSITY GUARD (round 13 — the r12 over-merge caution made
+    * structural): a hash whose Hamming-1 degree exceeds
+    * [[DupDegreeCap]] is a HUB — the signature of a DENSE code-space
+    * region, where tight-radius transitive closure chains unrelated
+    * images (this corpus's 12-bit space measured degrees 1-6 over 69
+    * present hashes at sf0.01 and chained ALL of them into one
+    * cluster). Hub-incident edges are excluded from the closure and
+    * each hub emits as its own singleton cluster, FLAGGED `is_hub` —
+    * the guard decision is an observable column, mirrored verbatim in
+    * the oracle's recursive closure (same degree CTE, same predicate),
+    * so the guard itself is cross-engine-exact. This is the
+    * high-degree-node removal every near-dup clusterer at scale
+    * applies (the doc-frequency stop-shingle cut's graph twin); the
+    * conservation laws (Σ n_images = corpus, Σ n_hashes = census) are
+    * unchanged and spec-pinned, and a sparse real 64-bit pHash space
+    * makes no hash a hub — the guard only bites where density would
+    * have over-merged. */
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val groups = imageResize(spark, dir)
       .groupBy("ahash")
       .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keep_id"))
-      // Three consumers (variant explode, edge presence join, final
-      // label join) over a ≤ 2^12-row frame: checkpoint once.
+      // Four consumers (variant explode, edge presence join, hub flag,
+      // final label join) over a ≤ 2^12-row frame: checkpoint once.
       .localCheckpoint()
     val nbits = ResizeGridW * ResizeGridH
     val edges = groups.select(col("ahash"),
@@ -1486,8 +1499,18 @@ object MultiModalOps {
       .filter(col("variant") > col("ahash"))
       .join(groups.select(col("ahash").as("variant")), "variant")
       .select(col("ahash").as("a"), col("variant").as("b"))
-    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+    val fullAdj = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      // Degree census + the guarded edge set both read it: checkpoint
+      // (code-space-bounded, ≤ 2^12 × nbits rows).
+      .localCheckpoint()
+    val hubs = fullAdj.groupBy("u")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > DupDegreeCap)
+      .select(col("u"))
+    val adj = fullAdj
+      .join(broadcast(hubs), Seq("u"), "left_anti")
+      .join(broadcast(hubs.select(col("u").as("v"))), Seq("v"), "left_anti")
     var labels = adj.groupBy("u")
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("l"))
@@ -1507,11 +1530,17 @@ object MultiModalOps {
     groups
       .join(labels.select(col("u").as("ahash"), col("l")), Seq("ahash"),
         "left")
+      .join(broadcast(hubs.select(col("u").as("ahash"),
+        lit(true).as("hub"))), Seq("ahash"), "left")
       .select(coalesce(col("l"), col("ahash")).as("cluster_id"),
-        col("n_images"), col("keep_id"))
+        col("n_images"), col("keep_id"),
+        coalesce(col("hub"), lit(false)).as("hub"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_hashes"), sum(col("n_images")).as("n_images"),
-        min(col("keep_id")).as("keep_id"))
+        min(col("keep_id")).as("keep_id"),
+        // Hubs never enter the closure, so a hub cluster is exactly one
+        // hash and the bool_or is a per-row fact at cluster grain.
+        expr("bool_or(hub)").as("is_hub"))
       .orderBy("cluster_id")
   }
 
@@ -1530,8 +1559,15 @@ object MultiModalOps {
        |  SELECT vv.ahash AS a, vv.variant AS b
        |  FROM vv JOIN grp g2 ON g2.ahash = vv.variant
        |  WHERE vv.variant > vv.ahash),
-       |e AS (SELECT a AS u, b AS v FROM e0
+       |efull AS (SELECT a AS u, b AS v FROM e0
        |      UNION ALL SELECT b, a FROM e0),
+       |hub AS (
+       |  SELECT u FROM efull GROUP BY u
+       |  HAVING count(*) > $DupDegreeCap),
+       |e AS (
+       |  SELECT u, v FROM efull
+       |  WHERE u NOT IN (SELECT u FROM hub)
+       |    AND v NOT IN (SELECT u FROM hub)),
        |r AS (
        |  SELECT u AS x, u AS y FROM e
        |  UNION
@@ -1539,10 +1575,12 @@ object MultiModalOps {
        |lbl AS (SELECT x AS ahash, min(y) AS l FROM r GROUP BY x),
        |cl AS (
        |  SELECT coalesce(lbl.l, grp.ahash) AS cluster_id,
-       |    grp.n_images, grp.keep_id
+       |    grp.n_images, grp.keep_id,
+       |    grp.ahash IN (SELECT u FROM hub) AS hub
        |  FROM grp LEFT JOIN lbl ON grp.ahash = lbl.ahash)
        |SELECT cluster_id, count(*) AS n_hashes,
        |  CAST(sum(n_images) AS BIGINT) AS n_images,
-       |  min(keep_id) AS keep_id
+       |  min(keep_id) AS keep_id,
+       |  bool_or(hub) AS is_hub
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -324,5 +324,38 @@ class MultiModalOpsSpec extends GraftSpec {
     val hashes = census.map(_.getAs[Int]("ahash")).toSet
     clusters.foreach(c =>
       assert(hashes.contains(c.getAs[Int]("cluster_id"))))
+    // Density-guard invariants: a hub (degree > DupDegreeCap) never
+    // enters the closure, so every hub cluster is a singleton whose
+    // label is itself; hub status must agree with the census's
+    // measured Hamming-1 degree.
+    val degs = census.map(r =>
+      r.getAs[Int]("ahash") -> r.getAs[Long]("n_neighbor_hashes")).toMap
+    clusters.foreach { c =>
+      if (c.getAs[Boolean]("is_hub")) {
+        assert(c.getAs[Long]("n_hashes") == 1L, s"hub cluster not singleton: $c")
+        assert(degs(c.getAs[Int]("cluster_id")) >
+          graft.operators.MultiModalOps.DupDegreeCap, s"flagged non-hub: $c")
+      }
+    }
+    // Non-hub members never chain THROUGH a hub: each multi-hash
+    // cluster's members must all be non-hubs.
+    val hubHashes = degs.filter(_._2 >
+      graft.operators.MultiModalOps.DupDegreeCap).keySet
+    clusters.filter(_.getAs[Long]("n_hashes") > 1L).foreach(c =>
+      assert(!hubHashes.contains(c.getAs[Int]("cluster_id"))))
+  }
+
+  test("density guard splits the dense sf0.01 space into many clusters") {
+    // r12 recorded the unguarded closure chaining ALL 69 present
+    // hashes at sf0.01 into ONE cluster; the degree guard must break
+    // that while conserving the partition laws (the oracle pins the
+    // exact cluster set — this pins the qualitative property the guard
+    // exists for).
+    val clusters = graft.operators.MultiModalOps
+      .imageDupClusters(spark, "/root/testdata/sf0.01").collect()
+    assert(clusters.length > 10, s"only ${clusters.length} clusters")
+    assert(clusters.exists(_.getAs[Boolean]("is_hub")))
+    assert(clusters.exists(c => !c.getAs[Boolean]("is_hub") &&
+      c.getAs[Long]("n_hashes") > 1L))
   }
 }
