@@ -205,6 +205,7 @@ object SparkEntry {
     "pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "dup_span_census" -> ((s, d) => TextOps.dupSpanCensus(s, d)),
     "incremental_dedup" -> ((s, d) => TextOps.incrementalDedup(s, d)),
+    "first_seen_screen" -> ((s, d) => TextOps.firstSeenScreen(s, d)),
     "split_drift" -> ((s, d) => TextOps.splitDrift(s, d)),
     "oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
@@ -1071,6 +1072,9 @@ object SparkEntry {
     "dup_span_census" -> TextOps.dupSpanCensusOracleSql,
     // Production ingest screen: new batch vs standing corpus.
     "incremental_dedup" -> TextOps.incrementalDedupOracleSql,
+    // Arrival-order screen: every doc vs every earlier doc_id; the
+    // streaming Tws twin is spec-pinned to this operator.
+    "first_seen_screen" -> TextOps.firstSeenScreenOracleSql,
     // Per-bin train/val drift over a fixed histogram (no scalar PSI —
     // a transcendental log and an ordered float sum are both
     // cross-engine-inexact; the per-bin frame is all exact counts).

@@ -4282,6 +4282,96 @@ object TextOps {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  /** FIRST-SEEN dedup screen — [[incrementalDedup]]'s ARRIVAL-ORDER
+    * form: instead of a fixed corpus/batch split, EVERY document is
+    * screened against everything that arrived before it (doc_id is the
+    * arrival order — the generator's ingest sequence), which is the
+    * semantics a continuously-ingesting pipeline actually applies: the
+    * first copy of anything is novel, every later copy is the
+    * duplicate. Verdict ladder as [[incrementalDedup]] (`exact` ⊃
+    * `near` at [[IngestNearShare]] chunk overlap ⊃ `partial` ⊃
+    * `novel`), with "seen" = "a STRICTLY smaller doc_id carries the
+    * same fingerprint". [[graft.streaming.StreamOps.firstSeenScreenStream]]
+    * is the live twin: same fingerprints held in keyed RocksDB state,
+    * spec-pinned to emit identical verdicts on a replayed sequence.
+    *
+    * Scale shape: first-occurrence is `min(doc_id)` per fingerprint —
+    * ORDER-FREE (partial+final aggregable, the [[tokenNovelty]] rule),
+    * so "screen against every earlier arrival" costs two fingerprint-
+    * grain hash aggregates + hash joins back, not any ordered scan. */
+  def firstSeenScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hashed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val exact = hashed
+      .join(hashed.groupBy("text_hash")
+        .agg(min(col("doc_id")).as("first_doc")), "text_hash")
+      .select(col("doc_id"),
+        (col("first_doc") < col("doc_id")).as("is_exact_dup"))
+    val chunks = docChunksCore(spark, dir)
+      .select(col("doc_id"), col("chunk_hash"))
+    val perDoc = chunks
+      .join(chunks.groupBy("chunk_hash")
+        .agg(min(col("doc_id")).as("first_doc")), "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+    docs.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
+      .withColumn("verdict",
+        when(col("is_exact_dup"), "exact")
+          .when(col("n_chunks") > 0 &&
+            col("n_shared_chunks").cast("double") >=
+              col("n_chunks").cast("double") * IngestNearShare, "near")
+          .when(col("n_shared_chunks") > 0, "partial")
+          .otherwise("novel"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[firstSeenScreen]] — same min-doc first
+    * occurrences, same strict-inequality screen, same ladder. */
+  private[graft] def firstSeenScreenOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(text) AS th FROM documents
+       |  WHERE text IS NOT NULL),
+       |ft AS (SELECT th, min(doc_id) AS first_doc FROM t GROUP BY th),
+       |ex AS (
+       |  SELECT t.doc_id, ft.first_doc < t.doc_id AS is_exact_dup
+       |  FROM t JOIN ft ON t.th = ft.th),
+       |c AS (
+       |${docChunksOracleSql.replace("ORDER BY doc_id, chunk_id", "")}),
+       |fc AS (
+       |  SELECT chunk_hash, min(doc_id) AS first_doc
+       |  FROM c GROUP BY chunk_hash),
+       |pd AS (
+       |  SELECT c.doc_id, count(*) AS n_chunks,
+       |    CAST(sum(CASE WHEN fc.first_doc < c.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_shared_chunks
+       |  FROM c JOIN fc ON c.chunk_hash = fc.chunk_hash
+       |  GROUP BY c.doc_id),
+       |j AS (
+       |  SELECT d.doc_id,
+       |    coalesce(ex.is_exact_dup, FALSE) AS is_exact_dup,
+       |    coalesce(pd.n_chunks, 0) AS n_chunks,
+       |    coalesce(pd.n_shared_chunks, 0) AS n_shared_chunks
+       |  FROM documents d
+       |  LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |  LEFT JOIN pd ON d.doc_id = pd.doc_id)
+       |SELECT doc_id, is_exact_dup, n_chunks, n_shared_chunks,
+       |  CASE WHEN is_exact_dup THEN 'exact'
+       |       WHEN n_chunks > 0 AND CAST(n_shared_chunks AS DOUBLE) >=
+       |         CAST(n_chunks AS DOUBLE) * $IngestNearShare THEN 'near'
+       |       WHEN n_shared_chunks > 0 THEN 'partial'
+       |       ELSE 'novel' END AS verdict
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
   /** MinHash CALIBRATION curve — the sketch-quality measurement every
     * LSH deployment owes its thresholds to: for each candidate-pair
     * band-collision count k (from [[minhashCandidates]]), the pairs'

@@ -67,6 +67,18 @@ case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long,
 
 /** [[StreamOps.userSessionsTws]] output: a CLOSED session, end =
   * last event + gap (the native `session_window` close boundary). */
+/** One fingerprint of one document for the first-seen screen: the
+  * whole-text hash (`kind` = "t") or one chunk hash (`kind` = "c"),
+  * prefixed into a single key namespace, plus the doc's chunk count so
+  * the per-doc verdict can be assembled without a second lookup. */
+case class DocFingerprint(doc_id: Long, fp: String, kind: String,
+  n_chunks: Int)
+
+/** [[DocFingerprint]] after the keyed state screen: was this
+  * fingerprint already carried by a strictly smaller doc_id? */
+case class FpSeen(doc_id: Long, kind: String, shared: Boolean,
+  n_chunks: Int)
+
 case class SessionRow(user_id: Long, session_start_ms: Long,
     session_end_ms: Long, n_events: Long, total_value: Double)
 
@@ -465,6 +477,81 @@ object StreamOps {
         // each time), and intersect would dedup them.
         size(expr("filter(chunks, c -> array_contains(corpus_set, c))"))
           .cast("long").as("n_shared_chunks"))
+      .withColumn("verdict",
+        when(col("is_exact_dup"), "exact")
+          .when(col("n_chunks") > 0 &&
+            col("n_shared_chunks").cast("double") >=
+              col("n_chunks").cast("double") * IngestNearShare, "near")
+          .when(col("n_shared_chunks") > 0, "partial")
+          .otherwise("novel"))
+  }
+
+  /** STATEFUL first-seen dedup screen — the live twin of
+    * `TextOps.firstSeenScreen` and the engine's FOURTH
+    * `transformWithState` surface: where [[ingestScreen]] screens
+    * against a FIXED corpus statelessly, this one screens each arrival
+    * against EVERYTHING THAT ARRIVED BEFORE IT and grows the seen-set
+    * as it goes — the semantics of a continuously-ingesting dedup
+    * gate. Each doc fans out to its fingerprints (one whole-text hash
+    * + one hash per 64/48-token chunk, the exact `docChunks` geometry;
+    * a null text gets a per-doc sentinel so it still emits);
+    * [[FirstSeenProcessor]] holds min-arrived-doc_id PER FINGERPRINT
+    * in keyed value state (RocksDB at scale — state cardinality is the
+    * distinct-fingerprint count, the same set the batch screen's
+    * aggregate materializes) and flags a fingerprint `shared` iff a
+    * strictly smaller doc_id already carried it. Verdict assembly is
+    * [[firstSeenVerdicts]] — a PLAIN per-batch aggregation, because
+    * every doc's fingerprint rows emit inside the doc's own
+    * micro-batch (the stateful stage is row-in/row-out).
+    *
+    * Replay contract (spec-pinned): streaming the corpus in doc_id
+    * order — in ANY micro-batch slicing — emits exactly the batch
+    * operator's verdicts, because "strictly smaller doc_id seen
+    * before" is slicing-invariant under ordered replay: the processor
+    * folds in-batch rows in doc_id order against state that holds the
+    * min of all earlier batches. */
+  def firstSeenScreenStream(docs: DataFrame): Dataset[FpSeen] = {
+    import graft.operators.TextOps.{ChunkStride, ChunkTokens}
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("chunks", expr(
+        s"""CASE WHEN text IS NULL THEN array()
+           |ELSE transform(sequence(0, size(split(text, ' ')) - 1, $ChunkStride),
+           |  s -> md5(array_join(slice(split(text, ' '), s + 1, $ChunkTokens), ' ')))
+           |END""".stripMargin))
+      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+        explode(expr(
+          """concat(
+            |  array(named_struct(
+            |    'fp', concat('t:', coalesce(md5(text),
+            |      concat('null:', cast(doc_id as string)))),
+            |    'kind', 't')),
+            |  transform(chunks, c ->
+            |    named_struct('fp', concat('c:', c), 'kind', 'c')))"""
+            .stripMargin)).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp"),
+        col("f.kind").as("kind"), col("n_chunks"))
+      .as[DocFingerprint]
+      .groupByKey(_.fp)
+      .transformWithState(new FirstSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Per-doc verdict assembly over [[FpSeen]] rows — shared by the
+    * streaming consumer (applied per micro-batch in `foreachBatch`;
+    * exact because a doc's rows never span batches) and the
+    * equivalence spec. Ladder and column contract identical to
+    * `TextOps.firstSeenScreen`. */
+  def firstSeenVerdicts(fpSeen: DataFrame): DataFrame = {
+    import graft.operators.TextOps.IngestNearShare
+    fpSeen.groupBy("doc_id")
+      .agg(
+        coalesce(max(when(col("kind") === "t", col("shared"))),
+          lit(false)).as("is_exact_dup"),
+        max(col("n_chunks")).cast("long").as("n_chunks"),
+        sum(when(col("kind") === "c" && col("shared"), 1L)
+          .otherwise(0L)).as("n_shared_chunks"))
       .withColumn("verdict",
         when(col("is_exact_dup"), "exact")
           .when(col("n_chunks") > 0 &&
@@ -986,6 +1073,44 @@ object StreamOps {
   * deliberately identical to the `flatMapGroupsWithState` fold in
   * [[StreamOps.upsertLatest]] so the two APIs are directly comparable
   * (and comparably tested). */
+/** The [[StreamOps.firstSeenScreenStream]] processor: per-fingerprint
+  * min-arrived-doc_id in ONE long of value state. A row is `shared`
+  * iff some STRICTLY smaller doc_id carried the fingerprint — from a
+  * previous batch (state) or earlier in this batch's key group (the
+  * in-group fold runs in doc_id order; Spark does not order group
+  * iterators, so the fold sorts its bounded per-key slice first). Two
+  * occurrences inside one doc never mark each other shared (strict
+  * `<`), mirroring the batch operator's `first_doc < doc_id`. State
+  * never expires: the seen-set IS the product (a production deployment
+  * bounds it the way the batch corpus is bounded — by upstream
+  * retention — not by a TTL that would silently re-admit old
+  * duplicates). */
+class FirstSeenProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DocFingerprint, FpSeen] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var firstDoc: ValueState[Long] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: TimeMode): Unit =
+    firstDoc = getHandle.getValueState[Long]("first_doc",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(fp: String, rows: Iterator[DocFingerprint],
+      timerValues: TimerValues): Iterator[FpSeen] = {
+    var minSeen = if (firstDoc.exists()) firstDoc.get() else Long.MaxValue
+    val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+      val shared = minSeen < r.doc_id
+      if (r.doc_id < minSeen) minSeen = r.doc_id
+      FpSeen(r.doc_id, r.kind, shared, r.n_chunks)
+    }
+    firstDoc.update(minSeen)
+    out.iterator
+  }
+}
+
 class UpsertLatestProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, Event, UpsertRow] {
