@@ -211,6 +211,8 @@ object SparkEntry {
     "split_balance" -> ((s, d) => TextOps.splitBalance(s, d)),
     "dedup_components" -> ((s, d) => TextOps.dedupComponents(s, d)),
     "dedup_components_df" -> ((s, d) => TextOps.dedupComponentsDf(s, d)),
+    "dedup_components_guarded" -> ((s, d) =>
+      TextOps.dedupComponentsGuarded(s, d)),
     "pagerank_neardup" -> ((s, d) => TextOps.pageRankNearDup(s, d)),
     "kcore_neardup" -> ((s, d) => TextOps.kcoreNearDup(s, d)),
     "lpa_communities" -> ((s, d) => TextOps.lpaCommunities(s, d)),
@@ -1085,6 +1087,10 @@ object SparkEntry {
     // Same labels, same recursive-CTE oracle — the pure-DataFrame
     // min-label-propagation twin of the GraphX form.
     "dedup_components_df" -> TextOps.dedupComponentsOracleSql(shinglesSql),
+    // Density-guarded CC: high-degree hubs cut from the closure, the
+    // guard predicate verified inside the recursive oracle.
+    "dedup_components_guarded" ->
+      TextOps.dedupComponentsGuardedOracleSql(shinglesSql),
     // Damped PageRank over the same capped edge set, one CTE per
     // iteration; decimal-exact contribution sums.
     "pagerank_neardup" -> TextOps.pageRankNearDupOracleSql(shinglesSql),

@@ -1844,6 +1844,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Near-dup degree above which a document is a HUB for
+    * [[dedupComponentsGuarded]] (shared with the oracle). Shipped-corpus
+    * degrees max out at 2 (blocked + df-capped pairs), so the guard
+    * bites nothing here — the crafted-fixture spec proves it bites; a
+    * boilerplate-heavy crawl is where it matters. */
+  val TextDupDegreeCap = 5
+
+  /** DENSITY-GUARDED text CC — [[dedupComponentsDf]] with the
+    * [[MultiModalOps.imageDupClusters]] degree guard applied to the
+    * DOCUMENT graph: a doc whose verified near-dup degree exceeds
+    * [[TextDupDegreeCap]] is a HUB (template/boilerplate family
+    * center — exactly what [[pageRankNearDup]] scores high), its edges
+    * are excluded from the closure, and it emits as its own flagged
+    * singleton component. This is the structural answer to CC's
+    * over-merge failure mode at corpus scale: transitive chains
+    * A≈B≈C≈… through template pages merge unrelated content; cutting
+    * at the high-degree nodes bounds every component's diameter
+    * through hubs at zero while keeping genuine pairwise clusters
+    * intact. Universe and labels otherwise identical to the unguarded
+    * twin; the oracle runs the same degree predicate inside its
+    * recursive closure, so the guard itself is hash-verified. */
+  def dedupComponentsGuarded(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+    val adj = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint() // degree census + guarded closure both read it
+    val hubs = adj.groupBy("u")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > TextDupDegreeCap)
+      .select(col("u"))
+    val gAdj = adj
+      .join(hubs, Seq("u"), "left_anti")
+      .join(hubs.select(col("u").as("v")), Seq("v"), "left_anti")
+    var labels = gAdj.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("l"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = gAdj
+        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
+        .groupBy("u").agg(min(col("lv")).as("ln"))
+        .join(labels, "u")
+        .select(col("u"), least(col("l"), col("ln")).as("l"),
+          (col("ln") < col("l")).as("moved"))
+        .localCheckpoint()
+      converged = next.filter(col("moved")).isEmpty
+      labels = next.select("u", "l")
+    }
+    adj.select("u").distinct()
+      .join(labels, Seq("u"), "left")
+      .join(hubs.select(col("u"), lit(true).as("hub")), Seq("u"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("l"), col("u")).as("component_id"),
+        coalesce(col("hub"), lit(false)).as("is_hub"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupComponentsGuarded]] — same capped pair
+    * base, same degree predicate, same guarded recursive closure. */
+  private[graft] def dedupComponentsGuardedOracleSql(
+      shinglesSql: String): String =
+    s"""WITH RECURSIVE base AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)
+          .replace("ORDER BY 1, 2", "")}),
+       |e AS (
+       |  SELECT doc_a, doc_b FROM base
+       |  UNION ALL SELECT doc_b, doc_a FROM base),
+       |hub AS (
+       |  SELECT doc_a AS u FROM e GROUP BY doc_a
+       |  HAVING count(*) > $TextDupDegreeCap),
+       |ge AS (
+       |  SELECT doc_a, doc_b FROM e
+       |  WHERE doc_a NOT IN (SELECT u FROM hub)
+       |    AND doc_b NOT IN (SELECT u FROM hub)),
+       |r AS (
+       |  SELECT doc_a AS v, doc_a AS u FROM ge
+       |  UNION
+       |  SELECT r.v, ge.doc_b AS u FROM r JOIN ge ON r.u = ge.doc_a),
+       |lbl AS (SELECT v, min(u) AS l FROM r GROUP BY v),
+       |u0 AS (SELECT DISTINCT doc_a AS d FROM e)
+       |SELECT u0.d AS doc_id, coalesce(lbl.l, u0.d) AS component_id,
+       |  u0.d IN (SELECT u FROM hub) AS is_hub
+       |FROM u0 LEFT JOIN lbl ON u0.d = lbl.v
+       |ORDER BY 1""".stripMargin
+
   /** Session-scoped memo of the CC labels, keyed by (applicationId, dir).
     * The labels frame is the dedup pipeline's materialized intermediate:
     * [[dedupComponents]] and [[nearDupSurvivors]] both consume it, and at

@@ -470,4 +470,40 @@ class TextOpsSpec extends GraftSpec {
     assert(counts == counts.sorted.reverse, "counts must be non-increasing")
     rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
   }
+
+  test("guarded CC cuts template hubs; genuine pairs stay merged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Template T (3 tokens, 2 distinct bigrams) + 6 fills, each T plus
+    // 12 unique tokens: fill↔T Jaccard = 2/14 ≈ 0.143 ≥ the pair
+    // emission floor (0.1), but fill↔fill = 2/26 ≈ 0.077 < 0.1 (no
+    // pair) — so T is a degree-6 hub (> TextDupDegreeCap = 5) that the
+    // UNGUARDED closure uses to chain all 7 docs into one component.
+    // Docs 100/101 are an ordinary near-dup pair (degree 1) the guard
+    // must not touch. n_chars is constant so every doc shares the
+    // (lang, len_bucket) block.
+    val dir = freshScratch()
+    val t = "a1 a2 a3"
+    val docs =
+      Seq((1L, t)) ++
+      (2L to 7L).map(i =>
+        i -> (t + " " + (1 to 12).map(j => s"z$i$j").mkString(" "))) ++
+      Seq(100L -> ((1 to 10).map(i => s"b$i").mkString(" ")),
+          101L -> ((1 to 10).map(i => s"b$i").mkString(" ") + " q1 q2 q3 q4"))
+    writeTable("documents",
+      docs.map { case (id, tx) => (id, tx, "en", "web", 50L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val unguarded = TextOps.dedupComponentsDf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The hub chains everything: one component over {1..7}.
+    assert((1L to 7L).map(unguarded).toSet.size == 1)
+    assert(unguarded(100L) == unguarded(101L))
+    val guarded = TextOps.dedupComponentsGuarded(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(guarded(1L) == (1L, true), "template must be a flagged hub")
+    (2L to 7L).foreach(i =>
+      assert(guarded(i) == (i, false), s"fill $i must stand alone"))
+    assert(guarded(100L)._1 == guarded(101L)._1, "genuine pair must survive")
+    assert(!guarded(100L)._2 && !guarded(101L)._2)
+  }
 }
