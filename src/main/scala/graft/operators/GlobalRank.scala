@@ -157,6 +157,31 @@ object GlobalRank {
       .drop(PidCol, LrnCol, LcsCol, "__gr_rn_off", "__gr_cs_off")
   }
 
+  /** Exact `row_number() OVER (PARTITION BY groupCols ORDER BY
+    * sortCols)` WITHOUT a per-group task: one two-phase pass over the
+    * COMPOUND total order (groupCols ++ sortCols) — groups are
+    * contiguous in that order — then per-group rank = global rank −
+    * the group's first rank + 1, via a broadcast join of the group
+    * minima. The classic keyed window is fine when group cardinality
+    * tracks the cluster; THIS form is for the degenerate regime where
+    * one group holds a data-scaled fraction of the frame (epoch
+    * partitions, clip-boundary length spikes) — the salted-two-pass
+    * remedy, except exact and salt-free. REQUIRES the group-minima
+    * frame (one row per group) to be broadcast-small: group
+    * cardinality must be bounded by an enum / value domain / config,
+    * not by the data. `sortCols` must tie-break within groups. */
+  def withGroupedRowNumber(df: DataFrame, rnCol: String,
+      groupCols: Seq[Column], sortCols: Seq[Column]): DataFrame = {
+    val tmp = "__gr_grn"
+    val ranked = withRowNumber(df, tmp, groupCols ++ sortCols)
+    val groupNames = groupCols.map(c => df.select(c).columns.head)
+    val starts = ranked.groupBy(groupCols: _*)
+      .agg(min(col(tmp)).as("__gr_g0"))
+    ranked.join(broadcast(starts), groupNames)
+      .withColumn(rnCol, col(tmp) - col("__gr_g0") + 1L)
+      .drop(tmp, "__gr_g0")
+  }
+
   /** Both order statistics from ONE two-phase pass: the global row
     * number as `rnCol` AND the running sum of `valueCol` as `csCol` —
     * the rank/cumulative decomposition several rank-semantics operators

@@ -4887,14 +4887,16 @@ object TextOps {
     * product needs N² < 2⁶³ — fine to ~3e9 docs; past that the same
     * formula ships in DECIMAL(38,0).
     *
-    * Caveat the above glosses: a (source, value) tie-break partition
-    * is only bounded while values spread. Real corpora CONCENTRATE
-    * lengths at clip boundaries (a truncation cap puts a large
-    * fraction of one source at exactly max-length), and that partition
-    * then degenerates toward source size. The production remedy is the
-    * standard salted two-pass rank (salt the partition, offset by the
-    * per-salt prefix counts); kept out here because the oracle needs
-    * the unsalted form and the shipped corpus has no such atom. */
+    * The (source, value) tie-break rank no longer rides a keyed window
+    * at all (round 13): real corpora CONCENTRATE lengths at clip
+    * boundaries (a truncation cap puts a large fraction of one source
+    * at exactly max-length), degenerating that window's partition
+    * toward source size — so the rank comes from
+    * [[GlobalRank.withGroupedRowNumber]]: one two-phase range exchange
+    * over the compound (source, value, doc_id) order + a broadcast of
+    * the per-(source, value) first ranks (value-domain-bounded frame).
+    * EXACT and oracle-identical — the salted-two-pass remedy with the
+    * salt replaced by real prefix offsets. */
   def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -4916,9 +4918,8 @@ object TextOps {
       .withColumn("cum_start_s", col("cum_end_s") - col("cnt_s") + 1)
       .select(col("source"), col("v").as("n_chars"), col("cum_start_s"))
     val stot = sg.groupBy("source").agg(sum(col("cnt_s")).as("n_s"))
-    val wdoc = Window.partitionBy(col("source"), col("n_chars"))
-      .orderBy("doc_id")
-    docs.withColumn("idx", row_number().over(wdoc))
+    GlobalRank.withGroupedRowNumber(docs, "idx",
+        Seq(col("source"), col("n_chars")), Seq(col("doc_id")))
       .join(sgc, Seq("source", "n_chars"))
       .join(broadcast(stot), Seq("source"))
       .crossJoin(broadcast(g.agg(sum(col("cnt")).as("n_total"))))
@@ -5644,20 +5645,15 @@ object TextOps {
     * materializes the rank as the shard sort key; the audit is the
     * cheap invariant check on top. */
   def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
-    val globalRanks = GlobalRank.withRowNumber(
+    val ranks = GlobalRank.withGroupedRowNumber(
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           explode(sequence(lit(0), lit(EpochCount - 1))).as("epoch"))
         .withColumn("h",
           h60("concat('ep', cast(epoch as string), ':', " +
             "cast(doc_id as string))")),
-      "grn", Seq(col("epoch"), col("h"), col("doc_id")))
-    val epochStart = globalRanks.groupBy("epoch")
-      .agg(min(col("grn")).as("grn0"))
-    val ranks = globalRanks
-      .join(broadcast(epochStart), Seq("epoch"))
-      .select(col("doc_id"), col("epoch"),
-        (col("grn") - col("grn0") + 1L).as("rk"))
+      "rk", Seq(col("epoch")), Seq(col("h"), col("doc_id")))
+      .select(col("doc_id"), col("epoch"), col("rk"))
       // Two consumers (the per-epoch aggregate + the epoch-0 baseline
       // join) — checkpoint the ids-only rank frame so the rank pass
       // runs once.

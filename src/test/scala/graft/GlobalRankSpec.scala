@@ -61,6 +61,26 @@ class GlobalRankSpec extends GraftSpec {
     assert(out == Seq(5L, 5L, 7L))
   }
 
+  test("withGroupedRowNumber equals the keyed row_number window") {
+    // Groups deliberately skewed (k1 = 0 holds ~40% of rows — the
+    // degenerate regime the grouped form exists for) and interleaved
+    // across range-partition boundaries.
+    val d = spark.range(500)
+      .select((col("id") % 25).as("tie2"),
+        when(col("id") % 5 < 2, 0L).otherwise(col("id") % 7).as("g"),
+        col("id").as("tie"))
+      .repartition(7).localCheckpoint()
+    val naive = d.withColumn("rn", row_number().over(
+      Window.partitionBy("g").orderBy(col("tie2"), col("tie"))).cast("long"))
+    val fast = GlobalRank.withGroupedRowNumber(d, "rn",
+      Seq(col("g")), Seq(col("tie2"), col("tie")))
+    // The helper's using-join moves the group key first — compare on an
+    // explicit column order (callers select by name, never position).
+    val cols = Seq("tie2", "g", "tie", "rn").map(col)
+    assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
+      naive.select(cols: _*).orderBy("tie").collect().toSeq)
+  }
+
   test("empty and single-row frames") {
     val empty = df.filter(col("tie") < 0)
     assert(GlobalRank.withRowNumber(empty, "rn", sortCols).count() == 0L)
