@@ -693,14 +693,54 @@ class PlanSpec extends GraftSpec {
     // downstream-of-checkpoint — the assertion still holds end to end
     // because the pre-checkpoint segment is pure range exchange + narrow
     // map, asserted separately below.)
+    // A `SinglePartition` exchange is ONLY acceptable as the final
+    // stage of a global scalar aggregate (its input is one partial-agg
+    // row per partition — partition-count-bounded, how any global sum
+    // works). The hazard is a SinglePartition exchange whose CONSUMER
+    // sorts or windows data grain — walk each exchange's ancestors in
+    // the plan tree text (nearest smaller indentation), skipping AQE
+    // stage wrappers, and require the consumer to be an aggregate.
+    def singlePartitionConsumers(plan: String): Seq[String] = {
+      val lines = plan.split("\n").toSeq
+      def indent(l: String): Int =
+        l.indexOf("- ") match { case -1 => Int.MaxValue; case i => i }
+      for {
+        i <- lines.indices
+        if lines(i).contains("Exchange SinglePartition")
+        consumer <- (i - 1 to 0 by -1).view
+          .filter(j => indent(lines(j)) < indent(lines(i)))
+          .map(lines(_))
+          .filterNot(l => l.contains("QueryStage") ||
+            l.contains("AQEShuffleRead") || l.contains("InputAdapter") ||
+            l.contains("WholeStageCodegen"))
+          .headOption
+      } yield consumer.trim
+    }
     for (df <- Seq(
         BatchOps.quantityDeciles(spark, dir),
         TextOps.snmNearDup(spark, dir),
         TextOps.tokenNovelty(spark, dir),
-        TextOps.epochShuffleAudit(spark, dir))) {
+        TextOps.epochShuffleAudit(spark, dir),
+        BatchOps.abcClassification(spark, dir),
+        BatchOps.revenueConcentration(spark, dir),
+        BatchOps.supplierScorecard(spark, dir),
+        BatchOps.keySkewReport(spark, dir),
+        BatchOps.rfmScores(spark, dir),
+        BatchOps.customerSpendRank(spark, dir),
+        TextOps.vocabCoverageCurve(spark, dir))) {
       val plan = executedPlan(df)
-      assert(!plan.contains("Exchange SinglePartition"),
-        s"single-partition exchange crept back:\n$plan")
+      val rogue = singlePartitionConsumers(plan)
+        .filterNot(c => c.contains("HashAggregate") ||
+          c.contains("SortAggregate") || c.contains("ObjectHashAggregate") ||
+          c.contains("BroadcastExchange"))
+      assert(rogue.isEmpty,
+        s"single-partition exchange feeding ${rogue.mkString("; ")}:\n$plan")
+      // None of these queries may contain ANY Window after conversion —
+      // their order statistics all ride GlobalRank. (Operators with
+      // justified bounded-grain windows, e.g. qualityCalibration's
+      // value-grain walks, are covered by WindowGateSpec's annotated
+      // allowlist instead.)
+      assert(!plan.contains("Window"), s"window crept back:\n$plan")
     }
   }
 
