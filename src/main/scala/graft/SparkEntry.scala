@@ -84,6 +84,8 @@ object SparkEntry {
     "revenue_trailing_7d" -> ((s, d) => BatchOps.revenueTrailing7d(s, d)),
     "full_coverage_suppliers" -> ((s, d) => BatchOps.fullCoverageSuppliers(s, d)),
     "quantity_deciles" -> ((s, d) => BatchOps.quantityDeciles(s, d)),
+    "fact_percentiles_exact" -> ((s, d) =>
+      BatchOps.factPercentilesExact(s, d)),
     "above_avg_orders" -> ((s, d) => BatchOps.aboveAvgOrders(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
@@ -564,6 +566,8 @@ object SparkEntry {
     "revenue_trailing_7d" -> BatchOps.revenueTrailing7dOracleSql,
     "full_coverage_suppliers" -> BatchOps.fullCoverageSuppliersOracleSql,
     "quantity_deciles" -> BatchOps.quantityDecilesOracleSql,
+    // Fact-grain exact nearest-rank percentiles off the two-phase rank.
+    "fact_percentiles_exact" -> BatchOps.factPercentilesExactOracleSql,
     "above_avg_orders" -> BatchOps.aboveAvgOrdersOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,

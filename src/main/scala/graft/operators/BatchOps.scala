@@ -2531,6 +2531,58 @@ object BatchOps {
        |FROM t GROUP BY decile
        |ORDER BY decile""".stripMargin
 
+  /** Percentiles picked by [[factPercentilesExact]] (shared with the
+    * oracle). */
+  val FactPercentiles: Seq[Int] = Seq(50, 90, 99)
+
+  /** EXACT percentiles at FACT grain — the A4 surface taken to the
+    * full lineitem table with no approximation and no single-partition
+    * anything: nearest-rank p50/p90/p99 of the quantity distribution
+    * via [[GlobalRank.withRowNumber]] (one range exchange at full
+    * parallelism), the percentile positions ⌈p·n/100⌉ computed from a
+    * 1-row count anchor against a 3-row percentile spine, and the
+    * picks one broadcast hash join on the dense rank. This is the
+    * exact complement of `length_quantile_sketch`'s mergeable
+    * approximate form: same question, zero error, still
+    * cluster-parallel — the pattern a 100 TB engine uses when an SLA
+    * needs the TRUE p99, not a sketch bound. Nearest-rank definition
+    * (no interpolation), so every output is a value that exists in
+    * the data — integer-exact cross-engine. */
+  def factPercentilesExact(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(round(col("l_quantity")).cast("long").as("q"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = GlobalRank.withRowNumber(base, "rn",
+      Seq(col("q"), col("l_orderkey"), col("l_linenumber")))
+    val positions = base.agg(count(lit(1)).as("c"))
+      .crossJoin(
+        spark.createDataFrame(FactPercentiles.map(Tuple1(_))).toDF("pct"))
+      .withColumn("pos", expr("(pct * c + 99) div 100"))
+      .select(col("pct"), col("pos"))
+    ranked
+      .join(broadcast(positions), col("rn") === col("pos"))
+      .select(col("pct"), col("pos"), col("q").as("value"))
+      .orderBy("pct")
+  }
+
+  /** DuckDB oracle for [[factPercentilesExact]] — same tie-broken
+    * total order, same ⌈p·n/100⌉ nearest-rank pick. */
+  private[graft] def factPercentilesExactOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+       |    CAST(row_number() OVER (ORDER BY round(l_quantity),
+       |      l_orderkey, l_linenumber) AS BIGINT) AS rn
+       |  FROM lineitem),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem),
+       |p AS (SELECT unnest([${FactPercentiles.mkString(", ")}]) AS pct),
+       |pos AS (
+       |  SELECT CAST(pct AS INT) AS pct,
+       |    (pct * c + 99) // 100 AS pos
+       |  FROM p CROSS JOIN n)
+       |SELECT pos.pct, pos.pos, t.q AS value
+       |FROM pos JOIN t ON t.rn = pos.pos
+       |ORDER BY pos.pct""".stripMargin
+
   /** Orders above their OWN customer's average — the correlated-
     * subquery shape (`WHERE o.price > (SELECT avg(...) WHERE custkey =
     * o.custkey)`) DECORRELATED into one window pass, which is exactly
