@@ -58,22 +58,33 @@ class WindowGateSpec extends AnyFunSuite {
       "decile grain: HeapsDeciles = 10 rows")
 
   test("every unpartitioned window site is allowlisted with a cardinality bound") {
+    // Whole-file regex (\s* spans newlines), so a line-wrapped
+    // `Window\n  .orderBy(...)` cannot evade the gate; the match
+    // offset maps back to a line to find the enclosing def.
     val pat = ("""Window\s*\.\s*(orderBy|rowsBetween)""" +
-      """|Window\.partitionBy\(lit\(1\)\)""").r
+      """|Window\s*\.\s*partitionBy\(lit\(1\)\)""").r
     val defPat = """\bdef (\w+)""".r
     val root = Paths.get("src/main/scala/graft")
     val sites = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala") &&
         !p.getFileName.toString.equals("GlobalRank.scala"))
       .flatMap { p =>
-        var lastDef = "<top>"
-        Files.readAllLines(p).asScala.toSeq.flatMap { line =>
-          defPat.findFirstMatchIn(line).foreach(m => lastDef = m.group(1))
-          val isComment = line.trim.startsWith("*") ||
-            line.trim.startsWith("//")
-          if (!isComment && pat.findFirstIn(line).isDefined)
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        val lines = text.split("\n", -1)
+        val lineStarts = lines.scanLeft(0)(_ + _.length + 1)
+        def lineOf(offset: Int): Int =
+          lineStarts.lastIndexWhere(_ <= offset) // 0-based line index
+        pat.findAllMatchIn(text).flatMap { m =>
+          val li = math.min(lineOf(m.start), lines.length - 1)
+          val trimmed = lines(li).trim
+          val isComment = trimmed.startsWith("*") || trimmed.startsWith("//")
+          if (isComment) None
+          else {
+            val lastDef = lines.take(li + 1).reverseIterator
+              .flatMap(l => defPat.findFirstMatchIn(l).map(_.group(1)))
+              .toSeq.headOption.getOrElse("<top>")
             Some((p.getFileName.toString, lastDef))
-          else None
+          }
         }
       }.toSet
     val rogue = sites.diff(allowlist.keySet)
