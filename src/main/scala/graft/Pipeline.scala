@@ -74,6 +74,7 @@ object Pipeline {
     "dedup" -> Seq("normalized_dedup", "docs_exact_dedup",
       "paragraph_dedup", "neardup_survivors", "semantic_dedup_survivors",
       "dedup_features", "dup_span_census", "incremental_dedup",
+      "first_seen_screen", "dedup_components_guarded",
       "dedup_waterfall", "lpa_communities", "dedup_weights"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination", "bloom_decontam", "semantic_decontam"),
