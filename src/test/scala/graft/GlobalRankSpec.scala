@@ -81,6 +81,43 @@ class GlobalRankSpec extends GraftSpec {
       naive.select(cols: _*).orderBy("tie").collect().toSeq)
   }
 
+  test("property: two-phase rank/ntile/cumsum equal the naive windows on random frames") {
+    // ScalaCheck-generated frames: random sizes (incl. tiny), HEAVY key
+    // collisions (domain 0-6 so every range partition straddles tie
+    // runs), random values incl. negatives, and random ntile k both
+    // below and above the row count. Seeded — failures reproduce.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val rowGen = for {
+      k1 <- Gen.choose(0L, 6L)
+      v <- Gen.choose(-50L, 50L)
+    } yield (k1, v)
+    for (i <- 0 until 8) {
+      val rows = gen(Gen.chooseNum(1, 120)
+        .flatMap(n => Gen.listOfN(n, rowGen)), 20260815L + i)
+        .zipWithIndex.map { case ((k1, v), tie) => (k1, v, tie.toLong) }
+      val k = gen(Gen.chooseNum(1, 15), 40L + i)
+      val d = rows.toDF("k1", "v", "tie").repartition(5).localCheckpoint()
+      val sort = Seq(col("k1"), col("tie"))
+      val w = Window.orderBy(col("k1"), col("tie"))
+      val naive = d
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("b", ntile(k).over(w))
+        .withColumn("cs", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("tie", "rn", "b", "cs").orderBy("tie").collect().toSeq
+      val fast = {
+        val r1 = GlobalRank.withRowNumber(d, "rn", sort)
+        val r2 = GlobalRank.withNtile(r1, "b", k, sort)
+        GlobalRank.withRunningSum(r2, "v", "cs", sort)
+          .select("tie", "rn", "b", "cs").orderBy("tie").collect().toSeq
+      }
+      assert(fast == naive, s"iteration $i (k=$k, n=${rows.length})")
+    }
+  }
+
   test("empty and single-row frames") {
     val empty = df.filter(col("tie") < 0)
     assert(GlobalRank.withRowNumber(empty, "rn", sortCols).count() == 0L)
