@@ -1423,6 +1423,70 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("first-seen screen: seen-set survives a stop/restart from the " +
+      "checkpoint (RocksDB)") {
+    // The screen's state IS the product — a restart that lost the
+    // seen-set would re-admit every duplicate. File source (offsets in
+    // the checkpoint) + foreachBatch (recoverable sink), the T5
+    // restart discipline applied to the fourth Tws surface.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fs-ckpt-").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    val textA = "alpha beta gamma delta epsilon"
+    def start(buf: scala.collection.mutable.Buffer[FpSeen]) =
+      StreamOps.firstSeenScreenStream(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .parquet(inDir))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FpSeen],
+                         _: Long) =>
+          buf.synchronized { buf ++= df.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+    Seq((1L, textA), (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    val phase1 = scala.collection.mutable.ArrayBuffer[FpSeen]()
+    val q1 = start(phase1)
+    try {
+      q1.processAllAvailable()
+      assert(phase1.filter(r => r.doc_id == 1L && r.kind == "t")
+        .forall(!_.shared))
+    } finally q1.stop()
+
+    // Phase 2 after the stop: doc 3 repeats doc 1's text — rulable
+    // `exact` ONLY from the recovered fingerprint state — and doc 4 is
+    // genuinely novel.
+    Seq((3L, textA), (4L, "lambda mu nu xi omicron"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    val phase2 = scala.collection.mutable.ArrayBuffer[FpSeen]()
+    val q2 = start(phase2)
+    try {
+      q2.processAllAvailable()
+      assert(!phase2.exists(_.doc_id <= 2L),
+        s"phase-1 input reprocessed after restart: ${phase2.mkString}")
+      val verdicts = StreamOps
+        .firstSeenVerdicts(phase2.toSeq.toDF())
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("verdict")).toMap
+      assert(verdicts(3L) == "exact",
+        s"recovered state failed to flag the duplicate: $verdicts")
+      assert(verdicts(4L) == "novel")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      deleteRecursively(base)
+    }
+  }
+
   test("first-seen screen: full verdict ladder on a crafted replay, " +
       "cross-batch and in-batch dup paths") {
     implicit val sqlCtx = spark.sqlContext
