@@ -20,10 +20,14 @@ class ParallelismInvarianceSpec extends GraftSpec {
     * DECIMAL money (rollup), integer largest-remainder windows (penny
     * allocation), salted join + shard-decomposed distinct, md5-model
     * integer scores (DSIR), unrolled bit arithmetic (hilbert), window
-    * order statistics (decile bands). */
+    * order statistics (decile bands), and the two-phase global rank
+    * (quantity_deciles — GlobalRank's per-partition offsets must adapt
+    * to ANY partition count: range boundaries move, assigned ntile
+    * buckets must not). */
   private val exemplars = Seq(
     "customer_rollup", "penny_allocation_audit", "salted_join_rollup",
-    "dsir_weights", "hilbert_stats", "decile_rank_audit")
+    "dsir_weights", "hilbert_stats", "decile_rank_audit",
+    "quantity_deciles")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
