@@ -214,8 +214,13 @@ object Bench {
     // explicit query subset was requested.
     val sentinelEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (args.isEmpty) {
+      // simhash_pairs and minhash_calibration joined the list in r13:
+      // both hot paths were rebuilt (codegen'd pair emission; memoized
+      // candidates + doc-keyed joins) and their end-of-run medians are
+      // the drift alarm for those rewrites.
       val sentinels = sys.env.getOrElse("SPARK_GRAFT_SENTINELS",
-          "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks")
+          "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks," +
+            "simhash_pairs,minhash_calibration")
         .split(",").map(_.trim).filter(_.nonEmpty)
       sentinels.foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
