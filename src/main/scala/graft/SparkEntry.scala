@@ -131,6 +131,7 @@ object SparkEntry {
     "scd2_asof" -> ((s, d) => CdcOps.scd2Asof(s, d)),
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
     "session_paths" -> ((s, d) => CdcOps.sessionPaths(s, d)),
+    "event_funnel" -> ((s, d) => CdcOps.eventFunnel(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
     "mad_outliers" -> ((s, d) => CdcOps.madOutliers(s, d)),
@@ -801,6 +802,8 @@ object SparkEntry {
     // Whole-journey path census: per-group chain-order sort, path-grain
     // count, tie-broken top-k heap.
     "session_paths" -> CdcOps.sessionPathsOracleSql,
+    // Strictly-ordered step funnel: chained conditional first-anchors.
+    "event_funnel" -> CdcOps.eventFunnelOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
     "mad_outliers" -> CdcOps.madOutliersOracleSql,

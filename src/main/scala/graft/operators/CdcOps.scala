@@ -1234,6 +1234,104 @@ object CdcOps {
        |ORDER BY n_journeys DESC, path
        |LIMIT $PathTopK""".stripMargin
 
+  /** The [[eventFunnel]] step sequence (shared with the oracle). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** ORDERED-STEP FUNNEL — the conversion measurement
+    * [[sessionPaths]] designs and [[eventTransitions]] approximates,
+    * computed exactly: users who did `view`, then `click` STRICTLY
+    * AFTER their first view, then `purchase` strictly after that first
+    * qualifying click — the SQL-hard "sequentially after" semantics a
+    * product-analytics engine ships as a dedicated operator
+    * (windowFunnel in ClickHouse terms), here as chained conditional
+    * first-occurrence aggregates: step k's anchor is min(ts of step-k
+    * events later than the step-(k−1) anchor), each one hash
+    * aggregate on user_id + a user-keyed join — no window, no
+    * per-user event sort, no path explosion. Output is the 3-row
+    * funnel: users reaching each step with floor-mille conversion
+    * from the previous step and from the top. Only counts and milles
+    * are emitted (timestamps stay internal), so the row is
+    * integer-exact cross-engine; step ties (an event at exactly the
+    * anchor instant) do NOT advance the funnel — strict `>`, pinned
+    * both sides. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    // Per step: the user-keyed anchor frame (first qualifying ts) and
+    // its 1-row count. Each anchor frame feeds BOTH the next step's
+    // join and its own count — checkpointed per the multi-consumer
+    // rule; the anchor frames are ≤ |users| rows and shrink per step.
+    val counts = {
+      var acc: Option[DataFrame] = None
+      FunnelSteps.zipWithIndex.map { case (step, i) =>
+        val c = acc match {
+          case None => ev.filter(col("event_type") === step)
+          case Some(p) =>
+            ev.filter(col("event_type") === step)
+              .join(p.select(col("user_id"), col("anchor").as("prev_t")),
+                Seq("user_id"))
+              .filter(col("ts") > col("prev_t"))
+        }
+        val a = c.groupBy("user_id").agg(min(col("ts")).as("anchor"))
+        acc = Some(a.localCheckpoint())
+        acc.get.agg(count(lit(1)).as(s"n$i"))
+      }
+    }
+    // 3 one-row count frames → one fixed-size funnel report.
+    val joined = counts.reduce(_.crossJoin(_))
+    val rows = FunnelSteps.zipWithIndex.map { case (step, i) =>
+      val prev = if (i == 0) "n0" else s"n${i - 1}"
+      joined.select(
+        lit(i + 1).as("step"), lit(step).as("event_type"),
+        col(s"n$i").as("n_users"),
+        expr(s"CASE WHEN $prev = 0 THEN 0L ELSE (n$i * 1000) div $prev END")
+          .as("conv_prev_mille"),
+        expr(s"CASE WHEN n0 = 0 THEN 0L ELSE (n$i * 1000) div n0 END")
+          .as("conv_first_mille"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** DuckDB oracle for [[eventFunnel]] — same chained strict-after
+    * first-occurrence anchors, same floor-mille conversions. */
+  private[graft] def eventFunnelOracleSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    s"""WITH a AS (
+       |  SELECT user_id, min(ts) AS t FROM events
+       |  WHERE event_type = '$s1' GROUP BY 1),
+       |b AS (
+       |  SELECT e.user_id, min(e.ts) AS t FROM events e
+       |  JOIN a ON e.user_id = a.user_id
+       |  WHERE e.event_type = '$s2' AND e.ts > a.t GROUP BY 1),
+       |c AS (
+       |  SELECT e.user_id, min(e.ts) AS t FROM events e
+       |  JOIN b ON e.user_id = b.user_id
+       |  WHERE e.event_type = '$s3' AND e.ts > b.t GROUP BY 1),
+       |n AS (
+       |  SELECT (SELECT count(*) FROM a) AS n0,
+       |         (SELECT count(*) FROM b) AS n1,
+       |         (SELECT count(*) FROM c) AS n2)
+       |SELECT * FROM (
+       |  SELECT 1 AS step, '$s1' AS event_type,
+       |    CAST(n0 AS BIGINT) AS n_users,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n0 * 1000) // n0 END
+       |      AS conv_prev_mille,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n0 * 1000) // n0 END
+       |      AS conv_first_mille
+       |  FROM n
+       |  UNION ALL
+       |  SELECT 2, '$s2', CAST(n1 AS BIGINT),
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n1 * 1000) // n0 END,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n1 * 1000) // n0 END
+       |  FROM n
+       |  UNION ALL
+       |  SELECT 3, '$s3', CAST(n2 AS BIGINT),
+       |    CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000) // n1 END,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n2 * 1000) // n0 END
+       |  FROM n)
+       |ORDER BY step""".stripMargin
+  }
+
   /** DuckDB oracle for [[eventTransitions]] — same chain order, same
     * conditional division. */
   private[graft] def eventTransitionsOracleSql: String =

@@ -388,4 +388,36 @@ class CdcPropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  test("event funnel: strict-after steps, drop-off, and ties do not advance") {
+    val dir = freshScratch()
+    // user 1: full ordered funnel. user 2: view then purchase BEFORE
+    // any click — must stop at step 1. user 3: view and click at the
+    // SAME instant — strict `>` means the click does not qualify.
+    // user 4: click+purchase but never viewed — never enters. user 5:
+    // purchase before view, click after view, purchase never again —
+    // reaches step 2 only (the early purchase precedes its click
+    // anchor).
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0, "{}"),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "click", 0, "{}"),
+      Event(3, ts("2024-01-01 10:02:00"), 1, "purchase", 0, "{}"),
+      Event(4, ts("2024-01-01 09:00:00"), 2, "view", 0, "{}"),
+      Event(5, ts("2024-01-01 08:00:00"), 2, "purchase", 0, "{}"),
+      Event(6, ts("2024-01-01 11:00:00"), 3, "view", 0, "{}"),
+      Event(7, ts("2024-01-01 11:00:00"), 3, "click", 0, "{}"),
+      Event(8, ts("2024-01-01 12:00:00"), 4, "click", 0, "{}"),
+      Event(9, ts("2024-01-01 12:01:00"), 4, "purchase", 0, "{}"),
+      Event(10, ts("2024-01-01 07:00:00"), 5, "purchase", 0, "{}"),
+      Event(11, ts("2024-01-01 07:30:00"), 5, "view", 0, "{}"),
+      Event(12, ts("2024-01-01 07:45:00"), 5, "click", 0, "{}"))
+    writeTable("events", spark.createDataset(events).toDF(), dir)
+    val rows = CdcOps.eventFunnel(spark, dir).collect()
+      .map(r => r.getAs[Int]("step") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("conv_prev_mille")))
+      .toMap
+    assert(rows(1) == (4L, 1000L)) // users 1, 2, 3, 5 viewed
+    assert(rows(2) == (2L, 500L))  // only 1 and 5 clicked after view
+    assert(rows(3) == (1L, 500L))  // only 1 purchased after that click
+  }
 }
