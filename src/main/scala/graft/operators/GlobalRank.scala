@@ -42,6 +42,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * multi-consumer rule the engine applies elsewhere (dsir docFeats,
   * epoch ranks).
   *
+  * THE CHECKPOINT'S STORAGE BILL, honestly: `localCheckpoint`
+  * materializes the ENTIRE ranked frame to executor block storage
+  * (memory, spilling to local disk) — at 100 TB input that is a
+  * deliberate one-pass write of ~the projected frame size, paid once,
+  * bounded by the input size, and reclaimed when the RDD is GC'd. It
+  * buys (a) boundary determinism for the two consumers and (b) single
+  * computation of the upstream plan (the offsets aggregate + the output
+  * join would otherwise each recompute it). The recompute-tolerant
+  * alternative — skip the checkpoint when the input is itself a
+  * DETERMINISTIC scan (pure parquet read, no shuffle-order dependence,
+  * no sampling upstream) and let the two consumers recompute — trades
+  * that I/O for a second full scan+sort and is only sound because
+  * `repartitionByRange` re-samples identically over identical input
+  * splits; the engine keeps the checkpoint as the default because the
+  * determinism argument then needs NO assumptions about the caller's
+  * upstream plan.
+  *
   * Requirements: `sortCols` must be a TOTAL order (tie-broken — the
   * engine's standing rule) for the assigned numbers to be well-defined;
   * the running-sum value column must be integral (LongType) per the
@@ -86,10 +103,18 @@ object GlobalRank {
 
   /** Per-partition (rowOffset, sumOffset, totalRows) from the attached
     * frame — a ≤ numShufflePartitions-row aggregate, prefix-summed on
-    * the driver (bounded by cluster config, not data). */
+    * the driver (bounded by cluster config, not data).
+    *
+    * The partition's value total is the LAST row's local prefix sum
+    * (`max_by(cs, rn)`), NOT `max(cs)`: a local prefix sum over
+    * negative values (CDC +1/−1 deltas) is non-monotone, so its max is
+    * a running-prefix high-water mark, not the partition total. The
+    * row count IS safe as `max(rn)` — local row numbers are always
+    * monotone. */
   private def offsets(attached: DataFrame): (DataFrame, Long) = {
     val perPart = attached.groupBy(col(PidCol))
-      .agg(max(col(LrnCol)).as("cnt"), max(col(LcsCol)).as("sum"))
+      .agg(max(col(LrnCol)).as("cnt"),
+        max_by(col(LcsCol), col(LrnCol)).as("sum"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
@@ -177,9 +202,71 @@ object GlobalRank {
     val groupNames = groupCols.map(c => df.select(c).columns.head)
     val starts = ranked.groupBy(groupCols: _*)
       .agg(min(col(tmp)).as("__gr_g0"))
-    ranked.join(broadcast(starts), groupNames)
+    joinGroupBase(ranked, starts, groupNames)
       .withColumn(rnCol, col(tmp) - col("__gr_g0") + 1L)
       .drop(tmp, "__gr_g0")
+  }
+
+  /** Broadcast-joins the per-group base frame back onto the ranked rows
+    * with NULL-SAFE equality (`<=>`) on every group column — a plain
+    * using-join would silently DROP rows whose group key is NULL,
+    * whereas the keyed window these helpers replace treats NULL as its
+    * own partition. The base keys ride in under renamed columns so the
+    * join condition is unambiguous, then drop. */
+  private def joinGroupBase(ranked: DataFrame, base: DataFrame,
+      groupNames: Seq[String]): DataFrame = {
+    val renamed = groupNames.foldLeft(base) { (b, n) =>
+      b.withColumnRenamed(n, s"__gr_k_$n")
+    }
+    val cond = groupNames.map(n => ranked(n) <=> renamed(s"__gr_k_$n"))
+      .reduce(_ && _)
+    ranked.join(broadcast(renamed), cond)
+      .drop(groupNames.map(n => s"__gr_k_$n"): _*)
+  }
+
+  /** Exact `sum(valueCol) OVER (PARTITION BY groupCols ORDER BY
+    * sortCols ROWS UNBOUNDED PRECEDING)` WITHOUT a per-group task —
+    * [[withGroupedRowNumber]]'s running-sum sibling, for the degenerate
+    * regime where the partition key is a tiny enum (returnflag,
+    * priority, event_type) over a data-scaled frame: the keyed window
+    * would serialize the fact through |enum| tasks. One two-phase pass
+    * over the COMPOUND order (groupCols ++ sortCols) carries the global
+    * prefix sum; each group's running sum is the global one minus the
+    * prefix JUST BEFORE the group starts, i.e. the group's first row's
+    * global cumsum less that row's own value — a one-row-per-group
+    * `min_by` base, broadcast back. Same broadcast-small group
+    * cardinality contract as [[withGroupedRowNumber]]; `valueCol` must
+    * be LongType, nulls count as 0, negatives are handled (the base is
+    * picked BY RANK, never by max). */
+  def withGroupedRunningSum(df: DataFrame, valueCol: String,
+      outCol: String, groupCols: Seq[Column],
+      sortCols: Seq[Column]): DataFrame =
+    withGroupedRowNumberAndRunningSum(df, "__gr_grn_drop", valueCol,
+      outCol, groupCols, sortCols).drop("__gr_grn_drop")
+
+  /** Both grouped order statistics from ONE two-phase pass: per-group
+    * 1-based row number as `rnCol` AND the per-group running sum of
+    * `valueCol` as `csCol` — see [[withGroupedRowNumber]] /
+    * [[withGroupedRunningSum]] for the contracts (broadcast-small group
+    * cardinality, LongType value, total compound order). */
+  def withGroupedRowNumberAndRunningSum(df: DataFrame, rnCol: String,
+      valueCol: String, csCol: String, groupCols: Seq[Column],
+      sortCols: Seq[Column]): DataFrame = {
+    val tmpRn = "__gr_grn"
+    val tmpCs = "__gr_gcs"
+    val ranked = withRowNumberAndRunningSum(df, tmpRn, valueCol, tmpCs,
+      groupCols ++ sortCols)
+    val groupNames = groupCols.map(c => df.select(c).columns.head)
+    // Group base = global cumsum just BEFORE the group's first row =
+    // first row's cumsum − first row's value (null value contributed 0).
+    val starts = ranked.groupBy(groupCols: _*)
+      .agg(min(col(tmpRn)).as("__gr_g0"),
+        min_by(col(tmpCs) - coalesce(col(valueCol), lit(0L)),
+          col(tmpRn)).as("__gr_gcs0"))
+    joinGroupBase(ranked, starts, groupNames)
+      .withColumn(rnCol, col(tmpRn) - col("__gr_g0") + 1L)
+      .withColumn(csCol, col(tmpCs) - col("__gr_gcs0"))
+      .drop(tmpRn, tmpCs, "__gr_g0", "__gr_gcs0")
   }
 
   /** Both order statistics from ONE two-phase pass: the global row

@@ -16,6 +16,29 @@ class GlobalRankSpec extends GraftSpec {
 
   import spark.implicits._
 
+  /** AQE coalesces every small range shuffle down to ONE partition at
+    * test sizes — which silently skips the cross-partition offset
+    * arithmetic these tests exist to cover (a max-vs-last-prefix bug
+    * once passed green exactly this way). Every equivalence test runs
+    * with partition coalescing OFF and asserts the frame actually
+    * spans multiple partitions. */
+  private def withCoalesceOff[A](f: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Proof the offset path is genuinely exercised: the ranked output
+    * (whose layout is the checkpointed range partitioning) must span
+    * more than one partition. */
+  private def assertMultiPartition(out: org.apache.spark.sql.DataFrame): Unit =
+    assert(out.select(spark_partition_id()).distinct().count() > 1,
+      "offset path not exercised: frame landed in a single partition")
+
   // 403 rows, keys deliberately collidy: 13 distinct k1 values so every
   // range partition holds boundary-straddling duplicate prefixes.
   private lazy val df = spark.range(403)
@@ -27,30 +50,60 @@ class GlobalRankSpec extends GraftSpec {
   private val sortCols = Seq(col("k1"), col("tie"))
 
   test("withRowNumber equals row_number over the naive global window") {
-    val naive = df.withColumn("rn",
-      row_number().over(Window.orderBy(col("k1"), col("tie"))).cast("long"))
-    val fast = GlobalRank.withRowNumber(df, "rn", sortCols)
-    assert(fast.orderBy("rn").collect().toSeq ==
-      naive.orderBy("rn").collect().toSeq)
+    withCoalesceOff {
+      val naive = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("k1"), col("tie"))).cast("long"))
+      val fast = GlobalRank.withRowNumber(df, "rn", sortCols)
+      assertMultiPartition(fast)
+      assert(fast.orderBy("rn").collect().toSeq ==
+        naive.orderBy("rn").collect().toSeq)
+    }
   }
 
   test("withNtile equals ntile(k) for k that divides unevenly") {
-    for (k <- Seq(2, 10, 13, 403, 500)) {
-      val naive = df.withColumn("b",
-        ntile(k).over(Window.orderBy(col("k1"), col("tie"))))
-      val fast = GlobalRank.withNtile(df, "b", k, sortCols)
-      assert(fast.orderBy("tie").collect().toSeq ==
-        naive.orderBy("tie").collect().toSeq, s"k=$k")
+    withCoalesceOff {
+      for (k <- Seq(2, 10, 13, 403, 500)) {
+        val naive = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("k1"), col("tie"))))
+        val fast = GlobalRank.withNtile(df, "b", k, sortCols)
+        assertMultiPartition(fast)
+        assert(fast.orderBy("tie").collect().toSeq ==
+          naive.orderBy("tie").collect().toSeq, s"k=$k")
+      }
     }
   }
 
   test("withRunningSum equals sum over rows-unbounded-preceding") {
-    val naive = df.withColumn("cs",
-      sum(col("v")).over(Window.orderBy(col("k1"), col("tie"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val fast = GlobalRank.withRunningSum(df, "v", "cs", sortCols)
-    assert(fast.orderBy("tie").collect().toSeq ==
-      naive.orderBy("tie").collect().toSeq)
+    withCoalesceOff {
+      val naive = df.withColumn("cs",
+        sum(col("v")).over(Window.orderBy(col("k1"), col("tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val fast = GlobalRank.withRunningSum(df, "v", "cs", sortCols)
+      assertMultiPartition(fast)
+      assert(fast.orderBy("tie").collect().toSeq ==
+        naive.orderBy("tie").collect().toSeq)
+    }
+  }
+
+  test("withRunningSum is exact on NEGATIVE values across partition boundaries") {
+    // The regression that motivated the multi-partition discipline: a
+    // local prefix sum over negative values is non-monotone, so a
+    // max-based per-partition total silently corrupts every partition
+    // after the first. CDC-shaped +1/−1 deltas, coalescing off.
+    withCoalesceOff {
+      val d = spark.range(400)
+        .select(col("id").as("tie"),
+          when(col("id") % 3 === 0, -7L)
+            .otherwise((col("id") % 5) - 1).as("v"))
+        .repartition(7).localCheckpoint()
+      val naive = d.withColumn("cs",
+        sum(col("v")).over(Window.orderBy(col("tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val fast = GlobalRank.withRunningSum(d, "v", "cs", Seq(col("tie")))
+      assertMultiPartition(fast)
+      assert(fast.orderBy("tie").collect().toSeq ==
+        naive.orderBy("tie").collect().toSeq)
+    }
   }
 
   test("running sum treats null values as zero") {
@@ -65,23 +118,93 @@ class GlobalRankSpec extends GraftSpec {
     // Groups deliberately skewed (k1 = 0 holds ~40% of rows — the
     // degenerate regime the grouped form exists for) and interleaved
     // across range-partition boundaries.
-    val d = spark.range(500)
-      .select((col("id") % 25).as("tie2"),
-        when(col("id") % 5 < 2, 0L).otherwise(col("id") % 7).as("g"),
-        col("id").as("tie"))
-      .repartition(7).localCheckpoint()
-    val naive = d.withColumn("rn", row_number().over(
-      Window.partitionBy("g").orderBy(col("tie2"), col("tie"))).cast("long"))
-    val fast = GlobalRank.withGroupedRowNumber(d, "rn",
-      Seq(col("g")), Seq(col("tie2"), col("tie")))
-    // The helper's using-join moves the group key first — compare on an
-    // explicit column order (callers select by name, never position).
-    val cols = Seq("tie2", "g", "tie", "rn").map(col)
-    assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
-      naive.select(cols: _*).orderBy("tie").collect().toSeq)
+    withCoalesceOff {
+      val d = spark.range(500)
+        .select((col("id") % 25).as("tie2"),
+          when(col("id") % 5 < 2, 0L).otherwise(col("id") % 7).as("g"),
+          col("id").as("tie"))
+        .repartition(7).localCheckpoint()
+      val naive = d.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("tie2"), col("tie"))).cast("long"))
+      val fast = GlobalRank.withGroupedRowNumber(d, "rn",
+        Seq(col("g")), Seq(col("tie2"), col("tie")))
+      assertMultiPartition(fast)
+      // The helper reorders columns — compare on an explicit column
+      // order (callers select by name, never position).
+      val cols = Seq("tie2", "g", "tie", "rn").map(col)
+      assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
+        naive.select(cols: _*).orderBy("tie").collect().toSeq)
+    }
+  }
+
+  test("withGroupedRowNumber keeps NULL group keys as their own partition") {
+    // A plain using-join would DROP null-keyed rows; the keyed window
+    // treats NULL as one more partition. The null-safe join must match.
+    withCoalesceOff {
+      val d = spark.range(300)
+        .select(
+          when(col("id") % 4 === 0, lit(null).cast("long"))
+            .otherwise(col("id") % 3).as("g"),
+          col("id").as("tie"))
+        .repartition(5).localCheckpoint()
+      val naive = d.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("tie"))).cast("long"))
+      val fast = GlobalRank.withGroupedRowNumber(d, "rn",
+        Seq(col("g")), Seq(col("tie")))
+      assert(fast.count() == 300L, "null-keyed rows must not be dropped")
+      val cols = Seq("g", "tie", "rn").map(col)
+      assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
+        naive.select(cols: _*).orderBy("tie").collect().toSeq)
+    }
+  }
+
+  test("withGroupedRunningSum equals the keyed rows-frame cumsum, negatives and nulls included") {
+    withCoalesceOff {
+      val d = spark.range(460)
+        .select(
+          when(col("id") % 6 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("g"), col("id") % 4)).as("g"),
+          col("id").as("tie"),
+          when(col("id") % 9 === 0, lit(null).cast("long"))
+            .otherwise((col("id") % 11) - 5).as("v"))
+        .repartition(7).localCheckpoint()
+      val naive = d.withColumn("cs",
+        coalesce(sum(col("v")).over(
+          Window.partitionBy("g").orderBy(col("tie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L)))
+      val fast = GlobalRank.withGroupedRunningSum(d, "v", "cs",
+        Seq(col("g")), Seq(col("tie")))
+      assertMultiPartition(fast)
+      assert(fast.count() == 460L)
+      val cols = Seq("g", "tie", "v", "cs").map(col)
+      assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
+        naive.select(cols: _*).orderBy("tie").collect().toSeq)
+    }
+  }
+
+  test("withGroupedRowNumberAndRunningSum: both statistics from one pass") {
+    withCoalesceOff {
+      val d = spark.range(380)
+        .select((col("id") % 5).as("g"), col("id").as("tie"),
+          ((col("id") * 3) % 13 - 6).as("v"))
+        .repartition(6).localCheckpoint()
+      val w = Window.partitionBy("g").orderBy(col("tie"))
+      val naive = d
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cs", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val fast = GlobalRank.withGroupedRowNumberAndRunningSum(
+        d, "rn", "v", "cs", Seq(col("g")), Seq(col("tie")))
+      assertMultiPartition(fast)
+      val cols = Seq("g", "tie", "v", "rn", "cs").map(col)
+      assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
+        naive.select(cols: _*).orderBy("tie").collect().toSeq)
+    }
   }
 
   test("property: two-phase rank/ntile/cumsum equal the naive windows on random frames") {
+    withCoalesceOff {
     // ScalaCheck-generated frames: random sizes (incl. tiny), HEAVY key
     // collisions (domain 0-6 so every range partition straddles tie
     // runs), random values incl. negatives, and random ntile k both
@@ -115,6 +238,7 @@ class GlobalRankSpec extends GraftSpec {
           .select("tie", "rn", "b", "cs").orderBy("tie").collect().toSeq
       }
       assert(fast == naive, s"iteration $i (k=$k, n=${rows.length})")
+    }
     }
   }
 
