@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   *   `EliminateSorts` drops the final orderBy, so projection-heavy queries
   *   were partially unmeasured. The noop sink consumes every row of the
   *   full projection and discards it.
-  * - Median of 3 runs per query (min/max reported alongside), after one
-  *   UNTIMED warmup run that absorbs first-execution Janino/JIT codegen
-  *   cost: single-shot timing produced a 24.6 s phantom for a 3 s query
+  * - Median of 3 runs per query, after one UNTIMED warmup run that
+  *   absorbs first-execution Janino/JIT codegen cost. min/max are
+  *   STEADY-STATE (first timed run excluded — reported separately as
+  *   `first_run` in bench_line.json) so the spread measures variance,
+  *   not one-off checkpoint/populate cost: single-shot timing produced a 24.6 s phantom for a 3 s query
   *   in round 4, and with only 3 timed runs the warmup cost landed in
   *   the median (round 6: minute_metrics 2.64 s median, 0.52 s min).
   *   The cache is cleared between runs so no run sees another's
@@ -83,6 +85,7 @@ object Bench {
     val med = scala.collection.mutable.LinkedHashMap[String, Double]()
     val lo = scala.collection.mutable.LinkedHashMap[String, Double]()
     val hi = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val perRun = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -170,8 +173,18 @@ object Bench {
         val sorted = runs.sorted
         val fastest = sorted.take(RUNS)
         med(name) = fastest(fastest.length / 2)
-        lo(name) = sorted.head
-        hi(name) = sorted.last
+        // min/max (the variance signal the sentinels watch) are
+        // STEADY-STATE: the first timed run is reported separately in
+        // `first_run` — queries that build per-invocation state
+        // (in-function localCheckpoint, index populate) reproducibly
+        // pay cleaner/compilation backlog exactly once there
+        // (minhash_calibration max/min 5.3, ann_pq_top1 7.3 in r13 —
+        // both first-run effects), which otherwise drowns the
+        // interference signal max/min exists to expose.
+        firstRun(name) = runs.head
+        val steady = runs.tail.sorted
+        lo(name) = steady.head
+        hi(name) = steady.last
         // Execution order preserved (not sorted): bimodality across the
         // run sequence is the diagnostic for JVM-accretion artifacts.
         perRun(name) = runs.toSeq
@@ -218,9 +231,13 @@ object Bench {
       // both hot paths were rebuilt (codegen'd pair emission; memoized
       // candidates + doc-keyed joins) and their end-of-run medians are
       // the drift alarm for those rewrites.
+      // ann_rp_multiprobe_top1 joined in r14: its r13 full-run median
+      // (1.03 s, runs [1.01, 1.03, 1.04]) vs isolated 0.73 s is the
+      // suite-context-inflation signature, not a plan change — the
+      // sentinel re-run is the standing discriminator for it.
       val sentinels = sys.env.getOrElse("SPARK_GRAFT_SENTINELS",
           "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks," +
-            "simhash_pairs,minhash_calibration")
+            "simhash_pairs,minhash_calibration,ann_rp_multiprobe_top1")
         .split(",").map(_.trim).filter(_.nonEmpty)
       sentinels.foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
@@ -269,7 +286,7 @@ object Bench {
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // Compact trailer, printed LAST: every round so far recorded
     // `parsed: null` because the driver keeps only the final ~2000

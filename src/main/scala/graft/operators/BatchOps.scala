@@ -766,22 +766,40 @@ object BatchOps {
     * mass / n) — the three functions a reporting layer uses to place an
     * entity inside its peer distribution. Both ratios are one
     * int64→double division on identical operands, so they hash exactly
-    * cross-engine with no quantization. One priority-grain exchange
-    * carries all three windows plus the band aggregate (same
-    * exchange-reuse shape `window_frame_audit` pins).
+    * cross-engine with no quantization.
     *
-    * Scale: the windows are per-priority — at fact scale the partition
-    * key keeps state bounded per task; the read-out is band grain
+    * Scale: `o_orderpriority` is a FIVE-value enum, so keyed windows
+    * would push the whole order frame through five tasks — the
+    * enum-keyed sibling of the SinglePartition hazard (an earlier
+    * revision of this scaladoc claimed the key "keeps state bounded
+    * per task", which is false: five groups means fact/5 per task).
+    * Instead ONE [[GlobalRank.withGroupedRowNumber]] two-phase pass
+    * over the compound (priority, cents DESC, orderkey) order yields
+    * the per-priority row number, and all three functions fall out
+    * arithmetically: the order is TIE-FREE (orderkey is unique), so
+    * rank = row_number, `percent_rank = (rn−1)/(n−1)`,
+    * `cume_dist = rn/n`, and ntile comes from the same closed bucket
+    * formula [[GlobalRank.withNtile]] proves against Spark's ntile —
+    * with n a 5-row broadcast count. Read-out is band grain
     * (priorities × [[DecileN]] rows). */
   def decileRankAudit(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("cents").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("decile", ntile(DecileN).over(w))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+    val counts = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    GlobalRank.withGroupedRowNumber(o, "rn", Seq(col("o_orderpriority")),
+        Seq(col("cents").desc, col("o_orderkey")))
+      .join(broadcast(counts), Seq("o_orderpriority"))
+      .withColumn("q", expr(s"n div $DecileN"))
+      .withColumn("r", expr(s"n % $DecileN"))
+      .withColumn("cut", expr("r * (q + 1)"))
+      .withColumn("decile", expr(
+        "CAST(CASE WHEN rn <= cut THEN (rn - 1) div (q + 1) + 1 " +
+        "ELSE r + (rn - cut - 1) div greatest(q, 1L) + 1 END AS INT)"))
+      .withColumn("pr", expr(
+        "CASE WHEN n = 1 THEN CAST(0 AS DOUBLE) " +
+        "ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"))
+      .withColumn("cd", expr("CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)"))
       .groupBy("o_orderpriority", "decile")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("cents")).as("band_cents"),
@@ -1329,30 +1347,34 @@ object BatchOps {
     * physical order (the peer-position sum is NOT permutation
     * invariant).
     *
-    * Scale: two window passes over the SAME (priority, date) sort —
-    * Catalyst collapses them into one Sort + two Window operators, one
-    * shuffle on the partition key; the audit re-aggregates to priority
-    * grain. DOMAIN BOUND: `rows_cum_total_c` sums running totals, so
-    * it grows ~n²·avg_cents per partition — int64-safe to ~10⁸ rows
-    * per priority; this is a SEMANTICS AUDIT to run on a bounded slice
-    * (as here), not a production rollup to point at an unbounded
-    * fact. */
+    * Scale: `o_orderpriority` is a FIVE-value enum, so the keyed
+    * cumulative windows would serialize the order frame through five
+    * tasks; instead ONE [[GlobalRank.withGroupedRowNumberAndRunningSum]]
+    * two-phase pass over the compound (priority, date, orderkey) order
+    * carries the ROWS cumsum at full parallelism, and the RANGE leg
+    * falls out WITHOUT a second sort: a RANGE cumulative frame equals
+    * the ROWS cumsum of the LAST row in the current peer group, i.e.
+    * `max_by(cum_rows, rn)` per (priority, day) — a date-grain
+    * aggregate (≤ 5·|calendar| rows, horizon-bounded, broadcast back).
+    * `n_peers` rides the same peer-grain aggregate. The audit then
+    * re-aggregates to priority grain. DOMAIN BOUND: `rows_cum_total_c`
+    * sums running totals, so it grows ~n²·avg_cents per priority —
+    * int64-safe to ~10⁸ rows per priority; this is a SEMANTICS AUDIT
+    * to run on a bounded slice (as here), not a production rollup to
+    * point at an unbounded fact. */
   def windowFrameAudit(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         to_date(col("o_orderdate")).as("od"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val wRows = Window.partitionBy("o_orderpriority")
-      .orderBy(col("od"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wRange = Window.partitionBy("o_orderpriority")
-      .orderBy(col("od"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPeers = Window.partitionBy("o_orderpriority", "od")
-    base
-      .withColumn("cum_rows", sum(col("cents")).over(wRows))
-      .withColumn("cum_range", sum(col("cents")).over(wRange))
-      .withColumn("n_peers", count(lit(1)).over(wPeers))
+    val ranked = GlobalRank.withGroupedRowNumberAndRunningSum(base,
+      "rn", "cents", "cum_rows", Seq(col("o_orderpriority")),
+      Seq(col("od"), col("o_orderkey")))
+    val peers = ranked.groupBy("o_orderpriority", "od")
+      .agg(max_by(col("cum_rows"), col("rn")).as("cum_range"),
+        count(lit(1)).as("n_peers"))
+    ranked
+      .join(broadcast(peers), Seq("o_orderpriority", "od"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(when(col("n_peers") > 1, 1L).otherwise(0L)).as("n_tied_rows"),
@@ -4096,22 +4118,27 @@ object BatchOps {
     * `length_boxplot`) cannot express this without exploding each row
     * `weight` times.
     *
-    * Scale: one shuffle on the flag key + one sort window per flag;
-    * at very high cardinality per key the fixed-bin sketch
-    * (`length_quantile_sketch`) is the documented bounded-state twin. */
+    * Scale: `flag` is a THREE-value enum — a keyed cumulative window
+    * would serialize all of lineitem through three tasks (the
+    * enum-keyed sibling of the SinglePartition hazard), so the
+    * cumulative weight rides [[GlobalRank.withGroupedRunningSum]]'s
+    * two-phase pass over the compound (flag, price, tiebreak) order at
+    * full parallelism, and the per-flag total is a 3-row broadcast
+    * aggregate instead of a whole-partition window. At very high
+    * cardinality per key the fixed-bin sketch
+    * (`length_quantile_sketch`) remains the documented bounded-state
+    * twin. */
   def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("price_c"),
         round(col("l_quantity") * 100).cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
-    val ord = Window.partitionBy("flag")
-      .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val all = Window.partitionBy("flag")
-    base
-      .withColumn("cumw", sum(col("w")).over(ord))
-      .withColumn("totw", sum(col("w")).over(all))
+    val totals = base.groupBy("flag").agg(sum(col("w")).as("totw"))
+    GlobalRank.withGroupedRunningSum(base, "w", "cumw",
+        Seq(col("flag")),
+        Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")))
+      .join(broadcast(totals), Seq("flag"))
       .groupBy("flag")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -4164,9 +4191,16 @@ object BatchOps {
     * `python/batch_processor.py:108-176` stop at means.
     *
     * Scale: one fact-fact join keyed on orderkey (both sides huge →
-    * shuffle join is correct), one window per priority (5 partitions
-    * here; at scale latency ranks usually move to the fixed-bin
-    * quantile sketch — `length_quantile_sketch` is that twin). */
+    * shuffle join is correct). `priority` is a FIVE-value enum, so the
+    * rank is NOT a keyed window (that would drag lineitem-grain rows
+    * through five tasks) but [[GlobalRank.withGroupedRowNumber]]'s
+    * two-phase pass over the compound (priority, lat_days) order; the
+    * per-priority count is a 5-row broadcast aggregate. Ties on
+    * lat_days leave rank assignment among peers arbitrary, which is
+    * sound here: the output only PICKS the value at a rank, and every
+    * permutation of tied rows carries the same value. At scale latency
+    * ranks usually move to the fixed-bin quantile sketch —
+    * `length_quantile_sketch` is that twin. */
   def shippingLatency(spark: SparkSession, dir: String): DataFrame = {
     val lat = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"))
@@ -4177,11 +4211,10 @@ object BatchOps {
       .select(col("o_orderpriority").as("priority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .as("lat_days"))
-    val w = Window.partitionBy("priority").orderBy("lat_days")
-    val wn = Window.partitionBy("priority")
-    lat
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+    val counts = lat.groupBy("priority").agg(count(lit(1)).as("n"))
+    GlobalRank.withGroupedRowNumber(lat, "rn",
+        Seq(col("priority")), Seq(col("lat_days")))
+      .join(broadcast(counts), Seq("priority"))
       .groupBy("priority")
       .agg(
         count(lit(1)).as("n_lineitems"),

@@ -2046,22 +2046,26 @@ object CdcOps {
     * sum, and count downstream is exact. The two means are each one
     * IEEE division at the end.
     *
-    * Scale shape: one rank window per event type (the exact-percentile
-    * sort any exact method pays), the 2-row-per-type bounds frame
-    * broadcasts back onto the fact scan, then one partial+final
-    * aggregate. The approx twin at 100 TB is `approx_percentile`
-    * bounds with the same clip projection (documented trade, as with
-    * `source_quality_profile`). */
+    * Scale shape: `event_type` is a tiny enum, so a keyed rank window
+    * would serialize the event frame through |enum| tasks (the
+    * enum-keyed sibling of the SinglePartition hazard); the rank rides
+    * `GlobalRank.withGroupedRowNumber`'s two-phase pass over the
+    * compound (event_type, v) order at full parallelism, with the
+    * per-type count a broadcast-small aggregate. Ties on v leave rank
+    * assignment among peers arbitrary — sound, because only the VALUE
+    * at each rank is consumed and tied rows carry equal values. The
+    * 2-row-per-type bounds frame broadcasts back onto the fact scan,
+    * then one partial+final aggregate. The approx twin at 100 TB is
+    * `approx_percentile` bounds with the same clip projection
+    * (documented trade, as with `source_quality_profile`). */
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.events(spark, dir)
       .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
-    val w = Window.partitionBy("event_type").orderBy("v")
-    val wn = Window.partitionBy("event_type")
-    val ranked = vals
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+    val counts = vals.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val bounds = GlobalRank.withGroupedRowNumber(vals, "rn",
+        Seq(col("event_type")), Seq(col("v")))
+      .join(broadcast(counts), Seq("event_type"))
       .withColumn("k_lo", expr(s"(n + ${WinsorDenom - 1}) div $WinsorDenom"))
-    val bounds = ranked
       .filter(col("rn") === col("k_lo") ||
         col("rn") === col("n") - col("k_lo") + 1)
       .groupBy("event_type")
@@ -2880,9 +2884,18 @@ object CdcOps {
     * arithmetic; mirrors the offset bookkeeping the reference trusts to
     * Kafka consumer groups (`python/utils.py:86-100`).
     *
-    * Scale: one window per target (3 partitions here; at scale the
-    * partition key is (topic, kafka_partition) so each window sees one
-    * partition's offsets) + a tiny final aggregation. */
+    * Scale: `target` is a THREE-value routing enum over the event-grain
+    * offset stream — a keyed lag window would serialize the whole feed
+    * through three tasks (the enum-keyed sibling of the SinglePartition
+    * hazard), so the predecessor pairing rides
+    * [[graft.operators.GlobalRank.withGroupedRowNumber]]'s two-phase
+    * pass over the compound (target, event_id) order and an rn = rn+1
+    * self-join on the dense per-target rank (hash join on a gap-free
+    * key — the `snm_neardup` successor pattern; the inner join drops
+    * each target's first offset exactly as the lag's null filter did).
+    * At production scale the partition key is (topic, kafka_partition)
+    * so the per-group rank is per-partition offsets + a tiny final
+    * aggregation. */
   def cdcGapDetection(spark: SparkSession, dir: String): DataFrame =
     cdcGapDetectionOf(Tables.events(spark, dir))
 
@@ -2898,10 +2911,12 @@ object CdcOps {
       .withColumn("target", routingTarget)
       .filter(col("target").isNotNull)
       .select("target", "event_id").distinct()
-    val w = Window.partitionBy("target").orderBy("event_id")
-    routed
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .filter(col("prev_id").isNotNull)
+    val ranked = GlobalRank.withGroupedRowNumber(routed, "rn",
+      Seq(col("target")), Seq(col("event_id")))
+    val predecessor = ranked.select(col("target"),
+      (col("rn") + 1).as("rn"), col("event_id").as("prev_id"))
+    ranked
+      .join(predecessor, Seq("target", "rn"))
       .withColumn("gap", col("event_id") - col("prev_id") - lit(1L))
       .groupBy("target")
       .agg(

@@ -2487,20 +2487,21 @@ object TextOps {
     * source); 1000 says length gates and richness gates are
     * independent signals; 0 is full anti-correlation.
     *
-    * Scale: two rank windows per source key + one aggregate — all at
-    * doc grain within source partitions. */
+    * Scale: `source` is a handful of values — keyed rank windows would
+    * drag the whole corpus through |sources| tasks (the enum-keyed
+    * sibling of the SinglePartition hazard), so both rankings ride
+    * [[GlobalRank.withGroupedRowNumber]]: two two-phase passes (one per
+    * ranking — Spearman inherently sorts the frame twice) at full
+    * parallelism, then one aggregate. */
   def lengthQualitySpearman(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), col("doc_id"), col("n_chars"),
         size(array_distinct(tokens)).cast("long").as("n_distinct"))
-    val wLen = Window.partitionBy("source")
-      .orderBy(col("n_chars"), col("doc_id"))
-    val wRich = Window.partitionBy("source")
-      .orderBy(col("n_distinct"), col("doc_id"))
-    base
-      .withColumn("r_len", row_number().over(wLen).cast("long"))
-      .withColumn("r_rich", row_number().over(wRich).cast("long"))
+    val rLen = GlobalRank.withGroupedRowNumber(base, "r_len",
+      Seq(col("source")), Seq(col("n_chars"), col("doc_id")))
+    GlobalRank.withGroupedRowNumber(rLen, "r_rich",
+        Seq(col("source")), Seq(col("n_distinct"), col("doc_id")))
       .withColumn("d", col("r_len") - col("r_rich"))
       .groupBy("source")
       .agg(count(lit(1)).as("n"),

@@ -82,6 +82,25 @@ case class FpSeen(doc_id: Long, kind: String, shared: Boolean,
 case class SessionRow(user_id: Long, session_start_ms: Long,
     session_end_ms: Long, n_events: Long, total_value: Double)
 
+/** One funnel-relevant event for [[StreamOps.eventFunnelStream]]
+  * (micros since epoch — the exact precision the batch operator's
+  * strict `ts > anchor` comparisons run at). */
+case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long,
+    event_id: Long)
+
+/** Per-user funnel anchors held in [[FunnelProcessor]]'s value state:
+  * micros of the first view / first strictly-later click / first
+  * strictly-later purchase. 0 = step not reached (epoch-0 events are
+  * out of the data contract — documented sentinel, one long cheaper
+  * than three Options in RocksDB). */
+case class FunnelAnchors(a0_us: Long, a1_us: Long, a2_us: Long)
+
+/** [[StreamOps.eventFunnelStream]] output: the user's current funnel
+  * progress. `steps_reached` is MONOTONE across emissions, so the
+  * latest row per user is also the max — assembly needs no batch id. */
+case class FunnelReach(user_id: Long, steps_reached: Int,
+    a0_us: Long, a1_us: Long, a2_us: Long)
+
 /** Structured Streaming runtime — the streaming twin of
   * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
   *
@@ -559,6 +578,74 @@ object StreamOps {
               col("n_chunks").cast("double") * IngestNearShare, "near")
           .when(col("n_shared_chunks") > 0, "partial")
           .otherwise("novel"))
+  }
+
+  /** LIVE ordered-step funnel — the streaming twin of
+    * `CdcOps.eventFunnel` and the engine's FIFTH `transformWithState`
+    * surface: per-user anchors for "view, then click STRICTLY after
+    * the first view, then purchase strictly after that first
+    * qualifying click", held as three micros longs of keyed value
+    * state and advanced MONOTONICALLY (an anchor, once set, never
+    * moves — exactly the batch operator's chained conditional
+    * first-occurrence semantics, which on an ordered replay a forward
+    * fold computes incrementally: the first qualifying arrival IS the
+    * min). Emits the user's current [[FunnelReach]] whenever the user
+    * appears in a micro-batch (update mode); [[funnelReport]]
+    * assembles the 3-row conversion report the batch twin emits.
+    *
+    * Replay contract (spec-pinned): streaming events in (ts, event_id)
+    * order — in ANY micro-batch slicing — yields the batch funnel,
+    * because anchor advancement is slicing-invariant under ordered
+    * replay: the in-batch fold runs in (ts_us, event_id) order (Spark
+    * does not order group iterators, so the fold sorts its bounded
+    * per-key slice first) against state holding all earlier batches'
+    * anchors. Same-instant ties do NOT advance (strict `>`, pinned
+    * both sides). State: 3 longs per user who ever viewed —
+    * entity-bounded, the same cardinality class as the T3/T5 twins;
+    * never expires for the same reason the first-seen screen's
+    * doesn't (an expired anchor would silently re-admit a conversion
+    * already counted). */
+  def eventFunnelStream(events: Dataset[Event]): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    val steps = graft.operators.CdcOps.FunnelSteps
+    events.toDF()
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The 3-row funnel report over accumulated [[FunnelReach]] rows —
+    * same columns and mille arithmetic as `CdcOps.eventFunnel`.
+    * `steps_reached` is monotone per user, so max = latest and the
+    * assembly is one aggregate regardless of how many update-mode
+    * emissions accumulated in the sink. */
+  def funnelReport(reach: DataFrame): DataFrame = {
+    val steps = graft.operators.CdcOps.FunnelSteps
+    val n = reach.groupBy("user_id")
+      .agg(max(col("steps_reached")).as("sr"))
+      .agg(
+        sum(when(col("sr") >= 1, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("sr") >= 2, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sr") >= 3, 1L).otherwise(0L)).as("n2"))
+      .select(coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      val prev = if (i == 0) "n0" else s"n${i - 1}"
+      n.select(
+        lit(i + 1).as("step"), lit(step).as("event_type"),
+        col(s"n$i").as("n_users"),
+        expr(s"CASE WHEN $prev = 0 THEN 0L ELSE (n$i * 1000) div $prev END")
+          .as("conv_prev_mille"),
+        expr(s"CASE WHEN n0 = 0 THEN 0L ELSE (n$i * 1000) div n0 END")
+          .as("conv_first_mille"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("step")
   }
 
   /** LIVE payload-schema census — the streaming twin of
@@ -1108,6 +1195,49 @@ class FirstSeenProcessor
     }
     firstDoc.update(minSeen)
     out.iterator
+  }
+}
+
+/** The [[StreamOps.eventFunnelStream]] processor: three micros anchors
+  * per user in ONE product row of value state, advanced by a forward
+  * fold in (ts_us, event_id) order (sorted per bounded key-slice —
+  * Spark does not order group iterators). Each anchor sets at most
+  * once; a step event qualifies only when the previous anchor exists
+  * and its timestamp is STRICTLY greater (same-instant ties never
+  * advance — `CdcOps.eventFunnel`'s pinned rule). Emits the user's
+  * post-fold progress once per batch appearance. */
+class FunnelProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, FunnelEvent, FunnelReach] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var anchors: ValueState[FunnelAnchors] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: TimeMode): Unit =
+    anchors = getHandle.getValueState[FunnelAnchors]("funnel_anchors",
+      Encoders.product[FunnelAnchors], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+      timerValues: TimerValues): Iterator[FunnelReach] = {
+    val steps = graft.operators.CdcOps.FunnelSteps
+    var st =
+      if (anchors.exists()) anchors.get() else FunnelAnchors(0L, 0L, 0L)
+    rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+      if (r.event_type == steps(0)) {
+        if (st.a0_us == 0L) st = st.copy(a0_us = r.ts_us)
+      } else if (r.event_type == steps(1)) {
+        if (st.a1_us == 0L && st.a0_us != 0L && r.ts_us > st.a0_us)
+          st = st.copy(a1_us = r.ts_us)
+      } else if (r.event_type == steps(2)) {
+        if (st.a2_us == 0L && st.a1_us != 0L && r.ts_us > st.a1_us)
+          st = st.copy(a2_us = r.ts_us)
+      }
+    }
+    anchors.update(st)
+    val sr = Seq(st.a0_us, st.a1_us, st.a2_us).count(_ != 0L)
+    Iterator.single(FunnelReach(user, sr, st.a0_us, st.a1_us, st.a2_us))
   }
 }
 

@@ -655,18 +655,18 @@ class PlanSpec extends GraftSpec {
       s"EXISTS degraded to a nested loop:\n$plan")
   }
 
-  test("window frame audit: cum frames share one priority exchange") {
+  test("window frame audit: no windows at all — grouped two-phase cumsum " +
+      "+ broadcast peer frame") {
     val plan = executedPlan(BatchOps.windowFrameAudit(spark, dir))
-    // ROWS and RANGE cum sums both partition by priority — they and the
-    // final priority-grain aggregate must reuse ONE
-    // hashpartitioning(o_orderpriority) exchange; the peer-count window
-    // adds the single (priority, od) exchange. More means a frame spec
-    // drifted and the fact shuffles redundantly.
-    val prio = plan.split("\n").filter(l =>
-      l.contains("Exchange hashpartitioning") &&
-        l.contains("o_orderpriority"))
-    assert(prio.length <= 2,
-      s"extra priority exchanges:\n${prio.mkString("\n")}\n$plan")
+    // Priority is a 5-value enum: the old keyed cum windows would push
+    // the whole order frame through five tasks. After conversion the
+    // ROWS cumsum rides GlobalRank's grouped two-phase pass and the
+    // RANGE leg is a date-grain max_by aggregate broadcast back — the
+    // plan must contain NO Window operator and the peer join must be
+    // broadcast, not a re-shuffle of the fact.
+    assert(!plan.contains("Window"), s"window crept back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"peer frame join not broadcast:\n$plan")
   }
 
   test("market share: dims broadcast, only fact joins shuffle") {
@@ -727,7 +727,14 @@ class PlanSpec extends GraftSpec {
         BatchOps.keySkewReport(spark, dir),
         BatchOps.rfmScores(spark, dir),
         BatchOps.customerSpendRank(spark, dir),
-        TextOps.vocabCoverageCurve(spark, dir))) {
+        TextOps.vocabCoverageCurve(spark, dir),
+        // The r14 conversions — enum-keyed windows over data-scaled
+        // frames (fact through 3-5 tasks), the sibling failure mode:
+        BatchOps.weightedMedianPrice(spark, dir),
+        BatchOps.shippingLatency(spark, dir),
+        BatchOps.decileRankAudit(spark, dir),
+        CdcOps.winsorizedStats(spark, dir),
+        TextOps.lengthQualitySpearman(spark, dir))) {
       val plan = executedPlan(df)
       val rogue = singlePartitionConsumers(plan)
         .filterNot(c => c.contains("HashAggregate") ||

@@ -1540,4 +1540,156 @@ class StreamOpsSpec extends GraftSpec {
       }
     }
   }
+
+  test("ordered funnel: stateful stream twin equals the batch operator " +
+      "on an ordered replay of the real corpus (RocksDB)") {
+    // The replay contract: feed sf0.001 events in (ts, event_id) order
+    // — an awkward 3-way slicing so anchors advance both in-batch and
+    // from state — and funnelReport over the accumulated FunnelReach
+    // rows must emit exactly CdcOps.eventFunnel's 3-row report.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        org.apache.spark.sql.functions.lit("{}").as("props"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val cut1 = evs.length / 3 - 7
+    val cut2 = 2 * evs.length / 3 + 11
+    val in = MemoryStream[Event]
+    val q = StreamOps.eventFunnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_reach")
+      .outputMode("update").start()
+    try {
+      Seq(evs.slice(0, cut1), evs.slice(cut1, cut2),
+          evs.slice(cut2, evs.length))
+        .foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = StreamOps
+        .funnelReport(spark.table("funnel_reach")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val batch = graft.operators.CdcOps.eventFunnel(spark, dir)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(streamed.toSeq == batch.toSeq)
+      // The corpus must actually exercise a non-trivial funnel.
+      assert(batch.head._3 > 0 && batch.last._3 > 0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("ordered funnel: same-instant ties never advance; out-of-order " +
+      "step types never anchor (crafted fixture vs batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tieDir = freshScratch()
+    val evs = Seq(
+      // user 20: click AT the view instant (no advance), later click
+      // advances; purchase AT the click anchor (no advance), later
+      // purchase advances — full 3-step conversion.
+      event(1, "2024-01-01 10:00:00", 20, "view", 1.0),
+      event(2, "2024-01-01 10:00:00", 20, "click", 1.0),
+      event(3, "2024-01-01 10:01:00", 20, "click", 1.0),
+      event(4, "2024-01-01 10:01:00", 20, "purchase", 5.0),
+      event(5, "2024-01-01 10:02:00", 20, "purchase", 5.0),
+      // user 21: click BEFORE any view — must never anchor step 2.
+      event(6, "2024-01-01 09:59:00", 21, "click", 1.0),
+      event(7, "2024-01-01 10:00:00", 21, "view", 1.0),
+      // user 22: view only.
+      event(8, "2024-01-01 10:00:00", 22, "view", 1.0))
+    writeTable("events", evs.toDF(), tieDir)
+    val in = MemoryStream[Event]
+    val q = StreamOps.eventFunnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_reach_tie")
+      .outputMode("update").start()
+    try {
+      // Slice mid-tie (events 1|2 split) so the strict-> rule is
+      // exercised across the state path, not just the in-batch fold.
+      Seq(evs.take(1), evs.slice(1, 4), evs.drop(4)).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val streamed = StreamOps
+        .funnelReport(spark.table("funnel_reach_tie")).collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val batch = graft.operators.CdcOps.eventFunnel(spark, tieDir)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(streamed.toSeq == batch.toSeq)
+      // Pin the ladder itself: 3 viewers, 1 clicker-after-view, 1
+      // purchaser — user 21's early click anchored nothing.
+      assert(streamed.map(t => t._2).toSeq == Seq(3L, 1L, 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("ordered funnel: anchors survive a stop/restart from the " +
+      "checkpoint (RocksDB)") {
+    // A restart that lost the anchors would rule user 30's purchase
+    // non-qualifying (no recovered click anchor) — the emitted
+    // steps_reached after phase 2 is the direct witness of recovery.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-funnel-ckpt-").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    def start(buf: scala.collection.mutable.Buffer[FunnelReach]) =
+      StreamOps.eventFunnelStream(
+          spark.readStream.schema(schema).parquet(inDir).as[Event])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelReach],
+                         _: Long) =>
+          buf.synchronized { buf ++= df.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+    Seq(event(1, "2024-01-01 10:00:00", 30, "view", 1.0),
+        event(2, "2024-01-01 10:01:00", 30, "click", 1.0))
+      .toDF().write.mode("append").parquet(inDir)
+    val phase1 = scala.collection.mutable.ArrayBuffer[FunnelReach]()
+    val q1 = start(phase1)
+    try {
+      q1.processAllAvailable()
+      assert(phase1.exists(r => r.user_id == 30L && r.steps_reached == 2))
+    } finally q1.stop()
+
+    Seq(event(3, "2024-01-01 10:02:00", 30, "purchase", 9.0))
+      .toDF().write.mode("append").parquet(inDir)
+    val phase2 = scala.collection.mutable.ArrayBuffer[FunnelReach]()
+    val q2 = start(phase2)
+    try {
+      q2.processAllAvailable()
+      assert(phase2.exists(r => r.user_id == 30L && r.steps_reached == 3),
+        s"recovered anchors failed to qualify the purchase: $phase2")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      deleteRecursively(base)
+    }
+  }
 }
