@@ -173,7 +173,7 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, d) => TextOps.docFingerprints(s, d)),
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
     "neardup_jaccard_capped" -> ((s, d) =>
-      TextOps.nearDupJaccard(s, d, Some(TextOps.NearDupDocFreqCap))),
+      TextOps.nearDupJaccardCapped(s, d)),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
     "minhash_calibration" -> ((s, d) => TextOps.minhashCalibration(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
