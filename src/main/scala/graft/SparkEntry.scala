@@ -86,6 +86,9 @@ object SparkEntry {
     "quantity_deciles" -> ((s, d) => BatchOps.quantityDeciles(s, d)),
     "fact_percentiles_exact" -> ((s, d) =>
       BatchOps.factPercentilesExact(s, d)),
+    "interp_percentiles_exact" -> ((s, d) =>
+      BatchOps.interpPercentilesExact(s, d)),
+    "segment_gini" -> ((s, d) => BatchOps.segmentGini(s, d)),
     "above_avg_orders" -> ((s, d) => BatchOps.aboveAvgOrders(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
@@ -569,6 +572,11 @@ object SparkEntry {
     "quantity_deciles" -> BatchOps.quantityDecilesOracleSql,
     // Fact-grain exact nearest-rank percentiles off the two-phase rank.
     "fact_percentiles_exact" -> BatchOps.factPercentilesExactOracleSql,
+    // Interpolated (percentile_cont) siblings in pure integer
+    // centi-cents off the grouped two-phase rank.
+    "interp_percentiles_exact" -> BatchOps.interpPercentilesExactOracleSql,
+    // Per-segment exact closed-form Gini off the grouped rank.
+    "segment_gini" -> BatchOps.segmentGiniOracleSql,
     "above_avg_orders" -> BatchOps.aboveAvgOrdersOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,

@@ -2605,6 +2605,171 @@ object BatchOps {
        |FROM pos JOIN t ON t.rn = pos.pos
        |ORDER BY pos.pct""".stripMargin
 
+  /** Percentiles interpolated by [[interpPercentilesExact]] (shared
+    * with the oracle). */
+  val InterpPcts: Seq[Int] = Seq(25, 50, 90)
+
+  /** EXACT LINEARLY-INTERPOLATED percentiles (`percentile_cont`
+    * semantics) per return flag, in PURE INTEGER arithmetic — the
+    * interpolated sibling of [[factPercentilesExact]]'s nearest-rank
+    * picks, and the engine's answer to "percentile_cont returns a
+    * computed double whose float interpolation can't be hash-anchored
+    * cross-engine": at q, the continuous position is
+    * 1 + (n−1)·q/100 = lo + frac/100 with lo and frac EXACT integers,
+    * so the interpolated value v_lo + (v_hi−v_lo)·frac/100 is an exact
+    * integer in CENTI-CENTS (cents × 100) — every emitted number
+    * derives from integers, the one double being a single division of
+    * identical int64 operands.
+    *
+    * Scale: `flag` is a 3-value enum over lineitem grain — the rank
+    * rides [[GlobalRank.withGroupedRowNumber]]'s two-phase pass (the
+    * enum-keyed window hazard), n is a 3-row broadcast, and the two
+    * bracketing values per (flag, pct) come from conditional
+    * aggregates, not a sort-and-pick. Ties on cents leave rank
+    * assignment among peers arbitrary — sound: tied rows carry equal
+    * values, so the bracket picks are permutation-invariant. */
+  def interpPercentilesExact(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val counts = base.groupBy("flag").agg(count(lit(1)).as("n"))
+    val ranked = GlobalRank.withGroupedRowNumber(base, "rn",
+        Seq(col("flag")),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")))
+      .join(broadcast(counts), Seq("flag"))
+    val aggCols = max(col("n")).as("n") +: InterpPcts.flatMap { p => Seq(
+      min(when(col("rn") === expr(s"1 + ((n - 1) * $p) div 100"),
+        col("cents"))).as(s"vlo_$p"),
+      min(when(col("rn") === expr(s"2 + ((n - 1) * $p) div 100"),
+        col("cents"))).as(s"vhi_$p"))
+    }
+    val agg = ranked.groupBy("flag").agg(aggCols.head, aggCols.tail: _*)
+    InterpPcts.map { p =>
+      agg.select(col("flag"), lit(p).as("pct"), col("n"),
+        expr(s"1 + ((n - 1) * $p) div 100").as("lo_rank"),
+        expr(s"((n - 1) * $p) % 100").as("frac_centi"),
+        // frac = 0 ⇒ the position is exactly lo and v_hi is unused
+        // (it may even not exist when lo = n) — coalesce keeps the
+        // formula total without changing any interpolated value.
+        expr(s"vlo_$p * 100 + (coalesce(vhi_$p, vlo_$p) - vlo_$p) * " +
+          s"(((n - 1) * $p) % 100)").as("interp_centi"))
+    }.reduce(_.unionByName(_))
+      .withColumn("interp_price",
+        expr("CAST(interp_centi AS DOUBLE) / 10000.0"))
+      .orderBy("flag", "pct")
+  }
+
+  /** DuckDB oracle for [[interpPercentilesExact]] — same integer
+    * position split, same bracket picks, same centi-cent
+    * interpolation. */
+  private[graft] def interpPercentilesExactOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+       |    l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT flag, cents,
+       |    CAST(row_number() OVER (PARTITION BY flag
+       |      ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+       |  FROM b),
+       |p AS (SELECT unnest([${InterpPcts.mkString(", ")}]) AS pct),
+       |k AS (
+       |  SELECT flag, CAST(pct AS INT) AS pct,
+       |    CAST(min(n) AS BIGINT) AS n,
+       |    CAST(1 + ((min(n) - 1) * pct) // 100 AS BIGINT) AS lo_rank,
+       |    CAST(((min(n) - 1) * pct) % 100 AS BIGINT) AS frac_centi,
+       |    min(CASE WHEN rn = 1 + ((n - 1) * pct) // 100
+       |      THEN cents END) AS vlo,
+       |    min(CASE WHEN rn = 2 + ((n - 1) * pct) // 100
+       |      THEN cents END) AS vhi
+       |  FROM r CROSS JOIN p
+       |  GROUP BY flag, pct)
+       |SELECT flag, pct, n, lo_rank, frac_centi,
+       |  CAST(vlo * 100 + (coalesce(vhi, vlo) - vlo) * frac_centi
+       |    AS BIGINT) AS interp_centi,
+       |  CAST(CAST(vlo * 100 + (coalesce(vhi, vlo) - vlo) * frac_centi
+       |    AS BIGINT) AS DOUBLE) / 10000.0 AS interp_price
+       |FROM k
+       |ORDER BY flag, pct""".stripMargin
+
+  /** Per-SEGMENT spend inequality — `revenue_concentration`'s exact
+    * closed-form Gini computed WITHIN each market segment (the "is one
+    * segment whale-driven while another is flat" question a pricing
+    * team asks): per segment, customer spend ranked ascending, Gini =
+    * (2Σrank·x − (n+1)Σx)/(nΣx) in DECIMAL(38)/HUGEINT (the ×1000
+    * numerator tops int64 exactly as the global form does), plus the
+    * top-decile spend share.
+    *
+    * Scale: segment is a 5-value enum over CUSTOMER grain — the rank
+    * rides [[GlobalRank.withGroupedRowNumber]]'s compound-order
+    * two-phase pass; everything after is one segment-grain aggregate
+    * plus a 5-row broadcast of per-segment counts for the decile cut. */
+  def segmentGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_custkey"), col("spend_c"))
+    val ranked = GlobalRank.withGroupedRowNumber(spend, "rank",
+      Seq(col("segment")), Seq(col("spend_c"), col("o_custkey")))
+    val counts = ranked.groupBy("segment").agg(count(lit(1)).as("n"))
+    val top = ranked.join(broadcast(counts), Seq("segment"))
+      .filter(col("rank") > col("n") - expr("n div 10"))
+      .groupBy("segment").agg(sum(col("spend_c")).as("top_decile_c"))
+    ranked
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_c")).as("total_c"),
+        sum(col("rank") * col("spend_c")).as("s1"))
+      .join(broadcast(top), Seq("segment"))
+      .withColumn("gini_mille",
+        expr("((2 * CAST(s1 AS DECIMAL(38,0)) - (n_customers + 1) * " +
+          "CAST(total_c AS DECIMAL(38,0))) * 1000) div " +
+          "(n_customers * CAST(total_c AS DECIMAL(38,0)))"))
+      .withColumn("top_decile_share_mille",
+        expr("top_decile_c * 1000 div total_c"))
+      .select("segment", "n_customers", "total_c", "top_decile_c",
+        "top_decile_share_mille", "gini_mille")
+      .orderBy("segment")
+  }
+
+  /** DuckDB oracle for [[segmentGini]] — same per-segment rank order,
+    * same HUGEINT closed form. */
+  private[graft] def segmentGiniOracleSql: String =
+    s"""WITH sp AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS spend_c
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT segment, spend_c,
+       |    CAST(row_number() OVER (PARTITION BY segment
+       |      ORDER BY spend_c, o_custkey) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+       |  FROM sp),
+       |a AS (
+       |  SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       |    CAST(sum(spend_c) AS BIGINT) AS total_c,
+       |    CAST(sum(rank * spend_c) AS BIGINT) AS s1
+       |  FROM r GROUP BY 1),
+       |d AS (
+       |  SELECT segment, CAST(sum(spend_c) AS BIGINT) AS top_decile_c
+       |  FROM r WHERE rank > n - n // 10 GROUP BY 1)
+       |SELECT a.segment, a.n_customers, a.total_c, d.top_decile_c,
+       |  d.top_decile_c * 1000 // a.total_c AS top_decile_share_mille,
+       |  CAST(((2 * CAST(a.s1 AS HUGEINT) - (a.n_customers + 1) *
+       |    CAST(a.total_c AS HUGEINT)) * 1000) //
+       |    (a.n_customers * CAST(a.total_c AS HUGEINT)) AS BIGINT)
+       |    AS gini_mille
+       |FROM a JOIN d ON a.segment = d.segment
+       |ORDER BY a.segment""".stripMargin
+
   /** Orders above their OWN customer's average — the correlated-
     * subquery shape (`WHERE o.price > (SELECT avg(...) WHERE custkey =
     * o.custkey)`) DECORRELATED into one window pass, which is exactly

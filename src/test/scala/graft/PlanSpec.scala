@@ -152,9 +152,17 @@ class PlanSpec extends GraftSpec {
     // (≤ cap rows per bucket kept on the MAP side, before the shuffle) —
     // reverting to slice(collect_list(...)) would re-materialize a
     // degenerate bucket's full membership in one aggregation buffer.
+    // The list backs WindowGateSpec's "rank-capped" allowlist
+    // annotations: every keyed window justified there by a
+    // WindowGroupLimit cap is plan-asserted here (or in its own test
+    // above), so the annotation can't silently rot.
     for (df <- Seq(graft.operators.TextOps.minhashCandidatesUncached(spark, dir),
                    graft.operators.TextOps.stratifiedSample(spark, dir),
-                   graft.operators.VectorOps.annIvfTop1(spark, dir))) {
+                   graft.operators.VectorOps.annIvfTop1(spark, dir),
+                   graft.operators.TextOps.zipfSlope(spark, dir),
+                   graft.operators.VectorOps.labelCohesion(spark, dir),
+                   graft.operators.VectorOps.embeddingOutliers(spark, dir),
+                   graft.operators.BatchOps.trendingParts7d(spark, dir))) {
       val plan = executedPlan(df)
       assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
     }
@@ -734,7 +742,10 @@ class PlanSpec extends GraftSpec {
         BatchOps.shippingLatency(spark, dir),
         BatchOps.decileRankAudit(spark, dir),
         CdcOps.winsorizedStats(spark, dir),
-        TextOps.lengthQualitySpearman(spark, dir))) {
+        TextOps.lengthQualitySpearman(spark, dir),
+        // r14 additions riding the grouped two-phase rank:
+        BatchOps.interpPercentilesExact(spark, dir),
+        BatchOps.segmentGini(spark, dir))) {
       val plan = executedPlan(df)
       val rogue = singlePartitionConsumers(plan)
         .filterNot(c => c.contains("HashAggregate") ||
