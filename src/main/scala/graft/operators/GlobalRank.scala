@@ -244,6 +244,31 @@ object GlobalRank {
     withGroupedRowNumberAndRunningSum(df, "__gr_grn_drop", valueCol,
       outCol, groupCols, sortCols).drop("__gr_grn_drop")
 
+  /** Exact `ntile(k) OVER (PARTITION BY groupCols ORDER BY sortCols)`
+    * WITHOUT a per-group task — [[withNtile]]'s grouped sibling for
+    * the enum-keyed degenerate regime: the per-group row number comes
+    * from one compound-order two-phase pass, per-group sizes from a
+    * broadcast-small aggregate, and the bucket is the same closed SQL
+    * NTILE formula (n div k buckets of size q, the first n mod k one
+    * larger) evaluated per row with the GROUP's n. Same contracts as
+    * [[withGroupedRowNumber]]. */
+  def withGroupedNtile(df: DataFrame, ntileCol: String, k: Int,
+      groupCols: Seq[Column], sortCols: Seq[Column]): DataFrame = {
+    val tmp = "__gr_gnt_rn"
+    val ranked = withGroupedRowNumber(df, tmp, groupCols, sortCols)
+    val groupNames = groupCols.map(c => df.select(c).columns.head)
+    val sizes = ranked.groupBy(groupNames.map(col): _*)
+      .agg(count(lit(1)).as("__gr_gn"))
+    joinGroupBase(ranked, sizes, groupNames)
+      .withColumn(ntileCol, expr(
+        s"CAST(CASE WHEN $tmp <= (__gr_gn % $k) * (__gr_gn div $k + 1) " +
+        s"THEN ($tmp - 1) div (__gr_gn div $k + 1) + 1 " +
+        s"ELSE (__gr_gn % $k) + ($tmp - (__gr_gn % $k) * " +
+        s"(__gr_gn div $k + 1) - 1) div greatest(__gr_gn div $k, 1L) + 1 " +
+        s"END AS INT)"))
+      .drop(tmp, "__gr_gn")
+  }
+
   /** Both grouped order statistics from ONE two-phase pass: per-group
     * 1-based row number as `rnCol` AND the per-group running sum of
     * `valueCol` as `csCol` — see [[withGroupedRowNumber]] /

@@ -183,6 +183,31 @@ class GlobalRankSpec extends GraftSpec {
     }
   }
 
+  test("withGroupedNtile equals the keyed ntile window, including groups smaller than k") {
+    withCoalesceOff {
+      // Group sizes deliberately straddle k: g=0 huge (skew), g=6 has
+      // ~1 row (n < k — every formula branch with q = 0), nulls their
+      // own partition.
+      val d = spark.range(450)
+        .select(
+          when(col("id") % 11 === 0, lit(null).cast("long"))
+            .otherwise(when(col("id") % 3 === 0, 0L)
+              .otherwise(col("id") % 7)).as("g"),
+          col("id").as("tie"))
+        .repartition(6).localCheckpoint()
+      for (k <- Seq(2, 4, 10, 500)) {
+        val naive = d.withColumn("b", ntile(k).over(
+          Window.partitionBy("g").orderBy(col("tie"))))
+        val fast = GlobalRank.withGroupedNtile(d, "b", k,
+          Seq(col("g")), Seq(col("tie")))
+        assertMultiPartition(fast)
+        val cols = Seq("g", "tie", "b").map(col)
+        assert(fast.select(cols: _*).orderBy("tie").collect().toSeq ==
+          naive.select(cols: _*).orderBy("tie").collect().toSeq, s"k=$k")
+      }
+    }
+  }
+
   test("withGroupedRowNumberAndRunningSum: both statistics from one pass") {
     withCoalesceOff {
       val d = spark.range(380)
