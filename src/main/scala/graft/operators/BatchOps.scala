@@ -5167,29 +5167,31 @@ object BatchOps {
     * buckets), so the bucketing is exact; customers active in only
     * one half enter as `absent`.
     *
-    * Scale: spend collapses to customer grain first (partial+final);
-    * each half's terciles then ride one [[GlobalRank.withNtile]]
-    * two-phase pass (customer cardinality is data-scaled — the naive
-    * unpartitioned ntile window would be `Exchange SinglePartition`);
-    * the matrix is ≤16 rows. */
+    * Scale: ONE fact pass — spend collapses to (customer, half) grain
+    * (partial+final), BOTH halves' terciles then ride a single
+    * [[GlobalRank.withGroupedNtile]] compound-order two-phase pass
+    * (half is the 2-value group key; customer cardinality is
+    * data-scaled, so the naive windows — and the r13 form's two
+    * separate global passes — paid two range exchanges over two fact
+    * scans); the half-pivot is a custkey-grain conditional aggregate
+    * (no full-outer join) and the matrix is ≤16 rows. */
   def customerMigrationMatrix(spark: SparkSession, dir: String): DataFrame = {
     val mid = orderDateMidpoint(spark, dir)
-    def half(p: Int, pred: org.apache.spark.sql.Column) =
-      GlobalRank.withNtile(
-          Tables.orders(spark, dir)
-            .filter(pred)
-            .groupBy(col("o_custkey"))
-            .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-              .as(s"spend_c")),
-          "tercile", 3, Seq(col("spend_c"), col("o_custkey")))
-        .withColumn("seg",
-          when(col("tercile") === 1, "L")
-            .when(col("tercile") === 2, "M")
-            .otherwise("H"))
-        .select(col("o_custkey"), col("seg").as(s"seg_h$p"))
-    val h1 = half(1, to_date(col("o_orderdate")) <= lit(mid))
-    val h2 = half(2, to_date(col("o_orderdate")) > lit(mid))
-    h1.join(h2, Seq("o_custkey"), "full_outer")
+    val spend = Tables.orders(spark, dir)
+      .withColumn("half",
+        when(to_date(col("o_orderdate")) <= lit(mid), 1).otherwise(2))
+      .groupBy(col("o_custkey"), col("half"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("spend_c"))
+    GlobalRank.withGroupedNtile(spend, "tercile", 3,
+        Seq(col("half")), Seq(col("spend_c"), col("o_custkey")))
+      .withColumn("seg",
+        when(col("tercile") === 1, "L")
+          .when(col("tercile") === 2, "M")
+          .otherwise("H"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("half") === 1, col("seg"))).as("seg_h1"),
+        max(when(col("half") === 2, col("seg"))).as("seg_h2"))
       .groupBy(
         coalesce(col("seg_h1"), lit("absent")).as("seg_from"),
         coalesce(col("seg_h2"), lit("absent")).as("seg_to"))
