@@ -203,6 +203,7 @@ object SparkEntry {
     "zipf_slope" -> ((s, d) => TextOps.zipfSlope(s, d)),
     "token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
+    "pack_utilization" -> ((s, d) => TextOps.packUtilization(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "ngram_decontam" -> ((s, d) => TextOps.ngramDecontam(s, d)),
     "bloom_decontam" -> ((s, d) => TextOps.bloomDecontam(s, d)),
@@ -1074,6 +1075,8 @@ object SparkEntry {
     "zipf_slope" -> TextOps.zipfSlopeOracleSql,
     "token_entropy" -> TextOps.tokenEntropyOracleSql,
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
+    // Shard-grain pack fill/overflow audit over the same layout.
+    "pack_utilization" -> TextOps.packUtilizationOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
     // Train-side n-gram decontamination (the GPT-3 appendix direction).
     "ngram_decontam" -> TextOps.ngramDecontamOracleSql,

@@ -3093,6 +3093,72 @@ object TextOps {
       .orderBy("shard", "doc_id", "chunk_id")
   }
 
+  /** PACK-UTILIZATION audit — the sizing dashboard behind
+    * [[chunkPacking]]: per shard, how many packs the layout produced,
+    * how full they are against [[PackBudget]] (util in exact mille),
+    * how many tokens spill past pack boundaries (each pack may
+    * overflow by < one chunk under the start-of-chunk rule — the
+    * truncation loss a loader pays), and the heaviest pack. The
+    * numbers that decide whether the budget/stride are right BEFORE a
+    * training run burns the tokens. All exact integers; one pack-grain
+    * and one shard-grain aggregate over the packing frame — no new
+    * windows, no new scan shapes. */
+  def packUtilization(spark: SparkSession, dir: String): DataFrame = {
+    val packs = chunkPacking(spark, dir)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("pack_tokens"),
+        max(col("cum")).as("max_cum"))
+      .withColumn("overflow",
+        greatest(col("max_cum") - (col("pack_id") + 1) * PackBudget,
+          lit(0L)))
+    packs.groupBy("shard")
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        sum(col("overflow")).as("overflow_tokens"),
+        max(col("pack_tokens")).as("max_pack_tokens"))
+      .withColumn("util_mille",
+        expr(s"(total_tokens * 1000) div (n_packs * $PackBudget)"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB oracle for [[packUtilization]] — same pack assignment,
+    * same overflow clip, same mille. */
+  private[graft] def packUtilizationOracleSql: String =
+    s"""WITH c AS (
+       |${docChunksOracleSql.replace("ORDER BY doc_id, chunk_id", "")}),
+       |s AS (
+       |  SELECT doc_id, chunk_id, chunk_len,
+       |    CAST(doc_id % $PackShards AS INT) AS shard
+       |  FROM c),
+       |p AS (
+       |  SELECT shard, chunk_len,
+       |    CAST(sum(chunk_len) OVER (PARTITION BY shard
+       |      ORDER BY doc_id, chunk_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM s),
+       |pk AS (
+       |  SELECT shard,
+       |    CAST(floor((cum - chunk_len) / $PackBudget) AS BIGINT)
+       |      AS pack_id,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(chunk_len) AS BIGINT) AS pack_tokens,
+       |    CAST(max(cum) AS BIGINT) AS max_cum
+       |  FROM p GROUP BY 1, 2),
+       |o AS (
+       |  SELECT shard, n_chunks, pack_tokens,
+       |    greatest(max_cum - (pack_id + 1) * $PackBudget, 0) AS overflow
+       |  FROM pk)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+       |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(overflow) AS BIGINT) AS overflow_tokens,
+       |  CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       |  (CAST(sum(pack_tokens) AS BIGINT) * 1000)
+       |    // (count(*) * $PackBudget) AS util_mille
+       |FROM o GROUP BY shard ORDER BY shard""".stripMargin
+
   /** DuckDB oracle for [[chunkPacking]] — same chunk geometry, same
     * shard, same running sum and start-of-chunk bin rule. */
   private[graft] def chunkPackingOracleSql: String =

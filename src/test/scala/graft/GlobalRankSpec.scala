@@ -267,6 +267,48 @@ class GlobalRankSpec extends GraftSpec {
     }
   }
 
+  test("property: grouped rank/ntile/cumsum equal the keyed windows on random frames") {
+    // The grouped-variant mirror of the global property test: random
+    // sizes, group keys with heavy collisions AND nulls, values with
+    // negatives, ntile k straddling group sizes. Seeded — reproduces.
+    withCoalesceOff {
+      import org.scalacheck.Gen
+      import org.scalacheck.rng.Seed
+      def gen[A](g: Gen[A], seed: Long): A =
+        g.apply(Gen.Parameters.default, Seed(seed)).get
+      val rowGen = for {
+        g <- Gen.option(Gen.choose(0L, 3L))
+        v <- Gen.choose(-40L, 40L)
+      } yield (g, v)
+      for (i <- 0 until 6) {
+        val rows = gen(Gen.chooseNum(1, 140)
+          .flatMap(n => Gen.listOfN(n, rowGen)), 20260815100L + i)
+          .zipWithIndex.map { case ((g, v), tie) => (g, v, tie.toLong) }
+        val k = gen(Gen.chooseNum(1, 12), 77L + i)
+        val d = rows.toDF("g", "v", "tie").repartition(5).localCheckpoint()
+        val w = Window.partitionBy("g").orderBy(col("tie"))
+        val naive = d
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("b", ntile(k).over(w))
+          .withColumn("cs", sum(col("v")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("g", "tie", "rn", "b", "cs").orderBy("tie")
+          .collect().toSeq
+        val fast = {
+          val r1 = GlobalRank.withGroupedRowNumber(d, "rn",
+            Seq(col("g")), Seq(col("tie")))
+          val r2 = GlobalRank.withGroupedNtile(r1, "b", k,
+            Seq(col("g")), Seq(col("tie")))
+          GlobalRank.withGroupedRunningSum(r2, "v", "cs",
+              Seq(col("g")), Seq(col("tie")))
+            .select("g", "tie", "rn", "b", "cs").orderBy("tie")
+            .collect().toSeq
+        }
+        assert(fast == naive, s"iteration $i (k=$k, n=${rows.length})")
+      }
+    }
+  }
+
   test("empty and single-row frames") {
     val empty = df.filter(col("tie") < 0)
     assert(GlobalRank.withRowNumber(empty, "rn", sortCols).count() == 0L)
