@@ -135,6 +135,8 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => CdcOps.eventTransitions(s, d)),
     "session_paths" -> ((s, d) => CdcOps.sessionPaths(s, d)),
     "event_funnel" -> ((s, d) => CdcOps.eventFunnel(s, d)),
+    "event_funnel_windowed" -> ((s, d) =>
+      CdcOps.eventFunnelWindowed(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
     "mad_outliers" -> ((s, d) => CdcOps.madOutliers(s, d)),
@@ -813,6 +815,8 @@ object SparkEntry {
     "session_paths" -> CdcOps.sessionPathsOracleSql,
     // Strictly-ordered step funnel: chained conditional first-anchors.
     "event_funnel" -> CdcOps.eventFunnelOracleSql,
+    // Same funnel under the 24h conversion deadline.
+    "event_funnel_windowed" -> CdcOps.eventFunnelWindowedOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
     "mad_outliers" -> CdcOps.madOutliersOracleSql,

@@ -1332,6 +1332,106 @@ object CdcOps {
        |ORDER BY step""".stripMargin
   }
 
+  /** Conversion deadline for [[eventFunnelWindowed]], in hours after
+    * the user's FIRST view anchor (shared with the oracle). */
+  val FunnelWindowHours = 24
+
+  /** TIME-BOUNDED ordered-step funnel — [[eventFunnel]] with the
+    * deadline every product funnel actually carries (ClickHouse's
+    * `windowFunnel(window)` parameter): the click and purchase must
+    * land not just STRICTLY AFTER the previous anchor but also WITHIN
+    * [[FunnelWindowHours]] of the user's first view — "converted
+    * within a day", not "converted eventually". Same chained
+    * conditional first-occurrence decomposition (one hash aggregate +
+    * user-keyed join per step, no windows, no per-user sort), with the
+    * deadline riding the anchor frame as a per-user constant; the
+    * deadline compare is exact timestamp-micros + constant interval on
+    * both engines. Same-instant ties at the anchor OR at the deadline
+    * boundary are pinned: strict `>` below, inclusive `<=` at the
+    * deadline. */
+  def eventFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val counts = {
+      var acc: Option[DataFrame] = None
+      FunnelSteps.zipWithIndex.map { case (step, i) =>
+        val a = (acc match {
+          case None =>
+            ev.filter(col("event_type") === step)
+              .groupBy("user_id").agg(min(col("ts")).as("anchor"))
+              .withColumn("deadline", col("anchor") +
+                expr(s"INTERVAL $FunnelWindowHours HOURS"))
+          case Some(p) =>
+            ev.filter(col("event_type") === step)
+              .join(p.select(col("user_id"), col("anchor").as("prev_t"),
+                col("deadline")), Seq("user_id"))
+              .filter(col("ts") > col("prev_t") &&
+                col("ts") <= col("deadline"))
+              .groupBy("user_id")
+              .agg(min(col("ts")).as("anchor"),
+                max(col("deadline")).as("deadline"))
+        }).localCheckpoint()
+        acc = Some(a)
+        a.agg(count(lit(1)).as(s"n$i"))
+      }
+    }
+    val joined = counts.reduce(_.crossJoin(_))
+    val rows = FunnelSteps.zipWithIndex.map { case (step, i) =>
+      val prev = if (i == 0) "n0" else s"n${i - 1}"
+      joined.select(
+        lit(i + 1).as("step"), lit(step).as("event_type"),
+        col(s"n$i").as("n_users"),
+        expr(s"CASE WHEN $prev = 0 THEN 0L ELSE (n$i * 1000) div $prev END")
+          .as("conv_prev_mille"),
+        expr(s"CASE WHEN n0 = 0 THEN 0L ELSE (n$i * 1000) div n0 END")
+          .as("conv_first_mille"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** DuckDB oracle for [[eventFunnelWindowed]] — same chained anchors,
+    * same inclusive deadline. */
+  private[graft] def eventFunnelWindowedOracleSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    s"""WITH a AS (
+       |  SELECT user_id, min(ts) AS t,
+       |    min(ts) + INTERVAL $FunnelWindowHours HOUR AS dl
+       |  FROM events WHERE event_type = '$s1' GROUP BY 1),
+       |b AS (
+       |  SELECT e.user_id, min(e.ts) AS t, min(a.dl) AS dl
+       |  FROM events e JOIN a ON e.user_id = a.user_id
+       |  WHERE e.event_type = '$s2' AND e.ts > a.t AND e.ts <= a.dl
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT e.user_id, min(e.ts) AS t FROM events e
+       |  JOIN b ON e.user_id = b.user_id
+       |  WHERE e.event_type = '$s3' AND e.ts > b.t AND e.ts <= b.dl
+       |  GROUP BY 1),
+       |n AS (
+       |  SELECT (SELECT count(*) FROM a) AS n0,
+       |         (SELECT count(*) FROM b) AS n1,
+       |         (SELECT count(*) FROM c) AS n2)
+       |SELECT * FROM (
+       |  SELECT 1 AS step, '$s1' AS event_type,
+       |    CAST(n0 AS BIGINT) AS n_users,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n0 * 1000) // n0 END
+       |      AS conv_prev_mille,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n0 * 1000) // n0 END
+       |      AS conv_first_mille
+       |  FROM n
+       |  UNION ALL
+       |  SELECT 2, '$s2', CAST(n1 AS BIGINT),
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n1 * 1000) // n0 END,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n1 * 1000) // n0 END
+       |  FROM n
+       |  UNION ALL
+       |  SELECT 3, '$s3', CAST(n2 AS BIGINT),
+       |    CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000) // n1 END,
+       |    CASE WHEN n0 = 0 THEN 0 ELSE (n2 * 1000) // n0 END
+       |  FROM n)
+       |ORDER BY step""".stripMargin
+  }
+
   /** DuckDB oracle for [[eventTransitions]] — same chain order, same
     * conditional division. */
   private[graft] def eventTransitionsOracleSql: String =
