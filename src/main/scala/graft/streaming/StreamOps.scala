@@ -605,7 +605,8 @@ object StreamOps {
     * never expires for the same reason the first-seen screen's
     * doesn't (an expired anchor would silently re-admit a conversion
     * already counted). */
-  def eventFunnelStream(events: Dataset[Event]): Dataset[FunnelReach] = {
+  def eventFunnelStream(events: Dataset[Event],
+      windowUs: Option[Long] = None): Dataset[FunnelReach] = {
     import events.sparkSession.implicits._
     val steps = graft.operators.CdcOps.FunnelSteps
     events.toDF()
@@ -614,10 +615,18 @@ object StreamOps {
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor,
+      .transformWithState(new FunnelProcessor(windowUs),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** [[eventFunnelStream]] under `CdcOps.eventFunnelWindowed`'s
+    * conversion deadline — the live form a growth dashboard actually
+    * runs (a deadline needs NO extra state: it is a0 + window,
+    * recomputed from the stored first-view anchor). */
+  def eventFunnelWindowedStream(events: Dataset[Event]): Dataset[FunnelReach] =
+    eventFunnelStream(events, Some(
+      graft.operators.CdcOps.FunnelWindowHours * 3600L * 1000000L))
 
   /** The 3-row funnel report over accumulated [[FunnelReach]] rows —
     * same columns and mille arithmetic as `CdcOps.eventFunnel`.
@@ -1206,7 +1215,7 @@ class FirstSeenProcessor
   * and its timestamp is STRICTLY greater (same-instant ties never
   * advance — `CdcOps.eventFunnel`'s pinned rule). Emits the user's
   * post-fold progress once per batch appearance. */
-class FunnelProcessor
+class FunnelProcessor(windowUs: Option[Long] = None)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, FunnelEvent, FunnelReach] {
   import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
@@ -1224,14 +1233,22 @@ class FunnelProcessor
     val steps = graft.operators.CdcOps.FunnelSteps
     var st =
       if (anchors.exists()) anchors.get() else FunnelAnchors(0L, 0L, 0L)
+    // The optional conversion deadline needs NO extra state: it is
+    // first-view + window, recomputed from the stored anchor
+    // (inclusive at the boundary — `CdcOps.eventFunnelWindowed`'s
+    // pinned rule).
+    def inWindow(ts: Long): Boolean =
+      windowUs.forall(w => ts <= st.a0_us + w)
     rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
       if (r.event_type == steps(0)) {
         if (st.a0_us == 0L) st = st.copy(a0_us = r.ts_us)
       } else if (r.event_type == steps(1)) {
-        if (st.a1_us == 0L && st.a0_us != 0L && r.ts_us > st.a0_us)
+        if (st.a1_us == 0L && st.a0_us != 0L && r.ts_us > st.a0_us &&
+          inWindow(r.ts_us))
           st = st.copy(a1_us = r.ts_us)
       } else if (r.event_type == steps(2)) {
-        if (st.a2_us == 0L && st.a1_us != 0L && r.ts_us > st.a1_us)
+        if (st.a2_us == 0L && st.a1_us != 0L && r.ts_us > st.a1_us &&
+          inWindow(r.ts_us))
           st = st.copy(a2_us = r.ts_us)
       }
     }

@@ -1640,6 +1640,79 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("windowed funnel: stream twin equals the deadline-bounded batch " +
+      "operator on an ordered replay; deadline boundary inclusive") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Real corpus first: the deadline genuinely bites there (the
+    // unbounded funnel saturates at sf0.001).
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        org.apache.spark.sql.functions.lit("{}").as("props"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val in = MemoryStream[Event]
+    val q = StreamOps.eventFunnelWindowedStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_reach_w")
+      .outputMode("update").start()
+    try {
+      val cut = evs.length / 2 + 3
+      Seq(evs.take(cut), evs.drop(cut)).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val streamed = StreamOps
+        .funnelReport(spark.table("funnel_reach_w")).collect()
+        .map(r => (r.getInt(0), r.getLong(2)))
+      val batch = graft.operators.CdcOps.eventFunnelWindowed(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq)
+      // The deadline must actually bite relative to the unbounded form.
+      val unbounded = graft.operators.CdcOps.eventFunnel(spark, dir)
+        .collect().map(r => r.getLong(2))
+      assert(batch.map(_._2).sum < unbounded.sum,
+        "deadline did not reduce any funnel stage on the real corpus")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+    // Boundary fixture: click exactly AT first-view + 24h converts
+    // (inclusive <=); one second past does not.
+    val key2 = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key2,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in2 = MemoryStream[Event]
+    val q2 = StreamOps.eventFunnelWindowedStream(in2.toDS())
+      .writeStream.format("memory").queryName("funnel_reach_wb")
+      .outputMode("update").start()
+    try {
+      in2.addData(
+        event(1, "2024-01-01 10:00:00", 40, "view", 1.0),
+        event(2, "2024-01-02 10:00:00", 40, "click", 1.0), // at deadline
+        event(3, "2024-01-01 10:00:00", 41, "view", 1.0),
+        event(4, "2024-01-02 10:00:01", 41, "click", 1.0)) // 1s past
+      q2.processAllAvailable()
+      val reach = spark.table("funnel_reach_wb").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Int]("steps_reached")).toMap
+      assert(reach(40L) == 2, s"inclusive deadline must convert: $reach")
+      assert(reach(41L) == 1, s"past-deadline must not convert: $reach")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key2, v)
+        case None => spark.conf.unset(key2)
+      }
+    }
+  }
+
   test("ordered funnel: anchors survive a stop/restart from the " +
       "checkpoint (RocksDB)") {
     // A restart that lost the anchors would rule user 30's purchase
