@@ -137,6 +137,8 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => CdcOps.eventFunnel(s, d)),
     "event_funnel_windowed" -> ((s, d) =>
       CdcOps.eventFunnelWindowed(s, d)),
+    "funnel_step_latency" -> ((s, d) =>
+      CdcOps.funnelStepLatency(s, d)),
     "cohort_retention" -> ((s, d) => CdcOps.cohortRetention(s, d)),
     "daily_anomaly_zscore" -> ((s, d) => CdcOps.dailyAnomalyZscore(s, d)),
     "mad_outliers" -> ((s, d) => CdcOps.madOutliers(s, d)),
@@ -817,6 +819,8 @@ object SparkEntry {
     "event_funnel" -> CdcOps.eventFunnelOracleSql,
     // Same funnel under the 24h conversion deadline.
     "event_funnel_windowed" -> CdcOps.eventFunnelWindowedOracleSql,
+    // Time-to-convert order statistics per funnel transition.
+    "funnel_step_latency" -> CdcOps.funnelStepLatencyOracleSql,
     "cohort_retention" -> CdcOps.cohortRetentionOracleSql,
     "daily_anomaly_zscore" -> CdcOps.dailyAnomalyZscoreOracleSql,
     "mad_outliers" -> CdcOps.madOutliersOracleSql,

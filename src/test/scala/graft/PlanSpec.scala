@@ -745,7 +745,8 @@ class PlanSpec extends GraftSpec {
         TextOps.lengthQualitySpearman(spark, dir),
         // r14 additions riding the grouped two-phase rank:
         BatchOps.interpPercentilesExact(spark, dir),
-        BatchOps.segmentGini(spark, dir))) {
+        BatchOps.segmentGini(spark, dir),
+        CdcOps.funnelStepLatency(spark, dir))) {
       val plan = executedPlan(df)
       val rogue = singlePartitionConsumers(plan)
         .filterNot(c => c.contains("HashAggregate") ||
