@@ -27,7 +27,13 @@ class ParallelismInvarianceSpec extends GraftSpec {
   private val exemplars = Seq(
     "customer_rollup", "penny_allocation_audit", "salted_join_rollup",
     "dsir_weights", "hilbert_stats", "decile_rank_audit",
-    "quantity_deciles")
+    "quantity_deciles",
+    // r14 grouped two-phase rank consumers: the grouped offsets/base
+    // arithmetic must adapt to ANY partition count (range boundaries
+    // move, per-group ranks and running sums must not), including the
+    // integer percentile interpolation and the union-then-rank shape.
+    "interp_percentiles_exact", "weighted_median_price",
+    "funnel_step_latency")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
