@@ -89,6 +89,7 @@ object SparkEntry {
     "interp_percentiles_exact" -> ((s, d) =>
       BatchOps.interpPercentilesExact(s, d)),
     "segment_gini" -> ((s, d) => BatchOps.segmentGini(s, d)),
+    "segment_lorenz" -> ((s, d) => BatchOps.segmentLorenz(s, d)),
     "above_avg_orders" -> ((s, d) => BatchOps.aboveAvgOrders(s, d)),
     "attribution_linear" -> ((s, d) => CdcOps.attributionLinear(s, d)),
     "segment_counts" -> ((s, d) => BatchOps.segmentCounts(s, d)),
@@ -582,6 +583,8 @@ object SparkEntry {
     "interp_percentiles_exact" -> BatchOps.interpPercentilesExactOracleSql,
     // Per-segment exact closed-form Gini off the grouped rank.
     "segment_gini" -> BatchOps.segmentGiniOracleSql,
+    // Per-segment Lorenz decile points off ONE grouped rank+cumsum pass.
+    "segment_lorenz" -> BatchOps.segmentLorenzOracleSql,
     "above_avg_orders" -> BatchOps.aboveAvgOrdersOracleSql,
     // Linear multi-touch split of the purchase value over lookback clicks.
     "attribution_linear" -> CdcOps.attributionLinearOracleSql,

@@ -2738,6 +2738,85 @@ object BatchOps {
       .orderBy("segment")
   }
 
+  /** Deciles sampled by [[segmentLorenz]] (shared with the oracle). */
+  val LorenzDeciles = 10
+
+  /** LORENZ CURVE POINTS per market segment — [[segmentGini]]'s scalar
+    * unpacked into the curve a pricing review actually plots: at each
+    * population decile d, the share of segment spend held by the
+    * bottom d/10 of customers, as an exact mille (cum spend at the
+    * ceil(d·n/10)-th customer ÷ segment total, floor-div — zero
+    * floats). Reads "the bottom half of BUILDING customers hold 21% of
+    * its spend" directly; the d=10 row is 1000 by construction (a
+    * built-in conservation check).
+    *
+    * Scale: ONE [[GlobalRank.withGroupedRowNumberAndRunningSum]]
+    * compound-order two-phase pass carries BOTH the per-segment rank
+    * and the per-segment cumulative spend (segment is a 5-value enum
+    * over customer grain); the decile boundary spine is segments ×
+    * [[LorenzDeciles]] rows, broadcast-joined on the dense rank. */
+  def segmentLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_custkey"), col("spend_c"))
+    val ranked = GlobalRank.withGroupedRowNumberAndRunningSum(spend,
+      "rn", "spend_c", "cum_c", Seq(col("segment")),
+      Seq(col("spend_c"), col("o_custkey")))
+    val tot = spend.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("spend_c")).as("total_c"))
+    val spine = tot
+      .crossJoin(spark.createDataFrame(
+        (1 to LorenzDeciles).map(Tuple1(_))).toDF("decile"))
+      .withColumn("pos", expr(s"(decile * n + ${LorenzDeciles - 1}) " +
+        s"div $LorenzDeciles"))
+      .select(col("segment"), col("decile"), col("pos"), col("n"),
+        col("total_c"))
+    ranked
+      .join(broadcast(spine),
+        ranked("segment") === spine("segment") &&
+          col("rn") === col("pos"))
+      .select(spine("segment").as("segment"), col("decile"), col("pos"),
+        col("n").as("n_customers"), col("cum_c"), col("total_c"))
+      .withColumn("cum_share_mille",
+        expr("(cum_c * 1000) div total_c"))
+      .orderBy("segment", "decile")
+  }
+
+  /** DuckDB oracle for [[segmentLorenz]] — same compound rank order,
+    * same ceil boundary, same floor mille. */
+  private[graft] def segmentLorenzOracleSql: String =
+    s"""WITH sp AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS spend_c
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT segment, spend_c,
+       |    CAST(row_number() OVER w AS BIGINT) AS rn,
+       |    CAST(sum(spend_c) OVER (PARTITION BY segment
+       |      ORDER BY spend_c, o_custkey
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+       |    CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n,
+       |    CAST(sum(spend_c) OVER (PARTITION BY segment) AS BIGINT)
+       |      AS total_c
+       |  FROM sp
+       |  WINDOW w AS (PARTITION BY segment ORDER BY spend_c, o_custkey)),
+       |d AS (SELECT unnest(generate_series(1, $LorenzDeciles)) AS decile)
+       |SELECT r.segment, CAST(d.decile AS INT) AS decile,
+       |  (d.decile * r.n + ${LorenzDeciles - 1}) // $LorenzDeciles
+       |    AS pos,
+       |  r.n AS n_customers, r.cum_c, r.total_c,
+       |  (r.cum_c * 1000) // r.total_c AS cum_share_mille
+       |FROM r JOIN d
+       |  ON r.rn = (d.decile * r.n + ${LorenzDeciles - 1})
+       |    // $LorenzDeciles
+       |ORDER BY r.segment, decile""".stripMargin
+
   /** DuckDB oracle for [[segmentGini]] — same per-segment rank order,
     * same HUGEINT closed form. */
   private[graft] def segmentGiniOracleSql: String =

@@ -746,6 +746,7 @@ class PlanSpec extends GraftSpec {
         // r14 additions riding the grouped two-phase rank:
         BatchOps.interpPercentilesExact(spark, dir),
         BatchOps.segmentGini(spark, dir),
+        BatchOps.segmentLorenz(spark, dir),
         CdcOps.funnelStepLatency(spark, dir))) {
       val plan = executedPlan(df)
       val rogue = singlePartitionConsumers(plan)
