@@ -106,10 +106,39 @@ object Bench {
         .filter(_.getName.startsWith("CodeHeap"))
         .map(_.getUsage.getUsed).sum / 1e6
     }
+    // Prior-run per-query medians + memo populate times, read from the
+    // PREVIOUS bench_line.json before this run overwrites it. This is
+    // the baseline for the suite-vs-isolated attribution phase below
+    // (r14 verdict order #2): the committed bench_line.json at driver
+    // time is the builder's quiet-box close, so the driver's numbers
+    // get attributed against exactly the reference the judge compared
+    // by hand in r14 (242 s driver vs 202 s close).
+    val (priorQ, priorM): (Map[String, Double], Map[String, Double]) =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("bench_line.json"))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(txt)
+        def toMap(field: String): Map[String, Double] = {
+          val n = root.path(field)
+          import scala.jdk.CollectionConverters._
+          if (n.isObject)
+            n.properties().asScala
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          else Map.empty
+        }
+        (toMap("queries"), toMap("memo_populate"))
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
+    // memo name → the query whose warmup populated it, discovered by
+    // diffing Memos.populateSeconds keys after each query — rot-proof
+    // (no hand-kept mapping) and exactly what the isolated memo
+    // re-population phase needs to re-trigger a flagged memo.
+    val memoOwner = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     selected.toSeq.zipWithIndex.foreach { case ((name, fn), qIdx) =>
+      val memoKeysBefore = Memos.populateSeconds.keySet
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       try {
         // One untimed warmup execution: the first run of a heavy-codegen
@@ -182,7 +211,10 @@ object Bench {
         // both first-run effects), which otherwise drowns the
         // interference signal max/min exists to expose.
         firstRun(name) = runs.head
-        val steady = runs.tail.sorted
+        // Guard against a single-timed-run configuration (RUNS lowered
+        // to 1 or a future early-exit): runs.tail would be empty and
+        // steady.head would throw AFTER the timing loop succeeded.
+        val steady = if (runs.length > 1) runs.tail.sorted else runs.sorted
         lo(name) = steady.head
         hi(name) = steady.last
         // Execution order preserved (not sorted): bimodality across the
@@ -213,6 +245,8 @@ object Bench {
           ManagementFactory.getCompilationMXBean.getTotalCompilationTime / 1e3
         classesK(name) =
           ManagementFactory.getClassLoadingMXBean.getLoadedClassCount / 1e3
+        (Memos.populateSeconds.keySet -- memoKeysBefore)
+          .foreach(m => memoOwner.getOrElseUpdate(m, name))
       }
     }
     // End-of-suite SENTINEL re-runs: the direct discriminator between
@@ -235,9 +269,14 @@ object Bench {
       // (1.03 s, runs [1.01, 1.03, 1.04]) vs isolated 0.73 s is the
       // suite-context-inflation signature, not a plan change — the
       // sentinel re-run is the standing discriminator for it.
+      // neardup_jaccard_prefix joined in r15: its self-join front is now
+      // localCheckpointed (the r14 verdict's lead order) and the
+      // sentinel watches that the 3× run scatter the r14 driver bench
+      // recorded ([3.3, 10.1, 6.1]) stays gone.
       val sentinels = sys.env.getOrElse("SPARK_GRAFT_SENTINELS",
           "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks," +
-            "simhash_pairs,minhash_calibration,ann_rp_multiprobe_top1")
+            "simhash_pairs,minhash_calibration,ann_rp_multiprobe_top1," +
+            "neardup_jaccard_prefix")
         .split(",").map(_.trim).filter(_.nonEmpty)
       sentinels.foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
@@ -257,6 +296,63 @@ object Bench {
         }
       }
     }
+    // Suite-vs-isolated attribution (r14 verdict orders #2 and #5): the
+    // r14 driver bench inflated untouched operators +20-60% and
+    // adjudicating plan-regression vs box-contention took the judge an
+    // independent re-measurement. This phase makes the bench
+    // self-attributing: take the N=10 entries (queries AND memo
+    // populates) with the largest positive delta vs the prior committed
+    // bench_line.json, re-run each ISOLATED at end of suite (post-GC,
+    // fresh position), and emit a `suite_vs_isolated` map — isolated ≈
+    // prior means position/contention inflation; isolated ≈ suite means
+    // a real plan/code regression. Query re-runs happen BEFORE the memo
+    // phase so they measure the same reuse-path shape as the suite;
+    // flagged memos then re-populate from a cold [[Memos.clearAll]]
+    // state via their sweep-discovered owner queries.
+    val suiteMemoPop = Memos.populateSeconds
+    val sviAttr =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    if (args.isEmpty && (priorQ.nonEmpty || priorM.nonEmpty)) {
+      val qDeltas = med.toSeq.flatMap { case (n, v) =>
+        priorQ.get(n).map(p => (n, v, p, v - p)) }
+      val mDeltas = suiteMemoPop.toSeq.flatMap { case (n, v) =>
+        priorM.get(n).map(p => (n, v, p, v - p)) }
+      val top = (qDeltas.map(("q", _)) ++ mDeltas.map(("m", _)))
+        .filter(_._2._4 > 0).sortBy(-_._2._4).take(10)
+      top.collect { case ("q", (n, suite, prior, _)) =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try {
+            val runs = scala.collection.mutable.ArrayBuffer[Double]()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            System.gc(); Thread.sleep(500)
+            (1 to RUNS).foreach { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              runs += (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache(); System.gc()
+            }
+            sviAttr(n) = (suite, runs.sorted.apply(runs.length / 2), prior)
+          } catch { case _: Throwable => () }
+        }
+      }
+      val memoTargets = top.collect { case ("m", d) => d }
+      if (memoTargets.nonEmpty) {
+        Memos.clearAll()
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(500)
+        memoTargets.flatMap(d => memoOwner.get(d._1)).distinct.foreach { qn =>
+          SparkEntry.queries.get(qn).foreach { fn =>
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            spark.catalog.clearCache(); System.gc()
+          }
+        }
+        val iso = Memos.populateSeconds
+        memoTargets.foreach { case (n, suite, prior, _) =>
+          iso.get(n).foreach(i => sviAttr(n) = (suite, i, prior)) }
+      }
+    }
     def jmap(m: scala.collection.Map[String, Double],
              fmt: Double => String): String =
       m.map { case (k, v) => s""""${esc(k)}":${fmt(v)}""" }
@@ -269,6 +365,9 @@ object Bench {
       jmap(m, ms3)
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
+    val sviJson = sviAttr.map { case (k, (s, i, p)) =>
+      s""""${esc(k)}":{"suite":${ms3(s)},"isolated":${ms3(i)},"prior":${ms3(p)}}"""
+    }.mkString("{", ",", "}")
     // Session-memo cold-path cost (r10 verdict item: the memos populate
     // during UNTIMED warmups, so without this the dedup-family and
     // trained-ANN totals silently excluded the candidates→verify→CC /
@@ -277,7 +376,7 @@ object Bench {
     // production shape — Pipeline.scala shares the same intermediates)
     // while the bench total carries the true end-to-end cost once.
     val memoPop = scala.collection.immutable.SortedMap[String, Double]() ++
-      Memos.populateSeconds
+      suiteMemoPop
     val memoTotal = memoPop.values.sum
     val total = med.values.sum + memoTotal
     val line =
@@ -286,7 +385,7 @@ object Bench {
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"suite_vs_isolated":$sviJson,"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // Compact trailer, printed LAST: every round so far recorded
     // `parsed: null` because the driver keeps only the final ~2000
@@ -296,7 +395,7 @@ object Bench {
     // always ends with one complete, parseable JSON object. Per-query
     // medians live in bench_line.json (committed) either way.
     println(
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"sentinel_end":${short(sentinelEnd)},"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"sentinel_end":${short(sentinelEnd)},"suite_vs_isolated":$sviJson,"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")
     catch { case _: Throwable => () }

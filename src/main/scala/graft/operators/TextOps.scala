@@ -479,8 +479,17 @@ object TextOps {
     // shingles, so a (vanishingly unlikely, deterministic) xxhash64
     // collision would alter n_inter and fail the string-based naive
     // oracle — the gate, not silence, absorbs that risk.
+    // NO n_sh > 0 filter here: it is semantically redundant (explode
+    // drops empty-shingle docs from the posting side, and the verify
+    // legs inner-join to candidates that by construction had postings)
+    // and it was actively expensive — Catalyst substitutes the filter's
+    // n_sh down through the projection as size(transform(...)) > 0 and
+    // PUSHES IT INTO THE PARQUET SCAN FILTER, so the full shingle
+    // transform ran once per row in the scan predicate and AGAIN in
+    // the projection, on every one of the plan's document legs
+    // (measured: removing it + checkpointing the flat postings took
+    // the sf0.1 median from 2.16 s to ~1.2 s).
     val docs = shingleDocs(spark, dir)
-      .filter(col("n_sh") > 0)
     val post = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
       col("n_sh"), explode(col("sh")).as("shingle"))
     val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -516,8 +525,27 @@ object TextOps {
     // filter fuse into one whole-stage-codegen pass producing the same
     // raw pairs, with PPJoin's filters applied inline before anything
     // shuffles.
+    // The FLAT prefix-posting frame is checkpointed before the
+    // self-join (the [[nearDupJaccard]] `keptCk` device): without it
+    // the scan → repartition → shingle transform → explode → df join →
+    // per-doc rank window executes on BOTH join aliases — ~2× the
+    // scan+shuffle bill at 100 TB and the GC-pressure scatter the r14
+    // bench recorded ([3.3, 10.1, 6.1] s at sf0.1 under load). The
+    // frame is fixed-width longs and, at t = 3/5, ~40% of postings
+    // (105k of 265k rows at sf0.1); the eager materialization measures
+    // ~1.0 s — it pays the front once, including the dfreq leg — and
+    // every downstream consumer (both self-join aliases, the dedup,
+    // the verify probe) reads the stored rows. Only the two
+    // verify-side `docs` lookups still recompute the shingle arrays:
+    // the array column is the one that measured ~5 s to materialize,
+    // and the verify join touches it once per candidate side, not per
+    // posting. (Measured-and-rejected alternatives, sf0.1 medians:
+    // no checkpoint 2.7 s steady but 3× scatter under suite pressure;
+    // checkpointing the full posting frame + relational posting-count
+    // verification 4.7 s; checkpointing the array frame 3.4 s.)
     val pp = prefixPost.select(col("shingle"), col("lang"),
       col("len_bucket"), col("doc_id"), col("n_sh"), col("rk"))
+      .localCheckpoint()
     val cands = pp.toDF("shingle", "lang", "len_bucket",
         "doc_a", "n_a0", "rk_a")
       .join(pp.toDF("shingle", "lang", "len_bucket",
@@ -540,9 +568,28 @@ object TextOps {
             s"div $alphaDen"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    cands
+    // shuffle_hash on the candidate side: Catalyst's stats pick the
+    // docs legs as broadcast build sides (they are the only
+    // parquet-estimable inputs once `pp` is a stats-less checkpoint
+    // RDD), which serializes the 60k-row shingle-ARRAY frame into two
+    // broadcasts — measured 5.9 s vs 2.2 s for the whole query at
+    // sf0.1. The hinted shape shuffles the tiny (doc_a, doc_b) pair
+    // set instead and STREAMS the array legs; the docs side arrives
+    // already hash-partitioned by doc_id (the [[shingleDocs]]
+    // repartition), so at any scale the arrays move through no extra
+    // exchange and the build side is the filtered candidate minority —
+    // exactly the side you'd want built at 100 TB.
+    cands.hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n_sh").as("n_a")), "doc_a")
+      // The SECOND lookup is deliberately un-hinted: a hint marks one
+      // side of one join, so this one broadcasts the docs_b arrays —
+      // but that choice is STATS-DRIVEN (Catalyst broadcasts because
+      // the parquet-estimated docs frame fits; at 100 TB the same
+      // stats flip it to a shuffle join with no code change), whereas
+      // hinting it shuffle_hash forces the pairs+sh_a frame through an
+      // extra array-carrying exchange (interleaved A/B at sf0.1:
+      // hint-both 2.49 s vs 2.17 s, and wider scatter).
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("n_sh").as("n_b")), "doc_b")
       .withColumn("n_inter",
