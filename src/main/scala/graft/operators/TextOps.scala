@@ -4964,16 +4964,7 @@ object TextOps {
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     for (_ <- 1 to LpaRounds) {
-      val nbr = edges
-        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy(col("src"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("src")
-        .orderBy(col("c").desc, col("lbl").asc)
-      labels = nbr.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("lbl"))
-        .localCheckpoint()
+      labels = lpaStep(edges, labels).localCheckpoint()
     }
     val sizes = labels.groupBy("lbl")
       .agg(count(lit(1)).as("community_size"))
@@ -4981,6 +4972,26 @@ object TextOps {
       .select(col("node").as("doc_id"), col("lbl").as("community"),
         col("community_size"))
       .orderBy("doc_id")
+  }
+
+  /** One LPA propagation round: each node adopts its neighbors'
+    * majority label (count desc, label asc tie-break). Factored out
+    * UN-checkpointed so the per-round executed plan is assertable —
+    * inside [[lpaCommunities]] every round ends in a localCheckpoint,
+    * so the returned query's plan can never show the round's
+    * operators, and the rank-capped (rn = 1 → WindowGroupLimit) claim
+    * in WindowGateSpec's allowlist would otherwise be unverifiable. */
+  private[graft] def lpaStep(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val nbr = edges
+      .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+      .groupBy(col("src"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("c").desc, col("lbl").asc)
+    nbr.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src").as("node"), col("lbl"))
   }
 
   /** DuckDB oracle for [[lpaCommunities]] — the capped-pair CTE chain

@@ -147,25 +147,77 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
 
-  test("bucket caps run as pre-aggregate rank limits, not post-collect slices") {
-    // The LSH-family membership caps must compile to WindowGroupLimit
-    // (≤ cap rows per bucket kept on the MAP side, before the shuffle) —
-    // reverting to slice(collect_list(...)) would re-materialize a
-    // degenerate bucket's full membership in one aggregation buffer.
-    // The list backs WindowGateSpec's "rank-capped" allowlist
-    // annotations: every keyed window justified there by a
-    // WindowGroupLimit cap is plan-asserted here (or in its own test
-    // above), so the annotation can't silently rot.
-    for (df <- Seq(graft.operators.TextOps.minhashCandidatesUncached(spark, dir),
-                   graft.operators.TextOps.stratifiedSample(spark, dir),
-                   graft.operators.VectorOps.annIvfTop1(spark, dir),
-                   graft.operators.TextOps.zipfSlope(spark, dir),
-                   graft.operators.VectorOps.labelCohesion(spark, dir),
-                   graft.operators.VectorOps.embeddingOutliers(spark, dir),
-                   graft.operators.BatchOps.trendingParts7d(spark, dir))) {
-      val plan = executedPlan(df)
-      assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  test("every rank-capped keyed-allowlist annotation compiles to WindowGroupLimit") {
+    // DERIVED from WindowGateSpec.keyedAllowlist (r14 audit order #3):
+    // any entry whose justification cites a WindowGroupLimit cap (≤ cap
+    // rows per group forwarded on the MAP side, before the exchange —
+    // reverting to slice(collect_list(...)) or a plain post-window
+    // filter would re-materialize a degenerate group's full membership)
+    // must have a builder here AND its executed plan must actually
+    // contain the operator. A new rank-capped annotation without a
+    // builder fails immediately; an optimizer/operator change that
+    // stops producing WindowGroupLimit fails the plan assert — the
+    // annotation can no longer rot in either direction.
+    val rankCapped = WindowGateSpec.keyedAllowlist
+      .filter(_._2.contains("WindowGroupLimit")).keySet
+    val builders: Map[(String, String), () => DataFrame] = Map(
+      ("BatchOps.scala", "trendingParts7d") ->
+        (() => BatchOps.trendingParts7d(spark, dir)),
+      ("CdcOps.scala", "kmvDistinct") ->
+        (() => CdcOps.kmvDistinct(spark, dir)),
+      ("CdcOps.scala", "kmvOverlap") ->
+        (() => CdcOps.kmvOverlap(spark, dir)),
+      ("TextOps.scala", "bm25TopK") ->
+        (() => TextOps.bm25TopK(spark, dir)),
+      ("TextOps.scala", "lpaStep") ->
+        (() => {
+          // one un-checkpointed propagation round over the real edge
+          // set — the shape every checkpointed round of lpaCommunities
+          // executes.
+          val edges = TextOps.kcoreEdges(spark, dir)
+          val l0 = edges.select(org.apache.spark.sql.functions.col("src")
+              .as("node"))
+            .distinct()
+            .withColumn("lbl", org.apache.spark.sql.functions.col("node"))
+          TextOps.lpaStep(edges, l0)
+        }),
+      ("TextOps.scala", "stratifiedSample") ->
+        (() => TextOps.stratifiedSample(spark, dir)),
+      ("TextOps.scala", "tfidfTopK") ->
+        (() => TextOps.tfidfTopK(spark, dir)),
+      ("TextOps.scala", "zipfSlope") ->
+        (() => TextOps.zipfSlope(spark, dir)),
+      ("VectorOps.scala", "annIvfTop1") ->
+        (() => VectorOps.annIvfTop1(spark, dir)),
+      ("VectorOps.scala", "annIvfTrainedTop1Iter") ->
+        (() => VectorOps.annIvfTrainedTop1Iter(spark, dir, 1)),
+      ("VectorOps.scala", "clusterSample") ->
+        (() => VectorOps.clusterSample(spark, dir)),
+      ("VectorOps.scala", "embeddingOutliers") ->
+        (() => VectorOps.embeddingOutliers(spark, dir)),
+      ("VectorOps.scala", "labelCohesion") ->
+        (() => VectorOps.labelCohesion(spark, dir)),
+      ("VectorOps.scala", "pqAdcScored") ->
+        (() => VectorOps.pqAdcScored(spark, dir)))
+    val unmapped = rankCapped.diff(builders.keySet)
+    assert(unmapped.isEmpty,
+      s"rank-capped annotation(s) without a plan-assert builder: $unmapped")
+    rankCapped.toSeq.sortBy(_.toString()).foreach { site =>
+      val plan = executedPlan(builders(site)())
+      assert(plan.contains("WindowGroupLimit"),
+        s"$site is annotated rank-capped but its executed plan has no " +
+          s"WindowGroupLimit:\n$plan")
     }
+  }
+
+  test("minhash bucket caps run as pre-aggregate rank limits") {
+    // Not WindowGroupLimit-ANNOTATED in the gate (its key is
+    // data-grain), but the membership cap still must compile to one —
+    // a degenerate band bucket otherwise materializes whole in an
+    // aggregation buffer.
+    val plan =
+      executedPlan(TextOps.minhashCandidatesUncached(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
 
   test("split assignment is shuffle-free up to the output sort") {
