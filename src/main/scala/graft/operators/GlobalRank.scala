@@ -212,7 +212,14 @@ object GlobalRank {
     * using-join would silently DROP rows whose group key is NULL,
     * whereas the keyed window these helpers replace treats NULL as its
     * own partition. The base keys ride in under renamed columns so the
-    * join condition is unambiguous, then drop. */
+    * join condition is unambiguous, then drop.
+    *
+    * The broadcast-small contract (group cardinality bounded by an
+    * enum / value domain / config, NEVER a data-grain id) is ENFORCED
+    * structurally: WindowGateSpec scans every `GlobalRank.withGrouped*`
+    * call site in the main tree against an allowlist annotated with
+    * each key's cardinality bound — an unannotated call site fails the
+    * build, so a data-grain key can't reach this broadcast silently. */
   private def joinGroupBase(ranked: DataFrame, base: DataFrame,
       groupNames: Seq[String]): DataFrame = {
     val renamed = groupNames.foldLeft(base) { (b, n) =>

@@ -33,7 +33,13 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // move, per-group ranks and running sums must not), including the
     // integer percentile interpolation and the union-then-rank shape.
     "interp_percentiles_exact", "weighted_median_price",
-    "funnel_step_latency")
+    "funnel_step_latency",
+    // r15: the grouped combined rank+cumsum pass JOINED BACK to a
+    // broadcast position spine (Lorenz decile points) and the
+    // DECIMAL(38) Gini numerators — the spine-join consumer shape the
+    // exemplars above don't exercise (a rank that shifted with the
+    // partition count would land on a different spine row).
+    "segment_lorenz", "segment_gini")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

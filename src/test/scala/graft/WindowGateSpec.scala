@@ -259,6 +259,49 @@ class WindowGateSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"stale allowlist entries (site removed): $stale")
   }
 
+  /** (file, enclosing def) → the group-key cardinality bound that makes
+    * [[graft.operators.GlobalRank]]'s GROUPED helpers sound at that
+    * site. The helpers broadcast a one-row-per-group base frame
+    * (`joinGroupBase`), so they are only correct at scale when group
+    * cardinality is bounded by an enum / value domain / config — a
+    * data-grain key (user_id, doc_id) builds a data-scaled broadcast
+    * that melts the driver at 100 TB while passing silently at sf0.1. */
+  private val groupedRankAllowlist: Map[(String, String), String] = Map(
+    ("BatchOps.scala", "decileRankAudit") ->
+      "o_orderpriority enum: 5 groups",
+    ("BatchOps.scala", "windowFrameAudit") ->
+      "o_orderpriority enum: 5 groups",
+    ("BatchOps.scala", "interpPercentilesExact") ->
+      "l_returnflag enum: 3 groups",
+    ("BatchOps.scala", "segmentGini") -> "c_mktsegment enum: 5 groups",
+    ("BatchOps.scala", "segmentLorenz") -> "c_mktsegment enum: 5 groups",
+    ("BatchOps.scala", "weightedMedianPrice") ->
+      "l_returnflag enum: 3 groups",
+    ("BatchOps.scala", "shippingLatency") ->
+      "o_orderpriority enum: 5 groups",
+    ("BatchOps.scala", "customerMigrationMatrix") ->
+      "half enum: 2 groups",
+    ("CdcOps.scala", "funnelStepLatency") ->
+      "funnel-step enum: 3 groups",
+    ("CdcOps.scala", "winsorizedStats") ->
+      "event_type enum: value-domain groups",
+    ("CdcOps.scala", "cdcGapDetectionOf") ->
+      "dispatch-target enum: |routed tables| groups",
+    ("TextOps.scala", "lengthQualitySpearman") ->
+      "source enum: value-domain groups",
+    ("TextOps.scala", "qualityCalibration") ->
+      "(source, n_chars): value-domain x value-domain groups",
+    ("TextOps.scala", "epochShuffleAudit") -> "EpochCount = 3 groups")
+
+  test("every GlobalRank grouped-helper call site is allowlisted with a group-cardinality bound") {
+    // Same annotate-or-fail discipline as the window gates (r14 audit
+    // order #4): a new withGrouped* call anywhere fails this test until
+    // its key's data-independent cardinality bound is argued here.
+    gate(scanSites("""GlobalRank\s*\.\s*withGrouped""".r),
+      groupedRankAllowlist.keySet,
+      "GlobalRank grouped-helper call site(s)")
+  }
+
   test("every unpartitioned window site is allowlisted with a cardinality bound") {
     val pat = ("""Window\s*\.\s*(orderBy|rowsBetween)""" +
       """|Window\s*\.\s*partitionBy\(\s*(lit\(|\))""").r
