@@ -2726,7 +2726,14 @@ object BatchOps {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend_c")).as("total_c"),
         sum(col("rank") * col("spend_c")).as("s1"))
-      .join(broadcast(top), Seq("segment"))
+      // LEFT join + coalesce: a segment with fewer than 10 customers
+      // has n div 10 = 0 → an EMPTY top-decile frame; an inner join
+      // would silently drop the whole segment from the output instead
+      // of reporting top_decile_c = 0 (r14 advisory). No such segment
+      // exists in the TPC-H-shaped data, so the oracle mirrors the
+      // same left join rather than masking it.
+      .join(broadcast(top), Seq("segment"), "left")
+      .withColumn("top_decile_c", coalesce(col("top_decile_c"), lit(0L)))
       .withColumn("gini_mille",
         expr("((2 * CAST(s1 AS DECIMAL(38,0)) - (n_customers + 1) * " +
           "CAST(total_c AS DECIMAL(38,0))) * 1000) div " +
@@ -2840,13 +2847,15 @@ object BatchOps {
        |d AS (
        |  SELECT segment, CAST(sum(spend_c) AS BIGINT) AS top_decile_c
        |  FROM r WHERE rank > n - n // 10 GROUP BY 1)
-       |SELECT a.segment, a.n_customers, a.total_c, d.top_decile_c,
-       |  d.top_decile_c * 1000 // a.total_c AS top_decile_share_mille,
+       |SELECT a.segment, a.n_customers, a.total_c,
+       |  CAST(coalesce(d.top_decile_c, 0) AS BIGINT) AS top_decile_c,
+       |  coalesce(d.top_decile_c, 0) * 1000 // a.total_c
+       |    AS top_decile_share_mille,
        |  CAST(((2 * CAST(a.s1 AS HUGEINT) - (a.n_customers + 1) *
        |    CAST(a.total_c AS HUGEINT)) * 1000) //
        |    (a.n_customers * CAST(a.total_c AS HUGEINT)) AS BIGINT)
        |    AS gini_mille
-       |FROM a JOIN d ON a.segment = d.segment
+       |FROM a LEFT JOIN d ON a.segment = d.segment
        |ORDER BY a.segment""".stripMargin
 
   /** Orders above their OWN customer's average — the correlated-

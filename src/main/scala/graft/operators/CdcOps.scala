@@ -1393,8 +1393,12 @@ object CdcOps {
     * who advanced a funnel step, the time from the previous anchor to
     * the advancing event (first view → first qualifying click, that
     * click → first qualifying purchase), summarized per transition as
-    * exact-millis ORDER-STATISTIC picks (min / median / p90 / max —
-    * never interpolated, the [[eventFunnel]] anchors re-used verbatim).
+    * exact-MICROSECOND ORDER-STATISTIC picks (min / median / p90 /
+    * max — never interpolated). Anchors recompute at the SAME
+    * microsecond grain and strict `>` as the [[eventFunnel]] twins, so
+    * sub-millisecond-separated events qualify identically in both
+    * operators (an earlier millisecond-grain anchor here could admit a
+    * same-millisecond successor the funnel rejects).
     * "30% convert" and "the median converter takes 9 hours" are the
     * two numbers a growth team reads together.
     *
@@ -1409,41 +1413,41 @@ object CdcOps {
   def funnelStepLatency(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
+        unix_micros(col("ts")).as("ts_us"))
     val a0 = ev.filter(col("event_type") === FunnelSteps(0))
-      .groupBy("user_id").agg(min(col("ts_ms")).as("t0"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t0"))
       .localCheckpoint()
     val a1 = ev.filter(col("event_type") === FunnelSteps(1))
       .join(a0, Seq("user_id"))
-      .filter(col("ts_ms") > col("t0"))
-      .groupBy("user_id").agg(min(col("ts_ms")).as("t1"),
+      .filter(col("ts_us") > col("t0"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"),
         max(col("t0")).as("t0"))
       .localCheckpoint()
     val a2 = ev.filter(col("event_type") === FunnelSteps(2))
       .join(a1.select(col("user_id"), col("t1")), Seq("user_id"))
-      .filter(col("ts_ms") > col("t1"))
-      .groupBy("user_id").agg(min(col("ts_ms")).as("t2"),
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"),
         max(col("t1")).as("t1"))
     val lats = a1
       .select(lit(2).as("step"),
         lit(s"${FunnelSteps(0)}>${FunnelSteps(1)}").as("transition"),
-        col("user_id"), (col("t1") - col("t0")).as("lat_ms"))
+        col("user_id"), (col("t1") - col("t0")).as("lat_us"))
       .unionByName(a2.select(lit(3).as("step"),
         lit(s"${FunnelSteps(1)}>${FunnelSteps(2)}").as("transition"),
-        col("user_id"), (col("t2") - col("t1")).as("lat_ms")))
+        col("user_id"), (col("t2") - col("t1")).as("lat_us")))
     val ranked = GlobalRank.withGroupedRowNumber(lats, "rn",
-      Seq(col("step")), Seq(col("lat_ms"), col("user_id")))
+      Seq(col("step")), Seq(col("lat_us"), col("user_id")))
     val counts = lats.groupBy("step").agg(count(lit(1)).as("n"))
     ranked.join(broadcast(counts), Seq("step"))
       .groupBy("step")
       .agg(max(col("transition")).as("transition"),
         max(col("n")).as("n_users"),
-        min(col("lat_ms")).as("min_ms"),
-        min(when(col("rn") === expr("(n + 1) div 2"), col("lat_ms")))
-          .as("median_ms"),
+        min(col("lat_us")).as("min_us"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("lat_us")))
+          .as("median_us"),
         min(when(col("rn") === expr("(9 * n + 9) div 10"),
-          col("lat_ms"))).as("p90_ms"),
-        max(col("lat_ms")).as("max_ms"))
+          col("lat_us"))).as("p90_us"),
+        max(col("lat_us")).as("max_us"))
       .orderBy("step")
   }
 
@@ -1452,38 +1456,38 @@ object CdcOps {
   private[graft] def funnelStepLatencyOracleSql: String = {
     val Seq(s1, s2, s3) = FunnelSteps
     s"""WITH e AS (
-       |  SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT)
-       |    AS ts_ms FROM events),
+       |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT)
+       |    AS ts_us FROM events),
        |a AS (
-       |  SELECT user_id, min(ts_ms) AS t0 FROM e
+       |  SELECT user_id, min(ts_us) AS t0 FROM e
        |  WHERE event_type = '$s1' GROUP BY 1),
        |b AS (
-       |  SELECT e.user_id, min(e.ts_ms) AS t1, min(a.t0) AS t0
+       |  SELECT e.user_id, min(e.ts_us) AS t1, min(a.t0) AS t0
        |  FROM e JOIN a ON e.user_id = a.user_id
-       |  WHERE e.event_type = '$s2' AND e.ts_ms > a.t0 GROUP BY 1),
+       |  WHERE e.event_type = '$s2' AND e.ts_us > a.t0 GROUP BY 1),
        |c AS (
-       |  SELECT e.user_id, min(e.ts_ms) AS t2, min(b.t1) AS t1
+       |  SELECT e.user_id, min(e.ts_us) AS t2, min(b.t1) AS t1
        |  FROM e JOIN b ON e.user_id = b.user_id
-       |  WHERE e.event_type = '$s3' AND e.ts_ms > b.t1 GROUP BY 1),
+       |  WHERE e.event_type = '$s3' AND e.ts_us > b.t1 GROUP BY 1),
        |l AS (
        |  SELECT 2 AS step, '$s1>$s2' AS transition, user_id,
-       |    t1 - t0 AS lat_ms FROM b
+       |    t1 - t0 AS lat_us FROM b
        |  UNION ALL
        |  SELECT 3, '$s2>$s3', user_id, t2 - t1 FROM c),
        |r AS (
-       |  SELECT step, transition, lat_ms,
+       |  SELECT step, transition, lat_us,
        |    CAST(row_number() OVER (PARTITION BY step
-       |      ORDER BY lat_ms, user_id) AS BIGINT) AS rn,
+       |      ORDER BY lat_us, user_id) AS BIGINT) AS rn,
        |    CAST(count(*) OVER (PARTITION BY step) AS BIGINT) AS n
        |  FROM l)
        |SELECT step, min(transition) AS transition,
        |  CAST(min(n) AS BIGINT) AS n_users,
-       |  CAST(min(lat_ms) AS BIGINT) AS min_ms,
-       |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN lat_ms END)
-       |    AS BIGINT) AS median_ms,
-       |  CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_ms END)
-       |    AS BIGINT) AS p90_ms,
-       |  CAST(max(lat_ms) AS BIGINT) AS max_ms
+       |  CAST(min(lat_us) AS BIGINT) AS min_us,
+       |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN lat_us END)
+       |    AS BIGINT) AS median_us,
+       |  CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_us END)
+       |    AS BIGINT) AS p90_us,
+       |  CAST(max(lat_us) AS BIGINT) AS max_us
        |FROM r GROUP BY step ORDER BY step""".stripMargin
   }
 

@@ -2048,7 +2048,13 @@ object TextOps {
     * the total) instead of once per consumer. The DuckDB oracle
     * ([[nearDupJaccardCappedOracleSql]]) stays the independently
     * derived relational df-cut form — what is shared is the Spark-side
-    * frame, not the check. */
+    * frame, not the check.
+    *
+    * BENCH NOTE (memo-backed since r14): this query's recorded
+    * per-query time measures a checkpoint SCAN (~0.07 s at sf0.1); the
+    * pipeline cost it used to carry (~2.5 s in r13) now appears as the
+    * `neardup_pairs` entry of `memo_populate`. Round-over-round
+    * comparisons of this query must read the two together. */
   def nearDupJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     nearDupPairsCore(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),

@@ -1237,20 +1237,59 @@ class FunnelProcessor(windowUs: Option[Long] = None)
     // first-view + window, recomputed from the stored anchor
     // (inclusive at the boundary — `CdcOps.eventFunnelWindowed`'s
     // pinned rule).
-    def inWindow(ts: Long): Boolean =
-      windowUs.forall(w => ts <= st.a0_us + w)
-    rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+    def inWindow(a0: Long, ts: Long): Boolean =
+      windowUs.forall(w => ts <= a0 + w)
+    // ONE pass over the batch slice, no sort, no row buffer: because
+    // anchors only ever advance to the MINIMUM qualifying timestamp
+    // (strict > the predecessor, monotone), processing in timestamp
+    // order is equivalent to resolving, per step, min{ts > final
+    // predecessor anchor} — so a step whose predecessor anchor is
+    // already FIXED at batch entry folds to a running min online
+    // (its qualifying predicate is a constant), and only a step whose
+    // predecessor may still advance WITHIN this batch must buffer its
+    // bare timestamps (the chained minimum needs the predecessor's
+    // final value). Memory bound, explicit: O(1) per key once a0 and
+    // a1 are set (the steady state of every converted or converting
+    // user — nothing is ever buffered again); for a user whose chain
+    // is still open, at most that user's step-1/step-2 LONGS in the
+    // batch slice — the same worst case the old full sort had, minus
+    // the event-id/type payloads and the sort itself.
+    val a0Fixed = st.a0_us != 0L
+    val a1Fixed = st.a1_us != 0L
+    var m0 = Long.MaxValue; var m1 = Long.MaxValue; var m2 = Long.MaxValue
+    val buf1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rows.foreach { r =>
       if (r.event_type == steps(0)) {
-        if (st.a0_us == 0L) st = st.copy(a0_us = r.ts_us)
+        if (!a0Fixed && r.ts_us < m0) m0 = r.ts_us
       } else if (r.event_type == steps(1)) {
-        if (st.a1_us == 0L && st.a0_us != 0L && r.ts_us > st.a0_us &&
-          inWindow(r.ts_us))
-          st = st.copy(a1_us = r.ts_us)
+        if (st.a1_us == 0L) {
+          if (a0Fixed) {
+            if (r.ts_us > st.a0_us && inWindow(st.a0_us, r.ts_us) &&
+              r.ts_us < m1) m1 = r.ts_us
+          } else buf1 += r.ts_us
+        }
       } else if (r.event_type == steps(2)) {
-        if (st.a2_us == 0L && st.a1_us != 0L && r.ts_us > st.a1_us &&
-          inWindow(r.ts_us))
-          st = st.copy(a2_us = r.ts_us)
+        if (st.a2_us == 0L) {
+          if (a1Fixed) {
+            if (r.ts_us > st.a1_us && inWindow(st.a0_us, r.ts_us) &&
+              r.ts_us < m2) m2 = r.ts_us
+          } else buf2 += r.ts_us
+        }
       }
+    }
+    if (!a0Fixed && m0 != Long.MaxValue) st = st.copy(a0_us = m0)
+    if (st.a1_us == 0L && st.a0_us != 0L) {
+      val q = if (a0Fixed) m1
+        else buf1.foldLeft(Long.MaxValue)((acc, t) =>
+          if (t > st.a0_us && inWindow(st.a0_us, t) && t < acc) t else acc)
+      if (q != Long.MaxValue) st = st.copy(a1_us = q)
+    }
+    if (st.a2_us == 0L && st.a1_us != 0L) {
+      val q = if (a1Fixed) m2
+        else buf2.foldLeft(Long.MaxValue)((acc, t) =>
+          if (t > st.a1_us && inWindow(st.a0_us, t) && t < acc) t else acc)
+      if (q != Long.MaxValue) st = st.copy(a2_us = q)
     }
     anchors.update(st)
     val sr = Seq(st.a0_us, st.a1_us, st.a2_us).count(_ != 0L)
