@@ -423,9 +423,23 @@ object CdcOps {
     * cdc_processor.py:26-34), and extract/diff the row images. The
     * to_json→from_json round trip is the point: it exercises exactly what
     * a consumer of a real Debezium topic does (`StreamOps.decodeDebezium`
-    * is the streaming twin over Kafka frames). */
+    * is the streaming twin over Kafka frames).
+    *
+    * COST STORY (r14 audit order #7, measured at sf0.1): the round
+    * trip itself is linear and parse-dominated — scan 0.2 s, +to_json
+    * 0.5 s, +from_json 1.4 s — but the old POST-parse `orderBy` DOUBLED
+    * the pipeline to ~3.0 s, because a range exchange first runs a
+    * SAMPLING pass over its child, executing the whole synth+parse
+    * twice. The presentation sort therefore moved to the 6-column
+    * INPUT frame (sampling now touches only the scan): output
+    * `event_id` IS the input `event_id` round-tripped, and the narrow
+    * json projections preserve the range-shuffled, per-partition-sorted
+    * order, so the emitted global order is identical (asserted
+    * row-for-row at sf0.1) at 1.3 s — and at 100 TB the resample that
+    * would have re-parsed the corpus touches only ids. */
   def envelopeNested(spark: SparkSession, dir: String): DataFrame = {
     val env = Tables.events(spark, dir)
+      .orderBy("event_id")
       .select(to_json(struct(
         opCol.as("op"),
         unix_millis(col("ts")).as("ts_ms"),
@@ -449,7 +463,6 @@ object CdcOps {
         col("p.after.value").as("after_value"),
         col("p.before.value").as("before_value"),
         (col("p.after.value") - col("p.before.value")).as("value_delta"))
-      .orderBy("event_id")
   }
 
   /** P4+P5: op filter + per-table whitelist — stream processor keeps only
