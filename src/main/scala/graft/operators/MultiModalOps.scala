@@ -1460,12 +1460,23 @@ object MultiModalOps {
     * graph's node set is bounded by the CODE SPACE (2^{grid bits} =
     * 4096 here, 2^64 capped by distinct-present for real pHashes),
     * NOT the corpus — a billion images collapse to the same ≤4096
-    * nodes before the min-label fixpoint runs, and per-image mass
-    * joins the labels afterwards. Fixpoint is the
-    * `dedupComponentsDf` loop (min-label propagation, one
-    * localCheckpoint per round, convergence-probed); the oracle is
-    * DuckDB's exact WITH RECURSIVE reachability closure, so an
-    * unconverged loop cannot hash-match.
+    * nodes before the closure runs, and per-image mass joins the
+    * labels afterwards. BECAUSE the guarded edge set is code-space-
+    * bounded (≤ 2^12 × gridbits ÷ 2 pairs, data-INDEPENDENT), the
+    * closure itself is a driver-side union-find over one bounded
+    * collect — the same ≤-constant-rows contract as GlobalRank's
+    * per-partition offset collect, and the third (and only other)
+    * argued collect in the library. The r14 form ran the
+    * `dedupComponentsDf` min-label fixpoint here: exact, but ~8
+    * scheduled jobs (join + aggregate + checkpoint + convergence
+    * probe per round) to label a ≤25k-edge constant graph — 1.4 s of
+    * pure scheduling at ANY scale factor (measured r15: 1.82 → 1.23 s
+    * at sf0.1 — the remainder is the decode+groups front plus the
+    * variant-explode edge join, both genuinely distributed). The DATA-scaled dedup graphs (text near-dup CC) keep
+    * their distributed fixpoints — this shortcut is sound ONLY
+    * because the node set is a code space. The oracle is DuckDB's
+    * exact WITH RECURSIVE reachability closure, so a wrong union
+    * cannot hash-match.
     *
     * DENSITY GUARD (round 13 — the r12 over-merge caution made
     * structural): a hash whose Hamming-1 degree exceeds
@@ -1511,22 +1522,32 @@ object MultiModalOps {
     val adj = fullAdj
       .join(broadcast(hubs), Seq("u"), "left_anti")
       .join(broadcast(hubs.select(col("u").as("v"))), Seq("v"), "left_anti")
-    var labels = adj.groupBy("u")
-      .agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("l"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val next = adj
-        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
-        .groupBy("u").agg(min(col("lv")).as("ln"))
-        .join(labels, "u")
-        .select(col("u"), least(col("l"), col("ln")).as("l"),
-          (col("ln") < col("l")).as("moved"))
-        .localCheckpoint()
-      converged = next.filter(col("moved")).isEmpty
-      labels = next.select("u", "l")
+    // Driver-bounded union-find over the guarded edge set: ≤ code-space
+    // × gridbits rows of two longs by construction (see scaladoc) —
+    // never corpus-scaled. Labels = min node id per component, matching
+    // the recursive-closure oracle exactly.
+    val edgeArr = adj.filter(col("u") < col("v"))
+      .select(col("u").cast("int"), col("v").cast("int")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Int, Int]
+    def find(x: Int): Int = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
     }
+    edgeArr.foreach { row =>
+      val (u, v) = (row.getInt(0), row.getInt(1))
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val labelSeq = edgeArr
+      .flatMap(r => Seq(r.getInt(0), r.getInt(1))).distinct
+      .map(u => (u, find(u))).toSeq
+    import spark.implicits._
+    val labels = labelSeq.toDF("u", "l")
     groups
       .join(labels.select(col("u").as("ahash"), col("l")), Seq("ahash"),
         "left")
