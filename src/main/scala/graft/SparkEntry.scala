@@ -182,6 +182,8 @@ object SparkEntry {
     "neardup_jaccard" -> ((s, d) => TextOps.nearDupJaccard(s, d)),
     "neardup_jaccard_capped" -> ((s, d) =>
       TextOps.nearDupJaccardCapped(s, d)),
+    "neardup_containment" -> ((s, d) =>
+      TextOps.nearDupContainment(s, d)),
     "minhash_candidates" -> ((s, d) => TextOps.minhashCandidates(s, d)),
     "minhash_calibration" -> ((s, d) => TextOps.minhashCalibration(s, d)),
     "simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
@@ -1240,6 +1242,8 @@ object SparkEntry {
 
     "neardup_jaccard_capped" ->
       TextOps.nearDupJaccardCappedOracleSql(shinglesSql),
+    "neardup_containment" ->
+      TextOps.nearDupContainmentOracleSql(shinglesSql),
 
     // Generated from the same band seeds + bucket cap as the Spark query.
     "minhash_candidates" -> TextOps.minhashCandidatesOracleSql(shinglesSql),

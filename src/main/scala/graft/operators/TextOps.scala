@@ -641,6 +641,102 @@ object TextOps {
        |  (na.n_sh + nb.n_sh - pairs.n_inter) * $PrefixJaccardNum
        |ORDER BY 1, 2""".stripMargin
 
+  /** Containment threshold in mille for [[nearDupContainment]]. */
+  val ContainmentMille = 800
+
+  /** CONTAINMENT dedup (asymmetric set containment, Broder's
+    * containment coefficient): pairs where the SMALLER document's
+    * shingle set is ≥ [[ContainmentMille]]/1000 inside the larger's —
+    * the crawl-dedup case Jaccard cannot see (a short doc pasted into
+    * a long one has Jaccard ≈ n_small/n_big, far below any symmetric
+    * threshold, while its containment is ≈ 1). Deliberately blocked on
+    * LANGUAGE ONLY: the (lang, len_bucket) blocking of the Jaccard
+    * family is exactly wrong here — container and contained sit in
+    * DIFFERENT length buckets by construction. The candidate volume
+    * that blocking absorbed is bounded instead by the same
+    * document-frequency cut as the capped Jaccard variant (postings
+    * with 2 ≤ df ≤ [[NearDupDocFreqCap]] only — the skew guard that
+    * also drops signal-free stop-shingles), so per-shingle work stays
+    * ≤ cap² and the shape ships at 100 TB. Denominator = the FULL
+    * distinct-shingle count of the smaller doc (the df cut prunes the
+    * intersection only — mirrored exactly in the oracle).
+    * Contained = fewer shingles (tie: smaller doc_id); all-integer
+    * floor-mille; one posting self-equi-join over a checkpointed flat
+    * frame (the [[nearDupJaccard]] keptCk device). */
+  def nearDupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleDocs(spark, dir)
+    val post = docs.select(col("doc_id"), col("lang"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val wPost = Window.partitionBy("shingle", "lang")
+    val keptCk = post.withColumn("df", count(lit(1)).over(wPost))
+      .filter(col("df").between(2, NearDupDocFreqCap))
+      .drop("df")
+      .localCheckpoint()
+    val a = keptCk.select(col("shingle"), col("lang"),
+      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = keptCk.select(col("shingle"), col("lang"),
+      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("shingle", "lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+      .withColumn("containment_mille",
+        expr("n_inter * 1000 div least(n_a, n_b)"))
+      .filter(col("containment_mille") >= ContainmentMille)
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_id"),
+        col("n_inter"),
+        least(col("n_a"), col("n_b")).cast("int").as("n_contained"),
+        greatest(col("n_a"), col("n_b")).cast("int").as("n_container"),
+        col("containment_mille").cast("int").as("containment_mille"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  /** DuckDB oracle for [[nearDupContainment]] — the same lang-blocked,
+    * df-capped posting form expressed relationally over STRING shingles
+    * (the Spark side hashes to longs; a collision would fail here). */
+  private[graft] def nearDupContainmentOracleSql(
+      shinglesSql: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, list_distinct($shinglesSql) AS sh
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, CAST(len(sh) AS INT) AS n_sh, sh
+       |  FROM d),
+       |p AS (
+       |  SELECT lang, unnest(sh) AS shingle, doc_id FROM n),
+       |c AS (
+       |  SELECT lang, shingle, count(*) AS df FROM p GROUP BY 1, 2),
+       |pf AS (
+       |  SELECT p.lang, p.shingle, p.doc_id
+       |  FROM p JOIN c ON p.lang = c.lang AND p.shingle = c.shingle
+       |  WHERE c.df BETWEEN 2 AND $NearDupDocFreqCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM pf a JOIN pf b ON a.lang = b.lang AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |k AS (
+       |  SELECT pairs.doc_a, pairs.doc_b, pairs.n_inter,
+       |    na.n_sh AS n_a, nb.n_sh AS n_b,
+       |    pairs.n_inter * 1000 // least(na.n_sh, nb.n_sh)
+       |      AS containment_mille
+       |  FROM pairs
+       |  JOIN n na ON pairs.doc_a = na.doc_id
+       |  JOIN n nb ON pairs.doc_b = nb.doc_id)
+       |SELECT
+       |  CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_id,
+       |  CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_id,
+       |  CAST(n_inter AS INT) AS n_inter,
+       |  CAST(least(n_a, n_b) AS INT) AS n_contained,
+       |  CAST(greatest(n_a, n_b) AS INT) AS n_container,
+       |  CAST(containment_mille AS INT) AS containment_mille
+       |FROM k WHERE containment_mille >= $ContainmentMille
+       |ORDER BY 1, 2""".stripMargin
+
   /** Number of LSH bands and the per-(band, signature) bucket membership
     * cap shared by the Spark query and its generated oracle. */
   val MinhashBands = 8

@@ -115,6 +115,8 @@ object WindowGateSpec {
       "data-keyed: src vertex id; rn = 1 majority pick compiles to WindowGroupLimit",
     ("TextOps.scala", "minhashCandidatesUncached") ->
       "data-keyed: (band, band_sig) — bucket count scales with data",
+    ("TextOps.scala", "nearDupContainment") ->
+      "data-keyed: (shingle, lang) posting key (df-capped)",
     ("TextOps.scala", "nearDupJaccard") ->
       "data-keyed: (shingle, lang, len_bucket) posting key",
     ("TextOps.scala", "nearDupJaccardPrefix") -> "data-keyed: doc_id",
