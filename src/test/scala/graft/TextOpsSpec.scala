@@ -506,4 +506,47 @@ class TextOpsSpec extends GraftSpec {
     assert(guarded(100L)._1 == guarded(101L)._1, "genuine pair must survive")
     assert(!guarded(100L)._2 && !guarded(101L)._2)
   }
+
+  test("containment dedup sees the cross-length-bucket pair Jaccard cannot") {
+    // A short doc pasted inside a much longer one: different length
+    // buckets by construction, so the (lang, len_bucket)-blocked
+    // Jaccard family can never pair them — the containment operator's
+    // whole reason to exist. Own fixture dir so the suite's shared
+    // fixture (and its memo-keyed consumers) stay untouched.
+    val dir = freshScratch()
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    writeTable("documents", Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      // contains doc 1's full token run + ~300 chars of unique filler
+      // (df = 1 shingles, cut by the df >= 2 posting filter)
+      (2L, s"alpha beta gamma delta epsilon zeta $filler", "en", "web",
+        (36 + filler.length).toLong),
+      (3L, "unrelated words entirely here", "en", "web", 29L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val cont = TextOps.nearDupContainment(spark, dir).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Long]("contained_id") == 1L)
+    assert(r.getAs[Long]("container_id") == 2L)
+    // all five of doc 1's shingles survive the df cut (each appears in
+    // both docs) => exact containment
+    assert(r.getAs[Int]("containment_mille") == 1000)
+    assert(r.getAs[Int]("n_contained") <= r.getAs[Int]("n_container"))
+    // the Jaccard family is structurally blind to this pair
+    val jac = TextOps.nearDupJaccard(spark, dir).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containment invariants hold on the real corpus") {
+    val rows = TextOps.nearDupContainment(spark,
+      "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("containment_mille") >= TextOps.ContainmentMille)
+      assert(r.getAs[Int]("containment_mille") <= 1000)
+      assert(r.getAs[Int]("n_contained") <= r.getAs[Int]("n_container"))
+      assert(r.getAs[Int]("n_inter") <= r.getAs[Int]("n_contained"))
+      assert(r.getAs[Long]("contained_id") != r.getAs[Long]("container_id"))
+    }
+  }
 }
