@@ -127,7 +127,13 @@ object Bench {
               .map(e => e.getKey -> e.getValue.asDouble()).toMap
           else Map.empty
         }
-        (toMap("queries"), toMap("memo_populate"))
+        // Same-SCALE priors only: a leftover bench_line.json from a
+        // quick run at another scale factor would make every query a
+        // large "regression" and burn ~40 pointless isolated re-runs
+        // while reporting the real-regression signature for box moves.
+        if (root.path("sf").asText("") == sfDir)
+          (toMap("queries"), toMap("memo_populate"))
+        else (Map.empty[String, Double], Map.empty[String, Double])
       } catch { case _: Throwable => (Map.empty, Map.empty) }
     // memo name → the query whose warmup populated it, discovered by
     // diffing Memos.populateSeconds keys after each query — rot-proof
@@ -259,6 +265,33 @@ object Bench {
     // context itself degrades queries monotonically (and the ccache/
     // jit/classes columns above say which resource). Skipped when an
     // explicit query subset was requested.
+    // Shared end-of-suite measurement (sentinels + attribution): the
+    // SAME interference defense as the suite loop — untimed warmup,
+    // RUNS timed runs, adaptive re-runs while the median exceeds 2× the
+    // same-set min (bounded by MAX_RUNS), median of the fastest RUNS —
+    // so the isolated discriminator is never noisier than the suite
+    // numbers it adjudicates (a steal burst inside a plain 3-run loop
+    // would read as "isolated ≈ inflated suite" = a phantom regression).
+    def isolatedMedian(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(500)
+      def one(): Unit = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        runs += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+      }
+      (1 to RUNS).foreach(_ => one())
+      while (runs.length < MAX_RUNS && {
+          val s = runs.sorted; s(runs.length / 2) > 2 * s.head
+        }) one()
+      val fastest = runs.sorted.take(RUNS)
+      fastest(fastest.length / 2)
+    }
     val sentinelEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (args.isEmpty) {
       // simhash_pairs and minhash_calibration joined the list in r13:
@@ -280,19 +313,8 @@ object Bench {
         .split(",").map(_.trim).filter(_.nonEmpty)
       sentinels.foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
-          try {
-            val runs = scala.collection.mutable.ArrayBuffer[Double]()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
-            System.gc(); Thread.sleep(500)
-            (1 to RUNS).foreach { _ =>
-              val t0 = System.nanoTime()
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              runs += (System.nanoTime() - t0) / 1e9
-              spark.catalog.clearCache(); System.gc()
-            }
-            sentinelEnd(n) = runs.sorted.apply(runs.length / 2)
-          } catch { case _: Throwable => () }
+          try sentinelEnd(n) = isolatedMedian(fn)
+          catch { case _: Throwable => () }
         }
       }
     }
@@ -317,23 +339,17 @@ object Bench {
         priorQ.get(n).map(p => (n, v, p, v - p)) }
       val mDeltas = suiteMemoPop.toSeq.flatMap { case (n, v) =>
         priorM.get(n).map(p => (n, v, p, v - p)) }
+      // Noise floor: only deltas past max(0.1 s, 10% of prior) count as
+      // a move worth attributing — without it, steady-state millisecond
+      // jitter fills the top-10 and every healthy bench pays ~40 extra
+      // executions to "attribute" nothing.
       val top = (qDeltas.map(("q", _)) ++ mDeltas.map(("m", _)))
-        .filter(_._2._4 > 0).sortBy(-_._2._4).take(10)
+        .filter { case (_, (_, _, p, d)) => d > math.max(0.1, 0.1 * p) }
+        .sortBy(-_._2._4).take(10)
       top.collect { case ("q", (n, suite, prior, _)) =>
         SparkEntry.queries.get(n).foreach { fn =>
-          try {
-            val runs = scala.collection.mutable.ArrayBuffer[Double]()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
-            System.gc(); Thread.sleep(500)
-            (1 to RUNS).foreach { _ =>
-              val t0 = System.nanoTime()
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              runs += (System.nanoTime() - t0) / 1e9
-              spark.catalog.clearCache(); System.gc()
-            }
-            sviAttr(n) = (suite, runs.sorted.apply(runs.length / 2), prior)
-          } catch { case _: Throwable => () }
+          try sviAttr(n) = (suite, isolatedMedian(fn), prior)
+          catch { case _: Throwable => () }
         }
       }
       val memoTargets = top.collect { case ("m", d) => d }
@@ -395,7 +411,7 @@ object Bench {
     // always ends with one complete, parseable JSON object. Per-query
     // medians live in bench_line.json (committed) either way.
     println(
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"sentinel_end":${short(sentinelEnd)},"suite_vs_isolated":$sviJson,"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"sentinel_end":${short(sentinelEnd)},"svi_n":${sviAttr.size},"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")
     catch { case _: Throwable => () }

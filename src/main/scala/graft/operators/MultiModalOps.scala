@@ -1526,6 +1526,13 @@ object MultiModalOps {
     // × gridbits rows of two longs by construction (see scaladoc) —
     // never corpus-scaled. Labels = min node id per component, matching
     // the recursive-closure oracle exactly.
+    // The int cast is sound ONLY while the code space fits 31 bits —
+    // the exact generalization limit of this shortcut. A future 64-bit
+    // pHash space must lift the driver arithmetic to Long BEFORE
+    // widening the grid: a silent non-ANSI downcast here would collide
+    // distinct hashes and over-merge clusters with no error.
+    require(nbits < 31, s"ahash space 2^$nbits exceeds the Int driver " +
+      "union-find; widen the collect to Long first")
     val edgeArr = adj.filter(col("u") < col("v"))
       .select(col("u").cast("int"), col("v").cast("int")).collect()
     val parent = scala.collection.mutable.HashMap.empty[Int, Int]

@@ -420,4 +420,21 @@ class CdcPropertiesSpec extends GraftSpec {
     assert(rows(2) == (2L, 500L))  // only 1 and 5 clicked after view
     assert(rows(3) == (1L, 500L))  // only 1 purchased after that click
   }
+
+  test("envelopeNested emits globally event_id-ordered rows without a terminal sort") {
+    // r15 moved the presentation sort BEFORE the to_json->from_json
+    // round trip (the range exchange samples its child, so a terminal
+    // sort executed the whole pipeline twice). The emitted order now
+    // rides order PRESERVATION through narrow json projections — a
+    // property the DataFrame API does not guarantee for non-terminal
+    // sorts in general — and the DuckDB gate compares rows in emitted
+    // order, so a Spark upgrade that legally reorders must fail HERE,
+    // not as an unexplained hash mismatch at the next gate run.
+    val ids = CdcOps.envelopeNested(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("event_id"))
+    assert(ids.nonEmpty)
+    assert(ids.sameElements(ids.sorted),
+      "envelopeNested output is no longer globally ordered by event_id " +
+        "- restore a terminal orderBy (and re-measure the resample cost)")
+  }
 }
