@@ -3078,7 +3078,16 @@ object TextOps {
       lit(PiiIpRe), lit("<IP>"))
     def hits(re: String): Column =
       size(regexp_extract_all(piiEnriched, lit(re), lit(0))).cast("int")
+    // Presentation sort on the INPUT (the cdc_envelope_nested device,
+    // r15): a terminal orderBy's range exchange SAMPLES its child, so
+    // the six regex passes ran twice — 0.90 vs 0.58 s at sf0.1 in an
+    // interleaved A/B, identical rows and order. Worth it HERE because
+    // the narrow segment is regex-heavy; the same move measured SLOWER
+    // on the cheap codec decodes (their walk costs less than the added
+    // exchange) and the remaining sub-0.5 s text projections.
+    // CdcPropertiesSpec pins the emitted order.
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         hits(PiiEmailRe).as("n_emails"),
@@ -3086,7 +3095,6 @@ object TextOps {
         hits(PiiIpRe).as("n_ips"),
         md5(redacted).as("clean_md5"),
         length(redacted).cast("bigint").as("clean_chars"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[piiScrub]] — identical enrichment formula,

@@ -436,5 +436,12 @@ class CdcPropertiesSpec extends GraftSpec {
     assert(ids.sameElements(ids.sorted),
       "envelopeNested output is no longer globally ordered by event_id " +
         "- restore a terminal orderBy (and re-measure the resample cost)")
+    // piiScrub adopted the same input-side sort; same pin.
+    val dids = graft.operators.TextOps
+      .piiScrub(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(dids.nonEmpty)
+    assert(dids.sameElements(dids.sorted),
+      "piiScrub output is no longer globally ordered by doc_id")
   }
 }
