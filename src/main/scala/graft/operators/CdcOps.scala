@@ -1424,6 +1424,32 @@ object CdcOps {
     * latency leave rank order among peers arbitrary — sound: only the
     * VALUE at each rank is emitted. */
   def funnelStepLatency(spark: SparkSession, dir: String): DataFrame = {
+    val lats = funnelStepLatencyFrame(spark, dir)
+    val ranked = GlobalRank.withGroupedRowNumber(lats, "rn",
+      Seq(col("step")), Seq(col("lat_us"), col("user_id")))
+    val counts = lats.groupBy("step").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("step"))
+      .groupBy("step")
+      .agg(max(col("transition")).as("transition"),
+        max(col("n")).as("n_users"),
+        min(col("lat_us")).as("min_us"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("lat_us")))
+          .as("median_us"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"),
+          col("lat_us"))).as("p90_us"),
+        max(col("lat_us")).as("max_us"))
+      .orderBy("step")
+  }
+
+  /** The per-user transition latency frame behind [[funnelStepLatency]]
+    * — (step, transition, user_id, lat_us), one row per user who
+    * advanced that step, anchors at the same microsecond strict-`>`
+    * grain as the funnel twins. Factored out so
+    * `StreamOps.funnelLatencies` (the streaming assembly over
+    * accumulated FunnelReach emissions) can be spec-pinned EQUAL to it
+    * row-for-row on an ordered replay. */
+  private[graft] def funnelStepLatencyFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
@@ -1441,27 +1467,12 @@ object CdcOps {
       .filter(col("ts_us") > col("t1"))
       .groupBy("user_id").agg(min(col("ts_us")).as("t2"),
         max(col("t1")).as("t1"))
-    val lats = a1
-      .select(lit(2).as("step"),
+    a1.select(lit(2).as("step"),
         lit(s"${FunnelSteps(0)}>${FunnelSteps(1)}").as("transition"),
         col("user_id"), (col("t1") - col("t0")).as("lat_us"))
       .unionByName(a2.select(lit(3).as("step"),
         lit(s"${FunnelSteps(1)}>${FunnelSteps(2)}").as("transition"),
         col("user_id"), (col("t2") - col("t1")).as("lat_us")))
-    val ranked = GlobalRank.withGroupedRowNumber(lats, "rn",
-      Seq(col("step")), Seq(col("lat_us"), col("user_id")))
-    val counts = lats.groupBy("step").agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(counts), Seq("step"))
-      .groupBy("step")
-      .agg(max(col("transition")).as("transition"),
-        max(col("n")).as("n_users"),
-        min(col("lat_us")).as("min_us"),
-        min(when(col("rn") === expr("(n + 1) div 2"), col("lat_us")))
-          .as("median_us"),
-        min(when(col("rn") === expr("(9 * n + 9) div 10"),
-          col("lat_us"))).as("p90_us"),
-        max(col("lat_us")).as("max_us"))
-      .orderBy("step")
   }
 
   /** DuckDB oracle for [[funnelStepLatency]] — same anchors, same rank

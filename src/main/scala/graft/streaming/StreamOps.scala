@@ -657,6 +657,31 @@ object StreamOps {
     rows.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** Per-user transition LATENCIES assembled from accumulated
+    * [[FunnelReach]] emissions — the streaming face of
+    * `CdcOps.funnelStepLatencyFrame`, spec-pinned row-equal to it on
+    * an ordered replay. Anchors are monotone set-once micros (0 =
+    * unset), so `max` per user over the update-mode sink recovers each
+    * user's final anchor triple regardless of how many intermediate
+    * emissions accumulated; latencies are then pure column arithmetic.
+    * A growth dashboard feeds these to a sketch or the batch rank
+    * picks — the per-user grain is the part the stream must get
+    * exactly right. */
+  def funnelLatencies(reach: DataFrame): DataFrame = {
+    val steps = graft.operators.CdcOps.FunnelSteps
+    val fin = reach.groupBy("user_id")
+      .agg(max(col("a0_us")).as("a0"), max(col("a1_us")).as("a1"),
+        max(col("a2_us")).as("a2"))
+    fin.filter(col("a1") =!= 0L)
+      .select(lit(2).as("step"),
+        lit(s"${steps(0)}>${steps(1)}").as("transition"),
+        col("user_id"), (col("a1") - col("a0")).as("lat_us"))
+      .unionByName(fin.filter(col("a2") =!= 0L)
+        .select(lit(3).as("step"),
+          lit(s"${steps(1)}>${steps(2)}").as("transition"),
+          col("user_id"), (col("a2") - col("a1")).as("lat_us")))
+  }
+
   /** LIVE payload-schema census — the streaming twin of
     * `CdcOps.propsKeyCensus`: top-level `json_object_keys` of every
     * incoming payload counted per (event_type, key) as an update-mode

@@ -1579,6 +1579,20 @@ class StreamOpsSpec extends GraftSpec {
       assert(streamed.toSeq == batch.toSeq)
       // The corpus must actually exercise a non-trivial funnel.
       assert(batch.head._3 > 0 && batch.last._3 > 0)
+      // r15: the per-user transition LATENCY frame assembled from the
+      // same accumulated emissions must equal the batch operator's
+      // latency frame row-for-row — the user grain behind
+      // funnel_step_latency's rank picks, not just the 3-row report.
+      val sLat = StreamOps.funnelLatencies(spark.table("funnel_reach"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val bLat = graft.operators.CdcOps.funnelStepLatencyFrame(spark, dir)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(sLat == bLat)
+      assert(sLat.nonEmpty)
     } finally {
       q.stop()
       prev match {
