@@ -321,6 +321,10 @@ object SparkEntry {
     "readability_scores" -> ((s, d) => TextOps.readabilityScores(s, d)),
     "embedding_covariance" -> ((s, d) =>
       VectorOps.embeddingCovariance(s, d)),
+    "embedding_dim_quantiles" -> ((s, d) =>
+      VectorOps.embeddingDimQuantiles(s, d)),
+    "embedding_robust_outliers" -> ((s, d) =>
+      VectorOps.embeddingRobustOutliers(s, d)),
     "gdpr_erasure_audit" -> ((s, d) => CdcOps.gdprErasureAudit(s, d)),
     "props_key_census" -> ((s, d) => CdcOps.propsKeyCensus(s, d)),
     "props_key_timeline" -> ((s, d) => CdcOps.propsKeyTimeline(s, d)),
@@ -1203,6 +1207,9 @@ object SparkEntry {
     "temporal_dim_join" -> CdcOps.temporalDimJoinOracleSql,
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
+    "embedding_dim_quantiles" -> VectorOps.embeddingDimQuantilesOracleSql,
+    "embedding_robust_outliers" ->
+      VectorOps.embeddingRobustOutliersOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,
     "props_key_census" -> CdcOps.propsKeyCensusOracleSql,
     "props_key_timeline" -> CdcOps.propsKeyTimelineOracleSql,

@@ -3153,6 +3153,202 @@ object VectorOps {
        |  n_vecs * sum_ab - sum_a * sum_b AS cov_num
        |FROM c ORDER BY i, j""".stripMargin
 
+  /** Percentiles emitted by [[embeddingDimQuantiles]] (shared with the
+    * oracle): the quartiles robust scaling needs. */
+  val DimQuantilePcts: Seq[Int] = Seq(25, 50, 75)
+
+  /** Shared core of [[embeddingDimQuantiles]] and
+    * [[embeddingRobustOutliers]]: one row per embedding DIMENSION with
+    * exact linearly-interpolated q25/q50/q75 (`percentile_cont`
+    * semantics) of that dimension's component distribution, in pure
+    * integer arithmetic — component values quantize to milli-units
+    * (×[[CovQuantScale]], the [[embeddingCovariance]] convention) and
+    * the interpolated quantiles come out in CENTI-milli-units
+    * (qv × 100), so every emitted number is an exact int64 on both
+    * engines.
+    *
+    * Scale shape: the rank over (dim, qv, vec_id) is the enum-keyed
+    * degenerate regime (64 dims over corpus × dim rows — a keyed
+    * window would push the whole exploded corpus through 64 tasks), so
+    * it rides [[GlobalRank.withGroupedRowNumber]]'s two-phase pass at
+    * full parallelism; per-dim counts are a 64-row broadcast and the
+    * bracket values per (dim, pct) are conditional aggregates, not a
+    * sort-and-pick. */
+  private def dimQuantileStats(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = dimComponents(spark, dir)
+    val counts = base.groupBy("i").agg(count(lit(1)).as("n"))
+    val ranked = GlobalRank.withGroupedRowNumber(base, "rn",
+        Seq(col("i")), Seq(col("qv"), col("vec_id")))
+      .join(broadcast(counts), Seq("i"))
+    val aggCols = max(col("n")).as("n") +: DimQuantilePcts.flatMap { p =>
+      Seq(
+        min(when(col("rn") === expr(s"1 + ((n - 1) * $p) div 100"),
+          col("qv"))).as(s"vlo_$p"),
+        min(when(col("rn") === expr(s"2 + ((n - 1) * $p) div 100"),
+          col("qv"))).as(s"vhi_$p"))
+    }
+    val interp = DimQuantilePcts.map { p =>
+      // frac = 0 ⇒ the position is exactly lo and v_hi may not exist
+      // (lo = n) — coalesce keeps the formula total without changing
+      // any interpolated value (same device as interp_percentiles).
+      expr(s"vlo_$p * 100 + (coalesce(vhi_$p, vlo_$p) - vlo_$p) * " +
+        s"(((n - 1) * $p) % 100)").as(s"q${p}_centi")
+    }
+    ranked.groupBy("i").agg(aggCols.head, aggCols.tail: _*)
+      .select((col("i") +: col("n") +: interp): _*)
+      .withColumn("iqr_centi", col("q75_centi") - col("q25_centi"))
+  }
+
+  /** The exploded (dimension, quantized component, vec_id) frame both
+    * per-dim consumers scan — a pure codegen'd projection, recomputed
+    * by design (cheaper than storing corpus × dim rows). */
+  private def dimComponents(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dpos", "dval")))
+      .select((col("dpos") + 1).as("i"),
+        expr(s"CAST(round(CAST(dval AS DOUBLE) * $CovQuantScale) " +
+          "AS BIGINT)").as("qv"),
+        col("vec_id"))
+
+  /** PER-DIMENSION ROBUST STATS of the embedding corpus — exact
+    * interpolated quartiles and IQR per component index: the
+    * normalization table a feature-scaling stage (robust scaler,
+    * whitening sanity check, dead-dimension screen: iqr_centi = 0)
+    * computes before touching model weights, and the moment-free
+    * complement of [[embeddingCovariance]]'s Gram statistics. Shape and
+    * exactness per [[dimQuantileStats]]. */
+  def embeddingDimQuantiles(spark: SparkSession, dir: String): DataFrame =
+    dimQuantileStats(spark, dir).orderBy("i")
+
+  /** DuckDB oracle for [[embeddingDimQuantiles]] — same quantization,
+    * same tie-broken rank, same integer bracket interpolation. */
+  private[graft] def embeddingDimQuantilesOracleSql: String = {
+    val brackets = DimQuantilePcts.map { p =>
+      s"""    min(CASE WHEN rn = 1 + ((n - 1) * $p) // 100
+         |      THEN qv END) AS vlo_$p,
+         |    min(CASE WHEN rn = 2 + ((n - 1) * $p) // 100
+         |      THEN qv END) AS vhi_$p""".stripMargin
+    }.mkString(",\n")
+    val interp = DimQuantilePcts.map { p =>
+      s"""  vlo_$p * 100 + (coalesce(vhi_$p, vlo_$p) - vlo_$p) *
+         |    (((n - 1) * $p) % 100) AS q${p}_centi""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $DimComponentsSqlCte,
+       |r AS (
+       |  SELECT i, qv,
+       |    CAST(row_number() OVER (PARTITION BY i ORDER BY qv, vec_id)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY i) AS BIGINT) AS n
+       |  FROM q),
+       |k AS (
+       |  SELECT i, CAST(min(n) AS BIGINT) AS n,
+       |$brackets
+       |  FROM r GROUP BY i),
+       |s AS (
+       |SELECT CAST(i AS INT) AS i, n,
+       |$interp
+       |FROM k)
+       |SELECT i, n, q25_centi, q50_centi, q75_centi,
+       |  q75_centi - q25_centi AS iqr_centi
+       |FROM s ORDER BY i""".stripMargin
+  }
+
+  /** The exploded-components CTE shared by the two per-dim oracles —
+    * mirrors [[dimComponents]] (parallel unnests zip positionally,
+    * matching posexplode). */
+  private val DimComponentsSqlCte: String =
+    s"""q AS (
+       |  SELECT vec_id,
+       |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS i,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $CovQuantScale)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings)""".stripMargin
+
+  /** ROBUST (Tukey-fence) OUTLIER SCREEN per embedding dimension: count
+    * components outside [q25 − 1.5·IQR, q75 + 1.5·IQR] — the
+    * distribution-free corruption detector a pipeline runs on a new
+    * embedding batch (a fence-heavy dimension means a broken encoder
+    * shard or a units regression, where z-scores would let one huge
+    * value hide itself by inflating σ). The fences compare in DOUBLED
+    * centi-units so k = 3/2 stays integer: 200·qv vs
+    * 2·q25_centi − 3·iqr_centi.
+    *
+    * Scale: pass 1 is [[dimQuantileStats]] (two-phase grouped rank);
+    * pass 2 re-scans the exploded components once against the 64-row
+    * broadcast fence table and aggregates at dim grain — no shuffle of
+    * the corpus beyond the rank pass, and the fence join is
+    * broadcast-trivial at any corpus size. */
+  def embeddingRobustOutliers(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val fences = dimQuantileStats(spark, dir)
+      .select(col("i"),
+        (lit(2) * col("q25_centi") - lit(3) * col("iqr_centi"))
+          .as("fence_lo2"),
+        (lit(2) * col("q75_centi") + lit(3) * col("iqr_centi"))
+          .as("fence_hi2"))
+    dimComponents(spark, dir)
+      .join(broadcast(fences), Seq("i"))
+      .groupBy("i")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(lit(200) * col("qv") < col("fence_lo2"), 1L)
+          .otherwise(0L)).as("n_out_lo"),
+        sum(when(lit(200) * col("qv") > col("fence_hi2"), 1L)
+          .otherwise(0L)).as("n_out_hi"))
+      .withColumn("out_mille",
+        expr("((n_out_lo + n_out_hi) * 1000) div n"))
+      .orderBy("i")
+  }
+
+  /** DuckDB oracle for [[embeddingRobustOutliers]] — the
+    * [[embeddingDimQuantilesOracleSql]] CTE chain plus the same doubled
+    * integer fences. */
+  private[graft] def embeddingRobustOutliersOracleSql: String = {
+    val brackets = Seq(25, 75).map { p =>
+      s"""    min(CASE WHEN rn = 1 + ((n - 1) * $p) // 100
+         |      THEN qv END) AS vlo_$p,
+         |    min(CASE WHEN rn = 2 + ((n - 1) * $p) // 100
+         |      THEN qv END) AS vhi_$p""".stripMargin
+    }.mkString(",\n")
+    val qexpr = Seq(25, 75).map { p =>
+      s"""  vlo_$p * 100 + (coalesce(vhi_$p, vlo_$p) - vlo_$p) *
+         |    (((n - 1) * $p) % 100) AS q${p}_centi""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $DimComponentsSqlCte,
+       |r AS (
+       |  SELECT i, qv,
+       |    CAST(row_number() OVER (PARTITION BY i ORDER BY qv, vec_id)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY i) AS BIGINT) AS n
+       |  FROM q),
+       |k AS (
+       |  SELECT i, CAST(min(n) AS BIGINT) AS n,
+       |$brackets
+       |  FROM r GROUP BY i),
+       |f AS (
+       |  SELECT i,
+       |$qexpr
+       |  FROM k),
+       |g AS (
+       |  SELECT i,
+       |    2 * q25_centi - 3 * (q75_centi - q25_centi) AS fence_lo2,
+       |    2 * q75_centi + 3 * (q75_centi - q25_centi) AS fence_hi2
+       |  FROM f),
+       |o AS (
+       |  SELECT q.i AS i, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN 200 * q.qv < g.fence_lo2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+       |    CAST(sum(CASE WHEN 200 * q.qv > g.fence_hi2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+       |  FROM q JOIN g ON q.i = g.i
+       |  GROUP BY q.i)
+       |SELECT i, n, n_out_lo, n_out_hi,
+       |  ((n_out_lo + n_out_hi) * 1000) // n AS out_mille
+       |FROM o ORDER BY i""".stripMargin
+  }
+
   // ===========================================================================
   // Semantic (embedding-space) train/val decontamination
   // ===========================================================================

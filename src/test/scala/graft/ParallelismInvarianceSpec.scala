@@ -39,7 +39,12 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // DECIMAL(38) Gini numerators — the spine-join consumer shape the
     // exemplars above don't exercise (a rank that shifted with the
     // partition count would land on a different spine row).
-    "segment_lorenz", "segment_gini")
+    "segment_lorenz", "segment_gini",
+    // r15: grouped rank at POSEXPLODE grain (64 dim groups over
+    // corpus × dim rows) feeding integer bracket interpolation, plus
+    // the broadcast fence-table re-scan — the widest group count in
+    // the grouped-helper family.
+    "embedding_dim_quantiles", "embedding_robust_outliers")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

@@ -245,4 +245,42 @@ class VectorOpsSpec extends GraftSpec {
     // Each val vector reports at most one (its best) train neighbor.
     assert(rows.map(_.getAs[Long]("val_id")).distinct.length == rows.length)
   }
+
+  test("dim quantiles interpolate exactly and the Tukey fences flag the planted spike") {
+    // 6 vectors × 2 dims, hand-computable: dim 1 quantizes to
+    // [0, 10, 20, 30, 40, 1000] milli-units (n−1 = 5, so every
+    // quartile position lands BETWEEN ranks and the integer
+    // interpolation path is genuinely exercised: frac = 25/50/75),
+    // dim 2 is constant 0.5 (the dead-dimension screen: IQR = 0).
+    val d1 = Seq(0f, 0.01f, 0.02f, 0.03f, 0.04f, 1f)
+    val rows = d1.zipWithIndex.map { case (v, k) =>
+      (k.toLong, Array(v, 0.5f), 0)
+    }
+    val dir = freshScratch()
+    writeTable("embeddings", rows.toDF("vec_id", "embedding", "label"),
+      dir)
+
+    val q = VectorOps.embeddingDimQuantiles(spark, dir).collect()
+    assert(q.map(_.getAs[Int]("i")).toSeq == Seq(1, 2))
+    val byDim = q.map(r => r.getAs[Int]("i") -> r).toMap
+    // q25 at pos 1 + 125/100 = rank 2 + 0.25: 10·100 + (20−10)·25.
+    assert(byDim(1).getAs[Long]("q25_centi") == 1250L)
+    assert(byDim(1).getAs[Long]("q50_centi") == 2500L)
+    assert(byDim(1).getAs[Long]("q75_centi") == 3750L)
+    assert(byDim(1).getAs[Long]("iqr_centi") == 2500L)
+    assert(byDim(2).getAs[Long]("q50_centi") == 50000L)
+    assert(byDim(2).getAs[Long]("iqr_centi") == 0L)
+
+    val o = VectorOps.embeddingRobustOutliers(spark, dir).collect()
+      .map(r => r.getAs[Int]("i") -> r).toMap
+    // dim 1: hi fence (doubled centi) = 2·3750 + 3·2500 = 15000, so
+    // only qv = 1000 (200·1000 > 15000) trips it; lo fence is negative.
+    assert(o(1).getAs[Long]("n_out_lo") == 0L)
+    assert(o(1).getAs[Long]("n_out_hi") == 1L)
+    assert(o(1).getAs[Long]("out_mille") == 166L)
+    // dim 2: zero IQR collapses both fences onto the constant value —
+    // strict inequalities mean a constant dimension NEVER self-flags.
+    assert(o(2).getAs[Long]("n_out_lo") == 0L)
+    assert(o(2).getAs[Long]("n_out_hi") == 0L)
+  }
 }

@@ -293,7 +293,9 @@ class WindowGateSpec extends AnyFunSuite {
       "source enum: value-domain groups",
     ("TextOps.scala", "qualityCalibration") ->
       "(source, n_chars): value-domain x value-domain groups",
-    ("TextOps.scala", "epochShuffleAudit") -> "EpochCount = 3 groups")
+    ("TextOps.scala", "epochShuffleAudit") -> "EpochCount = 3 groups",
+    ("VectorOps.scala", "dimQuantileStats") ->
+      "embedding dim index: Dim = 64 groups")
 
   test("every GlobalRank grouped-helper call site is allowlisted with a group-cardinality bound") {
     // Same annotate-or-fail discipline as the window gates (r14 audit
