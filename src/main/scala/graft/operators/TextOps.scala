@@ -543,6 +543,11 @@ object TextOps {
     // no checkpoint 2.7 s steady but 3× scatter under suite pressure;
     // checkpointing the full posting frame + relational posting-count
     // verification 4.7 s; checkpointing the array frame 3.4 s.)
+    // Absolute numbers are box-state-sensitive: the post-reboot r15
+    // close re-measured 3.6-4.2 s steady with the SAME phase
+    // proportions (checkpoint ~1.0 / self-join ~0.6 / verify ~1.4)
+    // and <1.2× scatter — the plan's relative ordering vs the
+    // rejected alternatives is the stable fact, per SURVEY §6 note 6.
     val pp = prefixPost.select(col("shingle"), col("lang"),
       col("len_bucket"), col("doc_id"), col("n_sh"), col("rk"))
       .localCheckpoint()

@@ -799,7 +799,11 @@ class PlanSpec extends GraftSpec {
         BatchOps.interpPercentilesExact(spark, dir),
         BatchOps.segmentGini(spark, dir),
         BatchOps.segmentLorenz(spark, dir),
-        CdcOps.funnelStepLatency(spark, dir))) {
+        CdcOps.funnelStepLatency(spark, dir),
+        // r15: the grouped rank at posexplode grain (64 dim groups)
+        // and its broadcast fence-table consumer:
+        VectorOps.embeddingDimQuantiles(spark, dir),
+        VectorOps.embeddingRobustOutliers(spark, dir))) {
       val plan = executedPlan(df)
       val rogue = singlePartitionConsumers(plan)
         .filterNot(c => c.contains("HashAggregate") ||
