@@ -273,6 +273,7 @@ object SparkEntry {
     "key_hierarchy_rollup" -> ((s, d) => BatchOps.keyHierarchyRollup(s, d)),
     "penny_allocation_audit" -> ((s, d) =>
       BatchOps.pennyAllocationAudit(s, d)),
+    "neyman_sample" -> ((s, d) => BatchOps.neymanSample(s, d)),
     "props_variant_stats" -> ((s, d) => CdcOps.propsVariantStats(s, d)),
     "salted_join_rollup" -> ((s, d) => BatchOps.saltedJoinRollup(s, d)),
     "status_path_listagg" -> ((s, d) => BatchOps.statusPathListagg(s, d)),
@@ -1166,6 +1167,7 @@ object SparkEntry {
     "nation_top_customers" -> BatchOps.nationTopCustomersOracleSql,
     "key_hierarchy_rollup" -> BatchOps.keyHierarchyRollupOracleSql,
     "penny_allocation_audit" -> BatchOps.pennyAllocationAuditOracleSql,
+    "neyman_sample" -> BatchOps.neymanSampleOracleSql,
     "props_variant_stats" -> CdcOps.propsVariantStatsOracleSql,
     "salted_join_rollup" -> BatchOps.saltedJoinRollupOracleSql,
     "status_path_listagg" -> BatchOps.statusPathListaggOracleSql,

@@ -2335,6 +2335,125 @@ object BatchOps {
        |  CAST(sum(alloc_c * ln) AS BIGINT) AS alloc_checksum
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Total sample budget for [[neymanSample]] (shared with the
+    * oracle). */
+  val NeymanBudget = 500
+
+  /** NEYMAN-ALLOCATION STRATIFIED SAMPLE — the survey-sampling classic
+    * a curation pipeline uses when strata differ in spread: a fixed
+    * budget of [[NeymanBudget]] draws splits across market segments
+    * proportional to N_h·σ_h (high-variance strata earn more of the
+    * budget than proportional allocation would give), with the split
+    * EXACT by construction: N_h·σ_h = √(n·Σv² − (Σv)²) — the
+    * population-variance numerator in DECIMAL(38), its square root the
+    * operator's ONE float (IEEE-correctly-rounded identically on both
+    * engines, immediately re-quantized to int millis) — and the
+    * integer budget split by the [[pennyAllocationAudit]]
+    * largest-remainder device, so Σ quota ≡ the budget whenever every
+    * stratum can fill its quota. The draw itself is
+    * `TextOps.stratifiedSample`'s rule: deterministic salted md5
+    * order, rank-capped per stratum.
+    *
+    * Scale shape: moments are one partial+final aggregate; the
+    * allocation runs over the |segments|-row stats frame (the
+    * unpartitioned windows see 5 rows, never the fact); the draw's
+    * keyed rank filters `rk <= budget` FIRST — WindowGroupLimit
+    * forwards at most budget rows per stratum from each map partition
+    * — then the 5-row quota broadcast trims to the exact per-stratum
+    * quota. */
+  def neymanSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val stats = base.groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+      .withColumn("weight_milli",
+        expr("CAST(round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - " +
+          "CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) * 1000) AS BIGINT)"))
+    val wAlloc = Window.partitionBy()
+    val alloc = stats
+      .withColumn("w_total", sum(col("weight_milli")).over(wAlloc))
+      .withColumn("base_q",
+        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * weight_milli" +
+          " div w_total AS BIGINT)"))
+      .withColumn("frac",
+        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * weight_milli" +
+          " % w_total AS BIGINT)"))
+      .withColumn("leftover",
+        lit(NeymanBudget.toLong) - sum(col("base_q")).over(wAlloc))
+      .withColumn("rk_rem", row_number().over(
+        wAlloc.orderBy(col("frac").desc, col("seg"))).cast("long"))
+      .withColumn("quota", col("base_q") +
+        when(col("rk_rem") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("seg"), col("quota"))
+    val wSeg = Window.partitionBy("seg")
+      .orderBy(col("u"), col("c_custkey"))
+    base
+      .withColumn("u", expr("cast(conv(substring(md5(concat('neyman', " +
+        "cast(c_custkey as string))), 1, 15), 16, 10) as bigint)"))
+      .withColumn("rk", row_number().over(wSeg).cast("long"))
+      .filter(col("rk") <= lit(NeymanBudget))
+      .join(broadcast(alloc), Seq("seg"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("seg"), col("quota"), col("rk"), col("c_custkey"))
+      .orderBy("seg", "rk")
+  }
+
+  /** DuckDB oracle for [[neymanSample]] — same DECIMAL/HUGEINT variance
+    * numerator, same milli-quantized √, same largest-remainder split,
+    * same salted-md5 draw order. */
+  private[graft] def neymanSampleOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT c_custkey, c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+       |  FROM customer),
+       |st AS (
+       |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS s1,
+       |    sum(CAST(v AS HUGEINT) * v) AS s2
+       |  FROM b GROUP BY seg),
+       |wgt AS (
+       |  SELECT seg,
+       |    CAST(round(sqrt(CAST(CAST(n AS HUGEINT) * s2 -
+       |      CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) * 1000) AS BIGINT)
+       |      AS weight_milli
+       |  FROM st),
+       |al AS (
+       |  SELECT seg, weight_milli,
+       |    CAST(sum(weight_milli) OVER () AS BIGINT) AS w_total
+       |  FROM wgt),
+       |al2 AS (
+       |  SELECT seg,
+       |    CAST(CAST($NeymanBudget AS HUGEINT) * weight_milli // w_total
+       |      AS BIGINT) AS base_q,
+       |    CAST(CAST($NeymanBudget AS HUGEINT) * weight_milli % w_total
+       |      AS BIGINT) AS frac
+       |  FROM al),
+       |al3 AS (
+       |  SELECT seg, base_q, frac,
+       |    $NeymanBudget - CAST(sum(base_q) OVER () AS BIGINT)
+       |      AS leftover,
+       |    CAST(row_number() OVER (ORDER BY frac DESC, seg) AS BIGINT)
+       |      AS rk_rem
+       |  FROM al2),
+       |q AS (
+       |  SELECT seg, base_q + CASE WHEN rk_rem <= leftover
+       |    THEN 1 ELSE 0 END AS quota
+       |  FROM al3),
+       |d AS (
+       |  SELECT seg, c_custkey,
+       |    CAST(row_number() OVER (PARTITION BY seg ORDER BY
+       |      CAST('0x' || substr(md5('neyman' ||
+       |        CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT),
+       |      c_custkey) AS BIGINT) AS rk
+       |  FROM b)
+       |SELECT d.seg, CAST(q.quota AS BIGINT) AS quota, d.rk, d.c_custkey
+       |FROM d JOIN q ON d.seg = q.seg
+       |WHERE d.rk <= q.quota
+       |ORDER BY d.seg, d.rk""".stripMargin
+
   /** Data-quality report: one row per integrity check with its violation
     * count — referential orphans (LEFT ANTI joins: the dimension side
     * broadcasts when small, otherwise a null-safe hash shuffle on the

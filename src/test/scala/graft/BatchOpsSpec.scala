@@ -311,4 +311,32 @@ class BatchOpsSpec extends GraftSpec {
         .after(r.getAs[java.sql.Date]("last_order")))
     }
   }
+
+  test("neyman allocation conserves the budget and the draw honors quota and stratum size") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.neymanSample(spark, dir).collect()
+    val quotas = rows.map(r => r.getAs[String]("seg") ->
+      r.getAs[Long]("quota")).distinct.toMap
+    // Largest-remainder conservation: the per-stratum quotas sum to
+    // exactly the budget, regardless of the weights' fractional parts.
+    assert(quotas.values.sum == BatchOps.NeymanBudget.toLong,
+      s"quotas $quotas don't sum to ${BatchOps.NeymanBudget}")
+    // The draw per stratum is contiguous ranks 1..n with
+    // n = min(quota, stratum size): at sf0.001 strata are SMALLER than
+    // their quotas, so this exercises the truncation side too.
+    val census = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .count().collect()
+      .map(r => r.getAs[String]("seg") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (seg, rs) =>
+      val expected = math.min(quotas(seg), census(seg))
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.toSeq == (1L to expected),
+        s"$seg ranks not contiguous 1..$expected")
+    }
+    // Determinism: a second evaluation draws the identical sample.
+    val again = BatchOps.neymanSample(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

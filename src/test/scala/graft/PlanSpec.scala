@@ -161,6 +161,8 @@ class PlanSpec extends GraftSpec {
     val rankCapped = WindowGateSpec.keyedAllowlist
       .filter(_._2.contains("WindowGroupLimit")).keySet
     val builders: Map[(String, String), () => DataFrame] = Map(
+      ("BatchOps.scala", "neymanSample") ->
+        (() => BatchOps.neymanSample(spark, dir)),
       ("BatchOps.scala", "trendingParts7d") ->
         (() => BatchOps.trendingParts7d(spark, dir)),
       ("CdcOps.scala", "kmvDistinct") ->

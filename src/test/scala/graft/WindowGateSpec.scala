@@ -77,6 +77,8 @@ object WindowGateSpec {
       "data-keyed: purchase_id",
     ("CdcOps.scala", "dailyAnomalyZscoreOf") ->
       "bounded frame: (event_type, day) daily aggregate — calendar x enum",
+    ("BatchOps.scala", "neymanSample") ->
+      "enum-keyed seg + rank-capped: rk <= budget literal compiles to WindowGroupLimit before the quota trim",
     ("CdcOps.scala", "eventAsofOrder") -> "data-keyed: user_id",
     ("CdcOps.scala", "eventTransitionsOf") ->
       "data-keyed lag: user_id; normalizer over (prev, next) census <= |types|^2",
@@ -204,7 +206,9 @@ class WindowGateSpec extends AnyFunSuite {
     ("TextOps.scala", "vocabGrowthHeaps") ->
       "decile grain: HeapsDeciles = 10 rows",
     ("TextOps.scala", "domainMixture") ->
-      "|sources|-row per-source aggregate frame (empty partitionBy())")
+      "|sources|-row per-source aggregate frame (empty partitionBy())",
+    ("BatchOps.scala", "neymanSample") ->
+      "|segments|-row allocation frame: 5 rows (empty partitionBy())")
 
   private val keyedAllowlist = WindowGateSpec.keyedAllowlist
 
