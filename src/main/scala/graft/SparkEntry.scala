@@ -274,6 +274,7 @@ object SparkEntry {
     "penny_allocation_audit" -> ((s, d) =>
       BatchOps.pennyAllocationAudit(s, d)),
     "neyman_sample" -> ((s, d) => BatchOps.neymanSample(s, d)),
+    "layout_pruning_sim" -> ((s, d) => BatchOps.layoutPruningSim(s, d)),
     "props_variant_stats" -> ((s, d) => CdcOps.propsVariantStats(s, d)),
     "salted_join_rollup" -> ((s, d) => BatchOps.saltedJoinRollup(s, d)),
     "status_path_listagg" -> ((s, d) => BatchOps.statusPathListagg(s, d)),
@@ -1168,6 +1169,7 @@ object SparkEntry {
     "key_hierarchy_rollup" -> BatchOps.keyHierarchyRollupOracleSql,
     "penny_allocation_audit" -> BatchOps.pennyAllocationAuditOracleSql,
     "neyman_sample" -> BatchOps.neymanSampleOracleSql,
+    "layout_pruning_sim" -> BatchOps.layoutPruningSimOracleSql,
     "props_variant_stats" -> CdcOps.propsVariantStatsOracleSql,
     "salted_join_rollup" -> BatchOps.saltedJoinRollupOracleSql,
     "status_path_listagg" -> BatchOps.statusPathListaggOracleSql,

@@ -1874,6 +1874,153 @@ object BatchOps {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Quarter-band predicates simulated by [[layoutPruningSim]]: the
+    * q-th band selects the q-th quarter of BOTH normalized key domains
+    * (shared with the oracle). */
+  val PruningSimBands = 4
+
+  /** FILE-SKIPPING SIMULATION — the layout ADVISOR behind "should this
+    * table be OPTIMIZE ZORDER'd": for each conjunctive 2-d band
+    * predicate, replay min/max pruning (exactly what parquet row-group
+    * / Delta file skipping does) against TWO physical layouts of the
+    * same rows — a single-key sort (buckets = equal-width ranges of the
+    * normalized partkey; each bucket bounds ONLY its own column tightly)
+    * and the [[zorderStats]] Morton layout (every bucket bounds both
+    * keys at once). A bucket is SCANNED iff its bounding box intersects
+    * the band; the output quantifies the decision with rows_scanned vs
+    * rows_matching per (band, layout) — the Z-layout's scan amplification
+    * collapse is the whole point of the operator.
+    *
+    * Scale shape: one normalized projection feeds two 64-key hash
+    * aggregates (the per-layout bounding boxes) and one 4-conditional
+    * aggregate (true selectivities); the simulation itself is a
+    * broadcast cross of 4 bands × 128 box rows. Nothing data-scaled
+    * shuffles — at 100 TB this runs as two scan-shaped aggregates,
+    * which is what makes it usable as a planning advisor at all. */
+  def layoutPruningSim(spark: SparkSession, dir: String): DataFrame = {
+    val top = (1 << ZorderBits) - 1
+    val zTerms = (0 until ZorderBits).map(i =>
+      s"(((npk >> $i) & 1) << ${2 * i}) + " +
+        s"(((nsk >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    val quarter = (top + 1) / PruningSimBands
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(min(col("l_partkey")).as("pk_lo"),
+        max(col("l_partkey")).as("pk_hi"),
+        min(col("l_suppkey")).as("sk_lo"),
+        max(col("l_suppkey")).as("sk_hi"))
+    val nrm = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("npk", expr(
+        s"((l_partkey - pk_lo) * $top) div greatest(1L, pk_hi - pk_lo)"))
+      .withColumn("nsk", expr(
+        s"((l_suppkey - sk_lo) * $top) div greatest(1L, sk_hi - sk_lo)"))
+      .select(col("npk"), col("nsk"))
+    def boxes(bucketExpr: String, layout: String): DataFrame = nrm
+      .withColumn("bucket", expr(bucketExpr))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("npk")).as("pk_min"), max(col("npk")).as("pk_max"),
+        min(col("nsk")).as("sk_min"), max(col("nsk")).as("sk_max"))
+      .withColumn("layout", lit(layout))
+    // linear layout: equal-width npk ranges — the same bucket COUNT as
+    // the Z cut (2^ZorderBucketLog), so the comparison is box quality,
+    // not box count.
+    val linBuckets = boxes(
+      s"npk div ${(top + 1) / (1 << ZorderBucketLog)}", "linear_pk")
+    val zBuckets = boxes(
+      s"shiftright(cast(($zTerms) as bigint), $shift)", "zorder")
+    val bands = spark.createDataFrame(
+        (0 until PruningSimBands).map(q =>
+          (q, (q * quarter).toLong, (q * quarter + quarter - 1).toLong)))
+      .toDF("band", "b_lo", "b_hi")
+    // True selectivity per band — layout-invariant, one conditional
+    // aggregate over the normalized rows.
+    val matching = nrm.crossJoin(broadcast(bands))
+      .filter(col("npk") >= col("b_lo") && col("npk") <= col("b_hi")
+        && col("nsk") >= col("b_lo") && col("nsk") <= col("b_hi"))
+      .groupBy("band").agg(count(lit(1)).as("rows_matching"))
+    linBuckets.unionByName(zBuckets)
+      .crossJoin(broadcast(bands))
+      .withColumn("hit",
+        col("pk_min") <= col("b_hi") && col("pk_max") >= col("b_lo")
+          && col("sk_min") <= col("b_hi") && col("sk_max") >= col("b_lo"))
+      .groupBy("band", "layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_scanned_buckets"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .join(broadcast(matching), Seq("band"), "left")
+      .withColumn("rows_matching",
+        coalesce(col("rows_matching"), lit(0L)))
+      .orderBy("band", "layout")
+  }
+
+  /** DuckDB oracle for [[layoutPruningSim]] — same normalization, same
+    * generated interleave, same box-intersection rule. */
+  private[graft] def layoutPruningSimOracleSql: String = {
+    val top = (1 << ZorderBits) - 1
+    val zTerms = (0 until ZorderBits).map(i =>
+      s"(((npk >> $i) & 1) << ${2 * i}) + " +
+        s"(((nsk >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    val quarter = (top + 1) / PruningSimBands
+    val linStep = (top + 1) / (1 << ZorderBucketLog)
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+       |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+       |  FROM lineitem),
+       |nrm AS (
+       |  SELECT
+       |    ((l_partkey - pk_lo) * $top) // greatest(1, pk_hi - pk_lo)
+       |      AS npk,
+       |    ((l_suppkey - sk_lo) * $top) // greatest(1, sk_hi - sk_lo)
+       |      AS nsk
+       |  FROM lineitem CROSS JOIN b),
+       |boxes AS (
+       |  SELECT 'linear_pk' AS layout, npk // $linStep AS bucket,
+       |    count(*) AS n_rows,
+       |    min(npk) AS pk_min, max(npk) AS pk_max,
+       |    min(nsk) AS sk_min, max(nsk) AS sk_max
+       |  FROM nrm GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout,
+       |    CAST(($zTerms) AS BIGINT) >> $shift AS bucket,
+       |    count(*) AS n_rows,
+       |    min(npk) AS pk_min, max(npk) AS pk_max,
+       |    min(nsk) AS sk_min, max(nsk) AS sk_max
+       |  FROM nrm GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT CAST(q AS INT) AS band,
+       |    CAST(q * $quarter AS BIGINT) AS b_lo,
+       |    CAST(q * $quarter + $quarter - 1 AS BIGINT) AS b_hi
+       |  FROM (SELECT unnest(range(0, $PruningSimBands)) AS q)),
+       |m AS (
+       |  SELECT band, CAST(count(*) AS BIGINT) AS rows_matching
+       |  FROM nrm CROSS JOIN bands
+       |  WHERE npk >= b_lo AND npk <= b_hi
+       |    AND nsk >= b_lo AND nsk <= b_hi
+       |  GROUP BY band),
+       |sim AS (
+       |  SELECT band, layout,
+       |    CAST(count(*) AS BIGINT) AS n_buckets,
+       |    CAST(sum(CASE WHEN pk_min <= b_hi AND pk_max >= b_lo
+       |      AND sk_min <= b_hi AND sk_max >= b_lo
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned_buckets,
+       |    CAST(sum(CASE WHEN pk_min <= b_hi AND pk_max >= b_lo
+       |      AND sk_min <= b_hi AND sk_max >= b_lo
+       |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+       |  FROM boxes CROSS JOIN bands
+       |  GROUP BY 1, 2)
+       |SELECT sim.band, sim.layout, sim.n_buckets, sim.n_scanned_buckets,
+       |  sim.rows_scanned, coalesce(m.rows_matching, 0) AS rows_matching
+       |FROM sim LEFT JOIN m ON sim.band = m.band
+       |ORDER BY sim.band, sim.layout""".stripMargin
+  }
+
   /** Languages pivoted into fixed columns by [[langPivot]] (shared with
     * the oracle; a FIXED list — pivoting on discovered values would make
     * the schema data-dependent, which neither a SQL consumer nor the

@@ -339,4 +339,31 @@ class BatchOpsSpec extends GraftSpec {
     val again = BatchOps.neymanSample(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("pruning simulation is sound: every scanned set covers the matching set") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.layoutPruningSim(spark, dir).collect()
+    // 4 bands × 2 layouts, equal bucket budgets — the comparison is
+    // box QUALITY, never box count.
+    assert(rows.length == BatchOps.PruningSimBands * 2)
+    assert(rows.map(_.getAs[Long]("n_buckets")).toSet.size == 1,
+      "layouts must use the same bucket count")
+    rows.foreach { r =>
+      // min/max pruning is conservative: a layout may over-scan but can
+      // NEVER skip a bucket containing a matching row.
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"),
+        s"unsound skip in $r")
+      assert(r.getAs[Long]("n_scanned_buckets") <= r.getAs[Long]("n_buckets"))
+    }
+    // The advisor's point on any non-adversarial corpus: the Z layout
+    // never scans MORE than the single-key sort for the conjunctive
+    // band (both keys bounded per bucket vs one).
+    val byBand = rows.groupBy(_.getAs[Int]("band"))
+    byBand.foreach { case (band, rs) =>
+      val scan = rs.map(r => r.getAs[String]("layout") ->
+        r.getAs[Long]("rows_scanned")).toMap
+      assert(scan("zorder") <= scan("linear_pk"),
+        s"band $band: zorder scanned more than linear")
+    }
+  }
 }
