@@ -1925,13 +1925,24 @@ object BatchOps {
         min(col("npk")).as("pk_min"), max(col("npk")).as("pk_max"),
         min(col("nsk")).as("sk_min"), max(col("nsk")).as("sk_max"))
       .withColumn("layout", lit(layout))
-    // linear layout: equal-width npk ranges — the same bucket COUNT as
-    // the Z cut (2^ZorderBucketLog), so the comparison is box quality,
-    // not box count.
+    // linear layout: equal-width npk ranges — the same bucket BUDGET as
+    // the space-filling cuts (2^ZorderBucketLog), so the comparison is
+    // box quality, not box count.
     val linBuckets = boxes(
       s"npk div ${(top + 1) / (1 << ZorderBucketLog)}", "linear_pk")
     val zBuckets = boxes(
       s"shiftright(cast(($zTerms) as bigint), $shift)", "zorder")
+    // third contender: the Hilbert cut (the [[hilbertBucketed]] walk —
+    // hx/hy are rotated in place, npk/nsk pass through untouched for
+    // the box aggregate).
+    val hBuckets = hilbertBucketed(
+        nrm.withColumn("hx", col("npk")).withColumn("hy", col("nsk")))
+      .withColumnRenamed("h_bucket", "bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("npk")).as("pk_min"), max(col("npk")).as("pk_max"),
+        min(col("nsk")).as("sk_min"), max(col("nsk")).as("sk_max"))
+      .withColumn("layout", lit("hilbert"))
     val bands = spark.createDataFrame(
         (0 until PruningSimBands).map(q =>
           (q, (q * quarter).toLong, (q * quarter + quarter - 1).toLong)))
@@ -1942,7 +1953,7 @@ object BatchOps {
       .filter(col("npk") >= col("b_lo") && col("npk") <= col("b_hi")
         && col("nsk") >= col("b_lo") && col("nsk") <= col("b_hi"))
       .groupBy("band").agg(count(lit(1)).as("rows_matching"))
-    linBuckets.unionByName(zBuckets)
+    linBuckets.unionByName(zBuckets).unionByName(hBuckets)
       .crossJoin(broadcast(bands))
       .withColumn("hit",
         col("pk_min") <= col("b_hi") && col("pk_max") >= col("b_lo")
@@ -1959,9 +1970,11 @@ object BatchOps {
   }
 
   /** DuckDB oracle for [[layoutPruningSim]] — same normalization, same
-    * generated interleave, same box-intersection rule. */
+    * generated interleave, same unrolled Hilbert walk (npk/nsk carried
+    * through the rotation), same box-intersection rule. */
   private[graft] def layoutPruningSimOracleSql: String = {
     val top = (1 << ZorderBits) - 1
+    val n = 1 << ZorderBits
     val zTerms = (0 until ZorderBits).map(i =>
       s"(((npk >> $i) & 1) << ${2 * i}) + " +
         s"(((nsk >> $i) & 1) << ${2 * i + 1})")
@@ -1969,6 +1982,23 @@ object BatchOps {
     val shift = 2 * ZorderBits - ZorderBucketLog
     val quarter = (top + 1) / PruningSimBands
     val linStep = (top + 1) / (1 << ZorderBucketLog)
+    val hLevels = (0 until ZorderBits).reverse.map(1 << _).zipWithIndex
+      .map { case (s, i) =>
+        val prev = if (i == 0) "hseed" else s"hlv${i - 1}"
+        val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""hlv$i AS (
+           |  SELECT npk, nsk,
+           |    h + CAST($s AS BIGINT) * $s * ${hilbertQuadrant(rx, ry)}
+           |      AS h,
+           |    CASE WHEN $ry = 0 THEN
+           |      (CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END)
+           |      ELSE hx END AS hx,
+           |    CASE WHEN $ry = 0 THEN
+           |      (CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END)
+           |      ELSE hy END AS hy
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
     s"""WITH b AS (
        |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
        |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
@@ -1980,6 +2010,10 @@ object BatchOps {
        |    ((l_suppkey - sk_lo) * $top) // greatest(1, sk_hi - sk_lo)
        |      AS nsk
        |  FROM lineitem CROSS JOIN b),
+       |hseed AS (
+       |  SELECT npk, nsk, npk AS hx, nsk AS hy, CAST(0 AS BIGINT) AS h
+       |  FROM nrm),
+       |$hLevels,
        |boxes AS (
        |  SELECT 'linear_pk' AS layout, npk // $linStep AS bucket,
        |    count(*) AS n_rows,
@@ -1992,7 +2026,13 @@ object BatchOps {
        |    count(*) AS n_rows,
        |    min(npk) AS pk_min, max(npk) AS pk_max,
        |    min(nsk) AS sk_min, max(nsk) AS sk_max
-       |  FROM nrm GROUP BY 1, 2),
+       |  FROM nrm GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'hilbert' AS layout, h >> $shift AS bucket,
+       |    count(*) AS n_rows,
+       |    min(npk) AS pk_min, max(npk) AS pk_max,
+       |    min(nsk) AS sk_min, max(nsk) AS sk_max
+       |  FROM hlv${ZorderBits - 1} GROUP BY 1, 2),
        |bands AS (
        |  SELECT CAST(q AS INT) AS band,
        |    CAST(q * $quarter AS BIGINT) AS b_lo,

@@ -343,9 +343,9 @@ class BatchOpsSpec extends GraftSpec {
   test("pruning simulation is sound: every scanned set covers the matching set") {
     val dir = "/root/testdata/sf0.001"
     val rows = BatchOps.layoutPruningSim(spark, dir).collect()
-    // 4 bands × 2 layouts, equal bucket budgets — the comparison is
+    // 4 bands × 3 layouts, equal bucket budgets — the comparison is
     // box QUALITY, never box count.
-    assert(rows.length == BatchOps.PruningSimBands * 2)
+    assert(rows.length == BatchOps.PruningSimBands * 3)
     assert(rows.map(_.getAs[Long]("n_buckets")).toSet.size == 1,
       "layouts must use the same bucket count")
     rows.foreach { r =>
@@ -355,15 +355,17 @@ class BatchOpsSpec extends GraftSpec {
         s"unsound skip in $r")
       assert(r.getAs[Long]("n_scanned_buckets") <= r.getAs[Long]("n_buckets"))
     }
-    // The advisor's point on any non-adversarial corpus: the Z layout
-    // never scans MORE than the single-key sort for the conjunctive
-    // band (both keys bounded per bucket vs one).
+    // The advisor's point on any non-adversarial corpus: the
+    // space-filling cuts never scan MORE than the single-key sort for
+    // the conjunctive band (both keys bounded per bucket vs one).
     val byBand = rows.groupBy(_.getAs[Int]("band"))
     byBand.foreach { case (band, rs) =>
       val scan = rs.map(r => r.getAs[String]("layout") ->
         r.getAs[Long]("rows_scanned")).toMap
       assert(scan("zorder") <= scan("linear_pk"),
         s"band $band: zorder scanned more than linear")
+      assert(scan("hilbert") <= scan("linear_pk"),
+        s"band $band: hilbert scanned more than linear")
     }
   }
 }
