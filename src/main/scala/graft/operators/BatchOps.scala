@@ -1874,10 +1874,24 @@ object BatchOps {
        |ORDER BY 1""".stripMargin
   }
 
-  /** Quarter-band predicates simulated by [[layoutPruningSim]]: the
-    * q-th band selects the q-th quarter of BOTH normalized key domains
-    * (shared with the oracle). */
-  val PruningSimBands = 4
+  /** Band predicates simulated by [[layoutPruningSim]], as (band, lo,
+    * hi) over the normalized [0, 2^[[ZorderBits]]) domain of BOTH keys
+    * (shared with the oracle): four quarter bands ALIGNED with the
+    * bucket grid — friendly to any space-filling cut — plus two
+    * boundary-STRADDLING bands (offset half a quarter), where box
+    * quality and curve choice actually differentiate. */
+  val PruningSimBandDefs: Seq[(Int, Long, Long)] = {
+    val quarter = (1 << ZorderBits) / 4
+    (0 until 4).map(q =>
+      (q, (q * quarter).toLong, (q * quarter + quarter - 1).toLong)) ++
+      Seq(
+        // offset by a QUARTER-tile (tile = 2^(ZorderBits −
+        // ZorderBucketLog/2) = 32 wide): a half-quarter offset would
+        // still land on tile boundaries and prune perfectly.
+        (4, (quarter / 4).toLong, (quarter / 4 + quarter - 1).toLong),
+        (5, (2 * quarter + quarter / 4).toLong,
+          (2 * quarter + quarter / 4 + quarter - 1).toLong))
+  }
 
   /** FILE-SKIPPING SIMULATION — the layout ADVISOR behind "should this
     * table be OPTIMIZE ZORDER'd": for each conjunctive 2-d band
@@ -1904,7 +1918,6 @@ object BatchOps {
         s"(((nsk >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
     val shift = 2 * ZorderBits - ZorderBucketLog
-    val quarter = (top + 1) / PruningSimBands
     val bounds = Tables.lineitem(spark, dir)
       .agg(min(col("l_partkey")).as("pk_lo"),
         max(col("l_partkey")).as("pk_hi"),
@@ -1943,9 +1956,7 @@ object BatchOps {
         min(col("npk")).as("pk_min"), max(col("npk")).as("pk_max"),
         min(col("nsk")).as("sk_min"), max(col("nsk")).as("sk_max"))
       .withColumn("layout", lit("hilbert"))
-    val bands = spark.createDataFrame(
-        (0 until PruningSimBands).map(q =>
-          (q, (q * quarter).toLong, (q * quarter + quarter - 1).toLong)))
+    val bands = spark.createDataFrame(PruningSimBandDefs)
       .toDF("band", "b_lo", "b_hi")
     // True selectivity per band — layout-invariant, one conditional
     // aggregate over the normalized rows.
@@ -1980,7 +1991,6 @@ object BatchOps {
         s"(((nsk >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
     val shift = 2 * ZorderBits - ZorderBucketLog
-    val quarter = (top + 1) / PruningSimBands
     val linStep = (top + 1) / (1 << ZorderBucketLog)
     val hLevels = (0 until ZorderBits).reverse.map(1 << _).zipWithIndex
       .map { case (s, i) =>
@@ -2034,10 +2044,11 @@ object BatchOps {
        |    min(nsk) AS sk_min, max(nsk) AS sk_max
        |  FROM hlv${ZorderBits - 1} GROUP BY 1, 2),
        |bands AS (
-       |  SELECT CAST(q AS INT) AS band,
-       |    CAST(q * $quarter AS BIGINT) AS b_lo,
-       |    CAST(q * $quarter + $quarter - 1 AS BIGINT) AS b_hi
-       |  FROM (SELECT unnest(range(0, $PruningSimBands)) AS q)),
+       |  SELECT CAST(band AS INT) AS band, CAST(b_lo AS BIGINT) AS b_lo,
+       |    CAST(b_hi AS BIGINT) AS b_hi
+       |  FROM (VALUES ${PruningSimBandDefs
+             .map { case (b, lo, hi) => s"($b, $lo, $hi)" }
+             .mkString(", ")}) AS t(band, b_lo, b_hi)),
        |m AS (
        |  SELECT band, CAST(count(*) AS BIGINT) AS rows_matching
        |  FROM nrm CROSS JOIN bands

@@ -343,9 +343,9 @@ class BatchOpsSpec extends GraftSpec {
   test("pruning simulation is sound: every scanned set covers the matching set") {
     val dir = "/root/testdata/sf0.001"
     val rows = BatchOps.layoutPruningSim(spark, dir).collect()
-    // 4 bands × 3 layouts, equal bucket budgets — the comparison is
+    // 6 bands × 3 layouts, equal bucket budgets — the comparison is
     // box QUALITY, never box count.
-    assert(rows.length == BatchOps.PruningSimBands * 3)
+    assert(rows.length == BatchOps.PruningSimBandDefs.length * 3)
     assert(rows.map(_.getAs[Long]("n_buckets")).toSet.size == 1,
       "layouts must use the same bucket count")
     rows.foreach { r =>
