@@ -275,6 +275,7 @@ object SparkEntry {
       BatchOps.pennyAllocationAudit(s, d)),
     "neyman_sample" -> ((s, d) => BatchOps.neymanSample(s, d)),
     "layout_pruning_sim" -> ((s, d) => BatchOps.layoutPruningSim(s, d)),
+    "t_closeness_audit" -> ((s, d) => BatchOps.tClosenessAudit(s, d)),
     "props_variant_stats" -> ((s, d) => CdcOps.propsVariantStats(s, d)),
     "salted_join_rollup" -> ((s, d) => BatchOps.saltedJoinRollup(s, d)),
     "status_path_listagg" -> ((s, d) => BatchOps.statusPathListagg(s, d)),
@@ -1170,6 +1171,7 @@ object SparkEntry {
     "penny_allocation_audit" -> BatchOps.pennyAllocationAuditOracleSql,
     "neyman_sample" -> BatchOps.neymanSampleOracleSql,
     "layout_pruning_sim" -> BatchOps.layoutPruningSimOracleSql,
+    "t_closeness_audit" -> BatchOps.tClosenessAuditOracleSql,
     "props_variant_stats" -> CdcOps.propsVariantStatsOracleSql,
     "salted_join_rollup" -> BatchOps.saltedJoinRollupOracleSql,
     "status_path_listagg" -> BatchOps.statusPathListaggOracleSql,

@@ -6459,6 +6459,113 @@ object BatchOps {
        |  AND g.acctbal_band = m.acctbal_band AND m.rk = 1
        |ORDER BY 1, 2""".stripMargin
 
+  /** t threshold in MICRO (1e−6) total-variation units for
+    * [[tClosenessAudit]] (shared with the oracle): groups whose
+    * sensitive-value distribution sits further than 0.25 TVD from the
+    * corpus distribution breach. */
+  val TClosenessMicro = 250000L
+
+  /** T-CLOSENESS AUDIT — the third member of the anonymization triad
+    * ([[kAnonymityAudit]] / [[lDiversityAudit]] / this): l-diversity
+    * only counts DISTINCT sensitive values, so a class that is 98% one
+    * segment with a token second value passes l = 2 while still
+    * leaking; t-closeness bounds the DISTANCE between each class's
+    * sensitive distribution and the corpus-wide one. For the
+    * categorical segment attribute the distance is total variation
+    * ½·Σ_s |P_g(s) − P(s)|, computed EXACTLY in integers:
+    * Σ_s |N·c_gs − n_g·C_s| over segments PRESENT in the class, plus
+    * the absent segments' mass in closed form (Σ_absent n_g·C_s =
+    * n_g·N − Σ_present n_g·C_s — no dense class×segment spine is ever
+    * materialized), all products in DECIMAL(38)/HUGEINT, the result a
+    * floor-micro ratio.
+    *
+    * Scale shape: two partial+final aggregates at class and
+    * class×segment grain, a 5-row segment-total broadcast and a 1-row
+    * corpus count — the sparse-join + closed-form-complement device is
+    * what keeps the audit one shuffle at any class count. */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("acctbal_band"),
+        col("c_mktsegment"))
+    val s = base.groupBy("c_nationkey", "acctbal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("sn"))
+    val g = s.groupBy("c_nationkey", "acctbal_band")
+      .agg(sum(col("sn")).as("n_members"))
+    val tot = s.groupBy("c_mktsegment").agg(sum(col("sn")).as("cs"))
+    val nAll = base.agg(count(lit(1)).as("n_total"))
+    s.join(g, Seq("c_nationkey", "acctbal_band"))
+      .join(broadcast(tot), Seq("c_mktsegment"))
+      .crossJoin(broadcast(nAll))
+      .groupBy("c_nationkey", "acctbal_band")
+      .agg(
+        max(col("n_members")).as("n_members"),
+        max(col("n_total")).as("n_total"),
+        sum(expr("abs(CAST(n_total AS DECIMAL(38,0)) * sn - " +
+          "CAST(n_members AS DECIMAL(38,0)) * cs)")).as("abs_present"),
+        sum(expr("CAST(n_members AS DECIMAL(38,0)) * cs"))
+          .as("w_present"))
+      .withColumn("numer",
+        col("abs_present") +
+          (expr("CAST(n_members AS DECIMAL(38,0)) * n_total") -
+            col("w_present")))
+      .withColumn("tvd_micro",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * numer div " +
+          "(2 * CAST(n_members AS DECIMAL(38,0)) * n_total) AS BIGINT)"))
+      .withColumn("breach", col("tvd_micro") > lit(TClosenessMicro))
+      .select(col("c_nationkey"), col("acctbal_band"), col("n_members"),
+        col("tvd_micro"), col("breach"))
+      .orderBy("c_nationkey", "acctbal_band")
+  }
+
+  /** DuckDB oracle for [[tClosenessAudit]] — same sparse-present sums,
+    * same absent-mass closed form, same floor-micro ratio over HUGEINT
+    * products. */
+  private[graft] def tClosenessAuditOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS INT) AS acctbal_band,
+       |    c_mktsegment
+       |  FROM customer),
+       |s AS (
+       |  SELECT c_nationkey, acctbal_band, c_mktsegment,
+       |    CAST(count(*) AS BIGINT) AS sn
+       |  FROM b GROUP BY 1, 2, 3),
+       |g AS (
+       |  SELECT c_nationkey, acctbal_band,
+       |    CAST(sum(sn) AS BIGINT) AS n_members
+       |  FROM s GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT c_mktsegment, CAST(sum(sn) AS BIGINT) AS cs
+       |  FROM s GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+       |t AS (
+       |  SELECT s.c_nationkey, s.acctbal_band,
+       |    max(g.n_members) AS n_members,
+       |    max(n.n_total) AS n_total,
+       |    sum(abs(CAST(n.n_total AS HUGEINT) * s.sn -
+       |      CAST(g.n_members AS HUGEINT) * tot.cs)) AS abs_present,
+       |    sum(CAST(g.n_members AS HUGEINT) * tot.cs) AS w_present
+       |  FROM s
+       |  JOIN g ON s.c_nationkey = g.c_nationkey
+       |    AND s.acctbal_band = g.acctbal_band
+       |  JOIN tot ON s.c_mktsegment = tot.c_mktsegment
+       |  CROSS JOIN n
+       |  GROUP BY 1, 2)
+       |SELECT c_nationkey, acctbal_band, n_members,
+       |  CAST(CAST(1000000 AS HUGEINT) *
+       |    (abs_present + (CAST(n_members AS HUGEINT) * n_total
+       |      - w_present)) //
+       |    (2 * CAST(n_members AS HUGEINT) * n_total) AS BIGINT)
+       |    AS tvd_micro,
+       |  CAST(CAST(1000000 AS HUGEINT) *
+       |    (abs_present + (CAST(n_members AS HUGEINT) * n_total
+       |      - w_present)) //
+       |    (2 * CAST(n_members AS HUGEINT) * n_total) AS BIGINT)
+       |    > $TClosenessMicro AS breach
+       |FROM t
+       |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[statusPathListagg]] — `string_agg` with the
     * same ORDER BY. */
   private[graft] def statusPathListaggOracleSql: String =

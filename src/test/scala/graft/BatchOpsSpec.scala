@@ -368,4 +368,38 @@ class BatchOpsSpec extends GraftSpec {
         s"band $band: hilbert scanned more than linear")
     }
   }
+
+  test("t-closeness TVD matches a plain BigInt reference on the real corpus") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val dir = "/root/testdata/sf0.001"
+    // Independent reference: group the raw rows in driver memory and
+    // fold the DENSE definition ½·Σ_s |N·c_gs − n_g·C_s| (every
+    // segment, absent ones included) — the operator's sparse-present +
+    // closed-form-complement decomposition must agree exactly.
+    val raw = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("band"),
+        col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val n = BigInt(raw.length)
+    val segTotals = raw.groupBy(_._3).view.mapValues(v => BigInt(v.length))
+    val expected = raw.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val ng = BigInt(rows.length)
+      val numer = segTotals.map { case (seg, cs) =>
+        val cgs = BigInt(rows.count(_._3 == seg))
+        (n * cgs - ng * cs).abs
+      }.sum
+      k -> (BigInt(1000000) * numer / (2 * ng * n)).toLong
+    }
+    val got = BatchOps.tClosenessAudit(spark, dir).collect()
+      .map(r => (r.getAs[Number]("c_nationkey").longValue(),
+        r.getAs[Int]("acctbal_band")) -> r.getAs[Long]("tvd_micro"))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"class $k: got ${got(k)}, expected $v")
+      assert(got(k) >= 0L && got(k) <= 1000000L)
+    }
+  }
 }
