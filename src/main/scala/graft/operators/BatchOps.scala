@@ -1980,6 +1980,98 @@ object BatchOps {
       .orderBy("band", "layout")
   }
 
+  /** RLE candidate columns profiled by [[rleSortAdvisor]] as
+    * (output name, integer-or-string SQL expression) — shared with the
+    * oracle. */
+  val RleColumns: Seq[(String, String)] = Seq(
+    "returnflag" -> "l_returnflag",
+    "linestatus" -> "l_linestatus",
+    "quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+    "discount_c" -> "CAST(round(l_discount * 100) AS BIGINT)")
+
+  /** Sort orders tried by [[rleSortAdvisor]]: name → compound sort
+    * columns (always suffixed with the unique (orderkey, linenumber)
+    * tie-break so the order — and therefore the run count — is total
+    * and reproducible on both engines). */
+  val RleSortOrders: Seq[(String, Seq[String])] = Seq(
+    "by_shipdate" -> Seq("l_shipdate"),
+    "by_flag_status_date" ->
+      Seq("l_returnflag", "l_linestatus", "l_shipdate"))
+
+  /** RLE SORT-ORDER ADVISOR — [[layoutPruningSim]]'s sibling for the
+    * ENCODING side of layout choice: for each candidate sort order,
+    * count each column's RLE runs (adjacent-unequal transitions + 1)
+    * over the totally-ordered table — run count IS the run-length
+    * encoding's size, so `rle_ratio_mille = 1000·runs/rows` directly
+    * prices "sort by these keys and this column compresses ~N×". A
+    * clustered order collapses the leading columns to |domain| runs
+    * while a date order leaves them near-random — the trade a 100 TB
+    * table owner reads off this table before an OPTIMIZE.
+    *
+    * Scale shape: per order, ONE [[GlobalRank.withRowNumber]] two-phase
+    * range pass (the same exchange a global ORDER BY pays) and one
+    * rn = rn+1 self-join on the dense rank (the `cdc_gap_detection`
+    * successor device — hash join on a gap-free key, no window); all
+    * four columns' transitions fold into ONE conditional aggregate per
+    * order, and the long-format output is an 8-row literal melt. */
+  def rleSortAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val baseCols = RleColumns.map { case (n, sql) => expr(sql).as(n) }
+    val rows = RleSortOrders.map { case (orderName, sortCols) =>
+      val base = Tables.lineitem(spark, dir)
+        .select(baseCols ++ Seq(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber")): _*)
+      val ranked = GlobalRank.withRowNumber(base, "rn",
+        (sortCols :+ "l_orderkey" :+ "l_linenumber").map(col))
+      val cur = ranked.select(
+        (col("rn") +: RleColumns.map(c => col(c._1))): _*)
+      val prev = ranked.select(
+        ((col("rn") + 1).as("rn") +:
+          RleColumns.map(c => col(c._1).as(s"p_${c._1}"))): _*)
+      val aggCols = count(lit(1)).as("n_adjacent") +:
+        RleColumns.map { case (n, _) =>
+          sum(when(col(n) =!= col(s"p_$n"), 1L).otherwise(0L))
+            .as(s"tr_$n")
+        }
+      val folded = cur.join(prev, "rn")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("n_rows", col("n_adjacent") + 1L)
+      RleColumns.map { case (n, _) =>
+        folded.select(lit(orderName).as("sort_order"),
+          lit(n).as("column_name"), col("n_rows"),
+          (col(s"tr_$n") + 1L).as("n_runs"),
+          expr(s"(1000 * (tr_$n + 1)) div (n_adjacent + 1)")
+            .as("rle_ratio_mille"))
+      }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+    rows.orderBy("sort_order", "column_name")
+  }
+
+  /** DuckDB oracle for [[rleSortAdvisor]] — lag() over the identical
+    * total order, same transitions + 1 run count, one UNION ALL arm per
+    * (order, column). */
+  private[graft] def rleSortAdvisorOracleSql: String = {
+    val arms = RleSortOrders.flatMap { case (orderName, sortCols) =>
+      val ord = (sortCols :+ "l_orderkey" :+ "l_linenumber")
+        .mkString(", ")
+      RleColumns.map { case (n, sql) =>
+        s"""SELECT '$orderName' AS sort_order, '$n' AS column_name,
+           |  CAST(count(*) + 1 AS BIGINT) AS n_rows,
+           |  CAST(1 + sum(CASE WHEN c <> pc
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           |  CAST((1000 * (1 + sum(CASE WHEN c <> pc
+           |    THEN 1 ELSE 0 END))) // (count(*) + 1) AS BIGINT)
+           |    AS rle_ratio_mille
+           |FROM (
+           |  SELECT $sql AS c,
+           |    lag($sql) OVER (ORDER BY $ord) AS pc
+           |  FROM lineitem) t
+           |WHERE pc IS NOT NULL""".stripMargin
+      }
+    }
+    arms.mkString("", "\nUNION ALL\n",
+      "\nORDER BY sort_order, column_name")
+  }
+
   /** DuckDB oracle for [[layoutPruningSim]] — same normalization, same
     * generated interleave, same unrolled Hilbert walk (npk/nsk carried
     * through the rotation), same box-intersection rule. */

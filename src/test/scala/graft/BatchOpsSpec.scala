@@ -402,4 +402,38 @@ class BatchOpsSpec extends GraftSpec {
       assert(got(k) >= 0L && got(k) <= 1000000L)
     }
   }
+
+  test("RLE advisor obeys the run-count laws on the real corpus") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.rleSortAdvisor(spark, dir).collect()
+    assert(rows.length ==
+      BatchOps.RleSortOrders.length * BatchOps.RleColumns.length)
+    val nDistinct = BatchOps.RleColumns.map { case (n, sql) =>
+      n -> spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(org.apache.spark.sql.functions.expr(sql).as(n))
+        .agg(countDistinct(col(n))).head().getLong(0)
+    }.toMap
+    rows.foreach { r =>
+      val (c, runs, n) = (r.getAs[String]("column_name"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("n_rows"))
+      // Runs are bounded below by the distinct count (each value needs
+      // at least one run) and above by the row count.
+      assert(runs >= nDistinct(c), s"$r violates runs >= distinct")
+      assert(runs <= n, s"$r violates runs <= rows")
+    }
+    // The advisor's point: a sort CLUSTERED on a column collapses it to
+    // exactly its distinct count — the RLE floor.
+    val clustered = rows.filter(r =>
+      r.getAs[String]("sort_order") == "by_flag_status_date")
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_runs"))
+      .toMap
+    assert(clustered("returnflag") == nDistinct("returnflag"))
+    val dateOrder = rows.filter(r =>
+      r.getAs[String]("sort_order") == "by_shipdate")
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_runs"))
+      .toMap
+    assert(dateOrder("returnflag") > clustered("returnflag"),
+      "date order should not cluster returnflag")
+  }
 }
