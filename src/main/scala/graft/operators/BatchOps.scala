@@ -2008,42 +2008,85 @@ object BatchOps {
     * while a date order leaves them near-random — the trade a 100 TB
     * table owner reads off this table before an OPTIMIZE.
     *
-    * Scale shape: per order, ONE [[GlobalRank.withRowNumber]] two-phase
-    * range pass (the same exchange a global ORDER BY pays) and one
-    * rn = rn+1 self-join on the dense rank (the `cdc_gap_detection`
-    * successor device — hash join on a gap-free key, no window); all
-    * four columns' transitions fold into ONE conditional aggregate per
-    * order, and the long-format output is an 8-row literal melt. */
+    * Scale shape: per order, ONE range exchange (the same shuffle a
+    * global ORDER BY pays) and one NARROW mapPartitions fold counting
+    * every column's in-partition transitions at once — no rank, no
+    * checkpoint, no self-join (the first cut ranked + successor-joined:
+    * 5.6 s isolated at sf0.1 vs 3.2 s for this form — the residue is
+    * the two range exchanges themselves, i.e. the cost of two global
+    * ORDER BYs, which is the operator's honest floor; the
+    * RangePartitioner's sampling pass scans each order's input twice,
+    * the standing GlobalRank trade). Partition-BOUNDARY
+    * transitions are stitched on the driver from each partition's
+    * (first, last) value summary — a ≤ numShufflePartitions-row
+    * collect, the same config-bounded contract as GlobalRank's offset
+    * pass (range partition i orders before i+1, so adjacent non-empty
+    * summaries are exactly the table's adjacent rows). Values compare
+    * as strings in the summary (injective for these long/string
+    * columns); the in-partition compare is native. */
   def rleSortAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+      StructType}
     val baseCols = RleColumns.map { case (n, sql) => expr(sql).as(n) }
-    val rows = RleSortOrders.map { case (orderName, sortCols) =>
+    val k = RleColumns.length
+    val sumSchema = RleColumns.zipWithIndex
+      .foldLeft(new StructType()
+        .add("pid", IntegerType, nullable = false)
+        .add("n", LongType, nullable = false)) { case (s, ((cn, _), _)) =>
+        s.add(s"tr_$cn", LongType, nullable = false)
+          .add(s"first_$cn", StringType, nullable = true)
+          .add(s"last_$cn", StringType, nullable = true)
+      }
+    val out = RleSortOrders.flatMap { case (orderName, sortCols) =>
       val base = Tables.lineitem(spark, dir)
         .select(baseCols ++ Seq(col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber")): _*)
-      val ranked = GlobalRank.withRowNumber(base, "rn",
-        (sortCols :+ "l_orderkey" :+ "l_linenumber").map(col))
-      val cur = ranked.select(
-        (col("rn") +: RleColumns.map(c => col(c._1))): _*)
-      val prev = ranked.select(
-        ((col("rn") + 1).as("rn") +:
-          RleColumns.map(c => col(c._1).as(s"p_${c._1}"))): _*)
-      val aggCols = count(lit(1)).as("n_adjacent") +:
-        RleColumns.map { case (n, _) =>
-          sum(when(col(n) =!= col(s"p_$n"), 1L).otherwise(0L))
-            .as(s"tr_$n")
+      val order = (sortCols :+ "l_orderkey" :+ "l_linenumber").map(col)
+      val sorted = base.repartitionByRange(order: _*)
+        .sortWithinPartitions(order: _*)
+      val idx = RleColumns.map(c => sorted.schema.fieldIndex(c._1))
+      val summaries = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var n = 0L
+        val tr = new Array[Long](k)
+        val first = new Array[String](k)
+        val prev = new Array[Any](k)
+        it.foreach { r =>
+          n += 1
+          var i = 0
+          while (i < k) {
+            val v = r.get(idx(i))
+            if (n == 1L) first(i) = String.valueOf(v)
+            else if (v != prev(i)) tr(i) += 1
+            prev(i) = v
+            i += 1
+          }
         }
-      val folded = cur.join(prev, "rn")
-        .agg(aggCols.head, aggCols.tail: _*)
-        .withColumn("n_rows", col("n_adjacent") + 1L)
-      RleColumns.map { case (n, _) =>
-        folded.select(lit(orderName).as("sort_order"),
-          lit(n).as("column_name"), col("n_rows"),
-          (col(s"tr_$n") + 1L).as("n_runs"),
-          expr(s"(1000 * (tr_$n + 1)) div (n_adjacent + 1)")
-            .as("rle_ratio_mille"))
-      }.reduce(_.unionByName(_))
-    }.reduce(_.unionByName(_))
-    rows.orderBy("sort_order", "column_name")
+        val fields = Seq.tabulate(k) { i =>
+          Seq(tr(i), first(i),
+            if (n == 0L) null else String.valueOf(prev(i)))
+        }.flatten
+        Iterator.single(Row.fromSeq(pid +: n +: fields))
+      }(Encoders.row(sumSchema)).collect().sortBy(_.getInt(0))
+      val nonEmpty = summaries.filter(_.getLong(1) > 0L)
+      val nRows = nonEmpty.map(_.getLong(1)).sum
+      RleColumns.zipWithIndex.map { case ((cn, _), i) =>
+        val inner = nonEmpty.map(_.getLong(2 + 3 * i)).sum
+        val boundary = nonEmpty.sliding(2).count {
+          case Array(a, b) =>
+            // prev partition's LAST vs next partition's FIRST
+            a.getString(4 + 3 * i) != b.getString(3 + 3 * i)
+          case _ => false
+        }
+        (orderName, cn, nRows, inner + boundary + 1L,
+          (1000L * (inner + boundary + 1L)) / math.max(1L, nRows))
+      }
+    }
+    spark.createDataFrame(out)
+      .toDF("sort_order", "column_name", "n_rows", "n_runs",
+        "rle_ratio_mille")
+      .orderBy("sort_order", "column_name")
   }
 
   /** DuckDB oracle for [[rleSortAdvisor]] — lag() over the identical
