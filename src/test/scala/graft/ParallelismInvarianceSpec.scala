@@ -44,7 +44,12 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // corpus × dim rows) feeding integer bracket interpolation, plus
     // the broadcast fence-table re-scan — the widest group count in
     // the grouped-helper family.
-    "embedding_dim_quantiles", "embedding_robust_outliers")
+    "embedding_dim_quantiles", "embedding_robust_outliers",
+    // r15: per-partition transition folds whose partition-BOUNDARY
+    // stitching must produce identical run counts at ANY partition
+    // count (the whole correctness burden of the narrow-fold form),
+    // and the Neyman draw whose salted-hash ranks must not move.
+    "rle_sort_advisor", "neyman_sample")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
