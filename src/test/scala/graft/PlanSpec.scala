@@ -124,6 +124,16 @@ class PlanSpec extends GraftSpec {
       plan.contains("BroadcastExchange"), s"plan:\n$plan")
   }
 
+  test("pruning advisor's band crosses broadcast; no shuffled cartesian") {
+    // The 4-band × 128-box simulation crosses must ride broadcasts of
+    // the tiny band table — a CartesianProduct here would shuffle the
+    // normalized FACT rows against the bands at 100 TB.
+    val plan = executedPlan(BatchOps.layoutPruningSim(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
   test("vector fan-outs compile to BroadcastHashJoin, never a nested loop") {
     // The constant-key join device (pmod(id, 1) on both sides) exists so
     // the k×N / N×C fan-outs run as codegen'd BroadcastHashJoins. If an
