@@ -1990,9 +1990,10 @@ object BatchOps {
     "discount_c" -> "CAST(round(l_discount * 100) AS BIGINT)")
 
   /** Sort orders tried by [[rleSortAdvisor]]: name → compound sort
-    * columns (always suffixed with the unique (orderkey, linenumber)
-    * tie-break so the order — and therefore the run count — is total
-    * and reproducible on both engines). */
+    * columns (always suffixed with (orderkey, linenumber) AND the
+    * profiled columns themselves — the generator's (orderkey,
+    * linenumber) is not unique, so only value-inclusive tie-breaking
+    * makes the run counts order-independent across engines). */
   val RleSortOrders: Seq[(String, Seq[String])] = Seq(
     "by_shipdate" -> Seq("l_shipdate"),
     "by_flag_status_date" ->
@@ -2042,7 +2043,15 @@ object BatchOps {
       val base = Tables.lineitem(spark, dir)
         .select(baseCols ++ Seq(col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber")): _*)
-      val order = (sortCols :+ "l_orderkey" :+ "l_linenumber").map(col)
+      // (l_orderkey, l_linenumber) is NOT unique in this generator
+      // (118k duplicate keys at sf0.1, with differing attributes), so
+      // the profiled columns themselves join the tie-break: any rows
+      // still tied are then IDENTICAL in every counted column, making
+      // the run counts order-independent — without this, a tie between
+      // rows with different discounts leaves the count ambiguous and
+      // the two engines may legally disagree by one.
+      val order = (sortCols :+ "l_orderkey" :+ "l_linenumber")
+        .map(col) ++ RleColumns.map(c => col(c._1))
       val sorted = base.repartitionByRange(order: _*)
         .sortWithinPartitions(order: _*)
       val idx = RleColumns.map(c => sorted.schema.fieldIndex(c._1))
@@ -2094,8 +2103,10 @@ object BatchOps {
     * (order, column). */
   private[graft] def rleSortAdvisorOracleSql: String = {
     val arms = RleSortOrders.flatMap { case (orderName, sortCols) =>
-      val ord = (sortCols :+ "l_orderkey" :+ "l_linenumber")
-        .mkString(", ")
+      // profiled columns in the tie-break — see the operator's note on
+      // the generator's non-unique (orderkey, linenumber).
+      val ord = ((sortCols :+ "l_orderkey" :+ "l_linenumber") ++
+        RleColumns.map(_._2)).mkString(", ")
       RleColumns.map { case (n, sql) =>
         s"""SELECT '$orderName' AS sort_order, '$n' AS column_name,
            |  CAST(count(*) + 1 AS BIGINT) AS n_rows,
