@@ -277,6 +277,8 @@ object SparkEntry {
     "layout_pruning_sim" -> ((s, d) => BatchOps.layoutPruningSim(s, d)),
     "t_closeness_audit" -> ((s, d) => BatchOps.tClosenessAudit(s, d)),
     "rle_sort_advisor" -> ((s, d) => BatchOps.rleSortAdvisor(s, d)),
+    "allocation_variance_audit" -> ((s, d) =>
+      BatchOps.allocationVarianceAudit(s, d)),
     "props_variant_stats" -> ((s, d) => CdcOps.propsVariantStats(s, d)),
     "salted_join_rollup" -> ((s, d) => BatchOps.saltedJoinRollup(s, d)),
     "status_path_listagg" -> ((s, d) => BatchOps.statusPathListagg(s, d)),
@@ -1174,6 +1176,8 @@ object SparkEntry {
     "layout_pruning_sim" -> BatchOps.layoutPruningSimOracleSql,
     "t_closeness_audit" -> BatchOps.tClosenessAuditOracleSql,
     "rle_sort_advisor" -> BatchOps.rleSortAdvisorOracleSql,
+    "allocation_variance_audit" ->
+      BatchOps.allocationVarianceAuditOracleSql,
     "props_variant_stats" -> CdcOps.propsVariantStatsOracleSql,
     "salted_join_rollup" -> BatchOps.saltedJoinRollupOracleSql,
     "status_path_listagg" -> BatchOps.statusPathListaggOracleSql,

@@ -2709,28 +2709,7 @@ object BatchOps {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         round(col("c_acctbal") * 100).cast("long").as("v"))
-    val stats = base.groupBy("seg").agg(
-        count(lit(1)).as("n"),
-        sum(col("v")).as("s1"),
-        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
-      .withColumn("weight_milli",
-        expr("CAST(round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - " +
-          "CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) * 1000) AS BIGINT)"))
-    val wAlloc = Window.partitionBy()
-    val alloc = stats
-      .withColumn("w_total", sum(col("weight_milli")).over(wAlloc))
-      .withColumn("base_q",
-        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * weight_milli" +
-          " div w_total AS BIGINT)"))
-      .withColumn("frac",
-        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * weight_milli" +
-          " % w_total AS BIGINT)"))
-      .withColumn("leftover",
-        lit(NeymanBudget.toLong) - sum(col("base_q")).over(wAlloc))
-      .withColumn("rk_rem", row_number().over(
-        wAlloc.orderBy(col("frac").desc, col("seg"))).cast("long"))
-      .withColumn("quota", col("base_q") +
-        when(col("rk_rem") <= col("leftover"), 1L).otherwise(0L))
+    val alloc = budgetSplit(neymanStats(base), col("weight_milli"))
       .select(col("seg"), col("quota"))
     val wSeg = Window.partitionBy("seg")
       .orderBy(col("u"), col("c_custkey"))
@@ -2743,6 +2722,160 @@ object BatchOps {
       .filter(col("rk") <= col("quota"))
       .select(col("seg"), col("quota"), col("rk"), col("c_custkey"))
       .orderBy("seg", "rk")
+  }
+
+  /** Per-stratum exact moments of the (seg, v) frame — count, Σv, Σv²
+    * (DECIMAL(38)), the population-variance NUMERATOR n·Σv² − (Σv)²,
+    * and the Neyman weight N_h·σ_h = √var_num re-quantized to int
+    * millis (the one float, identically rounded both engines). Shared
+    * by [[neymanSample]] and [[allocationVarianceAudit]]. */
+  private def neymanStats(base: DataFrame): DataFrame =
+    base.groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+      .withColumn("var_num",
+        expr("CAST(n AS DECIMAL(38,0)) * s2 - " +
+          "CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("weight_milli",
+        expr("CAST(round(sqrt(CAST(var_num AS DOUBLE)) * 1000) " +
+          "AS BIGINT)"))
+
+  /** Largest-remainder split of [[NeymanBudget]] across the stats
+    * frame's strata proportional to `weightCol` (any non-negative
+    * integer weight) — adds `quota` with Σ quota ≡ the budget; the
+    * [[pennyAllocationAudit]] device over the |strata|-row frame (the
+    * unpartitioned windows see 5 rows, never the fact). */
+  private def budgetSplit(stats: DataFrame, weightCol: Column)
+      : DataFrame = {
+    val wAlloc = Window.partitionBy()
+    stats
+      .withColumn("w", weightCol.cast("long"))
+      .withColumn("w_total", sum(col("w")).over(wAlloc))
+      .withColumn("base_q",
+        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w" +
+          " div w_total AS BIGINT)"))
+      .withColumn("frac",
+        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w" +
+          " % w_total AS BIGINT)"))
+      .withColumn("leftover",
+        lit(NeymanBudget.toLong) - sum(col("base_q")).over(wAlloc))
+      .withColumn("rk_rem", row_number().over(
+        wAlloc.orderBy(col("frac").desc, col("seg"))).cast("long"))
+      .withColumn("quota", col("base_q") +
+        when(col("rk_rem") <= col("leftover"), 1L).otherwise(0L))
+      .drop("w", "w_total", "base_q", "frac", "leftover", "rk_rem")
+  }
+
+  /** ALLOCATION-VARIANCE AUDIT — the quantified defense of
+    * [[neymanSample]]'s allocation rule: for the three standard
+    * stratified designs (equal, proportional, Neyman), the variance of
+    * the stratified-mean estimator, Var = Σ_h (W_h·σ_h)²/n_h
+    * = Σ_h var_num_h / (N²·n_h) (no finite-population correction),
+    * emitted per (allocation, stratum) as an exact floor-milli integer
+    * term so the three designs' totals compare directly — Neyman's
+    * total is minimal by Cauchy-Schwarz, and this table shows it as
+    * data rather than doctrine (it is also the input to the "is
+    * Neyman worth the σ estimation pass" call a sampling pipeline
+    * makes). All arithmetic rides [[neymanStats]]' exact DECIMAL(38)
+    * variance numerators; quotas come from the SAME
+    * [[budgetSplit]] device the sampler uses, so the audited design is
+    * exactly the shipped one.
+    *
+    * Scale shape: one moments aggregate over the fact, then everything
+    * runs on |strata|-row frames and a 1-row count broadcast. A
+    * zero-quota stratum contributes a 0 term by convention (reachable
+    * only with a zero-variance stratum under Neyman, where the true
+    * term IS 0). */
+  def allocationVarianceAudit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val stats = neymanStats(base)
+    val allocs = Seq(
+        ("equal", lit(1L)),
+        ("proportional", col("n")),
+        ("neyman", col("weight_milli")))
+      .map { case (nm, w) =>
+        budgetSplit(stats, w).withColumn("allocation", lit(nm))
+      }
+      .reduce(_.unionByName(_))
+    val nAll = base.agg(count(lit(1)).as("n_total"))
+    allocs.crossJoin(broadcast(nAll))
+      .withColumn("term_milli",
+        expr("CASE WHEN quota = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(CAST(1000 AS DECIMAL(38,0)) * var_num div " +
+          "(CAST(n_total AS DECIMAL(38,0)) * n_total * quota) " +
+          "AS BIGINT) END"))
+      .select(col("allocation"), col("seg"), col("n").as("n_members"),
+        col("quota"), col("term_milli"))
+      .orderBy("allocation", "seg")
+  }
+
+  /** DuckDB oracle for [[allocationVarianceAudit]] — same moments, same
+    * three largest-remainder splits, same floor-milli variance terms
+    * over HUGEINT products. */
+  private[graft] def allocationVarianceAuditOracleSql: String = {
+    val chains = Seq(
+      ("equal", "1"),
+      ("proportional", "n"),
+      ("neyman", "weight_milli")).map { case (nm, w) =>
+      s"""al_$nm AS (
+         |  SELECT seg, n, var_num, CAST($w AS BIGINT) AS w,
+         |    CAST(sum(CAST($w AS BIGINT)) OVER () AS BIGINT) AS w_total
+         |  FROM wg),
+         |bq_$nm AS (
+         |  SELECT seg, n, var_num,
+         |    CAST(CAST($NeymanBudget AS HUGEINT) * w // w_total
+         |      AS BIGINT) AS base_q,
+         |    CAST(CAST($NeymanBudget AS HUGEINT) * w % w_total
+         |      AS BIGINT) AS frac
+         |  FROM al_$nm),
+         |lo_$nm AS (
+         |  SELECT seg, n, var_num, base_q,
+         |    $NeymanBudget - CAST(sum(base_q) OVER () AS BIGINT)
+         |      AS leftover,
+         |    CAST(row_number() OVER (ORDER BY frac DESC, seg)
+         |      AS BIGINT) AS rk
+         |  FROM bq_$nm),
+         |q_$nm AS (
+         |  SELECT '$nm' AS allocation, seg, n, var_num,
+         |    base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |      AS quota
+         |  FROM lo_$nm)""".stripMargin
+    }.mkString(",\n")
+    val unions = Seq("equal", "proportional", "neyman")
+      .map(nm => s"SELECT * FROM q_$nm").mkString("\n  UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+       |  FROM customer),
+       |st AS (
+       |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS s1,
+       |    sum(CAST(v AS HUGEINT) * v) AS s2
+       |  FROM b GROUP BY seg),
+       |wg AS (
+       |  SELECT seg, n,
+       |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+       |      AS var_num,
+       |    CAST(round(sqrt(CAST(CAST(n AS HUGEINT) * s2 -
+       |      CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) * 1000) AS BIGINT)
+       |      AS weight_milli
+       |  FROM st),
+       |$chains,
+       |u AS (
+       |  $unions),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+       |SELECT u.allocation, u.seg, u.n AS n_members,
+       |  CAST(u.quota AS BIGINT) AS quota,
+       |  CASE WHEN u.quota = 0 THEN CAST(0 AS BIGINT) ELSE
+       |    CAST(CAST(1000 AS HUGEINT) * u.var_num //
+       |      (CAST(nt.n_total AS HUGEINT) * nt.n_total * u.quota)
+       |      AS BIGINT) END AS term_milli
+       |FROM u CROSS JOIN nt
+       |ORDER BY u.allocation, u.seg""".stripMargin
   }
 
   /** DuckDB oracle for [[neymanSample]] — same DECIMAL/HUGEINT variance

@@ -340,6 +340,27 @@ class BatchOpsSpec extends GraftSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("allocation variance audit: Neyman is the minimal design") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BatchOps.allocationVarianceAudit(spark, dir).collect()
+    assert(rows.length == 15, "3 allocations x 5 strata")
+    val totals = rows.groupBy(_.getAs[String]("allocation"))
+      .view.mapValues(_.map(_.getAs[Long]("term_milli")).sum).toMap
+    assert(totals.keySet == Set("equal", "proportional", "neyman"))
+    // Cauchy-Schwarz: Neyman minimizes Σ (W_h σ_h)²/n_h over integer
+    // budgets up to the largest-remainder rounding — each floor-milli
+    // term under-reports by < 1, so allow a 5-milli slack across the
+    // 5 strata.
+    assert(totals("neyman") <= totals("proportional") + 5L,
+      s"totals $totals")
+    assert(totals("neyman") <= totals("equal") + 5L, s"totals $totals")
+    // Each design's quotas conserve the budget.
+    rows.groupBy(_.getAs[String]("allocation")).foreach { case (a, rs) =>
+      assert(rs.map(_.getAs[Long]("quota")).sum ==
+        BatchOps.NeymanBudget.toLong, s"$a quotas don't conserve")
+    }
+  }
+
   test("pruning simulation is sound: every scanned set covers the matching set") {
     val dir = "/root/testdata/sf0.001"
     val rows = BatchOps.layoutPruningSim(spark, dir).collect()

@@ -207,7 +207,7 @@ class WindowGateSpec extends AnyFunSuite {
       "decile grain: HeapsDeciles = 10 rows",
     ("TextOps.scala", "domainMixture") ->
       "|sources|-row per-source aggregate frame (empty partitionBy())",
-    ("BatchOps.scala", "neymanSample") ->
+    ("BatchOps.scala", "budgetSplit") ->
       "|segments|-row allocation frame: 5 rows (empty partitionBy())")
 
   private val keyedAllowlist = WindowGateSpec.keyedAllowlist
