@@ -456,5 +456,28 @@ class BatchOpsSpec extends GraftSpec {
       .toMap
     assert(dateOrder("returnflag") > clustered("returnflag"),
       "date order should not cluster returnflag")
+    // The byte estimate is internally consistent with the run counts
+    // and prices the decision: under the clustered order returnflag's
+    // RLE size collapses to ~|domain| words (bytes_ratio ≪ 1000 and
+    // far below the date order's near-random ratio), while under the
+    // date order a 1-byte column RLE-encodes ABOVE plain size — the
+    // "don't bother" read-out.
+    val byKey = rows.map(r => (r.getAs[String]("sort_order"),
+      r.getAs[String]("column_name")) -> r).toMap
+    rows.foreach { r =>
+      val w = BatchOps.RleColWidthBytes(r.getAs[String]("column_name"))
+      assert(r.getAs[Long]("rle_bytes") ==
+        r.getAs[Long]("n_runs") * (w + BatchOps.RleRunLenBytes))
+      assert(r.getAs[Long]("plain_bytes") ==
+        w * r.getAs[Long]("n_rows"))
+    }
+    val clusteredRatio = byKey(("by_flag_status_date", "returnflag"))
+      .getAs[Long]("bytes_ratio_mille")
+    val dateRatio = byKey(("by_shipdate", "returnflag"))
+      .getAs[Long]("bytes_ratio_mille")
+    assert(clusteredRatio * 10 < dateRatio,
+      s"clustered returnflag should compress ≫ date order " +
+        s"($clusteredRatio vs $dateRatio)")
+    assert(clusteredRatio < 1000L, "clustered RLE must beat plain")
   }
 }

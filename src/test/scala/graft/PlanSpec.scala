@@ -125,13 +125,30 @@ class PlanSpec extends GraftSpec {
   }
 
   test("pruning advisor's band crosses broadcast; no shuffled cartesian") {
-    // The 4-band × 128-box simulation crosses must ride broadcasts of
+    // The 6-band × 192-box simulation crosses must ride broadcasts of
     // the tiny band table — a CartesianProduct here would shuffle the
     // normalized FACT rows against the bands at 100 TB.
     val plan = executedPlan(BatchOps.layoutPruningSim(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(plan.contains("BroadcastExchange"), s"plan:\n$plan")
     assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
+  test("pruning advisor reads the fact exactly twice: bounds + one stacked pass") {
+    // r15 verdict order #4: the normalized projection used to recompute
+    // for each of its four consumers (3 layout box aggregates + the
+    // true-selectivity pass) — 5 column-pruned lineitem scans for a
+    // diagnostic query. The fold emits all three bucket ids + the 6
+    // static band flags in ONE projection, unpivots via stack, and
+    // aggregates once; this asserts the pre-checkpoint plan carries
+    // exactly TWO lineitem scans (the min/max bounds pass + the stacked
+    // box pass — the returned layoutPruningSim plan itself hides them
+    // behind the 192-row localCheckpoint, so assert the factored frame).
+    val plan = executedPlan(BatchOps.layoutPruningBoxes(spark, dir))
+    val scans = plan.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 2, s"expected 2 lineitem scans, got $scans:\n$plan")
+    assert(plan.contains("Generate"), s"no stack unpivot in:\n$plan")
   }
 
   test("vector fan-outs compile to BroadcastHashJoin, never a nested loop") {
