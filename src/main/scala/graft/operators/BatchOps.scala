@@ -1828,6 +1828,62 @@ object BatchOps {
     walked.withColumn("h_bucket", expr(s"shiftright(h, $shift)"))
   }
 
+  /** The [[hilbertBucketed]] rotation walk as a pure driver-side
+    * integer function — SAME levels (2^(ZorderBits−1) down to 1), same
+    * arithmetic quadrant `3·rx + ry·(1−2·rx)`, same ry=0
+    * reflect-then-transpose — so the two spellings are interchangeable
+    * (spec-pinned equal on every cell of the grid). Exists because the
+    * domain is code-bounded (2^(2·ZorderBits) cells): evaluating the
+    * walk once here and broadcasting the lookup costs ~nothing, while
+    * carrying the 8-level nested CASE tree in a plan costs ~1 s of
+    * Catalyst optimizer + codegen per execution ([[layoutPruningSim]]'s
+    * dominant cost in its first grid-grain fold). */
+  /** Session-scoped memo of the hilbert grid LOOKUP used by
+    * [[layoutPruningSim]] — [[hilbertIndex]] over every cell of the
+    * code-bounded 2^(2·[[ZorderBits]]) domain, checkpointed (65,536
+    * rows × 3 longs ≈ 1.5 MB broadcast at use). Exists because the
+    * SQL spelling of the walk is an 8-level nested CASE tree that
+    * costs ~1 s of Catalyst optimizer + codegen PER EXECUTION at any
+    * data size (planning, not execution, cost), and re-creating even
+    * the LocalRelation per run re-pays 65k row conversions; keyed by
+    * applicationId like every session memo. */
+  private val hilbertLutMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+
+  private def hilbertLut(spark: SparkSession): DataFrame =
+    hilbertLutMemo.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => graft.Memos.timed("hilbert_lut") {
+        val shift = 2 * ZorderBits - ZorderBucketLog
+        spark.createDataFrame(
+            for {
+              x <- 0 until (1 << ZorderBits)
+              y <- 0 until (1 << ZorderBits)
+            } yield (x.toLong, y.toLong, hilbertIndex(x, y) >> shift))
+          .toDF("npk", "nsk", "h_bucket")
+          .localCheckpoint()
+      })
+
+  private[graft] def hilbertIndex(x0: Int, y0: Int): Long = {
+    val n = 1 << ZorderBits
+    var hx = x0.toLong
+    var hy = y0.toLong
+    var h = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((hx & s) > 0) 1L else 0L
+      val ry = if ((hy & s) > 0) 1L else 0L
+      h += s.toLong * s * (3L * rx + ry * (1L - 2L * rx))
+      if (ry == 0L) {
+        val nx = if (rx == 1L) (n - 1L) - hy else hy
+        val ny = if (rx == 1L) (n - 1L) - hx else hx
+        hx = nx
+        hy = ny
+      }
+      s >>= 1
+    }
+    h
+  }
+
   /** DuckDB oracle for [[hilbertStats]] — the identical unrolled walk
     * as chained CTEs (one per level, same CASE arithmetic). */
   private[graft] def hilbertStatsOracleSql: String = {
@@ -1907,30 +1963,59 @@ object BatchOps {
     * collapse is the whole point of the operator.
     *
     * Scale shape (r15 verdict order #4 — was 5 column-pruned fact
-    * scans, now exactly 2): the bounds aggregate is one scan; ONE
-    * normalized projection then emits all three bucket ids plus the 6
-    * static band-membership flags, a 3-way `stack` unpivots it to
-    * (layout, bucket) grain, and a single partial+final hash aggregate
-    * produces every per-(layout, bucket) bounding box AND the flag sums
-    * the true selectivities fold from (each original row lands in
-    * exactly one bucket per layout, so summing one layout's per-bucket
-    * flag counts recovers the per-band matching totals without
-    * re-touching the fact). The 192-row box frame is localCheckpointed
-    * so its two consumers (the hit cross, the selectivity fold) never
-    * re-run the scan; the simulation itself is a broadcast cross of 6
-    * bands × 192 box rows. Nothing data-scaled shuffles — at 100 TB
-    * this runs as two scan-shaped aggregates, which is what makes it
-    * usable as a planning advisor at all. */
+    * scans, now exactly 2): the bounds aggregate is one scan; the
+    * second is a plain (npk, nsk) count — the normalized grid has at
+    * most 2^(2·[[ZorderBits]]) = 65,536 cells at ANY data volume, so
+    * the fact pass map-side-combines to a bounded frame,
+    * localCheckpointed once, and every layout-specific computation
+    * (the hilbert bucket lookup, the interleave, the 3-way stack to
+    * (layout, bucket) grain, the box aggregate, the cell_rows-weighted
+    * band selectivities) runs over the checkpointed grid, never the
+    * fact. The simulation itself is a broadcast cross of 6 bands × 192
+    * box rows. Nothing data-scaled shuffles — at 100 TB this runs as
+    * two scan-shaped aggregates, which is what makes it usable as a
+    * planning advisor at all. */
   def layoutPruningSim(spark: SparkSession, dir: String): DataFrame = {
-    val boxes = layoutPruningBoxes(spark, dir).localCheckpoint()
+    val top = (1 << ZorderBits) - 1
+    val zTerms = (0 until ZorderBits).map(i =>
+      s"(((npk >> $i) & 1) << ${2 * i}) + " +
+        s"(((nsk >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val shift = 2 * ZorderBits - ZorderBucketLog
+    // The 2-fact-scan frame, materialized ONCE (≤65,536 rows); every
+    // downstream consumer — the box aggregate and the true-selectivity
+    // fold — reads the checkpoint, never the fact.
+    val grid = layoutPruningGrid(spark, dir).localCheckpoint()
+    val lut = hilbertLut(spark)
+    // All three bucket ids in one projection over the grid: linear =
+    // equal-width npk ranges at the same bucket BUDGET as the
+    // space-filling cuts (2^ZorderBucketLog, so the comparison is box
+    // quality, not box count); zorder = the bit interleave; hilbert =
+    // the LUT join. A 3-way stack unpivots to (layout, bucket) grain
+    // and one aggregate builds every bounding box, cell_rows-weighted.
+    val boxes = grid.join(broadcast(lut), Seq("npk", "nsk"))
+      .withColumn("bucket_linear", expr(
+        s"npk div ${(top + 1) / (1 << ZorderBucketLog)}"))
+      .withColumn("bucket_z", expr(
+        s"shiftright(cast(($zTerms) as bigint), $shift)"))
+      .selectExpr("stack(3, 'linear_pk', bucket_linear, " +
+        "'zorder', bucket_z, 'hilbert', h_bucket) AS (layout, bucket)",
+        "npk", "nsk", "cell_rows")
+      .groupBy("layout", "bucket")
+      .agg(sum(col("cell_rows")).as("n_rows"),
+        min(col("npk")).as("pk_min"), max(col("npk")).as("pk_max"),
+        min(col("nsk")).as("sk_min"), max(col("nsk")).as("sk_max"))
     val bands = spark.createDataFrame(PruningSimBandDefs)
       .toDF("band", "b_lo", "b_hi")
-    // True selectivity per band — layout-invariant by construction, so
-    // fold it from ONE layout's per-bucket flag sums (64 rows).
-    val flagSums = PruningSimBandDefs.map { case (b, _, _) =>
-      sum(col(s"m_$b")).as(s"t_$b") }
-    val matching = boxes.filter(col("layout") === lit("linear_pk"))
-      .agg(flagSums.head, flagSums.tail: _*)
+    // True selectivity per band — layout-invariant, one conditional
+    // cell_rows-weighted aggregate over the checkpointed grid (the
+    // band bounds are compile-time constants, so this is 6 when-sums
+    // in a single pass over ≤65k rows — no fact re-scan).
+    val bandSums = PruningSimBandDefs.map { case (b, lo, hi) =>
+      sum(when(col("npk") >= lo && col("npk") <= hi
+          && col("nsk") >= lo && col("nsk") <= hi, col("cell_rows"))
+        .otherwise(0L)).as(s"t_$b") }
+    val matching = grid.agg(bandSums.head, bandSums.tail: _*)
       .selectExpr(s"stack(${PruningSimBandDefs.length}, " +
         PruningSimBandDefs.map { case (b, _, _) =>
           s"$b, t_$b" }.mkString(", ") +
@@ -1951,19 +2036,14 @@ object BatchOps {
       .orderBy("band", "layout")
   }
 
-  /** [[layoutPruningSim]]'s single fact pass, pre-checkpoint (factored
-    * out so PlanSpec can assert the one-lineitem-scan shape directly —
-    * the checkpoint hides the scan from the returned plan): per
-    * (layout, bucket), the bounding box, row count, and the 6 band-flag
-    * sums. 3 layouts × 64 buckets = 192 rows. */
-  private[graft] def layoutPruningBoxes(spark: SparkSession,
+  /** [[layoutPruningSim]]'s fact passes, pre-checkpoint (factored out
+    * so PlanSpec can assert the two-lineitem-scan shape directly — the
+    * checkpoint hides the scans from the returned sim plan): the
+    * normalized-GRID row counts, (npk, nsk, cell_rows), ≤ 65,536 rows
+    * at any data volume. */
+  private[graft] def layoutPruningGrid(spark: SparkSession,
       dir: String): DataFrame = {
     val top = (1 << ZorderBits) - 1
-    val zTerms = (0 until ZorderBits).map(i =>
-      s"(((npk >> $i) & 1) << ${2 * i}) + " +
-        s"(((nsk >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" + ")
-    val shift = 2 * ZorderBits - ZorderBucketLog
     val bounds = Tables.lineitem(spark, dir)
       .agg(min(col("l_partkey")).as("pk_lo"),
         max(col("l_partkey")).as("pk_hi"),
@@ -1977,36 +2057,20 @@ object BatchOps {
       .withColumn("nsk", expr(
         s"((l_suppkey - sk_lo) * $top) div greatest(1L, sk_hi - sk_lo)"))
       .select(col("npk"), col("nsk"))
-    // All three bucket ids in ONE projection: linear = equal-width npk
-    // ranges at the same bucket BUDGET as the space-filling cuts
-    // (2^ZorderBucketLog, so the comparison is box quality, not box
-    // count); zorder = the bit interleave; hilbert = the
-    // [[hilbertBucketed]] walk (hx/hy rotate in place, npk/nsk pass
-    // through untouched).
-    val proj = hilbertBucketed(
-        nrm.withColumn("hx", col("npk")).withColumn("hy", col("nsk")))
-      .withColumn("bucket_linear", expr(
-        s"npk div ${(top + 1) / (1 << ZorderBucketLog)}"))
-      .withColumn("bucket_z", expr(
-        s"shiftright(cast(($zTerms) as bigint), $shift)"))
-    val flagCols = PruningSimBandDefs.map { case (b, lo, hi) =>
-      when(col("npk") >= lo && col("npk") <= hi
-          && col("nsk") >= lo && col("nsk") <= hi, 1L)
-        .otherwise(0L).as(s"m_$b")
-    }
-    proj
-      .select(Seq(col("npk"), col("nsk"), col("bucket_linear"),
-        col("bucket_z"), col("h_bucket")) ++ flagCols: _*)
-      .selectExpr(Seq("stack(3, 'linear_pk', bucket_linear, " +
-        "'zorder', bucket_z, 'hilbert', h_bucket) AS (layout, bucket)",
-        "npk", "nsk") ++
-        PruningSimBandDefs.map { case (b, _, _) => s"m_$b" }: _*)
-      .groupBy("layout", "bucket")
-      .agg(count(lit(1)).as("n_rows"),
-        Seq(min(col("npk")).as("pk_min"), max(col("npk")).as("pk_max"),
-          min(col("nsk")).as("sk_min"), max(col("nsk")).as("sk_max")) ++
-          PruningSimBandDefs.map { case (b, _, _) =>
-            sum(col(s"m_$b")).as(s"m_$b") }: _*)
+    // ONE fact aggregate, at the normalized-GRID grain: (npk, nsk) has
+    // at most 2^(2·ZorderBits) = 65,536 cells REGARDLESS of data
+    // volume, so the fact pass is a plain two-key count with full
+    // map-side combine, and everything layout-specific (the hilbert
+    // LUT join, the bit interleave, the band sums, the 3-way stack)
+    // runs over the code-bounded grid, never the fact. Two rejected
+    // folds, measured at sf0.1: stacking the FACT rows 3× through the
+    // box aggregate with the in-plan hilbert walk = 1.85 s; letting
+    // exchange reuse dedup an un-checkpointed boxes frame = 6 scans
+    // (the matching consumer's layout filter pushes into the Generate
+    // and breaks subtree equality) — the checkpointed grid is the form
+    // that is BOTH 2-scan and cheapest.
+    nrm.groupBy("npk", "nsk")
+      .agg(count(lit(1)).as("cell_rows"))
   }
 
   /** RLE candidate columns profiled by [[rleSortAdvisor]] as

@@ -390,6 +390,29 @@ class BatchOpsSpec extends GraftSpec {
     }
   }
 
+  test("driver-side hilbertIndex equals the SQL rotation walk on every grid cell") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // layoutPruningSim's broadcast LUT and the hilbertStats /
+    // hilbertBucketed SQL walk (which the DuckDB oracle replays as
+    // CTEs) must be the SAME curve — pin them equal over the entire
+    // code-bounded 256² domain, not a sample.
+    val n = 1 << BatchOps.ZorderBits
+    val shift = 2 * BatchOps.ZorderBits - BatchOps.ZorderBucketLog
+    val cells = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("hx"),
+        (col("id") % n).cast("long").as("hy"))
+      .withColumn("x", col("hx")).withColumn("y", col("hy"))
+    val sqlWalk = BatchOps.hilbertBucketed(cells)
+      .select(col("x"), col("y"), col("h_bucket")).collect()
+    assert(sqlWalk.length == n * n)
+    sqlWalk.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) ==
+        (BatchOps.hilbertIndex(x.toInt, y.toInt) >> shift),
+        s"cell ($x,$y): SQL walk ${r.getLong(2)} != driver index")
+    }
+  }
+
   test("t-closeness TVD matches a plain BigInt reference on the real corpus") {
     import org.apache.spark.sql.functions.{col, floor}
     val dir = "/root/testdata/sf0.001"

@@ -134,21 +134,25 @@ class PlanSpec extends GraftSpec {
     assert(!plan.contains("Window"), s"window crept in:\n$plan")
   }
 
-  test("pruning advisor reads the fact exactly twice: bounds + one stacked pass") {
+  test("pruning advisor reads the fact exactly twice: bounds + grid count") {
     // r15 verdict order #4: the normalized projection used to recompute
     // for each of its four consumers (3 layout box aggregates + the
     // true-selectivity pass) — 5 column-pruned lineitem scans for a
-    // diagnostic query. The fold emits all three bucket ids + the 6
-    // static band flags in ONE projection, unpivots via stack, and
-    // aggregates once; this asserts the pre-checkpoint plan carries
-    // exactly TWO lineitem scans (the min/max bounds pass + the stacked
-    // box pass — the returned layoutPruningSim plan itself hides them
-    // behind the 192-row localCheckpoint, so assert the factored frame).
-    val plan = executedPlan(BatchOps.layoutPruningBoxes(spark, dir))
-    val scans = plan.split("\n").count(l =>
+    // diagnostic query. Now ONE (npk, nsk) grid count (≤65,536 cells at
+    // any data volume) is the only fact aggregate besides the min/max
+    // bounds pass; everything layout-specific runs over the
+    // checkpointed grid. Assert the factored pre-checkpoint frame
+    // carries exactly TWO lineitem scans, and that the post-checkpoint
+    // sim plan carries NONE (i.e. no consumer re-derives the fact).
+    val gridPlan = executedPlan(BatchOps.layoutPruningGrid(spark, dir))
+    val scans = gridPlan.split("\n").count(l =>
       l.contains("FileScan") && l.contains("lineitem"))
-    assert(scans == 2, s"expected 2 lineitem scans, got $scans:\n$plan")
-    assert(plan.contains("Generate"), s"no stack unpivot in:\n$plan")
+    assert(scans == 2, s"expected 2 lineitem scans, got $scans:\n$gridPlan")
+    val simPlan = executedPlan(BatchOps.layoutPruningSim(spark, dir))
+    assert(!simPlan.split("\n").exists(l =>
+      l.contains("FileScan") && l.contains("lineitem")),
+      s"a sim consumer re-scans the fact:\n$simPlan")
+    assert(simPlan.contains("Generate"), s"no stack unpivot in:\n$simPlan")
   }
 
   test("vector fan-outs compile to BroadcastHashJoin, never a nested loop") {
