@@ -323,10 +323,19 @@ object Bench {
       // localCheckpointed (the r14 verdict's lead order) and the
       // sentinel watches that the 3× run scatter the r14 driver bench
       // recorded ([3.3, 10.1, 6.1]) stays gone.
+      // dsir_weights + ann_ivf_trained_top1 joined in r16 (the r15
+      // verdict's two attribution orders): dsir's r15 driver svi read
+      // 4.29 s isolated vs 1.90 s suite — unreproducible fresh-JVM on
+      // the builder box (1.31 s, = its token-family box envelope ×
+      // prior), so its end-of-suite isolated number must be a standing
+      // record, not a once-per-incident investigation; the trained-IVF
+      // sentinel pairs with the ann_ivf_top1 control so the
+      // trained/untrained ratio (1.16 on both boxes, r16 measurement)
+      // is re-read every run.
       val sentinels = sys.env.getOrElse("SPARK_GRAFT_SENTINELS",
           "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks," +
             "simhash_pairs,minhash_calibration,ann_rp_multiprobe_top1," +
-            "neardup_jaccard_prefix")
+            "neardup_jaccard_prefix,dsir_weights,ann_ivf_trained_top1")
         .split(",").map(_.trim).filter(_.nonEmpty)
       sentinels.foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>

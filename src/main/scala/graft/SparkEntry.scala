@@ -285,6 +285,8 @@ object SparkEntry {
     "semantic_decontam" -> ((s, d) => VectorOps.semanticDecontam(s, d)),
     "matryoshka_recall" -> ((s, d) => VectorOps.matryoshkaRecall(s, d)),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "dsir_resample" -> ((s, d) => TextOps.dsirResample(s, d)),
+    "shingle_df_profile" -> ((s, d) => TextOps.shingleDfProfile(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
@@ -1184,6 +1186,8 @@ object SparkEntry {
     "semantic_decontam" -> VectorOps.semanticDecontamOracleSql,
     "matryoshka_recall" -> VectorOps.matryoshkaRecallOracleSql,
     "dsir_weights" -> TextOps.dsirWeightsOracleSql,
+    "dsir_resample" -> TextOps.dsirResampleOracleSql,
+    "shingle_df_profile" -> TextOps.shingleDfProfileOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,

@@ -5781,6 +5781,105 @@ object TextOps {
        |GROUP BY 1, 2
        |ORDER BY doc_id""".stripMargin
 
+  /** Selection budget for [[dsirResample]] (shared with the oracle). */
+  val DsirResampleK = 200
+
+  /** DSIR RESAMPLE — the SELECTION step that [[dsirWeights]] exists to
+    * feed: keep the [[DsirResampleK]] highest-weight documents, ties
+    * broken by a salted md5 draw then doc_id — the deterministic
+    * analogue of importance resampling's weighted draw (the integer
+    * log2 weights quantize many docs onto equal weights, so the salted
+    * tie-break IS the uniform draw within a weight class; exact Gumbel
+    * top-k would put an engine-divergent float in the sort key).
+    * Emits the selected docs with weight and draw rank.
+    *
+    * Scale: the weight frame is [[dsirWeights]]' plan unchanged; the
+    * selection is a global top-K with K a compile-time constant —
+    * TakeOrderedAndProject (per-partition heaps + single merge), never
+    * a global sort or a window over the corpus. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(spark, dir)
+      .withColumn("u", expr("cast(conv(substring(md5(concat('dsir', " +
+        "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      .orderBy(col("logw2").desc, col("u"), col("doc_id"))
+      .limit(DsirResampleK)
+      .select(col("doc_id"), col("source"), col("logw2"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[dsirResample]] — the [[dsirWeightsOracleSql]]
+    * weights as a CTE, same salted-md5 tie-break, same top-K. */
+  private[graft] def dsirResampleOracleSql: String =
+    s"""WITH w AS (
+       |$dsirWeightsOracleSql
+       |),
+       |pick AS (
+       |  SELECT doc_id, source, logw2
+       |  FROM w
+       |  ORDER BY logw2 DESC,
+       |    CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT),
+       |    doc_id
+       |  LIMIT $DsirResampleK)
+       |SELECT doc_id, source, logw2 FROM pick
+       |ORDER BY doc_id""".stripMargin
+
+  // ===========================================================================
+  // Shingle document-frequency profile
+  // ===========================================================================
+
+  /** SHINGLE DF PROFILE — the posting-cut ADVISOR behind the dedup
+    * family's document-frequency guards ([[NearDupDocFreqCap]], the
+    * prefix join's df ∈ [2, 64] band): a log2-bucketed histogram of
+    * shingle document frequency with, per bucket, the shingle count,
+    * the posting mass Σdf (the inverted index's row bill), and the
+    * PAIR mass Σ df·(df−1)/2 — the candidate pairs an uncapped posting
+    * self-join would explode per bucket, i.e. the quadratic bill the
+    * df cap exists to refuse. A table owner reads the cap decision off
+    * this table: the top buckets hold a handful of stop-shingles
+    * carrying most of the pair mass and no near-dup signal.
+    *
+    * Scale: one distinct-shingle explode into a (shingle)-grain
+    * partial+final count (the same shuffle the dedup family's posting
+    * build pays), then a ≤64-row re-aggregate — log2(df) rides the
+    * standing `length(bin(·))` integer trick, no floats anywhere. */
+  def shingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($shinglesSqlExpr)")).as("sh"))
+    posts
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("df_log2", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy("df_log2")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("posting_mass"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"))
+      .orderBy("df_log2")
+  }
+
+  /** DuckDB oracle for [[shingleDfProfile]] — same distinct postings,
+    * same bin-length log2 buckets, same integer pair mass. Takes the
+    * engine's DuckDB shingle fragment (defined beside the other
+    * shingle oracles in SparkEntry). */
+  private[graft] def shingleDfProfileOracleSql(
+      shinglesSql: String): String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT doc_id, sh
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct($shinglesSql)) AS sh
+       |        FROM documents WHERE text IS NOT NULL) u),
+       |d AS (
+       |  SELECT sh, CAST(count(*) AS BIGINT) AS df
+       |  FROM p GROUP BY sh)
+       |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_log2,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(df) AS BIGINT) AS posting_mass,
+       |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+       |FROM d
+       |GROUP BY 1
+       |ORDER BY df_log2""".stripMargin
+
   // ===========================================================================
   // BPE first-merge census
   // ===========================================================================

@@ -49,7 +49,11 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // stitching must produce identical run counts at ANY partition
     // count (the whole correctness burden of the narrow-fold form),
     // and the Neyman draw whose salted-hash ranks must not move.
-    "rle_sort_advisor", "neyman_sample")
+    "rle_sort_advisor", "neyman_sample",
+    // r16: a global top-K whose salted tie-break must pick the same
+    // docs at any partition count, and a (shingle)-grain df histogram
+    // whose log2 buckets must not shift with the shuffle layout.
+    "dsir_resample", "shingle_df_profile")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

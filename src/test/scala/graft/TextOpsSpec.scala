@@ -460,6 +460,55 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("dsir resample keeps exactly the K highest-weight docs") {
+    val dir = "/root/testdata/sf0.001"
+    val ops = graft.operators.TextOps
+    val weights = ops.dsirWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw2")).toMap
+    val picked = ops.dsirResample(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val k = math.min(ops.DsirResampleK, weights.size)
+    assert(picked.size == k)
+    // Weight-class dominance: every selected doc's weight is ≥ every
+    // unselected doc's (ties are broken only WITHIN a weight class by
+    // the salted draw, so the selected multiset of weights is exactly
+    // the top-K multiset).
+    val unpicked = weights.keySet -- picked
+    if (unpicked.nonEmpty && picked.nonEmpty)
+      assert(picked.map(weights).min >= unpicked.map(weights).max,
+        "a lower-weight doc displaced a higher-weight one")
+  }
+
+  test("shingle df profile obeys the posting-mass laws") {
+    val dir = "/root/testdata/sf0.001"
+    val ops = graft.operators.TextOps
+    val rows = ops.shingleDfProfile(spark, dir).collect()
+    // Bucket b holds df ∈ [2^b, 2^(b+1)) by the bin-length trick, so
+    // per bucket: n·2^b ≤ posting_mass < n·2^(b+1), and the pair mass
+    // is the exact Σ df·(df−1)/2 (≥ 0, = 0 only in the df=1 bucket).
+    rows.foreach { r =>
+      val (b, n, pm, qm) = (r.getAs[Long]("df_log2"),
+        r.getAs[Long]("n_shingles"), r.getAs[Long]("posting_mass"),
+        r.getAs[Long]("pair_mass"))
+      assert(pm >= n * (1L << b) && pm < n * (1L << (b + 1)),
+        s"bucket $b posting mass out of range: $r")
+      if (b == 0) assert(qm == 0L, s"df=1 bucket has pair mass: $r")
+      else assert(qm > 0L)
+    }
+    // Total posting mass = the corpus's distinct (doc, shingle) count.
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val direct = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(case when size(split(text, ' ')) < 2 then " +
+          "cast(array() as array<string>) else zip_with(" +
+          "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), " +
+          "(x, y) -> concat(x, ' ', y)) end)")).as("sh"))
+      .count()
+    assert(rows.map(_.getAs[Long]("posting_mass")).sum == direct)
+  }
+
   test("bpe merge census: dense ranks, monotone counts, 2-char pairs") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.operators.TextOps.bpeMergeCensus(spark, dir).collect()
