@@ -287,6 +287,9 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "dsir_resample" -> ((s, d) => TextOps.dsirResample(s, d)),
     "shingle_df_profile" -> ((s, d) => TextOps.shingleDfProfile(s, d)),
+    "lsh_band_planner" -> ((s, d) => TextOps.lshBandPlanner(s, d)),
+    "dedup_inflation_by_source" ->
+      ((s, d) => TextOps.dedupInflationBySource(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
@@ -1188,6 +1191,9 @@ object SparkEntry {
     "dsir_weights" -> TextOps.dsirWeightsOracleSql,
     "dsir_resample" -> TextOps.dsirResampleOracleSql,
     "shingle_df_profile" -> TextOps.shingleDfProfileOracleSql(shinglesSql),
+    "lsh_band_planner" -> TextOps.lshBandPlannerOracleSql(shinglesSql),
+    "dedup_inflation_by_source" ->
+      TextOps.dedupInflationBySourceOracleSql,
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,

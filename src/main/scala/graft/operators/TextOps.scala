@@ -5880,6 +5880,162 @@ object TextOps {
        |GROUP BY 1
        |ORDER BY df_log2""".stripMargin
 
+  /** Banding configs explored by [[lshBandPlanner]]: every (bands,
+    * rows-per-band) factorization of a 128-hash MinHash signature.
+    * Shared with the oracle. */
+  val LshPlannerConfigs: Seq[(Int, Int)] =
+    Seq(1 -> 128, 2 -> 64, 4 -> 32, 8 -> 16, 16 -> 8, 32 -> 4,
+      64 -> 2, 128 -> 1)
+
+  /** Floor-milli fixed-point power: `base^e` with base a 0..1000 milli
+    * value, unrolled by BINARY exponentiation — `(x·x) div 1000`
+    * squarings plus odd-step multiplies — deterministic integer
+    * arithmetic, bit-identical on both engines (a float `pow` is not
+    * required to be correctly rounded by IEEE and Java/C library
+    * results can differ in the last ulp; and the naive e−1-step linear
+    * chain nests 128 deep, which Spark's parser rejects with
+    * FAILED_TO_PARSE_TOO_COMPLEX — the square-and-multiply tree is
+    * depth O(log e) at the same total size). Each floor under-estimates
+    * by < 1 milli, identically both sides (the oracle unrolls the SAME
+    * tree). */
+  private def powMille(base: String, e: Int, idiv: String): String =
+    if (e == 1) base
+    else {
+      val h = powMille(base, e / 2, idiv)
+      val sq = s"((($h) * ($h)) $idiv 1000)"
+      if (e % 2 == 0) sq else s"((($sq) * ($base)) $idiv 1000)"
+    }
+
+  /** LSH BAND PLANNER — the S-curve advisor behind "how should the 128
+    * MinHashes be banded": for every (b bands × r rows) factorization,
+    * the probability a pair with Jaccard s becomes an LSH candidate is
+    * 1 − (1 − s^r)^b; folding that curve over the corpus's VERIFIED
+    * near-dup pair distribution (the [[nearDupJaccardCapped]] memo —
+    * the pairs the pipeline must not lose) prices each config in
+    * recall-per-pair terms: mean/min candidate probability and the
+    * count of pairs a config would more-likely-than-not MISS. The
+    * table a corpus owner reads "16×8 keeps the 0.1-threshold pairs,
+    * 4×32 silently drops half" off before committing an index build.
+    * All arithmetic is floor-milli fixed point over the exact
+    * (n_inter, n_union) integers — no float pow anywhere.
+    *
+    * Scale: the pair frame is the memoized checkpoint (pair-count-
+    * sized, KBs); per config the S-curve is a constant-unrolled ≤128-
+    * multiply integer expression per pair, one conditional aggregate,
+    * and an 8-row stack — nothing corpus-sized moves. */
+  def lshBandPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+      .select(expr("(n_inter * 1000) div n_union").as("s_m"))
+    val withRec = LshPlannerConfigs.zipWithIndex
+      .foldLeft(pairs) { case (df, ((b, r), i)) =>
+        val p1 = powMille("s_m", r, "div")
+        df.withColumn(s"rec_$i",
+          expr(s"1000 - ${powMille(s"(1000 - ($p1))", b, "div")}"))
+      }
+    val aggs = LshPlannerConfigs.indices.flatMap { i =>
+      Seq(sum(col(s"rec_$i")).as(s"sum_$i"),
+        min(col(s"rec_$i")).as(s"min_$i"),
+        sum(when(col(s"rec_$i") < 500, 1L).otherwise(0L))
+          .as(s"weak_$i"))
+    } :+ count(lit(1)).as("n_pairs")
+    val folded = withRec.agg(aggs.head, aggs.tail: _*)
+    folded.selectExpr(
+        s"stack(${LshPlannerConfigs.length}, " +
+          LshPlannerConfigs.zipWithIndex.map { case ((b, r), i) =>
+            s"CAST($b AS BIGINT), CAST($r AS BIGINT), n_pairs, " +
+              s"CAST(sum_$i div greatest(1L, n_pairs) AS BIGINT), " +
+              s"CAST(min_$i AS BIGINT), weak_$i"
+          }.mkString(", ") +
+          ") AS (bands, rows_per_band, n_pairs, mean_recall_mille, " +
+          "min_recall_mille, weak_pairs)")
+      .orderBy("bands")
+  }
+
+  /** DuckDB oracle for [[lshBandPlanner]] — the independently derived
+    * relational df-cut pair set as a CTE, then the SAME unrolled
+    * floor-milli S-curve per config, one UNION ALL arm each. */
+  private[graft] def lshBandPlannerOracleSql(shinglesSql: String)
+      : String = {
+    val arms = LshPlannerConfigs.map { case (b, r) =>
+      val p1 = powMille("s_m", r, "//")
+      val rec = s"1000 - ${powMille(s"(1000 - ($p1))", b, "//")}"
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(rec) // greatest(1, count(*)) AS BIGINT)
+         |    AS mean_recall_mille,
+         |  CAST(min(rec) AS BIGINT) AS min_recall_mille,
+         |  CAST(sum(CASE WHEN rec < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS weak_pairs
+         |FROM (SELECT CAST(($rec) AS BIGINT) AS rec FROM sm) t_$b""".stripMargin
+    }
+    s"""WITH vp AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)}
+       |),
+       |sm AS (
+       |  SELECT CAST((n_inter * 1000) // n_union AS BIGINT) AS s_m
+       |  FROM vp)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+  }
+
+  /** DEDUP INFLATION BY SOURCE — the curation dashboard read-out
+    * "which source is paying for duplicates": per source, document and
+    * token mass split into exact-duplicate survivors (min doc_id per
+    * text-md5 group, the [[exactDedupGroups]] rule) vs redundant
+    * copies, with the redundant share in floor-milli. A 100 TB corpus
+    * owner reads "source X is 40% duplicate tokens — fix its crawler"
+    * off this table before paying for training epochs on it.
+    *
+    * Scale: one (text_md5)-grain aggregate for the survivor id (the
+    * same shuffle exact dedup pays), broadcast-sized? no — joined back
+    * by md5 hash join at corpus grain, then one (source) aggregate.
+    * Two scans of the documents table (group + join probe), both
+    * column-pruned to (doc_id, source, md5, token count). */
+  def dedupInflationBySource(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(tokens).cast("long").as("n_tok"))
+    val survivors = docs.groupBy("h")
+      .agg(min(col("doc_id")).as("survivor_id"))
+    docs.join(survivors, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("survivor_id"), 1L)
+          .otherwise(0L)).as("n_survivors"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("survivor_id"), col("n_tok"))
+          .otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_token_mille",
+        expr("(dup_tokens * 1000) div greatest(1L, total_tokens)"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[dedupInflationBySource]] — same md5 groups,
+    * same min-doc_id survivor rule, same floor-milli share. */
+  private[graft] def dedupInflationBySourceOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT h, min(doc_id) AS survivor_id FROM d GROUP BY h)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN d.doc_id = s.survivor_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_survivors,
+       |  CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN d.doc_id <> s.survivor_id THEN d.n_tok
+       |    ELSE 0 END) AS BIGINT) AS dup_tokens,
+       |  CAST((sum(CASE WHEN d.doc_id <> s.survivor_id THEN d.n_tok
+       |    ELSE 0 END) * 1000) // greatest(1, sum(d.n_tok)) AS BIGINT)
+       |    AS dup_token_mille
+       |FROM d JOIN s ON d.h = s.h
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   // ===========================================================================
   // BPE first-merge census
   // ===========================================================================

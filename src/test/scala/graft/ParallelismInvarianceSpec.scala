@@ -53,7 +53,11 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // r16: a global top-K whose salted tie-break must pick the same
     // docs at any partition count, and a (shingle)-grain df histogram
     // whose log2 buckets must not shift with the shuffle layout.
-    "dsir_resample", "shingle_df_profile")
+    "dsir_resample", "shingle_df_profile",
+    // r16: the S-curve fold over the memoized pair set (fixed-point
+    // powers must not depend on partitioning) and the md5-group
+    // survivor attribution (min-doc_id rule at any shuffle layout).
+    "lsh_band_planner", "dedup_inflation_by_source")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

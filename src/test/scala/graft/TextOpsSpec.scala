@@ -509,6 +509,65 @@ class TextOpsSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("posting_mass")).sum == direct)
   }
 
+  test("lsh band planner: S-curve laws hold over the verified pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.lshBandPlanner(spark, dir)
+      .collect()
+    assert(rows.length ==
+      graft.operators.TextOps.LshPlannerConfigs.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bands") * r.getAs[Long]("rows_per_band")
+        == 128L, s"not a 128-hash factorization: $r")
+      val mean = r.getAs[Long]("mean_recall_mille")
+      assert(mean >= 0L && mean <= 1000L)
+      assert(r.getAs[Long]("min_recall_mille") <= mean)
+      assert(r.getAs[Long]("weak_pairs") <= r.getAs[Long]("n_pairs"))
+    }
+    // The S-curve's defining monotonicity: splitting the same 128
+    // hashes into MORE bands of shorter rows never lowers a pair's
+    // candidate probability (1−(1−s^{r/2})^{2b} ≥ 1−(1−s^r)^b ⇔
+    // s^r ≤ s^{r/2}), so mean recall is non-decreasing and the
+    // likely-missed count non-increasing as bands grow. Measured at
+    // sf0.001: means 46→215→407→487→500→500→766→1000, weak
+    // 16→12→9→8→8→8→3→0.
+    val byBands = rows.sortBy(_.getAs[Long]("bands"))
+    byBands.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("mean_recall_mille") <=
+          b.getAs[Long]("mean_recall_mille"),
+          s"mean recall dropped as bands grew: $a -> $b")
+        assert(a.getAs[Long]("weak_pairs") >=
+          b.getAs[Long]("weak_pairs"),
+          s"weak pairs rose as bands grew: $a -> $b")
+      case _ => ()
+    }
+    // Extremes: one 128-row band catches almost nothing at the 0.1
+    // threshold; 128 single-row bands catch everything.
+    assert(byBands.last.getAs[Long]("mean_recall_mille") >= 900L)
+    assert(byBands.last.getAs[Long]("weak_pairs") == 0L)
+  }
+
+  test("dedup inflation: per-source masses are conserved and bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val ops = graft.operators.TextOps
+    val rows = ops.dedupInflationBySource(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_survivors") >= 1L)
+      assert(r.getAs[Long]("n_survivors") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("dup_tokens") <=
+        r.getAs[Long]("total_tokens"))
+      val m = r.getAs[Long]("dup_token_mille")
+      assert(m >= 0L && m <= 1000L)
+    }
+    // Global conservation: survivors across sources = distinct texts
+    // (a cross-source duplicate group still has exactly ONE survivor).
+    import org.apache.spark.sql.functions.{col, countDistinct, md5}
+    val distinctTexts = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .agg(countDistinct(md5(col("text")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_survivors")).sum == distinctTexts)
+  }
+
   test("bpe merge census: dense ranks, monotone counts, 2-char pairs") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.operators.TextOps.bpeMergeCensus(spark, dir).collect()
