@@ -290,6 +290,10 @@ object SparkEntry {
     "lsh_band_planner" -> ((s, d) => TextOps.lshBandPlanner(s, d)),
     "dedup_inflation_by_source" ->
       ((s, d) => TextOps.dedupInflationBySource(s, d)),
+    "source_cross_dup_matrix" ->
+      ((s, d) => TextOps.sourceCrossDupMatrix(s, d)),
+    "winnow_fingerprints" ->
+      ((s, d) => TextOps.winnowFingerprints(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
@@ -1194,6 +1198,10 @@ object SparkEntry {
     "lsh_band_planner" -> TextOps.lshBandPlannerOracleSql(shinglesSql),
     "dedup_inflation_by_source" ->
       TextOps.dedupInflationBySourceOracleSql,
+    "source_cross_dup_matrix" ->
+      TextOps.sourceCrossDupMatrixOracleSql(shinglesSql),
+    "winnow_fingerprints" ->
+      TextOps.winnowFingerprintsOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,

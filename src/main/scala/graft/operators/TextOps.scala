@@ -6036,6 +6036,143 @@ object TextOps {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  /** SOURCE CROSS-DUP MATRIX — "which sources copy from which": the
+    * verified near-dup pair set attributed to (source, source) cells,
+    * with pair counts and mean/max similarity per cell (sources sorted
+    * within a pair so each unordered cell appears once; the diagonal
+    * is within-source duplication — [[dedupInflationBySource]]'s
+    * near-dup sibling, but CROSS-source: the reading that tells a
+    * corpus owner two crawls overlap and one should be dropped rather
+    * than each deduped internally).
+    *
+    * Scale: the pair frame is the memoized checkpoint (KB-sized); two
+    * hash joins against the corpus-grain (doc_id, source) projection
+    * attribute it, then a ≤|sources|²-row aggregate. */
+  def sourceCrossDupMatrix(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val pairs = nearDupPairsCore(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(n_inter * 1000) div n_union").as("jm"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jm"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(jm) div count(1) AS BIGINT)")
+          .as("mean_jaccard_mille"),
+        max(col("jm")).as("max_jaccard_mille"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB oracle for [[sourceCrossDupMatrix]] — the relational
+    * df-cut pair set as a CTE, same sorted-cell attribution, same
+    * floor-milli mean. */
+  private[graft] def sourceCrossDupMatrixOracleSql(
+      shinglesSql: String): String =
+    s"""WITH vp AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)}
+       |),
+       |att AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    CAST((vp.n_inter * 1000) // vp.n_union AS BIGINT) AS jm
+       |  FROM vp
+       |  JOIN documents da ON vp.doc_a = da.doc_id
+       |  JOIN documents db ON vp.doc_b = db.doc_id)
+       |SELECT source_a, source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jm) // count(*) AS BIGINT) AS mean_jaccard_mille,
+       |  CAST(max(jm) AS BIGINT) AS max_jaccard_mille
+       |FROM att
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Winnowing window (in k-grams) for [[winnowFingerprints]] — shared
+    * with the oracle. Expected selection density for random hashes is
+    * 2/(w+1) (Schleimer et al. 2003, winnowing's guarantee theorem). */
+  val WinnowWindow = 4
+
+  /** WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): per document, hash every positional word-bigram
+    * k-gram and select the MINIMUM hash of each sliding window of
+    * [[WinnowWindow]] k-grams — the selection is position-robust (any
+    * match of ≥ w+k−1 tokens shares a fingerprint, winnowing's
+    * guarantee) and sparse (expected density 2/(w+1)), which is what
+    * makes fingerprint-based plagiarism/copy detection affordable at
+    * corpus scale: the index holds ~2/(w+1) of the k-gram mass instead
+    * of all of it. Emits per doc the k-gram/window/fingerprint counts,
+    * the selection density, and an order-free integer checksum of the
+    * fingerprint set (sum of 32-bit hashes — cross-engine exact).
+    * A <w-k-gram doc degenerates to one whole-array window (the
+    * algorithm's natural boundary case); <2-token docs have no k-grams
+    * and are excluded.
+    *
+    * Scale: everything is per-row array arithmetic inside one
+    * projection — no explode, no shuffle except the presentation sort;
+    * the window-min transform is O(n·w) interpreted-lambda work per
+    * doc, bounded by doc length (the same trade as the shingle HOFs,
+    * acceptable because w is a small constant). */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val w = WinnowWindow
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("h", expr(
+        s"transform($shinglesSqlExpr, " +
+          "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"))
+      .filter(size(col("h")) >= 1)
+      .withColumn("n_kgrams", size(col("h")).cast("long"))
+      .withColumn("n_windows",
+        expr(s"greatest(1L, n_kgrams - ${w - 1})"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1L, n_windows), " +
+          s"i -> array_min(slice(h, cast(i as int), $w))))"))
+      .select(col("doc_id"), col("n_kgrams"), col("n_windows"),
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("(size(fps) * 1000) div n_windows").as("density_mille"),
+        expr("aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)")
+          .as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[winnowFingerprints]] — same 32-bit md5-prefix
+    * hashes, same inclusive-slice window mins, same checksum. */
+  private[graft] def winnowFingerprintsOracleSql(
+      shinglesSql: String): String = {
+    val w = WinnowWindow
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_transform($shinglesSql,
+       |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= 2),
+       |ww AS (
+       |  SELECT doc_id, h,
+       |    CAST(len(h) AS BIGINT) AS n_kgrams,
+       |    CAST(greatest(1, len(h) - ${w - 1}) AS BIGINT) AS n_windows
+       |  FROM d),
+       |fp AS (
+       |  SELECT doc_id, n_kgrams, n_windows,
+       |    list_distinct(list_transform(range(1, n_windows + 1),
+       |      i -> list_min(h[i:i + ${w - 1}]))) AS fps
+       |  FROM ww)
+       |SELECT doc_id, n_kgrams, n_windows,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  CAST((len(fps) * 1000) // n_windows AS BIGINT)
+       |    AS density_mille,
+       |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+       |FROM fp
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ===========================================================================
   // BPE first-merge census
   // ===========================================================================

@@ -57,7 +57,8 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // r16: the S-curve fold over the memoized pair set (fixed-point
     // powers must not depend on partitioning) and the md5-group
     // survivor attribution (min-doc_id rule at any shuffle layout).
-    "lsh_band_planner", "dedup_inflation_by_source")
+    "lsh_band_planner", "dedup_inflation_by_source",
+    "source_cross_dup_matrix", "winnow_fingerprints")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

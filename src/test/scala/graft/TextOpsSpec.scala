@@ -568,6 +568,44 @@ class TextOpsSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("n_survivors")).sum == distinctTexts)
   }
 
+  test("cross-dup matrix cells are sorted and conserve the pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val ops = graft.operators.TextOps
+    val rows = ops.sourceCrossDupMatrix(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"),
+        s"unsorted cell: $r")
+      val (mean, mx) = (r.getAs[Long]("mean_jaccard_mille"),
+        r.getAs[Long]("max_jaccard_mille"))
+      assert(mean >= 0L && mean <= mx && mx <= 1000L)
+    }
+    // Every verified pair lands in exactly one cell.
+    val totalPairs = ops.nearDupJaccardCapped(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == totalPairs)
+  }
+
+  test("winnowing obeys the selection-density guarantee band") {
+    val dir = "/root/testdata/sf0.001"
+    val ops = graft.operators.TextOps
+    val rows = ops.winnowFingerprints(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nk, nw, nfp) = (r.getAs[Long]("n_kgrams"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("n_fp"))
+      assert(nw == math.max(1L, nk - (ops.WinnowWindow - 1)))
+      assert(nfp >= 1L && nfp <= nw, s"fp count out of range: $r")
+      val d = r.getAs[Long]("density_mille")
+      assert(d >= 1L && d <= 1000L)
+    }
+    // Winnowing's expected density for random hashes is 2/(w+1) = 400
+    // mille at w=4; the corpus mean must sit in a comfortable band
+    // around it (the per-doc figure varies with doc length — short
+    // docs bias high because ties and boundary windows dominate).
+    val meanD = rows.map(_.getAs[Long]("density_mille")).sum.toDouble /
+      rows.length
+    assert(meanD > 250 && meanD < 650, s"density off-theory: $meanD")
+  }
+
   test("bpe merge census: dense ranks, monotone counts, 2-char pairs") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.operators.TextOps.bpeMergeCensus(spark, dir).collect()
