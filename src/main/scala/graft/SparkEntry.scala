@@ -294,6 +294,8 @@ object SparkEntry {
       ((s, d) => TextOps.sourceCrossDupMatrix(s, d)),
     "winnow_fingerprints" ->
       ((s, d) => TextOps.winnowFingerprints(s, d)),
+    "dedup_threshold_sweep" ->
+      ((s, d) => TextOps.dedupThresholdSweep(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
@@ -1202,6 +1204,8 @@ object SparkEntry {
       TextOps.sourceCrossDupMatrixOracleSql(shinglesSql),
     "winnow_fingerprints" ->
       TextOps.winnowFingerprintsOracleSql(shinglesSql),
+    "dedup_threshold_sweep" ->
+      TextOps.dedupThresholdSweepOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,

@@ -6094,6 +6094,72 @@ object TextOps {
        |GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Jaccard-mille thresholds swept by [[dedupThresholdSweep]] —
+    * shared with the oracle. */
+  val DedupSweepThresholds: Seq[Int] = (1 to 9).map(_ * 100)
+
+  /** DEDUP THRESHOLD SWEEP — the POLICY advisor over the verified pair
+    * set: for each candidate jaccard threshold, how many near-dup
+    * pairs survive and how many documents are implicated (appear in
+    * ≥1 surviving pair) — the table a curation owner reads "0.5 keeps
+    * 40 pairs touching 60 docs, 0.8 keeps only the template clones"
+    * off before committing a dedup policy. Exact integer-mille
+    * comparisons over the memoized (n_inter, n_union) rationals; the
+    * pipeline's own 0.1 floor means the t=100 row IS the full memo
+    * (spec-pinned).
+    *
+    * Scale: two conditional aggregates over the KB-sized pair memo
+    * (pairs directly; docs via a doc-grain max-similarity fold), then
+    * a 9-row stack. Nothing corpus-sized moves. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(n_inter * 1000) div n_union").as("jm"))
+    val pAggs = DedupSweepThresholds.map(t =>
+      sum(when(col("jm") >= t, 1L).otherwise(0L)).as(s"p_$t"))
+    val pr = pairs.agg(pAggs.head, pAggs.tail: _*)
+    val docMax = pairs.select(col("doc_a").as("doc"), col("jm"))
+      .unionByName(pairs.select(col("doc_b").as("doc"), col("jm")))
+      .groupBy("doc").agg(max(col("jm")).as("mx"))
+    val dAggs = DedupSweepThresholds.map(t =>
+      sum(when(col("mx") >= t, 1L).otherwise(0L)).as(s"d_$t"))
+    val dr = docMax.agg(dAggs.head, dAggs.tail: _*)
+    pr.crossJoin(dr)
+      .selectExpr(s"stack(${DedupSweepThresholds.length}, " +
+        DedupSweepThresholds.map(t =>
+          s"CAST($t AS BIGINT), p_$t, d_$t").mkString(", ") +
+        ") AS (threshold_mille, n_pairs, n_docs)")
+      .orderBy("threshold_mille")
+  }
+
+  /** DuckDB oracle for [[dedupThresholdSweep]] — the relational df-cut
+    * pair set as a CTE, same integer-mille comparisons, one UNION ALL
+    * arm per threshold. */
+  private[graft] def dedupThresholdSweepOracleSql(
+      shinglesSql: String): String = {
+    val arms = DedupSweepThresholds.map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold_mille,
+         |  CAST((SELECT count(*) FROM jp WHERE jm >= $t) AS BIGINT)
+         |    AS n_pairs,
+         |  CAST((SELECT count(*) FROM dm WHERE mx >= $t) AS BIGINT)
+         |    AS n_docs""".stripMargin
+    }
+    s"""WITH vp AS (
+       |${nearDupJaccardCappedOracleSql(shinglesSql)}
+       |),
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST((n_inter * 1000) // n_union AS BIGINT) AS jm
+       |  FROM vp),
+       |dm AS (
+       |  SELECT doc, max(jm) AS mx
+       |  FROM (SELECT doc_a AS doc, jm FROM jp
+       |        UNION ALL SELECT doc_b AS doc, jm FROM jp) u
+       |  GROUP BY doc)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY threshold_mille""".stripMargin
+  }
+
   /** Winnowing window (in k-grams) for [[winnowFingerprints]] — shared
     * with the oracle. Expected selection density for random hashes is
     * 2/(w+1) (Schleimer et al. 2003, winnowing's guarantee theorem). */

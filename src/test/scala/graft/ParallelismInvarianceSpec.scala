@@ -58,7 +58,8 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // powers must not depend on partitioning) and the md5-group
     // survivor attribution (min-doc_id rule at any shuffle layout).
     "lsh_band_planner", "dedup_inflation_by_source",
-    "source_cross_dup_matrix", "winnow_fingerprints")
+    "source_cross_dup_matrix", "winnow_fingerprints",
+    "dedup_threshold_sweep")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

@@ -584,6 +584,32 @@ class TextOpsSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == totalPairs)
   }
 
+  test("dedup threshold sweep: monotone, conserving at the pipeline floor") {
+    val dir = "/root/testdata/sf0.001"
+    val ops = graft.operators.TextOps
+    val rows = ops.dedupThresholdSweep(spark, dir).collect()
+      .sortBy(_.getAs[Long]("threshold_mille"))
+    assert(rows.length == ops.DedupSweepThresholds.length)
+    // Raising the threshold never keeps more pairs or implicates more
+    // docs, and pairs bound docs from below conceptually: a pair
+    // implicates ≤ 2 docs, so n_docs ≤ 2·n_pairs; n_docs ≥ 2 requires
+    // ≥ 1 pair.
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_pairs") >= b.getAs[Long]("n_pairs"))
+        assert(a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+      assert((r.getAs[Long]("n_pairs") == 0L) ==
+        (r.getAs[Long]("n_docs") == 0L))
+    }
+    // The pipeline's own 0.1 floor: the t = 100 row IS the full memo.
+    assert(rows.head.getAs[Long]("n_pairs") ==
+      ops.nearDupJaccardCapped(spark, dir).count())
+  }
+
   test("winnowing obeys the selection-density guarantee band") {
     val dir = "/root/testdata/sf0.001"
     val ops = graft.operators.TextOps
