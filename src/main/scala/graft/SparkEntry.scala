@@ -342,6 +342,8 @@ object SparkEntry {
       VectorOps.embeddingDimQuantiles(s, d)),
     "embedding_robust_outliers" -> ((s, d) =>
       VectorOps.embeddingRobustOutliers(s, d)),
+    "sq8_quantization_audit" -> ((s, d) =>
+      VectorOps.sq8QuantizationAudit(s, d)),
     "gdpr_erasure_audit" -> ((s, d) => CdcOps.gdprErasureAudit(s, d)),
     "props_key_census" -> ((s, d) => CdcOps.propsKeyCensus(s, d)),
     "props_key_timeline" -> ((s, d) => CdcOps.propsKeyTimeline(s, d)),
@@ -1242,6 +1244,7 @@ object SparkEntry {
     "readability_scores" -> TextOps.readabilityScoresOracleSql,
     "embedding_covariance" -> VectorOps.embeddingCovarianceOracleSql,
     "embedding_dim_quantiles" -> VectorOps.embeddingDimQuantilesOracleSql,
+    "sq8_quantization_audit" -> VectorOps.sq8QuantizationAuditOracleSql,
     "embedding_robust_outliers" ->
       VectorOps.embeddingRobustOutliersOracleSql,
     "gdpr_erasure_audit" -> CdcOps.gdprErasureAuditOracleSql,

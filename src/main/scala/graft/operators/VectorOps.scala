@@ -3255,6 +3255,71 @@ object VectorOps {
        |FROM s ORDER BY i""".stripMargin
   }
 
+  /** SQ8 QUANTIZATION AUDIT — the storage advisor behind "is int8
+    * scalar quantization safe for this corpus" (the 4× memory cut an
+    * embedding store takes before touching PQ): per dimension, the
+    * symmetric-int8 scale (max |v|, 255 codes) and the distribution of
+    * the FRACTIONAL quantization error in quant-step units —
+    * floor-quantize x = v·127/scale, error = x − ⌊x⌋ ∈ [0, 1),
+    * micro-scaled. Smooth data means ≈ 0.5 steps (spec-pinned band);
+    * a dimension whose mean error collapses toward 0 is already
+    * grid-aligned (quantize for free), one near the band edge with
+    * outlier-dominated scale wants per-block scaling instead.
+    * Determinism: every float op is a correctly-rounded IEEE double
+    * mul/div/sub evaluated PER ELEMENT (no float accumulation — the
+    * error is floored to integer micro before the order-free integer
+    * sum), so both engines produce identical rows.
+    *
+    * Scale: two column-pruned corpus passes (per-dim max |v|, then the
+    * error fold against the 64-row broadcast scale table), each a
+    * partial+final hash aggregate on the 64-value dim key. */
+  def sq8QuantizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dpos", "dval")))
+      .select((col("dpos") + 1).as("i"),
+        col("dval").cast("double").as("v"))
+    val scales = comps.groupBy("i").agg(max(abs(col("v"))).as("mx"))
+    comps.join(broadcast(scales), "i")
+      .withColumn("em", expr(
+        "CASE WHEN mx = 0D THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(floor((v * 127.0 / mx - floor(v * 127.0 / mx)) " +
+          "* 1000000.0) AS BIGINT) END"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        max(col("mx")).as("mx"),
+        sum(col("em")).as("sum_em"),
+        max(col("em")).as("max_err_steps_micro"))
+      .select(col("i"), col("n"),
+        expr("CAST(floor(mx * 1000000.0) AS BIGINT)").as("scale_micro"),
+        expr("sum_em div n").as("mean_err_steps_micro"),
+        col("max_err_steps_micro"))
+      .orderBy("i")
+  }
+
+  /** DuckDB oracle for [[sq8QuantizationAudit]] — same per-element
+    * IEEE arithmetic, same integer-micro floors. */
+  private[graft] def sq8QuantizationAuditOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(unnest(generate_series(1, len(embedding)))
+       |      AS INT) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |s AS (SELECT i, max(abs(v)) AS mx FROM c GROUP BY i),
+       |e AS (
+       |  SELECT c.i, s.mx,
+       |    CASE WHEN s.mx = 0 THEN CAST(0 AS BIGINT) ELSE
+       |      CAST(floor((c.v * 127.0 / s.mx -
+       |        floor(c.v * 127.0 / s.mx)) * 1000000.0) AS BIGINT) END
+       |      AS em
+       |  FROM c JOIN s ON c.i = s.i)
+       |SELECT CAST(i AS INT) AS i, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(floor(max(mx) * 1000000.0) AS BIGINT) AS scale_micro,
+       |  CAST(sum(em) // count(*) AS BIGINT) AS mean_err_steps_micro,
+       |  CAST(max(em) AS BIGINT) AS max_err_steps_micro
+       |FROM e GROUP BY i ORDER BY i""".stripMargin
+
   /** The exploded-components CTE shared by the two per-dim oracles —
     * mirrors [[dimComponents]] (parallel unnests zip positionally,
     * matching posexplode). */

@@ -59,7 +59,7 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // survivor attribution (min-doc_id rule at any shuffle layout).
     "lsh_band_planner", "dedup_inflation_by_source",
     "source_cross_dup_matrix", "winnow_fingerprints",
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep", "sq8_quantization_audit")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)

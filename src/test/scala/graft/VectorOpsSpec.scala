@@ -283,4 +283,21 @@ class VectorOpsSpec extends GraftSpec {
     assert(o(2).getAs[Long]("n_out_lo") == 0L)
     assert(o(2).getAs[Long]("n_out_hi") == 0L)
   }
+
+  test("sq8 audit: error laws hold and smooth data sits near half a step") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = VectorOps.sq8QuantizationAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("scale_micro") > 0L, s"dead scale: $r")
+      val (mean, mx) = (r.getAs[Long]("mean_err_steps_micro"),
+        r.getAs[Long]("max_err_steps_micro"))
+      // Fractional error lives in [0, 1) quant steps by construction.
+      assert(mean >= 0L && mean <= mx && mx < 1000000L)
+      // Smooth (non-grid-aligned) data floors to ~uniform fractions:
+      // the per-dimension mean must sit near half a step.
+      assert(mean > 300000L && mean < 700000L,
+        s"mean error off the smooth-data band: $r")
+    }
+  }
 }
