@@ -413,6 +413,70 @@ class BatchOpsSpec extends GraftSpec {
     }
   }
 
+  test("neyman weights survive the 2^62 scaled-sqrt branch (r15 advisory)") {
+    // The testdata corpora keep var_num < 2^62 (branch 1 of the
+    // BIGINT-safe reduction), so the oracle gate never exercises the
+    // scaled branches where DuckDB's two-limb HUGEINT→DOUBLE cast used
+    // to double-round. Engineer a corpus into branch 2 (v ≈ 2e9 over
+    // 12 customers/segment ⇒ var_num ≈ 1e20) and pin the full
+    // pipeline — exact moments → scaled √ → largest-remainder split —
+    // against an independent BigInt/Double replication of the same
+    // recipe.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = freshScratch()
+    // acctbal = k · 831250.25 → v = k · 83125025 exactly (no rounding
+    // ties); alternating sign spreads the variance.
+    val rows = (1 to 24).map { k =>
+      val seg = if (k % 2 == 0) "SEG_A" else "SEG_B"
+      (k.toLong, seg,
+        k.toDouble * 831250.25 * (if (k % 3 == 0) -1 else 1))
+    }
+    writeTable("customer",
+      rows.toDF("c_custkey", "c_mktsegment", "c_acctbal"), dir)
+    // Independent replication of the shipped recipe.
+    val p62 = BigInt("4611686018427387904")
+    val p94 = BigInt("19807040628566084398385987584")
+    def weightMilli(varNum: BigInt): Long = {
+      val (mult, m) =
+        if (varNum < p62) (1.0, varNum)
+        else if (varNum < p94)
+          (4294967296.0, varNum / BigInt("4294967296"))
+        else (math.pow(2.0, 64.0), varNum / BigInt("18446744073709551616"))
+      // Same association as the shipped SQL: 1000 · (mult · √m).
+      math.round(1000.0 * (mult * math.sqrt(m.toLong.toDouble)))
+    }
+    val bySeg = rows.groupBy(_._2).view.mapValues { rs =>
+      val vs = rs.map(r => BigInt(math.round(r._3 * 100)))
+      val n = BigInt(vs.length)
+      n * vs.map(v => v * v).sum - vs.sum * vs.sum
+    }.toMap
+    // The corpus must actually land in branch 2, or this test silently
+    // degrades to re-testing branch 1.
+    bySeg.values.foreach(vn => assert(vn >= p62 && vn < p94,
+      s"engineered var_num $vn missed branch 2"))
+    // BigInt split arithmetic: budget × weight ≈ 5e20 overflows Long —
+    // the operator rides DECIMAL(38) here for exactly this reason.
+    val w = bySeg.view.mapValues(v => BigInt(weightMilli(v))).toMap
+    val wTotal = w.values.sum
+    val budget = BigInt(BatchOps.NeymanBudget)
+    val base = w.view.mapValues(x => (budget * x / wTotal).toLong).toMap
+    val frac = w.view.mapValues(x => budget * x % wTotal).toMap
+    val leftover = budget.toLong - base.values.sum
+    val order = w.keys.toSeq.sortBy(s => (-frac(s), s))
+    val expected = order.zipWithIndex.map { case (s, i) =>
+      s -> (base(s) + (if (i < leftover) 1L else 0L)) }.toMap
+    val got = BatchOps.neymanSample(spark, dir).collect()
+      .groupBy(_.getAs[String]("seg"))
+      .map { case (s, rs) => s -> rs.head.getAs[Long]("quota") }
+    expected.filter(_._2 > 0).foreach { case (s, q) =>
+      assert(got.get(s).contains(q),
+        s"segment $s: expected quota $q, got ${got.get(s)}")
+    }
+    assert(expected.values.sum == budget.toLong,
+      "replication lost the budget")
+  }
+
   test("t-closeness TVD matches a plain BigInt reference on the real corpus") {
     import org.apache.spark.sql.functions.{col, floor}
     val dir = "/root/testdata/sf0.001"
