@@ -2892,9 +2892,14 @@ object BatchOps {
     * on DuckDB): BIGINT-safe scaled √ of an exact wide-integer column.
     * Branch thresholds 2^62 and 2^94 pick the smallest power-of-4
     * reduction that lands the operand under 2^62 (DECIMAL(38) < 2^127,
-    * so two branches cover the whole domain); the multiplier 2^32 /
-    * 2^64 is exact in a double. */
-  private def weightMilliSql(v: String, decTy: String,
+    * so two branches cover the whole domain); the scale-back multiplier
+    * is the SQUARE ROOT of the reduction — √(2^32) = 2^16 after a 2^32
+    * floor-divide, √(2^64) = 2^32 after a 2^64 one — both exact in a
+    * double, so √v ≈ mult·√(v div 4^k) is continuous across the branch
+    * thresholds (the r16 advisory caught the shipped 2^32 / 2^64
+    * multipliers inflating branch-2/3 weights 65536× / ~4.3e9× and
+    * breaking Neyman quotas whenever strata straddled a branch). */
+  private[graft] def weightMilliSql(v: String, decTy: String,
       idiv: String): String = {
     val p62 = "4611686018427387904" // 2^62, a BIGINT literal
     val p94 = s"CAST('19807040628566084398385987584' AS $decTy)" // 2^94
@@ -2902,9 +2907,9 @@ object BatchOps {
     val d64 = s"CAST('18446744073709551616' AS $decTy)" // 2^64
     s"""CAST(round(1000 * (CASE
        |  WHEN $v < $p62 THEN sqrt(CAST(CAST($v AS BIGINT) AS DOUBLE))
-       |  WHEN $v < $p94 THEN CAST(4294967296 AS DOUBLE) *
+       |  WHEN $v < $p94 THEN CAST(65536 AS DOUBLE) *
        |    sqrt(CAST(CAST($v $idiv $d32 AS BIGINT) AS DOUBLE))
-       |  ELSE power(CAST(2 AS DOUBLE), CAST(64 AS DOUBLE)) *
+       |  ELSE CAST(4294967296 AS DOUBLE) *
        |    sqrt(CAST(CAST($v $idiv $d64 AS BIGINT) AS DOUBLE))
        |END)) AS BIGINT)""".stripMargin
   }
@@ -2913,30 +2918,40 @@ object BatchOps {
     * frame's strata proportional to `weightCol` (any non-negative
     * integer weight) — adds `quota` with Σ quota ≡ the budget; the
     * [[pennyAllocationAudit]] device over the |strata|-row frame (the
-    * unpartitioned windows see 5 rows, never the fact). The divisor is
-    * `greatest(1, w_total)` on BOTH engines: an all-zero-weight corpus
-    * (every stratum zero-variance under Neyman) must degrade to
-    * zero base quotas identically, not to NULL quotas on Spark vs a
-    * division error on DuckDB. */
+    * unpartitioned windows see 5 rows, never the fact). An
+    * all-zero-weight corpus (every stratum zero-variance under Neyman)
+    * degrades to EQUAL allocation — w=1 per stratum over a divisor of
+    * |strata| — rather than to zero base quotas: the r16 advisory
+    * showed the zero-quota degenerate handed every stratum a +1 from
+    * the largest-remainder pass and summed to |strata|, silently
+    * violating the documented Σ quota ≡ budget invariant (identically
+    * on both engines, so the oracle gate could never see it). The
+    * fallback is rendered identically in both engines' SQL. */
   private def budgetSplit(stats: DataFrame, weightCol: Column)
       : DataFrame = {
     val wAlloc = Window.partitionBy()
     stats
       .withColumn("w", weightCol.cast("long"))
       .withColumn("w_total", sum(col("w")).over(wAlloc))
+      .withColumn("w_eff",
+        when(col("w_total") === 0L, 1L).otherwise(col("w")))
+      .withColumn("wt_eff",
+        when(col("w_total") === 0L, count(lit(1)).over(wAlloc))
+          .otherwise(col("w_total")))
       .withColumn("base_q",
-        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w" +
-          " div greatest(1L, w_total) AS BIGINT)"))
+        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w_eff" +
+          " div wt_eff AS BIGINT)"))
       .withColumn("frac",
-        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w" +
-          " % greatest(1L, w_total) AS BIGINT)"))
+        expr(s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w_eff" +
+          " % wt_eff AS BIGINT)"))
       .withColumn("leftover",
         lit(NeymanBudget.toLong) - sum(col("base_q")).over(wAlloc))
       .withColumn("rk_rem", row_number().over(
         wAlloc.orderBy(col("frac").desc, col("seg"))).cast("long"))
       .withColumn("quota", col("base_q") +
         when(col("rk_rem") <= col("leftover"), 1L).otherwise(0L))
-      .drop("w", "w_total", "base_q", "frac", "leftover", "rk_rem")
+      .drop("w", "w_total", "w_eff", "wt_eff", "base_q", "frac",
+        "leftover", "rk_rem")
   }
 
   /** ALLOCATION-VARIANCE AUDIT — the quantified defense of
@@ -2995,15 +3010,22 @@ object BatchOps {
       ("neyman", "weight_milli")).map { case (nm, w) =>
       s"""al_$nm AS (
          |  SELECT seg, n, var_num, CAST($w AS BIGINT) AS w,
-         |    CAST(sum(CAST($w AS BIGINT)) OVER () AS BIGINT) AS w_total
+         |    CAST(sum(CAST($w AS BIGINT)) OVER () AS BIGINT) AS w_total,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_strata
          |  FROM wg),
+         |ew_$nm AS (
+         |  SELECT seg, n, var_num,
+         |    CASE WHEN w_total = 0 THEN 1 ELSE w END AS w_eff,
+         |    CASE WHEN w_total = 0 THEN n_strata ELSE w_total END
+         |      AS wt_eff
+         |  FROM al_$nm),
          |bq_$nm AS (
          |  SELECT seg, n, var_num,
-         |    CAST(CAST($NeymanBudget AS HUGEINT) * w
-         |      // greatest(1, w_total) AS BIGINT) AS base_q,
-         |    CAST(CAST($NeymanBudget AS HUGEINT) * w
-         |      % greatest(1, w_total) AS BIGINT) AS frac
-         |  FROM al_$nm),
+         |    CAST(CAST($NeymanBudget AS HUGEINT) * w_eff
+         |      // wt_eff AS BIGINT) AS base_q,
+         |    CAST(CAST($NeymanBudget AS HUGEINT) * w_eff
+         |      % wt_eff AS BIGINT) AS frac
+         |  FROM ew_$nm),
          |lo_$nm AS (
          |  SELECT seg, n, var_num, base_q,
          |    $NeymanBudget - CAST(sum(base_q) OVER () AS BIGINT)
@@ -3069,16 +3091,23 @@ object BatchOps {
        |      AS var_num FROM st) stv),
        |al AS (
        |  SELECT seg, weight_milli,
-       |    CAST(sum(weight_milli) OVER () AS BIGINT) AS w_total
+       |    CAST(sum(weight_milli) OVER () AS BIGINT) AS w_total,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_strata
        |  FROM wgt),
+       |alw AS (
+       |  SELECT seg,
+       |    CASE WHEN w_total = 0 THEN 1 ELSE weight_milli END AS w_eff,
+       |    CASE WHEN w_total = 0 THEN n_strata ELSE w_total END
+       |      AS wt_eff
+       |  FROM al),
        |al2 AS (
        |  SELECT seg,
-       |    CAST(CAST($NeymanBudget AS HUGEINT) * weight_milli
-       |      // greatest(1, w_total) AS BIGINT) AS base_q,
-       |    CAST(CAST($NeymanBudget AS HUGEINT) * weight_milli
-       |      % greatest(1, w_total)
+       |    CAST(CAST($NeymanBudget AS HUGEINT) * w_eff
+       |      // wt_eff AS BIGINT) AS base_q,
+       |    CAST(CAST($NeymanBudget AS HUGEINT) * w_eff
+       |      % wt_eff
        |      AS BIGINT) AS frac
-       |  FROM al),
+       |  FROM alw),
        |al3 AS (
        |  SELECT seg, base_q, frac,
        |    $NeymanBudget - CAST(sum(base_q) OVER () AS BIGINT)

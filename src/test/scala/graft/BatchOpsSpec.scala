@@ -434,17 +434,31 @@ class BatchOpsSpec extends GraftSpec {
     }
     writeTable("customer",
       rows.toDF("c_custkey", "c_mktsegment", "c_acctbal"), dir)
-    // Independent replication of the shipped recipe.
+    // Independent replication of the shipped recipe. The scale-back
+    // multiplier is √(reduction): 2^16 after div 2^32, 2^32 after div
+    // 2^64 (the r16 advisory caught 2^32/2^64 here — 65536× inflation).
     val p62 = BigInt("4611686018427387904")
     val p94 = BigInt("19807040628566084398385987584")
     def weightMilli(varNum: BigInt): Long = {
       val (mult, m) =
         if (varNum < p62) (1.0, varNum)
         else if (varNum < p94)
-          (4294967296.0, varNum / BigInt("4294967296"))
-        else (math.pow(2.0, 64.0), varNum / BigInt("18446744073709551616"))
+          (65536.0, varNum / BigInt("4294967296"))
+        else (4294967296.0, varNum / BigInt("18446744073709551616"))
       // Same association as the shipped SQL: 1000 · (mult · √m).
       math.round(1000.0 * (mult * math.sqrt(m.toLong.toDouble)))
+    }
+    // Ground truth, independent of the branch device entirely:
+    // 1000·√var_num at BigDecimal precision. The scaled form loses
+    // < 2^-30 relative, so both the replication and the operator must
+    // land within ~3e-9 relative of this.
+    def weightTrue(varNum: BigInt): BigDecimal = BigDecimal(
+      new java.math.BigDecimal(varNum.bigInteger)
+        .sqrt(java.math.MathContext.DECIMAL64)) * 1000
+    def assertNearTrue(w: Long, varNum: BigInt): Unit = {
+      val t = weightTrue(varNum)
+      assert((BigDecimal(w) - t).abs <= t * 3e-9 + 1,
+        s"weight_milli $w vs true 1000·sqrt($varNum) = $t")
     }
     val bySeg = rows.groupBy(_._2).view.mapValues { rs =>
       val vs = rs.map(r => BigInt(math.round(r._3 * 100)))
@@ -452,9 +466,14 @@ class BatchOpsSpec extends GraftSpec {
       n * vs.map(v => v * v).sum - vs.sum * vs.sum
     }.toMap
     // The corpus must actually land in branch 2, or this test silently
-    // degrades to re-testing branch 1.
-    bySeg.values.foreach(vn => assert(vn >= p62 && vn < p94,
-      s"engineered var_num $vn missed branch 2"))
+    // degrades to re-testing branch 1 — and the replicated weight must
+    // match the TRUE √, not merely the shipped expression (the r16
+    // advisory: a replication of a wrong multiplier self-validates).
+    bySeg.values.foreach { vn =>
+      assert(vn >= p62 && vn < p94,
+        s"engineered var_num $vn missed branch 2")
+      assertNearTrue(weightMilli(vn), vn)
+    }
     // BigInt split arithmetic: budget × weight ≈ 5e20 overflows Long —
     // the operator rides DECIMAL(38) here for exactly this reason.
     val w = bySeg.view.mapValues(v => BigInt(weightMilli(v))).toMap
@@ -475,6 +494,97 @@ class BatchOpsSpec extends GraftSpec {
     }
     assert(expected.values.sum == budget.toLong,
       "replication lost the budget")
+  }
+
+  test("scaled-sqrt weight is continuous across the 2^62 and 2^94 " +
+      "branch thresholds (r16 advisory)") {
+    // Evaluate the shipped expression directly on the four values that
+    // straddle each branch boundary. Matching the BigDecimal truth
+    // within the documented 3e-9 relative loss ON BOTH SIDES of each
+    // threshold IS the continuity proof — the r16 advisory's 65536×
+    // branch-2 discontinuity would fail this by 4-5 orders of
+    // magnitude.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val vals = Seq(
+      "4611686018427387903", "4611686018427387904", // 2^62 − 1, 2^62
+      "19807040628566084398385987583", // 2^94 − 1
+      "19807040628566084398385987584") // 2^94
+    val got = vals.toDF("s")
+      .select(expr("CAST(s AS DECIMAL(38,0))").as("var_num"))
+      .select(col("var_num"), expr(
+        BatchOps.weightMilliSql("var_num", "DECIMAL(38,0)", "div"))
+        .as("w"))
+      .collect()
+      .map(r => BigInt(r.getDecimal(0).toBigInteger) -> r.getLong(1))
+    assert(got.length == 4)
+    got.foreach { case (vn, w) =>
+      val t = BigDecimal(new java.math.BigDecimal(vn.bigInteger)
+        .sqrt(java.math.MathContext.DECIMAL64)) * 1000
+      assert((BigDecimal(w) - t).abs <= t * 3e-9 + 1,
+        s"var_num $vn: weight $w vs true $t")
+    }
+  }
+
+  test("mixed-branch strata: Neyman quotas track true sigma ratios " +
+      "(r16 advisory)") {
+    // One stratum just BELOW 2^62 (branch 1), one just ABOVE (branch
+    // 2), with true N·σ within 9% of each other — the exact shape the
+    // r16 advisory said the old 65536× branch-2 multiplier corrupts
+    // (it would hand branch 2 the whole budget, (0, 500) instead of
+    // (~240, ~260)). Expected quotas come from BigDecimal √var_num —
+    // the branch device never enters the expectation.
+    import spark.implicits._
+    val dir = freshScratch()
+    // v = j·115000025 / j·125000025 exactly (acctbal a multiple of
+    // 0.25, products < 2^53): var_num = c²·(8·Σj² − (Σj)²) = c²·336.
+    val rows = (1 to 8).flatMap { j =>
+      Seq((j.toLong, "SEG_LO", j * 1150000.25),
+        (100L + j, "SEG_MID", j * 1250000.25))
+    }
+    writeTable("customer",
+      rows.toDF("c_custkey", "c_mktsegment", "c_acctbal"), dir)
+    val vnLo = BigInt("115000025").pow(2) * 336
+    val vnMid = BigInt("125000025").pow(2) * 336
+    val p62 = BigInt("4611686018427387904")
+    assert(vnLo < p62, s"SEG_LO $vnLo must sit in branch 1")
+    assert(vnMid >= p62, s"SEG_MID $vnMid must sit in branch 2")
+    def tw(vn: BigInt): BigDecimal = BigDecimal(
+      new java.math.BigDecimal(vn.bigInteger)
+        .sqrt(java.math.MathContext.DECIMAL64))
+    val (wLo, wMid) = (tw(vnLo), tw(vnMid))
+    val budget = BigDecimal(BatchOps.NeymanBudget)
+    val expLo = (budget * wLo / (wLo + wMid))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = BatchOps.neymanSample(spark, dir).collect()
+      .groupBy(_.getAs[String]("seg"))
+      .map { case (s, rs) => s -> rs.head.getAs[Long]("quota") }
+    // ±2 absorbs milli-quantization and the largest-remainder ±1.
+    assert(math.abs(got("SEG_LO") - expLo) <= 2,
+      s"SEG_LO quota ${got("SEG_LO")} vs true-σ share $expLo")
+    assert(got.values.sum == BatchOps.NeymanBudget.toLong,
+      "quotas must spend the budget exactly")
+  }
+
+  test("all-zero-weight strata degrade to an equal split that still " +
+      "spends the budget (r16 advisory)") {
+    // Constant acctbal per segment ⇒ var_num = 0 ⇒ every Neyman weight
+    // is 0. The old greatest(1, w_total) device left base_q = 0
+    // everywhere and the +1 pass summed quotas to |strata|, not the
+    // budget; the equal-weight fallback must spend all 500.
+    import spark.implicits._
+    val rows = (1 to 12).map { k =>
+      val seg = if (k % 2 == 0) "SEG_A" else "SEG_B"
+      (k.toLong, seg, if (k % 2 == 0) 5.0 else 7.0)
+    }
+    val dir = freshScratch()
+    writeTable("customer",
+      rows.toDF("c_custkey", "c_mktsegment", "c_acctbal"), dir)
+    val got = BatchOps.neymanSample(spark, dir).collect()
+      .groupBy(_.getAs[String]("seg"))
+      .map { case (s, rs) => s -> rs.head.getAs[Long]("quota") }
+    assert(got == Map("SEG_A" -> 250L, "SEG_B" -> 250L),
+      s"equal fallback expected (250, 250), got $got")
   }
 
   test("t-closeness TVD matches a plain BigInt reference on the real corpus") {
