@@ -113,11 +113,22 @@ object Bench {
     // time is the builder's quiet-box close, so the driver's numbers
     // get attributed against exactly the reference the judge compared
     // by hand in r14 (242 s driver vs 202 s close).
+    // bench_prior.json, when present, WINS over bench_line.json as the
+    // prior source (r16 verdict order #2): bench_line.json is
+    // overwritten by EVERY full run — in r16 the driver's post-close
+    // run ate the builder's 235.9 s close record and every r17 delta
+    // would have read ~0.7× against the wrong box. bench_prior.json is
+    // written only deliberately (the builder copies the round-close
+    // record into it and commits it), so a driver or mid-round run can
+    // never eat the baseline.
     val (priorQ, priorM, priorS): (Map[String, Double],
         Map[String, Double], Map[String, Double]) =
       try {
-        val txt = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("bench_line.json"))
+        val src = Seq("bench_prior.json", "bench_line.json")
+          .map(java.nio.file.Paths.get(_))
+          .find(java.nio.file.Files.exists(_))
+          .getOrElse(java.nio.file.Paths.get("bench_line.json"))
+        val txt = java.nio.file.Files.readString(src)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(txt)
         def toMap(field: String): Map[String, Double] = {
@@ -332,10 +343,28 @@ object Bench {
       // sentinel pairs with the ann_ivf_top1 control so the
       // trained/untrained ratio (1.16 on both boxes, r16 measurement)
       // is re-read every run.
+      //
+      // r17 pruning (r16 verdict order #6): the standing set is capped
+      // at 8 — ten sentinels × two warmups × ≥3 isolated runs had
+      // grown to ~25-30 s per full run and was still accreting one
+      // incident at a time. Retired into the ROTATING POOL (re-enable
+      // any via SPARK_GRAFT_SENTINELS when its rewrite is touched
+      // again): simhash_pairs + minhash_calibration (watched rewrites
+      // stable since r13) and ann_rp_multiprobe_top1 (its r14
+      // suite-inflation signature stable since r14; the embedding
+      // family keeps two controls without it). customer_rollup JOINS
+      // the set: the rollup family — the plain TPC-H scan/join/agg
+      // surface every svi default falls back to — had NO control of
+      // its own, so family-normalized verdicts (Svi.familyDrift) for
+      // rollup entries were priced by other families' drift. At
+      // ~0.2 s it is the cheapest control in the set. Family coverage:
+      // embedding = {ann_ivf_top1, ann_ivf_trained_top1}, posting =
+      // {neardup_jaccard, neardup_jaccard_prefix}, token = {oov_rate,
+      // dsir_weights, doc_chunks}, rollup = {customer_rollup}.
       val sentinels = sys.env.getOrElse("SPARK_GRAFT_SENTINELS",
-          "ann_ivf_top1,neardup_jaccard,oov_rate,doc_chunks," +
-            "simhash_pairs,minhash_calibration,ann_rp_multiprobe_top1," +
-            "neardup_jaccard_prefix,dsir_weights,ann_ivf_trained_top1")
+          "ann_ivf_top1,ann_ivf_trained_top1,neardup_jaccard," +
+            "neardup_jaccard_prefix,oov_rate,dsir_weights,doc_chunks," +
+            "customer_rollup")
         .split(",").map(_.trim).filter(_.nonEmpty)
       sentinels.foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
@@ -374,29 +403,24 @@ object Bench {
       else { val s = boxDrift.values.toSeq.sorted; s(s.length / 2) }
     val priorBoxMismatch =
       boxDriftMedian > 1.3 || boxDriftMedian < 1.0 / 1.3
-    // Self-labeling svi verdicts (r15 verdict order #3): the r15 judge
-    // had to read raw (suite, isolated, prior) triples and found one —
-    // dsir_weights, isolated 2.3× its own suite median — that fit
-    // neither svi hypothesis. The harness now names each entry's story:
-    //   noise       — isolated ≈ prior: the suite number was position/
-    //                 contention inflation, the code is fine.
-    //   box_reprice — isolated ≈ prior × the measured control drift on
-    //                 a mismatched box: the machine re-priced, not the
-    //                 code (only reachable when the mismatch flag is up).
-    //   regression  — isolated ≈ suite, both above prior: real.
-    //   unclassified— fits no story (e.g. isolated ≫ suite: an
-    //                 isolated-phase measurement artifact).
-    // The 1.3× band matches the box-mismatch threshold; the 0.05 s
-    // floor keeps sub-50 ms queries from flapping on scheduler noise.
-    def sviVerdict(suite: Double, iso: Double, prior: Double): String = {
-      val slack = 0.05
-      if (iso <= prior * 1.3 + slack) "noise"
-      else if (priorBoxMismatch &&
-          iso <= prior * math.max(1.0, boxDriftMedian) * 1.3 + slack)
-        "box_reprice"
-      else if (iso >= suite * 0.7 - slack && iso <= suite * 1.4 + slack)
-        "regression"
-      else "unclassified"
+    // Self-labeling svi verdicts (r15 verdict order #3), normalized by
+    // FAMILY control drift rather than the global median (r16 verdict
+    // order #1): on the r16 driver box the global median (1.424×)
+    // under-priced the token and embedding families (2.0–3.3×) and two
+    // family-priced entries carried false "regression" labels the
+    // harness's own box_drift map refuted. The rules live in [[Svi]]
+    // (spec-pinned on synthetic fixtures, including the two r16 false
+    // labels); each entry classifies against the median drift of its
+    // family's OTHER sentinels, falling back to the global median when
+    // the family has no control, and box_reprice is reachable when
+    // either the global mismatch flag or the family's own drift is
+    // outside the 1.3× band.
+    def sviVerdict(name: String, suite: Double, iso: Double,
+        prior: Double): String = {
+      val fam = Svi.familyOf(name)
+      val d = Svi.familyDrift(boxDrift.toMap, fam, name, boxDriftMedian)
+      Svi.verdict(suite, iso, prior, d,
+        priorBoxMismatch || Svi.driftMismatch(d))
     }
     val suiteMemoPop = Memos.populateSeconds
     val sviAttr = scala.collection.mutable.LinkedHashMap[String,
@@ -424,9 +448,10 @@ object Bench {
             // — so the retained number converges on the story the
             // entry actually tells instead of handing the judge an
             // inversion.
-            if (sviVerdict(suite, iso, prior) == "unclassified")
+            if (sviVerdict(n, suite, iso, prior) == "unclassified")
               iso = math.min(iso, isolatedMedian(fn))
-            sviAttr(n) = (suite, iso, prior, sviVerdict(suite, iso, prior))
+            sviAttr(n) = (suite, iso, prior,
+              sviVerdict(n, suite, iso, prior))
           } catch { case _: Throwable => () }
         }
       }
@@ -445,7 +470,8 @@ object Bench {
         val iso = Memos.populateSeconds
         memoTargets.foreach { case (n, suite, prior, _) =>
           iso.get(n).foreach(i =>
-            sviAttr(n) = (suite, i, prior, sviVerdict(suite, i, prior))) }
+            sviAttr(n) = (suite, i, prior,
+              sviVerdict(n, suite, i, prior))) }
       }
     }
     def jmap(m: scala.collection.Map[String, Double],
