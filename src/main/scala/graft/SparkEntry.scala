@@ -294,6 +294,9 @@ object SparkEntry {
       ((s, d) => TextOps.sourceCrossDupMatrix(s, d)),
     "winnow_fingerprints" ->
       ((s, d) => TextOps.winnowFingerprints(s, d)),
+    "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
+    "pair_edit_verify" -> ((s, d) => TextOps.pairEditVerify(s, d)),
+    "quantile_sketch" -> ((s, d) => TextOps.quantileSketch(s, d)),
     "dedup_threshold_sweep" ->
       ((s, d) => TextOps.dedupThresholdSweep(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
@@ -1206,6 +1209,13 @@ object SparkEntry {
       TextOps.sourceCrossDupMatrixOracleSql(shinglesSql),
     "winnow_fingerprints" ->
       TextOps.winnowFingerprintsOracleSql(shinglesSql),
+    // Winnowing's pair search: fingerprint postings, df cut, self-join.
+    "winnow_pairs" -> TextOps.winnowPairsOracleSql,
+    // Thresholded Levenshtein over the candidate memo; DuckDB computes
+    // the uncapped distance and applies the cap as a CASE.
+    "pair_edit_verify" -> TextOps.pairEditVerifyOracleSql(shinglesSql),
+    // Bottom-k md5-draw rank sketch vs exact nearest-rank quantiles.
+    "quantile_sketch" -> TextOps.quantileSketchOracleSql,
     "dedup_threshold_sweep" ->
       TextOps.dedupThresholdSweepOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,

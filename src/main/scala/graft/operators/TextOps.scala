@@ -1096,6 +1096,107 @@ object TextOps {
        |LEFT JOIN e eb ON jp.doc_b = eb.vec_id
        |ORDER BY 1, 2""".stripMargin
 
+  /** Edit-distance cap for [[pairEditVerify]] (shared with the
+    * oracle): distances past this report the −1 sentinel. */
+  val PairEditMaxEdit = 100
+
+  /** CHARACTER-LEVEL EDIT-DISTANCE VERIFY over the candidate-pair memo
+    * (r16 verdict order #4) — the modality [[dedupFeatures]]' three
+    * columns all miss: a small-edit paraphrase (one word swapped, a
+    * date bumped) can sit below a Jaccard threshold, past a simhash
+    * Hamming cut, and off an embedding's resolution, while its
+    * Levenshtein distance is single-digit. Computes the thresholded
+    * distance for every verified candidate pair, capped at
+    * [[PairEditMaxEdit]] (−1 past the cap), plus a length-normalized
+    * ratio in mille.
+    *
+    * Engine choice (the (a)-before-(b) rule): Spark's native
+    * `levenshtein(l, r, threshold)` (3-arg form, Spark ≥ 3.5) already
+    * IS the banded algorithm this order asked for — it early-exits on
+    * the threshold diagonal band exactly like a hand-rolled
+    * Myers/Ukkonen `Expression` would, runs inside codegen, and costs
+    * O(min(n,m)·k) per pair, so a custom expression would duplicate a
+    * built-in. Applied to the KB-sized [[nearDupPairsCore]] memo ONLY
+    * — never corpus×corpus; at 100 TB the candidate screen (df-capped
+    * posting join) owns the quadratic risk, and this verify stays
+    * linear in the surviving pair count. */
+  def pairEditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    nearDupPairsCore(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(t.select(col("doc_id").as("doc_a"),
+        col("text").as("text_a")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b")), Seq("doc_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("text_a"), col("text_b"), PairEditMaxEdit))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("edit_distance"),
+        expr("CASE WHEN edit_distance >= 0 THEN " +
+          "(1000 * cast(edit_distance as bigint)) div " +
+          "greatest(1L, cast(greatest(length(text_a), " +
+          "length(text_b)) as bigint)) " +
+          "ELSE CAST(-1 AS BIGINT) END").as("edit_rel_mille"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[pairEditVerify]] — the capped-Jaccard pair
+    * CTEs and DuckDB's `levenshtein()` with the cap expressed as a
+    * CASE (DuckDB computes the full distance; the KB-sized pair memo
+    * makes that affordable on the oracle side). */
+  private[graft] def pairEditVerifyOracleSql(shinglesSql: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+       |    list_distinct($shinglesSql) AS sh
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, len_bucket,
+       |    CAST(len(sh) AS INT) AS n_sh, sh
+       |  FROM d),
+       |p AS (
+       |  SELECT lang, len_bucket, unnest(sh) AS shingle, doc_id
+       |  FROM n),
+       |c AS (
+       |  SELECT lang, len_bucket, shingle, count(*) AS df
+       |  FROM p GROUP BY 1, 2, 3),
+       |pf AS (
+       |  SELECT p.lang, p.len_bucket, p.shingle, p.doc_id
+       |  FROM p JOIN c ON p.lang = c.lang AND p.len_bucket = c.len_bucket
+       |    AND p.shingle = c.shingle
+       |  WHERE c.df BETWEEN 2 AND $NearDupDocFreqCap),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM pf a JOIN pf b ON a.lang = b.lang
+       |    AND a.len_bucket = b.len_bucket AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT prs.doc_a, prs.doc_b,
+       |    CAST(prs.n_inter AS DOUBLE)
+       |      / CAST(na.n_sh + nb.n_sh - prs.n_inter AS DOUBLE) AS jaccard
+       |  FROM prs
+       |  JOIN n na ON prs.doc_a = na.doc_id
+       |  JOIN n nb ON prs.doc_b = nb.doc_id
+       |  WHERE CAST(prs.n_inter AS DOUBLE)
+       |      / CAST(na.n_sh + nb.n_sh - prs.n_inter AS DOUBLE) >= 0.1),
+       |lv AS (
+       |  SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+       |    levenshtein(ta.text, tb.text) AS lev,
+       |    greatest(len(ta.text), len(tb.text)) AS max_len
+       |  FROM jp
+       |  JOIN documents ta ON jp.doc_a = ta.doc_id
+       |  JOIN documents tb ON jp.doc_b = tb.doc_id)
+       |SELECT doc_a, doc_b, jaccard,
+       |  CASE WHEN lev <= $PairEditMaxEdit THEN CAST(lev AS INT)
+       |    ELSE -1 END AS edit_distance,
+       |  CASE WHEN lev <= $PairEditMaxEdit
+       |    THEN CAST((1000 * lev) // greatest(1, max_len) AS BIGINT)
+       |    ELSE CAST(-1 AS BIGINT) END AS edit_rel_mille
+       |FROM lv
+       |ORDER BY 1, 2""".stripMargin
+
   /** Per-language length box-plot — the distribution profile behind a
     * per-language length filter (a fixed global cut mis-filters CJK
     * against English; quartile whiskers per language are the standard
@@ -1206,6 +1307,138 @@ object TextOps {
        |FROM w
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
+
+  /** Register capacity of [[quantileSketch]] — the fixed sample size
+    * (shared with the oracle and the merge spec). */
+  val QSampleK = 256
+
+  /** The quantile points [[quantileSketch]] reads out, in percent. */
+  val QSketchQs = Seq(10, 50, 90, 99)
+
+  /** The md5-derived draw for [[quantileSketch]]'s registers (shared
+    * with the oracle): a deterministic 60-bit uniform per doc. */
+  private val qskDrawExpr =
+    "cast(conv(substring(md5(concat('qsk', " +
+      "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+
+  /** The [[quantileSketch]] register set for a (doc_id, v) frame: the
+    * [[QSampleK]] rows with the SMALLEST md5-derived draws — a
+    * deterministic bottom-k uniform sample. Exposed so the merge spec
+    * pins the sketch's defining property on the real code path: the
+    * bottom-k of a union of two halves' bottom-k sets IS the
+    * full-corpus bottom-k (each register survives iff its draw is
+    * among the k smallest overall, and every such draw survives its
+    * own half). */
+  private[graft] def quantileSketchRegisters(base: DataFrame): DataFrame =
+    base
+      .withColumn("u", expr(qskDrawExpr))
+      .orderBy(col("u"), col("doc_id"))
+      .limit(QSampleK)
+
+  /** MERGEABLE RANK SKETCH over document lengths — the KMV/HLL/CMS
+    * family's missing member (r16 verdict order #3) and the
+    * deterministic stand-in for KLL/t-digest (whose float-centroid,
+    * order-dependent merges could never hash-match an oracle): keep
+    * the [[QSampleK]] documents with the smallest md5-derived draws —
+    * a uniform-without-replacement sample whose registers are exact
+    * integers — and read each quantile as the covering value inside
+    * the value-sorted register set. Unlike the fixed-grid
+    * [[lengthQuantileSketch]] its error is a RANK bound (±O(1/√K)
+    * quantile positions, distribution-free), not a value-width bound —
+    * the right tool when the value scale is skewed or unknown.
+    * The exact nearest-rank quantile is computed alongside and the
+    * estimate-vs-exact gap emitted per point, the [[CdcOps.kmvDistinct]]
+    * audit convention: at 100 TB only the sketch side ships (a
+    * TakeOrderedAndProject — per-partition bottom-k heaps, K rows to
+    * the driver, mergeable by construction); the exact side is the
+    * audit this query exists to print.
+    *
+    * Scale shape: registers ride one TakeOrderedAndProject; the
+    * read-out windows see ≤ [[QSampleK]] rows; the exact side
+    * aggregates to VALUE grain (distinct n_chars — a value-domain,
+    * not data-grain, frame) before its ≤|domain|-row cumulative
+    * window. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("v"))
+    val rr = quantileSketchRegisters(base)
+      .withColumn("rv",
+        row_number().over(Window.orderBy(col("v"), col("doc_id")))
+          .cast("long"))
+      .withColumn("k_eff",
+        count(lit(1)).over(Window.partitionBy()))
+    val estAggs = QSketchQs.map(q =>
+      min(when(col("rv") * 100 >= col("k_eff") * q, col("v")))
+        .as(s"est_$q"))
+    val est = rr.groupBy().agg(estAggs.head, estAggs.tail: _*)
+    val cum = base.groupBy("v")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("v")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val exAggs = QSketchQs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("v")))
+        .as(s"ex_$q"))
+    val ex = cum.groupBy()
+      .agg(max(col("n")).as("n_docs"), exAggs: _*)
+    val stacked = QSketchQs
+      .map(q => s"$q, est_$q, ex_$q").mkString(", ")
+    est.crossJoin(ex)
+      .select(col("n_docs"), expr(
+        s"stack(${QSketchQs.size}, $stacked) AS (q, est_v, exact_v)"))
+      .select(col("q"), col("n_docs"), col("est_v"), col("exact_v"),
+        abs(col("est_v") - col("exact_v")).as("err_abs"),
+        expr("(1000 * abs(est_v - exact_v)) div greatest(1L, exact_v)")
+          .as("err_rel_mille"))
+      .orderBy("q")
+  }
+
+  /** DuckDB oracle for [[quantileSketch]] — same draws, same bottom-k,
+    * same covering rules, same integer error read-out. */
+  private[graft] def quantileSketchOracleSql: String = {
+    val estCols = QSketchQs.map(q =>
+      s"min(CASE WHEN rv * 100 >= k_eff * $q THEN v END) AS est_$q")
+      .mkString(",\n    ")
+    val exCols = QSketchQs.map(q =>
+      s"min(CASE WHEN cum * 100 >= n * $q THEN v END) AS ex_$q")
+      .mkString(",\n    ")
+    val unions = QSketchQs.map(q =>
+      s"SELECT $q AS q, n_docs, est_$q AS est_v, ex_$q AS exact_v " +
+        "FROM est, ex").mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT doc_id, n_chars AS v FROM documents),
+       |reg AS (
+       |  SELECT doc_id, v FROM b
+       |  ORDER BY CAST('0x' || substr(md5('qsk' ||
+       |    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+       |  LIMIT $QSampleK),
+       |rr AS (
+       |  SELECT v,
+       |    CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS rv,
+       |    CAST(count(*) OVER () AS BIGINT) AS k_eff
+       |  FROM reg),
+       |est AS (
+       |  SELECT
+       |    $estCols
+       |  FROM rr),
+       |vg AS (SELECT v, count(*) AS cnt FROM b GROUP BY 1),
+       |cw AS (
+       |  SELECT v,
+       |    CAST(sum(cnt) OVER (ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |  FROM vg),
+       |ex AS (
+       |  SELECT max(n) AS n_docs,
+       |    $exCols
+       |  FROM cw),
+       |u AS (
+       |  $unions)
+       |SELECT q, n_docs, est_v, exact_v,
+       |  abs(est_v - exact_v) AS err_abs,
+       |  CAST((1000 * abs(est_v - exact_v)) // greatest(1, exact_v)
+       |    AS BIGINT) AS err_rel_mille
+       |FROM u
+       |ORDER BY q""".stripMargin
+  }
 
   /** Shards for [[curriculumInterleave]]'s per-source rank windows. */
   val InterleaveShards = 8
@@ -6237,6 +6470,162 @@ object TextOps {
        |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum
        |FROM fp
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** k-gram width (in WORDS) for [[winnowPairs]] — deliberately wider
+    * than [[winnowFingerprints]]' bigrams: the per-doc stats op shares
+    * the dedup family's bigram stream, but for the PAIR search a
+    * 2-word k-gram is a stop-phrase ("of the") that lands in ~every
+    * document — measured at sf0.01 it put 62k of 125k possible pairs
+    * through the join (23.9 s at sf0.1). Schleimer et al. §2 set k
+    * "large enough that matches shorter than t are uninteresting";
+    * 4-word k-grams repeat across documents only inside genuinely
+    * shared passages, so the posting join's volume IS the copy signal.
+    * The guarantee threshold becomes t = w + k − 1 = 7 shared words. */
+  val WinnowPairK = 4
+
+  /** The [[WinnowPairK]]-word positional k-gram hash stream as NESTED
+    * `zip_with` over four aligned slices — the `shinglesSqlExpr`
+    * discipline, load-bearing twice over: slices are lambda ARGUMENTS
+    * (evaluated once per doc), while anything referenced INSIDE a HOF
+    * lambda body is re-evaluated per element after CollapseProject
+    * inlines it — a first cut wrote `element_at(split(text,' '), i+o)`
+    * in the body and paid [[WinnowPairK]] full re-tokenizations per
+    * k-gram position (O(tokens²) per doc; a second cut indexed a
+    * `toks` COLUMN in the body and the optimizer inlined the split
+    * into every one of the 4 references anyway). The <k-token `case`
+    * guard keeps the slice lengths positive (the standing shingle
+    * lesson). Hash fused into the outer lambda: one md5 per k-gram,
+    * no intermediate string array. */
+  private val winnowKgramHashSqlExpr = {
+    require(WinnowPairK == 4, "the nested zip_with is written for k=4")
+    val t = "split(text, ' ')"
+    val m = s"(size($t) - ${WinnowPairK - 1})"
+    s"""case when size($t) < $WinnowPairK
+          then cast(array() as array<bigint>)
+          else zip_with(
+            zip_with(slice($t, 1, $m), slice($t, 2, $m),
+              (w1, w2) -> concat(w1, ' ', w2)),
+            zip_with(slice($t, 3, $m), slice($t, 4, $m),
+              (w3, w4) -> concat(w3, ' ', w4)),
+            (x, y) -> cast(conv(substring(md5(concat(x, ' ', y)),
+              1, 8), 16, 10) as bigint))
+        end"""
+  }
+
+  /** WINNOWING CANDIDATE PAIRS — the MOSS use of winnowing (r16
+    * verdict order #5): winnow the [[WinnowPairK]]-word k-gram stream
+    * per document ([[WinnowWindow]]-window minima, the
+    * [[winnowFingerprints]] selection rule), explode the selected
+    * fingerprints into postings, and self-join on the fingerprint,
+    * emitting every document pair that shares one with its
+    * shared-fingerprint count and an overlap ratio against the smaller
+    * set. Winnowing's guarantee makes this the whole plagiarism/copy
+    * search: any shared run of ≥ w+k−1 = 7 words selects at least one
+    * common fingerprint, so every such pair surfaces here — at
+    * ~2/(w+1) of the k-gram index mass.
+    *
+    * Scale shape: exactly [[nearDupJaccard]]'s production posting join
+    * — fingerprint-grain partial+final df count, the
+    * [[NearDupDocFreqCap]] stop-fingerprint cut BEFORE pair explosion
+    * (bounding any posting bucket at cap²; boilerplate fingerprints in
+    * ~every doc carry no copy signal), a localCheckpointed flat
+    * posting frame read by both join aliases, and a pair-grain count
+    * that fuses into codegen. Nothing is all-pairs, and the wide
+    * k-gram (above) keeps the posting volume proportional to actual
+    * shared-passage mass. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = WinnowWindow
+    // The compact (doc_id, fps) frame is localCheckpointed BEFORE the
+    // explode — a hard optimizer barrier, not a convenience:
+    // CollapseProject inlines the whole toks → k-gram-hash → window-min
+    // lambda chain into the Generate's child, where it re-evaluates
+    // per EMITTED posting (and the inlined h re-evaluates per window
+    // inside the fps lambda — measured ~700× work amplification:
+    // 37 s for the explode's count at sf0.01 vs 1.5 s through the
+    // barrier). The frame is one array row per doc (~20 ints), so the
+    // materialization is KB-scale at any corpus size per partition.
+    val docsFps = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("h", expr(winnowKgramHashSqlExpr))
+      .filter(size(col("h")) >= 1)
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1L, " +
+          s"greatest(1L, cast(size(h) as bigint) - ${w - 1})), " +
+          s"i -> array_min(slice(h, cast(i as int), $w))))"))
+      .select(col("doc_id"), col("fps"))
+      .localCheckpoint()
+    val post = docsFps
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("fp"))
+    val wPost = Window.partitionBy("fp")
+    val kept = post
+      .withColumn("df", count(lit(1)).over(wPost))
+      .filter(col("df").between(2, NearDupDocFreqCap))
+      .drop("df")
+      .localCheckpoint()
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
+      col("n_fp").as("n_fp_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
+      col("n_fp").as("n_fp_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_fp_a"), col("n_fp_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .withColumn("overlap_mille",
+        expr("(n_shared_fp * 1000) div least(n_fp_a, n_fp_b)"))
+      .select(col("doc_a"), col("doc_b"), col("n_fp_a"), col("n_fp_b"),
+        col("n_shared_fp"), col("overlap_mille"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[winnowPairs]] — the same
+    * [[WinnowPairK]]-word k-gram stream, the [[winnowFingerprints]]
+    * window-min selection, the relational df cut, and the same pair
+    * aggregate. */
+  private[graft] def winnowPairsOracleSql: String = {
+    val w = WinnowWindow
+    val t = "string_split(text, ' ')"
+    val kgrams = {
+      val parts = (0 until WinnowPairK)
+        .map(o => s"$t[i + $o]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len($t) - ${WinnowPairK - 2}), " +
+        s"i -> $parts)"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_transform($kgrams,
+       |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND len($t) >= $WinnowPairK),
+       |ww AS (
+       |  SELECT doc_id, h,
+       |    CAST(greatest(1, len(h) - ${w - 1}) AS BIGINT) AS n_windows
+       |  FROM d),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, n_windows + 1),
+       |      i -> list_min(h[i:i + ${w - 1}]))) AS fps
+       |  FROM ww),
+       |pe AS (
+       |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       |    unnest(fps) AS fp
+       |  FROM fp),
+       |c AS (SELECT fp, count(*) AS df FROM pe GROUP BY 1),
+       |pf AS (
+       |  SELECT pe.doc_id, pe.n_fp, pe.fp
+       |  FROM pe JOIN c ON pe.fp = c.fp
+       |  WHERE c.df BETWEEN 2 AND $NearDupDocFreqCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.n_fp AS n_fp_a, b.n_fp AS n_fp_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared_fp,
+       |  CAST((count(*) * 1000) // least(a.n_fp, b.n_fp) AS BIGINT)
+       |    AS overlap_mille
+       |FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY 1, 2""".stripMargin
   }
 
   // ===========================================================================

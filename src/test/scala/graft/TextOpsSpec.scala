@@ -721,4 +721,119 @@ class TextOpsSpec extends GraftSpec {
       assert(r.getAs[Long]("contained_id") != r.getAs[Long]("container_id"))
     }
   }
+
+  test("quantile sketch registers merge: bottom-k of two halves' " +
+      "bottom-k sets equals the full-corpus bottom-k (r16 order #3)") {
+    // The sketch's defining property, pinned on the REAL code path and
+    // a corpus whose HALVES each exceed K (sf0.1: 5000 docs, halves
+    // 2500 > QSampleK = 256, so both half sketches genuinely truncate
+    // and the merge genuinely discards): a register survives the merge
+    // iff its draw is among the K smallest overall, and every such
+    // draw survives its own half's bottom-k first — so two half-corpus
+    // sketches merged by the sketch's own rule reproduce the
+    // full-corpus sketch EXACTLY, the way per-executor partial
+    // sketches combine at 100 TB.
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("n_chars").as("v"))
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("v"))).toSet
+    val full = regSet(TextOps.quantileSketchRegisters(base))
+    assert(full.size == TextOps.QSampleK,
+      "corpus must exceed K for a non-degenerate merge test")
+    val hA = TextOps.quantileSketchRegisters(
+      base.filter(col("doc_id") % 2 === 0))
+    val hB = TextOps.quantileSketchRegisters(
+      base.filter(col("doc_id") % 2 === 1))
+    val merged = regSet(hA.unionByName(hB)
+      .orderBy(col("u"), col("doc_id")).limit(TextOps.QSampleK))
+    assert(merged == full, "merged half-sketches must equal the " +
+      s"full sketch; symmetric diff ${(merged diff full) ++ (full diff merged)}")
+  }
+
+  test("winnowing guarantee: a shared passage of >= w+k-1 words " +
+      "surfaces the pair in winnow_pairs (r16 order #5)") {
+    // Schleimer et al.'s theorem with WinnowPairK = 4-word k-grams and
+    // WinnowWindow = 4: any shared run of >= w + k - 1 = 7 words
+    // contains a full window of shared k-grams, whose minimum is
+    // selected in BOTH documents. The 12-word shared passage here sits
+    // at different positions in the two docs (winnowing is
+    // position-robust); the third doc shares nothing and must not
+    // pair.
+    val dir = freshScratch()
+    val shared = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val a = shared + " uniqa1 uniqa2 uniqa3 uniqa4 uniqa5 uniqa6"
+    val b = "uniqb1 uniqb2 uniqb3 uniqb4 uniqb5 uniqb6 " + shared
+    val c = "totally unrelated words carrying no overlapping bigrams whatsoever today"
+    writeTable("documents", Seq(
+      (1L, a, "en", "web", a.length.toLong),
+      (2L, b, "en", "web", b.length.toLong),
+      (3L, c, "en", "web", c.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val rows = TextOps.winnowPairs(spark, dir).collect()
+    val pairs = rows
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the shared-passage pair, got $pairs")
+    val r12 = rows.head
+    assert(r12.getAs[Long]("n_shared_fp") >= 1L)
+    assert(r12.getAs[Long]("n_shared_fp") <=
+      math.min(r12.getAs[Long]("n_fp_a"), r12.getAs[Long]("n_fp_b")))
+    assert(r12.getAs[Long]("overlap_mille") ==
+      r12.getAs[Long]("n_shared_fp") * 1000L /
+        math.min(r12.getAs[Long]("n_fp_a"), r12.getAs[Long]("n_fp_b")))
+  }
+
+  test("pair_edit_verify capped-k semantics: exact distance under the " +
+      "cap, -1 sentinel past it (r16 order #4)") {
+    // Two candidate pairs through the real (lang, len_bucket)-blocked
+    // jaccard screen: a one-word-substitution pair whose distance a
+    // reference DP pins exactly, and a shared-passage pair whose tails
+    // differ in 120 characters (a multiset lower bound: the 120 x/a
+    // occurrences of one tail must each die in one edit), which must
+    // report the -1 cap sentinel on BOTH derived columns.
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1)(i => i)
+      for (j <- 1 to t.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to s.length) {
+          val tmp = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          prev = tmp
+        }
+      }
+      d(s.length)
+    }
+    val dir = freshScratch()
+    def words(p: String, n: Int) =
+      (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val d1 = words("word", 40)
+    val d2 = d1.replace("word20", "wordXX")
+    val sharedRun = words("shrd", 30)
+    val dX = sharedRun + " " + words("xaaa", 30)
+    val dY = sharedRun + " " + words("ybbb", 30)
+    writeTable("documents", Seq(
+      (1L, d1, "en", "web", d1.length.toLong),
+      (2L, d2, "en", "web", d2.length.toLong),
+      (3L, dX, "en", "web", dX.length.toLong),
+      (4L, dY, "en", "web", dY.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    assert(lev(d1, d2) == 2 && lev(d1, d2) <= TextOps.PairEditMaxEdit)
+    assert(lev(dX, dY) == 120 && lev(dX, dY) > TextOps.PairEditMaxEdit)
+    val rows = TextOps.pairEditVerify(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r)
+      .toMap
+    assert(rows.contains((1L, 2L)) && rows.contains((3L, 4L)),
+      s"both crafted pairs must survive the candidate screen: " +
+        s"${rows.keySet}")
+    val near = rows((1L, 2L))
+    assert(near.getAs[Int]("edit_distance") == lev(d1, d2))
+    assert(near.getAs[Long]("edit_rel_mille") ==
+      1000L * lev(d1, d2) / math.max(d1.length, d2.length))
+    val far = rows((3L, 4L))
+    assert(far.getAs[Int]("edit_distance") == -1)
+    assert(far.getAs[Long]("edit_rel_mille") == -1L)
+  }
 }

@@ -113,6 +113,8 @@ object WindowGateSpec {
       "bounded frame: merged length grid per source pair — value-domain",
     ("TextOps.scala", "lengthQuantileSketch") ->
       "bounded frame: (lang, fixed bin) sketch grain",
+    ("TextOps.scala", "winnowPairs") ->
+      "data-keyed: fp posting key (df-capped before pair explosion)",
     ("TextOps.scala", "lpaStep") ->
       "data-keyed: src vertex id; rn = 1 majority pick compiles to WindowGroupLimit",
     ("TextOps.scala", "minhashCandidatesUncached") ->
@@ -199,6 +201,10 @@ class WindowGateSpec extends AnyFunSuite {
       "distinct-source grain: source enum (~5)",
     ("TextOps.scala", "qualityCalibration") ->
       "distinct n_chars grain: value-domain-bounded",
+    ("TextOps.scala", "quantileSketch") ->
+      ("post-LIMIT register frame: <= QSampleK rows (read-out rank); " +
+        "exact-side cumulative at distinct-n_chars grain: " +
+        "value-domain-bounded"),
     ("TextOps.scala", "ksDriftOf") ->
       "merged length-grid grain: value-domain-bounded",
     ("TextOps.scala", "bpeMergeCensus") ->
