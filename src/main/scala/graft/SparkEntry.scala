@@ -297,6 +297,8 @@ object SparkEntry {
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
     "pair_edit_verify" -> ((s, d) => TextOps.pairEditVerify(s, d)),
     "quantile_sketch" -> ((s, d) => TextOps.quantileSketch(s, d)),
+    "quantile_sketch_grouped" ->
+      ((s, d) => TextOps.quantileSketchGrouped(s, d)),
     "dedup_threshold_sweep" ->
       ((s, d) => TextOps.dedupThresholdSweep(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
@@ -1216,6 +1218,9 @@ object SparkEntry {
     "pair_edit_verify" -> TextOps.pairEditVerifyOracleSql(shinglesSql),
     // Bottom-k md5-draw rank sketch vs exact nearest-rank quantiles.
     "quantile_sketch" -> TextOps.quantileSketchOracleSql,
+    // Per-lang bottom-k registers (WindowGroupLimit cap) vs exact.
+    "quantile_sketch_grouped" ->
+      TextOps.quantileSketchGroupedOracleSql,
     "dedup_threshold_sweep" ->
       TextOps.dedupThresholdSweepOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,

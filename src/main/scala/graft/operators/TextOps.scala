@@ -1440,6 +1440,138 @@ object TextOps {
        |ORDER BY q""".stripMargin
   }
 
+  /** Per-group register capacity of [[quantileSketchGrouped]] —
+    * smaller than the global [[QSampleK]] because every group pays it
+    * (shared with the oracle and the merge spec). */
+  val GroupQSampleK = 64
+
+  /** The per-language register sets of [[quantileSketchGrouped]]: per
+    * lang, the [[GroupQSampleK]] docs with the smallest md5-derived
+    * draws. The rank filter sits directly on the keyed row_number so
+    * it compiles to WindowGroupLimit — each map partition forwards at
+    * most K rows per lang BEFORE the exchange, which is what makes a
+    * per-group sketch affordable when one group holds most of a 100 TB
+    * corpus. Exposed for the merge spec (same bottom-k-per-group law
+    * as the global sketch). */
+  private[graft] def groupedQuantileRegisters(base: DataFrame)
+      : DataFrame = {
+    val wCap = Window.partitionBy("lang")
+      .orderBy(col("u"), col("doc_id"))
+    base
+      .withColumn("u", expr(qskDrawExpr))
+      .withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= GroupQSampleK)
+      .drop("rk")
+  }
+
+  /** PER-GROUP MERGEABLE RANK SKETCH — [[quantileSketch]] at (lang)
+    * grain: one bottom-k register set per language, quantiles read by
+    * the covering rule inside each group's value-sorted registers,
+    * exact nearest-rank computed alongside per group with integer
+    * error columns. This is the form a per-language length-filter
+    * pipeline actually consumes (the fixed global cut mis-filters CJK
+    * against English — [[lengthBoxplot]]'s motivation — but exact
+    * per-group percentiles buffer whole groups; per-group bottom-k
+    * state is K longs per language, mergeable by construction).
+    *
+    * Scale shape: the register cap is a keyed row_number whose filter
+    * compiles to WindowGroupLimit (plan-asserted via the derived
+    * allowlist loop) — map-side capping, so a language holding 90% of
+    * the corpus forwards K rows per partition, not its mass; read-out
+    * windows see ≤ K rows per lang; the exact side aggregates to
+    * (lang, n_chars) value grain before its cumulative window. */
+  def quantileSketchGrouped(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("v"))
+    val rr = groupedQuantileRegisters(base)
+      .withColumn("rv",
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("v"), col("doc_id"))).cast("long"))
+      .withColumn("k_eff",
+        count(lit(1)).over(Window.partitionBy("lang")))
+    val estAggs = QSketchQs.map(q =>
+      min(when(col("rv") * 100 >= col("k_eff") * q, col("v")))
+        .as(s"est_$q"))
+    val est = rr.groupBy("lang").agg(estAggs.head, estAggs.tail: _*)
+    val cum = base.groupBy("lang", "v")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("lang").orderBy("v")))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy("lang")))
+    val exAggs = QSketchQs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("v")))
+        .as(s"ex_$q"))
+    val ex = cum.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"), exAggs: _*)
+    val stacked = QSketchQs
+      .map(q => s"$q, est_$q, ex_$q").mkString(", ")
+    est.join(ex, Seq("lang"))
+      .select(col("lang"), col("n_docs"), expr(
+        s"stack(${QSketchQs.size}, $stacked) AS (q, est_v, exact_v)"))
+      .select(col("lang"), col("q"), col("n_docs"), col("est_v"),
+        col("exact_v"),
+        abs(col("est_v") - col("exact_v")).as("err_abs"),
+        expr("(1000 * abs(est_v - exact_v)) div greatest(1L, exact_v)")
+          .as("err_rel_mille"))
+      .orderBy("lang", "q")
+  }
+
+  /** DuckDB oracle for [[quantileSketchGrouped]] — same per-lang
+    * draws, caps, covering rules, and integer error read-out. */
+  private[graft] def quantileSketchGroupedOracleSql: String = {
+    val estCols = QSketchQs.map(q =>
+      s"min(CASE WHEN rv * 100 >= k_eff * $q THEN v END) AS est_$q")
+      .mkString(",\n    ")
+    val exCols = QSketchQs.map(q =>
+      s"min(CASE WHEN cum * 100 >= n * $q THEN v END) AS ex_$q")
+      .mkString(",\n    ")
+    val unions = QSketchQs.map(q =>
+      s"SELECT est.lang, $q AS q, ex.n_docs, est.est_$q AS est_v, " +
+        s"ex.ex_$q AS exact_v FROM est JOIN ex ON est.lang = ex.lang")
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT lang, doc_id, n_chars AS v FROM documents),
+       |reg AS (
+       |  SELECT lang, doc_id, v FROM (
+       |    SELECT lang, doc_id, v,
+       |      row_number() OVER (PARTITION BY lang ORDER BY
+       |        CAST('0x' || substr(md5('qsk' ||
+       |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id)
+       |        AS rk
+       |    FROM b)
+       |  WHERE rk <= $GroupQSampleK),
+       |rr AS (
+       |  SELECT lang, v,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY v, doc_id) AS BIGINT) AS rv,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS k_eff
+       |  FROM reg),
+       |est AS (
+       |  SELECT lang,
+       |    $estCols
+       |  FROM rr GROUP BY lang),
+       |vg AS (SELECT lang, v, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT lang, v,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM vg),
+       |ex AS (
+       |  SELECT lang, max(n) AS n_docs,
+       |    $exCols
+       |  FROM cw GROUP BY lang),
+       |u AS (
+       |  $unions)
+       |SELECT lang, q, n_docs, est_v, exact_v,
+       |  abs(est_v - exact_v) AS err_abs,
+       |  CAST((1000 * abs(est_v - exact_v)) // greatest(1, exact_v)
+       |    AS BIGINT) AS err_rel_mille
+       |FROM u
+       |ORDER BY lang, q""".stripMargin
+  }
+
   /** Shards for [[curriculumInterleave]]'s per-source rank windows. */
   val InterleaveShards = 8
 

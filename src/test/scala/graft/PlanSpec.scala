@@ -214,6 +214,8 @@ class PlanSpec extends GraftSpec {
             .withColumn("lbl", org.apache.spark.sql.functions.col("node"))
           TextOps.lpaStep(edges, l0)
         }),
+      ("TextOps.scala", "groupedQuantileRegisters") ->
+        (() => TextOps.quantileSketchGrouped(spark, dir)),
       ("TextOps.scala", "stratifiedSample") ->
         (() => TextOps.stratifiedSample(spark, dir)),
       ("TextOps.scala", "tfidfTopK") ->

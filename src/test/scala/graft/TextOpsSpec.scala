@@ -752,6 +752,34 @@ class TextOpsSpec extends GraftSpec {
       s"full sketch; symmetric diff ${(merged diff full) ++ (full diff merged)}")
   }
 
+  test("grouped quantile sketch registers merge per group (r16 order #3)") {
+    // The per-lang variant of the bottom-k merge law, on halves that
+    // genuinely truncate (sf0.1: every lang holds >> 2*GroupQSampleK
+    // docs). Registers carry (lang, doc_id, v, u); the merge rule is
+    // the sketch's own: per lang, keep the K smallest draws.
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("lang"), col("doc_id"), col("n_chars").as("v"))
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("v"))).toSet
+    val full = regSet(TextOps.groupedQuantileRegisters(base))
+    val perLang = full.groupBy(_._1).view.mapValues(_.size)
+    assert(perLang.values.forall(_ == TextOps.GroupQSampleK),
+      s"every lang must fill its registers: ${perLang.toMap}")
+    val hA = TextOps.groupedQuantileRegisters(
+      base.filter(col("doc_id") % 2 === 0))
+    val hB = TextOps.groupedQuantileRegisters(
+      base.filter(col("doc_id") % 2 === 1))
+    val merged = regSet(hA.unionByName(hB)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("u"), col("doc_id"))))
+      .filter(col("rk") <= TextOps.GroupQSampleK))
+    assert(merged == full,
+      "per-group merged half-sketches must equal the full sketch")
+  }
+
   test("winnowing guarantee: a shared passage of >= w+k-1 words " +
       "surfaces the pair in winnow_pairs (r16 order #5)") {
     // Schleimer et al.'s theorem with WinnowPairK = 4-word k-grams and

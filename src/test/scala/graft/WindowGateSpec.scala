@@ -115,6 +115,13 @@ object WindowGateSpec {
       "bounded frame: (lang, fixed bin) sketch grain",
     ("TextOps.scala", "winnowPairs") ->
       "data-keyed: fp posting key (df-capped before pair explosion)",
+    ("TextOps.scala", "groupedQuantileRegisters") ->
+      ("rank-capped: rk <= GroupQSampleK per lang compiles to " +
+        "WindowGroupLimit"),
+    ("TextOps.scala", "quantileSketchGrouped") ->
+      ("bounded frame: read-out windows see <= GroupQSampleK rows per " +
+        "lang (rank-capped upstream); exact-side cumulative at " +
+        "(lang, n_chars) value grain"),
     ("TextOps.scala", "lpaStep") ->
       "data-keyed: src vertex id; rn = 1 majority pick compiles to WindowGroupLimit",
     ("TextOps.scala", "minhashCandidatesUncached") ->
