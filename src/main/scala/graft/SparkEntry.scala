@@ -295,6 +295,7 @@ object SparkEntry {
     "winnow_fingerprints" ->
       ((s, d) => TextOps.winnowFingerprints(s, d)),
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
+    "winnow_decontam" -> ((s, d) => TextOps.winnowDecontam(s, d)),
     "pair_edit_verify" -> ((s, d) => TextOps.pairEditVerify(s, d)),
     "quantile_sketch" -> ((s, d) => TextOps.quantileSketch(s, d)),
     "quantile_sketch_grouped" ->
@@ -1213,6 +1214,8 @@ object SparkEntry {
       TextOps.winnowFingerprintsOracleSql(shinglesSql),
     // Winnowing's pair search: fingerprint postings, df cut, self-join.
     "winnow_pairs" -> TextOps.winnowPairsOracleSql,
+    // Sparse-index decontam: winnow fingerprints vs the eval band.
+    "winnow_decontam" -> TextOps.winnowDecontamOracleSql,
     // Thresholded Levenshtein over the candidate memo; DuckDB computes
     // the uncapped distance and applies the cap as a CASE.
     "pair_edit_verify" -> TextOps.pairEditVerifyOracleSql(shinglesSql),

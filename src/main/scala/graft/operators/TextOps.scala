@@ -6666,18 +6666,22 @@ object TextOps {
     * that fuses into codegen. Nothing is all-pairs, and the wide
     * k-gram (above) keeps the posting volume proportional to actual
     * shared-passage mass. */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc winnowed fingerprint sets over the
+    * [[WinnowPairK]]-word k-gram stream — the shared front of
+    * [[winnowPairs]] and [[winnowDecontam]]. The compact (doc_id, fps)
+    * frame is localCheckpointed BEFORE any explode — a hard optimizer
+    * barrier, not a convenience: CollapseProject inlines the whole
+    * toks → k-gram-hash → window-min lambda chain into the Generate's
+    * child, where it re-evaluates per EMITTED posting (and the inlined
+    * h re-evaluates per window inside the fps lambda — measured ~700×
+    * work amplification: 37 s for the explode's count at sf0.01 vs
+    * 1.5 s through the barrier). The frame is one array row per doc
+    * (~20 ints), so the materialization is KB-scale per partition at
+    * any corpus size. */
+  private[graft] def winnowFpDocs(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = WinnowWindow
-    // The compact (doc_id, fps) frame is localCheckpointed BEFORE the
-    // explode — a hard optimizer barrier, not a convenience:
-    // CollapseProject inlines the whole toks → k-gram-hash → window-min
-    // lambda chain into the Generate's child, where it re-evaluates
-    // per EMITTED posting (and the inlined h re-evaluates per window
-    // inside the fps lambda — measured ~700× work amplification:
-    // 37 s for the explode's count at sf0.01 vs 1.5 s through the
-    // barrier). The frame is one array row per doc (~20 ints), so the
-    // materialization is KB-scale at any corpus size per partition.
-    val docsFps = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("h", expr(winnowKgramHashSqlExpr))
@@ -6688,7 +6692,10 @@ object TextOps {
           s"i -> array_min(slice(h, cast(i as int), $w))))"))
       .select(col("doc_id"), col("fps"))
       .localCheckpoint()
-    val post = docsFps
+  }
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val post = winnowFpDocs(spark, dir)
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
         explode(col("fps")).as("fp"))
     val wPost = Window.partitionBy("fp")
@@ -6712,11 +6719,10 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** DuckDB oracle for [[winnowPairs]] — the same
-    * [[WinnowPairK]]-word k-gram stream, the [[winnowFingerprints]]
-    * window-min selection, the relational df cut, and the same pair
-    * aggregate. */
-  private[graft] def winnowPairsOracleSql: String = {
+  /** The [[winnowFpDocs]] fingerprint computation as DuckDB CTEs
+    * `d`/`ww`/`fp` (fp = (doc_id, fps)), shared by
+    * [[winnowPairsOracleSql]] and [[winnowDecontamOracleSql]]. */
+  private def winnowFpSqlCtes: String = {
     val w = WinnowWindow
     val t = "string_split(text, ' ')"
     val kgrams = {
@@ -6725,7 +6731,7 @@ object TextOps {
       s"list_transform(range(1, len($t) - ${WinnowPairK - 2}), " +
         s"i -> $parts)"
     }
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id,
        |    list_transform($kgrams,
        |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
@@ -6740,7 +6746,15 @@ object TextOps {
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, n_windows + 1),
        |      i -> list_min(h[i:i + ${w - 1}]))) AS fps
-       |  FROM ww),
+       |  FROM ww)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[winnowPairs]] — the same
+    * [[WinnowPairK]]-word k-gram stream, the [[winnowFingerprints]]
+    * window-min selection, the relational df cut, and the same pair
+    * aggregate. */
+  private[graft] def winnowPairsOracleSql: String = {
+    s"""WITH $winnowFpSqlCtes,
        |pe AS (
        |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
        |    unnest(fps) AS fp
@@ -6759,6 +6773,67 @@ object TextOps {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY 1, 2""".stripMargin
   }
+
+  /** WINNOW DECONTAMINATION — the sparse-index variant of
+    * [[ngramDecontam]]: flag TRAIN documents sharing a winnowed
+    * fingerprint with the held-out split (same [[TrainPct]] hash-band
+    * assignment). The trade vs the exhaustive n-gram form: the
+    * broadcast dirty list shrinks to ~2/(w+1) ≈ 40% of the distinct
+    * 4-gram mass (an eval SUITE at real scale is many benchmarks — the
+    * index size is the binding constraint on the broadcast join), in
+    * exchange for a guarantee floor instead of exactness: any verbatim
+    * overlap of ≥ w+k−1 = 7 words is still caught (winnowing's
+    * theorem), shorter overlaps may be missed — exactly MOSS's
+    * precision/index-size trade, priced here against the exhaustive
+    * twin the suite already ships.
+    *
+    * Scale shape: two reads of the KB-per-partition [[winnowFpDocs]]
+    * checkpoint; the eval side collapses to DISTINCT fingerprints and
+    * broadcasts; the train side is one per-doc aggregate. No
+    * corpus-side shuffle except the doc-grain count. */
+  def winnowDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val post = winnowFpDocs(spark, dir)
+      .withColumn("bucket",
+        pmod(h60("cast(doc_id as string)"), lit(100)))
+      .select(col("doc_id"), col("bucket"),
+        size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("fp"))
+    val evalFps = post.filter(col("bucket") >= TrainPct)
+      .select(col("fp").as("ev_fp")).distinct()
+    post.filter(col("bucket") < TrainPct)
+      .join(broadcast(evalFps), col("fp") === col("ev_fp"), "left")
+      .groupBy("doc_id", "n_fp")
+      .agg(count(col("ev_fp")).as("n_hits"))
+      .withColumn("hit_mille", expr("(1000 * n_hits) div n_fp"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .select(col("doc_id"), col("n_fp"), col("n_hits"),
+        col("hit_mille"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[winnowDecontam]] — the shared fingerprint
+    * CTEs, the same hash-band split, the same distinct-hit LEFT
+    * join. */
+  private[graft] def winnowDecontamOracleSql: String =
+    s"""WITH $winnowFpSqlCtes,
+       |pe AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % 100 AS bucket,
+       |    CAST(len(fps) AS BIGINT) AS n_fp,
+       |    unnest(fps) AS fp
+       |  FROM fp),
+       |ev AS (SELECT DISTINCT fp AS ev_fp FROM pe
+       |       WHERE bucket >= $TrainPct),
+       |tr AS (SELECT doc_id, n_fp, fp FROM pe WHERE bucket < $TrainPct)
+       |SELECT tr.doc_id, tr.n_fp,
+       |  CAST(count(ev.ev_fp) AS BIGINT) AS n_hits,
+       |  CAST((1000 * count(ev.ev_fp)) // tr.n_fp AS BIGINT)
+       |    AS hit_mille,
+       |  count(ev.ev_fp) > 0 AS contaminated
+       |FROM tr LEFT JOIN ev ON tr.fp = ev.ev_fp
+       |GROUP BY tr.doc_id, tr.n_fp
+       |ORDER BY tr.doc_id""".stripMargin
 
   // ===========================================================================
   // BPE first-merge census

@@ -813,6 +813,52 @@ class TextOpsSpec extends GraftSpec {
         math.min(r12.getAs[Long]("n_fp_a"), r12.getAs[Long]("n_fp_b")))
   }
 
+  test("winnow decontam: >= w+k-1-word verbatim overlap with the eval " +
+      "band is always caught; < k-word overlap never is") {
+    // The sparse-index trade, pinned at its two DETERMINISTIC corners:
+    // a shared run of >= 7 words guarantees a shared selected
+    // fingerprint (the winnowing theorem), and a shared run shorter
+    // than k = 4 words shares no 4-gram at all, so it cannot hit.
+    // (4-6 shared words are the probabilistic middle — deliberately
+    // not asserted.) Doc ids are picked so the split lands where the
+    // fixture needs it, using the operator's own hash-band rule.
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val evalId = (1L to 1000L).find(bucket(_) >= 90).get
+    val trainIds = (1L to 1000L).filter(bucket(_) < 90).take(2)
+    val (hitId, missId) = (trainIds(0), trainIds(1))
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val evalDoc = passage + " evalx1 evalx2 evalx3 evalx4"
+    val hitDoc = "trainy1 trainy2 trainy3 trainy4 " + passage
+    // shares only the 3-word run "alpha bravo charlie":
+    val missDoc = "alpha bravo charlie mike november oscar papa " +
+      "quebec romeo sierra"
+    val dir = freshScratch()
+    writeTable("documents", Seq(
+      (evalId, evalDoc, "en", "web", evalDoc.length.toLong),
+      (hitId, hitDoc, "en", "web", hitDoc.length.toLong),
+      (missId, missDoc, "en", "web", missDoc.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val rows = TextOps.winnowDecontam(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(hitId, missId),
+      s"train side must be exactly the two train docs: ${rows.keySet}")
+    assert(rows(hitId).getAs[Boolean]("contaminated"),
+      "8-word verbatim overlap must be caught (winnowing guarantee)")
+    assert(rows(hitId).getAs[Long]("n_hits") >= 1L)
+    assert(!rows(missId).getAs[Boolean]("contaminated"),
+      "a 3-word overlap shares no 4-gram and cannot hit")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_fp"))
+      assert(r.getAs[Long]("hit_mille") ==
+        1000L * r.getAs[Long]("n_hits") / r.getAs[Long]("n_fp"))
+    }
+  }
+
   test("pair_edit_verify capped-k semantics: exact distance under the " +
       "cap, -1 sentinel past it (r16 order #4)") {
     // Two candidate pairs through the real (lang, len_bucket)-blocked
