@@ -296,6 +296,7 @@ object SparkEntry {
       ((s, d) => TextOps.winnowFingerprints(s, d)),
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
     "winnow_decontam" -> ((s, d) => TextOps.winnowDecontam(s, d)),
+    "winnow_k_planner" -> ((s, d) => TextOps.winnowKPlanner(s, d)),
     "pair_edit_verify" -> ((s, d) => TextOps.pairEditVerify(s, d)),
     "quantile_sketch" -> ((s, d) => TextOps.quantileSketch(s, d)),
     "quantile_sketch_grouped" ->
@@ -1216,6 +1217,8 @@ object SparkEntry {
     "winnow_pairs" -> TextOps.winnowPairsOracleSql,
     // Sparse-index decontam: winnow fingerprints vs the eval band.
     "winnow_decontam" -> TextOps.winnowDecontamOracleSql,
+    // The k-width cost table: pair mass per k, kept vs df-cap-dropped.
+    "winnow_k_planner" -> TextOps.winnowKPlannerOracleSql,
     // Thresholded Levenshtein over the candidate memo; DuckDB computes
     // the uncapped distance and applies the cap as a CASE.
     "pair_edit_verify" -> TextOps.pairEditVerifyOracleSql(shinglesSql),

@@ -6616,34 +6616,34 @@ object TextOps {
     * The guarantee threshold becomes t = w + k − 1 = 7 shared words. */
   val WinnowPairK = 4
 
-  /** The [[WinnowPairK]]-word positional k-gram hash stream as NESTED
-    * `zip_with` over four aligned slices — the `shinglesSqlExpr`
-    * discipline, load-bearing twice over: slices are lambda ARGUMENTS
-    * (evaluated once per doc), while anything referenced INSIDE a HOF
-    * lambda body is re-evaluated per element after CollapseProject
-    * inlines it — a first cut wrote `element_at(split(text,' '), i+o)`
-    * in the body and paid [[WinnowPairK]] full re-tokenizations per
-    * k-gram position (O(tokens²) per doc; a second cut indexed a
-    * `toks` COLUMN in the body and the optimizer inlined the split
-    * into every one of the 4 references anyway). The <k-token `case`
-    * guard keeps the slice lengths positive (the standing shingle
-    * lesson). Hash fused into the outer lambda: one md5 per k-gram,
-    * no intermediate string array. */
-  private val winnowKgramHashSqlExpr = {
-    require(WinnowPairK == 4, "the nested zip_with is written for k=4")
+  /** The k-word positional k-gram hash stream as NESTED `zip_with`
+    * over k aligned slices — the `shinglesSqlExpr` discipline,
+    * load-bearing twice over: slices are lambda ARGUMENTS (evaluated
+    * once per doc), while anything referenced INSIDE a HOF lambda body
+    * is re-evaluated per element after CollapseProject inlines it — a
+    * first cut wrote `element_at(split(text,' '), i+o)` in the body
+    * and paid k full re-tokenizations per k-gram position (O(tokens²)
+    * per doc; a second cut indexed a `toks` COLUMN in the body and the
+    * optimizer inlined the split into every one of the k references
+    * anyway). The <k-token `case` guard keeps the slice lengths
+    * positive (the standing shingle lesson — `sequence(1, n)` descends
+    * for n < 1). Shared by the [[WinnowPairK]] production stream and
+    * [[winnowKPlanner]]'s sweep. */
+  private[graft] def kgramHashSql(k: Int): String = {
+    require(k >= 2, "a 1-gram stream is just the token stream")
     val t = "split(text, ' ')"
-    val m = s"(size($t) - ${WinnowPairK - 1})"
-    s"""case when size($t) < $WinnowPairK
+    val m = s"(size($t) - ${k - 1})"
+    val grams = (2 to k).foldLeft(s"slice($t, 1, $m)") { (acc, o) =>
+      s"zip_with($acc, slice($t, $o, $m), (a, b) -> concat(a, ' ', b))"
+    }
+    s"""case when size($t) < $k
           then cast(array() as array<bigint>)
-          else zip_with(
-            zip_with(slice($t, 1, $m), slice($t, 2, $m),
-              (w1, w2) -> concat(w1, ' ', w2)),
-            zip_with(slice($t, 3, $m), slice($t, 4, $m),
-              (w3, w4) -> concat(w3, ' ', w4)),
-            (x, y) -> cast(conv(substring(md5(concat(x, ' ', y)),
-              1, 8), 16, 10) as bigint))
+          else transform($grams,
+            s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))
         end"""
   }
+
+  private val winnowKgramHashSqlExpr = kgramHashSql(WinnowPairK)
 
   /** WINNOWING CANDIDATE PAIRS — the MOSS use of winnowing (r16
     * verdict order #5): winnow the [[WinnowPairK]]-word k-gram stream
@@ -6834,6 +6834,125 @@ object TextOps {
        |FROM tr LEFT JOIN ev ON tr.fp = ev.ev_fp
        |GROUP BY tr.doc_id, tr.n_fp
        |ORDER BY tr.doc_id""".stripMargin
+
+  /** k-gram widths swept by [[winnowKPlanner]] (shared with the
+    * oracle). */
+  val WinnowPlannerKs = Seq(2, 3, 4, 5)
+
+  /** WINNOW k PLANNER — the advisor that prices the [[WinnowPairK]]
+    * choice instead of asserting it in a comment (the
+    * shingle_df_profile / lsh_band_planner convention): per k-gram
+    * width, the posting-index mass and — the number that decides — the
+    * PAIR mass Σ df·(df−1)/2 the posting self-join would emit, split
+    * into the df∈[2,cap] share the join actually pays and the df>cap
+    * share the stop-fingerprint cut discards, next to the guarantee
+    * threshold w+k−1 the width buys. Reading the sf0.01 table is
+    * reading the r17 incident: k=2 fingerprints are stop-phrases whose
+    * kept pair mass alone is ~half of all possible pairs, while k=4
+    * collapses the bill to the genuinely-shared-passage mass.
+    *
+    * Scale shape: ONE corpus scan computes all |Ks| fingerprint
+    * streams in one projection (the layout_pruning_sim fold lesson —
+    * a planner must not pay one fact pass per candidate config); the
+    * compact (doc_id, k, fps) frame is localCheckpointed (the standing
+    * Generate-inlining barrier), and everything after is a (k, fp)
+    * partial+final count into a |Ks|-row aggregate. No pair is ever
+    * materialized — the quadratic bill is priced as Σ df·(df−1)/2 at
+    * posting grain. */
+  def winnowKPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val w = WinnowWindow
+    val hCols = WinnowPlannerKs.map(k =>
+      expr(kgramHashSql(k)).as(s"h_$k"))
+    // Per-k empty guard: a doc can clear one k's token floor and miss
+    // a larger k's (h_5 empty while h_2 is not) — without it the
+    // degenerate whole-array window takes array_min of an EMPTY slice
+    // and emits a [NULL] fingerprint set that the size >= 1 filter
+    // would keep.
+    val fpsCols = WinnowPlannerKs.map(k =>
+      expr(s"case when size(h_$k) < 1 " +
+        s"then cast(array() as array<bigint>) " +
+        s"else array_distinct(transform(sequence(1L, " +
+        s"greatest(1L, cast(size(h_$k) as bigint) - ${w - 1})), " +
+        s"i -> array_min(slice(h_$k, cast(i as int), $w)))) end")
+        .as(s"fps_$k"))
+    val stackSql = WinnowPlannerKs.map(k => s"$k, fps_$k").mkString(", ")
+    val compact = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id") +: hCols: _*)
+      .select(col("doc_id") +: fpsCols: _*)
+      .select(col("doc_id"), expr(
+        s"stack(${WinnowPlannerKs.size}, $stackSql) AS (k, fps)"))
+      .filter(size(col("fps")) >= 1)
+      .localCheckpoint()
+    val pairMass = "df * (df - 1) div 2"
+    compact
+      .select(col("k"), explode(col("fps")).as("fp"))
+      .groupBy("k", "fp")
+      .agg(count(lit(1)).as("df"))
+      .groupBy("k")
+      .agg(
+        sum(col("df")).as("n_postings"),
+        count(lit(1)).as("n_distinct_fp"),
+        sum(when(col("df").between(2, NearDupDocFreqCap),
+          expr(pairMass)).otherwise(0L)).as("kept_pair_mass"),
+        sum(when(col("df") > NearDupDocFreqCap,
+          expr(pairMass)).otherwise(0L)).as("dropped_pair_mass"),
+        sum(expr(pairMass)).as("uncapped_pair_mass"))
+      .withColumn("guarantee_tokens", expr(s"k + ${w - 1}"))
+      .select(col("k"), col("guarantee_tokens"), col("n_postings"),
+        col("n_distinct_fp"), col("kept_pair_mass"),
+        col("dropped_pair_mass"), col("uncapped_pair_mass"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[winnowKPlanner]] — the per-k fingerprint
+    * CTEs union'd, same df grain, same pair-mass arithmetic. */
+  private[graft] def winnowKPlannerOracleSql: String = {
+    val w = WinnowWindow
+    val t = "string_split(text, ' ')"
+    val perK = WinnowPlannerKs.map { k =>
+      val parts = (0 until k).map(o => s"$t[i + $o]")
+        .mkString(" || ' ' || ")
+      s"""d_$k AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(1, len($t) - ${k - 2}),
+         |        i -> $parts),
+         |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len($t) >= $k),
+         |fp_$k AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, CAST(greatest(1, len(h) - ${w - 1}) AS BIGINT)
+         |        + 1),
+         |      i -> list_min(h[i:i + ${w - 1}]))) AS fps
+         |  FROM d_$k),
+         |c_$k AS (
+         |  SELECT fp, count(*) AS df
+         |  FROM (SELECT unnest(fps) AS fp FROM fp_$k)
+         |  GROUP BY 1),
+         |s_$k AS (
+         |  SELECT $k AS k, ${k + w - 1} AS guarantee_tokens,
+         |    CAST(sum(df) AS BIGINT) AS n_postings,
+         |    CAST(count(*) AS BIGINT) AS n_distinct_fp,
+         |    CAST(sum(CASE WHEN df BETWEEN 2 AND $NearDupDocFreqCap
+         |      THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+         |      AS kept_pair_mass,
+         |    CAST(sum(CASE WHEN df > $NearDupDocFreqCap
+         |      THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+         |      AS dropped_pair_mass,
+         |    CAST(sum(df * (df - 1) // 2) AS BIGINT)
+         |      AS uncapped_pair_mass
+         |  FROM c_$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = WinnowPlannerKs.map(k => s"SELECT * FROM s_$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $perK
+       |$unions
+       |ORDER BY k""".stripMargin
+  }
 
   // ===========================================================================
   // BPE first-merge census

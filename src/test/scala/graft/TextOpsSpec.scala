@@ -813,6 +813,35 @@ class TextOpsSpec extends GraftSpec {
         math.min(r12.getAs[Long]("n_fp_a"), r12.getAs[Long]("n_fp_b")))
   }
 
+  test("winnow k planner: pair-mass laws hold and k=2 is the " +
+      "stop-phrase regime on the real corpus") {
+    val rows = TextOps.winnowKPlanner(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getAs[Int]("k") -> r).toMap
+    assert(rows.keySet == TextOps.WinnowPlannerKs.toSet)
+    rows.foreach { case (k, r) =>
+      assert(r.getAs[Int]("guarantee_tokens") ==
+        k + TextOps.WinnowWindow - 1)
+      assert(r.getAs[Long]("kept_pair_mass") +
+        r.getAs[Long]("dropped_pair_mass") ==
+        r.getAs[Long]("uncapped_pair_mass"),
+        s"k=$k: pair mass must partition exactly across the df cap")
+      assert(r.getAs[Long]("n_distinct_fp") <=
+        r.getAs[Long]("n_postings"))
+    }
+    // The phenomenon the planner exists to price (and the r17 incident
+    // in numbers): bigram fingerprints are stop-phrases — the candidate
+    // bill collapses by orders of magnitude from k=2 to the shipped
+    // k=4 (101,986 vs 578 at sf0.01), and is monotone non-increasing
+    // in k throughout.
+    val kept = TextOps.WinnowPlannerKs
+      .map(k => rows(k).getAs[Long]("kept_pair_mass"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+      s"kept pair mass must be non-increasing in k: $kept")
+    assert(kept.head > 10 * rows(TextOps.WinnowPairK)
+      .getAs[Long]("kept_pair_mass"),
+      s"k=2 must be the stop-phrase regime: $kept")
+  }
+
   test("winnow decontam: >= w+k-1-word verbatim overlap with the eval " +
       "band is always caught; < k-word overlap never is") {
     // The sparse-index trade, pinned at its two DETERMINISTIC corners:
