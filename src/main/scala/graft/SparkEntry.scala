@@ -301,6 +301,8 @@ object SparkEntry {
     "quantile_sketch" -> ((s, d) => TextOps.quantileSketch(s, d)),
     "quantile_sketch_grouped" ->
       ((s, d) => TextOps.quantileSketchGrouped(s, d)),
+    "quantile_sketch_calibration" ->
+      ((s, d) => TextOps.quantileSketchCalibration(s, d)),
     "dedup_threshold_sweep" ->
       ((s, d) => TextOps.dedupThresholdSweep(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
@@ -1227,6 +1229,9 @@ object SparkEntry {
     // Per-lang bottom-k registers (WindowGroupLimit cap) vs exact.
     "quantile_sketch_grouped" ->
       TextOps.quantileSketchGroupedOracleSql,
+    // K sweep over register-set prefixes, floor-milli cdf scoring.
+    "quantile_sketch_calibration" ->
+      TextOps.quantileSketchCalibrationOracleSql,
     "dedup_threshold_sweep" ->
       TextOps.dedupThresholdSweepOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,

@@ -1572,6 +1572,134 @@ object TextOps {
        |ORDER BY lang, q""".stripMargin
   }
 
+  /** Register budgets swept by [[quantileSketchCalibration]] (shared
+    * with the oracle). The largest must equal [[QSampleK]] so the
+    * sweep reads PREFIXES of the one shipped register set. */
+  val QCalibKs = Seq(16, 64, 256)
+
+  /** QUANTILE-SKETCH CALIBRATION — the advisor that prices the
+    * [[QSampleK]] choice: for each candidate register budget K, read
+    * the sketch's quantile estimates and score each against the TRUE
+    * cdf position of the estimated value, in floor-milli
+    * (rank_err_mille = |cdf_mille(est) − 10·q| — the rank error is the
+    * distribution-free quantity a bottom-k sample controls, ±O(1/√K);
+    * value error depends on local density and is already reported by
+    * [[quantileSketch]]). The sweep exploits the sketch's prefix
+    * property: the bottom-16 draws are a PREFIX of the bottom-256 in
+    * draw order, so one TakeOrderedAndProject pays for every budget
+    * and the per-K read-outs are windows over a checkpointed ≤256-row
+    * frame. The exact side is the same (n_chars)-value-grain
+    * cumulative the sketch family already uses; the estimate's cdf
+    * position is one hash join of ≤12 estimate rows against it. */
+  def quantileSketchCalibration(spark: SparkSession, dir: String)
+      : DataFrame = {
+    require(QCalibKs.max == QSampleK,
+      "the sweep must read prefixes of the shipped register set")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("v"))
+    // Checkpointed so the three prefix read-outs share one corpus
+    // pass (the frame is <= QSampleK rows).
+    val regs = quantileSketchRegisters(base)
+      .withColumn("ru", row_number()
+        .over(Window.orderBy(col("u"), col("doc_id"))).cast("long"))
+      .localCheckpoint()
+    val est = QCalibKs.map { k =>
+      val sub = regs.filter(col("ru") <= k)
+        .withColumn("rv", row_number()
+          .over(Window.orderBy(col("v"), col("doc_id"))).cast("long"))
+        .withColumn("k_eff", count(lit(1)).over(Window.partitionBy()))
+      val aggs = QSketchQs.map(q =>
+        min(when(col("rv") * 100 >= col("k_eff") * q, col("v")))
+          .as(s"est_$q"))
+      sub.groupBy().agg(aggs.head, aggs.tail: _*)
+        .withColumn("k", lit(k))
+    }.reduce(_.unionByName(_))
+    val stackQ = QSketchQs.map(q => s"$q, est_$q").mkString(", ")
+    val estLong = est.select(col("k"), expr(
+      s"stack(${QSketchQs.size}, $stackQ) AS (q, est_v)"))
+    val cum = base.groupBy("v")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("v")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val exAggs = QSketchQs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("v")))
+        .as(s"ex_$q"))
+    val ex = cum.groupBy().agg(max(col("n")).as("n_docs"), exAggs: _*)
+    val exLong = ex.select(col("n_docs"), expr(
+      s"stack(${QSketchQs.size}, ${QSketchQs.map(q => s"$q, ex_$q")
+        .mkString(", ")}) AS (q, exact_v)"))
+    estLong.join(exLong, Seq("q"))
+      .join(cum.select(col("v").as("est_v"), col("cum"), col("n")),
+        Seq("est_v"))
+      .select(col("k"), col("q"), col("n_docs"), col("est_v"),
+        col("exact_v"),
+        expr("(1000 * cum) div n").as("cdf_mille"))
+      .withColumn("rank_err_mille",
+        abs(col("cdf_mille") - col("q") * 10))
+      .orderBy("k", "q")
+  }
+
+  /** DuckDB oracle for [[quantileSketchCalibration]] — same prefix
+    * read-outs, same covering rules, same floor-milli cdf scoring. */
+  private[graft] def quantileSketchCalibrationOracleSql: String = {
+    val estCols = QSketchQs.map(q =>
+      s"min(CASE WHEN rv * 100 >= k_eff * $q THEN v END) AS est_$q")
+      .mkString(",\n    ")
+    val exCols = QSketchQs.map(q =>
+      s"min(CASE WHEN cum * 100 >= n * $q THEN v END) AS ex_$q")
+      .mkString(",\n    ")
+    val perK = QCalibKs.map { k =>
+      s"""rr_$k AS (
+         |  SELECT v,
+         |    CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT)
+         |      AS rv,
+         |    CAST(count(*) OVER () AS BIGINT) AS k_eff
+         |  FROM reg WHERE ru <= $k),
+         |est_$k AS (
+         |  SELECT
+         |    $estCols
+         |  FROM rr_$k)""".stripMargin
+    }.mkString(",\n")
+    val estUnion = (for (k <- QCalibKs; q <- QSketchQs) yield
+      s"SELECT $k AS k, $q AS q, est_$q AS est_v FROM est_$k")
+      .mkString("\n  UNION ALL ")
+    val exUnion = QSketchQs.map(q =>
+      s"SELECT $q AS q, n_docs, ex_$q AS exact_v FROM ex")
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT doc_id, n_chars AS v FROM documents),
+       |reg AS (
+       |  SELECT doc_id, v,
+       |    CAST(row_number() OVER (ORDER BY
+       |      CAST('0x' || substr(md5('qsk' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id)
+       |      AS BIGINT) AS ru
+       |  FROM b),
+       |$perK,
+       |eu AS (
+       |  $estUnion),
+       |vg AS (SELECT v, count(*) AS cnt FROM b GROUP BY 1),
+       |cw AS (
+       |  SELECT v,
+       |    CAST(sum(cnt) OVER (ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |  FROM vg),
+       |ex AS (
+       |  SELECT max(n) AS n_docs,
+       |    $exCols
+       |  FROM cw),
+       |xu AS (
+       |  $exUnion)
+       |SELECT eu.k, eu.q, xu.n_docs, eu.est_v, xu.exact_v,
+       |  CAST((1000 * cw.cum) // cw.n AS BIGINT) AS cdf_mille,
+       |  abs(CAST((1000 * cw.cum) // cw.n AS BIGINT) - eu.q * 10)
+       |    AS rank_err_mille
+       |FROM eu
+       |JOIN xu ON eu.q = xu.q
+       |JOIN cw ON eu.est_v = cw.v
+       |ORDER BY eu.k, eu.q""".stripMargin
+  }
+
   /** Shards for [[curriculumInterleave]]'s per-source rank windows. */
   val InterleaveShards = 8
 

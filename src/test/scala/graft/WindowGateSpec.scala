@@ -212,6 +212,10 @@ class WindowGateSpec extends AnyFunSuite {
       ("post-LIMIT register frame: <= QSampleK rows (read-out rank); " +
         "exact-side cumulative at distinct-n_chars grain: " +
         "value-domain-bounded"),
+    ("TextOps.scala", "quantileSketchCalibration") ->
+      ("post-LIMIT register frame: <= QSampleK rows (prefix ranks + " +
+        "per-K read-outs); exact-side cumulative at distinct-n_chars " +
+        "grain: value-domain-bounded"),
     ("TextOps.scala", "ksDriftOf") ->
       "merged length-grid grain: value-domain-bounded",
     ("TextOps.scala", "bpeMergeCensus") ->
