@@ -297,6 +297,8 @@ object SparkEntry {
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
     "winnow_decontam" -> ((s, d) => TextOps.winnowDecontam(s, d)),
     "winnow_k_planner" -> ((s, d) => TextOps.winnowKPlanner(s, d)),
+    "dup_graph_pagerank" ->
+      ((s, d) => TextOps.dupGraphPagerank(s, d)),
     "pair_edit_verify" -> ((s, d) => TextOps.pairEditVerify(s, d)),
     "quantile_sketch" -> ((s, d) => TextOps.quantileSketch(s, d)),
     "quantile_sketch_grouped" ->
@@ -1221,6 +1223,9 @@ object SparkEntry {
     "winnow_decontam" -> TextOps.winnowDecontamOracleSql,
     // The k-width cost table: pair mass per k, kept vs df-cap-dropped.
     "winnow_k_planner" -> TextOps.winnowKPlannerOracleSql,
+    // Integer-micro damped power iteration, unrolled 5-CTE oracle.
+    "dup_graph_pagerank" ->
+      TextOps.dupGraphPagerankOracleSql(shinglesSql),
     // Thresholded Levenshtein over the candidate memo; DuckDB computes
     // the uncapped distance and applies the cap as a CASE.
     "pair_edit_verify" -> TextOps.pairEditVerifyOracleSql(shinglesSql),

@@ -6963,6 +6963,141 @@ object TextOps {
        |GROUP BY tr.doc_id, tr.n_fp
        |ORDER BY tr.doc_id""".stripMargin
 
+  /** Power-iteration count for [[dupGraphPagerank]] (shared with the
+    * oracle's unrolled CTE chain). */
+  val PagerankIters = 5
+
+  /** DUP-GRAPH PAGERANK — centrality over the verified near-dup graph,
+    * the canonical-representative signal a dedup pipeline reads when a
+    * connected component is too big to keep "the lowest doc_id": the
+    * highest-centrality member is the template the others orbit (and
+    * a high-pagerank hub OUTSIDE a dense component is a boilerplate
+    * carrier worth a curation look). Five damped power iterations
+    * (d = 0.85) in EXACT integer micro — each contribution is one
+    * floor division (85·r) div (100·deg), so the fixpoint trajectory
+    * is engine-exact and hash-matches the oracle's unrolled five-CTE
+    * chain (a float pagerank could never be gate-checked; the ~1e-6
+    * floor loss per hop is priced, deterministic, and identical on
+    * both engines).
+    *
+    * Scale shape: the graph is the KB-sized verified-pair memo (the
+    * candidate screen already owns the quadratic risk), so every
+    * iteration is a hash join + (node) aggregate over pair-count-sized
+    * frames; the node count rides a 1-row broadcast. Five iterations
+    * = ten tiny shuffles, independent of corpus size. */
+  def dupGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsCore(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint()
+    // The static (node, deg, n_nodes) frame is checkpointed once and
+    // every iteration REBASES on it; a first cut threaded those
+    // columns through the evolving r frame instead, which referenced
+    // r_{t-1} twice per round (carry-through + contribution) and
+    // doubled the plan per iteration — 2^5 copies of the base scan,
+    // 4.15 s/run for a KB-sized graph. Each round's result is itself
+    // checkpointed (the lpaStep convention) so plans stay flat.
+    val degN = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .crossJoin(broadcast(
+        edges.select(col("src")).distinct().agg(count(lit(1))
+          .as("n_nodes"))))
+      .localCheckpoint()
+    var r = degN.select(col("node"), col("deg"), col("n_nodes"),
+      expr("1000000L div n_nodes").as("r_micro"))
+    for (_ <- 1 to PagerankIters) {
+      val contrib = edges
+        .join(r.select(col("node").as("src"), col("deg"), col("r_micro")),
+          Seq("src"))
+        .select(col("dst"),
+          expr("(85L * r_micro) div (100L * deg)").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+      // every node of an undirected pair graph has >= 1 in-edge, so
+      // the inner join is total
+      r = degN
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"))
+        .select(col("node"), col("deg"), col("n_nodes"),
+          (expr("150000L div n_nodes") + col("s")).as("r_micro"))
+        .localCheckpoint()
+    }
+    r.select(col("node").as("doc_id"), col("deg").as("degree"),
+        col("r_micro").as("pagerank_micro"))
+      .orderBy(col("pagerank_micro").desc, col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dupGraphPagerank]] — the capped-Jaccard pair
+    * CTEs, the same undirected edge expansion, and the five power
+    * iterations UNROLLED as CTEs r1..r5 (a recursive CTE cannot carry
+    * the per-iteration aggregate; unrolling is exact and keeps the
+    * integer-micro trajectory identical). */
+  private[graft] def dupGraphPagerankOracleSql(
+      shinglesSql: String): String = {
+    val iters = (1 to PagerankIters).map { t =>
+      s"""c$t AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((85 * r${t - 1}.r) // (100 * r${t - 1}.deg))
+         |      AS BIGINT) AS s
+         |  FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+         |  GROUP BY 1),
+         |r$t AS (
+         |  SELECT d.node, d.deg, nn.n,
+         |    CAST((150000 // nn.n) + c$t.s AS BIGINT) AS r
+         |  FROM deg d JOIN c$t ON d.node = c$t.node
+         |  CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+       |    list_distinct($shinglesSql) AS sh
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, len_bucket,
+       |    CAST(len(sh) AS INT) AS n_sh, sh
+       |  FROM d),
+       |p AS (
+       |  SELECT lang, len_bucket, unnest(sh) AS shingle, doc_id
+       |  FROM n),
+       |c AS (
+       |  SELECT lang, len_bucket, shingle, count(*) AS df
+       |  FROM p GROUP BY 1, 2, 3),
+       |pf AS (
+       |  SELECT p.lang, p.len_bucket, p.shingle, p.doc_id
+       |  FROM p JOIN c ON p.lang = c.lang AND p.len_bucket = c.len_bucket
+       |    AND p.shingle = c.shingle
+       |  WHERE c.df BETWEEN 2 AND $NearDupDocFreqCap),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM pf a JOIN pf b ON a.lang = b.lang
+       |    AND a.len_bucket = b.len_bucket AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT prs.doc_a, prs.doc_b
+       |  FROM prs
+       |  JOIN n na ON prs.doc_a = na.doc_id
+       |  JOIN n nb ON prs.doc_b = nb.doc_id
+       |  WHERE CAST(prs.n_inter AS DOUBLE)
+       |      / CAST(na.n_sh + nb.n_sh - prs.n_inter AS DOUBLE) >= 0.1),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jp),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (
+       |  SELECT d.node, d.deg, nn.n,
+       |    CAST(1000000 // nn.n AS BIGINT) AS r
+       |  FROM deg d CROSS JOIN nn),
+       |$iters
+       |SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree,
+       |  r AS pagerank_micro
+       |FROM r$PagerankIters
+       |ORDER BY pagerank_micro DESC, doc_id""".stripMargin
+  }
+
   /** k-gram widths swept by [[winnowKPlanner]] (shared with the
     * oracle). */
   val WinnowPlannerKs = Seq(2, 3, 4, 5)

@@ -813,6 +813,45 @@ class TextOpsSpec extends GraftSpec {
         math.min(r12.getAs[Long]("n_fp_a"), r12.getAs[Long]("n_fp_b")))
   }
 
+  test("dup-graph pagerank: the template hub of a star outranks its " +
+      "leaves, symmetric leaves tie, and rank mass is conserved") {
+    // A 3-leaf star through the real candidate screen: the template T
+    // carries three distinct 20-word passages; each leaf shares one
+    // passage with T and nothing with its siblings. Uniform 6-char
+    // words keep all four docs in one (lang, len_bucket) block.
+    def words(p: String, n: Int) =
+      (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val (p1, p2, p3) = (words("aaone", 20), words("bbtwo", 20),
+      words("ccthr", 20))
+    val t = s"$p1 $p2 $p3"
+    val leaves = Seq(p1, p2, p3).zipWithIndex.map { case (p, i) =>
+      p + " " + words(s"fil$i", 40)
+    }
+    val dir = freshScratch()
+    writeTable("documents", (Seq((1L, t)) ++
+      leaves.zipWithIndex.map { case (d, i) => (2L + i, d) })
+      .map { case (id, txt) => (id, txt, "en", "web", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val rows = TextOps.dupGraphPagerank(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L),
+      s"star nodes only: ${byId.keySet}")
+    assert(byId(1L).getAs[Long]("degree") == 3L)
+    Seq(2L, 3L, 4L).foreach(l =>
+      assert(byId(l).getAs[Long]("degree") == 1L))
+    val hub = byId(1L).getAs[Long]("pagerank_micro")
+    val leafRanks = Seq(2L, 3L, 4L)
+      .map(byId(_).getAs[Long]("pagerank_micro"))
+    assert(leafRanks.distinct.size == 1, s"symmetric leaves tie: $leafRanks")
+    assert(hub > leafRanks.head,
+      s"hub $hub must outrank leaves ${leafRanks.head}")
+    // Damped mass conservation up to floor loss: each of the 5
+    // iterations floors one division per edge plus the base term.
+    val total = rows.map(_.getAs[Long]("pagerank_micro")).sum
+    assert(total <= 1000000L && total >= 900000L,
+      s"rank mass $total must be ~1e6 less floor loss")
+  }
+
   test("quantile sketch calibration: the full-K prefix reproduces the " +
       "shipped sketch and more registers don't hurt") {
     import org.apache.spark.sql.functions.col
