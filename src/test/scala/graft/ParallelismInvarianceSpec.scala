@@ -59,7 +59,15 @@ class ParallelismInvarianceSpec extends GraftSpec {
     // survivor attribution (min-doc_id rule at any shuffle layout).
     "lsh_band_planner", "dedup_inflation_by_source",
     "source_cross_dup_matrix", "winnow_fingerprints",
-    "dedup_threshold_sweep", "sq8_quantization_audit")
+    "dedup_threshold_sweep", "sq8_quantization_audit",
+    // r17: the bottom-k sketches (global TakeOrdered tie-break and the
+    // per-lang WindowGroupLimit cap must pick the same registers at
+    // any partition count), the winnow posting join (df cut + pair
+    // aggregate at any shuffle layout), and the checkpointed pagerank
+    // iteration chain (per-round materializations must not observe
+    // the layout).
+    "quantile_sketch", "quantile_sketch_grouped",
+    "winnow_pairs", "dup_graph_pagerank")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
