@@ -101,6 +101,21 @@ case class FunnelAnchors(a0_us: Long, a1_us: Long, a2_us: Long)
 case class FunnelReach(user_id: Long, steps_reached: Int,
     a0_us: Long, a1_us: Long, a2_us: Long)
 
+/** [[StreamOps.quantileSketchStream]] input: a document arrival. */
+case class DocArrival(doc_id: Long, lang: String, n_chars: Long)
+
+/** One register of the streaming bottom-k sketch: the md5-derived
+  * draw `u` decides survival, `v` is the sketched value. */
+case class SketchReg(u: Long, doc_id: Long, v: Long)
+
+/** [[StreamOps.quantileSketchStream]] output: the per-language sketch
+  * after a micro-batch — total docs this key has ever seen (strictly
+  * monotone per key, so max(n_seen) per lang IS the final snapshot),
+  * register count, an order-free draw checksum (Σ u mod 2^61-1,
+  * identifies the register SET), and the p50 covering read-out. */
+case class SketchSnapshot(lang: String, n_seen: Long, n_regs: Int,
+    u_checksum: Long, p50_est: Long)
+
 /** Structured Streaming runtime — the streaming twin of
   * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
   *
@@ -1065,6 +1080,31 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** STREAMING QUANTILE SKETCH — the live twin of
+    * `TextOps.quantileSketchGrouped` and the sketch family's native
+    * streaming use: the per-language bottom-k register set maintained
+    * INCREMENTALLY as `transformWithState` ValueState (the engine's
+    * sixth `*Tws` surface). The bottom-k rule is the merge law itself
+    * — fold the batch's incoming draws into the stored registers, keep
+    * the K smallest — so state is bounded at K rows per language
+    * FOREVER (no watermark, no TTL, no timer: a rank sketch never
+    * expires), and the streamed register set after any prefix of the
+    * corpus is bit-identical to the batch sketch over the same rows —
+    * the spec pins exactly that, registers and p50 read-out both,
+    * with the corpus split across micro-batches so the cross-batch
+    * merge path genuinely runs. Draws replicate the batch side's
+    * md5('qsk'||doc_id) 60-bit integer in JVM arithmetic. */
+  def quantileSketchStream(docs: Dataset[DocArrival])
+      : Dataset[SketchSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lang)
+      .transformWithState(new QuantileSketchProcessor(
+          graft.operators.TextOps.GroupQSampleK),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** P7+C7+T7: rule alerts with severity, unioned into ONE alert stream —
     * high-value events (stream_processor.py:103-109, thresholds :35-39)
     * unioned with per-minute bulk-activity alerts (:255-270), each tagged
@@ -1483,5 +1523,66 @@ class UserSessionsProcessor(gapMs: Long)
     armTimer(open, wm)
     closed.iterator.map(s => SessionRow(userId, s.start_ms,
       s.last_ms + gapMs, s.n_events, s.cents / 100.0))
+  }
+}
+
+/** The [[StreamOps.quantileSketchStream]] processor: per-language
+  * bottom-k registers as one typed `ValueState` list. `handleInputRows`
+  * IS the sketch's merge law — stored ∪ incoming, keep the k smallest
+  * (u, doc_id) — so a register survives iff its draw is among the k
+  * smallest seen by this key so far, regardless of how arrivals were
+  * batched; that is the property the batch twin's merge spec pins and
+  * the reason no timer, watermark, or TTL exists here (rank-sketch
+  * state never expires, it is bounded by construction). The emitted
+  * snapshot carries an order-free Σu (mod 2^61) register-set checksum
+  * and the p50 covering read-out (smallest v whose value-rank·100 ≥
+  * k_eff·50 — the batch read-out rule verbatim). */
+class QuantileSketchProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DocArrival, SketchSnapshot] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var regs: ValueState[List[SketchReg]] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: TimeMode): Unit = {
+    regs = getHandle.getValueState[List[SketchReg]]("regs",
+      Encoders.kryo[List[SketchReg]], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** The batch side's md5('qsk' || doc_id) 60-bit draw, in JVM
+    * arithmetic: first 15 hex chars of the digest parsed base-16 —
+    * matching SQL `conv(substring(md5(concat('qsk', doc_id)), 1, 15),
+    * 16, 10)` exactly. */
+  private def draw(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"qsk$docId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  override def handleInputRows(lang: String, rows: Iterator[DocArrival],
+      timerValues: TimerValues): Iterator[SketchSnapshot] = {
+    val incoming = rows.map(d => SketchReg(draw(d.doc_id), d.doc_id,
+      d.n_chars)).toSeq
+    val stored = if (regs.exists()) regs.get() else Nil
+    val merged = (stored ++ incoming)
+      .sortBy(r => (r.u, r.doc_id)).take(k).toList
+    regs.update(merged)
+    val nSeen = (if (seen.exists()) seen.get() else 0L) + incoming.size
+    seen.update(nSeen)
+    val kEff = merged.size.toLong
+    val byV = merged.sortBy(r => (r.v, r.doc_id))
+    val p50 = byV.zipWithIndex
+      .collectFirst { case (r, i) if (i + 1) * 100 >= kEff * 50 => r.v }
+      .getOrElse(0L)
+    val checksum = merged.foldLeft(0L)((a, r) =>
+      (a + r.u) % 2305843009213693951L)
+    Iterator.single(SketchSnapshot(lang, nSeen, merged.size, checksum,
+      p50))
   }
 }

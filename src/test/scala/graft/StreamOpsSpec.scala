@@ -1779,4 +1779,68 @@ class StreamOpsSpec extends GraftSpec {
       deleteRecursively(base)
     }
   }
+
+  test("streaming quantile sketch equals the batch sketch over any " +
+      "micro-batch split (the sketch's merge law, live)") {
+    // Feed the real sf0.01 corpus through the processor in TWO
+    // micro-batches split by doc_id parity — the same split the batch
+    // twin's merge spec uses — and require the final per-lang state to
+    // be the batch sketch bit-for-bit: register-set checksum, register
+    // count, and the p50 covering read-out. transformWithState runs on
+    // RocksDB (the documented scale configuration).
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+        .map(r => DocArrival(r.getLong(0), r.getString(1), r.getLong(2)))
+      val in = MemoryStream[DocArrival]
+      val q = StreamOps.quantileSketchStream(in.toDS())
+        .writeStream.format("memory").queryName("qsketch_stream")
+        .outputMode("update").start()
+      try {
+        in.addData(base.filter(_.doc_id % 2 == 0).toSeq)
+        q.processAllAvailable()
+        in.addData(base.filter(_.doc_id % 2 == 1).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val live = spark.table("qsketch_stream")
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_seen"),
+          r.getAs[Int]("n_regs"), r.getAs[Long]("u_checksum"),
+          r.getAs[Long]("p50_est")))
+        .groupBy(_._1).map { case (l, rs) => l -> rs.maxBy(_._2) }
+      // Batch expectation from the operator's own register builder.
+      val batch = graft.operators.TextOps.groupedQuantileRegisters(
+          graft.Tables.documents(spark, "/root/testdata/sf0.01")
+            .select(col("lang"), col("doc_id"),
+              col("n_chars").as("v")))
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("v"), r.getAs[Long]("u")))
+        .groupBy(_._1)
+      assert(live.keySet == batch.keySet)
+      batch.foreach { case (lang, rs) =>
+        val (_, _, nRegs, checksum, p50) = live(lang)
+        assert(nRegs == rs.length, s"$lang register count")
+        val expectSum = rs.map(_._4).foldLeft(0L)((a, u) =>
+          (a + u) % 2305843009213693951L)
+        assert(checksum == expectSum, s"$lang register-set checksum")
+        val byV = rs.sortBy(r => (r._3, r._2))
+        val kEff = rs.length.toLong
+        val expP50 = byV.zipWithIndex.collectFirst {
+          case (r, i) if (i + 1) * 100 >= kEff * 50 => r._3
+        }.get
+        assert(p50 == expP50, s"$lang p50 read-out")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
