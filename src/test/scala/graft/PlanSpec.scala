@@ -117,6 +117,23 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("quantile sketch registers ride TakeOrderedAndProject " +
+      "(per-partition bottom-k heaps), and the read-out windows " +
+      "never see the corpus") {
+    // The sketch's 100 TB story IS this operator: K rows per map
+    // partition forwarded to the driver-side heap, merge by
+    // construction. A plain Sort + GlobalLimit here would ship the
+    // corpus through one task.
+    val plan = executedPlan(TextOps.quantileSketch(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("pair edit verify joins ride hash/broadcast joins; no " +
+      "cartesian product") {
+    val plan = executedPlan(TextOps.pairEditVerify(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   test("threshold cross-joins broadcast; no cartesian product anywhere") {
     val plan = executedPlan(BatchOps.customerSegments(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
