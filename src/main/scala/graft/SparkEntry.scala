@@ -296,6 +296,8 @@ object SparkEntry {
       ((s, d) => TextOps.winnowFingerprints(s, d)),
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
     "winnow_decontam" -> ((s, d) => TextOps.winnowDecontam(s, d)),
+    "winnow_match_spans" ->
+      ((s, d) => TextOps.winnowMatchSpans(s, d)),
     "winnow_k_planner" -> ((s, d) => TextOps.winnowKPlanner(s, d)),
     "dup_graph_pagerank" ->
       ((s, d) => TextOps.dupGraphPagerank(s, d)),
@@ -1221,6 +1223,8 @@ object SparkEntry {
     "winnow_pairs" -> TextOps.winnowPairsOracleSql,
     // Sparse-index decontam: winnow fingerprints vs the eval band.
     "winnow_decontam" -> TextOps.winnowDecontamOracleSql,
+    // MOSS match localization: positional anchors -> token spans.
+    "winnow_match_spans" -> TextOps.winnowMatchSpansOracleSql,
     // The k-width cost table: pair mass per k, kept vs df-cap-dropped.
     "winnow_k_planner" -> TextOps.winnowKPlannerOracleSql,
     // Integer-micro damped power iteration, unrolled 5-CTE oracle.

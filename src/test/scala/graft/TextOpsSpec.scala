@@ -813,6 +813,45 @@ class TextOpsSpec extends GraftSpec {
         math.min(r12.getAs[Long]("n_fp_a"), r12.getAs[Long]("n_fp_b")))
   }
 
+  test("winnow match spans localize the shared passage on both sides") {
+    // docA carries the 12-token passage P at tokens 11..22, docB at
+    // 1..12. With k = 4 and w = 4: a window fully inside P's k-gram
+    // run exists on both sides (A: window starts 11..16, B: 1..6), so
+    // >= 1 shared anchor is guaranteed there; any anchor of a shared
+    // k-gram (k-gram starts 11..19 in A, 1..9 in B) can sit at most
+    // w-1 windows earlier. That bounds the reported token spans:
+    //   A: 8 <= a_from <= 16,  17 <= a_to <= 25
+    //   B: 1 <= b_from <= 6,    7 <= b_to <= 15
+    // (a_to/b_to = last anchor + w + k - 2 = anchor + 6).
+    def words(p: String, n: Int) =
+      (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val passage = words("pass", 12)
+    val a = words("ua", 10) + " " + passage + " " + words("za", 10)
+    val b = passage + " " + words("zb", 20)
+    val c = words("unrel", 30)
+    val dir = freshScratch()
+    writeTable("documents", Seq(
+      (1L, a, "en", "web", a.length.toLong),
+      (2L, b, "en", "web", b.length.toLong),
+      (3L, c, "en", "web", c.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val rows = TextOps.winnowMatchSpans(spark, dir).collect()
+    assert(rows.length == 1, s"exactly the (A, B) pair: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == (1L, 2L))
+    assert(r.getAs[Long]("n_shared_fp") >= 1L)
+    assert(r.getAs[Long]("n_anchor_matches") >=
+      r.getAs[Long]("n_shared_fp"))
+    val (aFrom, aTo) = (r.getAs[Long]("a_from_tok"),
+      r.getAs[Long]("a_to_tok"))
+    val (bFrom, bTo) = (r.getAs[Long]("b_from_tok"),
+      r.getAs[Long]("b_to_tok"))
+    assert(aFrom >= 8 && aFrom <= 16, s"a_from $aFrom")
+    assert(aTo >= 17 && aTo <= 25, s"a_to $aTo")
+    assert(bFrom >= 1 && bFrom <= 6, s"b_from $bFrom")
+    assert(bTo >= 7 && bTo <= 15, s"b_to $bTo")
+  }
+
   test("dup-graph pagerank: the template hub of a star outranks its " +
       "leaves, symmetric leaves tie, and rank mass is conserved") {
     // A 3-leaf star through the real candidate screen: the template T
