@@ -6668,7 +6668,13 @@ object TextOps {
     * corpus scale: the index holds ~2/(w+1) of the k-gram mass instead
     * of all of it. Emits per doc the k-gram/window/fingerprint counts,
     * the selection density, and an order-free integer checksum of the
-    * fingerprint set (sum of 32-bit hashes — cross-engine exact).
+    * fingerprint set (sum of 60-bit hashes mod 2⁶¹−1 — cross-engine
+    * exact; the mod keeps the fold inside int64 on both engines).
+    * Fingerprints are the standing h60 convention (15 hex chars of
+    * md5): at the 100 TB design point a 32-bit space saturates —
+    * collisions inflate df identically on both engines, so the oracle
+    * gate could never catch genuine fingerprints being dropped by the
+    * df cap (r17 advice).
     * A <w-k-gram doc degenerates to one whole-array window (the
     * algorithm's natural boundary case); <2-token docs have no k-grams
     * and are excluded.
@@ -6685,7 +6691,7 @@ object TextOps {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("h", expr(
         s"transform($shinglesSqlExpr, " +
-          "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"))
+          "s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"))
       .filter(size(col("h")) >= 1)
       .withColumn("n_kgrams", size(col("h")).cast("long"))
       .withColumn("n_windows",
@@ -6696,20 +6702,22 @@ object TextOps {
       .select(col("doc_id"), col("n_kgrams"), col("n_windows"),
         size(col("fps")).cast("long").as("n_fp"),
         expr("(size(fps) * 1000) div n_windows").as("density_mille"),
-        expr("aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)")
+        expr("aggregate(fps, cast(0 as bigint), " +
+          "(acc, x) -> (acc + x) % 2305843009213693951)")
           .as("fp_checksum"))
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for [[winnowFingerprints]] — same 32-bit md5-prefix
-    * hashes, same inclusive-slice window mins, same checksum. */
+  /** DuckDB oracle for [[winnowFingerprints]] — same 60-bit md5-prefix
+    * hashes, same inclusive-slice window mins, same modular checksum
+    * (HUGEINT sum then one mod equals the step-wise positive fold). */
   private[graft] def winnowFingerprintsOracleSql(
       shinglesSql: String): String = {
     val w = WinnowWindow
     s"""WITH d AS (
        |  SELECT doc_id,
        |    list_transform($shinglesSql,
-       |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+       |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
        |  FROM documents
        |  WHERE text IS NOT NULL
        |    AND len(string_split(text, ' ')) >= 2),
@@ -6727,7 +6735,8 @@ object TextOps {
        |  CAST(len(fps) AS BIGINT) AS n_fp,
        |  CAST((len(fps) * 1000) // n_windows AS BIGINT)
        |    AS density_mille,
-       |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+       |  CAST(list_sum(fps) % 2305843009213693951 AS BIGINT)
+       |    AS fp_checksum
        |FROM fp
        |ORDER BY doc_id""".stripMargin
   }
@@ -6767,7 +6776,7 @@ object TextOps {
     s"""case when size($t) < $k
           then cast(array() as array<bigint>)
           else transform($grams,
-            s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))
+            s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))
         end"""
   }
 
@@ -6862,7 +6871,7 @@ object TextOps {
     s"""d AS (
        |  SELECT doc_id,
        |    list_transform($kgrams,
-       |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+       |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
        |  FROM documents
        |  WHERE text IS NOT NULL
        |    AND len($t) >= $WinnowPairK),
@@ -7039,7 +7048,7 @@ object TextOps {
     s"""WITH d AS (
        |  SELECT doc_id,
        |    list_transform($kgrams,
-       |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+       |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
        |  FROM documents
        |  WHERE text IS NOT NULL
        |    AND len($t) >= $WinnowPairK),
@@ -7292,7 +7301,7 @@ object TextOps {
          |    list_transform(
          |      list_transform(range(1, len($t) - ${k - 2}),
          |        i -> $parts),
-         |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+         |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
          |  FROM documents
          |  WHERE text IS NOT NULL AND len($t) >= $k),
          |fp_$k AS (
