@@ -218,6 +218,7 @@ object SparkEntry {
     "token_budget_sample" -> ((s, d) => TextOps.tokenBudgetSample(s, d)),
     "pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "dup_span_census" -> ((s, d) => TextOps.dupSpanCensus(s, d)),
+    "dup_span_removal" -> ((s, d) => TextOps.dupSpanRemoval(s, d)),
     "incremental_dedup" -> ((s, d) => TextOps.incrementalDedup(s, d)),
     "first_seen_screen" -> ((s, d) => TextOps.firstSeenScreen(s, d)),
     "split_drift" -> ((s, d) => TextOps.splitDrift(s, d)),
@@ -1139,6 +1140,8 @@ object SparkEntry {
     "pmi_collocations" -> TextOps.pmiCollocationsOracleSql,
     // Lee-et-al-style sub-document duplication census (stride-1 spans).
     "dup_span_census" -> TextOps.dupSpanCensusOracleSql,
+    // The census's removal pass: merged token islands + residual text.
+    "dup_span_removal" -> TextOps.dupSpanRemovalOracleSql,
     // Production ingest screen: new batch vs standing corpus.
     "incremental_dedup" -> TextOps.incrementalDedupOracleSql,
     // Arrival-order screen: every doc vs every earlier doc_id; the

@@ -5008,6 +5008,149 @@ object TextOps {
        |FROM a
        |ORDER BY doc_id""".stripMargin
 
+  /** DUPLICATE-SPAN REMOVAL — the pass [[dupSpanCensus]] measures and a
+    * 100 TB pipeline actually ships (Lee et al. 2022's exact substring
+    * dedup OUTPUT): every stride-1 [[SpanTokens]]-token window whose
+    * hash recurs anywhere in the corpus marks its token interval for
+    * removal; per document the flagged (overlapping) intervals are
+    * unioned into merged token ISLANDS (the `supplierTransitCoverage`
+    * sweep at token grain — running max of interval ends, a new island
+    * when a start clears prev_max + 1, so overlapping AND adjacent
+    * spans fuse), and the document is re-emitted as the residual text
+    * with exact removed-token accounting (kept + removed = n_tokens,
+    * spec-pinned). Removal applies to EVERY occurrence — which copy of
+    * a duplicated passage survives is the dedup family's survivor
+    * policy, not this pass's job; a doc shorter than [[SpanTokens]]
+    * emits no windows and keeps all its tokens.
+    *
+    * Scale shape: the census's token-grain explode + ONE
+    * hash-partitioned count window on the span hash (the flagged set
+    * is the only thing that flows on), a doc-keyed island sweep over
+    * flagged rows only, and one doc-grain reassembly join. The island
+    * array a doc carries is bounded by its own window count (per-doc
+    * state, the same class as the token array itself); the residual
+    * filter is one per-row HOF over attributes — no recomputed
+    * expression rides a lambda body. */
+  def dupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens.as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val wh = Window.partitionBy("h")
+    val flagged = docs
+      .filter(col("n_tokens") >= SpanTokens)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0L, n_tokens - $SpanTokens)")).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("tk"), (col("s") + 1).cast("int"),
+          lit(SpanTokens)), " ")).as("h"))
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"), col("s"),
+        (col("s") + SpanTokens - 1).as("e"))
+    val wd = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e"))
+      .over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("newi",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newi")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"),
+        count(lit(1)).as("n_flagged"))
+    val perDoc = islands
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_e") - col("i_s") + 1).as("removed_tokens"),
+        sum(col("n_flagged")).as("n_dup_windows"),
+        sort_array(collect_list(struct(col("i_s"), col("i_e"))))
+          .as("isl"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (SpanTokens - 1), lit(0L))
+          .as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L)))
+          .as("kept_tokens"),
+        md5(concat_ws(" ", expr(
+          """filter(tk, (t, i) -> NOT exists(
+            |  coalesce(isl,
+            |    cast(array() as array<struct<i_s: bigint, i_e: bigint>>)),
+            |  r -> i >= r.i_s AND i <= r.i_e))""".stripMargin)))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dupSpanRemoval]] — the census window CTEs,
+    * the same prev-max island sweep, and a naive positional anti-join
+    * reassembly (token NOT inside any island, space-joined in token
+    * order). */
+  private[graft] def dupSpanRemovalOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (
+       |  SELECT doc_id, CAST(g.s AS BIGINT) AS s,
+       |    md5(array_to_string(tk[g.s + 1 : g.s + $SpanTokens], ' '))
+       |      AS h
+       |  FROM d, unnest(generate_series(0, n_tokens - $SpanTokens))
+       |    AS g(s)
+       |  WHERE n_tokens >= $SpanTokens),
+       |c AS (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY h) AS cnt FROM w),
+       |f AS (
+       |  SELECT doc_id, s, s + ${SpanTokens - 1} AS e
+       |  FROM c WHERE cnt > 1),
+       |sw AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_max
+       |  FROM f),
+       |ii AS (
+       |  SELECT doc_id, s, e,
+       |    CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS island
+       |  FROM sw),
+       |isl AS (
+       |  SELECT doc_id, island, min(s) AS i_s, max(e) AS i_e,
+       |    CAST(count(*) AS BIGINT) AS n_flagged
+       |  FROM ii GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS n_islands,
+       |    CAST(sum(i_e - i_s + 1) AS BIGINT) AS removed_tokens,
+       |    CAST(sum(n_flagged) AS BIGINT) AS n_dup_windows
+       |  FROM isl GROUP BY 1),
+       |tok AS (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) - 1 AS idx, tk[g.i] AS tok
+       |  FROM d, unnest(generate_series(1, n_tokens)) AS g(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok
+       |  FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = t.doc_id
+       |      AND t.idx BETWEEN isl.i_s AND isl.i_e)),
+       |clean AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  greatest(d.n_tokens - ${SpanTokens - 1}, 0) AS n_windows,
+       |  coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+       |  coalesce(pd.n_islands, 0) AS n_islands,
+       |  coalesce(pd.removed_tokens, 0) AS removed_tokens,
+       |  d.n_tokens - coalesce(pd.removed_tokens, 0) AS kept_tokens,
+       |  md5(coalesce(clean.clean_text, '')) AS clean_md5
+       |FROM d
+       |LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |LEFT JOIN clean ON d.doc_id = clean.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Hash-band boundary for the incremental-ingest split: buckets at or
     * above this are the "new batch", the rest the standing corpus
     * (shared with the oracle). */

@@ -71,6 +71,70 @@ class CurationOpsSpec extends GraftSpec {
     assert(rows(3L).getAs[Double]("dup_share") == 1.0)
   }
 
+  test("dup span removal: overlapping spans fuse into islands, " +
+      "residual text is exact, kept + removed = n_tokens") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val dir = freshScratch()
+    // 20-token passage shared by docs 1, 2, and (twice) doc 5: the 5
+    // flagged stride-1 windows per copy OVERLAP pairwise and must fuse
+    // into one 20-token island per copy.
+    val p = (1 to 20).map(i => s"pp$i").mkString(" ")
+    val d1Pre = (1 to 10).map(i => s"ua$i").mkString(" ")
+    val d1Post = (1 to 5).map(i => s"za$i").mkString(" ")
+    val d2Post = (1 to 8).map(i => s"zb$i").mkString(" ")
+    val d3 = (1 to 25).map(i => s"uniq$i").mkString(" ")
+    val gap = "gap1 gap2 gap3"
+    writeTable("documents", Seq(
+      docRow(1L, s"$d1Pre $p $d1Post"),
+      docRow(2L, s"$p $d2Post"),
+      docRow(3L, d3),                       // no duplication at all
+      docRow(4L, "well under the span width"), // < SpanTokens tokens
+      docRow(5L, s"$p $gap $p")             // self-repeat, two islands
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val rows = TextOps.dupSpanRemoval(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // Conservation on every row, including the windowless short doc.
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") +
+        r.getAs[Long]("removed_tokens") == r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"))
+    }
+    // Census agreement: the removal pass's window accounting IS the
+    // census's, doc for doc (census covers the >= SpanTokens docs).
+    val census = TextOps.dupSpanCensus(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    census.foreach { case (d, c) =>
+      assert(rows(d).getAs[Long]("n_windows") ==
+        c.getAs[Long]("n_windows"))
+      assert(rows(d).getAs[Long]("n_dup_windows") ==
+        c.getAs[Long]("n_dup_windows"))
+    }
+    // Doc 1: passage at tokens 10..29 -> one island, exactly the 20
+    // passage tokens removed, residual = prefix + suffix verbatim.
+    assert(rows(1L).getAs[Long]("n_islands") == 1L)
+    assert(rows(1L).getAs[Long]("removed_tokens") == 20L)
+    assert(rows(1L).getAs[String]("clean_md5") ==
+      md5hex(s"$d1Pre $d1Post"))
+    assert(rows(2L).getAs[Long]("n_islands") == 1L)
+    assert(rows(2L).getAs[String]("clean_md5") == md5hex(d2Post))
+    // Doc 3: untouched — residual is the original text.
+    assert(rows(3L).getAs[Long]("removed_tokens") == 0L)
+    assert(rows(3L).getAs[String]("clean_md5") == md5hex(d3))
+    // Doc 4: shorter than the span width — no windows, keeps all.
+    assert(rows(4L).getAs[Long]("n_windows") == 0L)
+    assert(rows(4L).getAs[Long]("kept_tokens") ==
+      rows(4L).getAs[Long]("n_tokens"))
+    // Doc 5: both copies flagged (self-repeat counts), the 3-token gap
+    // keeps the islands apart, residual is exactly the gap.
+    assert(rows(5L).getAs[Long]("n_islands") == 2L)
+    assert(rows(5L).getAs[Long]("removed_tokens") == 40L)
+    assert(rows(5L).getAs[String]("clean_md5") == md5hex(gap))
+  }
+
   test("incremental dedup: exact, novel, and batch-only output") {
     val dir = freshScratch()
     val Seq(b1, b2) = batchIds.take(2)

@@ -108,6 +108,9 @@ object WindowGateSpec {
       "shard-keyed: (source, shard) — shard is the parallelism knob",
     ("TextOps.scala", "dupSpanCensus") ->
       "data-keyed: span hash h — group count scales with distinct spans",
+    ("TextOps.scala", "dupSpanRemoval") ->
+      ("data-keyed: span hash h (duplicate test) and doc_id (island " +
+        "sweep over flagged rows only) — both scale with the data"),
     ("TextOps.scala", "dsirWeights") -> "data-keyed: doc_id",
     ("TextOps.scala", "ksDriftOf") ->
       "bounded frame: merged length grid per source pair — value-domain",
