@@ -296,6 +296,7 @@ object SparkEntry {
     "winnow_fingerprints" ->
       ((s, d) => TextOps.winnowFingerprints(s, d)),
     "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
+    "winnow_components" -> ((s, d) => TextOps.winnowComponents(s, d)),
     "winnow_decontam" -> ((s, d) => TextOps.winnowDecontam(s, d)),
     "winnow_match_spans" ->
       ((s, d) => TextOps.winnowMatchSpans(s, d)),
@@ -1224,6 +1225,8 @@ object SparkEntry {
       TextOps.winnowFingerprintsOracleSql(shinglesSql),
     // Winnowing's pair search: fingerprint postings, df cut, self-join.
     "winnow_pairs" -> TextOps.winnowPairsOracleSql,
+    // Guarded CC over the winnow pair graph (passage-copy clusters).
+    "winnow_components" -> TextOps.winnowComponentsOracleSql,
     // Sparse-index decontam: winnow fingerprints vs the eval band.
     "winnow_decontam" -> TextOps.winnowDecontamOracleSql,
     // MOSS match localization: positional anchors -> token spans.

@@ -852,6 +852,58 @@ class TextOpsSpec extends GraftSpec {
     assert(bTo >= 7 && bTo <= 15, s"b_to $bTo")
   }
 
+  test("winnow components: the passage-template hub is cut and " +
+      "flagged, leaves stay singletons, a genuine pair merges") {
+    // A 6-leaf passage star: template T carries six distinct 24-word
+    // passages; each leaf = its passage + 6 unique words, so every
+    // leaf-T pair shares a long passage (overlap well above
+    // WinnowCompMille) while leaves share nothing pairwise. T's winnow
+    // degree (6) exceeds TextDupDegreeCap (5): the guard must cut T's
+    // edges, leave each leaf its own component, and flag T. Docs
+    // 100/101 share a 30-word passage (degree 1 each) and must merge.
+    def words(p: String, n: Int) =
+      (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val passages = (1 to 6).map(i => words(s"ps$i", 24))
+    val t = passages.mkString(" ")
+    val leaves = passages.zipWithIndex.map { case (p, i) =>
+      p + " " + words(s"lf$i", 6)
+    }
+    val shared = words("gp", 30)
+    val dir = freshScratch()
+    writeTable("documents",
+      ((1L, t) +: leaves.zipWithIndex.map { case (d, i) => (2L + i, d) }
+        :+ (100L, shared + " " + words("ga", 3))
+        :+ (101L, words("gb", 3) + " " + shared))
+        .map { case (id, txt) =>
+          (id, txt, "en", "web", txt.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    // The fixture's premise, asserted through the pair frame itself:
+    // every leaf-T edge and the 100-101 edge clear the cluster floor.
+    val pairs = TextOps.winnowPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("overlap_mille")).toMap
+    (2L to 7L).foreach(l => assert(
+      pairs.getOrElse((1L, l), 0L) >= TextOps.WinnowCompMille,
+      s"leaf $l must share its passage with T above the floor"))
+    assert(pairs.getOrElse((100L, 101L), 0L) >= TextOps.WinnowCompMille)
+    assert(!pairs.keySet.exists { case (a, b) =>
+      a >= 2L && a <= 7L && b >= 2L && b <= 7L },
+      "leaves share nothing pairwise")
+    val rows = TextOps.winnowComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == (1L to 7L).toSet ++ Set(100L, 101L))
+    assert(rows(1L).getAs[Boolean]("is_hub"), "T is the template hub")
+    assert(rows(1L).getAs[Long]("component_id") == 1L)
+    (2L to 7L).foreach { l =>
+      assert(!rows(l).getAs[Boolean]("is_hub"))
+      assert(rows(l).getAs[Long]("component_id") == l,
+        s"leaf $l must stay a singleton once the hub is cut")
+    }
+    assert(rows(100L).getAs[Long]("component_id") == 100L)
+    assert(rows(101L).getAs[Long]("component_id") == 100L,
+      "the genuine pair must merge")
+  }
+
   test("dup-graph pagerank: the template hub of a star outranks its " +
       "leaves, symmetric leaves tie, and rank mass is conserved") {
     // A 3-leaf star through the real candidate screen: the template T

@@ -116,7 +116,7 @@ object WindowGateSpec {
       "bounded frame: merged length grid per source pair — value-domain",
     ("TextOps.scala", "lengthQuantileSketch") ->
       "bounded frame: (lang, fixed bin) sketch grain",
-    ("TextOps.scala", "winnowPairs") ->
+    ("TextOps.scala", "winnowPairsCore") ->
       "data-keyed: fp posting key (df-capped before pair explosion)",
     ("TextOps.scala", "groupedQuantileRegisters") ->
       ("rank-capped: rk <= GroupQSampleK per lang compiles to " +
