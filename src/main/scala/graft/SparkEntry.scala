@@ -312,6 +312,7 @@ object SparkEntry {
     "dedup_threshold_sweep" ->
       ((s, d) => TextOps.dedupThresholdSweep(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
+    "bpe_merge_rounds" -> ((s, d) => TextOps.bpeMergeRounds(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
@@ -1250,6 +1251,8 @@ object SparkEntry {
     "dedup_threshold_sweep" ->
       TextOps.dedupThresholdSweepOracleSql(shinglesSql),
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
+    // The iterated trainer: N unrolled merge rounds over the vocab.
+    "bpe_merge_rounds" -> TextOps.bpeMergeRoundsOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,

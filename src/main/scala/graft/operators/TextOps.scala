@@ -7635,6 +7635,149 @@ object TextOps {
       .select(col("rank"), col("pair"), col("n_occurrences"))
   }
 
+  /** Merge rounds trained by [[bpeMergeRounds]] (shared with the
+    * oracle's unrolled CTE chain — the pagerank/k-core precedent). */
+  val BpeMergeRounds = 6
+
+  /** ITERATED BPE MERGE ROUNDS — the actual byte-pair-encoding trainer
+    * loop [[bpeMergeCensus]] computes round 1 of: count adjacent
+    * symbol pairs, fuse the argmax pair (count desc, then (lhs, rhs)
+    * asc — a total order, so both engines pick the same winner), apply
+    * the merge greedily left-to-right inside every word, re-count,
+    * repeat [[BpeMergeRounds]] times. Emits the merge TABLE — the
+    * artifact a BPE tokenizer ships.
+    *
+    * The scale decision is the vocabulary grain: the trainer iterates
+    * over DISTINCT words with corpus frequencies (the classic BPE
+    * formulation), so each round's frames are Heaps-law-bounded
+    * (vocab-sized, ≪ corpus mass) — the corpus is scanned exactly once
+    * to build word counts. Each round = one (pair)-grain partial+final
+    * weighted count, one 1-row TakeOrderedAndProject anchor (the
+    * adjudicated bounded-collect class), and one per-word fold
+    * (`aggregate` HOF: merge when the accumulator's last symbol + the
+    * current symbol equal the winner — exactly greedy non-overlapping
+    * LTR, since a fused symbol can never re-match its own left half).
+    * The vocab frame is localCheckpointed per round — the standing
+    * iterative-join barrier: without it round r's plan embeds all
+    * r−1 predecessors (the measured 2^r plan-doubling class). */
+  def bpeMergeRounds(spark: SparkSession, dir: String): DataFrame = {
+    var vocab = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable
+      .ArrayBuffer[(Int, String, String, String, Long)]()
+    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      (1 to BpeMergeRounds).foreach { r =>
+        val win = vocab
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "j -> struct(element_at(syms, j) AS a, " +
+              "element_at(syms, j + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(win.nonEmpty, s"BPE round $r: no adjacent pairs left")
+        val (a, b, n) =
+          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        merges += ((r, a, b, a + b, n))
+        // Greedy LTR merge as a fold — literals ride lit() columns
+        // (no SQL-string interpolation, no escaping surface). `get`
+        // (0-based) is the ANSI-safe last-element read: on an empty
+        // accumulator it returns NULL and the guard short-falls.
+        val next = vocab.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+              get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(s))))
+            .as("syms"))
+          .localCheckpoint()
+        superseded += vocab
+        vocab = next
+      }
+    } finally superseded.foreach(_.unpersist())
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n_occurrences")
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle for [[bpeMergeRounds]] — one unrolled CTE group per
+    * round: weighted pair count, 1-row argmax, matched positions, the
+    * greedy-LTR keep rule in relational form (positions grouped into
+    * consecutive RUNS, odd ranks kept — for lhs ≠ rhs matches can
+    * never be adjacent so every match keeps; for lhs = rhs the odd
+    * ranks are exactly the leftmost-greedy picks), and the per-word
+    * rebuild. */
+  private[graft] def bpeMergeRoundsOracleSql: String = {
+    val rounds = (1 to BpeMergeRounds).map { r =>
+      val prev = s"v_${r - 1}"
+      s"""p_$r AS (
+         |  SELECT v.word, v.freq, CAST(g.i AS BIGINT) AS i,
+         |    v.syms[g.i] AS a, v.syms[g.i + 1] AS b
+         |  FROM $prev v, unnest(generate_series(1, len(v.syms) - 1))
+         |    AS g(i)
+         |  WHERE len(v.syms) >= 2),
+         |c_$r AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM p_$r GROUP BY 1, 2),
+         |w_$r AS (SELECT a, b, n FROM c_$r ORDER BY n DESC, a, b
+         |  LIMIT 1),
+         |mm_$r AS (
+         |  SELECT p.word, p.i,
+         |    p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i)
+         |      AS grp
+         |  FROM p_$r p JOIN w_$r w ON p.a = w.a AND p.b = w.b),
+         |mk_$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, grp
+         |      ORDER BY i) AS rn
+         |    FROM mm_$r)
+         |  WHERE rn % 2 = 1),
+         |v_$r AS (
+         |  SELECT t.word, t.freq, list(t.sym ORDER BY t.j) AS syms
+         |  FROM (
+         |    SELECT v.word, v.freq, CAST(g.j AS BIGINT) AS j,
+         |      CASE WHEN mk1.i IS NOT NULL
+         |        THEN v.syms[g.j] || v.syms[g.j + 1]
+         |        ELSE v.syms[g.j] END AS sym
+         |    FROM $prev v
+         |    CROSS JOIN unnest(generate_series(1, len(v.syms)))
+         |      AS g(j)
+         |    LEFT JOIN mk_$r mk1
+         |      ON mk1.word = v.word AND mk1.i = g.j
+         |    LEFT JOIN mk_$r mk2
+         |      ON mk2.word = v.word AND mk2.i = g.j - 1
+         |    WHERE mk2.i IS NULL) t
+         |  GROUP BY t.word, t.freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMergeRounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS "round", a AS lhs, b AS rhs,
+         |  a || b AS merged, n AS n_occurrences FROM w_$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wd AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |v_0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, i, 1)) AS syms
+       |  FROM wd WHERE length(word) >= 2 GROUP BY word),
+       |$rounds
+       |$out
+       |ORDER BY "round"""".stripMargin
+  }
+
   /** Corpus-prefix checkpoints for [[vocabGrowthHeaps]] (shared with
     * the oracle). */
   val HeapsDeciles = 10

@@ -643,6 +643,44 @@ class TextOpsSpec extends GraftSpec {
     rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
   }
 
+  test("bpe merge rounds: round 1 equals the standing census, greedy " +
+      "LTR counting and the (n desc, lhs, rhs) tie-break are exact") {
+    val ops = graft.operators.TextOps
+    // Real corpus: the trainer's first merge IS the census's rank 1.
+    val real = ops.bpeMergeRounds(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(real.length == ops.BpeMergeRounds)
+    assert(real.map(_.getAs[Int]("round")).toSeq ==
+      (1 to ops.BpeMergeRounds))
+    val c1 = ops.bpeMergeCensus(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(real.head.getAs[String]("merged") == c1.getAs[String]("pair"))
+    assert(real.head.getAs[Long]("n_occurrences") ==
+      c1.getAs[Long]("n_occurrences"))
+    // Fixture: "aaaa" votes (a,a) three times, "aaa" twice -> n = 5,
+    // and the greedy LTR apply leaves [aa, aa] and [aa, a]. Round 2 is
+    // an all-ties round the (lhs, rhs) ascending tie-break must
+    // resolve to ("aa", "a") — "aa" sorts before every single letter
+    // in play. The filler word keeps later rounds from running dry.
+    val dir = freshScratch()
+    val txt = "aaaa aaa ba cdefghijkl"
+    writeTable("documents", Seq(
+      (1L, txt, "en", "web", txt.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val rows = ops.bpeMergeRounds(spark, dir).collect()
+      .map(r => r.getAs[Int]("round") -> r).toMap
+    assert(rows.keySet == (1 to ops.BpeMergeRounds).toSet)
+    assert((rows(1).getAs[String]("lhs"), rows(1).getAs[String]("rhs"),
+      rows(1).getAs[String]("merged"),
+      rows(1).getAs[Long]("n_occurrences")) == ("a", "a", "aa", 5L))
+    assert((rows(2).getAs[String]("lhs"), rows(2).getAs[String]("rhs"),
+      rows(2).getAs[String]("merged"),
+      rows(2).getAs[Long]("n_occurrences")) == ("aa", "a", "aaa", 1L))
+    rows.values.foreach(r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs")))
+  }
+
   test("guarded CC cuts template hubs; genuine pairs stay merged") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
