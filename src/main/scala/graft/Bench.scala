@@ -412,16 +412,30 @@ object Bench {
     // (spec-pinned on synthetic fixtures, including the two r16 false
     // labels); each entry classifies against the median drift of its
     // family's OTHER sentinels, falling back to the global median when
-    // the family has no control, and box_reprice is reachable when
-    // either the global mismatch flag or the family's own drift is
-    // outside the 1.3× band.
+    // the family has no control. box_reprice is gated by
+    // [[Svi.famGate]] (r17 advisor finding): the family's own drift
+    // being outside the 1.3× band only opens the gate when the global
+    // median corroborates the move — a lone drifting family on an
+    // otherwise-flat box is the signature of a family-wide code
+    // regression, flagged below as `family_drift_suspect` instead of
+    // self-excused.
     def sviVerdict(name: String, suite: Double, iso: Double,
         prior: Double): String = {
       val fam = Svi.familyOf(name)
       val d = Svi.familyDrift(boxDrift.toMap, fam, name, boxDriftMedian)
       Svi.verdict(suite, iso, prior, d,
-        priorBoxMismatch || Svi.driftMismatch(d))
+        Svi.famGate(d, boxDriftMedian, priorBoxMismatch))
     }
+    // Family-level drift medians (no self-exclusion — this is the
+    // family-as-a-whole view, not a per-entry control) and the
+    // suspect list the famGate deny branch surfaces for the judge.
+    val famDriftMedians: Map[String, Double] = boxDrift.toMap
+      .groupBy { case (n, _) => Svi.familyOf(n) }
+      .map { case (f, m) =>
+        val s = m.values.toSeq.sorted; f -> s(s.size / 2) }
+    val famSuspects: Seq[String] = famDriftMedians.collect {
+      case (f, d) if Svi.familySuspect(d, boxDriftMedian) => f
+    }.toSeq.sorted
     val suiteMemoPop = Memos.populateSeconds
     val sviAttr = scala.collection.mutable.LinkedHashMap[String,
       (Double, Double, Double, String)]()
@@ -468,8 +482,35 @@ object Bench {
           }
         }
         val iso = Memos.populateSeconds
+        // Retry-once on an unclassifiable reading, keeping the MIN —
+        // the same rule the query path applies (r17: the
+        // trained_centroids memo landed `unclassified` on a one-shot
+        // cold re-populate whose reading a second pass would have
+        // washed out). One retry re-populates ALL flagged memos (they
+        // share the clearAll/owner-query machinery), so it runs only
+        // when some verdict needs it.
+        var isoMin = iso
+        if (memoTargets.exists { case (n, suite, prior, _) =>
+          iso.get(n).exists(i =>
+            sviVerdict(n, suite, i, prior) == "unclassified") }) {
+          Memos.clearAll()
+          spark.catalog.clearCache()
+          System.gc(); Thread.sleep(500)
+          memoTargets.flatMap(d => memoOwner.get(d._1)).distinct
+            .foreach { qn =>
+              SparkEntry.queries.get(qn).foreach { fn =>
+                try fn(spark, sfDir).write.format("noop")
+                  .mode("overwrite").save()
+                catch { case _: Throwable => () }
+                spark.catalog.clearCache(); System.gc()
+              }
+            }
+          val retry = Memos.populateSeconds
+          isoMin = iso.map { case (n, i) =>
+            n -> math.min(i, retry.getOrElse(n, i)) }
+        }
         memoTargets.foreach { case (n, suite, prior, _) =>
-          iso.get(n).foreach(i =>
+          isoMin.get(n).foreach(i =>
             sviAttr(n) = (suite, i, prior,
               sviVerdict(n, suite, i, prior))) }
       }
@@ -506,7 +547,7 @@ object Bench {
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"box_drift":${short(boxDrift)},"box_drift_median":${ms3(boxDriftMedian)},"prior_box_mismatch":$priorBoxMismatch,"suite_vs_isolated":$sviJson,"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"box_drift":${short(boxDrift)},"box_drift_median":${ms3(boxDriftMedian)},"prior_box_mismatch":$priorBoxMismatch,"family_drift":${short(scala.collection.immutable.SortedMap[String, Double]() ++ famDriftMedians)},"family_drift_suspect":${famSuspects.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")},"suite_vs_isolated":$sviJson,"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // Compact trailer, printed LAST: every round so far recorded
     // `parsed: null` because the driver keeps only the final ~2000
@@ -519,7 +560,7 @@ object Bench {
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries_n":${med.size},"queries_sec":${ms3(med.values.sum)},"memo_populate_sec":${ms3(memoTotal)},"failed_n":${failed.size},"sentinel_end":${short(sentinelEnd)},"svi_n":${sviAttr.size},"svi_verdicts":${
         sviAttr.map { case (k, (_, _, _, v)) => s""""${esc(k)}":"$v"""" }
           .mkString("{", ",", "}")
-      },"box_drift_median":${ms3(boxDriftMedian)},"prior_box_mismatch":$priorBoxMismatch,"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
+      },"box_drift_median":${ms3(boxDriftMedian)},"prior_box_mismatch":$priorBoxMismatch,"family_drift_suspect":${famSuspects.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")},"detail":"bench_line.json","sf":"${esc(sfDir)}"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_line.json"), fullLine + "\n")
     catch { case _: Throwable => () }
