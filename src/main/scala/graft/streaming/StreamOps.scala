@@ -116,6 +116,13 @@ case class SketchReg(u: Long, doc_id: Long, v: Long)
 case class SketchSnapshot(lang: String, n_seen: Long, n_regs: Int,
     u_checksum: Long, p50_est: Long)
 
+/** [[StreamOps.winnowDecontamStream]] output: one arriving train
+  * document's decontamination verdict — the exact row
+  * `TextOps.winnowDecontam` emits for the same doc (winnowed
+  * fingerprint count, dirty-index hits, per-mille hit share, flag). */
+case class DocScreen(doc_id: Long, n_fp: Long, n_hits: Long,
+    hit_mille: Long, contaminated: Boolean)
+
 /** Structured Streaming runtime — the streaming twin of
   * `graft.operators.{CdcOps, AlertOps}` (SURVEY §2.7 T1-T9, §7.1 M3).
   *
@@ -1105,6 +1112,71 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** STREAMING WINNOW DECONTAMINATION SCREEN — the live twin of
+    * `TextOps.winnowDecontam` and the engine's SEVENTH
+    * `transformWithState` surface: arriving train documents are
+    * winnow-fingerprinted IN FLIGHT with the exact batch expression
+    * chain (`TextOps.winnowKgramHashSqlExpr` + the window-minimum
+    * selection — shared strings, not a re-derivation) and screened
+    * against a broadcast dirty index built once from the held-out
+    * eval corpus — the [[ingestScreen]] stream-static device, so the
+    * verdict math is STATELESS per row and every ≥ w+k−1 = 7-word
+    * verbatim overlap still hits (winnowing's guarantee survives the
+    * move to streaming because the fingerprint rule is identical on
+    * both sides).
+    *
+    * The stateful stage guards the DELIVERY contract, not the math:
+    * an at-least-once source redelivers documents on retry/rebalance
+    * and across restarts, and [[WinnowScreenProcessor]] holds one
+    * boolean of ValueState per doc_id so each document's verdict
+    * emits EXACTLY ONCE — in-batch duplicates, later-batch
+    * redeliveries, and post-restart redeliveries (state recovers from
+    * the checkpoint; spec-pinned on RocksDB) all suppress. State
+    * never expires: the screened-set is the screen's ledger, bounded
+    * by upstream retention exactly like the first-seen screen's
+    * seen-set, not by a TTL that would silently re-admit a
+    * redelivery.
+    *
+    * Scale shape: the dirty index collapses the EVAL SUITE to its
+    * distinct winnowed fingerprints (~2/(w+1) ≈ 40% of its distinct
+    * 4-gram mass — the eval-suite-is-small production contract
+    * `ngram_decontam` documents, KB-to-MB for any real benchmark
+    * suite) in one broadcast row; the stream side is a pure
+    * projection (fps array + one filter/array_contains fold) plus a
+    * doc_id-keyed state lookup. No shuffle aggregate, no watermark,
+    * no timer. */
+  def winnowDecontamStream(docs: DataFrame,
+      evalCorpus: DataFrame): Dataset[DocScreen] = {
+    import graft.operators.TextOps
+    import docs.sparkSession.implicits._
+    val dirty = evalCorpus.filter(col("text").isNotNull)
+      .withColumn("h", expr(TextOps.winnowKgramHashSqlExpr))
+      .filter(size(col("h")) >= 1)
+      .withColumn("fps", expr(TextOps.winnowFpsFromHExpr))
+      .select(explode(col("fps")).as("fp")).distinct()
+      .agg(collect_set(col("fp")).as("dirty_set"))
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("h", expr(TextOps.winnowKgramHashSqlExpr))
+      .filter(size(col("h")) >= 1)
+      .withColumn("fps", expr(TextOps.winnowFpsFromHExpr))
+      .crossJoin(broadcast(dirty))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        // filter + array_contains, not array_intersect: fps is
+        // already distinct per doc (the batch rule), so this IS
+        // |fps ∩ dirty| — and it stays a codegen'd projection.
+        size(expr("filter(fps, f -> array_contains(dirty_set, f))"))
+          .cast("long").as("n_hits"))
+      .withColumn("hit_mille", expr("(1000 * n_hits) div n_fp"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .as[DocScreen]
+      .groupByKey(_.doc_id)
+      .transformWithState(new WinnowScreenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** P7+C7+T7: rule alerts with severity, unioned into ONE alert stream —
     * high-value events (stream_processor.py:103-109, thresholds :35-39)
     * unioned with per-minute bulk-activity alerts (:255-270), each tagged
@@ -1269,6 +1341,36 @@ class FirstSeenProcessor
     }
     firstDoc.update(minSeen)
     out.iterator
+  }
+}
+
+/** The [[StreamOps.winnowDecontamStream]] processor: one boolean of
+  * value state per doc_id — the exactly-once emission ledger. The
+  * verdict rows arriving for one doc are IDENTICAL by construction
+  * (same text → same fingerprints → same stateless screen math), so
+  * suppression needs no reconciliation: the first arrival emits, every
+  * later one (in-batch, later-batch, or post-restart) is dropped.
+  * State never expires — see the operator's Scaladoc. */
+class WinnowScreenProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, DocScreen, DocScreen] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var screened: ValueState[Boolean] = _
+
+  override def init(outputMode: streaming.OutputMode,
+      timeMode: TimeMode): Unit =
+    screened = getHandle.getValueState[Boolean]("screened",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInputRows(docId: Long, rows: Iterator[DocScreen],
+      timerValues: TimerValues): Iterator[DocScreen] = {
+    if (screened.exists()) Iterator.empty
+    else {
+      screened.update(true)
+      rows.take(1)
+    }
   }
 }
 

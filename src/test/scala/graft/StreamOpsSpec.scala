@@ -1780,6 +1780,142 @@ class StreamOpsSpec extends GraftSpec {
     }
   }
 
+  test("streaming winnow decontam: verdict-for-verdict with the batch " +
+      "twin over any micro-batch slicing, redeliveries suppressed") {
+    // The real sf0.001 corpus, split by the batch twin's own hash-band
+    // rule: the eval band becomes the static dirty index, the train
+    // band streams through in three doc_id-mod slices — with slice 0
+    // REDELIVERED whole as a fourth batch (the at-least-once
+    // contract). The emitted set must equal TextOps.winnowDecontam's
+    // rows exactly: same verdict math, one row per doc despite the
+    // redelivery. transformWithState runs on RocksDB.
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val bucketed = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          expr("pmod(cast(conv(substring(md5(cast(doc_id as string))" +
+            ", 1, 15), 16, 10) as bigint), 100)").as("bucket"))
+      val evalCorpus = bucketed
+        .filter(col("bucket") >= graft.operators.TextOps.TrainPct)
+        .select("doc_id", "text")
+      val train = bucketed
+        .filter(col("bucket") < graft.operators.TextOps.TrainPct)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(train.length > 10, "fixture sanity: train band too small")
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.winnowDecontamStream(
+          in.toDS().toDF("doc_id", "text"), evalCorpus)
+        .writeStream.format("memory").queryName("winnow_screen")
+        .outputMode("update").start()
+      try {
+        (0 to 2).foreach { m =>
+          in.addData(train.filter(_._1 % 3 == m).toSeq)
+          q.processAllAvailable()
+        }
+        in.addData(train.filter(_._1 % 3 == 0).toSeq) // redelivery
+        q.processAllAvailable()
+      } finally q.stop()
+      val live = spark.table("winnow_screen").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_fp"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("hit_mille"),
+          r.getAs[Boolean]("contaminated")))
+      // Exactly-once: one emission per doc despite the redelivery.
+      assert(live.map(_._1).distinct.length == live.length,
+        "a redelivered doc re-emitted")
+      val batch = graft.operators.TextOps.winnowDecontam(spark, dir)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_fp"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("hit_mille"),
+          r.getAs[Boolean]("contaminated")))
+      assert(live.toSet == batch.toSet,
+        s"stream/batch verdict mismatch: ${
+          (live.toSet -- batch.toSet).take(3)} vs ${
+          (batch.toSet -- live.toSet).take(3)}")
+      // The fixture must exercise both verdicts.
+      assert(batch.exists(_._5) && batch.exists(!_._5))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("winnow decontam stream: screened-set survives a stop/restart " +
+      "from the checkpoint (RocksDB)") {
+    // The exactly-once ledger must recover: a post-restart redelivery
+    // is suppressible ONLY from checkpointed state. File source
+    // (offsets in the checkpoint) + foreachBatch (recoverable sink) —
+    // the T5 restart discipline on the seventh Tws surface. The
+    // contaminated doc shares a 9-word verbatim run with the eval
+    // suite (≥ w+k−1 = 7, winnowing's guarantee floor).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-wd-ckpt-").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val evalCorpus = Seq((100L, s"prefix words $shared suffix words"))
+      .toDF("doc_id", "text")
+    def start(buf: scala.collection.mutable.Buffer[DocScreen]) =
+      StreamOps.winnowDecontamStream(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .parquet(inDir), evalCorpus)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[DocScreen],
+                         _: Long) =>
+          buf.synchronized { buf ++= df.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+    // Phase 1: doc 1 carries the shared run (must flag), doc 2 is
+    // novel.
+    Seq((1L, s"intro then $shared closing words here"),
+        (2L, "kilo lima mike november oscar papa quebec romeo"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    val phase1 = scala.collection.mutable.ArrayBuffer[DocScreen]()
+    val q1 = start(phase1)
+    try {
+      q1.processAllAvailable()
+      assert(phase1.find(_.doc_id == 1L).exists(_.contaminated),
+        s"guaranteed 9-word overlap missed: $phase1")
+      assert(phase1.find(_.doc_id == 2L).exists(!_.contaminated))
+    } finally q1.stop()
+
+    // Phase 2 after the stop: doc 1 REDELIVERED in a fresh file —
+    // suppressible only from recovered state — plus novel doc 5.
+    Seq((1L, s"intro then $shared closing words here"),
+        (5L, "sierra tango uniform victor whiskey xray yankee zulu"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    val phase2 = scala.collection.mutable.ArrayBuffer[DocScreen]()
+    val q2 = start(phase2)
+    try {
+      q2.processAllAvailable()
+      assert(!phase2.exists(_.doc_id <= 2L),
+        s"post-restart redelivery re-emitted: ${phase2.mkString}")
+      assert(phase2.find(_.doc_id == 5L).exists(!_.contaminated),
+        s"post-restart novel doc missing: ${phase2.mkString}")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      deleteRecursively(base)
+    }
+  }
+
   test("streaming quantile sketch equals the batch sketch over any " +
       "micro-batch split (the sketch's merge law, live)") {
     // Feed the real sf0.01 corpus through the processor in TWO
