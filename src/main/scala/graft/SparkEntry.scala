@@ -211,6 +211,7 @@ object SparkEntry {
     "token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "pack_utilization" -> ((s, d) => TextOps.packUtilization(s, d)),
+    "pack_policy_compare" -> ((s, d) => TextOps.packPolicyCompare(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "ngram_decontam" -> ((s, d) => TextOps.ngramDecontam(s, d)),
     "bloom_decontam" -> ((s, d) => TextOps.bloomDecontam(s, d)),
@@ -313,6 +314,7 @@ object SparkEntry {
       ((s, d) => TextOps.dedupThresholdSweep(s, d)),
     "bpe_merge_census" -> ((s, d) => TextOps.bpeMergeCensus(s, d)),
     "bpe_merge_rounds" -> ((s, d) => TextOps.bpeMergeRounds(s, d)),
+    "bpe_tokenize_census" -> ((s, d) => TextOps.bpeTokenizeCensus(s, d)),
     "epoch_shuffle_audit" -> ((s, d) => TextOps.epochShuffleAudit(s, d)),
     "vocab_growth_heaps" -> ((s, d) => TextOps.vocabGrowthHeaps(s, d)),
     "k_anonymity_audit" -> ((s, d) => BatchOps.kAnonymityAudit(s, d)),
@@ -1129,6 +1131,9 @@ object SparkEntry {
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     // Shard-grain pack fill/overflow audit over the same layout.
     "pack_utilization" -> TextOps.packUtilizationOracleSql,
+    // Running-sum truncation layout vs next-fit-decreasing, side by
+    // side per shard (the pack-policy advisor).
+    "pack_policy_compare" -> TextOps.packPolicyCompareOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
     // Train-side n-gram decontamination (the GPT-3 appendix direction).
     "ngram_decontam" -> TextOps.ngramDecontamOracleSql,
@@ -1253,6 +1258,9 @@ object SparkEntry {
     "bpe_merge_census" -> TextOps.bpeMergeCensusOracleSql,
     // The iterated trainer: N unrolled merge rounds over the vocab.
     "bpe_merge_rounds" -> TextOps.bpeMergeRoundsOracleSql,
+    // The trainer's consumer dashboard: per-round symbol mass / types
+    // / compression over the same unrolled rounds.
+    "bpe_tokenize_census" -> TextOps.bpeTokenizeCensusOracleSql,
     "epoch_shuffle_audit" -> TextOps.epochShuffleAuditOracleSql,
     "vocab_growth_heaps" -> TextOps.vocabGrowthHeapsOracleSql,
     "k_anonymity_audit" -> BatchOps.kAnonymityAuditOracleSql,

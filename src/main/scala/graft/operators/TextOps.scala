@@ -3834,6 +3834,238 @@ object TextOps {
        |FROM p
        |ORDER BY shard, doc_id, chunk_id""".stripMargin
 
+  /** PACK-POLICY ADVISOR (r17 verdict order #6) — [[packUtilization]]
+    * prices the SHIPPED pack-then-truncate layout but no alternative;
+    * this emits, per shard and SIDE BY SIDE, the fill/overflow ledger
+    * of two policies over the same chunk stream:
+    *
+    *   - `running_sum` — the production [[chunkPacking]] rule
+    *     (arrival order, start-of-chunk bin, boundary-crossing tokens
+    *     truncated): kept = total − overflow, fill is kept tokens
+    *     over pack capacity.
+    *   - `bfd` — batched BEST-FIT-DECREASING: length classes
+    *     descending, each class tops up existing packs fullest-first
+    *     to their item capacity before opening fresh ones; packs
+    *     never overflow, so kept = total and the cost surfaces as
+    *     pack COUNT instead of truncation loss.
+    *
+    * BFD (fullest-first) is the decreasing-family member chosen
+    * deliberately over textbook first-fit-decreasing: FFD's
+    * revisit-in-CREATION-order rule makes its state an unbounded
+    * creation-ordered load list folded per ITEM — inherently
+    * sequential at corpus grain and inexpressible for the oracle.
+    * Fullest-first needs only the load MULTISET, and descending order
+    * makes equal lengths adjacent, so the fold collapses EXACTLY to
+    * length-CLASS grain: ≤ [[ChunkTokens]] steps, each a closed-form
+    * batch placement over the load buckets (a bucket at load b with
+    * per-pack capacity `c = (B − b) div L` absorbs
+    * `take = clamp(remaining, 0, cnt·c)` items as `take div c` packs
+    * filled to cap + one partial; leftovers open `k = B div L`-item
+    * fresh packs). A first NEXT-fit cut never revisited packs and
+    * LOST to the truncating layout (sf0.001 shard 12: 821 vs 938
+    * fill) — revisiting is the whole advisor signal.
+    *
+    * Scale shape: the pack-grain aggregate for the shipped policy,
+    * plus ONE (shard, chunk_len) partial+final count whose size is
+    * [[PackShards]] × [[ChunkTokens]] ≤ 1024 rows BY CONSTRUCTION at
+    * any corpus size — the adjudicated bounded-collect class (the
+    * bpe argmax convention): the BFD fold itself runs on that
+    * config-bounded census, exact integer arithmetic, deterministic
+    * order. No new windows, no data-scaled driver state. */
+  def packPolicyCompare(spark: SparkSession, dir: String): DataFrame = {
+    val B = PackBudget
+    val runningSum = chunkPacking(spark, dir)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("chunk_len").cast("long")).as("pack_tokens"),
+        max(col("cum")).as("max_cum"))
+      .withColumn("overflow",
+        greatest(col("max_cum") - (col("pack_id") + 1) * B, lit(0L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        sum(col("overflow")).as("overflow_tokens"))
+      .select(col("shard"), lit("running_sum").as("policy"),
+        col("n_packs"), col("total_tokens"),
+        (col("total_tokens") - col("overflow_tokens")).as("kept_tokens"),
+        col("overflow_tokens"),
+        expr(s"((total_tokens - overflow_tokens) * 1000)" +
+          s" div (n_packs * $B)").as("fill_mille"))
+    // The bounded class census: ≤ PackShards × ChunkTokens rows
+    // forever, distributed partial+final count before the collect.
+    val cls = docChunksCore(spark, dir)
+      .withColumn("shard",
+        pmod(col("doc_id"), lit(PackShards)).cast("int"))
+      .groupBy(col("shard"), col("chunk_len"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong, r.getLong(2)))
+    val bfd = cls.groupBy(_._1).toSeq.map { case (shard, rows) =>
+      val byLen = rows.map(t => t._2 -> t._3).toMap
+      // buckets: (load, count of packs at that load), kept sorted
+      // load-DESC — fullest-first IS the scan order, so the sequential
+      // `rem` carry below equals the oracle's clamp(n − prefix) form.
+      var buckets = Vector.empty[(Long, Long)]
+      var total = 0L
+      (ChunkTokens to 1 by -1).foreach { li =>
+        val L = li.toLong
+        val n = byLen.getOrElse(L, 0L)
+        total += L * n
+        val (elig, inel) = buckets.partition(_._1 <= B - L)
+        var rem = n
+        val pieces = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        elig.foreach { case (load, cnt) =>
+          val cb = (B - load) / L
+          val take = math.min(rem, cnt * cb)
+          rem -= take
+          val f = take / cb; val part = take % cb
+          if (f > 0) pieces += ((load + cb * L, f))
+          if (part > 0) pieces += ((load + part * L, 1L))
+          val untouched = cnt - f - (if (part > 0) 1L else 0L)
+          if (untouched > 0) pieces += ((load, untouched))
+        }
+        if (rem > 0) {
+          val k = B / L
+          val full = rem / k; val pr = rem % k
+          if (full > 0) pieces += ((k * L, full))
+          if (pr > 0) pieces += ((pr * L, 1L))
+        }
+        buckets = (inel ++ pieces).groupBy(_._1)
+          .map { case (l, ps) => (l, ps.map(_._2).sum) }
+          .toVector.sortBy(-_._1)
+      }
+      (shard, buckets.map(_._2).sum, total)
+    }
+    import spark.implicits._
+    val bfdDf = bfd.toDF("shard", "n_packs", "total_tokens")
+      .select(col("shard"), lit("bfd").as("policy"),
+        col("n_packs"), col("total_tokens"),
+        col("total_tokens").as("kept_tokens"),
+        lit(0L).as("overflow_tokens"),
+        expr(s"(total_tokens * 1000) div (n_packs * $B)")
+          .as("fill_mille"))
+    runningSum.unionByName(bfdDf).orderBy("shard", "policy")
+  }
+
+  /** DuckDB oracle for [[packPolicyCompare]] — policy A is the
+    * [[packUtilizationOracleSql]] ledger re-emitted with the kept/fill
+    * columns; policy B replays the BFD class fold as a recursive CTE
+    * advancing one length class per step (64 fixed steps, absent
+    * classes join NULL → n = 0 no-ops), state a load-DESC-sorted
+    * LIST of (load, cnt) buckets manipulated with list lambdas — the
+    * fullest-first prefix turns the Scala fold's sequential `rem`
+    * carry into `clamp(n − Σ earlier caps, 0, cap)`, same integers.
+    * Alias discipline: the per-step lateral aliases are `ln`/`nn`
+    * (NOT `len`/`n`) because an unqualified name inside a lambda
+    * resolves to the LEFT-JOINed cn COLUMN first — which is NULL
+    * whenever the shard has no class of that length, and a NULL
+    * threshold silently filters the whole bucket state away (the bug
+    * the first cut shipped). */
+  private[graft] def packPolicyCompareOracleSql: String =
+    s"""WITH RECURSIVE c AS (
+       |${docChunksOracleSql.replace("ORDER BY doc_id, chunk_id", "")}),
+       |s AS (
+       |  SELECT doc_id, chunk_id, chunk_len,
+       |    CAST(doc_id % $PackShards AS INT) AS shard
+       |  FROM c),
+       |p AS (
+       |  SELECT shard, chunk_len,
+       |    CAST(sum(chunk_len) OVER (PARTITION BY shard
+       |      ORDER BY doc_id, chunk_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM s),
+       |pk AS (
+       |  SELECT shard,
+       |    CAST(floor((cum - chunk_len) / $PackBudget) AS BIGINT)
+       |      AS pack_id,
+       |    CAST(sum(chunk_len) AS BIGINT) AS pack_tokens,
+       |    CAST(max(cum) AS BIGINT) AS max_cum
+       |  FROM p GROUP BY 1, 2),
+       |o AS (
+       |  SELECT shard, pack_tokens,
+       |    greatest(max_cum - (pack_id + 1) * $PackBudget, 0)
+       |      AS overflow
+       |  FROM pk),
+       |ra AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+       |    CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(overflow) AS BIGINT) AS overflow_tokens
+       |  FROM o GROUP BY shard),
+       |cn AS (
+       |  SELECT shard, CAST(chunk_len AS BIGINT) AS len,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM s GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT shard, CAST(sum(len * n) AS BIGINT) AS total_tokens
+       |  FROM cn GROUP BY shard),
+       |st AS (
+       |  SELECT shard, 0 AS r,
+       |    CAST([] AS STRUCT(load BIGINT, cnt BIGINT)[]) AS b
+       |  FROM (SELECT DISTINCT shard FROM cn)
+       |  UNION ALL
+       |  SELECT shard, r, b FROM (
+       |    SELECT st.shard AS shard, st.r + 1 AS r,
+       |      CAST($ChunkTokens - st.r AS BIGINT) AS ln,
+       |      coalesce(c2.n, CAST(0 AS BIGINT)) AS nn,
+       |      list_filter(st.b, t -> t.load <= $PackBudget - ln)
+       |        AS elig,
+       |      list_filter(st.b, t -> t.load > $PackBudget - ln)
+       |        AS inel,
+       |      list_transform(elig, (t, i) -> {
+       |        'load': t.load, 'cnt': t.cnt,
+       |        'cb': ($PackBudget - t.load) // ln,
+       |        'take': least(greatest(nn - CAST(coalesce(list_sum(
+       |            list_transform(elig[1:i-1],
+       |              u -> u.cnt * (($PackBudget - u.load) // ln))),
+       |            0) AS BIGINT), 0),
+       |          t.cnt * (($PackBudget - t.load) // ln))}) AS wt,
+       |      flatten(list_transform(wt, t -> list_filter([
+       |        {'load': t.load + t.cb * ln, 'cnt': t.take // t.cb},
+       |        {'load': t.load + (t.take % t.cb) * ln,
+       |         'cnt': CAST(CASE WHEN t.take % t.cb > 0
+       |                     THEN 1 ELSE 0 END AS BIGINT)},
+       |        {'load': t.load,
+       |         'cnt': t.cnt - t.take // t.cb
+       |           - CAST(CASE WHEN t.take % t.cb > 0
+       |                  THEN 1 ELSE 0 END AS BIGINT)}],
+       |        p -> p.cnt > 0))) AS pieces,
+       |      greatest(nn - CAST(coalesce(list_sum(list_transform(wt,
+       |        t -> t.cnt * t.cb)), 0) AS BIGINT), 0) AS leftover,
+       |      CAST($PackBudget // ln AS BIGINT) AS kk,
+       |      list_filter([
+       |        {'load': kk * ln, 'cnt': leftover // kk},
+       |        {'load': (leftover % kk) * ln,
+       |         'cnt': CAST(CASE WHEN leftover % kk > 0
+       |                     THEN 1 ELSE 0 END AS BIGINT)}],
+       |        p -> p.cnt > 0) AS newbins,
+       |      inel || pieces || newbins AS comb,
+       |      list_sort(list_transform(
+       |        list_distinct(list_transform(comb, x -> x.load)),
+       |        l -> {'load': l,
+       |              'cnt': CAST(list_sum(list_transform(
+       |                list_filter(comb, x -> x.load = l),
+       |                x -> x.cnt)) AS BIGINT)}),
+       |        'DESC') AS b
+       |    FROM st LEFT JOIN cn c2
+       |      ON c2.shard = st.shard AND c2.len = $ChunkTokens - st.r
+       |    WHERE st.r < $ChunkTokens) q),
+       |fin AS (
+       |  SELECT shard,
+       |    CAST(coalesce(list_sum(list_transform(b, x -> x.cnt)), 0)
+       |      AS BIGINT) AS bins
+       |  FROM st WHERE r = $ChunkTokens)
+       |SELECT shard, 'running_sum' AS policy, n_packs, total_tokens,
+       |  total_tokens - overflow_tokens AS kept_tokens,
+       |  overflow_tokens,
+       |  ((total_tokens - overflow_tokens) * 1000)
+       |    // (n_packs * $PackBudget) AS fill_mille
+       |FROM ra
+       |UNION ALL
+       |SELECT f.shard, 'bfd', f.bins, t.total_tokens, t.total_tokens,
+       |  CAST(0 AS BIGINT),
+       |  (t.total_tokens * 1000) // (f.bins * $PackBudget)
+       |FROM fin f JOIN tot t USING (shard)
+       |ORDER BY shard, policy""".stripMargin
+
   /** Keywords kept per document by [[tfidfTopK]]. */
   val TfidfK = 3
 
@@ -6923,7 +7155,18 @@ object TextOps {
         end"""
   }
 
-  private val winnowKgramHashSqlExpr = kgramHashSql(WinnowPairK)
+  /** Shared with [[graft.streaming.StreamOps.winnowDecontamStream]] —
+    * the stream twin fingerprints arriving docs with the EXACT batch
+    * expression chain so its verdicts pin to [[winnowDecontam]]'s. */
+  private[graft] val winnowKgramHashSqlExpr = kgramHashSql(WinnowPairK)
+
+  /** The winnow window-minimum selection over a column `h` (the
+    * k-gram hash array) — the [[winnowFpDocs]] selection rule as one
+    * SQL string, shared with the streaming twin. */
+  private[graft] val winnowFpsFromHExpr: String =
+    s"array_distinct(transform(sequence(1L, " +
+      s"greatest(1L, cast(size(h) as bigint) - ${WinnowWindow - 1})), " +
+      s"i -> array_min(slice(h, cast(i as int), $WinnowWindow))))"
 
   /** WINNOWING CANDIDATE PAIRS — the MOSS use of winnowing (r16
     * verdict order #5): winnow the [[WinnowPairK]]-word k-gram stream
@@ -6960,16 +7203,12 @@ object TextOps {
     * any corpus size. */
   private[graft] def winnowFpDocs(spark: SparkSession,
       dir: String): DataFrame = {
-    val w = WinnowWindow
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("h", expr(winnowKgramHashSqlExpr))
       .filter(size(col("h")) >= 1)
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(1L, " +
-          s"greatest(1L, cast(size(h) as bigint) - ${w - 1})), " +
-          s"i -> array_min(slice(h, cast(i as int), $w))))"))
+      .withColumn("fps", expr(winnowFpsFromHExpr))
       .select(col("doc_id"), col("fps"))
       .localCheckpoint()
   }
@@ -7661,54 +7900,114 @@ object TextOps {
     * iterative-join barrier: without it round r's plan embeds all
     * r−1 predecessors (the measured 2^r plan-doubling class). */
   def bpeMergeRounds(spark: SparkSession, dir: String): DataFrame = {
-    var vocab = Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
-      .select(explode(tokens).as("word"))
-      .filter(length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr(
-        "transform(sequence(1, length(word)), " +
-          "i -> substring(word, i, 1))").as("syms"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable
-      .ArrayBuffer[(Int, String, String, String, Long)]()
-    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    try {
-      (1 to BpeMergeRounds).foreach { r =>
-        val win = vocab
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "j -> struct(element_at(syms, j) AS a, " +
-              "element_at(syms, j + 1) AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("a"), col("b"))
-          .limit(1).collect()
-        require(win.nonEmpty, s"BPE round $r: no adjacent pairs left")
-        val (a, b, n) =
-          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
-        merges += ((r, a, b, a + b, n))
-        // Greedy LTR merge as a fold — literals ride lit() columns
-        // (no SQL-string interpolation, no escaping surface). `get`
-        // (0-based) is the ANSI-safe last-element read: on an empty
-        // accumulator it returns NULL and the guard short-falls.
-        val next = vocab.select(col("freq"),
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, s) => when(
-              get(acc, size(acc) - 1) === lit(a) && s === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(a + b))))
-              .otherwise(concat(acc, array(s))))
-            .as("syms"))
-          .localCheckpoint()
-        superseded += vocab
-        vocab = next
-      }
-    } finally superseded.foreach(_.unpersist())
-    vocab.unpersist()
     import spark.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n_occurrences")
+    bpeTrain(spark, dir)._1
+      .toDF("round", "lhs", "rhs", "merged", "n_occurrences")
+      .orderBy("round")
+  }
+
+  /** Session-scoped memo of the BPE trainer's artifacts — ONE training
+    * run per (session, dir) feeds both the merge table
+    * ([[bpeMergeRounds]]) and the per-round tokenize census
+    * ([[bpeTokenizeCensus]]). The memoized value is driver-side
+    * KB-scale Scala data (6 merge rows + 7 stat rows), not frames: the
+    * per-round numbers are two aggregates over the Heaps-bounded vocab
+    * checkpoint, collected while the trainer already holds it. */
+  private val bpeRoundsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (Seq[(Int, String, String, String, Long)],
+        Seq[(Int, Long, Long)])]())
+
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)],
+          Seq[(Int, Long, Long)]) =
+    bpeRoundsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("bpe_rounds") {
+        // (round, Σ freq·|syms| symbol mass, distinct symbol types) —
+        // both vocab-grain aggregates on the standing checkpoint.
+        def stats(v: DataFrame, r: Int): (Int, Long, Long) = {
+          val mass = v.agg(sum(col("freq") * size(col("syms")))
+            .cast("long")).collect()(0).getLong(0)
+          val types = v.select(explode(col("syms")).as("s"))
+            .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+          (r, mass, types)
+        }
+        var vocab = Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .select(explode(tokens).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(col("freq"), expr(
+            "transform(sequence(1, length(word)), " +
+              "i -> substring(word, i, 1))").as("syms"))
+          .localCheckpoint()
+        val merges = scala.collection.mutable
+          .ArrayBuffer[(Int, String, String, String, Long)]()
+        val roundStats = scala.collection.mutable
+          .ArrayBuffer[(Int, Long, Long)](stats(vocab, 0))
+        val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        try {
+          (1 to BpeMergeRounds).foreach { r =>
+            val win = vocab
+              .filter(size(col("syms")) >= 2)
+              .select(col("freq"), explode(expr(
+                "transform(sequence(1, size(syms) - 1), " +
+                  "j -> struct(element_at(syms, j) AS a, " +
+                  "element_at(syms, j + 1) AS b))")).as("p"))
+              .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+              .agg(sum(col("freq")).as("n"))
+              .orderBy(col("n").desc, col("a"), col("b"))
+              .limit(1).collect()
+            require(win.nonEmpty, s"BPE round $r: no adjacent pairs left")
+            val (a, b, n) =
+              (win(0).getString(0), win(0).getString(1),
+                win(0).getLong(2))
+            merges += ((r, a, b, a + b, n))
+            // Greedy LTR merge as a fold — literals ride lit() columns
+            // (no SQL-string interpolation, no escaping surface). `get`
+            // (0-based) is the ANSI-safe last-element read: on an empty
+            // accumulator it returns NULL and the guard short-falls.
+            val next = vocab.select(col("freq"),
+              aggregate(col("syms"), array().cast("array<string>"),
+                (acc, s) => when(
+                  get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(a + b))))
+                  .otherwise(concat(acc, array(s))))
+                .as("syms"))
+              .localCheckpoint()
+            roundStats += stats(next, r)
+            superseded += vocab
+            vocab = next
+          }
+        } finally superseded.foreach(_.unpersist())
+        vocab.unpersist()
+        (merges.toSeq, roundStats.toSeq)
+      })
+
+  /** BPE TOKENIZE CENSUS — the merge table's CONSUMER side: what each
+    * trained merge buys when the tokenizer runs. Per round 0..6
+    * (0 = character baseline), the corpus-weighted symbol mass
+    * Σ freq·|syms| over the trainer's vocabulary, the distinct symbol
+    * inventory, and the integer compression per-mille vs round 0.
+    * Each greedy-kept fusion removes exactly one symbol, so a round
+    * with lhs ≠ rhs drops mass by EXACTLY its pair count (matches
+    * can't be adjacent), while lhs = rhs drops by the greedy-kept
+    * share — ceil(k/2) per k-run, i.e. between half the count and all
+    * of it — the mass law the spec pins against [[bpeMergeRounds]],
+    * and the reason the census is the trainer's stopping-rule
+    * dashboard (diminishing Δmass per round is the classic vocab-size
+    * criterion). One training run feeds both
+    * queries through [[bpeTrain]]'s session memo; the census itself is
+    * two Heaps-bounded vocab aggregates per round. */
+  def bpeTokenizeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sts = bpeTrain(spark, dir)._2
+    val total0 = sts.head._2
+    sts.map { case (r, mass, types) =>
+      (r, mass, types, mass * 1000L / total0) }
+      .toDF("round", "total_tokens", "n_types", "compression_mille")
       .orderBy("round")
   }
 
@@ -7719,10 +8018,21 @@ object TextOps {
     * never be adjacent so every match keeps; for lhs = rhs the odd
     * ranks are exactly the leftmost-greedy picks), and the per-word
     * rebuild. */
-  private[graft] def bpeMergeRoundsOracleSql: String = {
+  /** The unrolled trainer CTE chain (wd, v_0, and one
+    * p/c/w/mm/mk/v group per round) shared by
+    * [[bpeMergeRoundsOracleSql]] and [[bpeTokenizeCensusOracleSql]] —
+    * the two finals read different projections of the same rounds.
+    * p_r/v_r are AS MATERIALIZED: DuckDB inlines CTEs per reference,
+    * and with each v_r referenced 2-4× (next round's pair scan +
+    * rebuild + the census's scalar subqueries) the inline expansion is
+    * EXPONENTIAL in rounds — the unmaterialized census planned
+    * thousands of parquet re-opens of the documents table and died on
+    * the fd limit; materialized it is one evaluation per CTE
+    * (0.2 s at sf0.01). */
+  private def bpeRoundsCtesSql: String = {
     val rounds = (1 to BpeMergeRounds).map { r =>
       val prev = s"v_${r - 1}"
-      s"""p_$r AS (
+      s"""p_$r AS MATERIALIZED (
          |  SELECT v.word, v.freq, CAST(g.i AS BIGINT) AS i,
          |    v.syms[g.i] AS a, v.syms[g.i + 1] AS b
          |  FROM $prev v, unnest(generate_series(1, len(v.syms) - 1))
@@ -7744,7 +8054,7 @@ object TextOps {
          |      ORDER BY i) AS rn
          |    FROM mm_$r)
          |  WHERE rn % 2 = 1),
-         |v_$r AS (
+         |v_$r AS MATERIALIZED (
          |  SELECT t.word, t.freq, list(t.sym ORDER BY t.j) AS syms
          |  FROM (
          |    SELECT v.word, v.freq, CAST(g.j AS BIGINT) AS j,
@@ -7761,20 +8071,44 @@ object TextOps {
          |    WHERE mk2.i IS NULL) t
          |  GROUP BY t.word, t.freq)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMergeRounds).map { r =>
-      s"""SELECT CAST($r AS INT) AS "round", a AS lhs, b AS rhs,
-         |  a || b AS merged, n AS n_occurrences FROM w_$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH wd AS (
+    s"""wd AS (
        |  SELECT unnest(string_split(text, ' ')) AS word
        |  FROM documents WHERE text IS NOT NULL),
-       |v_0 AS (
+       |v_0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |    list_transform(range(1, length(word) + 1),
        |      i -> substr(word, i, 1)) AS syms
        |  FROM wd WHERE length(word) >= 2 GROUP BY word),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private[graft] def bpeMergeRoundsOracleSql: String = {
+    val out = (1 to BpeMergeRounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS "round", a AS lhs, b AS rhs,
+         |  a || b AS merged, n AS n_occurrences FROM w_$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeRoundsCtesSql
        |$out
+       |ORDER BY "round"""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeTokenizeCensus]] — per round, scalar
+    * subqueries over the shared v_r vocab CTEs: weighted symbol mass,
+    * distinct symbol inventory, integer per-mille vs v_0. */
+  private[graft] def bpeTokenizeCensusOracleSql: String = {
+    val arms = (0 to BpeMergeRounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS "round",
+         |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v_$r)
+         |    AS total_tokens,
+         |  (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+         |   FROM (SELECT unnest(syms) AS sym FROM v_$r)) AS n_types,
+         |  ((SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v_$r)
+         |    * 1000)
+         |    // (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v_0)
+         |    AS compression_mille""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeRoundsCtesSql
+       |$arms
        |ORDER BY "round"""".stripMargin
   }
 

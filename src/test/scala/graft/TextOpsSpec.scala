@@ -324,6 +324,57 @@ class TextOpsSpec extends GraftSpec {
     } finally deleteRecursively(base)
   }
 
+  test("pack policy compare: BFD fold is exact on a hand-traced " +
+      "fixture and never loses tokens") {
+    // 20 docs of 40 tokens each, all doc_id % 16 == 0 → one shard,
+    // one 40-token chunk per doc (≤ 48 tokens → a single chunk).
+    // running_sum: cum 40..800, the 13th chunk starts at 480 < 512 so
+    // it overflows pack 0 by 8 tokens → 2 packs, overflow 8,
+    // fill (792·1000) div 1024 = 773.
+    // BFD: one class (40, 20), no packs open → k = 512 div 40 = 12 →
+    // one fresh pack of 12 + one of 8 → 2 packs, zero overflow,
+    // fill (800·1000) div 1024 = 781.
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("packpol-").toString
+    try {
+      (0 until 20).map(i => (i * 16L, text, "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val rows = TextOps.packPolicyCompare(spark, base).collect()
+        .map(r => r.getAs[String]("policy") ->
+          (r.getAs[Long]("n_packs"), r.getAs[Long]("total_tokens"),
+            r.getAs[Long]("kept_tokens"),
+            r.getAs[Long]("overflow_tokens"),
+            r.getAs[Long]("fill_mille"))).toMap
+      assert(rows("running_sum") == ((2L, 800L, 792L, 8L, 773L)))
+      assert(rows("bfd") == ((2L, 800L, 800L, 0L, 781L)))
+    } finally deleteRecursively(base)
+  }
+
+  test("pack policy compare: on the real corpus BFD fill beats or " +
+      "matches the truncating layout in every shard, conservation " +
+      "holds") {
+    val rows = TextOps.packPolicyCompare(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[String]("policy")) ->
+        (r.getAs[Long]("n_packs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("kept_tokens"), r.getAs[Long]("overflow_tokens"),
+          r.getAs[Long]("fill_mille"))).toMap
+    val shards = rows.keySet.map(_._1)
+    assert(shards.size == TextOps.PackShards)
+    shards.foreach { s =>
+      val (_, totR, keptR, ovR, fillR) = rows((s, "running_sum"))
+      val (bfdPacks, totN, keptN, ovN, fillN) = rows((s, "bfd"))
+      // Same chunk mass on both sides; BFD never truncates.
+      assert(totR == totN && keptN == totN && ovN == 0L)
+      assert(keptR + ovR == totR, s"shard $s conservation")
+      // The advisor's claim: decreasing-order packing keeps at least
+      // as much fill as the arrival-order truncating layout.
+      assert(fillN >= fillR, s"shard $s: bfd $fillN < running $fillR")
+      assert(bfdPacks >= 1L)
+    }
+  }
+
   test("split contamination flags eval docs sharing train chunks") {
     val base = java.nio.file.Files.createTempDirectory("contam-").toString
     try {
@@ -679,6 +730,55 @@ class TextOpsSpec extends GraftSpec {
     rows.values.foreach(r =>
       assert(r.getAs[String]("merged") ==
         r.getAs[String]("lhs") + r.getAs[String]("rhs")))
+  }
+
+  test("bpe tokenize census: mass identity vs the merge table, exact " +
+      "fixture baseline, monotone compression") {
+    val ops = graft.operators.TextOps
+    // Crafted corpus (the trainer fixture): vocab words aaaa, aaa,
+    // ba, cdefghijkl → round-0 mass 4+3+2+10 = 19 over 12 char types.
+    val dir = freshScratch()
+    val txt = "aaaa aaa ba cdefghijkl"
+    writeTable("documents", Seq(
+      (1L, txt, "en", "web", txt.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val cen = ops.bpeTokenizeCensus(spark, dir).collect()
+      .map(r => r.getAs[Int]("round") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("compression_mille"))).toMap
+    assert(cen.keySet == (0 to ops.BpeMergeRounds).toSet)
+    assert(cen(0) == ((19L, 12L, 1000L)))
+    // Round 1 merges (a,a): the PAIR COUNT is 5 but greedy LTR
+    // applies only 3 fusions (aaaa → [aa][aa], aaa → [aa]a) — mass
+    // 19 → 16; 'aa' joins the inventory, 'a' survives in ba.
+    assert(cen(1)._1 == 16L && cen(1)._2 == 13L)
+    // Round 2 ("aa","a", lhs ≠ rhs): every counted occurrence fuses —
+    // mass drops by exactly n = 1.
+    assert(cen(2)._1 == 15L)
+    // The mass law, fixture + real corpus: a round with lhs ≠ rhs
+    // drops mass by exactly its n_occurrences (matches can't be
+    // adjacent); lhs = rhs drops by the greedy-kept share — at least
+    // half the count (ceil(k/2) per run), never more than all of it.
+    def checkLaw(d: String): Unit = {
+      val c = ops.bpeTokenizeCensus(spark, d).collect()
+        .map(r => r.getAs[Int]("round") ->
+          (r.getAs[Long]("total_tokens"),
+            r.getAs[Long]("compression_mille"))).toMap
+      val m = ops.bpeMergeRounds(spark, d).collect()
+        .map(r => r.getAs[Int]("round") ->
+          (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+            r.getAs[Long]("n_occurrences"))).toMap
+      (1 to ops.BpeMergeRounds).foreach { r =>
+        val delta = c(r - 1)._1 - c(r)._1
+        val (lhs, rhs, n) = m(r)
+        if (lhs != rhs) assert(delta == n, s"$d round $r: $delta != $n")
+        else assert(delta * 2 >= n && delta <= n,
+          s"$d round $r: delta $delta vs n $n")
+        assert(c(r)._2 <= c(r - 1)._2, s"$d round $r compression")
+      }
+    }
+    checkLaw(dir)
+    checkLaw("/root/testdata/sf0.001")
   }
 
   test("guarded CC cuts template hubs; genuine pairs stay merged") {
