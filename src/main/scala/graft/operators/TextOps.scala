@@ -8029,7 +8029,7 @@ object TextOps {
     * thousands of parquet re-opens of the documents table and died on
     * the fd limit; materialized it is one evaluation per CTE
     * (0.2 s at sf0.01). */
-  private def bpeRoundsCtesSql: String = {
+  private def bpeRoundsCtesOracleSql: String = {
     val rounds = (1 to BpeMergeRounds).map { r =>
       val prev = s"v_${r - 1}"
       s"""p_$r AS MATERIALIZED (
@@ -8087,7 +8087,7 @@ object TextOps {
       s"""SELECT CAST($r AS INT) AS "round", a AS lhs, b AS rhs,
          |  a || b AS merged, n AS n_occurrences FROM w_$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $bpeRoundsCtesSql
+    s"""WITH $bpeRoundsCtesOracleSql
        |$out
        |ORDER BY "round"""".stripMargin
   }
@@ -8107,7 +8107,7 @@ object TextOps {
          |    // (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v_0)
          |    AS compression_mille""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $bpeRoundsCtesSql
+    s"""WITH $bpeRoundsCtesOracleSql
        |$arms
        |ORDER BY "round"""".stripMargin
   }
