@@ -793,6 +793,28 @@ class PlanSpec extends GraftSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pack policy compare: pruned scan, sort-eliminated packing, " +
+      "driver census rides a LocalTableScan") {
+    val plan = executedPlan(TextOps.packPolicyCompare(spark, dir))
+    // The chunk scan must prune to (doc_id, text) — the md5 chunk_hash
+    // and token array are unused here and their per-chunk cost is the
+    // corpus-scan bill at 100 TB.
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunk scan not pruned:\n$plan")
+    // chunkPacking's presentation orderBy must be optimizer-eliminated
+    // under the pack aggregate: the only Sorts allowed are the window's
+    // shard-partitioned sort and the final output sort (2 total).
+    assert(plan.split("\n").count(_.trim.startsWith("Sort ")) <= 2
+      || plan.split("\n").count(_.contains("+- Sort")) <= 2,
+      s"redundant sort survived:\n$plan")
+    // The BFD side is the bounded driver fold — it must enter the plan
+    // as a LocalTableScan, never a second corpus scan (exactly one
+    // parquet scan in the whole plan).
+    assert(plan.contains("LocalTableScan"), s"census not local:\n$plan")
+    assert(plan.split("\n").count(_.contains("Scan parquet")) == 1,
+      s"corpus scanned more than once:\n$plan")
+  }
+
   test("global order statistics never compile to a single-partition exchange") {
     // An unpartitioned Window.orderBy requires AllTuples distribution:
     // Spark inserts `Exchange SinglePartition` and ONE task sorts the
