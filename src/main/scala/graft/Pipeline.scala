@@ -75,9 +75,17 @@ object Pipeline {
       "paragraph_dedup", "neardup_survivors", "semantic_dedup_survivors",
       "dedup_features", "dup_span_census", "incremental_dedup",
       "first_seen_screen", "dedup_components_guarded",
-      "dedup_waterfall", "lpa_communities", "dedup_weights"),
+      "dedup_waterfall", "lpa_communities", "dedup_weights",
+      // r17/r18 members in execution order: the span-REMOVED text is
+      // the pass the corpus actually ships (Lee et al. 2022); the
+      // winnow (MOSS) family finds the passage-level copying doc-grain
+      // Jaccard dilutes — pairs → localized spans → edit verify →
+      // clusters → hub centrality.
+      "dup_span_removal", "winnow_pairs", "winnow_match_spans",
+      "pair_edit_verify", "winnow_components", "dup_graph_pagerank"),
     "decontamination" -> Seq("cross_source_contamination",
-      "split_contamination", "bloom_decontam", "semantic_decontam"),
+      "split_contamination", "bloom_decontam", "semantic_decontam",
+      "ngram_decontam", "winnow_decontam"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
       "oov_rate", "token_entropy", "readability_scores"),
     // Embedding-space curation: the trained-quantizer dashboard
@@ -101,7 +109,18 @@ object Pipeline {
       "bpe_merge_census", "epoch_shuffle_audit", "vocab_growth_heaps",
       "doc_chunks",
       "chunk_packing", "tfidf_topk", "split_balance", "split_drift",
-      "token_budget_sample", "pmi_collocations", "quality_calibration"))
+      "token_budget_sample", "pmi_collocations", "quality_calibration",
+      // r18: the trained tokenizer artifacts and the pack ledger.
+      "bpe_merge_rounds", "bpe_tokenize_census", "pack_utilization"),
+    // The ADVISOR pass a production run prices its knobs with BEFORE
+    // burning corpus-scale compute: every tunable above (jaccard
+    // threshold, LSH banding, winnow k-gram width, sketch register
+    // budget, pack policy) has an oracle-checked query that reads the
+    // decision off the corpus itself rather than asserting a default.
+    "curation_advisors" -> Seq("dedup_threshold_sweep",
+      "shingle_df_profile", "lsh_band_planner", "winnow_k_planner",
+      "quantile_sketch", "quantile_sketch_grouped",
+      "quantile_sketch_calibration", "pack_policy_compare"))
 
   /** Tasks allowed to emit zero rows: threshold-alert filters fire only
     * when their rule trips — an empty alert set is a healthy outcome,
