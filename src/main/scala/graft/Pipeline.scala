@@ -85,7 +85,7 @@ object Pipeline {
       "pair_edit_verify", "winnow_components", "dup_graph_pagerank"),
     "decontamination" -> Seq("cross_source_contamination",
       "split_contamination", "bloom_decontam", "semantic_decontam",
-      "ngram_decontam", "winnow_decontam"),
+      "ngram_decontam", "winnow_decontam", "decontam_screen_agreement"),
     "quality_gate" -> Seq("docs_quality_filter", "doc_repetition",
       "oov_rate", "token_entropy", "readability_scores"),
     // Embedding-space curation: the trained-quantizer dashboard

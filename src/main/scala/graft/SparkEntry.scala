@@ -212,6 +212,8 @@ object SparkEntry {
     "chunk_packing" -> ((s, d) => TextOps.chunkPacking(s, d)),
     "pack_utilization" -> ((s, d) => TextOps.packUtilization(s, d)),
     "pack_policy_compare" -> ((s, d) => TextOps.packPolicyCompare(s, d)),
+    "decontam_screen_agreement" ->
+      ((s, d) => TextOps.decontamScreenAgreement(s, d)),
     "split_contamination" -> ((s, d) => TextOps.splitContamination(s, d)),
     "ngram_decontam" -> ((s, d) => TextOps.ngramDecontam(s, d)),
     "bloom_decontam" -> ((s, d) => TextOps.bloomDecontam(s, d)),
@@ -1131,9 +1133,12 @@ object SparkEntry {
     "chunk_packing" -> TextOps.chunkPackingOracleSql,
     // Shard-grain pack fill/overflow audit over the same layout.
     "pack_utilization" -> TextOps.packUtilizationOracleSql,
-    // Running-sum truncation layout vs next-fit-decreasing, side by
+    // Running-sum truncation layout vs best-fit-decreasing, side by
     // side per shard (the pack-policy advisor).
     "pack_policy_compare" -> TextOps.packPolicyCompareOracleSql,
+    // The three text decontam screens cross-priced on one split.
+    "decontam_screen_agreement" ->
+      TextOps.decontamScreenAgreementOracleSql,
     "split_contamination" -> TextOps.splitContaminationOracleSql,
     // Train-side n-gram decontamination (the GPT-3 appendix direction).
     "ngram_decontam" -> TextOps.ngramDecontamOracleSql,

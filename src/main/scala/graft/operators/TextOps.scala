@@ -7470,6 +7470,68 @@ object TextOps {
        |GROUP BY tr.doc_id, tr.n_fp
        |ORDER BY tr.doc_id""".stripMargin
 
+  /** DECONTAM SCREEN AGREEMENT — the three text screens priced
+    * against each other on the shared [[TrainPct]] hash-band split:
+    * per (ngram_hit, bloom_hit, winnow_hit) verdict combination, how
+    * many train documents land there. The off-diagonal cells ARE the
+    * screens' trade-offs, quantified on the corpus itself:
+    * (bloom ∧ ¬ngram) is the Bloom filter's document-grain false-
+    * positive mass (the m-bits-vs-FP-rate knob), and (ngram ∧ ¬winnow)
+    * is the short-overlap mass the sparse winnowed index trades away
+    * (overlaps < w+k−1 = 7 words — [[winnowDecontam]]'s documented
+    * precision/index-size trade, here as a number instead of a
+    * theorem). Two cells are EMPTY by containment and the spec pins
+    * them: an exact 3-gram hit sets all three of its own Bloom
+    * positions (ngram ⟹ bloom), and a shared winnowed fingerprint is
+    * a shared 4-word gram whose interior 3-grams the exact screen
+    * must also see (winnow ⟹ ngram).
+    *
+    * Scale shape: one corpus scan per screen (exactly what running
+    * the screens individually pays — each is the broadcast-dirty-list
+    * join documented on its own operator), doc-grain full outer joins
+    * on the doc_id key (universes differ only for < k-token docs),
+    * then a ≤ 8-row flag census. */
+  def decontamScreenAgreement(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ng = ngramDecontam(spark, dir)
+      .select(col("doc_id"), col("contaminated").as("ngram_hit"))
+    val bl = bloomDecontam(spark, dir)
+      .select(col("doc_id"), col("contaminated").as("bloom_hit"))
+    val wn = winnowDecontam(spark, dir)
+      .select(col("doc_id"), col("contaminated").as("winnow_hit"))
+    ng.join(bl, Seq("doc_id"), "full_outer")
+      .join(wn, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("ngram_hit"), lit(false)).as("ngram_hit"),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"),
+        coalesce(col("winnow_hit"), lit(false)).as("winnow_hit"))
+      .groupBy("ngram_hit", "bloom_hit", "winnow_hit")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("ngram_hit", "bloom_hit", "winnow_hit")
+  }
+
+  /** DuckDB oracle for [[decontamScreenAgreement]] — each screen's
+    * full oracle nested as one CTE (their internal CTE names collide,
+    * so each keeps its own WITH scope), the same doc-grain full outer
+    * joins and flag census. */
+  private[graft] def decontamScreenAgreementOracleSql: String =
+    s"""WITH ng AS (
+       |${ngramDecontamOracleSql}),
+       |bl AS (
+       |${bloomDecontamOracleSql}),
+       |wn AS (
+       |${winnowDecontamOracleSql})
+       |SELECT
+       |  coalesce(ng.contaminated, false) AS ngram_hit,
+       |  coalesce(bl.contaminated, false) AS bloom_hit,
+       |  coalesce(wn.contaminated, false) AS winnow_hit,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM ng
+       |FULL JOIN bl ON ng.doc_id = bl.doc_id
+       |FULL JOIN wn ON coalesce(ng.doc_id, bl.doc_id) = wn.doc_id
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** WINNOW MATCH SPANS — the part of the MOSS report [[winnowPairs]]
     * doesn't give: WHERE the shared material sits. Fingerprints keep
     * their window position (1-based k-gram index = 1-based token

@@ -781,6 +781,59 @@ class TextOpsSpec extends GraftSpec {
     checkLaw("/root/testdata/sf0.001")
   }
 
+  test("decontam screen agreement: containment theorems hold on the " +
+      "real corpus; the trade-off cells land where designed") {
+    val ops = graft.operators.TextOps
+    val real = ops.decontamScreenAgreement(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Boolean]("ngram_hit"),
+        r.getAs[Boolean]("bloom_hit"),
+        r.getAs[Boolean]("winnow_hit")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    real.keys.foreach { case (n, b, w) =>
+      assert(!(n && !b),
+        "an exact 3-gram hit set its own Bloom positions: ngram => bloom")
+      assert(!(w && !n),
+        "a shared winnowed 4-gram contains shared 3-grams: winnow => ngram")
+    }
+    // The census partitions exactly the ngram screen's train universe
+    // (bloom shares it; winnow's is a subset).
+    assert(real.values.sum ==
+      ops.ngramDecontam(spark, "/root/testdata/sf0.001").count())
+    // Crafted corners (the winnow-trade fixture): an 8-word verbatim
+    // overlap lands (T,T,T); a 3-word overlap is exact-visible but
+    // shares no 4-gram — the (T,T,F) cell IS the sparse index's
+    // traded-away mass.
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val evalId = (1L to 1000L).find(bucket(_) >= 90).get
+    val trainIds = (1L to 1000L).filter(bucket(_) < 90).take(2)
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val evalDoc = passage + " evalx1 evalx2 evalx3 evalx4"
+    val hitDoc = "trainy1 trainy2 trainy3 trainy4 " + passage
+    val missDoc = "alpha bravo charlie mike november oscar papa " +
+      "quebec romeo sierra"
+    val dir = freshScratch()
+    writeTable("documents", Seq(
+      (evalId, evalDoc, "en", "web", evalDoc.length.toLong),
+      (trainIds(0), hitDoc, "en", "web", hitDoc.length.toLong),
+      (trainIds(1), missDoc, "en", "web", missDoc.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val fx = ops.decontamScreenAgreement(spark, dir).collect()
+      .map(r => (r.getAs[Boolean]("ngram_hit"),
+        r.getAs[Boolean]("bloom_hit"),
+        r.getAs[Boolean]("winnow_hit")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(fx.get((true, true, true)).contains(1L), s"hit cell: $fx")
+    assert(fx.get((true, true, false)).contains(1L),
+      s"short-overlap cell: $fx")
+    assert(fx.values.sum == 2L)
+  }
+
   test("guarded CC cuts template hubs; genuine pairs stay merged") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
