@@ -7486,21 +7486,22 @@ object TextOps {
     * a shared 4-word gram whose interior 3-grams the exact screen
     * must also see (winnow ⟹ ngram).
     *
-    * Scale shape: one corpus scan per screen (exactly what running
-    * the screens individually pays — each is the broadcast-dirty-list
-    * join documented on its own operator), doc-grain full outer joins
-    * on the doc_id key (universes differ only for < k-token docs),
-    * then a ≤ 8-row flag census. */
+    * Scale shape: TWO corpus scans, not three — [[bloomDecontam]]
+    * already carries the exact screen beside the filter verdict (its
+    * `exact_hits` column is [[ngramDecontam]]'s hit count: same
+    * distinct-(doc, gram) discipline, same h60), so the ngram column
+    * reads off the bloom frame and only the winnow screen pays its
+    * own scan. Doc-grain full outer join on doc_id (universes differ
+    * only for < k-token docs), then a ≤ 8-row flag census. */
   def decontamScreenAgreement(spark: SparkSession,
       dir: String): DataFrame = {
-    val ng = ngramDecontam(spark, dir)
-      .select(col("doc_id"), col("contaminated").as("ngram_hit"))
     val bl = bloomDecontam(spark, dir)
-      .select(col("doc_id"), col("contaminated").as("bloom_hit"))
+      .select(col("doc_id"),
+        (col("exact_hits") > 0).as("ngram_hit"),
+        col("contaminated").as("bloom_hit"))
     val wn = winnowDecontam(spark, dir)
       .select(col("doc_id"), col("contaminated").as("winnow_hit"))
-    ng.join(bl, Seq("doc_id"), "full_outer")
-      .join(wn, Seq("doc_id"), "full_outer")
+    bl.join(wn, Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("ngram_hit"), lit(false)).as("ngram_hit"),
         coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"),
@@ -7512,23 +7513,20 @@ object TextOps {
 
   /** DuckDB oracle for [[decontamScreenAgreement]] — each screen's
     * full oracle nested as one CTE (their internal CTE names collide,
-    * so each keeps its own WITH scope), the same doc-grain full outer
-    * joins and flag census. */
+    * so each keeps its own WITH scope), the same exact-column read,
+    * doc-grain full outer join, and flag census. */
   private[graft] def decontamScreenAgreementOracleSql: String =
-    s"""WITH ng AS (
-       |${ngramDecontamOracleSql}),
-       |bl AS (
+    s"""WITH bl AS (
        |${bloomDecontamOracleSql}),
        |wn AS (
        |${winnowDecontamOracleSql})
        |SELECT
-       |  coalesce(ng.contaminated, false) AS ngram_hit,
+       |  coalesce(bl.exact_hits > 0, false) AS ngram_hit,
        |  coalesce(bl.contaminated, false) AS bloom_hit,
        |  coalesce(wn.contaminated, false) AS winnow_hit,
        |  CAST(count(*) AS BIGINT) AS n_docs
-       |FROM ng
-       |FULL JOIN bl ON ng.doc_id = bl.doc_id
-       |FULL JOIN wn ON coalesce(ng.doc_id, bl.doc_id) = wn.doc_id
+       |FROM bl
+       |FULL JOIN wn ON bl.doc_id = wn.doc_id
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2, 3""".stripMargin
 
