@@ -1542,19 +1542,41 @@ object BatchOps {
     * near-dup corpus). Top-k is orderBy+limit ⇒ TakeOrderedAndProject,
     * never a global sort. */
   def partCopurchase(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) > 1)
-      .select(explode(expr(
-        """flatten(transform(parts, x ->
-             transform(filter(parts, y -> y > x), y ->
-               named_struct('part_a', x, 'part_b', y))))""")).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    basketPairCounts(spark, dir)
+      .withColumnRenamed("n_ab", "n_orders")
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(CopurchaseTopK)
+
+  /** Session-scoped memo of the basket pair-count frame
+    * (part_a < part_b, n_ab = co-occurrence basket count) — r18
+    * optimization (store-once-serve-many): [[partCopurchase]] and
+    * [[basketRules]] each re-ran the identical per-basket pair explode
+    * + count per call (collect_set over raw lineitem dedups exactly
+    * like the DISTINCT projection, so the two fronts were already the
+    * same computation). The co-occurrence matrix is precisely the
+    * artifact a market-basket pipeline persists; populate cost visible
+    * as `basket_pairs` in `memo_populate`. */
+  private val basketPairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+
+  private def basketPairCounts(spark: SparkSession,
+      dir: String): DataFrame =
+    basketPairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("basket_pairs")(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+          .filter(size(col("parts")) > 1)
+          .select(explode(expr(
+            """flatten(transform(parts, x ->
+                 transform(filter(parts, y -> y > x), y ->
+                   named_struct('part_a', x, 'part_b', y))))""")).as("p"))
+          .groupBy(col("p.part_a").as("part_a"),
+            col("p.part_b").as("part_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .localCheckpoint()))
 
   /** Association rules emitted from [[partCopurchase]]'s pair counts —
     * the directional upgrade: for each ordered rule A→B with pair
@@ -1573,16 +1595,9 @@ object BatchOps {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val itemN = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val total = lp.agg(countDistinct(col("l_orderkey")).as("t"))
-    val und = lp
-      .groupBy("l_orderkey")
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) > 1)
-      .select(explode(expr(
-        """flatten(transform(parts, x ->
-             transform(filter(parts, y -> y > x), y ->
-               named_struct('part_a', x, 'part_b', y))))""")).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    // r18: pair counts come from the shared [[basketPairCounts]] memo
+    // (identical numbers — collect_set dedups like the lp DISTINCT).
+    val und = basketPairCounts(spark, dir)
       .filter(col("n_ab") >= BasketRuleMinCount)
     val directed = und.select("part_a", "part_b", "n_ab")
       .unionByName(und.select(col("part_b").as("part_a"),
@@ -2152,7 +2167,22 @@ object BatchOps {
           .add(s"first_$cn", StringType, nullable = true)
           .add(s"last_$cn", StringType, nullable = true)
       }
-    val out = RleSortOrders.flatMap { case (orderName, sortCols) =>
+    // r18 optimization (guide §2.6 — overlap independent jobs): the
+    // sort-order arms are fully independent (each = its own range
+    // exchange + sort + fold + ≤P-row collect), and running them
+    // serially left most cores idle during each arm's sampling pass,
+    // exchange tail, and driver stitch. Submitting the arms from a
+    // small thread pool lets arm B's scan/sort back-fill the executor
+    // slots arm A's tail frees — the same wall-clock overlap a 100 TB
+    // advisor run wants (each arm is a full table sort there too, and
+    // FIFO scheduling gives exactly the back-fill behaviour). Results
+    // are unchanged: arms are deterministic and Future.sequence
+    // preserves arm order; the per-arm fold/stitch math is untouched.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val out = Await.result(Future.sequence(RleSortOrders.map {
+        case (orderName, sortCols) => Future {
       val base = Tables.lineitem(spark, dir)
         .select(baseCols ++ Seq(col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber")): _*)
@@ -2215,7 +2245,7 @@ object BatchOps {
           rleBytes, plainBytes,
           (1000L * rleBytes) / math.max(1L, plainBytes))
       }
-    }
+    }}), Duration.Inf).flatten
     spark.createDataFrame(out)
       .toDF("sort_order", "column_name", "n_rows", "n_runs",
         "rle_ratio_mille", "rle_bytes", "plain_bytes",
@@ -3429,11 +3459,21 @@ object BatchOps {
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_orderkey"), col("l_linenumber"))
-    val counts = base.groupBy("flag").agg(count(lit(1)).as("n"))
-    val ranked = GlobalRank.withGroupedRowNumber(base, "rn",
-        Seq(col("flag")),
-        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")))
-      .join(broadcast(counts), Seq("flag"))
+    // r18 optimizations (guide §1.2/§3.3): (a) the per-flag counts read
+    // the GlobalRank checkpoint instead of replanning `base` — the old
+    // form paid a second full lineitem scan for a 3-row aggregate; (b)
+    // the 3-row bracket aggregate is localCheckpointed before the
+    // per-percentile union fan-out — each of the 5 arms used to replan
+    // the ENTIRE rank+aggregate pipeline (column pruning gives every
+    // arm a differently-pruned aggregate, so no exchange reuse: the
+    // before-plan carries 5 copies of the checkpoint-read+join+agg
+    // subtree, 12 BroadcastHashJoins in all; after, ONE aggregate runs
+    // and 5 projections read 3 checkpointed rows).
+    val ranked0 = GlobalRank.withGroupedRowNumber(base, "rn",
+      Seq(col("flag")),
+      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")))
+    val counts = ranked0.groupBy("flag").agg(count(lit(1)).as("n"))
+    val ranked = ranked0.join(broadcast(counts), Seq("flag"))
     val aggCols = max(col("n")).as("n") +: InterpPcts.flatMap { p => Seq(
       min(when(col("rn") === expr(s"1 + ((n - 1) * $p) div 100"),
         col("cents"))).as(s"vlo_$p"),
@@ -3441,6 +3481,7 @@ object BatchOps {
         col("cents"))).as(s"vhi_$p"))
     }
     val agg = ranked.groupBy("flag").agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint()
     InterpPcts.map { p =>
       agg.select(col("flag"), lit(p).as("pct"), col("n"),
         expr(s"1 + ((n - 1) * $p) div 100").as("lo_rank"),
@@ -4804,8 +4845,15 @@ object BatchOps {
   def shipmentOverlaps(spark: SparkSession, dir: String): DataFrame = {
     val bin = OverlapBinDays
     val base = transitSpans(spark, dir)
+    // r18 optimization (the [[TextOps]] keptCk device, guide §1.2): the
+    // binned span frame feeds BOTH self-join aliases, and as a plain
+    // plan the scan + md5 interval synthesis + bin explode executed
+    // twice (one per alias — two full fact scans). One localCheckpoint
+    // of the narrow all-long frame pays the front once; both aliases
+    // read the stored rows. Plan diff: 2 parquet scans → 1 + checkpoint.
     val spans = base.withColumn("bin",
       explode(sequence(expr(s"d0 div $bin"), expr(s"d1 div $bin"))))
+      .localCheckpoint()
     val lhs = spans.select(col("l_suppkey"), col("bin"),
       col("lid").as("lid_a"), col("d0").as("d0_a"), col("d1").as("d1_a"))
     val rhs = spans.select(col("l_suppkey"), col("bin"),
@@ -5183,10 +5231,15 @@ object BatchOps {
         round(col("l_extendedprice") * 100).cast("long").as("price_c"),
         round(col("l_quantity") * 100).cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
-    val totals = base.groupBy("flag").agg(sum(col("w")).as("totw"))
-    GlobalRank.withGroupedRunningSum(base, "w", "cumw",
-        Seq(col("flag")),
-        Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")))
+    // r18 optimization (guide §1.2/§2.4): per-flag totals read the
+    // GlobalRank checkpoint instead of replanning `base` — the old
+    // `base.groupBy` paid a second full lineitem scan for a 3-row
+    // aggregate the ranked frame already contains. Same totals.
+    val ranked = GlobalRank.withGroupedRunningSum(base, "w", "cumw",
+      Seq(col("flag")),
+      Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")))
+    val totals = ranked.groupBy("flag").agg(sum(col("w")).as("totw"))
+    ranked
       .join(broadcast(totals), Seq("flag"))
       .groupBy("flag")
       .agg(
@@ -5260,9 +5313,17 @@ object BatchOps {
       .select(col("o_orderpriority").as("priority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .as("lat_days"))
-    val counts = lat.groupBy("priority").agg(count(lit(1)).as("n"))
-    GlobalRank.withGroupedRowNumber(lat, "rn",
-        Seq(col("priority")), Seq(col("lat_days")))
+    // r18 optimization (guide §1.2/§2.4 — don't compute things twice):
+    // the per-priority counts read the GlobalRank CHECKPOINT (the ranked
+    // frame is materialized once inside withGroupedRowNumber), not the
+    // base-table plan — the old `lat.groupBy` replanned the ENTIRE
+    // lineitem⋈orders fact-fact join a second time just to count rows
+    // per priority (plan before: two parquet scan pairs + two joins;
+    // after: one). Same 5 rows either way.
+    val ranked = GlobalRank.withGroupedRowNumber(lat, "rn",
+      Seq(col("priority")), Seq(col("lat_days")))
+    val counts = ranked.groupBy("priority").agg(count(lit(1)).as("n"))
+    ranked
       .join(broadcast(counts), Seq("priority"))
       .groupBy("priority")
       .agg(
@@ -6003,11 +6064,26 @@ object BatchOps {
         .as("rev_c"))
       .localCheckpoint()
     val realDays = dayPart.select(col("day").as("wend")).distinct()
+    // r18 optimization (guide §2.4 — two operations keyed the same way
+    // share one exchange): the aggregate and the rank window are both
+    // keyed on wend, but groupBy(wend, l_partkey) hash-partitions on
+    // the PAIR, so the window repaid its own hashpartitioning(wend)
+    // exchange right after (plan before: Exchange(wend, partkey) →
+    // agg → Exchange(wend) → rank; 4 exchanges total). Repartitioning
+    // the exploded rows by wend FIRST satisfies both: hash(wend) is a
+    // subset of the groupBy clustering keys, so the aggregate runs
+    // complete on that partitioning and the window follows with no
+    // further exchange (3 exchanges after). The dropped map-side
+    // partial agg collapsed almost nothing here anyway — dayPart rows
+    // are unique per (day, partkey), so the 7 exploded copies of a row
+    // land on 7 DIFFERENT wend groups and partials only merge
+    // same-partition same-(wend,partkey) rows from different days.
     val windowed = dayPart
       .withColumn("off",
         explode(sequence(lit(0), lit(TrendWindowDays - 1))))
       .withColumn("wend", expr("date_add(day, off)"))
       .join(realDays, Seq("wend"))
+      .repartition(col("wend"))
       .groupBy(col("wend"), col("l_partkey"))
       .agg(sum(col("rev_c")).as("rev_7d_c"))
     val w = Window.partitionBy("wend")
@@ -6775,19 +6851,37 @@ object BatchOps {
     * avoid — is one key-shuffle count, included here as the audit's
     * referee. */
   def joinCardinalityEstimate(spark: SparkSession, dir: String): DataFrame = {
-    def hist(df: DataFrame, key: String, b: Int): DataFrame = df
+    // r18 optimization (guide §1.2 — don't compute things twice): each
+    // resolution used to pay its OWN scan+md5 pass per table (2
+    // resolutions × 2 tables = 4 histogram scans). The resolutions are
+    // nested (256 | 4096 ⇒ h % 256 = (h % 4096) % 256), so ONE
+    // finest-grain histogram per table (checkpointed: ≤ max(buckets)
+    // rows) now feeds every coarser resolution as a bucket-grain
+    // re-aggregate — one md5 pass per table total, and the before-plan's
+    // four fact scans drop to two. Identical counts by the modulus
+    // identity; the exact-join referee is untouched.
+    val maxB = JoinEstBuckets.max
+    require(JoinEstBuckets.forall(b => maxB % b == 0),
+      "nested-resolution derivation needs every bucket count to divide the max")
+    def hist(df: DataFrame, key: String): DataFrame = df
       .groupBy(pmod(expr(
         s"cast(conv(substring(md5(cast($key as string)), 1, 15), 16, 10)" +
-          s" as bigint)"), lit(b.toLong)).as("bucket"))
+          s" as bigint)"), lit(maxB.toLong)).as("bucket"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def atRes(fine: DataFrame, b: Int): DataFrame =
+      if (b == maxB) fine
+      else fine.groupBy(pmod(col("bucket"), lit(b.toLong)).as("bucket"))
+        .agg(sum(col("n")).as("n"))
     val orders = Tables.orders(spark, dir).select(col("o_orderkey"))
     val lines = Tables.lineitem(spark, dir).select(col("l_orderkey"))
     val exact = orders.join(lines,
         col("o_orderkey") === col("l_orderkey"))
       .agg(count(lit(1)).as("exact_rows"))
+    val (hoF, hlF) = (hist(orders, "o_orderkey"), hist(lines, "l_orderkey"))
     val perRes = JoinEstBuckets.map { b =>
-      hist(orders, "o_orderkey", b).as("ho")
-        .join(hist(lines, "l_orderkey", b).as("hl"), "bucket")
+      atRes(hoF, b).as("ho")
+        .join(atRes(hlF, b).as("hl"), "bucket")
         .agg(sum(col("ho.n") * col("hl.n")).as("est_rows"))
         .select(lit(b).as("n_buckets"), col("est_rows"))
     }.reduce(_ unionByName _)

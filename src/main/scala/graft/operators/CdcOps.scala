@@ -3002,10 +3002,16 @@ object CdcOps {
 
   /** [[gaugeResample]] over an injectable event frame. */
   def gaugeResampleOf(events: DataFrame): DataFrame = {
+    // r18 optimization (guide §1.2, the keptCk device): the projected
+    // event frame feeds TWO branches — the grid-bounds aggregate and
+    // the union-merge itself — and as a plain plan the events scan +
+    // timestamp/cents projection executed once per branch. One
+    // localCheckpoint of the narrow all-long frame pays the scan once.
     val ev = events
       .select(col("user_id"), unix_millis(col("ts")).as("t"),
         col("event_id"),
         round(col("value") * 100).cast("long").as("v_cents"))
+      .localCheckpoint()
     val grid = ev.groupBy("user_id")
       .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
       // integer-floor grid bounds ("/" on longs is double division in

@@ -2479,27 +2479,56 @@ object TextOps {
     // symmetrization is one cheap projection per consumer round.
     val adj = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    minLabelFixpoint(adj)
+      .select(col("u").as("doc_id"), col("l").as("component_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label CC fixpoint over a symmetric adjacency `(u, v)` — the
+    * shared round loop of [[dedupComponentsDf]],
+    * [[dedupComponentsGuarded]] and [[winnowComponents]] (labels seed
+    * at min(u, N(u)); each round folds in the neighborhood minimum;
+    * fixpoint = component minima, GraphX's convention). Returns the
+    * converged `(u, l)` labels, one row per vertex of `adj`.
+    *
+    * r18 optimization (guide §2.4 — share exchanges): a round used to
+    * run edges⋈labels(on v) → groupBy(u) → labels⋈(on u) — the second
+    * join existed only to compare the new neighborhood minimum with
+    * the vertex's own label. Folding the own label INTO the aggregate
+    * as a unioned row (marked via a second column so the old label
+    * comes back out of the same groupBy) removes that join and its
+    * exchange: a round is now join(v) → union → groupBy(u), two
+    * shuffles instead of three, with identical results —
+    * min(neighbor labels ∪ {own}) = least(own, neighbor-min), and
+    * moved ⇔ new label strictly below own ⇔ the old form's
+    * (ln < l). Honest local measurement: NEUTRAL at sf0.1 (the label
+    * frame is KB-sized there, so AQE broadcast both old joins and the
+    * dropped exchange was nearly free); the win is the at-scale shape,
+    * where a data-sized label frame pays a real shuffle join per
+    * round. Each round still ends in ONE localCheckpoint carrying its
+    * own `moved` flag (the convergence test reads the checkpoint, no
+    * re-join). */
+  private def minLabelFixpoint(adj: DataFrame): DataFrame = {
+    val ownT = adj.schema("v").dataType
     var labels = adj.groupBy("u")
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("l"))
       .localCheckpoint()
     var converged = false
     while (!converged) {
-      // ONE materializing action per round: the next labels carry their
-      // own `moved` flag, so the convergence test reads the checkpoint
-      // instead of re-joining previous vs next.
       val next = adj
         .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
-        .groupBy("u").agg(min(col("lv")).as("ln"))
-        .join(labels, "u")
-        .select(col("u"), least(col("l"), col("ln")).as("l"),
-          (col("ln") < col("l")).as("moved"))
+        .select(col("u"), col("lv"), lit(null).cast(ownT).as("own"))
+        .unionByName(labels.select(col("u"), col("l").as("lv"),
+          col("l").as("own")))
+        .groupBy("u")
+        .agg(min(col("lv")).as("l"), min(col("own")).as("own"))
+        .select(col("u"), col("l"), (col("l") < col("own")).as("moved"))
         .localCheckpoint()
       converged = next.filter(col("moved")).isEmpty
       labels = next.select("u", "l")
     }
-    labels.select(col("u").as("doc_id"), col("l").as("component_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Near-dup degree above which a document is a HUB for
@@ -2535,22 +2564,9 @@ object TextOps {
     val gAdj = adj
       .join(hubs, Seq("u"), "left_anti")
       .join(hubs.select(col("u").as("v")), Seq("v"), "left_anti")
-    var labels = gAdj.groupBy("u")
-      .agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("l"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val next = gAdj
-        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
-        .groupBy("u").agg(min(col("lv")).as("ln"))
-        .join(labels, "u")
-        .select(col("u"), least(col("l"), col("ln")).as("l"),
-          (col("ln") < col("l")).as("moved"))
-        .localCheckpoint()
-      converged = next.filter(col("moved")).isEmpty
-      labels = next.select("u", "l")
-    }
+    // Round loop shared with the unguarded twin — see
+    // [[minLabelFixpoint]] (r18: one exchange per round removed).
+    val labels = minLabelFixpoint(gAdj)
     adj.select("u").distinct()
       .join(labels, Seq("u"), "left")
       .join(hubs.select(col("u"), lit(true).as("hub")), Seq("u"), "left")
@@ -4694,7 +4710,28 @@ object TextOps {
     * long[1024] and broadcast that). The corpus side stays one scan +
     * one per-doc aggregate; the three position probes are broadcast
     * hash joins against a table that never exceeds m rows. */
-  def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-scoped memo of the [[bloomDecontam]] doc-grain screen
+    * frame — r18 optimization, the [[winnowPairsMemo]] convention: the
+    * screen has TWO registered consumers (`bloom_decontam` re-emits
+    * it; [[decontamScreenAgreement]] reads its bloom AND exact columns)
+    * and each used to re-run the full gram explode + filter build +
+    * probe join per call. A decontamination verdict table is run once
+    * per corpus release and fanned out in production; populate cost
+    * visible as `bloom_screen` in `memo_populate`. */
+  private val bloomScreenMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+
+  def bloomDecontam(spark: SparkSession, dir: String): DataFrame =
+    bloomScreenMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("bloom_screen")(
+        bloomDecontamUncached(spark, dir).localCheckpoint()))
+      // the emitted order is part of the oracle contract — re-sort the
+      // checkpoint read rather than trusting stored partition order
+      .orderBy("doc_id")
+
+  private def bloomDecontamUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     val m = lit(BloomBits.toLong)
     // Gram TEXT first, hashes later: distinct-compact each side BEFORE
     // the double md5 so the hash runs once per distinct gram (eval) /
@@ -4746,7 +4783,6 @@ object TextOps {
         sum(when(col("ev_h").isNotNull, 1L).otherwise(0L)).as("exact_hits"))
       .withColumn("false_positives", col("bloom_hits") - col("exact_hits"))
       .withColumn("contaminated", col("bloom_hits") > 0)
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[bloomDecontam]] — the same double-hashed
@@ -7202,16 +7238,35 @@ object TextOps {
     * (~20 ints), so the materialization is KB-scale per partition at
     * any corpus size. */
   private[graft] def winnowFpDocs(spark: SparkSession,
-      dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("h", expr(winnowKgramHashSqlExpr))
-      .filter(size(col("h")) >= 1)
-      .withColumn("fps", expr(winnowFpsFromHExpr))
-      .select(col("doc_id"), col("fps"))
-      .localCheckpoint()
-  }
+      dir: String): DataFrame =
+    winnowFpDocsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("winnow_fp_docs") {
+        Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("h", expr(winnowKgramHashSqlExpr))
+          .filter(size(col("h")) >= 1)
+          .withColumn("fps", expr(winnowFpsFromHExpr))
+          .select(col("doc_id"), col("fps"))
+          .localCheckpoint()
+      })
+
+  /** Session-scoped memo of the [[winnowFpDocs]] checkpoint — r18
+    * optimization (guide §5: cache only what is reused, and the
+    * store-once-serve-many memo convention the pair/rollup frames
+    * already follow). The fingerprint frame is the shared front of
+    * THREE registered consumers ([[winnowPairs]]' populate,
+    * [[winnowDecontam]], and [[decontamScreenAgreement]] through the
+    * latter), and before this memo each consumer re-tokenized and
+    * re-winnowed the whole corpus into a FRESH per-call checkpoint —
+    * winnow_decontam alone paid ~1.3 s of its 2.0 s isolated median
+    * rebuilding a frame the session had already materialized. The
+    * populate cost stays visible as the `winnow_fp_docs` entry of
+    * `memo_populate` (counted once in the bench total, the adjudicated
+    * convention). */
+  private val winnowFpDocsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   /** Session-scoped memo of the winnow PAIR frame — the
     * [[nearDupPairsCore]] convention applied to the MOSS family: the
@@ -7354,22 +7409,9 @@ object TextOps {
     val gAdj = adj
       .join(hubs, Seq("u"), "left_anti")
       .join(hubs.select(col("u").as("v")), Seq("v"), "left_anti")
-    var labels = gAdj.groupBy("u")
-      .agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("l"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val next = gAdj
-        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
-        .groupBy("u").agg(min(col("lv")).as("ln"))
-        .join(labels, "u")
-        .select(col("u"), least(col("l"), col("ln")).as("l"),
-          (col("ln") < col("l")).as("moved"))
-        .localCheckpoint()
-      converged = next.filter(col("moved")).isEmpty
-      labels = next.select("u", "l")
-    }
+    // Round loop shared with the jaccard CC twins — see
+    // [[minLabelFixpoint]] (r18: one exchange per round removed).
+    val labels = minLabelFixpoint(gAdj)
     adj.select("u").distinct()
       .join(labels, Seq("u"), "left")
       .join(hubs.select(col("u"), lit(true).as("hub")), Seq("u"), "left")
@@ -7426,7 +7468,24 @@ object TextOps {
     * checkpoint; the eval side collapses to DISTINCT fingerprints and
     * broadcasts; the train side is one per-doc aggregate. No
     * corpus-side shuffle except the doc-grain count. */
-  def winnowDecontam(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-scoped memo of the [[winnowDecontam]] doc-grain screen
+    * frame — same r18 convention as [[bloomScreenMemo]] (two registered
+    * consumers: `winnow_decontam` re-emits it, [[decontamScreenAgreement]]
+    * reads the verdict column). Populate cost visible as
+    * `winnow_screen` in `memo_populate`. */
+  private val winnowScreenMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+
+  def winnowDecontam(spark: SparkSession, dir: String): DataFrame =
+    winnowScreenMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("winnow_screen")(
+        winnowDecontamUncached(spark, dir).localCheckpoint()))
+      // emitted order is part of the oracle contract — re-sort the read
+      .orderBy("doc_id")
+
+  private def winnowDecontamUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     val post = winnowFpDocs(spark, dir)
       .withColumn("bucket",
         pmod(h60("cast(doc_id as string)"), lit(100)))
@@ -7443,7 +7502,6 @@ object TextOps {
       .withColumn("contaminated", col("n_hits") > 0)
       .select(col("doc_id"), col("n_fp"), col("n_hits"),
         col("hit_mille"), col("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[winnowDecontam]] — the shared fingerprint

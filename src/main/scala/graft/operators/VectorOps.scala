@@ -1576,7 +1576,24 @@ object VectorOps {
     * [[annPqTop1]] and [[annPqRerankTop1]]: every (query, candidate)
     * pair with its exact-decimal ADC distance —
     * (q_id, c_id, cent_id, adc). */
+  /** Session-scoped memo of the ADC-scored candidate frame — r18
+    * optimization, same convention as [[mihPairsMemo]]/[[rpPairsMemo]]:
+    * the coarse-assignment windows + cell cap + candidate explode +
+    * fused ADC join re-ran per call, and BOTH registered PQ queries
+    * ([[annPqTop1]], [[annPqRerankTop1]]) consume the identical frame.
+    * Populate cost visible as `pq_adc_pairs` in `memo_populate`. */
+  private val pqAdcMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      DataFrame]())
+
   private[graft] def pqAdcScored(spark: SparkSession,
+      dir: String): DataFrame =
+    pqAdcMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("pq_adc_pairs")(
+        pqAdcScoredUncached(spark, dir).localCheckpoint()))
+
+  private[graft] def pqAdcScoredUncached(spark: SparkSession,
       dir: String): DataFrame = {
     prepare(spark)
     val e = Tables.embeddings(spark, dir)
@@ -2360,21 +2377,37 @@ object VectorOps {
     * (stop-bucket capped, deduplicated), then one codegen'd
     * `bit_count(xor)` sum per surviving pair. Returns
     * (q_id, c_id, hamming). */
+  /** Session-scoped memo of the MIH scored-pair frame — r18
+    * optimization extending the family convention ([[lshPairsMemo]],
+    * [[rpMultiprobePairsMemo]] already memoize their stage-1 frames):
+    * the banded index build + pigeonhole join + XOR-popcount verify
+    * used to re-run per CALL, and the frame has three consumers
+    * ([[annMihTop1]], [[annMihRerankTop1]], [[annQualityReport]]
+    * through the latter). In production the packed sign-bit index and
+    * its verified candidate set are persisted artifacts — the populate
+    * cost stays visible as the `mih_pairs` entry of `memo_populate`. */
+  private val mihPairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      DataFrame]())
+
   private[graft] def mihScoredPairs(spark: SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.SignBits.register(spark)
-    // Native band packer (graft.functions.SignBits): the aggregate()
-    // HOF this replaces evaluated an interpreted lambda per ELEMENT —
-    // per vector per band, the binary-quantization hot path at scale.
-    val bandCols = (0 until MihBands).map { j =>
-      expr(s"sign_bits(embedding, ${j * MihBandBits}, $MihBandBits)")
-        .as(s"b$j")
-    }
-    val bands = Tables.embeddings(spark, dir)
-      .select(col("vec_id") +: bandCols: _*)
-      .localCheckpoint()
-    bandedScoredPairs(bands, MihBands, MihBucketCap)
-  }
+      dir: String): DataFrame =
+    mihPairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("mih_pairs") {
+        graft.functions.SignBits.register(spark)
+        // Native band packer (graft.functions.SignBits): the aggregate()
+        // HOF this replaces evaluated an interpreted lambda per ELEMENT —
+        // per vector per band, the binary-quantization hot path at scale.
+        val bandCols = (0 until MihBands).map { j =>
+          expr(s"sign_bits(embedding, ${j * MihBandBits}, $MihBandBits)")
+            .as(s"b$j")
+        }
+        val bands = Tables.embeddings(spark, dir)
+          .select(col("vec_id") +: bandCols: _*)
+          .localCheckpoint()
+        bandedScoredPairs(bands, MihBands, MihBucketCap).localCheckpoint()
+      })
 
   /** The banded pigeonhole candidate + Hamming-verify stage shared by
     * the MIH (64-bit sign codes) and RP (256-bit hyperplane codes)
@@ -2505,17 +2538,30 @@ object VectorOps {
   /** 256-bit-code candidate + verify stage: [[RandProj]] hyperplane
     * sign codes packed by the native `rp_bits` expression, then the
     * shared [[bandedScoredPairs]] pigeonhole join. */
+  /** Session-scoped memo of the RP scored-pair frame — same r18
+    * convention-extension as [[mihPairsMemo]] (the 256-bit band build
+    * is the expensive half: 32 `rp_bits` hyperplane projections per
+    * vector, re-run per call before this memo). Consumers:
+    * [[annRpRerankTop1]] and [[annQualityReport]]; populate cost
+    * visible as `rp_pairs` in `memo_populate`. */
+  private val rpPairsMemo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      DataFrame]())
+
   private[graft] def rpScoredPairs(spark: SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.RpBits.register(spark)
-    val bandCols = (0 until RpBands).map { j =>
-      expr(s"rp_bits(embedding, $j, $RpBandBits)").as(s"b$j")
-    }
-    val bands = Tables.embeddings(spark, dir)
-      .select(col("vec_id") +: bandCols: _*)
-      .localCheckpoint()
-    bandedScoredPairs(bands, RpBands, RpBucketCap)
-  }
+      dir: String): DataFrame =
+    rpPairsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => graft.Memos.timed("rp_pairs") {
+        graft.functions.RpBits.register(spark)
+        val bandCols = (0 until RpBands).map { j =>
+          expr(s"rp_bits(embedding, $j, $RpBandBits)").as(s"b$j")
+        }
+        val bands = Tables.embeddings(spark, dir)
+          .select(col("vec_id") +: bandCols: _*)
+          .localCheckpoint()
+        bandedScoredPairs(bands, RpBands, RpBucketCap).localCheckpoint()
+      })
 
   /** MULTI-PROBE stage-1 for the 256-bit codes: each query probes its
     * own (band, value) bucket AND the [[RpBandBits]] Hamming-1 flip

@@ -249,8 +249,11 @@ class PlanSpec extends GraftSpec {
         (() => VectorOps.embeddingOutliers(spark, dir)),
       ("VectorOps.scala", "labelCohesion") ->
         (() => VectorOps.labelCohesion(spark, dir)),
-      ("VectorOps.scala", "pqAdcScored") ->
-        (() => VectorOps.pqAdcScored(spark, dir)))
+      // the UNCACHED pipeline: the registered queries read the
+      // session memo (a checkpoint scan), so the WindowGroupLimit
+      // assert must run against the plan the populate executes.
+      ("VectorOps.scala", "pqAdcScoredUncached") ->
+        (() => VectorOps.pqAdcScoredUncached(spark, dir)))
     val unmapped = rankCapped.diff(builders.keySet)
     assert(unmapped.isEmpty,
       s"rank-capped annotation(s) without a plan-assert builder: $unmapped")

@@ -174,7 +174,7 @@ object WindowGateSpec {
       "data-keyed: (tbl, bucket) hash bucket",
     ("VectorOps.scala", "pqEncodeUncached") ->
       "bounded frame: codebook grain — PqCodebook rows per subspace",
-    ("VectorOps.scala", "pqAdcScored") ->
+    ("VectorOps.scala", "pqAdcScoredUncached") ->
       "data-keyed: vec_id assignment; coarse ranking rank-capped (WindowGroupLimit)",
     ("VectorOps.scala", "rpMultiprobeRecallAtK") -> "data-keyed: q_id",
     ("VectorOps.scala", "rpMultiprobeScoredPairsUncached") ->
