@@ -1547,36 +1547,31 @@ object BatchOps {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(CopurchaseTopK)
 
-  /** Session-scoped memo of the basket pair-count frame
-    * (part_a < part_b, n_ab = co-occurrence basket count) — r18
-    * optimization (store-once-serve-many): [[partCopurchase]] and
-    * [[basketRules]] each re-ran the identical per-basket pair explode
-    * + count per call (collect_set over raw lineitem dedups exactly
-    * like the DISTINCT projection, so the two fronts were already the
-    * same computation). The co-occurrence matrix is precisely the
-    * artifact a market-basket pipeline persists; populate cost visible
-    * as `basket_pairs` in `memo_populate`. */
-  private val basketPairsMemo = graft.Memos.register(
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-
+  /** The basket pair-count PLAN (part_a < part_b, n_ab = co-occurrence
+    * basket count) — the shared front of [[partCopurchase]] and
+    * [[basketRules]] (collect_set over raw lineitem dedups exactly like
+    * the lp DISTINCT projection, so the two fronts were always the same
+    * computation; this just writes it once). Deliberately a plain plan,
+    * NOT a session memo: an r18 A/B measured the memoized checkpoint
+    * NET-NEGATIVE on the suite total (populate 3.7 s — cold-codegen +
+    * 1.5M-row checkpoint materialization — vs ~1.8 s of steady-state
+    * reuse savings across both consumers at sf0.1). At 100 TB the
+    * co-occurrence matrix is a persisted artifact, but that is a
+    * storage decision the suite prices elsewhere. */
   private def basketPairCounts(spark: SparkSession,
       dir: String): DataFrame =
-    basketPairsMemo.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir),
-      _ => graft.Memos.timed("basket_pairs")(
-        Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy("l_orderkey")
-          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-          .filter(size(col("parts")) > 1)
-          .select(explode(expr(
-            """flatten(transform(parts, x ->
-                 transform(filter(parts, y -> y > x), y ->
-                   named_struct('part_a', x, 'part_b', y))))""")).as("p"))
-          .groupBy(col("p.part_a").as("part_a"),
-            col("p.part_b").as("part_b"))
-          .agg(count(lit(1)).as("n_ab"))
-          .localCheckpoint()))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(expr(
+        """flatten(transform(parts, x ->
+             transform(filter(parts, y -> y > x), y ->
+               named_struct('part_a', x, 'part_b', y))))""")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"),
+        col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
 
   /** Association rules emitted from [[partCopurchase]]'s pair counts —
     * the directional upgrade: for each ordered rule A→B with pair
@@ -3402,7 +3397,10 @@ object BatchOps {
         col("l_orderkey"), col("l_linenumber"))
     val ranked = GlobalRank.withRowNumber(base, "rn",
       Seq(col("q"), col("l_orderkey"), col("l_linenumber")))
-    val positions = base.agg(count(lit(1)).as("c"))
+    // r18 (guide §1.2): the count anchor reads the GlobalRank
+    // checkpoint, not `base` — the old form paid a second full
+    // lineitem scan for one number.
+    val positions = ranked.agg(count(lit(1)).as("c"))
       .crossJoin(
         spark.createDataFrame(FactPercentiles.map(Tuple1(_))).toDF("pct"))
       .withColumn("pos", expr("(pct * c + 99) div 100"))
@@ -3610,20 +3608,26 @@ object BatchOps {
     val ranked = GlobalRank.withGroupedRowNumberAndRunningSum(spend,
       "rn", "spend_c", "cum_c", Seq(col("segment")),
       Seq(col("spend_c"), col("o_custkey")))
-    val tot = spend.groupBy("segment")
+    // r18 (guide §1.2): per-segment totals read the GlobalRank
+    // checkpoint — the old `spend.groupBy` replanned the whole
+    // orders-scan + customer-join a second time for a 5-row aggregate.
+    // (spine now derives FROM ranked, so its key is renamed to keep the
+    // rejoin unambiguous.)
+    val tot = ranked.groupBy("segment")
       .agg(count(lit(1)).as("n"), sum(col("spend_c")).as("total_c"))
+      .withColumnRenamed("segment", "seg_s")
     val spine = tot
       .crossJoin(spark.createDataFrame(
         (1 to LorenzDeciles).map(Tuple1(_))).toDF("decile"))
       .withColumn("pos", expr(s"(decile * n + ${LorenzDeciles - 1}) " +
         s"div $LorenzDeciles"))
-      .select(col("segment"), col("decile"), col("pos"), col("n"),
+      .select(col("seg_s"), col("decile"), col("pos"), col("n"),
         col("total_c"))
     ranked
       .join(broadcast(spine),
-        ranked("segment") === spine("segment") &&
+        col("segment") === col("seg_s") &&
           col("rn") === col("pos"))
-      .select(spine("segment").as("segment"), col("decile"), col("pos"),
+      .select(col("seg_s").as("segment"), col("decile"), col("pos"),
         col("n").as("n_customers"), col("cum_c"), col("total_c"))
       .withColumn("cum_share_mille",
         expr("(cum_c * 1000) div total_c"))
@@ -4209,10 +4213,16 @@ object BatchOps {
     * broadcast anchor. Bit-identical tie semantics, no global sort of
     * the supplier frame. */
   def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    // r18 (guide §1.2): the supplier-grain revenue frame feeds THREE
+    // consumers (the value histogram, the rank join, the count anchor)
+    // and as a plain plan each replanned the full lineitem scan+agg.
+    // One localCheckpoint of the small supplier-grain frame pays the
+    // scan once; plan diff: 3 lineitem scans → 1.
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .as("rev_c"))
+      .localCheckpoint()
     val byValue = rev.groupBy(col("rev_c"))
       .agg(count(lit(1)).as("cnt"))
     val ranked = GlobalRank.withRowNumberAndRunningSum(

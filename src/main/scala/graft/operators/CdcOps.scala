@@ -1427,7 +1427,10 @@ object CdcOps {
     val lats = funnelStepLatencyFrame(spark, dir)
     val ranked = GlobalRank.withGroupedRowNumber(lats, "rn",
       Seq(col("step")), Seq(col("lat_us"), col("user_id")))
-    val counts = lats.groupBy("step").agg(count(lit(1)).as("n"))
+    // r18 (guide §1.2): counts read the GlobalRank checkpoint — the
+    // old `lats.groupBy` replanned the whole latency frame a second
+    // time for a 3-row aggregate.
+    val counts = ranked.groupBy("step").agg(count(lit(1)).as("n"))
     ranked.join(broadcast(counts), Seq("step"))
       .groupBy("step")
       .agg(max(col("transition")).as("transition"),
@@ -2287,9 +2290,12 @@ object CdcOps {
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.events(spark, dir)
       .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
-    val counts = vals.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val bounds = GlobalRank.withGroupedRowNumber(vals, "rn",
-        Seq(col("event_type")), Seq(col("v")))
+    // r18 (guide §1.2): counts from the GlobalRank checkpoint, not a
+    // second events scan.
+    val ranked = GlobalRank.withGroupedRowNumber(vals, "rn",
+      Seq(col("event_type")), Seq(col("v")))
+    val counts = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val bounds = ranked
       .join(broadcast(counts), Seq("event_type"))
       .withColumn("k_lo", expr(s"(n + ${WinsorDenom - 1}) div $WinsorDenom"))
       .filter(col("rn") === col("k_lo") ||

@@ -27,6 +27,22 @@ object TextOps {
   /** Whitespace tokens of the document text. */
   private def tokens: Column = split(col("text"), " ")
 
+  /** In-order word-bigram (prev, token) structs via zip_with of the
+    * 1..n−1 and 2..n token slices — the shuffle-free bigram former
+    * shared by [[bigramSurprisal]] and [[dsirWeights]] (r18: both used
+    * to pair tokens through a per-doc lag WINDOW, i.e. one full
+    * token-mass exchange + sort each; the array form builds identical
+    * pairs inside the scan stage). A <2-token doc yields an empty
+    * array (same rows as the lag form's prev-is-null filter). */
+  private val bigramStructsSqlExpr: String =
+    """case when size(split(text, ' ')) < 2
+         then cast(array() as array<struct<prev:string,token:string>>)
+         else zip_with(
+           slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+           slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+           (x, y) -> named_struct('prev', x, 'token', y))
+       end"""
+
   private val stopwords = Seq("a", "the", "of", "and", "to", "in")
 
   /** Exact dedup groups: one row per distinct text with the surviving
@@ -2032,10 +2048,14 @@ object TextOps {
       .select(explode(tokens).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
-    GlobalRank.withRowNumberAndRunningSum(freq, "k_rn", "n",
-        "cum_tokens", Seq(col("n").desc, col("token")))
+    // r18 (guide §1.2): the total-token anchor reads the GlobalRank
+    // checkpoint — the old `freq.agg` re-ran the full token explode +
+    // vocabulary aggregate a second time for one number.
+    val ranked = GlobalRank.withRowNumberAndRunningSum(freq, "k_rn", "n",
+      "cum_tokens", Seq(col("n").desc, col("token")))
+    ranked
       .withColumn("k", col("k_rn").cast("int"))
-      .crossJoin(broadcast(freq.agg(sum(col("n")).as("total_tokens"))))
+      .crossJoin(broadcast(ranked.agg(sum(col("n")).as("total_tokens"))))
       .filter(col("k").isin(CoverageKs.map(Integer.valueOf): _*))
       .select(col("k"), col("token").as("token_at_k"), col("cum_tokens"),
         col("total_tokens"),
@@ -4478,6 +4498,13 @@ object TextOps {
     * join, nothing broadcast at corpus scale), per-doc rollup. Widest
     * shuffle is bigram-vocabulary grain. */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    // r18 note (measured and kept AS-IS): the zip_with bigram former
+    // that helped [[dsirWeights]] was A/B-tested here and REGRESSED
+    // this query (1.11 → ~2.0 s at sf0.1): `bi` feeds TWO consumers
+    // (the c2 model chain and the final per-doc join), so the
+    // interpreted per-token struct lambda ran twice per execution,
+    // costing more than the lag window's native exchange+sort. The
+    // window form stays.
     val toks = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(col("text").isNotNull)
@@ -6603,15 +6630,17 @@ object TextOps {
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"), col("text"))
-    val toks = docs.select(col("doc_id"), col("source"),
-      posexplode(tokens).as(Seq("pos", "token")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val feats = toks
-      .withColumn("prev", lag(col("token"), 1).over(w))
-      .filter(col("prev").isNotNull)
+    // r18 optimization (guide §2.4): bigram features via the shared
+    // zip_with former ([[bigramStructsSqlExpr]]) instead of
+    // posexplode + a per-doc lag window — the window shuffled and
+    // sorted the whole token mass before any counting. Same bigrams,
+    // same buckets, zero exchanges before the (doc, bucket) aggregate.
+    val feats = docs
       .select(col("doc_id"), col("source"),
-        (expr("cast(conv(substring(md5(concat(prev, ' ', token)), 1, 15)," +
-          " 16, 10) as bigint)") % DsirBuckets).as("b"))
+        explode(expr(bigramStructsSqlExpr)).as("bg"))
+      .select(col("doc_id"), col("source"),
+        (expr("cast(conv(substring(md5(concat(bg.prev, ' ', bg.token))," +
+          " 1, 15), 16, 10) as bigint)") % DsirBuckets).as("b"))
     // The model counts (raw, target, totals) all DERIVE from the
     // (doc, bucket) feature counts, so the expensive token explode
     // runs ONCE and is cut from the three model consumers' lineage —

@@ -3223,9 +3223,13 @@ object VectorOps {
   private def dimQuantileStats(spark: SparkSession, dir: String)
       : DataFrame = {
     val base = dimComponents(spark, dir)
-    val counts = base.groupBy("i").agg(count(lit(1)).as("n"))
-    val ranked = GlobalRank.withGroupedRowNumber(base, "rn",
-        Seq(col("i")), Seq(col("qv"), col("vec_id")))
+    // r18 (guide §1.2): per-dim counts read the GlobalRank checkpoint —
+    // the old `base.groupBy` re-ran the corpus × dim posexplode a
+    // second time for a 64-row aggregate.
+    val ranked0 = GlobalRank.withGroupedRowNumber(base, "rn",
+      Seq(col("i")), Seq(col("qv"), col("vec_id")))
+    val counts = ranked0.groupBy("i").agg(count(lit(1)).as("n"))
+    val ranked = ranked0
       .join(broadcast(counts), Seq("i"))
     val aggCols = max(col("n")).as("n") +: DimQuantilePcts.flatMap { p =>
       Seq(

@@ -111,7 +111,6 @@ object WindowGateSpec {
     ("TextOps.scala", "dupSpanRemoval") ->
       ("data-keyed: span hash h (duplicate test) and doc_id (island " +
         "sweep over flagged rows only) — both scale with the data"),
-    ("TextOps.scala", "dsirWeights") -> "data-keyed: doc_id",
     ("TextOps.scala", "ksDriftOf") ->
       "bounded frame: merged length grid per source pair — value-domain",
     ("TextOps.scala", "lengthQuantileSketch") ->
