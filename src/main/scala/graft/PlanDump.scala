@@ -14,6 +14,11 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <tag> [<query>[,<query>...]]")
+      sys.exit(2)
+    }
     val tag = args(0)
     val names: Seq[String] =
       if (args.length > 1) args(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty)

@@ -114,7 +114,7 @@ object RecallSweep {
     // contains a cosine-best candidate, how often the capped Hamming
     // shortlist keeps a pick that matches the UNCAPPED exact-cosine
     // argmax over all candidates (stage-2 fidelity: what cap costs).
-    val mihCand = VectorOps.mihScoredPairs(spark, dir)
+    val mihCand = VectorOps.mihScoredPairsUncached(spark, dir)
       .select(col("q_id"), col("c_id")).cache()
     val candTrue = mihCand.join(exact, "q_id")
       .filter(col("c_id") === col("exact_c"))
@@ -151,7 +151,7 @@ object RecallSweep {
     val rpN = rp.count().toDouble
     val rpHits = rp.join(exact, "q_id")
       .filter(col("c_id") === col("exact_c")).count()
-    val rpCandTrue = VectorOps.rpScoredPairs(spark, dir)
+    val rpCandTrue = VectorOps.rpScoredPairsUncached(spark, dir)
       .select(col("q_id"), col("c_id"))
       .join(exact, "q_id")
       .filter(col("c_id") === col("exact_c"))

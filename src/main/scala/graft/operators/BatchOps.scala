@@ -1590,8 +1590,10 @@ object BatchOps {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val itemN = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val total = lp.agg(countDistinct(col("l_orderkey")).as("t"))
-    // r18: pair counts come from the shared [[basketPairCounts]] memo
-    // (identical numbers — collect_set dedups like the lp DISTINCT).
+    // r18: pair counts come from the shared [[basketPairCounts]] plan
+    // helper — deliberately NOT a memo (re-planned per call, no
+    // populate cost; identical numbers — collect_set dedups like the
+    // lp DISTINCT).
     val und = basketPairCounts(spark, dir)
       .filter(col("n_ab") >= BasketRuleMinCount)
     val directed = und.select("part_a", "part_b", "n_ab")
@@ -2176,8 +2178,12 @@ object BatchOps {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // concurrent.blocking: each arm BLOCKS its pool thread on Spark
+    // actions (collect/fold); marking the span lets the shared global
+    // EC grow past its core count instead of starving other users if
+    // the arm list (or a concurrent caller) ever grows.
     val out = Await.result(Future.sequence(RleSortOrders.map {
-        case (orderName, sortCols) => Future {
+        case (orderName, sortCols) => Future { scala.concurrent.blocking {
       val base = Tables.lineitem(spark, dir)
         .select(baseCols ++ Seq(col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber")): _*)
@@ -2240,7 +2246,7 @@ object BatchOps {
           rleBytes, plainBytes,
           (1000L * rleBytes) / math.max(1L, plainBytes))
       }
-    }}), Duration.Inf).flatten
+    }}}), Duration.Inf).flatten
     spark.createDataFrame(out)
       .toDF("sort_order", "column_name", "n_rows", "n_runs",
         "rle_ratio_mille", "rle_bytes", "plain_bytes",
@@ -6093,6 +6099,13 @@ object BatchOps {
         explode(sequence(lit(0), lit(TrendWindowDays - 1))))
       .withColumn("wend", expr("date_add(day, off)"))
       .join(realDays, Seq("wend"))
+      // SKEW BOUND (r18 advisor): keying the pre-aggregate exchange on
+      // wend alone makes parallelism day-grain — all 7×-exploded rows
+      // for one window-end day land in one task (the rank window below
+      // already had this bound, but on far fewer post-aggregate rows).
+      // Acceptable while no single day dominates the fact; if one can
+      // at 100 TB, split this into a two-level aggregate (partial on
+      // (wend, l_partkey) salt, final on wend).
       .repartition(col("wend"))
       .groupBy(col("wend"), col("l_partkey"))
       .agg(sum(col("rev_c")).as("rev_7d_c"))

@@ -3006,7 +3006,13 @@ object CdcOps {
   def gaugeResample(spark: SparkSession, dir: String): DataFrame =
     gaugeResampleOf(Tables.events(spark, dir))
 
-  /** [[gaugeResample]] over an injectable event frame. */
+  /** [[gaugeResample]] over an injectable event frame.
+    *
+    * EAGER-MATERIALIZATION contract (r18): constructing this DataFrame
+    * localCheckpoints the projected event frame, so the call runs a
+    * Spark job immediately — build-only callers (plan dumps, property
+    * tests injecting large frames) pay that materialization even if
+    * they never execute the returned plan. */
   def gaugeResampleOf(events: DataFrame): DataFrame = {
     // r18 optimization (guide §1.2, the keptCk device): the projected
     // event frame feeds TWO branches — the grid-bounds aggregate and

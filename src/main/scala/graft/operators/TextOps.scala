@@ -27,21 +27,9 @@ object TextOps {
   /** Whitespace tokens of the document text. */
   private def tokens: Column = split(col("text"), " ")
 
-  /** In-order word-bigram (prev, token) structs via zip_with of the
-    * 1..n−1 and 2..n token slices — the shuffle-free bigram former
-    * shared by [[bigramSurprisal]] and [[dsirWeights]] (r18: both used
-    * to pair tokens through a per-doc lag WINDOW, i.e. one full
-    * token-mass exchange + sort each; the array form builds identical
-    * pairs inside the scan stage). A <2-token doc yields an empty
-    * array (same rows as the lag form's prev-is-null filter). */
-  private val bigramStructsSqlExpr: String =
-    """case when size(split(text, ' ')) < 2
-         then cast(array() as array<struct<prev:string,token:string>>)
-         else zip_with(
-           slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-           slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
-           (x, y) -> named_struct('prev', x, 'token', y))
-       end"""
+  // (r19: the r18 zip_with bigram former was removed — it lost its A/B
+  // in BOTH former consumers; bigramSurprisal and dsirWeights pair
+  // tokens through the native per-doc lag window instead.)
 
   private val stopwords = Seq("a", "the", "of", "and", "to", "in")
 
@@ -2479,8 +2467,8 @@ object TextOps {
     * no-GraphX twin of [[dedupComponents]], same labels, same oracle.
     * Min-label propagation: l(u) starts at min(u, N(u)) and each round
     * folds in the minimum label of u's neighborhood; the fixpoint
-    * (reached in O(component diameter) rounds — near-dup clusters are
-    * shallow) assigns every vertex its component's minimum doc_id,
+    * (reached in O(log diameter) rounds — the shared loop pointer-
+    * doubles) assigns every vertex its component's minimum doc_id,
     * exactly GraphX's convention. The driver loop is ONE count() per
     * round for the convergence test — the same coordination Pregel
     * does internally — and each round's labels are localCheckpoint'd
@@ -2528,27 +2516,57 @@ object TextOps {
     * round. Each round still ends in ONE localCheckpoint carrying its
     * own `moved` flag (the convergence test reads the checkpoint, no
     * re-join). */
-  private def minLabelFixpoint(adj: DataFrame): DataFrame = {
+  private def minLabelFixpoint(adj: DataFrame): DataFrame =
+    minLabelFixpointWithRounds(adj)._1
+
+  /** [[minLabelFixpoint]] with its round count exposed — the spec pins
+    * the pointer-doubling round bound on a crafted path graph. */
+  private[graft] def minLabelFixpointWithRounds(
+      adj: DataFrame): (DataFrame, Int) = {
     val ownT = adj.schema("v").dataType
     var labels = adj.groupBy("u")
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("l"))
       .localCheckpoint()
     var converged = false
+    var rounds = 0
     while (!converged) {
-      val next = adj
+      // Neighbor-min step (the r18 shared-exchange form: own label
+      // folded into the aggregate as a unioned row).
+      val stepped = adj
         .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
         .select(col("u"), col("lv"), lit(null).cast(ownT).as("own"))
         .unionByName(labels.select(col("u"), col("l").as("lv"),
           col("l").as("own")))
         .groupBy("u")
         .agg(min(col("lv")).as("l"), min(col("own")).as("own"))
-        .select(col("u"), col("l"), (col("l") < col("own")).as("moved"))
+      // r19 (verdict order #4): POINTER-DOUBLING hop — adopt l(l(u)).
+      // Every label value is itself a vertex with its own row (labels
+      // are mins over vertex ids; the own-row union keeps every vertex
+      // present), so the self-join resolves; left_outer + coalesce
+      // keeps correctness independent of that invariant. The hop cuts
+      // convergence from O(component diameter) rounds to O(log d) —
+      // each round a vertex reaches its neighbor's LAST-round label's
+      // label, so the reach doubles — and each round still pays ONE
+      // localCheckpoint + one cheap convergence read; the two uses of
+      // `stepped` share one physical aggregate via exchange reuse.
+      // The fixpoint (labels = component minima) and the convergence
+      // test (any label strictly below the round-start own) are
+      // unchanged, so the emitted labels are identical.
+      val hop = stepped.select(col("u").as("hu"), col("l").as("hl"))
+      val next = stepped
+        .join(hop, col("l") === col("hu"), "left_outer")
+        .select(col("u"),
+          least(col("l"), coalesce(col("hl"), col("l"))).as("l2"),
+          col("own"))
+        .select(col("u"), col("l2").as("l"),
+          (col("l2") < col("own")).as("moved"))
         .localCheckpoint()
       converged = next.filter(col("moved")).isEmpty
       labels = next.select("u", "l")
+      rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 
   /** Near-dup degree above which a document is a HUB for
@@ -5681,7 +5699,23 @@ object TextOps {
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashCandidatesCore(spark, dir)
       .select("doc_a", "doc_b", "n_bands")
-    val docSh = shingleHashes(spark, dir).distinct()
+    // r19 (guide §1.2 — don't compute what you throw away): the
+    // distinct-shingle arrays used to be built from the per-OCCURRENCE
+    // [[shingleHashes]] stream and deduped after hashing; array_distinct
+    // BEFORE the explode dedups on the cheap string side, so md5 runs
+    // once per DISTINCT (doc, shingle) and the explode emits ~40% fewer
+    // rows. The trailing hash-keyed distinct keeps the oracle's
+    // dedup-on-hash contract under a (vanishingly unlikely) md5-60bit
+    // collision; it adds no exchange — the frame is already partitioned
+    // by doc_id, which co-locates (doc_id, h).
+    val docSh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($shinglesSqlExpr)")).as("shingle"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("n"))
@@ -6630,17 +6664,23 @@ object TextOps {
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"), col("text"))
-    // r18 optimization (guide §2.4): bigram features via the shared
-    // zip_with former ([[bigramStructsSqlExpr]]) instead of
-    // posexplode + a per-doc lag window — the window shuffled and
-    // sorted the whole token mass before any counting. Same bigrams,
-    // same buckets, zero exchanges before the (doc, bucket) aggregate.
-    val feats = docs
+    // r19: REVERTED to the posexplode + per-doc lag-window bigram
+    // former. The r18 zip_with array form ([[bigramStructsSqlExpr]])
+    // measured 0.84 → ~1.9 s at sf0.1 with an svi "regression" verdict
+    // on both dsir queries: the interpreted per-element struct lambda
+    // costs more than the lag window's native exchange+sort here —
+    // the same failure mode the [[bigramSurprisal]] A/B documented.
+    // The docs frame arrives repartitioned by doc_id, so the window's
+    // hash partitioning reuses that exchange.
+    val toks = docs.select(col("doc_id"), col("source"),
+      posexplode(tokens).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val feats = toks
+      .withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull)
       .select(col("doc_id"), col("source"),
-        explode(expr(bigramStructsSqlExpr)).as("bg"))
-      .select(col("doc_id"), col("source"),
-        (expr("cast(conv(substring(md5(concat(bg.prev, ' ', bg.token))," +
-          " 1, 15), 16, 10) as bigint)") % DsirBuckets).as("b"))
+        (expr("cast(conv(substring(md5(concat(prev, ' ', token)), 1, 15)," +
+          " 16, 10) as bigint)") % DsirBuckets).as("b"))
     // The model counts (raw, target, totals) all DERIVE from the
     // (doc, bucket) feature counts, so the expensive token explode
     // runs ONCE and is cut from the three model consumers' lineage —
@@ -7421,8 +7461,8 @@ object TextOps {
     * Scale shape: edges are the KB-sized [[winnowPairsMemo]]
     * checkpoint filtered by one predicate; every CC round is a hash
     * join + (vertex) aggregate over edge-count-sized frames with
-    * checkpointed labels (flat lineage), converging in O(component
-    * diameter) rounds. */
+    * checkpointed labels (flat lineage), converging in O(log
+    * diameter) rounds (pointer-doubled). */
   def winnowComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = winnowPairsCore(spark, dir)
       .filter(col("overlap_mille") >= WinnowCompMille)

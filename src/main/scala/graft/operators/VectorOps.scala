@@ -1562,7 +1562,10 @@ object VectorOps {
     * and rank-ordered list aggregation (LUTs). Ties everywhere break on
     * ascending rank / c_id. */
   def annPqTop1(spark: SparkSession, dir: String): DataFrame =
-    pqAdcScored(spark, dir)
+    pqShortlist(spark, dir)
+      // top-1 off the rank-capped shortlist: the shortlist's rank order
+      // IS the (adc, c_id, cent_id) lexicographic order of the argmin
+      // struct, so min-over-shortlist = min-over-all-pairs exactly.
       .groupBy("q_id")
       .agg(min(struct(col("adc"), col("c_id"), col("cent_id"))).as("best"))
       // No round(): the decimal sum is exact and its double cast is the
@@ -1572,26 +1575,40 @@ object VectorOps {
         col("best.c_id").as("c_id"), col("best.adc").as("adc_dist"))
       .orderBy("q_id")
 
-  /** The coarse-candidate + fused-ADC scoring stage shared by
-    * [[annPqTop1]] and [[annPqRerankTop1]]: every (query, candidate)
-    * pair with its exact-decimal ADC distance —
-    * (q_id, c_id, cent_id, adc). */
-  /** Session-scoped memo of the ADC-scored candidate frame — r18
-    * optimization, same convention as [[mihPairsMemo]]/[[rpPairsMemo]]:
-    * the coarse-assignment windows + cell cap + candidate explode +
-    * fused ADC join re-ran per call, and BOTH registered PQ queries
-    * ([[annPqTop1]], [[annPqRerankTop1]]) consume the identical frame.
-    * Populate cost visible as `pq_adc_pairs` in `memo_populate`. */
+  /** Session-scoped memo of the rank-capped ADC SHORTLIST — r19: the
+    * r18 memo checkpointed the FULL ADC-scored pair frame, and its
+    * materialization alone cost ~9.8 s at sf0.1/32c against ~2 s of
+    * per-query reuse (the r18 verdict's lead finding). Both registered
+    * consumers only ever read each query's [[PqRerankCap]] ADC-nearest
+    * rows ([[annPqRerankTop1]] by definition; [[annPqTop1]] reads the
+    * top-1, contained in any cap ≥ 1), so the memo now stores exactly
+    * that slice: N×cap rows instead of N×candidates. The rank filter
+    * compiles to WindowGroupLimit (map-side ≤ cap rows per query
+    * before the exchange). Populate cost visible as `pq_shortlist` in
+    * `memo_populate`. */
   private val pqAdcMemo = graft.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       DataFrame]())
 
-  private[graft] def pqAdcScored(spark: SparkSession,
+  private[graft] def pqShortlist(spark: SparkSession,
       dir: String): DataFrame =
     pqAdcMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => graft.Memos.timed("pq_adc_pairs")(
-        pqAdcScoredUncached(spark, dir).localCheckpoint()))
+      _ => graft.Memos.timed("pq_shortlist")(
+        pqShortlistUncached(spark, dir).localCheckpoint()))
+
+  /** The [[PqRerankCap]] ADC-nearest candidates per query, ranked by
+    * the exact-decimal (adc, c_id, cent_id) order — the shared stage of
+    * [[annPqTop1]] and [[annPqRerankTop1]]. */
+  private[graft] def pqShortlistUncached(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wQ = Window.partitionBy("q_id")
+      .orderBy(col("adc"), col("c_id"), col("cent_id"))
+    pqAdcScoredUncached(spark, dir)
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= PqRerankCap)
+      .select("q_id", "c_id", "cent_id", "adc")
+  }
 
   private[graft] def pqAdcScoredUncached(spark: SparkSession,
       dir: String): DataFrame = {
@@ -1712,11 +1729,9 @@ object VectorOps {
     * joins on vec_id — N × cap exact distance evaluations
     * corpus-wide, never candidate-explosion × vector-width. */
   def annPqRerankTop1(spark: SparkSession, dir: String): DataFrame = {
-    val wQ = Window.partitionBy("q_id")
-      .orderBy(col("adc"), col("c_id"), col("cent_id"))
-    val shortlist = pqAdcScored(spark, dir)
-      .withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") <= PqRerankCap)
+    // the memo IS the shortlist (rank-capped at [[PqRerankCap]] in the
+    // populate, identical order) — read it, no per-call window.
+    val shortlist = pqShortlist(spark, dir)
       .select("q_id", "c_id", "adc")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -2365,49 +2380,67 @@ object VectorOps {
     * scoring; the number quantifies the proxy gap the rerank pays
     * for. */
   def annMihTop1(spark: SparkSession, dir: String): DataFrame =
-    mihScoredPairs(spark, dir)
-      .groupBy("q_id")
-      .agg(min(struct(col("hamming"), col("c_id"))).as("best"))
-      .select(col("q_id"), col("best.c_id").as("c_id"),
-        col("best.hamming").as("hamming"))
+    // rk = 1 of the (hamming, c_id)-ranked shortlist IS the
+    // min(struct(hamming, c_id)) argmin over all scored pairs.
+    mihShortlist(spark, dir)
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("c_id"), col("hamming"))
       .orderBy("q_id")
 
-  /** The MIH candidate + Hamming-verify stage shared by [[annMihTop1]]
-    * and [[annMihRerankTop1]]: banded pigeonhole candidate generation
-    * (stop-bucket capped, deduplicated), then one codegen'd
-    * `bit_count(xor)` sum per surviving pair. Returns
-    * (q_id, c_id, hamming). */
-  /** Session-scoped memo of the MIH scored-pair frame — r18
-    * optimization extending the family convention ([[lshPairsMemo]],
-    * [[rpMultiprobePairsMemo]] already memoize their stage-1 frames):
-    * the banded index build + pigeonhole join + XOR-popcount verify
-    * used to re-run per CALL, and the frame has three consumers
-    * ([[annMihTop1]], [[annMihRerankTop1]], [[annQualityReport]]
-    * through the latter). In production the packed sign-bit index and
-    * its verified candidate set are persisted artifacts — the populate
-    * cost stays visible as the `mih_pairs` entry of `memo_populate`. */
+  /** Each query's [[MihRerankCap]] Hamming-nearest candidates with
+    * their deterministic (hamming, c_id) rank — the shared stage-1
+    * read-out of every binary-code family. The rank filter compiles to
+    * WindowGroupLimit: each map partition forwards ≤ cap rows per
+    * query before the exchange. */
+  private[graft] def hammingShortlist(scored: DataFrame): DataFrame = {
+    val wQ = Window.partitionBy("q_id")
+      .orderBy(col("hamming"), col("c_id"))
+    scored
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= MihRerankCap)
+  }
+
+  /** The MIH candidate + Hamming-verify pipeline (banded pigeonhole
+    * candidate generation, stop-bucket capped, deduplicated, then one
+    * codegen'd `bit_count(xor)` sum per surviving pair) — the FULL
+    * scored-pair frame, exposed uncached for the recall harness's
+    * coverage decomposition. Registered queries read the rank-capped
+    * [[mihShortlist]] memo instead. */
+  private[graft] def mihScoredPairsUncached(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.SignBits.register(spark)
+    // Native band packer (graft.functions.SignBits): the aggregate()
+    // HOF this replaces evaluated an interpreted lambda per ELEMENT —
+    // per vector per band, the binary-quantization hot path at scale.
+    val bandCols = (0 until MihBands).map { j =>
+      expr(s"sign_bits(embedding, ${j * MihBandBits}, $MihBandBits)")
+        .as(s"b$j")
+    }
+    val bands = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: bandCols: _*)
+      .localCheckpoint()
+    bandedScoredPairs(bands, MihBands, MihBucketCap)
+  }
+
+  /** Session-scoped memo of the rank-capped MIH shortlist — r19: the
+    * r18 memo (`mih_pairs`) checkpointed the FULL scored-pair frame,
+    * but every registered consumer ([[annMihTop1]],
+    * [[annMihRerankTop1]], [[annQualityReport]] through the latter)
+    * reads only each query's [[MihRerankCap]] Hamming-nearest rows —
+    * so the memo now stores exactly that slice (N×cap rows) and the
+    * per-call rank window disappears from every consumer. Populate
+    * cost visible as `mih_shortlist` in `memo_populate`. */
   private val mihPairsMemo = graft.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       DataFrame]())
 
-  private[graft] def mihScoredPairs(spark: SparkSession,
+  private[graft] def mihShortlist(spark: SparkSession,
       dir: String): DataFrame =
     mihPairsMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => graft.Memos.timed("mih_pairs") {
-        graft.functions.SignBits.register(spark)
-        // Native band packer (graft.functions.SignBits): the aggregate()
-        // HOF this replaces evaluated an interpreted lambda per ELEMENT —
-        // per vector per band, the binary-quantization hot path at scale.
-        val bandCols = (0 until MihBands).map { j =>
-          expr(s"sign_bits(embedding, ${j * MihBandBits}, $MihBandBits)")
-            .as(s"b$j")
-        }
-        val bands = Tables.embeddings(spark, dir)
-          .select(col("vec_id") +: bandCols: _*)
-          .localCheckpoint()
-        bandedScoredPairs(bands, MihBands, MihBucketCap).localCheckpoint()
-      })
+      _ => graft.Memos.timed("mih_shortlist")(
+        hammingShortlist(mihScoredPairsUncached(spark, dir))
+          .localCheckpoint()))
 
   /** The banded pigeonhole candidate + Hamming-verify stage shared by
     * the MIH (64-bit sign codes) and RP (256-bit hyperplane codes)
@@ -2481,25 +2514,20 @@ object VectorOps {
     * 0.154 → 0.484 at the same rerank cap. */
   def annMihRerankTop1(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
-    cosineRerankTop1(spark, dir, mihScoredPairs(spark, dir))
+    cosineRerankTop1(spark, dir, mihShortlist(spark, dir))
   }
 
   /** Stage 2 shared by [[annMihRerankTop1]] and [[annRpRerankTop1]]:
-    * keep each query's [[MihRerankCap]] Hamming-nearest candidates
-    * (deterministic (hamming, c_id) rank), rescore ONLY those with
-    * exact cosine over the raw embeddings, pick the
+    * rescore the memoized [[MihRerankCap]]-capped Hamming shortlist
+    * with exact cosine over the raw embeddings, pick the
     * (cosine desc, c_id asc) argmax. The corpus-sized embedding table
     * joins the shortlist by hash on vec_id, so full-precision vectors
     * are read once per shortlist side and never ride the candidate
-    * explosion. */
+    * explosion. `scored` must already be rank-capped (the shortlist
+    * memos are, by construction). */
   private def cosineRerankTop1(spark: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
-    val wQ = Window.partitionBy("q_id")
-      .orderBy(col("hamming"), col("c_id"))
-    val shortlist = scored
-      .withColumn("rn", row_number().over(wQ))
-      .filter(col("rn") <= MihRerankCap)
-      .select("q_id", "c_id", "hamming")
+    val shortlist = scored.select("q_id", "c_id", "hamming")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(sq("embedding")).as("norm"))
@@ -2535,33 +2563,41 @@ object VectorOps {
   /** Per-(band, value) stop-bucket cap — the [[MihBucketCap]] rule. */
   val RpBucketCap = 256
 
-  /** 256-bit-code candidate + verify stage: [[RandProj]] hyperplane
+  /** 256-bit-code candidate + verify pipeline ([[RandProj]] hyperplane
     * sign codes packed by the native `rp_bits` expression, then the
-    * shared [[bandedScoredPairs]] pigeonhole join. */
-  /** Session-scoped memo of the RP scored-pair frame — same r18
-    * convention-extension as [[mihPairsMemo]] (the 256-bit band build
-    * is the expensive half: 32 `rp_bits` hyperplane projections per
-    * vector, re-run per call before this memo). Consumers:
-    * [[annRpRerankTop1]] and [[annQualityReport]]; populate cost
-    * visible as `rp_pairs` in `memo_populate`. */
+    * shared [[bandedScoredPairs]] pigeonhole join) — the FULL
+    * scored-pair frame, exposed uncached for the recall harness.
+    * Registered queries read the rank-capped [[rpShortlist]] memo. */
+  private[graft] def rpScoredPairsUncached(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.RpBits.register(spark)
+    val bandCols = (0 until RpBands).map { j =>
+      expr(s"rp_bits(embedding, $j, $RpBandBits)").as(s"b$j")
+    }
+    val bands = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: bandCols: _*)
+      .localCheckpoint()
+    bandedScoredPairs(bands, RpBands, RpBucketCap)
+  }
+
+  /** Session-scoped memo of the rank-capped RP shortlist — r19, same
+    * change as [[mihShortlist]]: the r18 `rp_pairs` memo stored the
+    * full scored-pair frame; its consumers ([[annRpRerankTop1]],
+    * [[annQualityReport]] through it) read only the
+    * [[MihRerankCap]]-capped slice, so that slice is what the memo
+    * holds. Populate cost visible as `rp_shortlist` in
+    * `memo_populate`. */
   private val rpPairsMemo = graft.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       DataFrame]())
 
-  private[graft] def rpScoredPairs(spark: SparkSession,
+  private[graft] def rpShortlist(spark: SparkSession,
       dir: String): DataFrame =
     rpPairsMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => graft.Memos.timed("rp_pairs") {
-        graft.functions.RpBits.register(spark)
-        val bandCols = (0 until RpBands).map { j =>
-          expr(s"rp_bits(embedding, $j, $RpBandBits)").as(s"b$j")
-        }
-        val bands = Tables.embeddings(spark, dir)
-          .select(col("vec_id") +: bandCols: _*)
-          .localCheckpoint()
-        bandedScoredPairs(bands, RpBands, RpBucketCap).localCheckpoint()
-      })
+      _ => graft.Memos.timed("rp_shortlist")(
+        hammingShortlist(rpScoredPairsUncached(spark, dir))
+          .localCheckpoint()))
 
   /** MULTI-PROBE stage-1 for the 256-bit codes: each query probes its
     * own (band, value) bucket AND the [[RpBandBits]] Hamming-1 flip
@@ -2578,17 +2614,20 @@ object VectorOps {
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       DataFrame]())
 
-  private[graft] def rpMultiprobeScoredPairs(spark: SparkSession,
+  /** Rank-capped multiprobe shortlist memo — r19, same change as
+    * [[mihShortlist]]: all three consumers (multiprobe top-1, the
+    * quality report through it, the rerank-cap curve) read only the
+    * [[MihRerankCap]]-capped (hamming, c_id) rank slice. */
+  private[graft] def rpMultiprobeShortlist(spark: SparkSession,
       dir: String): DataFrame =
     rpMultiprobePairsMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir),
-      _ => graft.Memos.timed("rp_multiprobe_pairs")(
-        rpMultiprobeScoredPairsUncached(spark, dir).localCheckpoint()))
+      _ => graft.Memos.timed("rp_multiprobe_shortlist")(
+        hammingShortlist(rpMultiprobeScoredPairsUncached(spark, dir))
+          .localCheckpoint()))
 
-  /** The actual probe pipeline behind [[rpMultiprobePairsMemo]] —
-    * THREE consumers (multiprobe top-1, the quality report, the
-    * rerank-cap curve) share the checkpointed scored-pair frame
-    * instead of re-running the 9× probe join each. */
+  /** The actual probe pipeline behind [[rpMultiprobeShortlist]] — the
+    * FULL scored-pair frame the shortlist rank-caps. */
   private def rpMultiprobeScoredPairsUncached(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.RpBits.register(spark)
@@ -2636,7 +2675,7 @@ object VectorOps {
     * recall matters more than query latency. */
   def annRpMultiprobeTop1(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
-    cosineRerankTop1(spark, dir, rpMultiprobeScoredPairs(spark, dir))
+    cosineRerankTop1(spark, dir, rpMultiprobeShortlist(spark, dir))
   }
 
   /** 256-bit random-hyperplane ANN + exact-cosine rerank — the round-12
@@ -2664,7 +2703,7 @@ object VectorOps {
     * stage never touches a float. */
   def annRpRerankTop1(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
-    cosineRerankTop1(spark, dir, rpScoredPairs(spark, dir))
+    cosineRerankTop1(spark, dir, rpShortlist(spark, dir))
   }
 
   /** Standing ANN retrieval-quality report — the `RecallSweep` numbers
@@ -2864,11 +2903,9 @@ object VectorOps {
   def rpMultiprobeRecallAtK(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
     val exact = exactTop1(spark, dir)
-    val scored = rpMultiprobeScoredPairs(spark, dir)
-    val ranked = scored
-      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-        .orderBy(col("hamming"), col("c_id"))))
-      .filter(col("rk") <= MihRerankCap)
+    // the memo already carries the capped (hamming, c_id) rank — read
+    // it, no per-call window.
+    val ranked = rpMultiprobeShortlist(spark, dir)
       .select("q_id", "c_id", "rk")
     recallCurveFrom(ranked, exact)
   }

@@ -253,7 +253,12 @@ class PlanSpec extends GraftSpec {
       // session memo (a checkpoint scan), so the WindowGroupLimit
       // assert must run against the plan the populate executes.
       ("VectorOps.scala", "pqAdcScoredUncached") ->
-        (() => VectorOps.pqAdcScoredUncached(spark, dir)))
+        (() => VectorOps.pqAdcScoredUncached(spark, dir)),
+      ("VectorOps.scala", "pqShortlistUncached") ->
+        (() => VectorOps.pqShortlistUncached(spark, dir)),
+      ("VectorOps.scala", "hammingShortlist") ->
+        (() => VectorOps.hammingShortlist(
+          VectorOps.mihScoredPairsUncached(spark, dir))))
     val unmapped = rankCapped.diff(builders.keySet)
     assert(unmapped.isEmpty,
       s"rank-capped annotation(s) without a plan-assert builder: $unmapped")

@@ -127,7 +127,8 @@ class SviSpec extends AnyFunSuite {
     val memoNames = Seq("cc_labels", "customer_rollup_memo",
       "exact_top1", "hilbert_lut", "lsh_scored_pairs", "minhash_pairs",
       "neardup_pairs", "pq_index", "product_rollup_memo",
-      "rp_multiprobe_pairs", "semantic_cc_labels", "tf_frame",
+      "rp_multiprobe_shortlist", "mih_shortlist", "rp_shortlist",
+      "pq_shortlist", "semantic_cc_labels", "tf_frame",
       "trained_centroids", "winnow_pairs")
     val fams = Set("embedding", "posting", "token", "rollup", "training")
     (SparkEntry.queries.keys ++ memoNames).foreach { n =>

@@ -198,6 +198,24 @@ class TextOpsSpec extends GraftSpec {
       s"pointer doubling should close a 16-path in ~4 rounds, took $rounds")
   }
 
+  test("CC fixpoint closes a 16-path in O(log d) rounds with min labels") {
+    // r19: minLabelFixpoint (the shared round loop of the three CC
+    // queries) gained the same label(label(u)) hop as
+    // propagateMinLabels — a path graph that plain neighbor-min
+    // propagation closes in diameter rounds must now close in ~log d,
+    // with the labels unchanged (every vertex → component min).
+    val path = (1 to 15).map(i => (i.toLong, (i + 1).toLong))
+    val e = path.toDF("u", "v")
+    val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    val (labels, rounds) = TextOps.minLabelFixpointWithRounds(sym)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Long]("l")).toMap
+    assert(got.size == 16 && got.values.forall(_ == 1L), s"bad labels: $got")
+    assert(rounds <= 6,
+      s"hopped min-label fixpoint should close a 16-path in ~5 rounds, " +
+        s"took $rounds")
+  }
+
   test("split assignment is total and stable across calls") {
     val a = TextOps.trainValSplit(spark, scratch).collect()
     val b = TextOps.trainValSplit(spark, scratch).collect()

@@ -100,6 +100,7 @@ object WindowGateSpec {
     ("CdcOps.scala", "userFunnel") -> "data-keyed: user_id",
     ("CdcOps.scala", "withSessionSeq") -> "data-keyed: user_id",
     ("TextOps.scala", "bigramSurprisal") -> "data-keyed: doc_id",
+    ("TextOps.scala", "dsirWeights") -> "data-keyed: doc_id",
     ("TextOps.scala", "bm25TopK") ->
       "data-keyed: doc_id; cap compiles to WindowGroupLimit",
     ("TextOps.scala", "chunkPacking") ->
@@ -156,13 +157,12 @@ object WindowGateSpec {
       "data-keyed: vec_id assignment; in-cell scoring rank-capped (NProbe/CellCap -> WindowGroupLimit)",
     ("VectorOps.scala", "annIvfTrainedTop1Iter") ->
       "data-keyed: vec_id assignment; in-cell scoring rank-capped (WindowGroupLimit)",
-    ("VectorOps.scala", "annPqRerankTop1") ->
-      "data-keyed: q_id — group count scales with the query set",
     ("VectorOps.scala", "bandedScoredPairs") ->
       "data-keyed: (band j, band value) bucket",
     ("VectorOps.scala", "clusterSample") ->
       "rank-capped: samp_rank <= SampleQuota compiles to WindowGroupLimit",
-    ("VectorOps.scala", "cosineRerankTop1") -> "data-keyed: q_id",
+    ("VectorOps.scala", "hammingShortlist") ->
+      "data-keyed: q_id; rank-capped: rk <= MihRerankCap compiles to WindowGroupLimit",
     ("VectorOps.scala", "cosineTopK") -> "data-keyed: q_id",
     ("VectorOps.scala", "embeddingOutliers") ->
       "rank-capped: out_rank <= SampleQuota compiles to WindowGroupLimit",
@@ -175,7 +175,8 @@ object WindowGateSpec {
       "bounded frame: codebook grain — PqCodebook rows per subspace",
     ("VectorOps.scala", "pqAdcScoredUncached") ->
       "data-keyed: vec_id assignment; coarse ranking rank-capped (WindowGroupLimit)",
-    ("VectorOps.scala", "rpMultiprobeRecallAtK") -> "data-keyed: q_id",
+    ("VectorOps.scala", "pqShortlistUncached") ->
+      "data-keyed: q_id; shortlist rank-capped: rk <= PqRerankCap compiles to WindowGroupLimit",
     ("VectorOps.scala", "rpMultiprobeScoredPairsUncached") ->
       "data-keyed: (band j, band value) bucket")
 }
