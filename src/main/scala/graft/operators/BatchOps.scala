@@ -1560,10 +1560,25 @@ object BatchOps {
     * storage decision the suite prices elsewhere. */
   private def basketPairCounts(spark: SparkSession,
       dir: String): DataFrame =
+    pairCountsFrom(orderBaskets(spark, dir))
+
+  /** Per-order distinct sorted part sets — the shared basket grain of
+    * [[basketPairCounts]] and [[basketRules]]' marginals (r19: the
+    * rules query used to re-derive its item counts and basket total
+    * from a SECOND fact-wide DISTINCT; both now read this one
+    * aggregate). A plain plan for the single-consumer path
+    * ([[partCopurchase]]); [[basketRules]] checkpoints it per call for
+    * its three consumers. */
+  private def orderBaskets(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+
+  /** The in-basket pair explode + co-occurrence count over a basket
+    * frame from [[orderBaskets]]. */
+  private def pairCountsFrom(baskets: DataFrame): DataFrame =
+    baskets
       .filter(size(col("parts")) > 1)
       .select(explode(expr(
         """flatten(transform(parts, x ->
@@ -1586,15 +1601,22 @@ object BatchOps {
     * the item marginals join is keyed on the item id, and the global
     * basket total rides a 1-row broadcast. */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
-    val lp = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val itemN = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val total = lp.agg(countDistinct(col("l_orderkey")).as("t"))
-    // r18: pair counts come from the shared [[basketPairCounts]] plan
-    // helper — deliberately NOT a memo (re-planned per call, no
-    // populate cost; identical numbers — collect_set dedups like the
-    // lp DISTINCT).
-    val und = basketPairCounts(spark, dir)
+    // r19 (guide §1.2 — one fact pass, shared): marginals and the pair
+    // counts all derive from ONE per-order basket aggregate. The item
+    // marginal = explode of the per-order distinct part sets (exactly
+    // the old fact-wide (orderkey, partkey) DISTINCT, already grouped);
+    // the basket total = the basket row count. The basket frame is
+    // localCheckpointed per call — three consumers read one
+    // materialization instead of the fact paying two full
+    // dedup/aggregate passes. (Still NOT a session memo: the r18 A/B
+    // measured the cross-call memo net-negative; this checkpoint lives
+    // and dies inside one call.)
+    val baskets = orderBaskets(spark, dir).localCheckpoint()
+    val itemN = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val total = baskets.agg(count(lit(1)).as("t"))
+    val und = pairCountsFrom(baskets)
       .filter(col("n_ab") >= BasketRuleMinCount)
     val directed = und.select("part_a", "part_b", "n_ab")
       .unionByName(und.select(col("part_b").as("part_a"),
@@ -4279,23 +4301,36 @@ object BatchOps {
     * cardinality / 4), so a naive unpartitioned rank window would be
     * `Exchange SinglePartition` over what is nearly the fact table. */
   def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    def forKey(keyCol: String): DataFrame = {
-      val counts = li.groupBy(col(keyCol).as("k"))
-        .agg(count(lit(1)).as("x"))
-      GlobalRank.withRowNumber(counts, "i", Seq(col("x"), col("k")))
-        .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
-          max(col("x")).as("max_rows"),
-          sum(col("i") * col("x")).as("s1"))
-        .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
-          col("max_rows"),
-          expr("(max_rows * 1000) div n_rows").as("max_share_mille"),
-          expr("(1000 * (2 * s1 - (n_keys + 1) * n_rows))" +
-            " div (n_keys * n_rows)").as("gini_mille"))
-    }
-    forKey("l_suppkey")
-      .unionByName(forKey("l_partkey"))
-      .unionByName(forKey("l_orderkey"))
+    // r19 (guide §1.2 — one pass over the fact, not three): the three
+    // per-key arms each re-scanned lineitem and ran their own count
+    // aggregate + two-phase rank + checkpoint + offsets collect. One
+    // scan now explodes each row into its three (key_col, key) probes,
+    // ONE count aggregate and ONE grouped two-phase rank (key_col is a
+    // 3-value enum — the grouped helpers' broadcast-small contract)
+    // replace all of it. Per-arm rank over (x, k) = per-key_col grouped
+    // rank over the same order, so every emitted number is unchanged.
+    val keyed = Tables.lineitem(spark, dir)
+      .select(explode(array(
+        struct(lit("l_suppkey").as("key_col"),
+          col("l_suppkey").cast("long").as("k")),
+        struct(lit("l_partkey").as("key_col"),
+          col("l_partkey").cast("long").as("k")),
+        struct(lit("l_orderkey").as("key_col"),
+          col("l_orderkey").cast("long").as("k")))).as("e"))
+      .select(col("e.key_col").as("key_col"), col("e.k").as("k"))
+    val counts = keyed.groupBy("key_col", "k")
+      .agg(count(lit(1)).as("x"))
+    GlobalRank.withGroupedRowNumber(counts, "i",
+        Seq(col("key_col")), Seq(col("x"), col("k")))
+      .groupBy("key_col")
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
+        max(col("x")).as("max_rows"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col("key_col"), col("n_keys"), col("n_rows"),
+        col("max_rows"),
+        expr("(max_rows * 1000) div n_rows").as("max_share_mille"),
+        expr("(1000 * (2 * s1 - (n_keys + 1) * n_rows))" +
+          " div (n_keys * n_rows)").as("gini_mille"))
       .orderBy("key_col")
   }
 
@@ -4462,14 +4497,26 @@ object BatchOps {
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("header_rev"),
         count(lit(1)).as("n_orders"))
-    val fromLines = Tables.lineitem(spark, dir)
+    // r19 (guide §2.3 — aggregate before you shuffle): the line side
+    // used to shuffle EVERY lineitem row into the orderkey join and
+    // only then collapse to day grain. Pre-aggregating per order first
+    // (decimal sums are associative, so sum-of-order-sums is exactly
+    // the old per-line sum; n_lines = sum of per-order counts) shrinks
+    // the join's probe side ~7× — the map-side partial agg collapses
+    // most of it before the exchange because the fact arrives
+    // orderkey-clustered.
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("o_line_rev"),
+        count(lit(1)).as("o_n_lines"))
+    val fromLines = perOrder
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)"))).as("line_rev"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum(col("o_line_rev")).as("line_rev"),
+        sum(col("o_n_lines")).as("n_lines"))
     fromOrders.join(fromLines, Seq("day"), "full_outer")
       .select(col("day"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),

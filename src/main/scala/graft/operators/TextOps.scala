@@ -2516,6 +2516,11 @@ object TextOps {
     * round. Each round still ends in ONE localCheckpoint carrying its
     * own `moved` flag (the convergence test reads the checkpoint, no
     * re-join). */
+  /** Session-unique suffix source for the fixpoint's observed-metric
+    * names (an [[org.apache.spark.sql.Observation]] name must not be
+    * shared across concurrent queries). */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def minLabelFixpoint(adj: DataFrame): DataFrame =
     minLabelFixpointWithRounds(adj)._1
 
@@ -2554,6 +2559,13 @@ object TextOps {
       // test (any label strictly below the round-start own) are
       // unchanged, so the emitted labels are identical.
       val hop = stepped.select(col("u").as("hu"), col("l").as("hl"))
+      // Convergence rides an OBSERVED metric on the checkpoint job
+      // itself (r19, verdict order #4 "fold the convergence test into
+      // the checkpoint action"): the moved-row count is collected by
+      // the same action that materializes the round, so a round costs
+      // exactly ONE Spark job instead of checkpoint + isEmpty.
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_moved_${ccObsId.incrementAndGet()}")
       val next = stepped
         .join(hop, col("l") === col("hu"), "left_outer")
         .select(col("u"),
@@ -2561,8 +2573,9 @@ object TextOps {
           col("own"))
         .select(col("u"), col("l2").as("l"),
           (col("l2") < col("own")).as("moved"))
+        .observe(obs, count(when(col("moved"), lit(1))).as("n_moved"))
         .localCheckpoint()
-      converged = next.filter(col("moved")).isEmpty
+      converged = obs.get("n_moved").asInstanceOf[Long] == 0L
       labels = next.select("u", "l")
       rounds += 1
     }

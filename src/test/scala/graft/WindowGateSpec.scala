@@ -307,6 +307,8 @@ class WindowGateSpec extends AnyFunSuite {
       "o_orderpriority enum: 5 groups",
     ("BatchOps.scala", "customerMigrationMatrix") ->
       "half enum: 2 groups",
+    ("BatchOps.scala", "keySkewReport") ->
+      "key_col enum: 3 groups (the audited join-key columns)",
     ("CdcOps.scala", "funnelStepLatency") ->
       "funnel-step enum: 3 groups",
     ("CdcOps.scala", "winsorizedStats") ->
