@@ -171,6 +171,22 @@ object AbProbe {
       case "basket_rules" => Seq(
         "old" -> (() => basketRulesLegacy(spark, sfDir)),
         "new" -> (() => BatchOps.basketRules(spark, sfDir)))
+      case "containment_phases" => Seq(
+        // front = the df-capped posting build ONLY (no checkpoint —
+        // the noop sink consumes it directly); full = the query.
+        "front" -> (() => {
+          val docs = graft.operators.TextOps.shingleDocs(spark, sfDir)
+          val post = docs.select(col("doc_id"), col("lang"), col("n_sh"),
+            explode(col("sh")).as("shingle"))
+          val wPost = org.apache.spark.sql.expressions.Window
+            .partitionBy("shingle", "lang")
+          post.withColumn("df", count(lit(1)).over(wPost))
+            .filter(col("df").between(2,
+              graft.operators.TextOps.NearDupDocFreqCap))
+            .drop("df")
+        }),
+        "full" -> (() => graft.operators.TextOps
+          .nearDupContainment(spark, sfDir)))
       case "cc_fixpoint" => Seq(
         "old" -> (() => minLabelFixpointLegacy(ccAdj(spark, sfDir))),
         "new" -> (() => {

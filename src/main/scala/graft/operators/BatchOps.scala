@@ -3284,6 +3284,14 @@ object BatchOps {
     base.groupBy("n_name")
       .pivot("c_mktsegment", MktSegments)
       .agg(coalesce(sum(col("cents")), lit(0L)))
+      // r19 correctness fix (inherited, surfaced at sf0.001): the
+      // coalesce above runs INSIDE each (nation, segment) group, so a
+      // combination with NO rows still pivots to NULL — the oracle's
+      // CASE-filtered sums emit 0 there. Invisible at sf0.01/sf0.1
+      // (every cell populated); the post-pivot coalesce makes the
+      // empty-cell contract explicit and identical.
+      .select(col("n_name") +:
+        MktSegments.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
       .orderBy("n_name")
   }
 

@@ -1562,17 +1562,15 @@ object VectorOps {
     * and rank-ordered list aggregation (LUTs). Ties everywhere break on
     * ascending rank / c_id. */
   def annPqTop1(spark: SparkSession, dir: String): DataFrame =
+    // rk = 1 of the (adc, c_id, cent_id)-ranked shortlist IS the
+    // min(struct(adc, c_id, cent_id)) argmin over all scored pairs —
+    // no re-aggregate needed. (No round(): the decimal ADC sum is
+    // exact and its double cast is the same IEEE value in both
+    // engines.)
     pqShortlist(spark, dir)
-      // top-1 off the rank-capped shortlist: the shortlist's rank order
-      // IS the (adc, c_id, cent_id) lexicographic order of the argmin
-      // struct, so min-over-shortlist = min-over-all-pairs exactly.
-      .groupBy("q_id")
-      .agg(min(struct(col("adc"), col("c_id"), col("cent_id"))).as("best"))
-      // No round(): the decimal sum is exact and its double cast is the
-      // same IEEE value in both engines — rounding would only reintroduce
-      // a half-tie hazard (round-half behavior differs across engines).
-      .select(col("q_id"), col("best.cent_id").as("cent_id"),
-        col("best.c_id").as("c_id"), col("best.adc").as("adc_dist"))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("cent_id"), col("c_id"),
+        col("adc").as("adc_dist"))
       .orderBy("q_id")
 
   /** Session-scoped memo of the rank-capped ADC SHORTLIST — r19: the
@@ -1607,7 +1605,7 @@ object VectorOps {
     pqAdcScoredUncached(spark, dir)
       .withColumn("rk", row_number().over(wQ))
       .filter(col("rk") <= PqRerankCap)
-      .select("q_id", "c_id", "cent_id", "adc")
+      .select("q_id", "c_id", "cent_id", "adc", "rk")
   }
 
   private[graft] def pqAdcScoredUncached(spark: SparkSession,
