@@ -140,6 +140,39 @@ object AbProbe {
     labels
   }
 
+  private val probeObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** No-hop variant WITH the observed-metric convergence — isolates
+    * the hop's contribution from the one-job-per-round change. */
+  private def minLabelFixpointNoHopObs(adj: DataFrame): DataFrame = {
+    val ownT = adj.schema("v").dataType
+    var labels = adj.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("l"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      val obs = org.apache.spark.sql.Observation(
+        s"abprobe_moved_${probeObsId.incrementAndGet()}")
+      val next = adj
+        .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
+        .select(col("u"), col("lv"), lit(null).cast(ownT).as("own"))
+        .unionByName(labels.select(col("u"), col("l").as("lv"),
+          col("l").as("own")))
+        .groupBy("u")
+        .agg(min(col("lv")).as("l"), min(col("own")).as("own"))
+        .select(col("u"), col("l"), (col("l") < col("own")).as("moved"))
+        .observe(obs, count(when(col("moved"), lit(1))).as("n_moved"))
+        .localCheckpoint()
+      converged = obs.get("n_moved").asInstanceOf[Long] == 0L
+      labels = next.select("u", "l")
+      rounds += 1
+    }
+    println(s"[abprobe] cc_fixpoint nohop_obs rounds=$rounds")
+    labels
+  }
+
   private def ccAdj(spark: SparkSession, dir: String): DataFrame = {
     val pairs = SparkEntry.queries("neardup_jaccard_capped")(spark, dir)
       .select(col("doc_a"), col("doc_b"))
@@ -189,6 +222,7 @@ object AbProbe {
           .nearDupContainment(spark, sfDir)))
       case "cc_fixpoint" => Seq(
         "old" -> (() => minLabelFixpointLegacy(ccAdj(spark, sfDir))),
+        "nohop_obs" -> (() => minLabelFixpointNoHopObs(ccAdj(spark, sfDir))),
         "new" -> (() => {
           val (l, r) = graft.operators.TextOps
             .minLabelFixpointWithRounds(ccAdj(spark, sfDir))

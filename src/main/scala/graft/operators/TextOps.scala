@@ -2545,25 +2545,27 @@ object TextOps {
           col("l").as("own")))
         .groupBy("u")
         .agg(min(col("lv")).as("l"), min(col("own")).as("own"))
-      // r19 (verdict order #4): POINTER-DOUBLING hop — adopt l(l(u)).
-      // Every label value is itself a vertex with its own row (labels
-      // are mins over vertex ids; the own-row union keeps every vertex
-      // present), so the self-join resolves; left_outer + coalesce
-      // keeps correctness independent of that invariant. The hop cuts
-      // convergence from O(component diameter) rounds to O(log d) —
-      // each round a vertex reaches its neighbor's LAST-round label's
-      // label, so the reach doubles — and each round still pays ONE
-      // localCheckpoint + one cheap convergence read; the two uses of
-      // `stepped` share one physical aggregate via exchange reuse.
-      // The fixpoint (labels = component minima) and the convergence
-      // test (any label strictly below the round-start own) are
-      // unchanged, so the emitted labels are identical.
+      // r19 (verdict order #4): ONE pointer-doubling hop — adopt
+      // l(l(u)) off the stepped map. Every label value is itself a
+      // vertex with its own row (labels are mins over vertex ids; the
+      // own-row union keeps every vertex present), so the self-join
+      // resolves; left_outer + coalesce keeps correctness independent
+      // of that invariant. Measured on the sf0.1 near-dup graph:
+      // rounds 18 → 13. A SECOND composed hop was A/B'd and rejected
+      // — it cut zero further rounds (the residual round count is
+      // bounded by neighbor-propagation distance through the graph,
+      // not by pointer-chain depth: mid-path vertices' labels point
+      // at local minima, so deeper jumps land off the min's path) and
+      // its extra join cost ~+0.8 s. The fixpoint (labels = component
+      // minima) and the convergence test (any label strictly below
+      // the round-start own) are unchanged, so the emitted labels are
+      // identical.
       val hop = stepped.select(col("u").as("hu"), col("l").as("hl"))
       // Convergence rides an OBSERVED metric on the checkpoint job
-      // itself (r19, verdict order #4 "fold the convergence test into
-      // the checkpoint action"): the moved-row count is collected by
-      // the same action that materializes the round, so a round costs
-      // exactly ONE Spark job instead of checkpoint + isEmpty.
+      // itself ("fold the convergence test into the checkpoint
+      // action"): the moved-row count is collected by the same action
+      // that materializes the round, so a round costs exactly ONE
+      // Spark job instead of checkpoint + isEmpty.
       val obs = org.apache.spark.sql.Observation(
         s"cc_moved_${ccObsId.incrementAndGet()}")
       val next = stepped
