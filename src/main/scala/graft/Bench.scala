@@ -146,7 +146,14 @@ object Bench {
         // The prior's sentinel_end map doubles as its BOX FINGERPRINT
         // (r15 verdict order #6): re-measuring the same controls this
         // run and comparing prices the machine, not the code.
-        if (root.path("sf").asText("") == sfDir)
+        // Same-CORE-COUNT priors only, too (r19): an 8-core run
+        // attributed against a 32-core prior labeled core-SENSITIVE
+        // untouched queries "regression" (gauge_resample isolated
+        // 3.07 s at 8c vs its 1.40 s 32c prior — identical code). The
+        // guard mirrors the sf one; a prior without a cpus field
+        // (pre-r19 record) is accepted unchanged for compatibility.
+        if (root.path("sf").asText("") == sfDir &&
+            root.path("cpus").asText(cpus) == cpus)
           (toMap("queries"), toMap("memo_populate"), toMap("sentinel_end"))
         else (Map.empty[String, Double], Map.empty[String, Double],
           Map.empty[String, Double])
@@ -547,7 +554,7 @@ object Bench {
       .map { case (k, vs) => s""""${esc(k)}":[${vs.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"box_drift":${short(boxDrift)},"box_drift_median":${ms3(boxDriftMedian)},"prior_box_mismatch":$priorBoxMismatch,"family_drift":${short(scala.collection.immutable.SortedMap[String, Double]() ++ famDriftMedians)},"family_drift_suspect":${famSuspects.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")},"suite_vs_isolated":$sviJson,"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"${esc(cpus)}","queries":${full(med)},"min":${full(lo)},"max":${full(hi)},"first_run":${full(firstRun)},"runs":$runsJson,"heap_mb":${short(heapMb)},"pos":${short(pos)},"ccache_mb":${short(ccacheMb)},"jit_cum_s":${short(jitCumS)},"classes_k":${short(classesK)},"sentinel_end":${short(sentinelEnd)},"box_drift":${short(boxDrift)},"box_drift_median":${ms3(boxDriftMedian)},"prior_box_mismatch":$priorBoxMismatch,"family_drift":${short(scala.collection.immutable.SortedMap[String, Double]() ++ famDriftMedians)},"family_drift_suspect":${famSuspects.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")},"suite_vs_isolated":$sviJson,"memo_populate":${full(memoPop)},"runs_per_query":$RUNS,"failed":$fs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // Compact trailer, printed LAST: every round so far recorded
     // `parsed: null` because the driver keeps only the final ~2000
